@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a cheap count() so the full plan executes
+(scan → shuffle → agg) without driver-side result materialization cost
+dominating the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_data_explorer_cdc_spark.queries import REGISTRY
+from kafka_data_explorer_cdc_spark.session import get_spark
+
+#: Headline set — exercises scan/agg, top-k, CDC parse+apply, joins,
+#: windows, dedup, and similarity as they land in the registry.
+HEADLINE = [
+    "a09_envelope_unwrap",
+    "a12_cdc_latest_state",
+    "a13_recent_orders_topk",
+    "a14_avg_sales_by_city",
+    "a15_total_sales_by_city",
+    "a16_order_count_by_city",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="kdec-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    names += [n for n in sorted(REGISTRY) if n not in names]
+
+    # warm the JVM + parquet footers once, not inside the timings
+    REGISTRY[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Reference-parity queries — SURVEY.md §2A (the reference's whole surface).
+
+The reference's analytical surface is: the ExtractNewRecordState unwrap
+(`adx-sink-config.json:15-16`), the JSONPath ingestion mapping with
+int→string coercion (`README.md:121-123`), a psql top-k sanity query
+(`README.md:203`), and three KQL summarize queries (`README.md:363-390`).
+Each is re-expressed as a Catalyst-native plan on a deterministic
+``orders_info`` derivation of the driver's ``orders`` table, so the
+DuckDB oracle can verify values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..cdc.envelope import (
+    ORDERS_INFO_SQL,
+    orders_info,
+    parse_envelope,
+    sink_projection,
+    to_envelope_json,
+    unwrap,
+)
+from ..cdc.apply import latest_state
+from ..io import load
+from .registry import query
+
+_OI = f"WITH orders_info AS ({ORDERS_INFO_SQL})"
+
+
+def _info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orders_info(load(spark, sf_dir, "orders"))
+
+
+@query(
+    "a09_envelope_unwrap",
+    oracle=f"""{_OI}
+SELECT CAST(orderid AS VARCHAR) AS orderid,
+       CAST(custid AS VARCHAR) AS custid,
+       city,
+       CAST(amount AS INTEGER) AS amount
+FROM orders_info
+""",
+    tags=("reference", "cdc"),
+)
+def a09_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingestion path: rows → Debezium JSON envelope → from_json →
+    ExtractNewRecordState unwrap → ADX ingestion mapping (int→string
+    coercion). Round-trips through real JSON so the parse path is what
+    is being verified. Refs: adx-sink-config.json:15-16, README.md:121-123.
+    """
+    env = to_envelope_json(_info(spark, sf_dir))
+    flat = unwrap(parse_envelope(env))
+    return flat.select(sink_projection(F.col("after")))
+
+
+@query(
+    "a11_source_table_filter",
+    oracle=f"""{_OI}
+SELECT CAST(orderid AS VARCHAR) AS orderid, city
+FROM orders_info WHERE (orderid % 2) = 0
+""",
+    tags=("reference", "cdc"),
+)
+def a11_source_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-side filtering (table whitelist, pg-source-config.json:12)
+    re-expressed as a predicate on CDC metadata after parse; here the
+    even-orderid half stands in for a second table's traffic.
+    """
+    env = to_envelope_json(_info(spark, sf_dir))
+    flat = unwrap(parse_envelope(env))
+    return (
+        flat.filter(F.col("src_table") == "orders_info")
+        .filter(F.col("after")["orderid"] % 2 == 0)
+        .select(
+            F.col("after")["orderid"].cast("string").alias("orderid"),
+            F.col("after")["city"].alias("city"),
+        )
+    )
+
+
+@query(
+    "a12_cdc_latest_state",
+    oracle="""
+WITH log AS (
+  SELECT user_id,
+         event_id,
+         CASE WHEN (event_id % 10) = 9 THEN 'd'
+              WHEN (event_id % 10) < 3 THEN 'c'
+              ELSE 'u' END AS op,
+         event_type, value
+  FROM events
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, event_id AS last_seq, op, event_type, value
+FROM ranked WHERE rn = 1 AND op <> 'd'
+""",
+    tags=("reference", "cdc"),
+)
+def a12_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state materialization (SURVEY.md §2A A12): the events
+    table replayed as a keyed change log (event_id = lsn, user_id = PK,
+    deterministic op codes), collapsed with one window shuffle. Refs:
+    README.md:268-288 (op/before/after/lsn semantics).
+    """
+    ev = load(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 9, "d")
+        .when(F.col("event_id") % 10 < 3, "c")
+        .otherwise("u")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    out = latest_state(log, ["user_id"], seq_col="event_id")
+    return out.withColumnRenamed("event_id", "last_seq")
+
+
+@query(
+    "a13_recent_orders_topk",
+    oracle=f"""{_OI}
+SELECT * FROM orders_info ORDER BY orderid DESC LIMIT 5
+""",
+    tags=("reference",),
+)
+def a13_recent_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """psql sanity query (README.md:203): ORDER BY pk DESC LIMIT 5.
+    Catalyst plans TakeOrderedAndProject — no global sort materialization.
+    """
+    return _info(spark, sf_dir).orderBy(F.desc("orderid")).limit(5)
+
+
+@query(
+    "a14_avg_sales_by_city",
+    oracle=f"""{_OI}
+SELECT city, CAST(SUM(amount) AS BIGINT) / CAST(COUNT(amount) AS DOUBLE) AS avg_sales
+FROM orders_info GROUP BY city
+""",
+    tags=("reference",),
+)
+def a14_avg_sales_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL: ``Orders | summarize avg_sales = avg(amount) by city``
+    (README.md:363-367). Partial+final hash aggregate; integer domain so
+    the exact sum/count division matches DuckDB bit-for-bit.
+    """
+    return _info(spark, sf_dir).groupBy("city").agg(
+        (F.sum("amount") / F.count("amount").cast("double")).alias("avg_sales")
+    )
+
+
+@query(
+    "a15_total_sales_by_city",
+    oracle=f"""{_OI}
+SELECT city, CAST(SUM(amount) AS BIGINT) AS total
+FROM orders_info GROUP BY city ORDER BY total DESC
+""",
+    tags=("reference",),
+)
+def a15_total_sales_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL: ``Orders | summarize total = sum(amount) by city | sort by
+    total`` (README.md:373-378). KQL ``sort by`` defaults DESCENDING —
+    encoded explicitly (SURVEY.md §7 hard parts).
+    """
+    return (
+        _info(spark, sf_dir)
+        .groupBy("city")
+        .agg(F.sum("amount").alias("total"))
+        .orderBy(F.desc("total"))
+    )
+
+
+@query(
+    "a16_order_count_by_city",
+    oracle=f"""{_OI}
+SELECT city, CAST(COUNT(*) AS BIGINT) AS orders_cnt
+FROM orders_info GROUP BY city ORDER BY orders_cnt DESC
+""",
+    tags=("reference",),
+)
+def a16_order_count_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL: ``Orders | summarize orders = count() by city | sort by
+    orders`` (README.md:385-390).
+    """
+    return (
+        _info(spark, sf_dir)
+        .groupBy("city")
+        .agg(F.count("*").alias("orders_cnt"))
+        .orderBy(F.desc("orders_cnt"))
+    )
