@@ -1,0 +1,99 @@
+"""CDC-replay tests (SURVEY.md §5.2): a deterministic Debezium-envelope
+fixture with c/u/d ops and at-least-once duplicate deliveries, replayed
+through parse → unwrap → latest-state / batch-merge, compared against a
+pure-Python "apply the log" oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_data_explorer_cdc_spark.cdc import (
+    apply_cdc_batch,
+    latest_state,
+    parse_envelope,
+    unwrap,
+)
+from kafka_data_explorer_cdc_spark.cdc.generator import (
+    change_log_df,
+    expected_final_state,
+    generate_change_log,
+)
+
+
+@pytest.fixture(scope="module")
+def log():
+    return generate_change_log(n_keys=50, n_ops=300, seed=42)
+
+
+@pytest.fixture(scope="module")
+def flat(spark, log):
+    raw = change_log_df(spark, log)
+    df = unwrap(parse_envelope(raw))
+    # key lives in the after-image for c/u, before-image for d
+    return df.select(
+        F.coalesce(F.col("after.orderid"), F.col("before.orderid")).alias("orderid"),
+        F.col("after.custid").alias("custid"),
+        F.col("after.amount").alias("amount"),
+        F.col("after.city").alias("city"),
+        "op",
+        "lsn",
+    ).cache()
+
+
+def _as_state_dict(df):
+    return {
+        r["orderid"]: {
+            "orderid": r["orderid"],
+            "custid": r["custid"],
+            "amount": r["amount"],
+            "city": r["city"],
+        }
+        for r in df.select("orderid", "custid", "amount", "city").collect()
+    }
+
+
+def test_fixture_covers_all_ops(log):
+    ops = {e["payload"]["op"] for e in log}
+    assert ops == {"c", "u", "d"}
+    lsns = [e["payload"]["source"]["lsn"] for e in log]
+    assert len(lsns) != len(set(lsns)), "fixture must contain duplicate deliveries"
+
+
+def test_latest_state_matches_python_oracle(flat, log):
+    got = _as_state_dict(latest_state(flat, ["orderid"]))
+    assert got == expected_final_state(log)
+
+
+def test_batch_merge_equals_full_replay(spark, flat, log):
+    """Splitting the log into micro-batches and MERGE-ing must equal the
+    one-shot replay — the exactly-once-via-idempotence story.
+    """
+    n = flat.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    state = None
+    ordered = flat.orderBy("lsn").collect()
+    for lo, hi in zip(cuts, cuts[1:]):
+        batch = spark.createDataFrame(ordered[lo:hi], flat.schema)
+        state = apply_cdc_batch(state, batch, ["orderid"])
+    assert _as_state_dict(state) == expected_final_state(log)
+
+
+def test_batch_merge_idempotent_on_replay(spark, flat, log):
+    """Re-delivering an entire batch (at-least-once) must not change state."""
+    state = apply_cdc_batch(None, flat, ["orderid"])
+    replayed = apply_cdc_batch(state, flat, ["orderid"])
+    assert _as_state_dict(replayed) == expected_final_state(log)
+
+
+def test_delete_tombstones_removed(flat, log):
+    deleted = {
+        e["payload"]["before"]["orderid"]
+        for e in log
+        if e["payload"]["op"] == "d"
+    } - set(expected_final_state(log))
+    final_keys = {
+        r["orderid"] for r in latest_state(flat, ["orderid"]).select("orderid").collect()
+    }
+    assert final_keys.isdisjoint(deleted)
