@@ -119,8 +119,28 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+#: events.ts is physically TIMESTAMP(NANOS) which Spark's parquet reader
+#: rejects outright; read the raw INT64 and truncate to micros exactly as
+#: DuckDB does (floor division — verified against duckdb 1.0 output).
+_EVENTS_PHYSICAL = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one testdata table with its declared schema."""
+    if table == "events":
+        raw = spark.read.schema(_EVENTS_PHYSICAL).parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import functions as F
+
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(SCHEMAS[table]).parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -30,3 +30,26 @@ def davg(col: str | Column, alias: str) -> Column:
 
 SQL_DSUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
 SQL_DAVG = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col})"
+
+# Casting a double PRODUCT to decimal is unsafe across engines: true
+# 4-decimal products land exactly on .xx5 ties, and Spark (Java shortest
+# double repr, HALF_UP) and DuckDB (binary value, round-to-nearest) break
+# them differently. A double holding a value with <= 2 true decimals is
+# safe to cast (nearest 2-dec value is unambiguous), so: cast FACTORS to
+# decimal, multiply in decimal (exact), then sum.
+def disc_price_dec() -> Column:
+    """(l_extendedprice * (1 - l_discount)) as an exact DECIMAL(25,4)."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(12,2)")
+
+
+def charge_dec() -> Column:
+    """(price * (1-disc) * (1+tax)) as an exact DECIMAL(38,6)."""
+    return disc_price_dec() * (1 + F.col("l_tax")).cast("decimal(12,2)")
+
+
+SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))"
+)
+SQL_CHARGE = SQL_DISC_PRICE + " * CAST(1 + l_tax AS DECIMAL(12,2))"

@@ -1,0 +1,669 @@
+"""Relational breadth — SURVEY.md §2B B1-B15 + B21 (batch form).
+
+Every query here is a declarative DataFrame plan (Catalyst picks the
+physical strategy) paired with a DuckDB oracle. Scale notes per query
+explain why the plan survives 100 TB: filters/projections reach the
+parquet scan, small dimensions broadcast, aggregations are partial+final,
+and no operator collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load
+from .helpers import (
+    SQL_CHARGE,
+    SQL_DAVG,
+    SQL_DISC_PRICE,
+    SQL_DSUM,
+    charge_dec,
+    davg,
+    disc_price_dec,
+    dsum,
+)
+from .registry import query
+
+
+@query(
+    "b01_scan_region",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("relational", "scan"),
+)
+def b01_scan_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain column-pruned parquet scan (B1)."""
+    return load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@query(
+    "b02_filter_projection",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_quantity < 24
+""",
+    tags=("relational", "filter"),
+)
+def b02_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter (B2). Both predicates and the 5-column
+    ReadSchema push into the parquet scan — at 100 TB this is the
+    difference between reading 11 columns and 5, and between scanning
+    all row groups and the shipdate-matching ones (min/max stats).
+    Per-row double arithmetic is bit-identical across engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            "l_shipdate",
+        )
+    )
+
+
+@query(
+    "b03_join_broadcast",
+    oracle=f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {SQL_DSUM.format(col="o_totalprice")} AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("relational", "join"),
+)
+def b03_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (B3) with an explicit broadcast of the dimension
+    side: customer is ~1/10 the fact table and grows sub-linearly, so at
+    cluster scale this stays a map-side hash join — zero shuffle of the
+    orders fact. Aggregate is partial+final by Catalyst.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+    )
+
+
+@query(
+    "b04_q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("relational", "join"),
+)
+def b04_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped multi-way join (B4). Filters sit below the joins
+    (Catalyst pushes them to the scans), the customer dim broadcasts,
+    and the final top-10 is TakeOrdered — no global sort. The
+    revenue product is cast to DECIMAL before SUM so the aggregate is
+    order-independent, which is what makes the result reproducible on a
+    1000-executor shuffle as well as in DuckDB.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    revenue = disc_price_dec()
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "b05a_left_join_counts",
+    oracle="""
+SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+    tags=("relational", "join"),
+)
+def b05a_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (B5)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "b05b_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+    tags=("relational", "join"),
+)
+def b05b_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (B5): existence check without row multiplication —
+    the join never widens, so no dedup pass is needed afterward.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@query(
+    "b05c_anti_join",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+    tags=("relational", "join"),
+)
+def b05c_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (B5): customers with no high-value order. (The
+    unfiltered variant is degenerate on this data — every customer has
+    at least one order — so the filter keeps the check non-trivial.)
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@query(
+    "b06_range_join_funnel",
+    oracle="""
+SELECT e1.user_id,
+       CAST(COUNT(*) AS BIGINT) AS conversions
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+GROUP BY e1.user_id
+""",
+    tags=("relational", "join", "range"),
+)
+def b06_range_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (B6): click→purchase funnel within 10 minutes.
+    The equi-key (user_id) carries the shuffle; the range predicate is
+    evaluated post-shuffle per key group, so the pair explosion is
+    bounded per user — the shape that keeps a self-join feasible on
+    100 TB of events (never a pure cross join).
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user_id"), F.col("ts").alias("buy_ts")
+    )
+    return (
+        clicks.join(
+            buys,
+            (F.col("user_id") == F.col("b_user_id"))
+            & (F.col("buy_ts") > F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("conversions"))
+    )
+
+
+@query(
+    "b07_q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       {SQL_DSUM.format(col="l_extendedprice")} AS sum_base_price,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       {SQL_DAVG.format(col="l_extendedprice")} AS avg_price,
+       {SQL_DAVG.format(col="l_discount")} AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "agg"),
+)
+def b07_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (B7): the canonical partial+final hash aggregate.
+    l_quantity is integral-valued so its double SUM is exact and
+    order-independent; every money aggregate rides DECIMAL. One shuffle
+    on a 6-value grouping key; map-side partial aggregation collapses
+    ~all rows before the exchange — the plan is flat-scalable.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(disc_price_dec()).cast("double").alias("sum_disc_price"),
+        F.sum(charge_dec()).cast("double").alias("sum_charge"),
+        (F.sum("l_quantity").cast("double") / F.count("l_quantity")).alias("avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "b08_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("relational", "agg"),
+)
+def b08_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT (B8). Catalyst expands to
+    partial dedup + final count (one expand + two-stage shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "b08x_approx_count_distinct",
+    oracle=None,  # approximate — verified by exact-recount bound in tests
+    tags=("relational", "agg", "approx"),
+)
+def b08x_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (B8 approx) — at 100 TB this
+    replaces the expensive exact expand with a constant-size sketch that
+    merges map-side. Checked against exact recount (±5%) in tests.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("n_orders_approx")
+    )
+
+
+@query(
+    "b09_rollup_revenue",
+    oracle=f"""
+SELECT n_name, year(o_orderdate) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {SQL_DSUM.format(col="o_totalprice")} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, year(o_orderdate))
+""",
+    tags=("relational", "agg"),
+)
+def b09_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (B9): (nation, year) → (nation) → grand total.
+    Catalyst expands the grouping sets before the single shuffle; both
+    dims broadcast.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = o.join(broadcast(c), o.o_custkey == c.c_custkey).join(
+        broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("n_name", "order_year")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+@query(
+    "b10_window_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS BIGINT) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    tags=("relational", "window"),
+)
+def b10_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (B10). One shuffle on the
+    partition key; the unique-key tie-breaker (o_orderkey) makes the
+    ranking deterministic under any partitioning.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "b11_window_running_revenue",
+    oracle=f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_revenue,
+       lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS prev_price
+FROM orders
+""",
+    tags=("relational", "window"),
+)
+def b11_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with an explicit frame + lag (B11): running
+    revenue per customer. DECIMAL accumulation keeps the running sum
+    exact regardless of frame evaluation order.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_revenue"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+@query(
+    "b12_global_topk",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+""",
+    tags=("relational", "sort"),
+)
+def b12_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (B12): TakeOrderedAndProject — each partition keeps
+    its local top-10, the driver merges k×partitions rows. No global
+    sort ever materializes, so this is O(k) memory at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@query(
+    "b13a_union_all_counts",
+    oracle="""
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey AS k FROM orders
+  UNION ALL
+  SELECT c_custkey AS k FROM customer
+) GROUP BY k
+""",
+    tags=("relational", "setop"),
+)
+def b13a_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (B13) — a zero-shuffle concatenation feeding one agg."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.unionByName(c).groupBy("k").agg(F.count("*").alias("n"))
+
+
+@query(
+    "b13b_intersect",
+    oracle="""
+SELECT o_custkey AS k FROM orders
+INTERSECT
+SELECT c_custkey AS k FROM customer
+""",
+    tags=("relational", "setop"),
+)
+def b13b_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — planned as an aggregate+semi-join."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.intersect(c)
+
+
+@query(
+    "b13c_except",
+    oracle="""
+SELECT c_custkey AS k FROM customer
+EXCEPT
+SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+""",
+    tags=("relational", "setop"),
+)
+def b13c_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — customer keys minus big-order customer keys
+    (filtered so the result is non-empty on this data)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "b14_scalar_functions",
+    oracle="""
+SELECT p_partkey,
+       substr(p_name, 1, 4) AS name_prefix,
+       upper(p_brand) AS brand_upper,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       (p_name LIKE '%gear%') AS is_gear,
+       concat(p_brand, ':', p_type) AS brand_type,
+       CAST(abs(p_size - 25) AS INTEGER) AS size_dist,
+       floor(p_retailprice / 100) AS price_bucket
+FROM part
+WHERE p_size BETWEEN 10 AND 40
+""",
+    tags=("relational", "scalar"),
+)
+def b14_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math function surface (B14) — all JVM built-ins
+    inside whole-stage codegen; no Python in the row path.
+    """
+    p = load(spark, sf_dir, "part").filter(F.col("p_size").between(10, 40))
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").like("%gear%").alias("is_gear"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.floor(F.col("p_retailprice") / 100).cast("double").alias("price_bucket"),
+    )
+
+
+@query(
+    "b14b_date_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+""",
+    tags=("relational", "scalar"),
+)
+def b14b_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function surface (B14): extraction + truncation, all in
+    the pinned UTC session zone so both engines agree.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+@query(
+    "b15a_json_extract",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("relational", "json"),
+)
+def b15a_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (B15) — the same
+    capability as the reference's JSONPath ingestion mapping
+    (README.md:123), here as a JVM-side get_json_object.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "b15b_array_functions",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_elem,
+       sqrt(list_reduce(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2_norm
+FROM embeddings
+""",
+    tags=("relational", "array"),
+)
+def b15b_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface (B15) on the embedding column: size,
+    indexing, and an L2 norm computed as a sequential fold. Spark's
+    ``aggregate`` and DuckDB's ``list_reduce`` fold in the same index
+    order, so the double result is bit-identical — this is the pattern
+    all the vector math below builds on (JVM-side, no Python).
+    """
+    em = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.sqrt(sq_sum).alias("l2_norm"),
+    )
+
+
+@query(
+    "b21_tumbling_window_agg",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 minute', ts) AS win_start,
+       time_bucket(INTERVAL '1 minute', ts) + INTERVAL 1 MINUTE AS win_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {SQL_DSUM.format(col="value")} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    tags=("streaming", "window"),
+)
+def b21_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (B21, batch form — the
+    streaming form in streaming/windows.py shares this exact plan
+    fragment). Epoch-aligned 1-minute buckets match DuckDB time_bucket.
+    """
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 minute")
+    return ev.groupBy(win, "event_type").agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    ).select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "b21b_sliding_window_agg",
+    oracle="""
+SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE]) AS win_start,
+         event_type
+  FROM events
+)
+GROUP BY 1, 2, 3
+""",
+    tags=("streaming", "window"),
+)
+def b21b_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10-minute length, 5-minute slide): each event
+    lands in exactly two windows; Spark's window() expands them before
+    the single aggregate shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return ev.groupBy(win, "event_type").agg(F.count("*").alias("n_events")).select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "event_type",
+        "n_events",
+    )
