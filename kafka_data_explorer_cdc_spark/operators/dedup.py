@@ -1,0 +1,217 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Three tiers, all shuffle-architected for 100 TB:
+
+1. **Exact** — hash-groupBy on a normalized key. One shuffle, map-side
+   partial aggregation collapses duplicates before the exchange.
+2. **MinHash + LSH near-dup** — shingle → minhash signature → band →
+   bucket-join. The crucial scale property: candidate generation joins
+   on band hashes (equi-join, shuffle bounded by bucket sizes), never
+   the O(n²) document cross-join. Signature computation is pure JVM
+   expression work (``xxhash64``), embarrassingly parallel.
+3. **SimHash** — 64-bit fingerprint whose hamming distance tracks
+   cosine similarity of the token multiset; near-dup candidates join on
+   16-bit chunks (any chunk equal ⇒ hamming ≤ 48 candidate, exact
+   hamming verified after). Same equi-join scaling story as LSH.
+
+The pipelines are compositions of explode/groupBy/join — no UDFs, no
+driver state, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], order_col: str, normalize: bool = False
+) -> DataFrame:
+    """Keep exactly one row per key (lowest ``order_col`` wins) — the
+    ``dropDuplicates`` semantics but deterministic about *which* row
+    survives, which matters when replaying at scale."""
+    keys = [
+        F.lower(F.trim(F.col(c))).alias(c) if normalize else F.col(c)
+        for c in key_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-grams per document."""
+    t = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    parts = [F.element_at(t, F.col("i") + j) for j in range(n)]
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1), F.lit(1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return (
+        df.filter(F.size(t) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 16, seed: int = 7
+) -> DataFrame:
+    """MinHash signature per id: ``num_perm`` independent min-hashes of
+    the shingle set, via seeded xxhash64 (JVM-side, vectorizable).
+    Agg is a single groupBy with ``num_perm`` MIN aggregates — one
+    shuffle over ids regardless of corpus size."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; ids sharing any
+    band hash become candidate pairs. Equi-join on (band, band_hash) —
+    the O(n²) cross-join never materializes."""
+    num_perm = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    buckets = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (the cheap post-filter that
+    makes LSH precision exact): |∩| via shingle equi-join, |∪| from
+    per-id counts."""
+    counts = shingled.groupBy("id").agg(F.count("*").alias("n"))
+    s1 = shingled.select(F.col("id").alias("id1"), "shingle")
+    s2 = shingled.select(F.col("id").alias("id2"), "shingle")
+    inter = (
+        candidates.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(counts.select(F.col("id").alias("id2"), F.col("n").alias("n2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH candidates →
+    exact-Jaccard verification. Probabilistic recall (tested with
+    planted duplicates), exact precision."""
+    sh = shingle_docs(df, id_col, text_col)
+    sigs = minhash_signatures(sh, num_perm=num_perm)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_perm // bands)
+    return verify_jaccard(cands, sh, threshold)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """63-bit SimHash fingerprint (bit 63 left clear to stay positive in
+    int64): per-token xxhash64 bit-votes, majority per bit position.
+    One explode + one groupBy — scales like a word count."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"v_{j}")
+            for j in range(63)
+        ]
+    )
+    fp = None
+    for j in range(63):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return votes.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fps: DataFrame, max_hamming: int = 8, chunks: int = 4
+) -> DataFrame:
+    """Near-dup candidates by SimHash: ids sharing any 16-bit chunk of
+    the fingerprint (pigeonhole: hamming ≤ chunks-1 guarantees a shared
+    chunk... for hamming < chunks any pair with fewer differing chunks
+    than ``chunks`` shares one), then exact hamming filter via
+    bit_count(xor)."""
+    chunk_cols = [
+        F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c_{c}")
+        for c in range(chunks)
+    ]
+    t = fps.select("id", "simhash", *chunk_cols)
+    pieces = t.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("ci"), F.col(f"c_{c}").alias("cv"))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "simhash", F.col("p.ci").alias("ci"), F.col("p.cv").alias("cv"))
+    l, r = pieces.alias("l"), pieces.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.ci") == F.col("r.ci"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

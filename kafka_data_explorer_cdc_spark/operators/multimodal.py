@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+The Spark-side architecture is the real deliverable here: binary
+payload + typed metadata struct columns, Arrow-batched ``mapInPandas``
+for decode/feature-extraction (the only sane shape for per-blob Python
+work at scale — whole Arrow batches cross the JVM↔Python boundary, not
+rows), and frame-sampling as an explode over a sequence.
+
+The actual codec calls are STUBBED (no image/audio libraries in this
+container): ``decode_image_batch`` computes deterministic fake
+dimensions from the payload bytes, and ``decode_image_real`` raises
+``NotImplementedError`` where PIL/ffmpeg would plug in. The batch
+shapes, schemas, and partitioning are real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Output schema of the (stubbed) image decode.
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+FORMATS = ["jpeg", "png", "webp"]
+
+
+def to_binary_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model the corpus as multimodal rows: payload = opaque binary
+    (here: utf-8 bytes of the text, a deterministic stand-in for image
+    bytes), with the id carried alongside."""
+    return df.select(
+        "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Where a real codec (PIL / libjpeg / ffmpeg) plugs in."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use decode_image_batch's deterministic stub"
+    )
+
+
+def _fake_meta(doc_id: pd.Series, payload: pd.Series) -> pd.DataFrame:
+    n = payload.str.len().astype("int32")
+    return pd.DataFrame(
+        {
+            "doc_id": doc_id.astype("int64"),
+            "n_bytes": n,
+            "width": (n % 640 + 1).astype("int32"),
+            "height": ((n * 7) % 480 + 1).astype("int32"),
+            "channels": 3,
+            "format": (n % 3).map(dict(enumerate(FORMATS))),
+        }
+    )
+
+
+def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch in → decoded metadata batch out.
+    Deterministic stub (dimensions derived from byte length) so the
+    full Spark plumbing is oracle-checkable; swap ``_fake_meta`` for a
+    real codec without touching the plan."""
+    for pdf in batches:
+        yield _fake_meta(pdf["doc_id"], pdf["payload"])
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """Distributed decode over the binary column: Arrow-batched, one
+    Python worker per partition, no row-at-a-time serialization."""
+    return to_binary_docs(df).mapInPandas(decode_image_batch, IMAGE_META_SCHEMA)
+
+
+def sample_frames(df: DataFrame, step: int = 5) -> DataFrame:
+    """Video-frame sampling as relational explode: each doc models a
+    clip with (doc_id % 30)+1 frames; emit every ``step``-th frame
+    index. Pure Catalyst — the pattern for frame-level fan-out."""
+    n_frames_minus1 = F.col("doc_id") % 30
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), n_frames_minus1, F.lit(step))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns.
+
+- **Brute-force cosine top-k** — exact baseline: broadcast the query
+  vectors (small side), fold the dot product JVM-side with
+  ``zip_with`` + ``aggregate`` (no Python, no shuffle of the corpus),
+  rank per query. At 100 TB the corpus side streams through map tasks;
+  cost is O(|corpus| × |queries|) FLOPs but zero data movement beyond
+  the broadcast.
+- **LSH (random hyperplane) ANN** — the scale path: b-bit signatures
+  bucket the corpus; queries join their bucket(s) only. Candidate
+  generation is an equi-join on the signature, re-ranking touches a
+  tiny fraction of the corpus. Recall is probabilistic — measured
+  against the brute-force baseline in tests, never hash-compared.
+
+Norms are folded in the same element order in Spark and DuckDB
+(`aggregate` vs `list_reduce`), so even double-precision cosines are
+reproducible bit-for-bit for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_sq(a):
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_norm_sq(F.col(vec_col))))
+
+
+def brute_force_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: for each query vector, the k nearest corpus vectors
+    by cosine (self-match excluded), deterministic tie-break on id."""
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+    ).withColumnRenamed("norm", "q_norm")
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec",
+    ).withColumnRenamed("norm", "c_norm")
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "sig",
+) -> DataFrame:
+    """b-bit random-hyperplane signature: bit j = sign(v · plane_j).
+    Planes are literal arrays (deterministic, seed-fixed by the caller)
+    broadcast inside the plan — pure JVM fold per row."""
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(F.col(vec_col), p) > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit
+    return df.withColumn(out_col, sig)
+
+
+def make_planes(dim: int, bits: int, seed: int = 1234) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state —
+    a simple LCG keeps the planes reproducible everywhere)."""
+    planes = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: union of ``tables`` independent signature buckets →
+    candidate equi-join → exact re-rank. Recall measured vs brute force
+    in tests (never exact-compared)."""
+    cand = None
+    for t in range(tables):
+        planes = make_planes(dim, bits, seed=1234 + 7919 * t)
+        csig = hyperplane_signature(
+            corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+            planes,
+            "c_vec",
+        )
+        qsig = hyperplane_signature(
+            queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+            planes,
+            "q_vec",
+        )
+        pairs = csig.join(broadcast(qsig), "sig").select(
+            "q_id", "q_vec", "c_id", "c_vec"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["q_id", "c_id"]).filter(
+        F.col("c_id") != F.col("q_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.sqrt(_norm_sq(F.col("q_vec"))) * F.sqrt(_norm_sq(F.col("c_vec")))),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact
+    cosine verification — the scale path for semantic dedup."""
+    pairs = None
+    for t in range(tables):
+        planes = make_planes(dim, bits, seed=4321 + 104729 * t)
+        sig = hyperplane_signature(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            planes,
+            "vec",
+        )
+        l, r = sig.alias("l"), sig.alias("r")
+        p = l.join(
+            r, (F.col("l.sig") == F.col("r.sig")) & (F.col("l.id") < F.col("r.id"))
+        ).select(
+            F.col("l.id").alias("id1"),
+            F.col("l.vec").alias("v1"),
+            F.col("r.id").alias("id2"),
+            F.col("r.vec").alias("v2"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id1", "id2"])
+    return (
+        pairs.withColumn(
+            "cosine",
+            _dot(F.col("v1"), F.col("v2"))
+            / (F.sqrt(_norm_sq(F.col("v1"))) * F.sqrt(_norm_sq(F.col("v2")))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

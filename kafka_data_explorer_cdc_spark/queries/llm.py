@@ -1,0 +1,570 @@
+"""LLM-data-pipeline queries — dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §2B B16-B20 + north-star extensions).
+
+Oracle strategy: deterministic pipelines (exact dedup, portable-hash
+minhash, pairwise jaccard, brute-force cosine, text stats, stubbed
+multimodal decode) are DuckDB-checked exactly; probabilistic/seeded
+pipelines (xxhash64 MinHash-LSH, SimHash, hyperplane ANN) are
+rows-only here with planted-duplicate recall tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import broadcast, pandas_udf
+
+from ..io import load
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as S
+from ..operators.text import DUCKDB_POLY_HASH, LANG_STOPWORDS, poly_hash
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d01_exact_dedup_groups",
+    oracle="""
+SELECT lower(trim(text)) AS norm_text,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY lower(trim(text))
+""",
+    tags=("llm", "dedup"),
+)
+def d01_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (B16): hash-groupBy on the normalized text. Map-side
+    partial agg collapses duplicates before the single shuffle — the
+    100 TB-safe shape (never a sort, never a driver collect)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.lower(F.trim(F.col("text"))).alias("norm_text"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "d02_dedup_keep_first",
+    oracle="""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+    tags=("llm", "dedup"),
+)
+def d02_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: lowest doc_id survives per
+    normalized text — reproducible under any partitioning, unlike the
+    built-in dropDuplicates whose survivor is partition-order luck."""
+    docs = load(spark, sf_dir, "documents")
+    out = D.exact_dedup(docs, ["text"], "doc_id", normalize=True)
+    return out.select("doc_id", "lang", "source")
+
+
+_MINHASH_PERMS = [(2 * i + 1, 97 * i + 13) for i in range(8)]
+
+_SH_DUCK = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+)"""
+
+
+@query(
+    "d03_minhash_portable",
+    oracle=_SH_DUCK
+    + ", h AS (SELECT doc_id, "
+    + DUCKDB_POLY_HASH.format(expr="shingle")
+    + " AS h FROM sh)\nSELECT doc_id, "
+    + ", ".join(
+        f"CAST(MIN(({a} * h + {b}) % 1000000007) AS BIGINT) AS mh_{i}"
+        for i, (a, b) in enumerate(_MINHASH_PERMS)
+    )
+    + " FROM h GROUP BY doc_id",
+    tags=("llm", "dedup"),
+)
+def d03_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with an engine-portable polynomial hash —
+    the oracle-checkable witness for the signature math. The production
+    path (d04) swaps in xxhash64 for JVM speed; the plan shape (explode
+    → hash → groupBy-min) is identical."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3)
+    h = sh.withColumn("h", F.expr(poly_hash("shingle")))
+    return h.groupBy(F.col("id").alias("doc_id")).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % 1_000_000_007).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_MINHASH_PERMS)
+        ]
+    )
+
+
+@query("d04_minhash_lsh_pairs", oracle=None, tags=("llm", "dedup", "approx"))
+def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash+LSH near-dup pipeline (B17): xxhash64
+    signatures, 4 bands × 4 rows, exact-Jaccard verification at 0.5.
+    Candidate generation is an equi-join on band hashes — never O(n²).
+    Recall is validated with planted duplicates in tests/test_dedup.py.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup_pairs(docs, threshold=0.5)
+
+
+@query(
+    "d05_ngram_jaccard_pairs",
+    oracle=_SH_DUCK
+    + """,
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS isz
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       isz * 1.0 / (c1.n + c2.n - isz) AS jaccard
+FROM inter
+JOIN cnt c1 ON id1 = c1.doc_id
+JOIN cnt c2 ON id2 = c2.doc_id
+WHERE isz * 1.0 / (c1.n + c2.n - isz) >= 0.5
+""",
+    tags=("llm", "dedup"),
+)
+def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the
+    ground-truth dedup the LSH pipeline approximates. The shingle
+    equi-join bounds the pair explosion to documents that actually
+    share an n-gram."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3)
+    pairs = sh.alias("a").join(
+        sh.alias("b"),
+        (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+    ).groupBy(
+        F.col("a.id").alias("id1"), F.col("b.id").alias("id2")
+    ).agg(F.count("*").alias("isz"))
+    counts = sh.groupBy("id").agg(F.count("*").alias("n"))
+    return (
+        pairs.join(counts.select(F.col("id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(counts.select(F.col("id").alias("id2"), F.col("n").alias("n2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("isz") * 1.0 / (F.col("n1") + F.col("n2") - F.col("isz")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+@query("d06_simhash_near_pairs", oracle=None, tags=("llm", "dedup", "approx"))
+def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (B17 variant): 63-bit fingerprints, candidate
+    pairs via shared 16-bit chunk, exact hamming ≤ 8 filter. Planted-
+    duplicate recall in tests/test_dedup.py."""
+    docs = load(spark, sf_dir, "documents")
+    fps = D.simhash(docs)
+    return D.simhash_near_pairs(fps, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+)
+_NORMSQ = (
+    "list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(p, q) -> p + q)"
+)
+
+
+@query(
+    "d07_embedding_cosine_topk",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({_NORMSQ.format(a="embedding")}) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {_DOT.format(a="q.embedding", b="c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+)
+SELECT q_id, c_id, cosine, rn AS rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    tags=("llm", "similarity"),
+)
+def d07_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (B18 exact baseline) for 20 query
+    vectors: broadcast queries, JVM zip_with/aggregate fold (no Python,
+    no corpus shuffle), per-query ranking window."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20)
+    return S.brute_force_cosine_topk(em, queries, k=5)
+
+
+@query("d07x_lsh_cosine_topk", oracle=None, tags=("llm", "similarity", "approx"))
+def d07x_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH (B18 scale path): 2 tables ×
+    8-bit signatures bucket the corpus; only bucket collisions are
+    re-ranked exactly. Recall@5 vs the brute-force baseline is measured
+    in tests/test_similarity.py."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20)
+    return S.lsh_cosine_topk(em, queries, k=5, bits=8, tables=2)
+
+
+@query("d08_embedding_near_dup", oracle=None, tags=("llm", "dedup", "approx"))
+def d08_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at 0.95 via LSH buckets + exact
+    verification. (This corpus has no planted embedding duplicates, so
+    the live result is empty; semantics are covered by planted-pair
+    tests in tests/test_similarity.py.)"""
+    em = load(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(em, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d09_doc_fingerprint",
+    oracle="SELECT doc_id, "
+    + DUCKDB_POLY_HASH.format(expr="lower(trim(text))")
+    + " AS fp FROM documents",
+    tags=("llm", "text"),
+)
+def d09_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint — content identity that is
+    reproducible outside the JVM (unlike xxhash64), for cross-system
+    lineage joins."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(poly_hash("lower(trim(text))")).alias("fp")
+    )
+
+
+@query(
+    "d10_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+         AS bpe_ish_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def d10_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — corpus accounting
+    entirely in JVM regex, no Python tokenizer in the hot path."""
+    from ..operators.text import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "d11_quality_score",
+    oracle="""
+SELECT doc_id,
+       n_tokens,
+       mean_tok_len,
+       stop_ratio,
+       CASE WHEN n_tokens >= 20 AND mean_tok_len >= 3.0 AND stop_ratio >= 0.05
+            THEN 1 ELSE 0 END AS keep
+FROM (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+           / len(string_split(text, ' ')) AS mean_tok_len,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'is', 'of', 'and'))) * 1.0
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+)
+""",
+    tags=("llm", "text"),
+)
+def d11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length, mean token length, stopword
+    ratio) with a keep/drop gate — the classic pre-training filter
+    shape, all integer/ratio arithmetic so both engines agree exactly."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_tok = F.size(t)
+    stop = F.size(
+        F.filter(t, lambda x: x.isin(*LANG_STOPWORDS["en"]))
+    )
+    mean_len = (F.length("text") - n_tok + 1) * F.lit(1.0) / n_tok
+    stop_ratio = stop * F.lit(1.0) / n_tok
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        F.when(
+            (n_tok >= 20) & (mean_len >= 3.0) & (stop_ratio >= 0.05), 1
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+_LANG_CASES_SPARK = None  # built below
+
+
+def _lang_scores(t):
+    def score(ws: tuple[str, ...]):
+        # single-arg lambda on purpose: a 2-arg callable would make
+        # F.filter pass the element index as the second argument
+        return F.size(F.filter(t, lambda x: x.isin(*ws)))
+
+    return {
+        lang: score(tuple(words))
+        for lang, words in LANG_STOPWORDS.items()
+        if lang != "zh"
+    }
+
+
+_LANG_SQL_SCORES = ", ".join(
+    f"len(list_filter(t, x -> x IN ({', '.join(repr(w) for w in ws)}))) AS sc_{lang}"
+    for lang, ws in LANG_STOPWORDS.items()
+    if lang != "zh"
+)
+
+
+@query(
+    "d12_langid",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en'
+            WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+            WHEN sc_fr >= sc_es THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       CAST(sc_en AS INTEGER) AS sc_en, CAST(sc_de AS INTEGER) AS sc_de,
+       CAST(sc_fr AS INTEGER) AS sc_fr, CAST(sc_es AS INTEGER) AS sc_es
+FROM (
+  SELECT doc_id, lang, {_LANG_SQL_SCORES}
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+)
+""",
+    tags=("llm", "text"),
+)
+def d12_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic heuristic; this
+    synthetic corpus shares one vocabulary across langs, so the point
+    is the operator shape, not accuracy — fixed tie-break order
+    en > de > fr > es)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    sc = _lang_scores(t)
+    pred = (
+        F.when(
+            (sc["en"] >= sc["de"]) & (sc["en"] >= sc["fr"]) & (sc["en"] >= sc["es"]),
+            "en",
+        )
+        .when((sc["de"] >= sc["fr"]) & (sc["de"] >= sc["es"]), "de")
+        .when(sc["fr"] >= sc["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        *[sc[lang].alias(f"sc_{lang}") for lang in ("en", "de", "fr", "es")],
+    )
+
+
+@query(
+    "d13_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, dfq,
+       tf * ln((n_docs + 1.0) / (dfq + 1.0)) AS tfidf
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfq, n.n_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.dfq ASC, tf.term
+         ) AS rn
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+) WHERE rn <= 3
+""",
+    tags=("llm", "text"),
+)
+def d13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (B19). Ranking is on integer
+    (tf, df, term) so it is deterministic; the double tfidf is carried
+    as a value only. df table is tiny → broadcast back to the tf side."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfq"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("dfq"), F.asc("term")
+    )
+    return (
+        tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("dfq") + 1.0)),
+        )
+        .select("doc_id", "term", "tf", "dfq", "tfidf")
+    )
+
+
+@query(
+    "d14_bigram_freq",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT concat_ws(' ', t[i], t[i+1]) AS bigram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+""",
+    tags=("llm", "text"),
+)
+def d14_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency (B19): top-20 bigrams. Explode →
+    count → TakeOrdered; the global top-k never sorts the full corpus."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1, F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    return (
+        docs.filter(F.size(t) >= 2)
+        .select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm1_binary_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def mm1_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: byte length + content digest of
+    the payload — the metadata layer every multimodal table needs."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+    )
+
+
+@query(
+    "mm2_image_decode_stub",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CASE octet_length(encode(text)) % 3
+         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def mm2_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode over the binary column — the
+    real distributed plumbing (schema, batching, partitioning) with a
+    deterministic stub where PIL/ffmpeg would plug in
+    (operators/multimodal.py). The oracle mirrors the stub formula, so
+    what's verified is the Arrow round-trip itself."""
+    docs = load(spark, sf_dir, "documents")
+    return MM.decode_images(docs)
+
+
+@query(
+    "mm3_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(unnest(generate_series(0, doc_id % 30, 5)) AS INTEGER)
+         AS frame_idx
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling as relational fan-out: every 5th frame
+    index per clip — explode over a sequence, fully Catalyst-native."""
+    docs = load(spark, sf_dir, "documents")
+    return MM.sample_frames(docs, step=5)
+
+
+@pandas_udf(T.DoubleType())
+def _length_score(n_chars):
+    return n_chars / (n_chars + 100.0)
+
+
+@query(
+    "mm4_pandas_udf_score",
+    oracle="""
+SELECT doc_id, n_chars / (n_chars + 100.0) AS score FROM documents
+""",
+    tags=("llm", "udf"),
+)
+def mm4_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF surface (B20): Arrow-batched scalar UDF
+    computing a saturation score — verifies the Arrow transfer path
+    produces bit-identical doubles to pure SQL."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", _length_score(F.col("n_chars")).alias("score"))

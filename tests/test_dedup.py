@@ -1,0 +1,79 @@
+"""Planted-duplicate recall tests for the approximate dedup pipelines
+(FIXTURES.md: approx operators are checked by recall, never hash-equality).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_data_explorer_cdc_spark.io import load
+from kafka_data_explorer_cdc_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    """Corpus = sf0.001 documents + near-dup copies of 20 of them
+    (each with ~5% of tokens replaced), ids offset by 100000."""
+    rng = random.Random(17)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 20).collect()
+    mutated = []
+    for r in base:
+        toks = r["text"].split(" ")
+        n_mut = max(1, len(toks) // 20)
+        for _ in range(n_mut):
+            toks[rng.randrange(len(toks))] = "zzzmut"
+        mutated.append((r["doc_id"] + 100000, " ".join(toks)))
+    extra = spark.createDataFrame(mutated, "doc_id long, text string")
+    corpus = docs.unionByName(extra)
+    expected_pairs = {(r["doc_id"], r["doc_id"] + 100000) for r in base}
+    return corpus, expected_pairs
+
+
+def test_minhash_lsh_recall_and_precision(spark, planted):
+    corpus, expected = planted
+    pairs = D.minhash_lsh_dedup_pairs(corpus, threshold=0.5)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.8, f"planted-dup recall {recall}"
+    # precision is exact by construction: every returned pair passed the
+    # exact-Jaccard verification; assert the threshold actually held
+    assert pairs.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+def test_simhash_finds_planted_dups(spark, planted):
+    corpus, expected = planted
+    fps = D.simhash(corpus)
+    pairs = D.simhash_near_pairs(fps, max_hamming=8)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.8, f"simhash planted-dup recall {recall}"
+
+
+def test_simhash_fingerprint_stability(spark, planted):
+    """Same text ⇒ same fingerprint regardless of partitioning."""
+    corpus, _ = planted
+    fp1 = {r["id"]: r["simhash"] for r in D.simhash(corpus).collect()}
+    fp2 = {
+        r["id"]: r["simhash"]
+        for r in D.simhash(corpus.repartition(13)).collect()
+    }
+    assert fp1 == fp2
+
+
+def test_exact_dedup_survivor_deterministic(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 500000)
+    )
+    out = D.exact_dedup(doubled, ["text"], "doc_id", normalize=True)
+    # every survivor must be from the original (lowest-id) half,
+    # and each normalized text appears exactly once
+    assert out.filter(F.col("doc_id") >= 500000).count() == 0
+    norm = F.lower(F.trim(F.col("text")))
+    assert (
+        out.groupBy(norm).count().filter(F.col("count") > 1).count() == 0
+    )

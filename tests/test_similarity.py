@@ -1,0 +1,79 @@
+"""Recall tests for similarity search: LSH ANN vs brute-force baseline,
+planted near-duplicate embeddings."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_data_explorer_cdc_spark.io import load
+from kafka_data_explorer_cdc_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def planted_vecs(spark, sf_dir):
+    """Embeddings + near-identical twins (tiny deterministic noise) of
+    the first 20 vectors, ids offset by 100000."""
+    rng = random.Random(99)
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = em.filter(F.col("vec_id") < 20).collect()
+    twins = [
+        (
+            r["vec_id"] + 100000,
+            [x + (rng.random() - 0.5) * 0.01 for x in r["embedding"]],
+        )
+        for r in base
+    ]
+    extra = spark.createDataFrame(twins, "vec_id long, embedding array<float>")
+    return em.unionByName(extra)
+
+
+def test_brute_force_finds_planted_twin(spark, planted_vecs):
+    queries = planted_vecs.filter(F.col("vec_id") < 20)
+    topk = S.brute_force_cosine_topk(planted_vecs, queries, k=1)
+    rows = topk.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["c_id"] == r["q_id"] + 100000, r
+        assert r["cosine"] > 0.99
+
+
+def test_lsh_topk_recall_on_planted(spark, planted_vecs):
+    queries = planted_vecs.filter(F.col("vec_id") < 20)
+    ann = S.lsh_cosine_topk(planted_vecs, queries, k=1, bits=8, tables=4)
+    hits = {
+        r["q_id"]
+        for r in ann.collect()
+        if r["c_id"] == r["q_id"] + 100000 and r["rank"] == 1
+    }
+    recall = len(hits) / 20
+    assert recall >= 0.8, f"ANN recall@1 on planted twins: {recall}"
+
+
+def test_embedding_near_dup_pairs_planted(spark, planted_vecs):
+    pairs = S.embedding_near_dup_pairs(planted_vecs, threshold=0.95, tables=4)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    expected = {(q, q + 100000) for q in range(20)}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.8, f"near-dup pair recall {recall}"
+    # precision: every emitted pair truly has cosine >= threshold
+    assert pairs.filter(F.col("cosine") < 0.95).count() == 0
+
+
+def test_lsh_recall_vs_brute_force_real_data(spark, sf_dir):
+    """On the real (random-ish) embeddings, more tables must monotonically
+    help; assert the 4-table config reaches a sane floor for recall@5."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in S.brute_force_cosine_topk(em, queries, k=5).collect()
+    }
+    ann = {
+        (r["q_id"], r["c_id"])
+        for r in S.lsh_cosine_topk(em, queries, k=5, bits=4, tables=4).collect()
+    }
+    recall = len(ann & truth) / len(truth)
+    assert recall >= 0.2, f"ANN recall@5 on random embeddings: {recall}"
