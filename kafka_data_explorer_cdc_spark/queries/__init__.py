@@ -6,5 +6,6 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
+from . import streaming_q  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query", "queries", "oracles", "query"]

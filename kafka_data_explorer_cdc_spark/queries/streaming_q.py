@@ -1,0 +1,122 @@
+"""Streaming queries in the correctness gate (B21-B24 streaming forms).
+
+Unlike the batch twins, these run a *real* Structured Streaming query
+(file source → trigger availableNow → memory/parquet sink) inside the
+``queries()`` callable and return the materialized result — so the
+DuckDB oracle verifies actual streaming execution: source offsets,
+micro-batching, state store, and sink semantics included.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cdc.envelope import ORDERS_INFO_SQL, orders_info, to_envelope_json
+from ..io import load
+from ..streaming.pipeline import ParquetStateSink, start_cdc_pipeline
+from ..streaming.windows import read_events_stream, run_to_memory, streaming_dedup
+from .registry import query
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+
+
+@query(
+    "s21_stream_tumbling_counts",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 minute', ts) AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def s21_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts (B21): the events table replayed
+    through a real file-source stream, windowed aggregation in the state
+    store, complete-mode memory sink. Must equal the batch/DuckDB result
+    exactly — the unified-batch/streaming contract."""
+    name = f"s21_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+@query(
+    "s23_stream_dedup",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "dedup"),
+)
+def s23_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (B23): the events file delivered TWICE through
+    the stream (at-least-once simulation); watermarked dropDuplicates
+    on event_id must collapse the duplicate delivery so per-type counts
+    equal the single-copy batch result."""
+    name = f"s23_{uuid.uuid4().hex[:8]}"
+    indir = _tmp("s23_in_")
+    src = f"{sf_dir}/events.parquet"
+    os.symlink(src, os.path.join(indir, "copy1.parquet"))
+    os.symlink(src, os.path.join(indir, "copy2.parquet"))
+    ev = read_events_stream(spark, indir)
+    run_to_memory(streaming_dedup(ev), name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+@query(
+    "s24_stream_cdc_apply",
+    oracle=f"""
+WITH orders_info AS ({ORDERS_INFO_SQL})
+SELECT CAST(orderid AS VARCHAR) AS orderid,
+       CAST(custid AS VARCHAR) AS custid,
+       city,
+       CAST(amount AS INTEGER) AS amount
+FROM orders_info
+""",
+    tags=("streaming", "cdc"),
+)
+def s24_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline, live (SURVEY.md §3.1): Debezium
+    envelopes streamed from files → from_json parse → SMT unwrap →
+    checkpointed foreachBatch idempotent merge → versioned-parquet
+    state → ADX-style projection (int→string coercion). The oracle is
+    the source-table derivation itself: CDC round-trip must be lossless
+    for pure inserts."""
+    run_id = uuid.uuid4().hex[:8]
+    indir, state, ckpt = (
+        _tmp(f"s24_in_{run_id}_"),
+        _tmp(f"s24_state_{run_id}_"),
+        _tmp(f"s24_ckpt_{run_id}_"),
+    )
+    env = to_envelope_json(orders_info(load(spark, sf_dir, "orders")))
+    env.select("value").write.mode("overwrite").text(indir)
+    q = start_cdc_pipeline(spark, indir, state, ckpt, available_now=True)
+    q.awaitTermination()
+    final = ParquetStateSink(spark, state, ["orderid"]).current()
+    return final.select(
+        F.col("orderid").cast("string").alias("orderid"),
+        F.col("custid").cast("string").alias("custid"),
+        F.col("city"),
+        F.col("amount").cast("int").alias("amount"),
+    )

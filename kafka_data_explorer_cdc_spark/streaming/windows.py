@@ -1,0 +1,75 @@
+"""Streaming windowed aggregation, watermarking, and dedup (B21-B23).
+
+These share their plan fragments with the batch twins in
+``queries/relational.py`` (b21/b21b) — Structured Streaming runs the
+same Catalyst plan incrementally with state in the state store. The
+watermark bounds that state: windows older than (max event time − delay)
+are finalized and evicted, which is what makes hours-long streams over
+100 TB/day of events possible with constant memory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import _EVENTS_PHYSICAL
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based events stream (same nanos→micros conversion as the
+    batch loader, so streaming and batch agree to the microsecond).
+
+    Spark's FileStreamSource requires a *directory* to monitor; the
+    driver testdata ships single parquet files, so a plain file is
+    symlinked into a temp dir first (local-mode test path only — on a
+    cluster the source is a directory or a Kafka topic).
+    """
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="events_stream_", dir="/tmp")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    raw = spark.readStream.schema(_EVENTS_PHYSICAL).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 minute", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts with a watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id. The watermark lets the state
+    store evict ids older than the horizon — unbounded streams, bounded
+    state (B23)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(
+    df: DataFrame, table_name: str, output_mode: str = "append"
+) -> None:
+    """Drain a bounded stream into an in-memory table (test/oracle path):
+    trigger availableNow processes the whole backlog then stops."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

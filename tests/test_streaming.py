@@ -1,0 +1,209 @@
+"""Streaming semantic tests (SURVEY.md §5.3): watermark late-data
+behavior, at-least-once replay idempotence through the streaming CDC
+pipeline, and checkpoint-restart recovery — the behaviors the DuckDB
+oracle cannot observe."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_data_explorer_cdc_spark.cdc.generator import (
+    expected_final_state,
+    generate_change_log,
+)
+from kafka_data_explorer_cdc_spark.streaming.pipeline import (
+    ParquetStateSink,
+    start_cdc_pipeline,
+)
+from kafka_data_explorer_cdc_spark.streaming.windows import (
+    run_to_memory,
+    streaming_dedup,
+)
+
+
+def _tmp(prefix):
+    return tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def test_watermark_drops_late_rows_in_windowed_agg(spark):
+    """Three micro-batches (maxFilesPerTrigger=1): the last contains a
+    row 20 minutes older than batch 1's max event time. With a
+    10-minute watermark the windowed aggregation must discard it —
+    observable both in the output windows and in the
+    numRowsDroppedByWatermark metric.
+
+    Spark ≥3.4 watermark semantics (SPARK-40925, multiple-stateful-
+    operator support): late events are filtered against the PREVIOUS
+    micro-batch's watermark, while state eviction uses the current one.
+    A late row therefore needs the watermark to have advanced one full
+    batch *before* the batch that carries it — hence three batches here,
+    with the late row alone in the last.
+
+    (Note ``dropDuplicates``+watermark does NOT filter late rows — the
+    watermark there only bounds state eviction; late-row discard is an
+    aggregation/window semantic.)"""
+    indir = _tmp("wm_in_")
+    sch = "event_id long, ts string, user_id long, event_type string, value double, props string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, sch).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    batches = [
+        mk([(i, "2024-01-01 12:00:00", 1, "view", 1.0, "{}") for i in range(10)]),
+        mk([(101, "2024-01-01 12:01:00", 1, "fresh", 1.0, "{}")]),
+        mk([(100, "2024-01-01 11:40:00", 1, "late", 1.0, "{}")]),  # 20 min late
+    ]
+    # file source orders by modification time; force b0 < b1 < b2
+    now = time.time()
+    for i, b in enumerate(batches):
+        p = os.path.join(indir, f"b{i}")
+        b.coalesce(1).write.parquet(p)
+        t = now - 300 + i * 100
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    types = {r["event_type"] for r in spark.table(name).collect()}
+    assert "fresh" in types and "view" in types
+    assert "late" not in types, "row behind the watermark must be discarded"
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped >= 1, "metric must record the watermark-dropped row"
+
+
+def test_streaming_dedup_collapses_duplicates(spark):
+    """dropDuplicates within the watermark horizon: the same event_ids
+    delivered twice in one stream yield exactly one output row each."""
+    indir = _tmp("dd_in_")
+    rows = [(i, "2024-01-01 12:00:00", 1, "view", 1.0, "{}") for i in range(25)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(os.path.join(indir, "a"))
+    df.coalesce(1).write.parquet(os.path.join(indir, "b"))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(indir + "/*")
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    run_to_memory(streaming_dedup(stream, watermark="10 minutes"), name)
+    out = spark.table(name)
+    assert out.count() == 25
+    assert out.select("event_id").distinct().count() == 25
+
+
+@pytest.fixture(scope="module")
+def cdc_stream_setup(spark):
+    log = generate_change_log(n_keys=40, n_ops=200, seed=7)
+    indir = _tmp("cdcs_in_")
+    # two files -> two (or more) micro-batches under maxFilesPerTrigger
+    half = len(log) // 2
+    for i, chunk in enumerate([log[:half], log[half:]]):
+        with open(os.path.join(indir, f"part{i}.jsonl"), "w") as f:
+            for env in chunk:
+                f.write(json.dumps(env) + "\n")
+    return log, indir
+
+
+def test_streaming_cdc_pipeline_end_to_end(spark, cdc_stream_setup):
+    log, indir = cdc_stream_setup
+    state, ckpt = _tmp("cdcs_state_"), _tmp("cdcs_ckpt_")
+    q = start_cdc_pipeline(spark, indir, state, ckpt, available_now=True)
+    q.awaitTermination()
+    final = ParquetStateSink(spark, state, ["orderid"]).current()
+    got = {
+        r["orderid"]: (r["custid"], r["amount"], r["city"])
+        for r in final.collect()
+    }
+    want = {
+        k: (v["custid"], v["amount"], v["city"])
+        for k, v in expected_final_state(log).items()
+    }
+    assert got == want
+
+
+def test_streaming_cdc_replay_is_idempotent(spark, cdc_stream_setup):
+    """Re-running the whole stream with a FRESH checkpoint against the
+    existing state (i.e., every event redelivered) must not change the
+    final state — the at-least-once → exactly-once upgrade."""
+    log, indir = cdc_stream_setup
+    state, ckpt1, ckpt2 = _tmp("cdcr_state_"), _tmp("cdcr_c1_"), _tmp("cdcr_c2_")
+    for ckpt in (ckpt1, ckpt2):
+        q = start_cdc_pipeline(spark, indir, state, ckpt, available_now=True)
+        q.awaitTermination()
+    final = ParquetStateSink(spark, state, ["orderid"]).current()
+    got = {
+        r["orderid"]: (r["custid"], r["amount"], r["city"])
+        for r in final.collect()
+    }
+    want = {
+        k: (v["custid"], v["amount"], v["city"])
+        for k, v in expected_final_state(log).items()
+    }
+    assert got == want
+
+
+def test_streaming_cdc_checkpoint_resume(spark, cdc_stream_setup):
+    """Same checkpoint, second run after new data arrives: only the new
+    file is processed (offsets resume), and state reflects the union."""
+    log, indir = cdc_stream_setup
+    state, ckpt = _tmp("cdcx_state_"), _tmp("cdcx_ckpt_")
+    q = start_cdc_pipeline(spark, indir, state, ckpt, available_now=True)
+    q.awaitTermination()
+    # new change: delete one surviving key via a fresh envelope file
+    survivors = expected_final_state(log)
+    victim = sorted(survivors)[0]
+    max_lsn = max(e["payload"]["source"]["lsn"] for e in log)
+    delete_env = {
+        "payload": {
+            "before": survivors[victim],
+            "after": None,
+            "source": {"table": "orders_info", "lsn": max_lsn + 1, "txId": 1,
+                       "ts_ms": 0, "version": "x", "connector": "postgresql",
+                       "name": "myserver", "snapshot": "false", "db": "postgres",
+                       "schema": "inventory", "xmin": None},
+            "op": "d",
+            "ts_ms": 0,
+            "transaction": None,
+        }
+    }
+    with open(os.path.join(indir, "part_late.jsonl"), "w") as f:
+        f.write(json.dumps(delete_env) + "\n")
+    q = start_cdc_pipeline(spark, indir, state, ckpt, available_now=True)
+    q.awaitTermination()
+    final = ParquetStateSink(spark, state, ["orderid"]).current()
+    keys = {r["orderid"] for r in final.collect()}
+    assert victim not in keys
+    assert keys == set(survivors) - {victim}
