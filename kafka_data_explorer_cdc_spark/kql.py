@@ -1,0 +1,380 @@
+"""KQL front end: compile the reference's query dialect to DataFrames.
+
+The reference's entire user-facing query surface is Kusto Query Language
+(``/root/reference/README.md:363-390``: ``summarize ... by ...``,
+``sort by``, plus the psql top-k sanity query). This module lets a
+reference user run those queries verbatim against this engine: a small
+recursive-descent parser compiles a KQL subset straight to DataFrame
+operations, so everything still plans through Catalyst (pushdown,
+broadcast, whole-stage codegen) — there is no interpretation at run
+time and no custom Catalyst rule.
+
+Supported (the reference's surface plus the obvious neighbors):
+
+    T | where <expr>
+      | summarize [name =] agg(col), ... [by col, ...]
+      | sort by col [asc|desc], ...        (KQL default: DESCENDING)
+      | order by ...                       (alias of sort)
+      | top N by col [asc|desc]
+      | take N  /  limit N
+      | project col [= expr], ...
+      | extend name = expr, ...
+      | distinct col, ...
+      | count
+
+Expressions: arithmetic (+ - * / %), comparisons (== != < <= > >=),
+``and``/``or``/``not``, ``contains``/``startswith``/``endswith``/
+``has``/``in``, string and numeric literals. Aggregates: ``count()``,
+``sum``/``avg``/``min``/``max``/``dcount``.
+
+KQL semantics preserved deliberately:
+- ``sort by`` defaults to DESC (README.md:373-378 — SURVEY.md §7
+  flags this as an oracle-mismatch trap).
+- ``dcount`` compiles to exact ``count(distinct …)``; Kusto's is
+  approximate, but the correctness gate needs exactness. At 100 TB
+  scale swap in ``approx_count_distinct`` per call site.
+- ``has`` (term match) compiles to a word-boundary regexp, which is
+  the closest Spark-native equivalent of Kusto's term index probe.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+\.\d+|\d+)
+      | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+      | (?P<op><=|>=|!=|==|=~|!~|[|=+\-*/%(),<>])
+      | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
+    )""",
+    re.VERBOSE,
+)
+
+_AGGS = {
+    "count": lambda c: F.count("*") if c is None else F.count(c),
+    "sum": lambda c: F.sum(c),
+    "avg": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "dcount": lambda c: F.countDistinct(c),
+}
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(src: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip():
+                raise ValueError(f"KQL: cannot tokenize at: {src[pos:pos+20]!r}")
+            break
+        pos = m.end()
+        for kind in ("num", "str", "op", "word"):
+            if m.group(kind) is not None:
+                toks.append(_Tok(kind, m.group(kind)))
+                break
+    return toks
+
+
+class _Parser:
+    """Recursive descent over the token stream; produces Columns."""
+
+    def __init__(self, toks: list[_Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("KQL: unexpected end of query")
+        self.i += 1
+        return t
+
+    def accept(self, text: str) -> bool:
+        t = self.peek()
+        if t and t.text.lower() == text:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, text: str) -> None:
+        if not self.accept(text):
+            got = self.peek().text if self.peek() else "<eof>"
+            raise ValueError(f"KQL: expected {text!r}, got {got!r}")
+
+    # --- expression grammar (lowest to highest precedence) ---
+
+    def expr(self) -> Column:
+        return self._or()
+
+    def _or(self) -> Column:
+        left = self._and()
+        while self.accept("or"):
+            left = left | self._and()
+        return left
+
+    def _and(self) -> Column:
+        left = self._not()
+        while self.accept("and"):
+            left = left & self._not()
+        return left
+
+    def _not(self) -> Column:
+        if self.accept("not"):
+            return ~self._not()
+        return self._cmp()
+
+    def _cmp(self) -> Column:
+        left = self._add()
+        t = self.peek()
+        if t is None:
+            return left
+        op = t.text.lower()
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right = self._add()
+            return {
+                "==": left == right,
+                "!=": left != right,
+                "<": left < right,
+                "<=": left <= right,
+                ">": left > right,
+                ">=": left >= right,
+            }[op]
+        if op in ("contains", "startswith", "endswith", "has", "in"):
+            self.next()
+            if op == "in":
+                self.expect("(")
+                items = [self._literal_value()]
+                while self.accept(","):
+                    items.append(self._literal_value())
+                self.expect(")")
+                return left.isin(items)
+            right = self._add()
+            if op == "contains":
+                return left.contains(right)
+            if op == "startswith":
+                return left.startswith(right)
+            if op == "endswith":
+                return left.endswith(right)
+            # has: Kusto term match ≈ case-insensitive word-boundary find
+            return F.lower(left).rlike(
+                r"\b" + re.escape(self._last_literal.lower()) + r"\b"
+            )
+        return left
+
+    def _add(self) -> Column:
+        left = self._mul()
+        while True:
+            if self.accept("+"):
+                left = left + self._mul()
+            elif self.accept("-"):
+                left = left - self._mul()
+            else:
+                return left
+
+    def _mul(self) -> Column:
+        left = self._unary()
+        while True:
+            if self.accept("*"):
+                left = left * self._unary()
+            elif self.accept("/"):
+                left = left / self._unary()
+            elif self.accept("%"):
+                left = left % self._unary()
+            else:
+                return left
+
+    def _unary(self) -> Column:
+        if self.accept("-"):
+            return -self._unary()
+        return self._primary()
+
+    _last_literal: str = ""
+
+    def _literal_value(self):
+        t = self.next()
+        if t.kind == "num":
+            return float(t.text) if "." in t.text else int(t.text)
+        if t.kind == "str":
+            return t.text[1:-1]
+        raise ValueError(f"KQL: expected literal, got {t.text!r}")
+
+    def _primary(self) -> Column:
+        t = self.next()
+        if t.kind == "num":
+            return F.lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "str":
+            self._last_literal = t.text[1:-1]
+            return F.lit(self._last_literal)
+        if t.text == "(":
+            e = self.expr()
+            self.expect(")")
+            return e
+        if t.kind == "word":
+            low = t.text.lower()
+            if low in ("true", "false"):
+                return F.lit(low == "true")
+            # scalar function call, e.g. strlen(x), tolower(x)
+            if self.peek() and self.peek().text == "(":
+                return self._scalar_fn(low)
+            return F.col(t.text)
+        raise ValueError(f"KQL: unexpected token {t.text!r}")
+
+    _SCALARS = {
+        "strlen": F.length,
+        "tolower": F.lower,
+        "toupper": F.upper,
+        "tostring": lambda c: c.cast("string"),
+        "toint": lambda c: c.cast("int"),
+        "tolong": lambda c: c.cast("long"),
+        "todouble": lambda c: c.cast("double"),
+        "round": F.round,
+        "abs": F.abs,
+    }
+
+    def _scalar_fn(self, name: str) -> Column:
+        if name not in self._SCALARS:
+            raise ValueError(f"KQL: unsupported function {name!r}")
+        self.expect("(")
+        args = []
+        if not self.accept(")"):
+            args.append(self.expr())
+            while self.accept(","):
+                args.append(self.expr())
+            self.expect(")")
+        return self._SCALARS[name](*args)
+
+    # --- aggregate parsing for summarize ---
+
+    def agg_item(self) -> Column:
+        """[name =] fn([col]) — returns an aliased aggregate Column."""
+        name = None
+        t = self.next()
+        if self.peek() and self.peek().text == "=":
+            name = t.text
+            self.next()
+            t = self.next()
+        fn = t.text.lower()
+        if fn not in _AGGS:
+            raise ValueError(f"KQL: unsupported aggregate {fn!r}")
+        self.expect("(")
+        col = None
+        if not self.accept(")"):
+            col = self.next().text
+            self.expect(")")
+        agg = _AGGS[fn](col)
+        return agg.alias(name or (f"{fn}_{col}" if col else fn))
+
+    def ident_list(self) -> list[str]:
+        names = [self.next().text]
+        while self.accept(","):
+            names.append(self.next().text)
+        return names
+
+
+def _split_stages(src: str) -> list[str]:
+    """Split on top-level '|' (pipes never appear inside our literals
+    unquoted; quoted strings are masked before splitting)."""
+    masked = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", lambda m: "x" * len(m.group()), src)
+    stages, start = [], 0
+    for i, ch in enumerate(masked):
+        if ch == "|":
+            stages.append(src[start:i])
+            start = i + 1
+    stages.append(src[start:])
+    return [s.strip() for s in stages if s.strip()]
+
+
+def kql(query_text: str, tables: dict[str, DataFrame]) -> DataFrame:
+    """Compile and run a KQL pipeline against the given table bindings.
+
+    >>> kql("Orders | summarize avg_sales = avg(amount) by city",
+    ...     {"Orders": orders_df})
+    """
+    stages = _split_stages(query_text)
+    if not stages:
+        raise ValueError("KQL: empty query")
+    table = stages[0]
+    if table not in tables:
+        raise ValueError(f"KQL: unknown table {table!r}")
+    df = tables[table]
+
+    for stage in stages[1:]:
+        p = _Parser(_tokenize(stage))
+        verb = p.next().text.lower()
+        if verb == "where":
+            df = df.filter(p.expr())
+        elif verb == "summarize":
+            aggs = [p.agg_item()]
+            while p.accept(","):
+                aggs.append(p.agg_item())
+            if p.accept("by"):
+                df = df.groupBy(*p.ident_list()).agg(*aggs)
+            else:
+                df = df.agg(*aggs)
+        elif verb in ("sort", "order"):
+            p.expect("by")
+            cols = []
+            while True:
+                c = p.next().text
+                if p.accept("asc"):
+                    cols.append(F.asc(c))
+                else:
+                    p.accept("desc")  # KQL default is descending
+                    cols.append(F.desc(c))
+                if not p.accept(","):
+                    break
+            df = df.orderBy(*cols)
+        elif verb == "top":
+            n = int(p.next().text)
+            p.expect("by")
+            c = p.next().text
+            order = F.asc(c) if p.accept("asc") else F.desc(c)
+            p.accept("desc")
+            df = df.orderBy(order).limit(n)
+        elif verb in ("take", "limit"):
+            df = df.limit(int(p.next().text))
+        elif verb == "project":
+            cols = []
+            while True:
+                name = p.next().text
+                if p.accept("="):
+                    cols.append(p.expr().alias(name))
+                else:
+                    cols.append(F.col(name))
+                if not p.accept(","):
+                    break
+            df = df.select(*cols)
+        elif verb == "extend":
+            while True:
+                name = p.next().text
+                p.expect("=")
+                df = df.withColumn(name, p.expr())
+                if not p.accept(","):
+                    break
+        elif verb == "distinct":
+            df = df.select(*p.ident_list()).distinct()
+        elif verb == "count":
+            df = df.agg(F.count("*").alias("count_"))
+        else:
+            raise ValueError(f"KQL: unsupported operator {verb!r}")
+        if p.peek() is not None:
+            raise ValueError(
+                f"KQL: trailing tokens in stage {stage!r}: {p.peek().text!r}"
+            )
+    return df

@@ -7,5 +7,6 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
+from . import kql_q  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query", "queries", "oracles", "query"]

@@ -1,0 +1,110 @@
+"""The reference's KQL queries, run VERBATIM through the KQL front end.
+
+These are the exact query strings a user of the reference types into
+ADX (``/root/reference/README.md:363-390``), compiled by
+:mod:`..kql` to DataFrame plans and checked against the same DuckDB
+oracles as their hand-built twins (a13-a16) — proving the front end
+compiles the reference's real workload correctly, not just unit
+snippets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..cdc.envelope import ORDERS_INFO_SQL, orders_info
+from ..io import load
+from ..kql import kql
+from .registry import query
+
+_OI = f"WITH orders_info AS ({ORDERS_INFO_SQL})"
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {"Orders": orders_info(load(spark, sf_dir, "orders"))}
+
+
+@query(
+    "k14_kql_avg_sales",
+    oracle=f"""{_OI}
+SELECT city, CAST(SUM(amount) AS BIGINT) / CAST(COUNT(amount) AS DOUBLE) AS avg_sales
+FROM orders_info GROUP BY city
+""",
+    tags=("kql", "reference"),
+)
+def k14_kql_avg_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:363-367, verbatim."""
+    return kql(
+        "Orders | summarize avg_sales = avg(amount) by city",
+        _orders(spark, sf_dir),
+    )
+
+
+@query(
+    "k15_kql_total_sales",
+    oracle=f"""{_OI}
+SELECT city, CAST(SUM(amount) AS BIGINT) AS total
+FROM orders_info GROUP BY city ORDER BY total DESC
+""",
+    tags=("kql", "reference"),
+)
+def k15_kql_total_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:373-378, verbatim — including KQL's descending-default
+    ``sort by``."""
+    return kql(
+        "Orders | summarize total = sum(amount) by city | sort by total",
+        _orders(spark, sf_dir),
+    )
+
+
+@query(
+    "k16_kql_order_counts",
+    oracle=f"""{_OI}
+SELECT city, CAST(COUNT(*) AS BIGINT) AS orders_cnt
+FROM orders_info GROUP BY city ORDER BY orders_cnt DESC
+""",
+    tags=("kql", "reference"),
+)
+def k16_kql_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:385-390, verbatim (aggregate aliased to match the
+    oracle's column name)."""
+    return kql(
+        "Orders | summarize orders_cnt = count() by city | sort by orders_cnt",
+        _orders(spark, sf_dir),
+    )
+
+
+@query(
+    "k13_kql_recent_orders",
+    oracle=f"""{_OI}
+SELECT * FROM orders_info ORDER BY orderid DESC LIMIT 5
+""",
+    tags=("kql", "reference"),
+)
+def k13_kql_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The psql sanity query (README.md:203) in its KQL idiom:
+    ``top 5 by orderid`` — plans as TakeOrderedAndProject, same as a13."""
+    return kql("Orders | top 5 by orderid", _orders(spark, sf_dir))
+
+
+@query(
+    "k17_kql_filtered_pipeline",
+    oracle=f"""{_OI}
+SELECT city,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(amount) AS BIGINT) AS total
+FROM orders_info
+WHERE amount >= 150 AND city <> 'Austin'
+GROUP BY city ORDER BY total DESC LIMIT 3
+""",
+    tags=("kql",),
+)
+def k17_kql_filtered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A longer pipeline exercising where + multi-agg summarize + top:
+    the KQL shapes a reference user would write next."""
+    return kql(
+        "Orders | where amount >= 150 and city != 'Austin' "
+        "| summarize n = count(), total = sum(amount) by city "
+        "| top 3 by total",
+        _orders(spark, sf_dir),
+    )

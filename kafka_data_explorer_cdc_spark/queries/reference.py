@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cdc.envelope import (
+    CITIES,
     ORDERS_INFO_SQL,
     orders_info,
     parse_envelope,
@@ -31,6 +32,47 @@ _OI = f"WITH orders_info AS ({ORDERS_INFO_SQL})"
 
 def _info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders_info(load(spark, sf_dir, "orders"))
+
+
+@query(
+    "a08_order_generator",
+    oracle="""
+SELECT CAST(i + 1 AS BIGINT) AS orderid,
+       CAST((i * 48271) % 1000 + 1 AS BIGINT) AS custid,
+       CAST((i * 16807) % 100 + 100 AS BIGINT) AS amount,
+       CASE (i % 6)
+         WHEN 0 THEN 'New Delhi'
+         WHEN 1 THEN 'Seattle'
+         WHEN 2 THEN 'New York'
+         WHEN 3 THEN 'Austin'
+         WHEN 4 THEN 'Chicago'
+         ELSE 'Cleveland'
+       END AS city
+FROM range(10000) t(i)
+""",
+    tags=("reference", "generator"),
+)
+def a08_order_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's order generator (main.go:81-92: custid∈[1,1000],
+    amount∈[100,199], city uniform over six cities) as a seeded batch:
+    ``spark.range`` + LCG-style integer expressions instead of ``rand()``
+    so DuckDB reproduces every value exactly. The streaming twin is
+    :func:`..streaming.generator.order_stream` (rate-micro-batch source).
+    Scales embarrassingly: range splits across executors, no shuffle.
+    """
+    ids = spark.range(10000)
+    city = F.col("id") % 6
+    expr = None
+    for i, name in enumerate(CITIES[:-1]):
+        expr = (
+            F.when(city == i, name) if expr is None else expr.when(city == i, name)
+        )
+    return ids.select(
+        (F.col("id") + 1).alias("orderid"),
+        ((F.col("id") * 48271) % 1000 + 1).alias("custid"),
+        ((F.col("id") * 16807) % 100 + 100).alias("amount"),
+        expr.otherwise(CITIES[-1]).alias("city"),
+    )
 
 
 @query(
@@ -53,6 +95,36 @@ def a09_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = to_envelope_json(_info(spark, sf_dir))
     flat = unwrap(parse_envelope(env))
     return flat.select(sink_projection(F.col("after")))
+
+
+@query(
+    "a10_jsonpath_mapping",
+    oracle=f"""{_OI}
+SELECT CAST(orderid AS VARCHAR) AS orderid,
+       CAST(custid AS VARCHAR) AS custid,
+       city,
+       CAST(amount AS INTEGER) AS amount
+FROM orders_info
+""",
+    tags=("reference", "cdc"),
+)
+def a10_jsonpath_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADX ingestion mapping as literal JSONPath extraction
+    (README.md:123: ``$.orderid`` → column), via ``get_json_object`` on
+    the raw flattened JSON — the schemaless sibling of a09's declared-
+    schema ``from_json`` path. Same output contract, including the
+    int→string coercion on orderid/custid (README.md:121).
+    """
+    env = to_envelope_json(_info(spark, sf_dir))
+    flat = env.select(
+        F.get_json_object("value", "$.payload.after").alias("rec")
+    )
+    return flat.select(
+        F.get_json_object("rec", "$.orderid").alias("orderid"),
+        F.get_json_object("rec", "$.custid").alias("custid"),
+        F.get_json_object("rec", "$.city").alias("city"),
+        F.get_json_object("rec", "$.amount").cast("int").alias("amount"),
+    )
 
 
 @query(

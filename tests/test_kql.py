@@ -1,0 +1,123 @@
+"""KQL front-end tests: each compiled pipeline must equal the
+hand-built DataFrame twin (the oracle queries in queries/kql_q.py cover
+the reference's verbatim workload; these cover the grammar corners)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_data_explorer_cdc_spark.kql import kql
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    rows = [
+        (1, 10, 120, "Seattle"),
+        (2, 20, 180, "Austin"),
+        (3, 10, 150, "Seattle"),
+        (4, 30, 100, "New York"),
+        (5, 20, 199, "Austin"),
+        (6, 40, 150, "New Delhi"),
+    ]
+    return spark.createDataFrame(
+        rows, "orderid int, custid int, amount int, city string"
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_where_comparisons_and_boolean_ops(orders):
+    got = kql(
+        "O | where amount >= 150 and (city == 'Austin' or city == 'Seattle')",
+        {"O": orders},
+    )
+    want = orders.filter(
+        (F.col("amount") >= 150)
+        & ((F.col("city") == "Austin") | (F.col("city") == "Seattle"))
+    )
+    assert rows(got) == rows(want)
+
+
+def test_where_not_and_in(orders):
+    got = kql("O | where not (city in ('Austin', 'Seattle'))", {"O": orders})
+    want = orders.filter(~F.col("city").isin("Austin", "Seattle"))
+    assert rows(got) == rows(want)
+
+
+def test_string_predicates(orders):
+    assert rows(kql("O | where city contains 'ew'", {"O": orders})) == rows(
+        orders.filter(F.col("city").contains("ew"))
+    )
+    assert rows(kql("O | where city startswith 'New'", {"O": orders})) == rows(
+        orders.filter(F.col("city").startswith("New"))
+    )
+    # has = whole-term match: 'New' is a term of 'New York' but 'ork' is not
+    assert {r["city"] for r in kql("O | where city has 'new'", {"O": orders}).collect()} == {
+        "New York",
+        "New Delhi",
+    }
+    assert kql("O | where city has 'ork'", {"O": orders}).count() == 0
+
+
+def test_summarize_no_groups_and_count_stage(orders):
+    got = kql("O | summarize total = sum(amount), n = count()", {"O": orders})
+    assert rows(got) == [(899, 6)]
+    assert kql("O | count", {"O": orders}).collect()[0][0] == 6
+
+
+def test_summarize_dcount(orders):
+    got = kql("O | summarize c = dcount(custid) by city", {"O": orders})
+    want = orders.groupBy("city").agg(F.countDistinct("custid").alias("c"))
+    assert rows(got) == rows(want)
+
+
+def test_sort_defaults_descending(orders):
+    got = kql("O | sort by amount | take 2", {"O": orders})
+    assert [r["amount"] for r in got.collect()] == [199, 180]
+    got_asc = kql("O | sort by amount asc | take 2", {"O": orders})
+    assert [r["amount"] for r in got_asc.collect()] == [100, 120]
+
+
+def test_top_and_arithmetic_extend_project(orders):
+    got = kql(
+        "O | extend doubled = amount * 2 + 1 | project orderid, doubled "
+        "| top 2 by doubled",
+        {"O": orders},
+    )
+    assert [tuple(r) for r in got.collect()] == [(5, 399), (2, 361)]
+
+
+def test_project_with_rename_and_scalar_fns(orders):
+    got = kql(
+        "O | project id = orderid, c = tolower(city), l = strlen(city) | take 1",
+        {"O": orders},
+    )
+    assert got.columns == ["id", "c", "l"]
+    r = got.collect()[0]
+    assert r["c"] == "seattle" and r["l"] == 7
+
+
+def test_distinct(orders):
+    got = kql("O | distinct city", {"O": orders})
+    assert got.count() == 4
+
+
+def test_errors_are_loud(orders):
+    with pytest.raises(ValueError, match="unknown table"):
+        kql("Nope | count", {"O": orders})
+    with pytest.raises(ValueError, match="unsupported operator"):
+        kql("O | explode city", {"O": orders})
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        kql("O | summarize median(amount)", {"O": orders})
+    with pytest.raises(ValueError, match="trailing"):
+        kql("O | take 5 extra", {"O": orders})
+
+
+def test_compiles_to_catalyst_topk(orders):
+    """top N must plan as TakeOrderedAndProject (no global sort) — the
+    KQL layer is a *compiler*; plans must be as good as hand-written."""
+    plan = kql("O | top 2 by amount", {"O": orders})._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -207,3 +207,32 @@ def test_streaming_cdc_checkpoint_resume(spark, cdc_stream_setup):
     keys = {r["orderid"] for r in final.collect()}
     assert victim not in keys
     assert keys == set(survivors) - {victim}
+
+
+def test_rate_micro_batch_generator_matches_batch_twin(spark):
+    """The streaming generator (A8's streaming twin) must emit exactly
+    the rows the seeded batch generator produces for the same sequence
+    numbers — generator parity across batch and streaming."""
+    from kafka_data_explorer_cdc_spark.queries.reference import a08_order_generator
+    from kafka_data_explorer_cdc_spark.streaming.generator import (
+        order_stream_deterministic,
+    )
+
+    name = f"gen_{uuid.uuid4().hex[:8]}"
+    q = (
+        order_stream_deterministic(spark, rows_per_batch=500)
+        .drop("ts")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    assert len(got) == 500
+    want = {
+        tuple(r)
+        for r in a08_order_generator(spark, "unused").limit(500).collect()
+    }
+    assert got == want
