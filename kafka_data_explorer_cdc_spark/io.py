@@ -144,6 +144,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[table]).parquet(f"{sf_dir}/{table}.parquet")
 
 
+def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Guarantee a compute-heavy operator gets cluster-wide parallelism.
+
+    A single small parquet file (one row group) scans as ONE partition,
+    which serializes everything downstream — explode fan-outs, hash
+    aggregations, pandas-UDF decodes — onto one core. On a real 100 TB
+    corpus the scan has thousands of row-group splits and this is a
+    no-op (the guard keeps the extra shuffle out of the plan); the
+    repartition only fires when the source is under-split relative to
+    ``defaultParallelism``. Round-robin repartition is the right call
+    here (vs coalesce, which cannot increase partition count).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

@@ -22,6 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..io import ensure_parallelism
 
 
 def exact_dedup(
@@ -45,18 +48,23 @@ def exact_dedup(
 def shingle_docs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) pairs — distinct word n-grams per document."""
-    t = F.split(F.lower(F.trim(F.col(text_col))), " ")
-    parts = [F.element_at(t, F.col("i") + j) for j in range(n)]
+    """(id, shingle) pairs — distinct word n-grams per document.
+
+    The token array is materialized in its own projection before the
+    shingle ``transform``: inlining the ``split`` into each
+    ``element_at`` makes Catalyst re-evaluate the split per element —
+    O(len²) per document. Input is repartitioned if the scan was
+    under-split (``ensure_parallelism``)."""
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("__t"),
+    ).filter(F.size("__t") >= n)
+    t = F.col("__t")
     sh = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1), F.lit(1)),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
     )
-    return (
-        df.filter(F.size(t) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return toks.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(
@@ -89,6 +97,9 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # the self-join consumes `buckets` twice; without materialization
+    # Spark recomputes the whole shingle->minhash pipeline per side
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -141,7 +152,11 @@ def minhash_lsh_dedup_pairs(
     """Full near-dup pipeline: shingle → minhash → LSH candidates →
     exact-Jaccard verification. Probabilistic recall (tested with
     planted duplicates), exact precision."""
-    sh = shingle_docs(df, id_col, text_col)
+    # `sh` feeds signature computation AND three joins in the Jaccard
+    # verification — persist it once instead of recomputing the explode
+    # pipeline five times (at scale: MEMORY_AND_DISK spills, and the
+    # shingle set is ~10x the text but partition-local).
+    sh = shingle_docs(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, num_perm=num_perm)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_perm // bands)
     return verify_jaccard(cands, sh, threshold)
@@ -151,6 +166,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """63-bit SimHash fingerprint (bit 63 left clear to stay positive in
     int64): per-token xxhash64 bit-votes, majority per bit position.
     One explode + one groupBy — scales like a word count."""
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok"),
@@ -184,6 +200,10 @@ def simhash_near_pairs(
         F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c_{c}")
         for c in range(chunks)
     ]
+    # both sides of the self-join read `fps`; materialize the (tiny)
+    # fingerprint table rather than recomputing the token explode +
+    # 63-column vote aggregation twice
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     t = fps.select("id", "simhash", *chunk_cols)
     pieces = t.select(
         "id",

@@ -80,8 +80,14 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def decode_images(df: DataFrame) -> DataFrame:
     """Distributed decode over the binary column: Arrow-batched, one
-    Python worker per partition, no row-at-a-time serialization."""
-    return to_binary_docs(df).mapInPandas(decode_image_batch, IMAGE_META_SCHEMA)
+    Python worker per partition, no row-at-a-time serialization.
+    Repartitions under-split scans first — decode cost is per-blob CPU,
+    so partition count IS the parallelism."""
+    from ..io import ensure_parallelism
+
+    return ensure_parallelism(to_binary_docs(df)).mapInPandas(
+        decode_image_batch, IMAGE_META_SCHEMA
+    )
 
 
 def sample_frames(df: DataFrame, step: int = 5) -> DataFrame:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast, pandas_udf
 
-from ..io import load
+from ..io import ensure_parallelism, load
 from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators import similarity as S
@@ -424,7 +424,7 @@ def d13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf, df, term) so it is deterministic; the double tfidf is carried
     as a value only. df table is tiny → broadcast back to the tf side."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_parallelism(docs).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -466,7 +466,12 @@ def d14_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram frequency (B19): top-20 bigrams. Explode →
     count → TakeOrdered; the global top-k never sorts the full corpus."""
     docs = load(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
+    # token array materialized once (inlining split into element_at is
+    # O(len^2) per doc), scan repartitioned if under-split
+    toks = ensure_parallelism(docs).select(
+        F.split(F.col("text"), " ").alias("__t")
+    ).filter(F.size("__t") >= 2)
+    t = F.col("__t")
     bg = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1, F.lit(1)),
         lambda i: F.concat_ws(
@@ -474,8 +479,7 @@ def d14_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.filter(F.size(t) >= 2)
-        .select(F.explode(bg).alias("bigram"))
+        toks.select(F.explode(bg).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
