@@ -218,3 +218,91 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def _centroids(
+    corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids: an evenly-spread,
+    hash-ordered sample of corpus vectors. A k-means refinement would
+    drop in here; for bucketing correctness (and testability) any
+    fixed, well-spread codebook works. The collect is bounded by
+    ``n_cells`` (the codebook is always tiny relative to the corpus —
+    at 100 TB you sample ~2^14 centroids, a few MB on the driver)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("__h", F.xxhash64("id"))
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    return np.array([r["vec"] for r in rows], dtype="float64")
+
+
+def _cell_assigner(C: np.ndarray, nprobe: int):
+    """pandas UDF: top-``nprobe`` nearest cells (by cosine) per vector,
+    one Arrow-batched matmul against the normalized codebook."""
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.values).astype("float64")
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ Cn.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype("int32")), index=v.index)
+
+    return assign
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the partition-pruned scale path.
+
+    Build: every corpus vector is assigned to its nearest centroid cell
+    (one matmul per Arrow batch). Probe: each query fans out to its
+    ``nprobe`` nearest cells only, candidates come from an equi-join on
+    ``cell``, and exact cosine re-ranks them. With ``n_cells`` cells
+    and ``nprobe`` probes the scan fraction is ~``nprobe/n_cells`` of
+    the corpus per query — the knob that turns brute-force O(N·Q) into
+    O(N·Q·nprobe/n_cells). At rest, partitioning/bucketing the corpus
+    table BY cell turns the probe into partition pruning: only probed
+    cells are even read.
+
+    Recall is probabilistic (vectors near cell boundaries can hide in
+    unprobed cells) — measured against brute force in tests, never
+    hash-compared."""
+    corpus = ensure_parallelism(corpus)
+    C = _centroids(corpus, n_cells, id_col, vec_col)
+
+    one_cell = _cell_assigner(C, 1)
+    cells = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("cell", one_cell(F.col("c_vec")).getItem(0)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    probe = _cell_assigner(C, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("cell", F.explode(probe(F.col("q_vec"))))
+
+    cand = cells.join(broadcast(q), "cell").filter(F.col("c_id") != F.col("q_id"))
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.sqrt(_norm_sq(F.col("q_vec"))) * F.sqrt(_norm_sq(F.col("c_vec")))),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

@@ -233,6 +233,18 @@ def d07x_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_cosine_topk(em, queries, k=5, bits=8, tables=2)
 
 
+@query("d07y_ivf_cosine_topk", oracle=None, tags=("llm", "similarity", "approx"))
+def d07y_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (B18 partition-pruned scale path): corpus bucketed
+    into 16 centroid cells, queries probe their 8 nearest cells, exact
+    re-rank inside the probed half of the corpus. Recall@5 vs brute
+    force measured in tests/test_similarity.py; bucketing the corpus
+    table by cell turns the probe into storage-level partition pruning."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20)
+    return S.ivf_cosine_topk(em, queries, k=5, n_cells=16, nprobe=8)
+
+
 @query("d08_embedding_near_dup", oracle=None, tags=("llm", "dedup", "approx"))
 def d08_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at 0.95 via LSH buckets + exact
@@ -484,6 +496,64 @@ def d14_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
+    )
+
+
+@query(
+    "d15_training_pipeline",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+           / len(string_split(text, ' ')) AS mean_tok_len,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'is', 'of', 'and'))) * 1.0
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+), kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 20 AND mean_tok_len >= 3.0 AND stop_ratio >= 0.05
+), deduped AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM deduped GROUP BY lang
+""",
+    tags=("llm", "pipeline"),
+)
+def d15_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline in one plan: quality gate →
+    exact dedup (keep-first) → per-language token accounting. One
+    composition, three shuffles (dedup window, final agg), every stage a
+    reusable operator — the shape a 100 TB corpus actually runs nightly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_tok = F.size(t)
+    stop = F.size(F.filter(t, lambda x: x.isin(*LANG_STOPWORDS["en"])))
+    mean_len = (F.length("text") - n_tok + 1) * F.lit(1.0) / n_tok
+    stop_ratio = stop * F.lit(1.0) / n_tok
+    kept = (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("mean_tok_len", mean_len)
+        .withColumn("stop_ratio", stop_ratio)
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("mean_tok_len") >= 3.0)
+            & (F.col("stop_ratio") >= 0.05)
+        )
+    )
+    deduped = D.exact_dedup(kept, ["text"], "doc_id", normalize=True)
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
 
 

@@ -347,6 +347,26 @@ def b09_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b09x_cube_priority_status",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+""",
+    tags=("relational", "agg"),
+)
+def b09x_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) — all four grouping sets in one
+    shuffle (B9 companion to the rollup); the expand happens map-side,
+    so the exchange still carries pre-aggregated partials."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@query(
     "b10_window_topk_per_group",
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -77,3 +77,35 @@ def test_lsh_recall_vs_brute_force_real_data(spark, sf_dir):
     }
     recall = len(ann & truth) / len(truth)
     assert recall >= 0.2, f"ANN recall@5 on random embeddings: {recall}"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=4/16 cells must recover most true neighbors;
+    with nprobe=n_cells (probe everything) it must equal brute force
+    exactly — the pruning knob trades recall, never correctness."""
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_cosine_topk(em, queries, k=5).collect()
+    }
+    # synthetic embeddings are near-orthogonal (the IVF-adversarial
+    # case: no cluster structure), so probe half the cells for the
+    # recall gate; real clustered corpora do far better at low nprobe
+    got = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_cosine_topk(em, queries, k=5, n_cells=16, nprobe=8).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.5, "recall@5 too low"
+
+    full = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_cosine_topk(em, queries, k=5, n_cells=16, nprobe=16).collect()
+    }
+    assert full == truth, "nprobe=n_cells must reproduce brute force exactly"
