@@ -51,6 +51,38 @@ def latest_state(
     return out
 
 
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "lsn",
+    op_col: str = "op",
+    delete_op: str = "d",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension view of a CDC log: one row per
+    version of each key, with ``valid_from``/``valid_to`` sequence
+    bounds and ``is_current``.
+
+    Each change event opens a version valid from its own sequence
+    number until the key's next event (``lead`` over the key window);
+    the newest non-delete version per key is current; delete events
+    close the prior version but contribute no row themselves. One
+    window shuffle on the key — the same scale shape as latest_state
+    (SURVEY.md §2A A12 extended to full history, the standard warehouse
+    materialization of a Debezium stream).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
+    versioned = changes.withColumn(
+        "valid_to", F.lead(F.col(seq_col)).over(w)
+    ).withColumn(
+        "is_current",
+        (F.col("valid_to").isNull()) & (F.col(op_col) != delete_op),
+    )
+    return (
+        versioned.filter(F.col(op_col) != delete_op)
+        .withColumnRenamed(seq_col, "valid_from")
+    )
+
+
 def apply_cdc_batch(
     current: DataFrame | None,
     batch: DataFrame,

@@ -264,3 +264,59 @@ def a16_order_count_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("orders_cnt"))
         .orderBy(F.desc("orders_cnt"))
     )
+
+
+@query(
+    "a17_cdc_scd2_history",
+    oracle="""
+WITH log AS (
+  SELECT user_id,
+         event_id,
+         CASE WHEN (event_id % 10) = 9 THEN 'd'
+              WHEN (event_id % 10) < 3 THEN 'c'
+              ELSE 'u' END AS op,
+         event_type, value
+  FROM events
+), v AS (
+  SELECT user_id, event_id AS valid_from, op, event_type, value,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS valid_to
+  FROM log
+)
+SELECT user_id, valid_from, valid_to,
+       CAST(CASE WHEN valid_to IS NULL AND op <> 'd' THEN 1 ELSE 0 END
+            AS INTEGER) AS is_current,
+       event_type, value
+FROM v WHERE op <> 'd'
+""",
+    tags=("reference", "cdc"),
+)
+def a17_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from the CDC log (A12 extended to full
+    history): every change event becomes a version row bounded by
+    [valid_from, valid_to) sequence numbers, deletes close versions
+    without emitting rows, newest live version flagged current — the
+    standard warehouse materialization of a Debezium stream, one window
+    shuffle (cdc/apply.py:scd2_history)."""
+    ev = load(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 9, "d")
+        .when(F.col("event_id") % 10 < 3, "c")
+        .otherwise("u")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    from ..cdc.apply import scd2_history
+
+    out = scd2_history(log, ["user_id"], seq_col="event_id")
+    return out.select(
+        "user_id",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+        "event_type",
+        "value",
+    )

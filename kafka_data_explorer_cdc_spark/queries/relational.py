@@ -629,6 +629,78 @@ def b15b_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b26_salted_skew_agg",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS total_millis
+FROM events GROUP BY event_type
+""",
+    tags=("relational", "agg", "skew"),
+)
+def b26_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation on a low-cardinality (= maximally
+    skewed) key: partial agg on (key, salt) spreads each hot key over
+    16 reducers, final agg merges partials. The oracle is the UNSALTED
+    aggregation — the differential gate proves salting rewrites the
+    shuffle, not the answer (operators/skew.py; integer domain so the
+    two summation orders agree exactly)."""
+    from ..operators.skew import salted_aggregate
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value_millis", F.floor(F.col("value") * 1000).cast("long")
+    )
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        {"n": ("event_type", "count"), "total_millis": ("value_millis", "sum")},
+        buckets=16,
+    )
+
+
+@query(
+    "b25_session_window",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+""",
+    tags=("relational", "window", "session"),
+)
+def b25_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization via ``session_window`` (30-min inactivity
+    gap): Spark's dynamic-gap session operator, one shuffle on
+    (user_id). Session windows are half-open — an event exactly at
+    prev_ts + gap starts a NEW session — so the oracle's
+    gaps-and-islands break condition is ``>=``. The same plan fragment
+    runs incrementally under Structured Streaming with watermark-based
+    state eviction (s25)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "b21_tumbling_window_agg",
     oracle=f"""
 SELECT time_bucket(INTERVAL '1 minute', ts) AS win_start,

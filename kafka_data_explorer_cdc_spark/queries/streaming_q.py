@@ -120,3 +120,47 @@ def s24_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("city"),
         F.col("amount").cast("int").alias("amount"),
     )
+
+
+@query(
+    "s25_stream_sessionization",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+""",
+    tags=("streaming", "session"),
+)
+def s25_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization under real Structured Streaming execution
+    (B21/B24 family): session_window + watermark runs the merge-able
+    session state machine in the state store; complete replay of the
+    events table must equal the batch/DuckDB gaps-and-islands result —
+    the unified-semantics contract for MERGING session windows."""
+    name = f"s25_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)

@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale properties that make these
+queries survive 100 TB are asserted on the executed plan, so a refactor
+that silently drops a broadcast, a pushed filter, or a top-k
+specialization fails here — not in production.
+
+(`executedPlan` before collection is the AQE-wrapped initial plan; the
+features asserted — join strategy choice, scan pushdown, TakeOrdered —
+are all decided at this stage.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_data_explorer_cdc_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """Fact⋈dim joins must broadcast the dim side — a shuffled join on
+    the fact table's key is the single most expensive avoidable shuffle
+    at scale."""
+    for name in ("b03_join_broadcast", "b04_q3_shipping_priority"):
+        p = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    """Selective predicates must appear in PushedFilters at the scan —
+    otherwise 100 TB is read to evaluate a WHERE clause."""
+    p = plan_of(spark, sf_dir, "b04_q3_shipping_priority")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p
+    p2 = plan_of(spark, sf_dir, "b02_filter_projection")
+    assert "PushedFilters" in p2 and "l_shipdate" in p2
+
+
+def test_column_pruning_at_scan(spark, sf_dir):
+    """A 2-column projection must not read the full lineitem schema."""
+    p = plan_of(spark, sf_dir, "b02_filter_projection")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read and "l_comment" not in read[0]
+    assert "l_tax" not in read[0], "projection should prune unused columns"
+
+
+def test_topk_never_global_sorts(spark, sf_dir):
+    """ORDER BY ... LIMIT k must plan as TakeOrderedAndProject (per-
+    partition heap + driver merge), never a full sort-shuffle."""
+    for name in ("a13_recent_orders_topk", "b12_global_topk", "d14_bigram_freq",
+                 "k13_kql_recent_orders"):
+        p = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_lsh_pipelines_have_no_cross_join(spark, sf_dir):
+    """The entire point of LSH/IVF candidate generation: the O(n²)
+    cross-join must not appear anywhere in the plan."""
+    for name in ("d04_minhash_lsh_pairs", "d06_simhash_near_pairs",
+                 "d08_embedding_near_dup", "d07y_ivf_cosine_topk"):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_python_udfs_are_arrow_batched(spark, sf_dir):
+    """Any Python in the row path must be Arrow-vectorized (ArrowEval /
+    MapInPandas), never row-at-a-time BatchEvalPython."""
+    for name in ("mm2_image_decode_stub", "mm4_pandas_udf_score",
+                 "d07x_lsh_cosine_topk"):
+        p = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p, name
+
+
+def test_streaming_agg_shares_batch_plan_shape(spark, sf_dir):
+    """The batch twin of the streaming window agg must be a plain
+    2-phase hash aggregate (partial before the exchange)."""
+    p = plan_of(spark, sf_dir, "b21_tumbling_window_agg")
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in p

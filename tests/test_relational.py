@@ -20,3 +20,20 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for flag, est in approx.items():
         assert abs(est - exact[flag]) / exact[flag] < 0.05, (flag, est, exact[flag])
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join must be row-identical to the plain equi-join."""
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c = c.withColumnRenamed("c_custkey", "o_custkey")
+    plain = sorted(
+        tuple(r) for r in o.join(c, "o_custkey").collect()
+    )
+    salted = sorted(
+        tuple(r) for r in salted_join(o, c, "o_custkey", buckets=8).collect()
+    )
+    assert salted == plain
