@@ -659,6 +659,30 @@ def b26_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b27_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("relational", "agg"),
+)
+def b27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p95/p99) per group — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share linear-interpolation semantics.
+    At 100 TB swap in ``percentile_approx`` (mergeable KLL-style sketch,
+    constant memory) — kept exact here for the differential gate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )
+
+
+@query(
     "b25_session_window",
     oracle="""
 WITH o AS (

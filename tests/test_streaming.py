@@ -236,3 +236,53 @@ def test_rate_micro_batch_generator_matches_batch_twin(spark):
         for r in a08_order_generator(spark, "unused").limit(500).collect()
     }
     assert got == want
+
+
+def test_apply_in_pandas_with_state_running_counts(spark):
+    """Custom stateful operator (applyInPandasWithState): two micro-
+    batches of per-user events; after the run, the LAST emission per
+    user must equal the global (count, sum) over both batches — state
+    survived across batches and merged correctly."""
+    from kafka_data_explorer_cdc_spark.streaming.stateful import (
+        stateful_running_counts,
+    )
+
+    indir = _tmp("st_in_")
+    sch = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    rows1 = [(i, "2024-01-01 12:00:00", i % 3, "view", 1.5, "{}") for i in range(30)]
+    rows2 = [(100 + i, "2024-01-01 12:05:00", i % 3, "view", 2.0, "{}") for i in range(15)]
+    now = time.time()
+    for j, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(rows, sch).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        p = os.path.join(indir, f"b{j}")
+        df.coalesce(1).write.parquet(p)
+        t = now - 200 + j * 100
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir + "/*")
+    )
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_running_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).toPandas()
+    # final emission per user = last occurrence in the appended memory table
+    final = out.groupby("user_id").last()
+    assert sorted(final.index) == [0, 1, 2]
+    for uid in (0, 1, 2):
+        n1 = sum(1 for r in rows1 if r[2] == uid)
+        n2 = sum(1 for r in rows2 if r[2] == uid)
+        assert final.loc[uid, "n_events"] == n1 + n2
+        assert abs(final.loc[uid, "total_value"] - (n1 * 1.5 + n2 * 2.0)) < 1e-9
