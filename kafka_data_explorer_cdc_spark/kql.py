@@ -12,7 +12,7 @@ time and no custom Catalyst rule.
 Supported (the reference's surface plus the obvious neighbors):
 
     T | where <expr>
-      | summarize [name =] agg(col), ... [by col, ...]
+      | summarize [name =] agg(col), ... [by col | name = expr, ...]
       | sort by col [asc|desc], ...        (KQL default: DESCENDING)
       | order by ...                       (alias of sort)
       | top N by col [asc|desc]
@@ -24,7 +24,8 @@ Supported (the reference's surface plus the obvious neighbors):
 
 Expressions: arithmetic (+ - * / %), comparisons (== != < <= > >=),
 ``and``/``or``/``not``, ``contains``/``startswith``/``endswith``/
-``has``/``in``, string and numeric literals. Aggregates: ``count()``,
+``has``/``in``, string / numeric / duration (``1h``, ``30m``) literals,
+``bin(expr, size)`` time/numeric bucketing. Aggregates: ``count()``,
 ``sum``/``avg``/``min``/``max``/``dcount``.
 
 KQL semantics preserved deliberately:
@@ -47,7 +48,8 @@ from pyspark.sql import functions as F
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-        (?P<num>\d+\.\d+|\d+)
+        (?P<dur>\d+(?:ms|[smhd])\b)
+      | (?P<num>\d+\.\d+|\d+)
       | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
       | (?P<op><=|>=|!=|==|=~|!~|[|=+\-*/%(),<>])
       | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
@@ -80,7 +82,7 @@ def _tokenize(src: str) -> list[_Tok]:
                 raise ValueError(f"KQL: cannot tokenize at: {src[pos:pos+20]!r}")
             break
         pos = m.end()
-        for kind in ("num", "str", "op", "word"):
+        for kind in ("dur", "num", "str", "op", "word"):
             if m.group(kind) is not None:
                 toks.append(_Tok(kind, m.group(kind)))
                 break
@@ -235,6 +237,12 @@ class _Parser:
             return F.col(t.text)
         raise ValueError(f"KQL: unexpected token {t.text!r}")
 
+    _DUR_SECONDS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
+
+    def _duration_seconds(self, text: str) -> float:
+        m = re.fullmatch(r"(\d+)(ms|[smhd])", text)
+        return int(m.group(1)) * self._DUR_SECONDS[m.group(2)]
+
     _SCALARS = {
         "strlen": F.length,
         "tolower": F.lower,
@@ -248,6 +256,23 @@ class _Parser:
     }
 
     def _scalar_fn(self, name: str) -> Column:
+        if name == "bin":
+            # bin(expr, size): floor to a timestamp bucket (duration
+            # literal: 1h, 30m, ...) or a numeric bucket. Compiles to
+            # pure arithmetic — groupable, pushdown-friendly.
+            self.expect("(")
+            e = self.expr()
+            self.expect(",")
+            t = self.next()
+            self.expect(")")
+            if t.kind == "dur":
+                secs = self._duration_seconds(t.text)
+                bucket = (
+                    F.floor(F.unix_timestamp(e) / F.lit(secs)) * F.lit(int(secs))
+                ).cast("long")
+                return F.timestamp_seconds(bucket)
+            size = float(t.text) if "." in t.text else int(t.text)
+            return F.floor(e / F.lit(size)) * F.lit(size)
         if name not in self._SCALARS:
             raise ValueError(f"KQL: unsupported function {name!r}")
         self.expect("(")
@@ -285,6 +310,24 @@ class _Parser:
         while self.accept(","):
             names.append(self.next().text)
         return names
+
+    def group_items(self) -> list[Column]:
+        """summarize-by items: plain columns, or ``name = expr``
+        (the KQL idiom for computed group keys, e.g.
+        ``by t = bin(ts, 1h)``)."""
+        items: list[Column] = []
+        while True:
+            t = self.next()
+            if self.peek() and self.peek().text == "=":
+                name = t.text
+                self.next()
+                items.append(self.expr().alias(name))
+            else:
+                self.i -= 1
+                items.append(self.expr())
+            if not self.accept(","):
+                break
+        return items
 
 
 def _split_stages(src: str) -> list[str]:
@@ -324,7 +367,7 @@ def kql(query_text: str, tables: dict[str, DataFrame]) -> DataFrame:
             while p.accept(","):
                 aggs.append(p.agg_item())
             if p.accept("by"):
-                df = df.groupBy(*p.ident_list()).agg(*aggs)
+                df = df.groupBy(*p.group_items()).agg(*aggs)
             else:
                 df = df.agg(*aggs)
         elif verb in ("sort", "order"):

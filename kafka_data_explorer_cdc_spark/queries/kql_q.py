@@ -108,3 +108,26 @@ def k17_kql_filtered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "| top 3 by total",
         _orders(spark, sf_dir),
     )
+
+
+@query(
+    "k18_kql_time_binning",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS t,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+    tags=("kql", "timeseries"),
+)
+def k18_kql_time_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Kusto time-series shape — ``bin(ts, 1h)`` — on the
+    events table; compiles to epoch-floor arithmetic, groupable and
+    partition-prunable, matching DuckDB's time_bucket exactly."""
+    from ..io import load as _load
+
+    events = _load(spark, sf_dir, "events")
+    return kql(
+        "Events | summarize n = count() by t = bin(ts, 1h), event_type",
+        {"Events": events},
+    )

@@ -121,3 +121,42 @@ def test_compiles_to_catalyst_topk(orders):
     KQL layer is a *compiler*; plans must be as good as hand-written."""
     plan = kql("O | top 2 by amount", {"O": orders})._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bin_time_bucketing(spark):
+    """bin(ts, 1h) groups into hour buckets — the canonical Kusto
+    time-series idiom — and compiles to pure floor arithmetic."""
+    rows = [
+        (1, "2024-01-01 10:05:00", 2.0),
+        (2, "2024-01-01 10:55:00", 3.0),
+        (3, "2024-01-01 11:05:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = kql(
+        "E | summarize n = count(), total = sum(v) by t = bin(ts, 1h) | sort by t asc",
+        {"E": df},
+    ).collect()
+    assert [(str(r["t"]), r["n"], r["total"]) for r in got] == [
+        ("2024-01-01 10:00:00", 2, 5.0),
+        ("2024-01-01 11:00:00", 1, 5.0),
+    ]
+
+
+def test_bin_numeric(spark, sf_dir):
+    from kafka_data_explorer_cdc_spark.io import load
+
+    orders = load(spark, sf_dir, "orders")
+    got = kql(
+        "O | summarize n = count() by b = bin(o_totalprice, 50000) | sort by b asc",
+        {"O": orders},
+    )
+    want = (
+        orders.groupBy(
+            (F.floor(F.col("o_totalprice") / 50000) * 50000).alias("b")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc("b"))
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
