@@ -54,6 +54,29 @@ def read_kafka_envelopes(
     return unwrap(parse_envelope(raw))
 
 
+def write_kafka_envelopes(
+    envelopes: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 30,
+):
+    """Kafka sink — publish (key, value) envelope rows back to a topic
+    (the engine as a CDC *producer*, e.g. re-emitting enriched or
+    filtered change streams). Expects the ``to_envelope_json`` shape:
+    string ``key``, JSON string ``value``. Exactly-once is inherited
+    from the checkpoint + Kafka's idempotent producer; not exercised in
+    this container (no broker) — construction-tested only."""
+    return (
+        envelopes.selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+
+
 def read_file_envelopes(spark: SparkSession, input_dir: str) -> DataFrame:
     """File-based envelope stream: one JSON envelope per line — the
     test/replay path (a Kafka topic dump is exactly this shape)."""
@@ -92,6 +115,21 @@ class ParquetStateSink:
                 version = json.load(f)["version"]
         except FileNotFoundError:
             return None
+        return self.at_version(version)
+
+    def versions(self) -> list[int]:
+        """All retained state versions, oldest first — each ``v{n}`` dir
+        is an immutable snapshot after micro-batch ``n`` (the poor
+        man's Delta log; on a transactional format this is the table
+        history)."""
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(self.root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def at_version(self, version: int) -> DataFrame:
+        """Time travel: state as of micro-batch ``version``."""
         return self.spark.read.parquet(os.path.join(self.root, f"v{version}"))
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:

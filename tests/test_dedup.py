@@ -77,3 +77,26 @@ def test_exact_dedup_survivor_deterministic(spark, sf_dir):
     assert (
         out.groupBy(norm).count().filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_ensure_parallelism_noop_on_well_split_input(spark, sf_dir, tmp_path):
+    """On a properly-split corpus (many files ≈ many scan partitions)
+    ensure_parallelism must NOT inject a repartition — the guard exists
+    for single-file local fixtures, and at scale the extra full shuffle
+    would be pure waste."""
+    from kafka_data_explorer_cdc_spark.io import ensure_parallelism, load
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_split")
+    docs.repartition(64).write.parquet(out)
+    split = spark.read.parquet(out)
+    n_before = split.rdd.getNumPartitions()
+    assert n_before >= 16, "fixture should scan as many partitions"
+    result = ensure_parallelism(split)
+    assert result is split, "well-split input must pass through untouched"
+
+    single = load(spark, sf_dir, "documents")
+    assert single.rdd.getNumPartitions() < 16
+    boosted = ensure_parallelism(single)
+    assert boosted is not single
+    assert boosted.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
