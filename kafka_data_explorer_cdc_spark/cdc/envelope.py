@@ -79,14 +79,20 @@ def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def unwrap(parsed: DataFrame, envelope_col: str = "envelope") -> DataFrame:
+def unwrap(
+    parsed: DataFrame, envelope_col: str = "envelope", keep_raw: bool = False
+) -> DataFrame:
     """ExtractNewRecordState SMT equivalent: project the after-image flat.
 
     Keeps CDC metadata (op, lsn) alongside — downstream decides whether
     to drop it (the reference drops it; latest-state apply needs it).
+    ``keep_raw=True`` additionally carries the original JSON string as
+    ``raw_value`` so malformed records can be dead-lettered losslessly
+    (``from_json`` is PERMISSIVE: a corrupt line parses to nulls, it
+    does not raise).
     """
     e = F.col(envelope_col)
-    return parsed.select(
+    cols = [
         e["payload"]["after"].alias("after"),
         e["payload"]["before"].alias("before"),
         e["payload"]["op"].alias("op"),
@@ -94,7 +100,10 @@ def unwrap(parsed: DataFrame, envelope_col: str = "envelope") -> DataFrame:
         e["payload"]["source"]["txId"].alias("txid"),
         e["payload"]["source"]["table"].alias("src_table"),
         e["payload"]["ts_ms"].alias("ts_ms"),
-    )
+    ]
+    if keep_raw:
+        cols.append(F.col("value").cast("string").alias("raw_value"))
+    return parsed.select(*cols)
 
 
 def sink_projection(after: Column) -> list[Column]:

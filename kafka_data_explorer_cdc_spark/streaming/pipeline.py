@@ -79,32 +79,51 @@ def write_kafka_envelopes(
 
 def read_file_envelopes(spark: SparkSession, input_dir: str) -> DataFrame:
     """File-based envelope stream: one JSON envelope per line — the
-    test/replay path (a Kafka topic dump is exactly this shape)."""
+    test/replay path (a Kafka topic dump is exactly this shape). Carries
+    the raw line through for dead-lettering."""
     raw = spark.readStream.format("text").load(input_dir)
-    return unwrap(parse_envelope(raw, value_col="value"))
+    return unwrap(parse_envelope(raw, value_col="value"), keep_raw=True)
 
 
 def flatten_after(flat: DataFrame) -> DataFrame:
     """After-image + CDC metadata as flat columns, keyed for the merge.
     Deletes carry their key in the before-image (README.md:268-288)."""
-    return flat.select(
+    cols = [
         F.coalesce(F.col("after.orderid"), F.col("before.orderid")).alias("orderid"),
         F.col("after.custid").alias("custid"),
         F.col("after.amount").alias("amount"),
         F.col("after.city").alias("city"),
         "op",
         "lsn",
-    )
+    ]
+    if "raw_value" in flat.columns:
+        cols.append("raw_value")
+    return flat.select(*cols)
 
 
 class ParquetStateSink:
-    """foreachBatch target: versioned-parquet latest-state store."""
+    """foreachBatch target: versioned-parquet latest-state store.
+
+    Malformed envelopes (unparseable JSON, or parseable but keyless /
+    sequence-less) never reach the merge: they are appended losslessly
+    to a dead-letter parquet under ``state_root/dead_letter`` for
+    inspection and replay — the DLQ every production CDC sink needs,
+    since ``from_json`` nulls corrupt records instead of failing."""
 
     def __init__(self, spark: SparkSession, state_root: str, key_cols: list[str]):
         self.spark = spark
         self.root = state_root
         self.key_cols = key_cols
         os.makedirs(state_root, exist_ok=True)
+
+    def dead_letter_dir(self) -> str:
+        return os.path.join(self.root, "dead_letter")
+
+    def dead_letters(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.dead_letter_dir())
+        except Exception:
+            return None
 
     def _pointer(self) -> str:
         return os.path.join(self.root, "LATEST")
@@ -133,6 +152,17 @@ class ParquetStateSink:
         return self.spark.read.parquet(os.path.join(self.root, f"v{version}"))
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        bad_cond = F.col(self.key_cols[0]).isNull() | F.col("lsn").isNull()
+        if "raw_value" in batch.columns:
+            bad = batch.filter(bad_cond).select(
+                F.lit(batch_id).alias("batch_id"), "raw_value"
+            )
+            # append is idempotent-enough for a DLQ (duplicates on batch
+            # replay are acceptable there; the MERGE path stays exact)
+            bad.write.mode("append").parquet(self.dead_letter_dir())
+            batch = batch.filter(~bad_cond).drop("raw_value")
+        else:
+            batch = batch.filter(~bad_cond)
         merged = apply_cdc_batch(self.current(), batch, self.key_cols)
         out = os.path.join(self.root, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(out)

@@ -333,3 +333,25 @@ def test_kafka_sink_writer_constructs(spark):
     w = write_kafka_envelopes(stream, "broker:9092", "t", _tmp("ks_"))
     assert w is not None
     assert [f.name for f in env_schema.fields] == ["key", "value"]
+
+
+def test_malformed_envelopes_go_to_dead_letter(spark, cdc_stream_setup):
+    """Corrupt lines (bad JSON / missing key) must never reach the
+    merged state — they land losslessly in the dead-letter parquet."""
+    log, _ = cdc_stream_setup
+    indir, state, ckpt = _tmp("dlq_in_"), _tmp("dlq_state_"), _tmp("dlq_ckpt_")
+    garbage = ['{"this is not an envelope', '{"payload": {"op": "c"}}']
+    with open(os.path.join(indir, "mixed.jsonl"), "w") as f:
+        for env in log:
+            f.write(json.dumps(env) + "\n")
+        for g in garbage:
+            f.write(g + "\n")
+    q = start_cdc_pipeline(spark, indir, state, ckpt, available_now=True)
+    q.awaitTermination()
+    sink = ParquetStateSink(spark, state, ["orderid"])
+    got = {r["orderid"] for r in sink.current().collect()}
+    assert got == set(expected_final_state(log)), "state must ignore garbage"
+    dlq = sink.dead_letters()
+    assert dlq is not None
+    raws = sorted(r["raw_value"] for r in dlq.collect())
+    assert raws == sorted(garbage)
