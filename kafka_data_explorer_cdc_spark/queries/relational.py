@@ -199,6 +199,58 @@ def b05c_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b05d_full_outer_join",
+    oracle="""
+SELECT n_name, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT n.n_name, c.c_mktsegment
+  FROM customer c FULL OUTER JOIN nation n
+    ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+) GROUP BY n_name, c_mktsegment
+""",
+    tags=("relational", "join"),
+)
+def b05d_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (B5 completion): the acctbal predicate in the
+    join condition leaves unmatched rows on BOTH sides (nations with no
+    rich customers, rich-customer rows with a nulled nation), aggregated
+    so the null-extension semantics are value-checked."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = c.join(
+        n,
+        (c.c_nationkey == n.n_nationkey) & (c.c_acctbal > 9000),
+        "full_outer",
+    )
+    return j.groupBy("n_name", "c_mktsegment").agg(F.count("*").alias("n"))
+
+
+@query(
+    "b28_collect_sorted_list",
+    oracle="""
+SELECT o_orderpriority,
+       list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("relational", "agg", "array"),
+)
+def b28_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation with deterministic ordering:
+    sort_array(collect_set()) — collect order is partition-dependent in
+    any distributed engine, so list-valued results are only
+    reproducible sorted; the oracle pins the same contract."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
     "b06_range_join_funnel",
     oracle="""
 SELECT e1.user_id,

@@ -97,3 +97,67 @@ def test_delete_tombstones_removed(flat, log):
         r["orderid"] for r in latest_state(flat, ["orderid"]).select("orderid").collect()
     }
     assert final_keys.isdisjoint(deleted)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        n_keys=st.integers(min_value=1, max_value=30),
+        n_ops=st.integers(min_value=1, max_value=120),
+        split=st.floats(min_value=0.1, max_value=0.9),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_property_incremental_merge_equals_python_replay(
+        spark, seed, n_keys, n_ops, split
+    ):
+        """Property: for ANY generated change log, applying it in two
+        arbitrary-size micro-batches through apply_cdc_batch equals the
+        pure-Python sequential replay — key invariant of the CDC sink
+        (order within batches, cross-batch boundaries, delete handling,
+        duplicate delivery all drawn at random)."""
+        log = generate_change_log(n_keys=n_keys, n_ops=n_ops, seed=seed)
+        cut = max(1, int(len(log) * split))
+        state = None
+        for chunk in (log[:cut], log[cut:]):
+            if not chunk:
+                continue
+            raw = change_log_df(spark, chunk)
+            flat = unwrap(parse_envelope(raw))
+            batch = flat.select(
+                F.coalesce(
+                    F.col("after.orderid"), F.col("before.orderid")
+                ).alias("orderid"),
+                F.col("after.custid").alias("custid"),
+                F.col("after.amount").alias("amount"),
+                F.col("after.city").alias("city"),
+                "op",
+                "lsn",
+            )
+            state = apply_cdc_batch(state, batch, ["orderid"])
+        got = (
+            {}
+            if state is None
+            else {
+                r["orderid"]: (r["custid"], r["amount"], r["city"])
+                for r in state.collect()
+            }
+        )
+        want = {
+            k: (v["custid"], v["amount"], v["city"])
+            for k, v in expected_final_state(log).items()
+        }
+        assert got == want
