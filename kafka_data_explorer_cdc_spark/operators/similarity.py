@@ -306,3 +306,63 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+def blocked_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k with block-local pre-reduction — the shuffle-minimal
+    form of brute force.
+
+    The naive plan (d07) shuffles all |corpus|×|queries| scored rows
+    into the ranking window. Here each Arrow batch computes its scores
+    as one numpy matmul and keeps only its local top-k per query, so
+    the shuffle carries ≤ batches×k×|queries| candidate rows — at 100 TB
+    that is the difference between shuffling the corpus and shuffling a
+    few thousand rows. The final window re-ranks candidates exactly.
+
+    Queries are collected to the driver and shipped in the closure —
+    bounded by the query set (same contract as broadcast), NOT the
+    corpus. Results are rank-identical to d07; cosines differ only in
+    the last float ulp (numpy pairwise summation vs sequential fold),
+    so this variant is verified by rank-equality tests, not hash match.
+    """
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.vstack([r[1] for r in qrows]).astype("float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].values.astype("int64")
+            M = np.vstack(pdf[vec_col].values).astype("float64")
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ Qn.T  # (n_corpus_batch, n_queries)
+            sims[ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            out_q, out_c, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                sel = top[:, j]
+                out_q.extend([q_ids[j]] * len(sel))
+                out_c.extend(ids[sel])
+                out_s.extend(sims[sel, j])
+            yield pd.DataFrame(
+                {"q_id": out_q, "c_id": out_c, "cosine": out_s}
+            )
+
+    cand = ensure_parallelism(corpus).mapInPandas(
+        local_topk, "q_id long, c_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

@@ -245,6 +245,19 @@ def d07y_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_cosine_topk(em, queries, k=5, n_cells=16, nprobe=8)
 
 
+@query("d07z_blocked_cosine_topk", oracle=None, tags=("llm", "similarity"))
+def d07z_blocked_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 via block-local pre-reduction (B18 shuffle-minimal
+    form): each Arrow batch keeps only its local top-k per query, so the
+    ranking shuffle carries ~batches x k x |queries| rows instead of
+    |corpus| x |queries|. Rank-identical to d07 (proven in
+    tests/test_similarity.py); cosines differ only in summation-order
+    ulps, hence rows-only here."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20)
+    return S.blocked_cosine_topk(em, queries, k=5)
+
+
 @query("d08_embedding_near_dup", oracle=None, tags=("llm", "dedup", "approx"))
 def d08_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at 0.95 via LSH buckets + exact

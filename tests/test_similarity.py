@@ -109,3 +109,29 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         for r in ivf_cosine_topk(em, queries, k=5, n_cells=16, nprobe=16).collect()
     }
     assert full == truth, "nprobe=n_cells must reproduce brute force exactly"
+
+
+def test_blocked_topk_rank_identical_to_brute_force(spark, sf_dir):
+    """The block-local pre-reduction must be EXACT: same ids, same
+    ranks as the naive brute force; cosines equal to float tolerance
+    (summation-order ulps only)."""
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.operators.similarity import (
+        blocked_cosine_topk,
+        brute_force_cosine_topk,
+    )
+
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20)
+    naive = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["cosine"])
+        for r in brute_force_cosine_topk(em, queries, k=5).collect()
+    }
+    blocked = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["cosine"])
+        for r in blocked_cosine_topk(em, queries, k=5).collect()
+    }
+    assert naive.keys() == blocked.keys()
+    for key in naive:
+        assert naive[key][0] == blocked[key][0], f"id mismatch at {key}"
+        assert abs(naive[key][1] - blocked[key][1]) < 1e-9
