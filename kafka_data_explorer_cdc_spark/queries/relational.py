@@ -291,6 +291,49 @@ def b06_range_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b29_asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, p.value,
+       c.click_id AS asof_click_id
+FROM purchases p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    tags=("relational", "join", "asof"),
+)
+def b29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase matched with the
+    user's most recent click at or before it — union + one window pass,
+    O(|L|+|R|) rows and one key shuffle instead of a theta-join
+    explosion. DuckDB's native ASOF JOIN is the oracle, pinning the
+    inclusive right.ts <= left.ts semantics exactly."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts", ["click_id"], how="inner"
+    )
+    return out.select("user_id", "purchase_id", "value", "asof_click_id")
+
+
+@query(
     "b07_q1_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,

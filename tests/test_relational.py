@@ -37,3 +37,30 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         tuple(r) for r in salted_join(o, c, "o_custkey", buckets=8).collect()
     )
     assert salted == plain
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive match at equal ts; latest-at-or-before wins; 'left'
+    keeps unmatched rows, 'inner' drops them."""
+    from kafka_data_explorer_cdc_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 101.0), (2, 15, 50.0)],
+        "sym int, ts int, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, 9, "early"), (1, 10, "attime"), (1, 25, "late"), (3, 5, "nokey")],
+        "sym int, ts int, tag string",
+    )
+    out = {
+        (r["sym"], r["ts"]): r["asof_px"]
+        for r in asof_join(
+            trades, quotes, ["sym"], "ts", ["px"], how="left"
+        ).collect()
+    }
+    assert out[(1, 9)] is None          # before any quote
+    assert out[(1, 10)] == 100.0        # inclusive at equal ts
+    assert out[(1, 25)] == 101.0        # latest at-or-before
+    assert out[(3, 5)] is None          # unmatched key kept by 'left'
+    inner = asof_join(trades, quotes, ["sym"], "ts", ["px"], how="inner")
+    assert inner.count() == 2
