@@ -48,20 +48,26 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(time.perf_counter() - t0, 2)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    total = round(sum(timings.values()), 2)
+    # compact separators: the driver captures a bounded stdout tail, and
+    # the round-1 line (default separators, 3-decimal timings) overflowed
+    # it — the driver recorded the bench as unparseable.
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

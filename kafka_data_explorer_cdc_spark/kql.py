@@ -166,17 +166,25 @@ class _Parser:
                     items.append(self._literal_value())
                 self.expect(")")
                 return left.isin(items)
+            if op == "has":
+                # has: Kusto term match ≈ case-insensitive word-boundary
+                # find. The term becomes a compile-time regex, so the RHS
+                # must be a string literal (anything else would silently
+                # compile the wrong predicate).
+                t2 = self.next()
+                if t2.kind != "str":
+                    raise ValueError(
+                        f"KQL: 'has' requires a string literal right-hand "
+                        f"side, got {t2.text!r}"
+                    )
+                term = t2.text[1:-1]
+                return F.lower(left).rlike(r"\b" + re.escape(term.lower()) + r"\b")
             right = self._add()
             if op == "contains":
                 return left.contains(right)
             if op == "startswith":
                 return left.startswith(right)
-            if op == "endswith":
-                return left.endswith(right)
-            # has: Kusto term match ≈ case-insensitive word-boundary find
-            return F.lower(left).rlike(
-                r"\b" + re.escape(self._last_literal.lower()) + r"\b"
-            )
+            return left.endswith(right)
         return left
 
     def _add(self) -> Column:

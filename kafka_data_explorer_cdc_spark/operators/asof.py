@@ -71,13 +71,15 @@ def asof_join(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     ).filter(F.col("__side") == 1)
 
-    out = matched.select(
+    # match detection on the struct itself, not its first payload field:
+    # a matched right row whose first value column is legitimately NULL
+    # must still count as a match for how='inner'.
+    if how == "inner":
+        matched = matched.filter(F.col("__match").isNotNull())
+    return matched.select(
         *left.columns,
         *[
             F.col("__match").getField(c).alias(f"asof_{c}")
             for c in right_value_cols
         ],
     )
-    if how == "inner":
-        out = out.filter(F.col(f"asof_{right_value_cols[0]}").isNotNull())
-    return out

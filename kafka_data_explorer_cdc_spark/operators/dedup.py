@@ -81,12 +81,55 @@ def minhash_signatures(
     return shingled.groupBy("id").agg(*aggs)
 
 
+def cap_bucket_width(
+    keyed: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Drop every row of buckets wider than ``max_bucket`` before a
+    bucket self-join.
+
+    A (key → members) bucket joins quadratically in its width; one
+    corpus-frequent key (a boilerplate shingle, a constant band hash)
+    turns an equi-join into an accidental cross-join at 100 TB. Hot
+    buckets carry ~no similarity signal (everything collides there), so
+    the standard fix is to drop them entirely — the hot-key list is tiny
+    by construction (≤ |rows|/max_bucket keys), hence broadcast anti-join.
+    Use :func:`bucket_cap_report` on the same inputs to account for what
+    was dropped."""
+    hot = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count("*").alias("__bw"))
+        .filter(F.col("__bw") > max_bucket)
+        .select(*key_cols)
+    )
+    return keyed.join(F.broadcast(hot), key_cols, "left_anti")
+
+
+def bucket_cap_report(
+    keyed: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """The accounting twin of :func:`cap_bucket_width`: one row per
+    dropped (hot) bucket with its width — log/audit this beside any
+    capped dedup run so truncation is visible, never silent."""
+    return (
+        keyed.groupBy(*key_cols)
+        .agg(F.count("*").alias("bucket_width"))
+        .filter(F.col("bucket_width") > max_bucket)
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature; ids sharing any
     band hash become candidate pairs. Equi-join on (band, band_hash) —
-    the O(n²) cross-join never materializes."""
+    the O(n²) cross-join never materializes. ``max_bucket`` guards the
+    residual risk: a band hash shared by half the corpus (near-constant
+    signatures over boilerplate text) would still join quadratically, so
+    over-wide buckets are dropped (they carry no discriminating signal;
+    real near-dups keep colliding in their other, narrower bands)."""
     num_perm = bands * rows_per_band
     band_cols = []
     for b in range(bands):
@@ -97,6 +140,8 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    if max_bucket is not None:
+        buckets = cap_bucket_width(buckets, ["band", "bh"], max_bucket)
     # the self-join consumes `buckets` twice; without materialization
     # Spark recomputes the whole shingle->minhash pipeline per side
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
@@ -148,6 +193,7 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
     num_perm: int = 16,
     bands: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates →
     exact-Jaccard verification. Probabilistic recall (tested with
@@ -158,7 +204,9 @@ def minhash_lsh_dedup_pairs(
     # shingle set is ~10x the text but partition-local).
     sh = shingle_docs(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, num_perm=num_perm)
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_perm // bands)
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=num_perm // bands, max_bucket=max_bucket
+    )
     return verify_jaccard(cands, sh, threshold)
 
 
@@ -189,15 +237,45 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_near_pairs(
-    fps: DataFrame, max_hamming: int = 8, chunks: int = 4
+    fps: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates by SimHash: ids sharing any 16-bit chunk of
-    the fingerprint (pigeonhole: hamming ≤ chunks-1 guarantees a shared
-    chunk... for hamming < chunks any pair with fewer differing chunks
-    than ``chunks`` shares one), then exact hamming filter via
-    bit_count(xor)."""
+    """Near-dup candidates by SimHash: ids sharing any contiguous chunk
+    of the fingerprint, then exact hamming filter via bit_count(xor).
+
+    Pigeonhole recall guarantee: a pair with hamming ≤ chunks-1 differs
+    in at most chunks-1 chunks, so it shares at least one — candidate
+    generation is lossless only when ``max_hamming < chunks``, which is
+    now ENFORCED (the round-1 default max_hamming=8 over 4 chunks
+    silently missed hamming-4..8 pairs differing in all four chunks).
+    The multi-index-hashing tradeoff pins the defaults: covering a
+    larger radius needs more chunks, but chunk width 63/chunks sets the
+    bucket count (2^width), and bucket width grows as n/2^width — e.g.
+    hamming ≤ 8 would need 9 chunks of 7 bits = 128 buckets, a
+    quadratic O(n²/128) join on any real corpus. 4×16-bit chunks /
+    radius 3 is the scale-safe point (and the conventional near-dup
+    radius for 64-bit SimHash).
+
+    ``max_bucket`` caps chunk-bucket width: a (chunk, value) bucket with
+    more than ``max_bucket`` members joins quadratically — on a real
+    corpus a near-constant fingerprint region (boilerplate) produces
+    such hot buckets. Dropping them loses only pairs whose OTHER shared
+    chunks are also hot; dropped buckets are visible via
+    :func:`bucket_cap_report` on the same keyed shape.
+    """
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"simhash_near_pairs: recall guarantee needs max_hamming < chunks "
+            f"(got max_hamming={max_hamming}, chunks={chunks}); raise chunks "
+            f"(width 63//chunks bits) only with a corpus small enough for "
+            f"2^width buckets"
+        )
+    width = -(-63 // chunks)  # ceil: last chunk may be narrower
+    mask = (1 << width) - 1
     chunk_cols = [
-        F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c_{c}")
+        F.shiftright(F.col("simhash"), width * c).bitwiseAND(F.lit(mask)).alias(f"c_{c}")
         for c in range(chunks)
     ]
     # both sides of the self-join read `fps`; materialize the (tiny)
@@ -217,6 +295,8 @@ def simhash_near_pairs(
             )
         ).alias("p"),
     ).select("id", "simhash", F.col("p.ci").alias("ci"), F.col("p.cv").alias("cv"))
+    if max_bucket is not None:
+        pieces = cap_bucket_width(pieces, ["ci", "cv"], max_bucket)
     l, r = pieces.alias("l"), pieces.alias("r")
     return (
         l.join(

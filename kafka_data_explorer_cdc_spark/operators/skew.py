@@ -38,15 +38,24 @@ def salted_aggregate(
 
     ``aggs`` maps output column → (input column, fn) with fn in
     {sum, count, min, max}. count partials merge with SUM; the other
-    three merge with themselves.
+    three merge with themselves. An input column of ``"*"`` (or None)
+    means COUNT(*) — counting rows, not non-null values. Counting a
+    grouping column instead would skip NULL-keyed rows (COUNT(col)
+    semantics), silently reporting 0 for a NULL group.
     """
     partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     merge_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+    def _partial(col: str | None, fn: str):
+        if fn == "count" and col in (None, "*"):
+            return F.count(F.lit(1))
+        return partial_fns[fn](col)
+
     salted = df.withColumn(
         "__salt", (F.rand(seed=42) * buckets).cast("int")
     )
     partial = salted.groupBy(*keys, "__salt").agg(
-        *[partial_fns[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+        *[_partial(col, fn).alias(out) for out, (col, fn) in aggs.items()]
     )
     return partial.groupBy(*keys).agg(
         *[merge_fns[fn](out).alias(out) for out, (_, fn) in aggs.items()]

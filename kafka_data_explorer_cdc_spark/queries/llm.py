@@ -124,14 +124,31 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(docs, threshold=0.5)
 
 
+#: Hot-shingle document-frequency cap for d05: a shingle occurring in
+#: more than this many documents joins quadratically in the intersection
+#: self-join while carrying ~no Jaccard signal ("of the and"-class
+#: n-grams). Dropped on BOTH engines identically, so the differential
+#: gate still verifies values exactly; drops are observable via
+#: ``D.bucket_cap_report(sh, ["shingle"], _D05_MAX_DF)``.
+_D05_MAX_DF = 1000
+
+_SH_CAPPED_DUCK = f""",
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_D05_MAX_DF}
+), shc AS (
+  SELECT sh.* FROM sh LEFT JOIN hot USING (shingle) WHERE hot.shingle IS NULL
+)"""
+
+
 @query(
     "d05_ngram_jaccard_pairs",
     oracle=_SH_DUCK
+    + _SH_CAPPED_DUCK
     + """,
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS isz
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id1, id2,
@@ -147,9 +164,16 @@ def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the
     ground-truth dedup the LSH pipeline approximates. The shingle
     equi-join bounds the pair explosion to documents that actually
-    share an n-gram."""
+    share an n-gram, and the document-frequency cap removes the one
+    remaining quadratic risk: a corpus-frequent shingle whose bucket
+    would self-join in O(df²). The cap is applied symmetrically
+    (intersection AND per-doc counts, both engines), so the result is
+    exact Jaccard over the informative-shingle sets."""
     docs = load(spark, sf_dir, "documents")
     sh = D.shingle_docs(docs, "doc_id", "text", n=3)
+    sh = D.cap_bucket_width(sh, ["shingle"], _D05_MAX_DF)
+    # feeds the self-join (twice) and both count joins — materialize once
+    sh = sh.persist()
     pairs = sh.alias("a").join(
         sh.alias("b"),
         (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
@@ -172,11 +196,15 @@ def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("d06_simhash_near_pairs", oracle=None, tags=("llm", "dedup", "approx"))
 def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup (B17 variant): 63-bit fingerprints, candidate
-    pairs via shared 16-bit chunk, exact hamming ≤ 8 filter. Planted-
-    duplicate recall in tests/test_dedup.py."""
+    pairs via shared 16-bit chunk, exact hamming filter, hot-bucket
+    width cap. Radius 3 = what the 4-chunk pigeonhole makes LOSSLESS
+    (the round-1 radius 8 had silent recall gaps for hamming 4-8 and a
+    lossless scheme for radius 8 cannot scale — see
+    operators/dedup.py:simhash_near_pairs). Planted-duplicate recall in
+    tests/test_dedup.py."""
     docs = load(spark, sf_dir, "documents")
     fps = D.simhash(docs)
-    return D.simhash_near_pairs(fps, max_hamming=8)
+    return D.simhash_near_pairs(fps, max_hamming=3, max_bucket=1000)
 
 
 # ---------------------------------------------------------------------------

@@ -232,7 +232,8 @@ def b05d_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b28_collect_sorted_list",
     oracle="""
 SELECT o_orderpriority,
-       list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+       array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',')
+         AS statuses,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM orders GROUP BY o_orderpriority
 """,
@@ -241,11 +242,15 @@ FROM orders GROUP BY o_orderpriority
 def b28_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List aggregation with deterministic ordering:
     sort_array(collect_set()) — collect order is partition-dependent in
-    any distributed engine, so list-valued results are only
-    reproducible sorted; the oracle pins the same contract."""
+    any distributed engine, so list-valued results are only reproducible
+    sorted; the oracle pins the same contract. Joined to a scalar string
+    (array_join / array_to_string) so the differential gate can hash the
+    value — array-typed result columns crash the driver's canonicalizer."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
         F.count("*").alias("n"),
     )
 
@@ -597,14 +602,18 @@ SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
 )
 def b13c_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct) — customer keys minus big-order customer keys
-    (filtered so the result is non-empty on this data)."""
+    (filtered so the result is non-empty on this data). ``subtract`` IS
+    Spark's EXCEPT DISTINCT; the previous ``exceptAll().distinct()``
+    differs when a left value occurring >1× also occurs on the right
+    (it would survive), matching the oracle only because c_custkey is
+    unique here."""
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     o = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 300000)
         .select(F.col("o_custkey").alias("k"))
     )
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
 
 
 @query(
@@ -748,7 +757,7 @@ def b26_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_aggregate(
         ev,
         ["event_type"],
-        {"n": ("event_type", "count"), "total_millis": ("value_millis", "sum")},
+        {"n": ("*", "count"), "total_millis": ("value_millis", "sum")},
         buckets=16,
     )
 

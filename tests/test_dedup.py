@@ -47,10 +47,55 @@ def test_minhash_lsh_recall_and_precision(spark, planted):
 def test_simhash_finds_planted_dups(spark, planted):
     corpus, expected = planted
     fps = D.simhash(corpus)
-    pairs = D.simhash_near_pairs(fps, max_hamming=8)
+    # radius 8 needs >8 chunks for lossless candidates (pigeonhole);
+    # 9x7-bit chunks are fine on a small corpus (128 buckets/chunk),
+    # while the 4x16-bit default pairs with radius <= 3 at scale
+    pairs = D.simhash_near_pairs(fps, max_hamming=8, chunks=9)
     got = {(r["id1"], r["id2"]) for r in pairs.collect()}
     recall = len(got & expected) / len(expected)
     assert recall >= 0.8, f"simhash planted-dup recall {recall}"
+
+
+def test_simhash_radius_chunk_invariant(spark, planted):
+    """max_hamming >= chunks would silently lose recall — must raise."""
+    corpus, _ = planted
+    fps = D.simhash(corpus)
+    with pytest.raises(ValueError, match="max_hamming < chunks"):
+        D.simhash_near_pairs(fps, max_hamming=8, chunks=4)
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """One corpus-wide shingle must not produce a quadratic candidate
+    set: every doc shares a common 5-token prefix (hot shingles,
+    df = n_docs), then diverges into unique tokens. Uncapped, the
+    shingle self-join yields C(n,2) pairs; capped, zero."""
+    n = 200
+    rows = [
+        (i, f"common alpha beta gamma delta u{i}a u{i}b u{i}c u{i}d")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3)
+
+    report = D.bucket_cap_report(sh, ["shingle"], max_bucket=50)
+    hot = {r["shingle"] for r in report.collect()}
+    assert "common alpha beta" in hot and len(hot) == 3
+
+    capped = D.cap_bucket_width(sh, ["shingle"], max_bucket=50)
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select("a.id", "b.id")
+    )
+    assert pairs.count() == 0
+
+    # and the LSH pipeline end-to-end with an aggressive cap still runs
+    out = D.minhash_lsh_dedup_pairs(docs, threshold=0.5, max_bucket=50)
+    assert out.count() == 0
 
 
 def test_simhash_fingerprint_stability(spark, planted):
