@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -77,11 +77,21 @@ def write_kafka_envelopes(
     )
 
 
-def read_file_envelopes(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_file_envelopes(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-based envelope stream: one JSON envelope per line — the
     test/replay path (a Kafka topic dump is exactly this shape). Carries
-    the raw line through for dead-lettering."""
-    raw = spark.readStream.format("text").load(input_dir)
+    the raw line through for dead-lettering. ``max_files_per_trigger``
+    is the size bound on a micro-batch — the file-source twin of the
+    reference's ``flush.size.bytes`` (adx-sink-config.json:5); the Kafka
+    source's equivalent is ``maxOffsetsPerTrigger``."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(input_dir)
     return unwrap(parse_envelope(raw, value_col="value"), keep_raw=True)
 
 
@@ -102,7 +112,25 @@ def flatten_after(flat: DataFrame) -> DataFrame:
 
 
 class ParquetStateSink:
-    """foreachBatch target: versioned-parquet latest-state store.
+    """foreachBatch target: hash-bucketed, versioned-parquet latest-state
+    store with INCREMENTAL merges.
+
+    State is hash-partitioned into ``n_buckets`` by key
+    (``pmod(xxhash64(key), n_buckets)``). A micro-batch reads and
+    rewrites ONLY the buckets its keys fall into — merge cost scales
+    with the touched fraction of state (≈ batch keyspread / n_buckets),
+    not with total state size, which is what keeps a long-running CDC
+    stream over a large keyspace viable on plain parquet. Each batch
+    writes its touched buckets under an immutable ``v{batch_id}/`` dir
+    and commits a manifest mapping every bucket to the version that
+    last rewrote it — the poor man's Delta log; on a transactional
+    format both collapse into the table's own MERGE + history. Nothing
+    is ever rewritten in place, so a crash between write and manifest
+    commit leaves the previous state intact.
+
+    Sizing ``n_buckets`` at scale: target bucket ≈ a few hundred MB of
+    state (one executor task), so 100 TB of state → O(10⁵) buckets; a
+    micro-batch touching k distinct keys rewrites ≤ k buckets.
 
     Malformed envelopes (unparseable JSON, or parseable but keyless /
     sequence-less) never reach the merge: they are appended losslessly
@@ -110,10 +138,17 @@ class ParquetStateSink:
     inspection and replay — the DLQ every production CDC sink needs,
     since ``from_json`` nulls corrupt records instead of failing."""
 
-    def __init__(self, spark: SparkSession, state_root: str, key_cols: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        key_cols: list[str],
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.root = state_root
         self.key_cols = key_cols
+        self.n_buckets = n_buckets
         os.makedirs(state_root, exist_ok=True)
 
     def dead_letter_dir(self) -> str:
@@ -128,28 +163,58 @@ class ParquetStateSink:
     def _pointer(self) -> str:
         return os.path.join(self.root, "LATEST")
 
-    def current(self) -> DataFrame | None:
-        try:
-            with open(self._pointer()) as f:
-                version = json.load(f)["version"]
-        except FileNotFoundError:
-            return None
-        return self.at_version(version)
-
-    def versions(self) -> list[int]:
-        """All retained state versions, oldest first — each ``v{n}`` dir
-        is an immutable snapshot after micro-batch ``n`` (the poor
-        man's Delta log; on a transactional format this is the table
-        history)."""
-        return sorted(
-            int(d[1:])
-            for d in os.listdir(self.root)
-            if d.startswith("v") and d[1:].isdigit()
+    def _bucket_col(self) -> Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
         )
 
-    def at_version(self, version: int) -> DataFrame:
+    def _manifest(self, version: int | None = None) -> dict | None:
+        path = (
+            self._pointer()
+            if version is None
+            else os.path.join(self.root, f"manifest_v{version}.json")
+        )
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _read_buckets(
+        self, bucket_versions: dict[str, int], only: set[int] | None = None
+    ) -> DataFrame | None:
+        paths = [
+            os.path.join(self.root, f"v{ver}", f"__bucket={b}")
+            for b, ver in bucket_versions.items()
+            if only is None or int(b) in only
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def current(self) -> DataFrame | None:
+        m = self._manifest()
+        if m is None:
+            return None
+        return self._read_buckets(m["buckets"])
+
+    def versions(self) -> list[int]:
+        """All retained state versions, oldest first — each manifest is
+        an immutable full-state snapshot (bucket → version map) after
+        its micro-batch."""
+        out = []
+        for d in os.listdir(self.root):
+            if d.startswith("manifest_v") and d.endswith(".json"):
+                out.append(int(d[len("manifest_v"):-len(".json")]))
+        return sorted(out)
+
+    def at_version(self, version: int) -> DataFrame | None:
         """Time travel: state as of micro-batch ``version``."""
-        return self.spark.read.parquet(os.path.join(self.root, f"v{version}"))
+        m = self._manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no manifest for version {version}")
+        return self._read_buckets(m["buckets"])
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         bad_cond = F.col(self.key_cols[0]).isNull() | F.col("lsn").isNull()
@@ -163,12 +228,34 @@ class ParquetStateSink:
             batch = batch.filter(~bad_cond).drop("raw_value")
         else:
             batch = batch.filter(~bad_cond)
-        merged = apply_cdc_batch(self.current(), batch, self.key_cols)
-        out = os.path.join(self.root, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(out)
+
+        prev = self._manifest()
+        bucket_versions: dict[str, int] = dict(prev["buckets"]) if prev else {}
+
+        # which buckets does this batch touch? (collect bounded by
+        # n_buckets — a config constant, never data-sized)
+        batch = batch.withColumn("__bucket", self._bucket_col())
+        touched = {
+            int(r["__bucket"]) for r in batch.select("__bucket").distinct().collect()
+        }
+        if touched:
+            cur = self._read_buckets(bucket_versions, only=touched)
+            merged = apply_cdc_batch(
+                cur, batch.drop("__bucket"), self.key_cols
+            ).withColumn("__bucket", self._bucket_col())
+            out = os.path.join(self.root, f"v{batch_id}")
+            merged.write.mode("overwrite").partitionBy("__bucket").parquet(out)
+            for b in touched:
+                bucket_versions[str(b)] = batch_id
+
+        manifest = {"version": batch_id, "buckets": bucket_versions}
+        mpath = os.path.join(self.root, f"manifest_v{batch_id}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": batch_id}, f)
+            json.dump(manifest, f)
         os.replace(tmp, self._pointer())
 
 
@@ -179,13 +266,20 @@ def start_cdc_pipeline(
     checkpoint_dir: str,
     available_now: bool = True,
     trigger_seconds: int = 30,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
-    """Wire the full pipeline. ``trigger_seconds=30`` mirrors the
-    reference's flush.interval.ms (``adx-sink-config.json:6``);
+    """Wire the full pipeline. The reference seals batches by BOTH time
+    and size (``adx-sink-config.json:5-6``: flush.size.bytes 10000 /
+    flush.interval.ms 30 s): ``trigger_seconds`` mirrors the time bound,
+    ``max_files_per_trigger`` the size bound (file-source granularity;
+    honored by availableNow backlog drains too, which then process the
+    backlog as several bounded micro-batches rather than one big one).
     ``available_now`` drains the backlog and stops (test/replay mode).
     """
     sink = ParquetStateSink(spark, state_root, ["orderid"])
-    flat = flatten_after(read_file_envelopes(spark, input_dir))
+    flat = flatten_after(
+        read_file_envelopes(spark, input_dir, max_files_per_trigger)
+    )
     writer = flat.writeStream.option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

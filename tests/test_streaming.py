@@ -311,6 +311,101 @@ def test_state_sink_time_travel(spark, cdc_stream_setup):
     )
 
 
+def test_state_sink_merge_is_incremental(spark, cdc_stream_setup):
+    """Merge cost must scale with the micro-batch, not total state: a
+    follow-up batch touching ONE key rewrites only that key's hash
+    bucket — every other bucket stays at its old version (manifest
+    pointers unchanged, old files untouched on disk)."""
+    log, indir = cdc_stream_setup
+    state, ckpt = _tmp("inc_state_"), _tmp("inc_ckpt_")
+    q = start_cdc_pipeline(spark, indir, state, ckpt, available_now=True)
+    q.awaitTermination()
+    sink = ParquetStateSink(spark, state, ["orderid"])
+    m0 = sink._manifest()
+    assert len(m0["buckets"]) > 1, "fixture must populate several buckets"
+
+    survivors = expected_final_state(log)
+    victim = sorted(survivors)[0]
+    max_lsn = max(e["payload"]["source"]["lsn"] for e in log)
+    update_env = {
+        "payload": {
+            "before": None,
+            "after": dict(survivors[victim], amount=99999),
+            "source": {"table": "orders_info", "lsn": max_lsn + 1, "txId": 1,
+                       "ts_ms": 0, "version": "x", "connector": "postgresql",
+                       "name": "myserver", "snapshot": "false", "db": "postgres",
+                       "schema": "inventory", "xmin": None},
+            "op": "u",
+            "ts_ms": 0,
+            "transaction": None,
+        }
+    }
+    with open(os.path.join(indir, "part_update.jsonl"), "w") as f:
+        f.write(json.dumps(update_env) + "\n")
+    q = start_cdc_pipeline(spark, indir, state, ckpt, available_now=True)
+    q.awaitTermination()
+
+    m1 = sink._manifest()
+    changed = {b for b in m1["buckets"] if m1["buckets"][b] != m0["buckets"].get(b)}
+    assert len(changed) == 1, f"one-key batch must rewrite one bucket: {changed}"
+    # and the state is still exactly right
+    final = {r["orderid"]: r["amount"] for r in sink.current().collect()}
+    assert final[victim] == 99999
+    assert set(final) == set(survivors)
+
+
+def test_max_files_per_trigger_bounds_batches(spark):
+    """Size-bound parity with the reference's flush.size.bytes
+    (adx-sink-config.json:5): with maxFilesPerTrigger=1 an availableNow
+    drain of a 2-file backlog must process 2 bounded micro-batches (2
+    state versions), not one big one — and still converge to the same
+    final state."""
+    log = generate_change_log(n_keys=40, n_ops=200, seed=11)
+    indir, state, ckpt = _tmp("mft_in_"), _tmp("mft_state_"), _tmp("mft_ckpt_")
+    third = len(log) // 3
+    for i, chunk in enumerate([log[:third], log[third : 2 * third], log[2 * third :]]):
+        with open(os.path.join(indir, f"part{i}.jsonl"), "w") as f:
+            for env in chunk:
+                f.write(json.dumps(env) + "\n")
+    q = start_cdc_pipeline(
+        spark, indir, state, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    sink = ParquetStateSink(spark, state, ["orderid"])
+    assert len(sink.versions()) >= 3, "backlog must split into bounded batches"
+    got = {
+        r["orderid"]: (r["custid"], r["amount"], r["city"])
+        for r in sink.current().collect()
+    }
+    want = {
+        k: (v["custid"], v["amount"], v["city"])
+        for k, v in expected_final_state(log).items()
+    }
+    assert got == want
+
+
+def test_kafka_source_reader(spark):
+    """Exercise read_kafka_envelopes end-to-end construction. This
+    container ships no spark-sql-kafka package (and no broker), so the
+    expected local outcome is a DOCUMENTED skip; on a cluster with the
+    package deployed the same test validates the unwrapped schema."""
+    from kafka_data_explorer_cdc_spark.streaming.pipeline import (
+        read_kafka_envelopes,
+    )
+
+    try:
+        df = read_kafka_envelopes(spark, "localhost:9092")
+    except Exception as e:
+        if "Failed to find data source: kafka" in str(e):
+            pytest.skip(
+                "spark-sql-kafka not deployable in this container "
+                "(no package, no network): Kafka source is "
+                "construction-blocked, covered by the file-replay twin"
+            )
+        raise
+    assert {"after", "before", "op", "lsn", "src_table"} <= set(df.columns)
+
+
 def test_kafka_sink_writer_constructs(spark):
     """The Kafka write path must build a valid streaming writer from
     envelope rows (no broker in this container — start() untested)."""
