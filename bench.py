@@ -3,9 +3,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a cheap count() so the full plan executes
-(scan → shuffle → agg) without driver-side result materialization cost
-dominating the measurement.
+Each query is forced through the noop sink (``write.format("noop")``)
+so EVERY output column is actually computed: ``count()`` forcing lets
+Catalyst prune all columns, which silently skips the real work of
+projection-shaped queries (a pure parse/transform pipeline "ran" in
+0.1 s because the parse was never executed — round 1's a09-vs-a11
+anomaly was mostly this). Noop evaluates the full plan executor-side
+with zero driver materialization cost. Methodology change is recorded
+in BASELINE.md (baseline re-measured identically).
 """
 
 from __future__ import annotations
@@ -41,13 +46,16 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     names += [n for n in sorted(REGISTRY) if n not in names]
 
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # warm the JVM + parquet footers once, not inside the timings
-    REGISTRY[names[0]].fn(spark, sf_dir).count()
+    force(REGISTRY[names[0]].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
+        force(REGISTRY[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 2)
 
     total = round(sum(timings.values()), 2)

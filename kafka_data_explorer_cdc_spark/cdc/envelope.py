@@ -66,6 +66,31 @@ PAYLOAD_SCHEMA = T.StructType(
 
 ENVELOPE_SCHEMA = T.StructType([T.StructField("payload", PAYLOAD_SCHEMA)])
 
+#: Narrow probe schema for pre-parse routing/filter decisions (source
+#: table, key parity/ranges): parsing ONLY the fields a predicate needs
+#: is far cheaper than the full envelope parse, and filtering raw lines
+#: before ``parse_envelope`` keeps Catalyst from inlining the full
+#: ``from_json`` into pushed-down predicates (one parse per predicate).
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField(
+                        "after",
+                        T.StructType([T.StructField("orderid", T.IntegerType())]),
+                    ),
+                    T.StructField(
+                        "source",
+                        T.StructType([T.StructField("table", T.StringType())]),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
 
 def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Deserialize raw JSON envelope bytes/strings → typed nested columns.

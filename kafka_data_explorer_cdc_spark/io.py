@@ -9,6 +9,7 @@ parquet scan (``ReadSchema`` in ``.explain``), which matters at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES = [

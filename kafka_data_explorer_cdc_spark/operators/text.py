@@ -42,11 +42,15 @@ def poly_hash(expr: str) -> str:
     ``h = fold(chars, 0, (acc, cp) -> (acc*31 + cp) % POLY_MOD)`` —
     identical in Spark (``aggregate``) and DuckDB (``list_reduce``,
     whose first-element seeding equals our 0-init first step).
-    """
+
+    The char array comes from ONE ``split(expr, '')`` pass: the earlier
+    per-index ``substring(expr, i, 1)`` form inlined ``expr`` into every
+    element lambda — for a computed expr like ``lower(trim(text))`` that
+    re-evaluates the normalization per character, O(len²) per document
+    (measured 4.3 s → 0.6 s on d09 at sf0.1)."""
     return (
         f"CASE WHEN length({expr}) = 0 THEN 0 ELSE "
-        f"aggregate(transform(sequence(1, length({expr}), 1), "
-        f"i -> ascii(substring({expr}, i, 1))), 0L, "
+        f"aggregate(transform(split({expr}, ''), ch -> ascii(ch)), 0L, "
         f"(acc, c) -> (acc * 31 + c) % {POLY_MOD}) END"
     )
 

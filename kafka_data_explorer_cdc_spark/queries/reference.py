@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..cdc.envelope import (
     CITIES,
     ORDERS_INFO_SQL,
+    PROBE_SCHEMA,
     orders_info,
     parse_envelope,
     sink_projection,
@@ -119,12 +120,14 @@ def a10_jsonpath_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = env.select(
         F.get_json_object("value", "$.payload.after").alias("rec")
     )
+    # json_tuple scans `rec` ONCE for all four fields; four separate
+    # get_json_object calls would each re-parse the record (4 JSON scans
+    # per row — measured ~1.7x the whole-envelope from_json path)
     return flat.select(
-        F.get_json_object("rec", "$.orderid").alias("orderid"),
-        F.get_json_object("rec", "$.custid").alias("custid"),
-        F.get_json_object("rec", "$.city").alias("city"),
-        F.get_json_object("rec", "$.amount").cast("int").alias("amount"),
-    )
+        F.json_tuple("rec", "orderid", "custid", "city", "amount").alias(
+            "orderid", "custid", "city", "amount"
+        )
+    ).withColumn("amount", F.col("amount").cast("int"))
 
 
 @query(
@@ -141,14 +144,22 @@ def a11_source_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     even-orderid half stands in for a second table's traffic.
     """
     env = to_envelope_json(_info(spark, sf_dir))
-    flat = unwrap(parse_envelope(env))
-    return (
-        flat.filter(F.col("src_table") == "orders_info")
-        .filter(F.col("after")["orderid"] % 2 == 0)
-        .select(
-            F.col("after")["orderid"].cast("string").alias("orderid"),
-            F.col("after")["city"].alias("city"),
-        )
+    # Filter BEFORE the full parse, exactly like the reference: the
+    # source-table whitelist is a pre-parse filter in Debezium
+    # (pg-source-config.json table.include.list), not a post-parse
+    # predicate. The probe parses ONE narrow schema (just the two
+    # filter fields) — a post-parse filter would be pushed below the
+    # unwrap projection by Catalyst with the whole-envelope from_json
+    # INLINED into each predicate (3 full parses per row: round-1's
+    # a11-vs-a09 bench anomaly, ~5x the sibling's wall time).
+    probe = F.from_json("value", PROBE_SCHEMA)
+    keep = (probe["payload"]["source"]["table"] == "orders_info") & (
+        probe["payload"]["after"]["orderid"] % 2 == 0
+    )
+    flat = unwrap(parse_envelope(env.filter(keep)))
+    return flat.select(
+        F.col("after")["orderid"].cast("string").alias("orderid"),
+        F.col("after")["city"].alias("city"),
     )
 
 

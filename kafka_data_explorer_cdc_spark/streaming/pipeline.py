@@ -217,6 +217,16 @@ class ParquetStateSink:
         return self._read_buckets(m["buckets"])
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # the batch feeds several actions (DLQ write, touched-bucket
+        # probe, merge write) — persist it so the envelope JSON parse
+        # runs once per micro-batch, not once per action
+        batch = batch.persist()
+        try:
+            self._apply_batch(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         bad_cond = F.col(self.key_cols[0]).isNull() | F.col("lsn").isNull()
         if "raw_value" in batch.columns:
             bad = batch.filter(bad_cond).select(
@@ -244,7 +254,13 @@ class ParquetStateSink:
                 cur, batch.drop("__bucket"), self.key_cols
             ).withColumn("__bucket", self._bucket_col())
             out = os.path.join(self.root, f"v{batch_id}")
-            merged.write.mode("overwrite").partitionBy("__bucket").parquet(out)
+            # cluster rows by bucket before the partitioned write: each
+            # bucket then lands in ONE task -> one file, instead of every
+            # task opening a file per bucket (tasks x buckets small files
+            # per micro-batch — measured 2x wall on the s24 pipeline)
+            merged.repartition(len(touched), F.col("__bucket")).write.mode(
+                "overwrite"
+            ).partitionBy("__bucket").parquet(out)
             for b in touched:
                 bucket_versions[str(b)] = batch_id
 
