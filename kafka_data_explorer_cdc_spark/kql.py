@@ -19,14 +19,18 @@ Supported (the reference's surface plus the obvious neighbors):
       | take N  /  limit N
       | project col [= expr], ...
       | extend name = expr, ...
+      | mv-expand [name =] arraycol
       | distinct col, ...
       | count
 
 Expressions: arithmetic (+ - * / %), comparisons (== != < <= > >=),
 ``and``/``or``/``not``, ``contains``/``startswith``/``endswith``/
-``has``/``in``, string / numeric / duration (``1h``, ``30m``) literals,
-``bin(expr, size)`` time/numeric bucketing. Aggregates: ``count()``,
-``sum``/``avg``/``min``/``max``/``dcount``.
+``has``/``in``, ``between (lo .. hi)``, string / numeric / duration
+(``1h``, ``30m``) literals, ``bin(expr, size)`` time/numeric bucketing,
+``ago(duration)`` (anchorable for deterministic replay), and
+``parse_json(col).field`` dynamic access (compiles to a single
+``get_json_object`` probe). Aggregates: ``count()``, ``sum``/``avg``/
+``min``/``max``/``dcount``, ``countif(pred)``, ``sumif(col, pred)``.
 
 KQL semantics preserved deliberately:
 - ``sort by`` defaults to DESC (README.md:373-378 — SURVEY.md §7
@@ -51,7 +55,7 @@ _TOKEN_RE = re.compile(
         (?P<dur>\d+(?:ms|[smhd])\b)
       | (?P<num>\d+\.\d+|\d+)
       | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-      | (?P<op><=|>=|!=|==|=~|!~|[|=+\-*/%(),<>])
+      | (?P<op><=|>=|!=|==|=~|!~|\.\.|[|=+\-*/%(),<>.])
       | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
     re.VERBOSE,
@@ -89,12 +93,23 @@ def _tokenize(src: str) -> list[_Tok]:
     return toks
 
 
+class _DynamicJson:
+    """Marker for a ``parse_json(col)`` result awaiting ``.field``
+    access — one-level property access compiles straight to a JVM
+    ``get_json_object`` probe on the original string column (the b15a
+    plan shape), with no intermediate parse materialization."""
+
+    def __init__(self, raw: Column):
+        self.raw = raw
+
+
 class _Parser:
     """Recursive descent over the token stream; produces Columns."""
 
-    def __init__(self, toks: list[_Tok]):
+    def __init__(self, toks: list[_Tok], now: str | None = None):
         self.toks = toks
         self.i = 0
+        self.now = now
 
     def peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -157,6 +172,15 @@ class _Parser:
                 ">": left > right,
                 ">=": left >= right,
             }[op]
+        if op == "between":
+            # Kusto: x between (lo .. hi) — inclusive on both ends
+            self.next()
+            self.expect("(")
+            lo = self._add()
+            self.expect("..")
+            hi = self._add()
+            self.expect(")")
+            return (left >= lo) & (left <= hi)
         if op in ("contains", "startswith", "endswith", "has", "in"):
             self.next()
             if op == "in":
@@ -241,9 +265,26 @@ class _Parser:
                 return F.lit(low == "true")
             # scalar function call, e.g. strlen(x), tolower(x)
             if self.peek() and self.peek().text == "(":
-                return self._scalar_fn(low)
+                return self._postfix(self._scalar_fn(low))
             return F.col(t.text)
         raise ValueError(f"KQL: unexpected token {t.text!r}")
+
+    def _postfix(self, e):
+        """``.field`` access after a function call — only meaningful on
+        ``parse_json`` results (dynamic property access)."""
+        while self.peek() and self.peek().text == ".":
+            self.next()
+            name = self.next().text
+            if isinstance(e, _DynamicJson):
+                e = F.get_json_object(e.raw, f"$.{name}")
+            else:
+                e = e.getField(name)
+        if isinstance(e, _DynamicJson):
+            raise ValueError(
+                "KQL: parse_json(...) must be followed by a .field access "
+                "in this subset (dynamic values have no standalone type)"
+            )
+        return e
 
     _DUR_SECONDS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
 
@@ -264,6 +305,27 @@ class _Parser:
     }
 
     def _scalar_fn(self, name: str) -> Column:
+        if name == "ago":
+            # ago(1h): now() minus a duration. The anchor is injectable
+            # (kql(..., now=...)) so replays and differential oracles are
+            # deterministic; un-anchored it is the wall clock, as in Kusto.
+            self.expect("(")
+            t = self.next()
+            self.expect(")")
+            if t.kind != "dur":
+                raise ValueError(f"KQL: ago() needs a duration, got {t.text!r}")
+            secs = int(self._duration_seconds(t.text))
+            anchor = (
+                F.lit(self.now).cast("timestamp")
+                if self.now is not None
+                else F.current_timestamp()
+            )
+            return anchor - F.expr(f"INTERVAL {secs} SECOND")
+        if name == "parse_json":
+            self.expect("(")
+            e = self.expr()
+            self.expect(")")
+            return _DynamicJson(e)
         if name == "bin":
             # bin(expr, size): floor to a timestamp bucket (duration
             # literal: 1h, 30m, ...) or a numeric bucket. Compiles to
@@ -303,6 +365,21 @@ class _Parser:
             self.next()
             t = self.next()
         fn = t.text.lower()
+        if fn == "countif":
+            # countif(pred): rows where pred holds — sum of an indicator,
+            # so it partial-aggregates map-side like any sum
+            self.expect("(")
+            pred = self.expr()
+            self.expect(")")
+            agg = F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+            return agg.alias(name or "countif_")
+        if fn == "sumif":
+            self.expect("(")
+            val = self.expr()
+            self.expect(",")
+            pred = self.expr()
+            self.expect(")")
+            return F.sum(F.when(pred, val)).alias(name or "sumif_")
         if fn not in _AGGS:
             raise ValueError(f"KQL: unsupported aggregate {fn!r}")
         self.expect("(")
@@ -351,8 +428,15 @@ def _split_stages(src: str) -> list[str]:
     return [s.strip() for s in stages if s.strip()]
 
 
-def kql(query_text: str, tables: dict[str, DataFrame]) -> DataFrame:
+def kql(
+    query_text: str,
+    tables: dict[str, DataFrame],
+    now: str | None = None,
+) -> DataFrame:
     """Compile and run a KQL pipeline against the given table bindings.
+
+    ``now`` anchors ``ago()`` to a fixed timestamp string (deterministic
+    replay / differential testing); None = wall clock, as in Kusto.
 
     >>> kql("Orders | summarize avg_sales = avg(amount) by city",
     ...     {"Orders": orders_df})
@@ -366,8 +450,13 @@ def kql(query_text: str, tables: dict[str, DataFrame]) -> DataFrame:
     df = tables[table]
 
     for stage in stages[1:]:
-        p = _Parser(_tokenize(stage))
+        p = _Parser(_tokenize(stage), now=now)
         verb = p.next().text.lower()
+        if verb == "mv" and p.peek() and p.peek().text == "-":
+            p.next()
+            if p.next().text.lower() != "expand":
+                raise ValueError("KQL: expected 'mv-expand'")
+            verb = "mv-expand"
         if verb == "where":
             df = df.filter(p.expr())
         elif verb == "summarize":
@@ -418,6 +507,16 @@ def kql(query_text: str, tables: dict[str, DataFrame]) -> DataFrame:
                 df = df.withColumn(name, p.expr())
                 if not p.accept(","):
                     break
+        elif verb == "mv-expand":
+            # expand an array column to one row per element (Kusto's
+            # dynamic-array fan-out) — compiles to explode, the same
+            # generator Spark uses for every flatten
+            name = p.next().text
+            if p.accept("="):
+                src = p.next().text
+                df = df.withColumn(name, F.explode(F.col(src)))
+            else:
+                df = df.withColumn(name, F.explode(F.col(name)))
         elif verb == "distinct":
             df = df.select(*p.ident_list()).distinct()
         elif verb == "count":

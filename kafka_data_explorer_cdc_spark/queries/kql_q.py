@@ -111,6 +111,111 @@ def k17_kql_filtered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k19_kql_ago_filter",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL '7 days'
+GROUP BY event_type
+""",
+    tags=("kql", "timeseries"),
+)
+def k19_kql_ago_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ago()`` — the single most common Kusto filter. The anchor is
+    injected (kql(..., now=...)) so the differential oracle is
+    deterministic; the compiled plan is a plain timestamp range
+    predicate, pushable to the scan."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | where ts >= ago(7d) | summarize n = count() by event_type",
+        {"Events": events},
+        now="2024-01-31 00:00:00",
+    )
+
+
+@query(
+    "k20_kql_between",
+    oracle=f"""{_OI}
+SELECT city, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders_info WHERE amount BETWEEN 150 AND 180
+GROUP BY city
+""",
+    tags=("kql",),
+)
+def k20_kql_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``between (lo .. hi)`` — inclusive range, compiled to two
+    scan-pushable comparisons."""
+    return kql(
+        "Orders | where amount between (150 .. 180) "
+        "| summarize n = count() by city",
+        _orders(spark, sf_dir),
+    )
+
+
+@query(
+    "k21_kql_countif_sumif",
+    oracle=f"""{_OI}
+SELECT city,
+       CAST(SUM(CASE WHEN amount >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS big_n,
+       CAST(SUM(CASE WHEN amount >= 150 THEN amount END) AS BIGINT) AS big_total
+FROM orders_info GROUP BY city
+""",
+    tags=("kql",),
+)
+def k21_kql_countif_sumif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates ``countif``/``sumif`` — indicator sums, so
+    they partial-aggregate map-side exactly like plain sums."""
+    return kql(
+        "Orders | summarize big_n = countif(amount >= 150), "
+        "big_total = sumif(amount, amount >= 150) by city",
+        _orders(spark, sf_dir),
+    )
+
+
+@query(
+    "k22_kql_parse_json",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS total_k
+FROM events GROUP BY event_type
+""",
+    tags=("kql", "json"),
+)
+def k22_kql_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_json(col).field`` dynamic access — compiles to one
+    ``get_json_object`` probe per row (the b15a plan shape), never a
+    full-document parse."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | extend k = tolong(parse_json(props).k) "
+        "| summarize total_k = sum(k) by event_type",
+        {"Events": events},
+    )
+
+
+@query(
+    "k23_kql_mv_expand",
+    oracle="""
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_elems
+FROM (SELECT vec_id, unnest(embedding) FROM embeddings)
+GROUP BY vec_id
+""",
+    tags=("kql", "array"),
+)
+def k23_kql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mv-expand`` — dynamic-array fan-out over the embedding column
+    (explode), counted back per vector to verify the row multiplicity
+    exactly."""
+    em = load(spark, sf_dir, "embeddings")
+    return kql(
+        "Embeddings | mv-expand e = embedding "
+        "| summarize n_elems = count() by vec_id",
+        {"Embeddings": em},
+    )
+
+
+@query(
     "k18_kql_time_binning",
     oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS t,

@@ -786,6 +786,23 @@ def b27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("b27x_percentiles_approx", oracle=None, tags=("relational", "agg", "approx"))
+def b27x_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for b27: ``percentile_approx`` (Greenwald-Khanna
+    sketch — mergeable, constant memory per group) at accuracy 10000,
+    i.e. rank error ≤ n/10000 per group. Exact percentiles buffer every
+    group value in memory and cannot scale past it; the sketch is what
+    actually runs at 100 TB. Rows-only in the gate (approximation is
+    seed/merge-order dependent); the error bound vs the exact b27 is
+    asserted in tests/test_relational.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+    )
+
+
 @query(
     "b25_session_window",
     oracle="""

@@ -160,3 +160,73 @@ def test_bin_numeric(spark, sf_dir):
         .orderBy(F.asc("b"))
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_has_requires_string_literal(spark):
+    df = spark.createDataFrame([(1, "alpha beta")], "id int, txt string")
+    with pytest.raises(ValueError, match="string literal"):
+        kql("T | where txt has id", {"T": df})
+    got = kql("T | where txt has 'beta'", {"T": df}).count()
+    assert got == 1
+    # term match, not substring: 'bet' is not a full term
+    assert kql("T | where txt has 'bet'", {"T": df}).count() == 0
+
+
+def test_between_inclusive(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id int, v double"
+    )
+    got = kql("T | where id between (3 .. 5)", {"T": df}).count()
+    assert got == 3  # 3, 4, 5 — both ends inclusive
+
+
+def test_ago_anchored(spark):
+    rows = [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 06:00:00")]
+    df = spark.createDataFrame(rows, "id int, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = kql(
+        "T | where ts >= ago(2h)", {"T": df}, now="2024-01-01 11:00:00"
+    ).collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_countif_sumif(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 30)], "g string, v int"
+    )
+    got = {
+        r["g"]: (r["n_big"], r["t_big"])
+        for r in kql(
+            "T | summarize n_big = countif(v >= 20), "
+            "t_big = sumif(v, v >= 20) by g",
+            {"T": df},
+        ).collect()
+    }
+    assert got == {"a": (1, 20), "b": (1, 30)}
+
+
+def test_parse_json_field_access(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "s": "x"}'), (2, '{"k": 9}')], "id int, props string"
+    )
+    got = {
+        r["id"]: r["k"]
+        for r in kql(
+            "T | extend k = tolong(parse_json(props).k)", {"T": df}
+        ).collect()
+    }
+    assert got == {1: 7, 2: 9}
+    with pytest.raises(ValueError, match="field access"):
+        kql("T | extend j = parse_json(props)", {"T": df})
+
+
+def test_mv_expand(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, [30])], "id int, arr array<int>"
+    )
+    got = sorted(
+        (r["id"], r["e"])
+        for r in kql("T | mv-expand e = arr", {"T": df}).collect()
+    )
+    assert got == [(1, 10), (1, 20), (2, 30)]

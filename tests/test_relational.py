@@ -64,3 +64,23 @@ def test_asof_join_semantics(spark):
     assert out[(3, 5)] is None          # unmatched key kept by 'left'
     inner = asof_join(trades, quotes, ["sym"], "ts", ["px"], how="inner")
     assert inner.count() == 2
+
+
+def test_approx_percentiles_bounded_error(spark, sf_dir):
+    """b27x (Greenwald-Khanna sketch) must track the exact b27 within a
+    tight relative bound at accuracy=10000 — the invariant that makes it
+    a safe drop-in for the exact aggregate at scale."""
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
+        for r in REGISTRY["b27_percentiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
+        for r in REGISTRY["b27x_percentiles_approx"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, ex in exact.items():
+        for e, a in zip(ex, approx[flag]):
+            assert abs(a - e) / e < 0.01, (flag, e, a)
