@@ -22,6 +22,7 @@ Supported (the reference's surface plus the obvious neighbors):
       | mv-expand [name =] arraycol
       | distinct col, ...
       | count
+      | render charttype [with (...)]   (must be last; presentation hint)
 
 Expressions: arithmetic (+ - * / %), comparisons (== != < <= > >=),
 ``and``/``or``/``not``, ``contains``/``startswith``/``endswith``/
@@ -448,8 +449,11 @@ def kql(
     if table not in tables:
         raise ValueError(f"KQL: unknown table {table!r}")
     df = tables[table]
+    render = None
 
     for stage in stages[1:]:
+        if render is not None:
+            raise ValueError("KQL: 'render' must be the last operator")
         p = _Parser(_tokenize(stage), now=now)
         verb = p.next().text.lower()
         if verb == "mv" and p.peek() and p.peek().text == "-":
@@ -521,10 +525,28 @@ def kql(
             df = df.select(*p.ident_list()).distinct()
         elif verb == "count":
             df = df.agg(F.count("*").alias("count_"))
+        elif verb == "render":
+            # presentation hint (A17): the relational result is exactly
+            # the preceding pipeline; the chart type is recorded on the
+            # DataFrame for a client to read via render_spec(). Property
+            # clauses (`with (...)`) are accepted and ignored.
+            render = p.next().text.lower()
+            while p.peek() is not None:
+                p.next()
         else:
             raise ValueError(f"KQL: unsupported operator {verb!r}")
-        if p.peek() is not None:
+        if render is None and p.peek() is not None:
             raise ValueError(
                 f"KQL: trailing tokens in stage {stage!r}: {p.peek().text!r}"
             )
+    if render is not None:
+        df._kql_render = render
     return df
+
+
+def render_spec(df: DataFrame) -> str | None:
+    """The chart type a trailing ``render`` stage requested, or None.
+    The engine's contract ends at the relational result (SURVEY §2A
+    A17); this is the hint a presentation client consumes —
+    ``df.toPandas()`` at the driver boundary is the hand-off."""
+    return getattr(df, "_kql_render", None)

@@ -46,9 +46,15 @@ def exact_dedup(
 
 
 def shingle_docs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle) pairs — distinct word n-grams per document.
+    """(id, shingle) pairs — word n-grams per document; ``distinct``
+    gives the SET form (Jaccard/MinHash), ``distinct=False`` the
+    MULTISET form (repetition statistics).
 
     The token array is materialized in its own projection before the
     shingle ``transform``: inlining the ``split`` into each
@@ -64,7 +70,8 @@ def shingle_docs(
         F.sequence(F.lit(1), F.size(t) - (n - 1), F.lit(1)),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
     )
-    return toks.select("id", F.explode(sh).alias("shingle")).distinct()
+    out = toks.select("id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

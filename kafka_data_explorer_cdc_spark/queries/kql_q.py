@@ -33,9 +33,12 @@ FROM orders_info GROUP BY city
     tags=("kql", "reference"),
 )
 def k14_kql_avg_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """README.md:363-367, verbatim."""
+    """README.md:363-366, verbatim — including the trailing ``render``
+    stage (recorded as a presentation hint, relational result unchanged)."""
     return kql(
-        "Orders | summarize avg_sales = avg(amount) by city",
+        "Orders\n"
+        "| summarize avg_sales = avg(amount) by city \n"
+        "| render columnchart",
         _orders(spark, sf_dir),
     )
 
@@ -49,10 +52,13 @@ FROM orders_info GROUP BY city ORDER BY total DESC
     tags=("kql", "reference"),
 )
 def k15_kql_total_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """README.md:373-378, verbatim — including KQL's descending-default
-    ``sort by``."""
+    """README.md:372-377, verbatim — including KQL's descending-default
+    ``sort by`` and the ``render piechart`` hint."""
     return kql(
-        "Orders | summarize total = sum(amount) by city | sort by total",
+        "Orders \n"
+        "| summarize total = sum(amount) by city \n"
+        "| sort by total\n"
+        "| render piechart ",
         _orders(spark, sf_dir),
     )
 
@@ -66,10 +72,13 @@ FROM orders_info GROUP BY city ORDER BY orders_cnt DESC
     tags=("kql", "reference"),
 )
 def k16_kql_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """README.md:385-390, verbatim (aggregate aliased to match the
-    oracle's column name)."""
+    """README.md:383-388, verbatim (aggregate aliased to match the
+    oracle's column name), including the ``render linechart`` hint."""
     return kql(
-        "Orders | summarize orders_cnt = count() by city | sort by orders_cnt",
+        "Orders\n"
+        "| summarize orders_cnt = count() by city\n"
+        "| sort by orders_cnt\n"
+        "| render linechart   ",
         _orders(spark, sf_dir),
     )
 

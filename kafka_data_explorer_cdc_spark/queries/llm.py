@@ -598,6 +598,174 @@ def d15_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d16_chunk_documents",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(s.i AS INTEGER) AS chunk_id,
+       CAST(len(t[1 + s.i * 30 : least(1 + s.i * 30 + 49, len(t))]) AS INTEGER)
+         AS n_chunk_tokens,
+       array_to_string(t[1 + s.i * 30 : least(1 + s.i * 30 + 49, len(t))], ' ')
+         AS chunk_text
+FROM toks, unnest(generate_series(0, (len(t) - 1) // 30)) AS s(i)
+""",
+    tags=("llm", "chunking"),
+)
+def d16_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: 50-token windows with stride 30
+    (20-token overlap) — the op that turns documents into model
+    sequences. Pure explode fan-out: tokenize once, generate start
+    offsets, slice; no shuffle at all (the chunk rows stay on the
+    partition that scanned the document), so it scales exactly like the
+    scan."""
+    docs = load(spark, sf_dir, "documents")
+    window, stride = 50, 30
+    toks = ensure_parallelism(docs).select(
+        "doc_id", F.split(F.col("text"), " ").alias("__t")
+    )
+    t = F.col("__t")
+    n = F.size(t)
+    starts = F.sequence(
+        F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    return (
+        toks.select("doc_id", t.alias("__t"), F.posexplode(starts))
+        .select(
+            "doc_id",
+            F.col("pos").alias("chunk_id"),
+            F.slice(
+                F.col("__t"), F.col("pos") * stride + 1, F.lit(window)
+            ).alias("__chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "d17_contamination_check",
+    oracle=_SH_DUCK
+    + """
+SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared
+FROM sh tr
+JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50) ev
+  ON tr.shingle = ev.shingle
+WHERE tr.doc_id >= 50
+GROUP BY tr.doc_id
+""",
+    tags=("llm", "contamination"),
+)
+def d17_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for each training document, how
+    many distinct n-grams it shares with the eval set (doc_id < 50
+    stands in for the benchmark). The eval n-gram set is DISTINCT and
+    small by nature → broadcast to the training side; cost is one scan
+    of the training shingles, no shuffle of the corpus. The real-corpus
+    form swaps 3-grams for 8-13-gram spans (the standard contamination
+    window) — same plan."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3)
+    ev = sh.filter(F.col("id") < 50).select("shingle").distinct()
+    tr = sh.filter(F.col("id") >= 50)
+    return (
+        tr.join(broadcast(ev), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )
+
+
+@query(
+    "d18_repetition_ratio",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), freq AS (
+  SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_shingles,
+       CAST(MAX(c) AS BIGINT) AS max_freq,
+       MAX(c) * 1.0 / SUM(c) AS rep_ratio,
+       CAST(CASE WHEN MAX(c) * 1.0 / SUM(c) > 0.1 THEN 1 ELSE 0 END
+            AS INTEGER) AS repetitive
+FROM freq GROUP BY doc_id
+""",
+    tags=("llm", "quality"),
+)
+def d18_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): the most
+    frequent trigram's share of all trigram occurrences. Multiset
+    shingles → per-(doc, shingle) count → per-doc max/sum; two partial-
+    aggregated shuffles on doc-local keys, no cross-document joins."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3, distinct=False)
+    freq = sh.groupBy("id", "shingle").agg(F.count("*").alias("c"))
+    ratio = F.max("c") * F.lit(1.0) / F.sum("c")
+    return freq.groupBy(F.col("id").alias("doc_id")).agg(
+        F.sum("c").alias("n_shingles"),
+        F.max("c").alias("max_freq"),
+        ratio.alias("rep_ratio"),
+        F.when(ratio > 0.1, 1).otherwise(0).alias("repetitive"),
+    )
+
+
+#: Per-language keep-rates (percent) for the deterministic sampler —
+#: the shape of a real corpus-mixing config.
+_D19_RATES = {"en": 50, "de": 20, "fr": 20, "es": 20}
+
+_D19_BUCKET_DUCK = DUCKDB_POLY_HASH.format(
+    expr="concat('mix1:', CAST(doc_id AS VARCHAR))"
+)
+
+
+@query(
+    "d19_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, CAST(({_D19_BUCKET_DUCK}) % 100 AS INTEGER) AS bucket
+FROM documents
+WHERE ({_D19_BUCKET_DUCK}) % 100 <
+      CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                WHEN 'fr' THEN 20 WHEN 'es' THEN 20 ELSE 0 END
+""",
+    tags=("llm", "sampling"),
+)
+def d19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: keep-rate
+    per language, membership decided by a salted portable hash of the
+    key — reproducible across engines, runs, and partitionings (unlike
+    ``sample()``/``rand()``), so a training mix can be audited and
+    re-materialized exactly. Pure filter: no shuffle, scales with the
+    scan; changing the salt re-draws the sample."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(poly_hash("concat('mix1:', CAST(doc_id AS STRING))")) % 100
+    ).cast("int")
+    expr = None
+    for lang, pct in _D19_RATES.items():
+        expr = (
+            F.when(F.col("lang") == lang, pct)
+            if expr is None
+            else expr.when(F.col("lang") == lang, pct)
+        )
+    rate = expr.otherwise(0)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

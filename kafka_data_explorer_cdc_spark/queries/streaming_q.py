@@ -58,6 +58,41 @@ def s21_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s22_stream_sliding_counts",
+    oracle="""
+SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE])
+           AS win_start,
+         event_type
+  FROM events
+)
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def s22_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window counts (B21 sliding form, b21b's real-
+    stream twin): 10-minute windows sliding every 5, each event expanded
+    into its two windows before the stateful aggregation; complete-mode
+    memory sink, exact match to the batch/DuckDB expansion."""
+    name = f"s22_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+@query(
     "s23_stream_dedup",
     oracle="""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique

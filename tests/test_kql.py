@@ -230,3 +230,18 @@ def test_mv_expand(spark):
         for r in kql("T | mv-expand e = arr", {"T": df}).collect()
     )
     assert got == [(1, 10), (1, 20), (2, 30)]
+
+
+def test_render_is_recorded_and_must_be_last(spark):
+    from kafka_data_explorer_cdc_spark.kql import render_spec
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "city string, amount int")
+    out = kql(
+        "T | summarize total = sum(amount) by city | render piechart ",
+        {"T": df},
+    )
+    assert render_spec(out) == "piechart"
+    assert {r["city"] for r in out.collect()} == {"a", "b"}
+    assert render_spec(df) is None
+    with pytest.raises(ValueError, match="last"):
+        kql("T | render piechart | take 1", {"T": df})
