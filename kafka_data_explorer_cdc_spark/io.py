@@ -164,6 +164,35 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Materialize a table hash-bucketed (and optionally sorted) by its
+    join/aggregation key.
+
+    Two bucketed tables with the same key and bucket count join WITHOUT
+    a shuffle — the single biggest recurring saving for a fact table
+    joined on the same key nightly at 100 TB (the shuffle is paid once
+    at write, amortized over every later join/groupBy on that key).
+    ``sortBy`` additionally pre-sorts within buckets so sort-merge joins
+    skip their sort. Bucketing requires the table catalog
+    (``saveAsTable``); ``path`` makes it external so the data lives
+    where you choose, not the warehouse dir."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

@@ -233,8 +233,11 @@ class ParquetStateSink:
                 F.lit(batch_id).alias("batch_id"), "raw_value"
             )
             # append is idempotent-enough for a DLQ (duplicates on batch
-            # replay are acceptable there; the MERGE path stays exact)
-            bad.write.mode("append").parquet(self.dead_letter_dir())
+            # replay are acceptable there; the MERGE path stays exact);
+            # isEmpty probe is cheap on the persisted batch and keeps the
+            # healthy path from accreting an empty parquet file per batch
+            if not bad.isEmpty():
+                bad.write.mode("append").parquet(self.dead_letter_dir())
             batch = batch.filter(~bad_cond).drop("raw_value")
         else:
             batch = batch.filter(~bad_cond)

@@ -11,6 +11,7 @@ are all decided at this stage.)
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_data_explorer_cdc_spark.queries import REGISTRY
 
@@ -117,3 +118,41 @@ def test_stratified_sample_is_pure_filter(spark, sf_dir):
     p = plan_of(spark, sf_dir, "d19_stratified_sample")
     assert "Exchange" not in p
     assert "HashAggregate" not in p
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join: orders and customer bucketed by custkey with the
+    same bucket count must sort-merge join with NO Exchange on either
+    side — the write-once/join-free-forever pattern for 100 TB facts."""
+    from kafka_data_explorer_cdc_spark.io import load, write_bucketed
+
+    write_bucketed(
+        load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "k"),
+        "t_orders_b", ["k"], 8, path=str(tmp_path / "ob"), sort_cols=["k"],
+    )
+    write_bucketed(
+        load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "k"),
+        "t_customer_b", ["k"], 8, path=str(tmp_path / "cb"), sort_cols=["k"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(spark.table("t_customer_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and the answer matches the shuffled plan
+        n_bucketed = joined.count()
+        n_plain = (
+            load(spark, sf_dir, "orders")
+            .join(
+                load(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert n_bucketed == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")

@@ -450,3 +450,29 @@ def test_malformed_envelopes_go_to_dead_letter(spark, cdc_stream_setup):
     assert dlq is not None
     raws = sorted(r["raw_value"] for r in dlq.collect())
     assert raws == sorted(garbage)
+
+
+def test_envelope_schema_evolution_tolerated(spark):
+    """Debezium envelopes grow fields over time (new columns, new
+    source metadata). Unknown fields at any nesting level must be
+    ignored by the declared-schema parse — the pipeline keeps running
+    and merges the known columns."""
+    log = generate_change_log(n_keys=5, n_ops=20, seed=3)
+    # v2-ish envelopes: extra column in after, extra source field,
+    # extra top-level payload member
+    for env in log:
+        p = env["payload"]
+        if p.get("after"):
+            p["after"]["loyalty_tier"] = "gold"
+        p["source"]["sequence"] = "[1,2]"
+        p["extra_block"] = {"new": True}
+    indir, state, ckpt = _tmp("ev_in_"), _tmp("ev_state_"), _tmp("ev_ckpt_")
+    with open(os.path.join(indir, "log.jsonl"), "w") as f:
+        for env in log:
+            f.write(json.dumps(env) + "\n")
+    q = start_cdc_pipeline(spark, indir, state, ckpt, available_now=True)
+    q.awaitTermination()
+    sink = ParquetStateSink(spark, state, ["orderid"])
+    got = {r["orderid"] for r in sink.current().collect()}
+    assert got == set(expected_final_state(log))
+    assert sink.dead_letters() is None, "evolved envelopes are not garbage"
