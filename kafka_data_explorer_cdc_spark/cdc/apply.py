@@ -39,8 +39,16 @@ def latest_state(
     ``row_number`` picks exactly one row per key. With
     ``keep_deletes=True`` the winning tombstones survive (needed when
     compacting a micro-batch that must still delete from prior state).
+
+    Ties on ``seq_col`` break deterministically on the op code (desc:
+    u > d > c). A real WAL never assigns one lsn to two distinct events
+    for a key — ties only arise from at-least-once redelivery, where the
+    rows are identical and any pick is right — but a deterministic order
+    keeps the winner stable across plans/partitionings regardless.
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
     out = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -89,6 +97,8 @@ def apply_cdc_batch(
     key_cols: list[str],
     seq_col: str = "lsn",
     op_col: str = "op",
+    delete_op: str = "d",
+    keep_deletes: bool = False,
 ) -> DataFrame:
     """Idempotent micro-batch MERGE, expressed relationally.
 
@@ -105,10 +115,24 @@ def apply_cdc_batch(
     ``current`` must be a prior output of this function (it retains the
     ``seq``/``op`` columns of each key's winning event, which is what
     makes replays idempotent).
+
+    **Chained (stored) use MUST pass ``keep_deletes=True``.** If the
+    stored state drops tombstones, it has no memory of a delete's
+    ``lsn`` — a lower-lsn straggler for the same key in a LATER batch
+    (micro-batch boundaries give no cross-batch ordering guarantee)
+    would then resurrect the deleted key. Retain the winning tombstone
+    rows in the persisted form and filter ``op != delete_op`` only in
+    the *read* view (see ``ParquetStateSink.current``); drop them only
+    when a GC horizon guarantees no older event can still arrive.
+    ``keep_deletes=False`` is the one-shot/terminal form.
     """
-    compacted = latest_state(batch, key_cols, seq_col, op_col, keep_deletes=True)
+    compacted = latest_state(
+        batch, key_cols, seq_col, op_col, delete_op, keep_deletes=True
+    )
     if current is None:
         merged = compacted
     else:
         merged = current.unionByName(compacted, allowMissingColumns=True)
-    return latest_state(merged, key_cols, seq_col, op_col)
+    return latest_state(
+        merged, key_cols, seq_col, op_col, delete_op, keep_deletes=keep_deletes
+    )

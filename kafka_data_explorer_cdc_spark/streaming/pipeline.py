@@ -136,7 +136,22 @@ class ParquetStateSink:
     sequence-less) never reach the merge: they are appended losslessly
     to a dead-letter parquet under ``state_root/dead_letter`` for
     inspection and replay — the DLQ every production CDC sink needs,
-    since ``from_json`` nulls corrupt records instead of failing."""
+    since ``from_json`` nulls corrupt records instead of failing.
+
+    **Tombstone retention.** The stored form keeps each key's winning
+    DELETE row (``op='d'``) instead of dropping it: micro-batch
+    boundaries carry no cross-batch ordering guarantee (file listing
+    order under ``maxFilesPerTrigger``, Kafka partition interleave), so
+    a lower-lsn straggler for a deleted key can arrive in a later batch
+    — without the tombstone's lsn in state, that straggler would win
+    the merge and resurrect the key. ``current()``/``at_version()``
+    filter ``op != 'd'``, so readers never see tombstones.
+    ``tombstone_gc_lsn_lag`` bounds retention: during each merge,
+    tombstones whose lsn is more than ``lag`` behind the highest lsn
+    ever ingested (tracked in the manifest) are dropped — by then any
+    straggler that old is assumed lost/duplicate, the same contract as
+    a streaming watermark. Default ``None`` retains forever (always
+    correct; tombstones are one row per deleted key, a bounded cost)."""
 
     def __init__(
         self,
@@ -144,11 +159,13 @@ class ParquetStateSink:
         state_root: str,
         key_cols: list[str],
         n_buckets: int = 16,
+        tombstone_gc_lsn_lag: int | None = None,
     ):
         self.spark = spark
         self.root = state_root
         self.key_cols = key_cols
         self.n_buckets = n_buckets
+        self.tombstone_gc_lsn_lag = tombstone_gc_lsn_lag
         os.makedirs(state_root, exist_ok=True)
 
     def dead_letter_dir(self) -> str:
@@ -176,9 +193,20 @@ class ParquetStateSink:
         )
         try:
             with open(path) as f:
-                return json.load(f)
+                m = json.load(f)
         except FileNotFoundError:
             return None
+        if "buckets" not in m:
+            # pre-bucketing sink versions wrote {"version": n} pointing
+            # at a monolithic v{n}/ snapshot; silently reading it as an
+            # empty bucket map would present empty state — fail loud.
+            raise ValueError(
+                f"incompatible state format at {path}: manifest has no "
+                "'buckets' key (written by a pre-bucketed sink version); "
+                f"re-ingest into a fresh state_root or load v{m.get('version')} "
+                "manually as a full snapshot"
+            )
+        return m
 
     def _read_buckets(
         self, bucket_versions: dict[str, int], only: set[int] | None = None
@@ -193,11 +221,19 @@ class ParquetStateSink:
             return None
         return self.spark.read.parquet(*paths)
 
+    @staticmethod
+    def _live(df: DataFrame | None) -> DataFrame | None:
+        """Reader view: stored state retains delete tombstones (see
+        class docstring) — strip them so consumers see only live rows."""
+        if df is None:
+            return None
+        return df.filter(F.col("op") != "d")
+
     def current(self) -> DataFrame | None:
         m = self._manifest()
         if m is None:
             return None
-        return self._read_buckets(m["buckets"])
+        return self._live(self._read_buckets(m["buckets"]))
 
     def versions(self) -> list[int]:
         """All retained state versions, oldest first — each manifest is
@@ -214,7 +250,7 @@ class ParquetStateSink:
         m = self._manifest(version)
         if m is None:
             raise FileNotFoundError(f"no manifest for version {version}")
-        return self._read_buckets(m["buckets"])
+        return self._live(self._read_buckets(m["buckets"]))
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         # the batch feeds several actions (DLQ write, touched-bucket
@@ -244,18 +280,33 @@ class ParquetStateSink:
 
         prev = self._manifest()
         bucket_versions: dict[str, int] = dict(prev["buckets"]) if prev else {}
+        max_lsn: int | None = prev.get("max_lsn") if prev else None
 
-        # which buckets does this batch touch? (collect bounded by
-        # n_buckets — a config constant, never data-sized)
+        # which buckets does this batch touch, and the new lsn
+        # high-water mark — one tiny scalar-per-bucket collect, bounded
+        # by n_buckets (a config constant, never data-sized)
         batch = batch.withColumn("__bucket", self._bucket_col())
-        touched = {
-            int(r["__bucket"]) for r in batch.select("__bucket").distinct().collect()
-        }
+        probe = (
+            batch.groupBy("__bucket").agg(F.max("lsn").alias("__mx")).collect()
+        )
+        touched = {int(r["__bucket"]) for r in probe}
+        for r in probe:
+            if r["__mx"] is not None and (max_lsn is None or r["__mx"] > max_lsn):
+                max_lsn = int(r["__mx"])
         if touched:
             cur = self._read_buckets(bucket_versions, only=touched)
+            # keep_deletes=True: the stored form must remember each
+            # deleted key's winning lsn, or a lower-lsn straggler in a
+            # later micro-batch would resurrect it (class docstring)
             merged = apply_cdc_batch(
-                cur, batch.drop("__bucket"), self.key_cols
-            ).withColumn("__bucket", self._bucket_col())
+                cur, batch.drop("__bucket"), self.key_cols, keep_deletes=True
+            )
+            if self.tombstone_gc_lsn_lag is not None and max_lsn is not None:
+                horizon = max_lsn - self.tombstone_gc_lsn_lag
+                merged = merged.filter(
+                    (F.col("op") != "d") | (F.col("lsn") >= F.lit(horizon))
+                )
+            merged = merged.withColumn("__bucket", self._bucket_col())
             out = os.path.join(self.root, f"v{batch_id}")
             # cluster rows by bucket before the partitioned write: each
             # bucket then lands in ONE task -> one file, instead of every
@@ -267,7 +318,11 @@ class ParquetStateSink:
             for b in touched:
                 bucket_versions[str(b)] = batch_id
 
-        manifest = {"version": batch_id, "buckets": bucket_versions}
+        manifest = {
+            "version": batch_id,
+            "buckets": bucket_versions,
+            "max_lsn": max_lsn,
+        }
         mpath = os.path.join(self.root, f"manifest_v{batch_id}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)

@@ -161,3 +161,64 @@ if HAVE_HYPOTHESIS:
             for k, v in expected_final_state(log).items()
         }
         assert got == want
+
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        n_keys=st.integers(min_value=1, max_value=25),
+        n_ops=st.integers(min_value=1, max_value=100),
+        n_chunks=st.integers(min_value=2, max_value=5),
+        perm_seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_property_shuffled_batches_converge(
+        spark, seed, n_keys, n_ops, n_chunks, perm_seed
+    ):
+        """Property: applying the micro-batches in ANY order (stored
+        form chained with keep_deletes=True, tombstones filtered only at
+        read) converges to the same final state as the in-order Python
+        replay. This is the invariant the round-2 tombstone-retention
+        bug violated: without stored tombstones, a delete in an early
+        batch is resurrected by a lower-lsn event delivered later.
+        Micro-batch boundaries give no cross-batch ordering guarantee
+        (file listing ties, Kafka partition interleave), so order-
+        insensitivity is the correctness bar, not a nice-to-have."""
+        import random
+
+        log = generate_change_log(n_keys=n_keys, n_ops=n_ops, seed=seed)
+        k = min(n_chunks, len(log))
+        bounds = [round(i * len(log) / k) for i in range(k + 1)]
+        chunks = [log[lo:hi] for lo, hi in zip(bounds, bounds[1:]) if hi > lo]
+        random.Random(perm_seed).shuffle(chunks)
+        state = None
+        for chunk in chunks:
+            raw = change_log_df(spark, chunk)
+            flat = unwrap(parse_envelope(raw))
+            batch = flat.select(
+                F.coalesce(
+                    F.col("after.orderid"), F.col("before.orderid")
+                ).alias("orderid"),
+                F.col("after.custid").alias("custid"),
+                F.col("after.amount").alias("amount"),
+                F.col("after.city").alias("city"),
+                "op",
+                "lsn",
+            )
+            state = apply_cdc_batch(state, batch, ["orderid"], keep_deletes=True)
+        live = state.filter(F.col("op") != "d") if state is not None else None
+        got = (
+            {}
+            if live is None
+            else {
+                r["orderid"]: (r["custid"], r["amount"], r["city"])
+                for r in live.collect()
+            }
+        )
+        want = {
+            k2: (v["custid"], v["amount"], v["city"])
+            for k2, v in expected_final_state(log).items()
+        }
+        assert got == want

@@ -326,7 +326,10 @@ def test_state_sink_merge_is_incremental(spark, cdc_stream_setup):
 
     survivors = expected_final_state(log)
     victim = sorted(survivors)[0]
-    max_lsn = max(e["payload"]["source"]["lsn"] for e in log)
+    # strictly above any lsn the SHARED module indir may carry — the
+    # checkpoint-resume test appends a delete of this same victim at
+    # max_lsn + 1, and an equal-lsn update would tie with its tombstone
+    max_lsn = max(e["payload"]["source"]["lsn"] for e in log) + 10
     update_env = {
         "payload": {
             "before": None,
@@ -450,6 +453,73 @@ def test_malformed_envelopes_go_to_dead_letter(spark, cdc_stream_setup):
     assert dlq is not None
     raws = sorted(r["raw_value"] for r in dlq.collect())
     assert raws == sorted(garbage)
+
+
+FLAT_SCHEMA = "orderid long, custid long, amount long, city string, op string, lsn long"
+
+
+def _flat_batch(spark, rows):
+    return spark.createDataFrame(rows, FLAT_SCHEMA)
+
+
+def test_tombstones_survive_out_of_order_batches(spark):
+    """The round-2 resurrection bug, distilled: a delete in batch 1
+    followed by a LOWER-lsn straggler for the same key in batch 2 must
+    not resurrect the key. Requires the stored state to retain the
+    winning tombstone's lsn (cdc/apply.py keep_deletes contract)."""
+    state = _tmp("tomb_state_")
+    sink = ParquetStateSink(spark, state, ["orderid"], n_buckets=4)
+    sink.apply_batch(
+        _flat_batch(spark, [(1, 7, 100, "Rome", "c", 10), (1, None, None, None, "d", 30)]),
+        0,
+    )
+    assert sink.current().count() == 0
+    # straggler: an update that happened BEFORE the delete, delivered after
+    sink.apply_batch(_flat_batch(spark, [(1, 7, 999, "Rome", "u", 20)]), 1)
+    assert sink.current().count() == 0, "lower-lsn straggler must not resurrect"
+    # the stored (raw) form still remembers the tombstone
+    raw = sink._read_buckets(sink._manifest()["buckets"])
+    tomb = raw.filter("op = 'd'").collect()
+    assert len(tomb) == 1 and tomb[0]["lsn"] == 30
+    # a genuinely newer event DOES re-create the key
+    sink.apply_batch(_flat_batch(spark, [(1, 8, 50, "Oslo", "c", 40)]), 2)
+    cur = sink.current().collect()
+    assert len(cur) == 1 and cur[0]["amount"] == 50
+
+
+def test_tombstone_gc_horizon(spark):
+    """With tombstone_gc_lsn_lag set, tombstones older than (max lsn
+    ever seen - lag) are dropped at the next merge of their bucket —
+    bounded state, watermark-style contract. n_buckets=1 so every batch
+    touches the tombstone's bucket."""
+    state = _tmp("tgc_state_")
+    sink = ParquetStateSink(
+        spark, state, ["orderid"], n_buckets=1, tombstone_gc_lsn_lag=50
+    )
+    sink.apply_batch(
+        _flat_batch(spark, [(1, 7, 100, "Rome", "c", 5), (1, None, None, None, "d", 10)]),
+        0,
+    )
+    raw = sink._read_buckets(sink._manifest()["buckets"])
+    assert raw.filter("op = 'd'").count() == 1, "young tombstone retained"
+    # max_lsn jumps to 100 -> horizon 50 -> lsn-10 tombstone GC'd
+    sink.apply_batch(_flat_batch(spark, [(2, 9, 1, "Oslo", "c", 100)]), 1)
+    raw = sink._read_buckets(sink._manifest()["buckets"])
+    assert raw.filter("op = 'd'").count() == 0, "expired tombstone GC'd"
+    assert sink._manifest()["max_lsn"] == 100
+    assert {r["orderid"] for r in sink.current().collect()} == {2}
+
+
+def test_legacy_manifest_rejected(spark):
+    """A pre-bucketing LATEST pointer ({'version': n}, no 'buckets')
+    must fail loudly with a descriptive error, not KeyError or silently
+    empty state."""
+    state = _tmp("legacy_state_")
+    with open(os.path.join(state, "LATEST"), "w") as f:
+        json.dump({"version": 3}, f)
+    sink = ParquetStateSink(spark, state, ["orderid"])
+    with pytest.raises(ValueError, match="incompatible state format"):
+        sink.current()
 
 
 def test_envelope_schema_evolution_tolerated(spark):
