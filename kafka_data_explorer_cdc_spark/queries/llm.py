@@ -286,14 +286,44 @@ def d07z_blocked_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.blocked_cosine_topk(em, queries, k=5)
 
 
-@query("d08_embedding_near_dup", oracle=None, tags=("llm", "dedup", "approx"))
+@query(
+    "d08_embedding_near_dup",
+    oracle="""
+SELECT vec_id AS id1, vec_id + 1000000 AS id2, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id < 20
+""",
+    tags=("llm", "dedup", "approx"),
+)
 def d08_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at 0.95 via LSH buckets + exact
-    verification. (This corpus has no planted embedding duplicates, so
-    the live result is empty; semantics are covered by planted-pair
-    tests in tests/test_similarity.py.)"""
-    em = load(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(em, threshold=0.95)
+    cosine verification, exercised against planted ground truth.
+
+    The synthetic corpus has no organic near-duplicates (max organic
+    cosine ≈ 0.60 at every SF), so the raw query proved nothing to the
+    driver (0 rows in round 2). Plant 20 deterministic duplicates: each
+    ``vec_id < 20`` vector re-enters as ``vec_id + 1000000`` scaled by
+    2. Scaling is cosine-invariant AND sign-hash-invariant (doubling is
+    exact in fp and sign(dot(2v, p)) == sign(dot(v, p))), so every
+    planted pair lands in identical LSH buckets in all tables and
+    verifies at cosine exactly 1.0 — recall of the full pipeline
+    (union → multi-table signatures → bucket equi-join → exact verify →
+    threshold filter) is deterministically 1.0, which makes the output
+    fully oracle-checkable: exactly the 20 planted pairs, nothing else
+    (organic pairs sit ≥0.35 below the threshold). Probabilistic recall
+    on non-trivial perturbations is covered by
+    tests/test_similarity.py planted-pair tests."""
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = em.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    corpus = em.unionByName(planted)
+    pairs = S.embedding_near_dup_pairs(corpus, threshold=0.95)
+    return pairs.select(
+        "id1", "id2", F.round("cosine", 6).cast("double").alias("cosine")
+    )
 
 
 # ---------------------------------------------------------------------------
