@@ -528,11 +528,31 @@ def kql(
         elif verb == "render":
             # presentation hint (A17): the relational result is exactly
             # the preceding pipeline; the chart type is recorded on the
-            # DataFrame for a client to read via render_spec(). Property
-            # clauses (`with (...)`) are accepted and ignored.
+            # DataFrame for a client to read via render_spec(). Only a
+            # well-formed `with (key [= value], ...)` property clause
+            # may follow — it is validated, then ignored (presentation
+            # properties are a client concern); arbitrary trailing
+            # tokens are an error, not silently swallowed.
             render = p.next().text.lower()
-            while p.peek() is not None:
-                p.next()
+            if p.peek() is not None:
+                if p.next().text.lower() != "with":
+                    raise ValueError(
+                        "KQL: render accepts only a 'with (...)' "
+                        "property clause after the chart type"
+                    )
+                p.expect("(")
+                while True:
+                    p.next()  # property name
+                    if p.accept("="):
+                        p.next()  # property value (literal or ident)
+                    if not p.accept(","):
+                        break
+                p.expect(")")
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens after render properties: "
+                        f"{p.peek().text!r}"
+                    )
         else:
             raise ValueError(f"KQL: unsupported operator {verb!r}")
         if render is None and p.peek() is not None:
@@ -540,6 +560,11 @@ def kql(
                 f"KQL: trailing tokens in stage {stage!r}: {p.peek().text!r}"
             )
     if render is not None:
+        # break object identity before tagging: for `T | render x` the
+        # pipeline may still BE the caller's table binding, and setting
+        # the attribute there would leak the hint into other queries
+        # sharing the binding (the projection is a no-op for Catalyst)
+        df = df.select("*")
         df._kql_render = render
     return df
 

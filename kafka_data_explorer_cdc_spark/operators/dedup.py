@@ -20,11 +20,15 @@ driver state, no collect.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..io import ensure_parallelism
+
+logger = logging.getLogger(__name__)
 
 
 def exact_dedup(
@@ -89,7 +93,8 @@ def minhash_signatures(
 
 
 def cap_bucket_width(
-    keyed: DataFrame, key_cols: list[str], max_bucket: int
+    keyed: DataFrame, key_cols: list[str], max_bucket: int,
+    log_label: str | None = None,
 ) -> DataFrame:
     """Drop every row of buckets wider than ``max_bucket`` before a
     bucket self-join.
@@ -100,15 +105,28 @@ def cap_bucket_width(
     buckets carry ~no similarity signal (everything collides there), so
     the standard fix is to drop them entirely — the hot-key list is tiny
     by construction (≤ |rows|/max_bucket keys), hence broadcast anti-join.
-    Use :func:`bucket_cap_report` on the same inputs to account for what
-    was dropped."""
+
+    ``log_label`` wires the audit in: when set, dropped-bucket count and
+    total dropped rows are aggregated (one extra job over the keyed
+    input, cheap when the caller persisted it) and WARN-logged, so
+    capping is never silent. Use :func:`bucket_cap_report` on the same
+    inputs for the full per-bucket accounting."""
     hot = (
         keyed.groupBy(*key_cols)
         .agg(F.count("*").alias("__bw"))
         .filter(F.col("__bw") > max_bucket)
-        .select(*key_cols)
     )
-    return keyed.join(F.broadcast(hot), key_cols, "left_anti")
+    if log_label is not None:
+        stats = hot.agg(
+            F.count("*").alias("n_buckets"), F.sum("__bw").alias("n_rows")
+        ).first()
+        if stats["n_buckets"]:
+            logger.warning(
+                "%s: bucket cap %d dropped %d hot bucket(s) covering %d rows; "
+                "run bucket_cap_report for the per-bucket breakdown",
+                log_label, max_bucket, stats["n_buckets"], stats["n_rows"],
+            )
+    return keyed.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")
 
 
 def bucket_cap_report(
@@ -136,25 +154,57 @@ def lsh_candidate_pairs(
     residual risk: a band hash shared by half the corpus (near-constant
     signatures over boilerplate text) would still join quadratically, so
     over-wide buckets are dropped (they carry no discriminating signal;
-    real near-dups keep colliding in their other, narrower bands)."""
+    real near-dups keep colliding in their other, narrower bands).
+
+    **Identical-signature clusters are pre-extracted before banding.**
+    Exact/near-exact duplicate clusters share their ENTIRE signature, so
+    every band bucket such a cluster touches is at least as wide as the
+    cluster — under a width cap, the most-duplicated content (the prime
+    dedup target) would be precisely the content silently dropped.
+    Instead, each full-signature group ≥2 emits *star* candidate pairs
+    to its representative (min id) — O(cluster) rows, not O(cluster²) —
+    and only the representative enters banding. The cap then only ever
+    removes genuinely uninformative collision buckets, and a duplicate
+    mega-cluster costs one bucket row per band instead of making the
+    bucket hot. Consumers recover full clusters by transitive closure
+    (star edges + representative-level band edges preserve exactly the
+    connectivity of the all-pairs form). Note the verification caveat:
+    cross-cluster similarity is verified representative-to-
+    representative, which for signature-identical (i.e. near-exact)
+    members differs from member-to-member Jaccard by at most the
+    intra-cluster dissimilarity."""
     num_perm = bands * rows_per_band
+    sig_cols = [f"mh_{i}" for i in range(num_perm)]
+    # one shuffle on the full signature tags each id with its
+    # identical-signature cluster representative
+    wsig = Window.partitionBy(*sig_cols)
+    tagged = signatures.withColumn("__rep", F.min("id").over(wsig)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    star = tagged.filter(F.col("id") != F.col("__rep")).select(
+        F.col("__rep").alias("id1"), F.col("id").alias("id2")
+    )
+    reps = tagged.filter(F.col("id") == F.col("__rep")).drop("__rep")
+
     band_cols = []
     for b in range(bands):
         cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
         )
-    buckets = signatures.select(
+    buckets = reps.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     if max_bucket is not None:
-        buckets = cap_bucket_width(buckets, ["band", "bh"], max_bucket)
+        buckets = cap_bucket_width(
+            buckets, ["band", "bh"], max_bucket, log_label="lsh_candidate_pairs"
+        )
     # the self-join consumes `buckets` twice; without materialization
     # Spark recomputes the whole shingle->minhash pipeline per side
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     left = buckets.alias("l")
     right = buckets.alias("r")
-    return (
+    banded = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -164,6 +214,7 @@ def lsh_candidate_pairs(
         .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
         .distinct()
     )
+    return banded.unionByName(star)
 
 
 def verify_jaccard(

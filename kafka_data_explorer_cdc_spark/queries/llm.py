@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast, pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 from ..io import ensure_parallelism, load
 from ..operators import dedup as D
@@ -172,8 +173,14 @@ def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = D.shingle_docs(docs, "doc_id", "text", n=3)
     sh = D.cap_bucket_width(sh, ["shingle"], _D05_MAX_DF)
-    # feeds the self-join (twice) and both count joins — materialize once
-    sh = sh.persist()
+    # feeds the self-join (twice) and both count joins — materialize
+    # once. MEMORY_AND_DISK, not the MEMORY_ONLY default: the cached
+    # shingle set outlives this call (the returned plan is lazy, so
+    # there is no safe unpersist point inside the builder) and repeated
+    # invocations in one session accumulate entries — eviction of the
+    # least-recently-used cache blocks is the intended steady state,
+    # and disk spill keeps eviction from forcing recompute mid-query.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = sh.alias("a").join(
         sh.alias("b"),
         (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),

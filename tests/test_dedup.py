@@ -145,3 +145,31 @@ def test_ensure_parallelism_noop_on_well_split_input(spark, sf_dir, tmp_path):
     boosted = ensure_parallelism(single)
     assert boosted is not single
     assert boosted.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_mega_cluster_survives_bucket_cap(spark):
+    """An exact-duplicate cluster WIDER than max_bucket must not vanish.
+    Identical signatures previously made every band bucket the cluster
+    touched hot, so the cap silently dropped the most-duplicated content
+    — the prime dedup target. Identical-signature star extraction keeps
+    the cluster (O(n) star pairs to the representative) while only the
+    representative enters banding."""
+    n = 120  # cluster width >> max_bucket
+    rows = [
+        (i, "the same exact duplicated document body repeated verbatim here")
+        for i in range(n)
+    ]
+    rows += [
+        (1000 + i, f"unique text body number {i} with tokens t{i}x t{i}y t{i}z")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.minhash_lsh_dedup_pairs(docs, threshold=0.5, max_bucket=10)
+    got = {(r["id1"], r["id2"]) for r in out.collect()}
+    # star form: every cluster member pairs with representative 0 ...
+    assert {(0, i) for i in range(1, n)} <= got
+    # ... and nothing below-threshold leaks in from the unique tail
+    ids_in_pairs = {i for p in got for i in p}
+    assert ids_in_pairs == set(range(n))
+    # all verified pairs are exact duplicates here
+    assert out.filter(F.col("jaccard") < 1.0).count() == 0

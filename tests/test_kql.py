@@ -245,3 +245,32 @@ def test_render_is_recorded_and_must_be_last(spark):
     assert render_spec(df) is None
     with pytest.raises(ValueError, match="last"):
         kql("T | render piechart | take 1", {"T": df})
+
+
+def test_render_on_bare_table_does_not_leak_hint(spark):
+    """`T | render x` must not tag the caller's shared table binding —
+    a later query against the same binding would inherit the hint."""
+    from kafka_data_explorer_cdc_spark.kql import render_spec
+
+    df = spark.createDataFrame([("a", 1)], "city string, amount int")
+    out = kql("T | render piechart", {"T": df})
+    assert render_spec(out) == "piechart"
+    assert render_spec(df) is None, "shared binding mutated"
+    assert render_spec(kql("T | where amount > 0", {"T": df})) is None
+
+
+def test_render_with_properties_validated(spark):
+    """A well-formed `with (...)` clause parses (pipes inside quoted
+    property values included); malformed tails fail loudly instead of
+    being silently swallowed."""
+    from kafka_data_explorer_cdc_spark.kql import render_spec
+
+    df = spark.createDataFrame([("a", 1)], "city string, amount int")
+    out = kql(
+        'T | render timechart with (title="a|b", legend=visible)', {"T": df}
+    )
+    assert render_spec(out) == "timechart"
+    with pytest.raises(ValueError, match="with"):
+        kql("T | render piechart some stray tokens", {"T": df})
+    with pytest.raises(ValueError, match="expected"):
+        kql("T | render piechart with (title=", {"T": df})
