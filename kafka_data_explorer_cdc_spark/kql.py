@@ -22,7 +22,13 @@ Supported (the reference's surface plus the obvious neighbors):
       | mv-expand [name =] arraycol
       | distinct col, ...
       | count
+      | join [kind=K] ( Sub | ... ) on k [, ...]   (Kusto innerunique
+        default; $left.a == $right.b key form; right-side name clashes
+        get a '1' suffix)
       | render charttype [with (...)]   (must be last; presentation hint)
+
+    let name = <scalar literal> ;  /  let name = T | ... ;   (named
+    constants and tabular CTEs, visible to the query and join subqueries)
 
 Expressions: arithmetic (+ - * / %), comparisons (== != < <= > >=),
 ``and``/``or``/``not``, ``contains``/``startswith``/``endswith``/
@@ -107,10 +113,16 @@ class _DynamicJson:
 class _Parser:
     """Recursive descent over the token stream; produces Columns."""
 
-    def __init__(self, toks: list[_Tok], now: str | None = None):
+    def __init__(
+        self,
+        toks: list[_Tok],
+        now: str | None = None,
+        lets: dict[str, object] | None = None,
+    ):
         self.toks = toks
         self.i = 0
         self.now = now
+        self.lets = lets or {}
 
     def peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -267,6 +279,8 @@ class _Parser:
             # scalar function call, e.g. strlen(x), tolower(x)
             if self.peek() and self.peek().text == "(":
                 return self._postfix(self._scalar_fn(low))
+            if t.text in self.lets:
+                return F.lit(self.lets[t.text])
             return F.col(t.text)
         raise ValueError(f"KQL: unexpected token {t.text!r}")
 
@@ -416,33 +430,201 @@ class _Parser:
         return items
 
 
-def _split_stages(src: str) -> list[str]:
-    """Split on top-level '|' (pipes never appear inside our literals
-    unquoted; quoted strings are masked before splitting)."""
-    masked = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", lambda m: "x" * len(m.group()), src)
-    stages, start = [], 0
+def _mask(src: str) -> str:
+    """Replace quoted string literals with 'x' padding of equal length,
+    so structural scans (pipes, parens, semicolons, commas) never trip
+    on characters inside literals."""
+    return re.sub(
+        r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"",
+        lambda m: "x" * len(m.group()),
+        src,
+    )
+
+
+def _split_top(src: str, sep: str) -> list[str]:
+    """Split ``src`` on ``sep`` at top level only: quoted literals are
+    masked and paren depth is tracked, so a ``join ( Sub | ... )``
+    subquery or a quoted pipe never splits a stage."""
+    masked = _mask(src)
+    parts, start, depth = [], 0, 0
     for i, ch in enumerate(masked):
-        if ch == "|":
-            stages.append(src[start:i])
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(src[start:i])
             start = i + 1
-    stages.append(src[start:])
-    return [s.strip() for s in stages if s.strip()]
+    parts.append(src[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _split_stages(src: str) -> list[str]:
+    return _split_top(src, "|")
+
+
+_JOIN_KINDS = {
+    "inner": "inner",
+    "innerunique": "inner",  # after left-side key dedup, below
+    "leftouter": "left",
+    "rightouter": "right",
+    "fullouter": "full",
+    "leftanti": "left_anti",
+    "anti": "left_anti",
+    "leftantisemi": "left_anti",
+    "leftsemi": "left_semi",
+    "rightsemi": "right_semi",  # emulated by swapping sides
+    "rightanti": "right_anti",  # emulated by swapping sides
+}
+
+
+def _compile_join(
+    left: DataFrame,
+    stage: str,
+    tables: dict[str, DataFrame],
+    now: str | None,
+    lets: dict[str, object] | None = None,
+) -> DataFrame:
+    """``join [kind=K] ( Subquery | ... ) on keys`` / ``join T on keys``.
+
+    Kusto semantics preserved:
+    - default flavor is ``innerunique`` — the LEFT side is deduplicated
+      on the join keys before an inner join (which record survives is
+      arbitrary, as in Kusto; use an explicit ``kind=`` for
+      deterministic results);
+    - right-side columns whose names clash with left-side columns
+      (join keys included) are renamed with a ``1`` suffix;
+    - keys are ``on col[, col...]`` or ``on $left.a == $right.b[, ...]``.
+
+    Compiles to a plain DataFrame equi-join, so Catalyst still picks
+    the physical strategy (broadcast for a small right side, sort-merge
+    otherwise) — the KQL front end adds no execution of its own."""
+    m = re.match(r"join\b\s*(?:kind\s*=\s*([A-Za-z]+)\s*)?", stage, re.I)
+    kind = (m.group(1) or "innerunique").lower()
+    if kind not in _JOIN_KINDS:
+        raise ValueError(f"KQL: unsupported join kind {kind!r}")
+    rest = stage[m.end():].lstrip()
+
+    if rest.startswith("("):
+        masked = _mask(rest)
+        depth = 0
+        end = -1
+        for i, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise ValueError(f"KQL: unbalanced parens in join: {stage!r}")
+        right = kql(rest[1:end].strip(), tables, now=now, _lets=lets)
+        rest = rest[end + 1:].lstrip()
+    else:
+        m2 = re.match(r"[A-Za-z_]\w*", rest)
+        if not m2 or m2.group() not in tables:
+            raise ValueError(
+                f"KQL: join right side must be a known table or a "
+                f"parenthesized subquery, got {rest[:30]!r}"
+            )
+        right = tables[m2.group()]
+        rest = rest[m2.end():].lstrip()
+
+    if not re.match(r"on\b", rest, re.I):
+        raise ValueError(f"KQL: join requires an 'on' clause: {stage!r}")
+    keys: list[tuple[str, str]] = []
+    for item in _split_top(rest[2:], ","):
+        m3 = re.fullmatch(
+            r"\$left\.([A-Za-z_]\w*)\s*==\s*\$right\.([A-Za-z_]\w*)", item
+        )
+        if m3:
+            keys.append((m3.group(1), m3.group(2)))
+        elif re.fullmatch(r"[A-Za-z_]\w*", item):
+            keys.append((item, item))
+        else:
+            raise ValueError(f"KQL: cannot parse join key {item!r}")
+    if not keys:
+        raise ValueError("KQL: join needs at least one key")
+
+    if kind == "innerunique":
+        left = left.dropDuplicates([lk for lk, _ in keys])
+    swap = kind in ("rightsemi", "rightanti")
+    if swap:
+        left, right = right, left
+        keys = [(rk, lk) for lk, rk in keys]
+        spark_kind = {"rightsemi": "left_semi", "rightanti": "left_anti"}[kind]
+    else:
+        spark_kind = _JOIN_KINDS[kind]
+
+    if spark_kind in ("left_semi", "left_anti"):
+        l, r = left.alias("__l"), right.alias("__r")
+        cond = None
+        for lk, rk in keys:
+            c = F.col(f"__l.{lk}") == F.col(f"__r.{rk}")
+            cond = c if cond is None else (cond & c)
+        return l.join(r, cond, spark_kind)
+
+    # Kusto column naming: right columns clashing with left get a '1'
+    # suffix (join keys included)
+    taken = set(left.columns)
+    renamed = {}
+    right2 = right
+    for c in right.columns:
+        if c in taken:
+            new = c + "1"
+            while new in taken or new in right2.columns:
+                new += "1"
+            right2 = right2.withColumnRenamed(c, new)
+            renamed[c] = new
+    l, r = left.alias("__l"), right2.alias("__r")
+    cond = None
+    for lk, rk in keys:
+        c = F.col(f"__l.{lk}") == F.col(f"__r.{renamed.get(rk, rk)}")
+        cond = c if cond is None else (cond & c)
+    return l.join(r, cond, spark_kind)
 
 
 def kql(
     query_text: str,
     tables: dict[str, DataFrame],
     now: str | None = None,
+    _lets: dict[str, object] | None = None,
 ) -> DataFrame:
     """Compile and run a KQL pipeline against the given table bindings.
 
     ``now`` anchors ``ago()`` to a fixed timestamp string (deterministic
     replay / differential testing); None = wall clock, as in Kusto.
 
+    ``let`` statements (separated by ``;``) may precede the query:
+    a scalar literal body binds a named constant usable in any
+    expression; any other body is compiled as a subquery and becomes a
+    named table binding (Kusto's tabular let — a CTE). Bindings are
+    visible to later lets, the main pipeline, and join subqueries; the
+    caller's ``tables`` dict is never mutated.
+
     >>> kql("Orders | summarize avg_sales = avg(amount) by city",
     ...     {"Orders": orders_df})
     """
-    stages = _split_stages(query_text)
+    lets = dict(_lets or {})
+    tables = dict(tables)
+    stmts = _split_top(query_text, ";")
+    for s in stmts[:-1]:
+        m = re.match(r"let\s+([A-Za-z_]\w*)\s*=\s*(.+)$", s, re.S)
+        if not m:
+            raise ValueError(
+                f"KQL: only 'let' statements may precede the query, got {s[:40]!r}"
+            )
+        name, body = m.group(1), m.group(2).strip()
+        if re.fullmatch(r"\d+\.\d+|\d+", body):
+            lets[name] = float(body) if "." in body else int(body)
+        elif re.fullmatch(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", body):
+            lets[name] = body[1:-1]
+        else:
+            tables[name] = kql(body, tables, now=now, _lets=lets)
+    if not stmts:
+        raise ValueError("KQL: empty query")
+    stages = _split_stages(stmts[-1])
     if not stages:
         raise ValueError("KQL: empty query")
     table = stages[0]
@@ -454,7 +636,13 @@ def kql(
     for stage in stages[1:]:
         if render is not None:
             raise ValueError("KQL: 'render' must be the last operator")
-        p = _Parser(_tokenize(stage), now=now)
+        head = re.match(r"[A-Za-z_][\w-]*", stage)
+        if head and head.group().lower() == "join":
+            # stage-level compile: the parenthesized right side is a
+            # full sub-pipeline, not an expression
+            df = _compile_join(df, stage, tables, now, lets)
+            continue
+        p = _Parser(_tokenize(stage), now=now, lets=lets)
         verb = p.next().text.lower()
         if verb == "mv" and p.peek() and p.peek().text == "-":
             p.next()

@@ -16,7 +16,13 @@ from . import streaming_q  # noqa: F401,E402
 from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
-_FRONT = ["b27x_percentiles_approx", "b28_collect_sorted_list", "d08_embedding_near_dup"]
+_FRONT = [
+    "b27x_percentiles_approx",
+    "b28_collect_sorted_list",
+    "d08_embedding_near_dup",
+    "k24_kql_join",  # new in r3 — never driver-checked
+    "k25_kql_let",  # new in r3 — never driver-checked
+]
 
 
 def _reorder() -> None:

@@ -225,6 +225,70 @@ def k23_kql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k24_kql_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY c.c_custkey, c.c_name
+""",
+    tags=("kql", "join"),
+)
+def k24_kql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``join`` with a parenthesized subquery right side and the
+    ``$left == $right`` key form — the first verb a real Kusto user
+    needs beyond the reference README's surface. The subquery
+    pre-aggregates orders per customer, so the join compiles to an
+    equi-join on the already-reduced side (Catalyst broadcasts it when
+    small); an explicit ``kind=inner`` keeps the result deterministic
+    (the Kusto default ``innerunique`` picks an arbitrary left record
+    per key)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Customers"
+        " | where c_mktsegment == 'BUILDING'"
+        " | project c_custkey, c_name"
+        " | join kind=inner ("
+        "     Orders | summarize n_orders = count() by o_custkey"
+        "   ) on $left.c_custkey == $right.o_custkey"
+        " | project c_custkey, c_name, n_orders",
+        {"Customers": cust, "Orders": orders},
+    )
+
+
+@query(
+    "k25_kql_let",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
+""",
+    tags=("kql", "join"),
+)
+def k25_kql_let(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``let`` statements — a scalar constant, a scalar threshold and a
+    tabular CTE — feeding a ``kind=leftanti`` join: customers in a
+    segment with no big-ticket order. The threshold (400k) is chosen so
+    the result is non-empty at every test SF — a 0-row driver check
+    verifies nothing. Tabular lets are named sub-plans (no
+    materialization); the whole statement collapses into one Catalyst
+    plan with the anti-join on the two filtered projections."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "let seg = 'BUILDING';"
+        "let minprice = 400000;"
+        "let bldg = Customers | where c_mktsegment == seg"
+        " | project c_custkey, c_name;"
+        "let big = Orders | where o_totalprice >= minprice;"
+        "bldg | join kind=leftanti big on $left.c_custkey == $right.o_custkey",
+        {"Customers": cust, "Orders": orders},
+    )
+
+
+@query(
     "k18_kql_time_binning",
     oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS t,

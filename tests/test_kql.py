@@ -274,3 +274,70 @@ def test_render_with_properties_validated(spark):
         kql("T | render piechart some stray tokens", {"T": df})
     with pytest.raises(ValueError, match="expected"):
         kql("T | render piechart with (title=", {"T": df})
+
+
+def test_join_kinds_and_column_naming(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 50), (3, 20, 70), (4, 30, 20)],
+        "orderid int, custid int, amount int",
+    )
+    cust = spark.createDataFrame(
+        [(10, "alice"), (20, "bob"), (99, "zoe")], "custid int, name string"
+    )
+    t = {"O": orders, "C": cust}
+    inner = kql("O | join kind=inner C on custid | project orderid, name", t)
+    assert sorted((r["orderid"], r["name"]) for r in inner.collect()) == [
+        (1, "alice"), (2, "alice"), (3, "bob")
+    ]
+    # Kusto naming: clashing right column gets a '1' suffix
+    full = kql("O | join kind=inner C on custid", t)
+    assert full.columns == ["orderid", "custid", "amount", "custid1", "name"]
+    # innerunique default dedups the LEFT side on the key
+    assert kql("O | join C on custid", t).count() == 2
+    anti = kql("O | join kind=leftanti C on custid", t)
+    assert [r["orderid"] for r in anti.collect()] == [4]
+    assert anti.columns == ["orderid", "custid", "amount"]
+    sem = kql("O | join kind=rightsemi C on custid", t)
+    assert sorted(r["custid"] for r in sem.collect()) == [10, 20]
+    assert sem.columns == ["custid", "name"]
+    lo = kql(
+        "O | join kind=leftouter (C | where name != 'bob') on custid"
+        " | project orderid, name", t
+    )
+    assert sorted(
+        [(r["orderid"], r["name"]) for r in lo.collect()], key=str
+    ) == [(1, "alice"), (2, "alice"), (3, None), (4, None)]
+
+
+def test_join_subquery_pipes_and_dollar_keys(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    right = spark.createDataFrame(
+        [(1, 5), (1, 6), (2, 7), (3, 8)], "rk int, x int"
+    )
+    out = kql(
+        "L | join kind=inner (R | where x >= 6 | project rk, x)"
+        " on $left.k == $right.rk",
+        {"L": left, "R": right},
+    )
+    assert sorted((r["k"], r["x"]) for r in out.collect()) == [(1, 6), (2, 7)]
+
+
+def test_let_scalar_and_tabular(spark):
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 30), ("c", 200)], "city string, amount int"
+    )
+    out = kql(
+        "let lo = 50; let big = T | where amount >= lo; "
+        "big | summarize n = count()",
+        {"T": df},
+    )
+    assert out.collect()[0]["n"] == 2
+    # string let + caller's tables dict never mutated
+    tables = {"T": df}
+    out = kql(
+        "let target = 'c'; T | where city == target | project amount", tables
+    )
+    assert [r["amount"] for r in out.collect()] == [200]
+    assert set(tables) == {"T"}
+    with pytest.raises(ValueError, match="let"):
+        kql("x = 1; T | take 1", {"T": df})
