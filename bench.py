@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -52,11 +53,22 @@ def main() -> None:
     # warm the JVM + parquet footers once, not inside the timings
     force(REGISTRY[names[0]].fn(spark, sf_dir))
 
+    # n-run medians (single-run numbers at this scale swing ±20-30%,
+    # BASELINE.md "Variance"; medians make round-over-round deltas
+    # attributable to code, not noise). Each rep rebuilds the plan from
+    # the builder — query-internal persists are fresh entries per rep —
+    # and the cache is cleared between queries so reps stay independent
+    # and cached partitions don't accumulate across 84 x reps runs.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        force(REGISTRY[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 2)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force(REGISTRY[name].fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 2)
 
     total = round(sum(timings.values()), 2)
     # compact separators: the driver captures a bounded stdout tail, and

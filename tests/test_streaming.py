@@ -546,3 +546,87 @@ def test_envelope_schema_evolution_tolerated(spark):
     got = {r["orderid"] for r in sink.current().collect()}
     assert got == set(expected_final_state(log))
     assert sink.dead_letters() is None, "evolved envelopes are not garbage"
+
+
+@pytest.mark.parametrize("kind", ["parquet", "delta"])
+def test_sink_contract(spark, kind):
+    """The CdcStateSink contract, run identically against every
+    implementation: replay idempotence, out-of-order tombstone safety,
+    live-rows-only reads. Delta is construction-gated in this container
+    (no delta-spark) — the skip below documents that; on a cluster with
+    Delta the same body exercises the MERGE path unchanged."""
+    from kafka_data_explorer_cdc_spark.streaming.pipeline import (
+        DeltaMergeSink,
+    )
+
+    if kind == "delta":
+        try:
+            sink = DeltaMergeSink(spark, _tmp("delta_state_"), ["orderid"])
+        except ImportError:
+            pytest.skip(
+                "delta-spark not installed in this container; "
+                "DeltaMergeSink is construction-gated and the contract "
+                "is proven on ParquetStateSink"
+            )
+    else:
+        sink = ParquetStateSink(spark, _tmp("contract_state_"), ["orderid"], n_buckets=4)
+
+    b0 = _flat_batch(
+        spark,
+        [
+            (1, 7, 100, "Rome", "c", 10),
+            (2, 8, 50, "Oslo", "c", 11),
+            (1, None, None, None, "d", 30),
+        ],
+    )
+    sink.apply_batch(b0, 0)
+    assert {r["orderid"] for r in sink.current().collect()} == {2}
+    # replay idempotence (at-least-once redelivery under a new batch id)
+    sink.apply_batch(b0, 1)
+    assert {r["orderid"] for r in sink.current().collect()} == {2}
+    # out-of-order straggler below the tombstone's seq must stay dead
+    sink.apply_batch(_flat_batch(spark, [(1, 7, 999, "Rome", "u", 20)]), 2)
+    assert {r["orderid"] for r in sink.current().collect()} == {2}
+    # genuinely newer event re-creates
+    sink.apply_batch(_flat_batch(spark, [(1, 9, 1, "Pune", "c", 40)]), 3)
+    got = {r["orderid"]: r["city"] for r in sink.current().collect()}
+    assert got == {1: "Pune", 2: "Oslo"}
+
+
+def test_kafka_wire_format_round_trip(spark, sf_dir):
+    """File-backed contract test for the Kafka producer path: the exact
+    (key, value) wire projection write_kafka_envelopes publishes is
+    written to text files (standing in for the topic), read back, and
+    parse_envelope→unwrap must reproduce the source rows and keys.
+    Only the broker hop itself is unexercised (no broker in this
+    container)."""
+    from kafka_data_explorer_cdc_spark.cdc.envelope import (
+        orders_info,
+        parse_envelope,
+        to_envelope_json,
+        unwrap,
+    )
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.streaming.pipeline import (
+        envelope_wire_format,
+    )
+
+    info = orders_info(load(spark, sf_dir, "orders")).limit(200)
+    wire = envelope_wire_format(to_envelope_json(info))
+    assert wire.columns == ["key", "value"]
+    out = _tmp("wire_")
+    wire.select("value").write.mode("overwrite").text(out)
+
+    back = unwrap(parse_envelope(spark.read.text(out)))
+    flat = back.select(
+        F.coalesce(F.col("after.orderid"), F.col("before.orderid")).alias("orderid"),
+        F.col("after.custid").alias("custid"),
+        F.col("after.amount").alias("amount"),
+        F.col("after.city").alias("city"),
+    )
+    got = sorted(tuple(r) for r in flat.collect())
+    want = sorted(tuple(r) for r in info.collect())
+    assert got == want
+    # the message key must carry the record key (partitioning contract)
+    keys = {r["key"] for r in wire.collect()}
+    assert keys == {str(r["orderid"]) for r in info.collect()}
