@@ -18,6 +18,9 @@ Supported (the reference's surface plus the obvious neighbors):
       | top N by col [asc|desc]
       | take N  /  limit N
       | project col [= expr], ...
+      | project-away col, ...  /  project-rename new = old, ...
+      | parse Source with 'lit' Name 'lit' Name ...   (simple mode;
+        compiles to one anchored regex, non-greedy captures)
       | extend name = expr, ...
       | mv-expand [name =] arraycol
       | distinct col, ...
@@ -36,8 +39,13 @@ Expressions: arithmetic (+ - * / %), comparisons (== != < <= > >=),
 (``1h``, ``30m``) literals, ``bin(expr, size)`` time/numeric bucketing,
 ``ago(duration)`` (anchorable for deterministic replay), and
 ``parse_json(col).field`` dynamic access (compiles to a single
-``get_json_object`` probe). Aggregates: ``count()``, ``sum``/``avg``/
-``min``/``max``/``dcount``, ``countif(pred)``, ``sumif(col, pred)``.
+``get_json_object`` probe), ``iff``/``case``/``strcat``/
+``strcat_array``/``extract``/``substring``/``coalesce``/``isnull``/
+``isempty`` scalars. Aggregates: ``count()``, ``sum``/``avg``/``min``/
+``max``/``dcount``, ``countif(pred)``, ``sumif(col, pred)``,
+``arg_max``/``arg_min`` (max_by/min_by — one mergeable struct-max, no
+window), ``make_list``/``make_set`` (set form sorted for determinism),
+``percentile(col, P)`` (exact; swap percentile_approx at scale).
 
 KQL semantics preserved deliberately:
 - ``sort by`` defaults to DESC (README.md:373-378 — SURVEY.md §7
@@ -317,6 +325,15 @@ class _Parser:
         "todouble": lambda c: c.cast("double"),
         "round": F.round,
         "abs": F.abs,
+        # iff/iif: Kusto's ternary — a single when/otherwise
+        "iff": lambda c, a, b: F.when(c, a).otherwise(b),
+        "iif": lambda c, a, b: F.when(c, a).otherwise(b),
+        "strcat": lambda *cs: F.concat(*cs),
+        "coalesce": lambda *cs: F.coalesce(*cs),
+        "isnull": lambda c: c.isNull(),
+        "isnotnull": lambda c: c.isNotNull(),
+        "isempty": lambda c: c.isNull() | (c == F.lit("")),
+        "isnotempty": lambda c: c.isNotNull() & (c != F.lit("")),
     }
 
     def _scalar_fn(self, name: str) -> Column:
@@ -358,6 +375,66 @@ class _Parser:
                 return F.timestamp_seconds(bucket)
             size = float(t.text) if "." in t.text else int(t.text)
             return F.floor(e / F.lit(size)) * F.lit(size)
+        if name == "case":
+            # case(pred1, val1, pred2, val2, ..., default) — chained
+            # when/otherwise, evaluated in order like Kusto
+            self.expect("(")
+            items = [self.expr()]
+            while self.accept(","):
+                items.append(self.expr())
+            self.expect(")")
+            if len(items) < 3 or len(items) % 2 == 0:
+                raise ValueError(
+                    "KQL: case() needs pred/value pairs plus a default "
+                    f"(got {len(items)} arguments)"
+                )
+            out = F.when(items[0], items[1])
+            for i in range(2, len(items) - 1, 2):
+                out = out.when(items[i], items[i + 1])
+            return out.otherwise(items[-1])
+        if name == "extract":
+            # extract('regex', captureGroup, source) — the regex and
+            # group are compile-time literals (they parameterize the JVM
+            # regexp_extract, not row data)
+            self.expect("(")
+            rx = self.next()
+            if rx.kind != "str":
+                raise ValueError("KQL: extract() needs a string-literal regex")
+            self.expect(",")
+            grp = self.next()
+            if grp.kind != "num":
+                raise ValueError("KQL: extract() needs a literal capture group")
+            self.expect(",")
+            src = self.expr()
+            self.expect(")")
+            return F.regexp_extract(src, rx.text[1:-1], int(grp.text))
+        if name == "substring":
+            # substring(source, startIndex[, length]) — Kusto is 0-based,
+            # Spark 1-based
+            self.expect("(")
+            src = self.expr()
+            self.expect(",")
+            start = self.expr()
+            length = None
+            if self.accept(","):
+                length = self.expr()
+            self.expect(")")
+            if length is None:
+                return F.substring(src, start + F.lit(1), F.lit(2**31 - 1))
+            return F.substring(src, start + F.lit(1), length)
+        if name == "strcat_array":
+            # strcat_array(array, 'sep') — the separator must be a string
+            # literal (array_join's delimiter is not a column)
+            self.expect("(")
+            arr = self.expr()
+            self.expect(",")
+            sep = self.next()
+            if sep.kind != "str":
+                raise ValueError(
+                    "KQL: strcat_array() needs a string-literal separator"
+                )
+            self.expect(")")
+            return F.array_join(arr, sep.text[1:-1])
         if name not in self._SCALARS:
             raise ValueError(f"KQL: unsupported function {name!r}")
         self.expect("(")
@@ -395,6 +472,42 @@ class _Parser:
             pred = self.expr()
             self.expect(")")
             return F.sum(F.when(pred, val)).alias(name or "sumif_")
+        if fn in ("arg_max", "arg_min"):
+            # arg_max(toMaximize, toReturn): the returned expression of
+            # the row maximizing the first — Spark's max_by/min_by
+            # (a single mergeable struct-max, one shuffle, no window)
+            self.expect("(")
+            ordc = self.expr()
+            self.expect(",")
+            ret = self.expr()
+            self.expect(")")
+            agg = (F.max_by if fn == "arg_max" else F.min_by)(ret, ordc)
+            return agg.alias(name or fn)
+        if fn in ("make_list", "make_set"):
+            self.expect("(")
+            col = self.expr()
+            self.expect(")")
+            if fn == "make_set":
+                # sorted for determinism: set order is partition-dependent
+                # in any distributed engine (Kusto's is arbitrary too);
+                # sorting is the only reproducible contract
+                agg = F.sort_array(F.collect_set(col))
+            else:
+                agg = F.collect_list(col)
+            return agg.alias(name or fn)
+        if fn == "percentile":
+            # percentile(col, P) with P in 0..100 — exact linear
+            # interpolation (differential-gate form; swap in
+            # percentile_approx's mergeable sketch at 100 TB scale)
+            self.expect("(")
+            col = self.expr()
+            self.expect(",")
+            ptok = self.next()
+            if ptok.kind != "num":
+                raise ValueError("KQL: percentile() needs a literal percentile")
+            self.expect(")")
+            p = float(ptok.text) / 100.0
+            return F.percentile(col, p).alias(name or "percentile_")
         if fn not in _AGGS:
             raise ValueError(f"KQL: unsupported aggregate {fn!r}")
         self.expect("(")
@@ -649,6 +762,12 @@ def kql(
             if p.next().text.lower() != "expand":
                 raise ValueError("KQL: expected 'mv-expand'")
             verb = "mv-expand"
+        if verb == "project" and p.peek() and p.peek().text == "-":
+            p.next()
+            sub = p.next().text.lower()
+            if sub not in ("away", "rename"):
+                raise ValueError(f"KQL: unsupported operator 'project-{sub}'")
+            verb = f"project-{sub}"
         if verb == "where":
             df = df.filter(p.expr())
         elif verb == "summarize":
@@ -692,6 +811,51 @@ def kql(
                 if not p.accept(","):
                     break
             df = df.select(*cols)
+        elif verb == "project-away":
+            df = df.drop(*p.ident_list())
+        elif verb == "project-rename":
+            # project-rename new = old, ...
+            while True:
+                new = p.next().text
+                p.expect("=")
+                old = p.next().text
+                df = df.withColumnRenamed(old, new)
+                if not p.accept(","):
+                    break
+        elif verb == "parse":
+            # parse Source with 'lit' Name1 'lit' Name2 ... — Kusto's
+            # simple-mode pattern extraction. Compiles to ONE anchored
+            # regex with a non-greedy capture per name (last capture
+            # takes the rest), applied via regexp_extract per column:
+            # pure JVM expression work, no UDF.
+            src = p.expr()
+            if p.next().text.lower() != "with":
+                raise ValueError("KQL: parse needs 'with' before the pattern")
+            pieces: list[tuple[str, str]] = []  # (kind, text)
+            while p.peek() is not None:
+                t = p.next()
+                if t.kind == "str":
+                    pieces.append(("lit", t.text[1:-1]))
+                elif t.kind == "word":
+                    pieces.append(("name", t.text))
+                else:
+                    raise ValueError(
+                        f"KQL: parse pattern allows only string literals "
+                        f"and column names, got {t.text!r}"
+                    )
+            names = [x for k, x in pieces if k == "name"]
+            if not names:
+                raise ValueError("KQL: parse pattern extracts no columns")
+            rx = "^"  # Kusto simple mode matches from the start
+            for i, (k, x) in enumerate(pieces):
+                if k == "lit":
+                    rx += re.escape(x)
+                elif i == len(pieces) - 1:
+                    rx += "(.*)"  # trailing capture takes the rest
+                else:
+                    rx += "(.*?)"
+            for gi, cname in enumerate(names, start=1):
+                df = df.withColumn(cname, F.regexp_extract(src, rx, gi))
         elif verb == "extend":
             while True:
                 name = p.next().text

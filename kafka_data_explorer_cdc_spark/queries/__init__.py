@@ -22,6 +22,11 @@ _FRONT = [
     "d08_embedding_near_dup",
     "k24_kql_join",  # new in r3 — never driver-checked
     "k25_kql_let",  # new in r3 — never driver-checked
+    "k26_kql_parse_extract",
+    "k27_kql_case_tiers",
+    "k28_kql_arg_max",
+    "k29_kql_make_set",
+    "k30_kql_percentile",
 ]
 
 

@@ -289,6 +289,126 @@ def k25_kql_let(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k26_kql_parse_extract",
+    oracle="""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '^Customer#0*(\\d+)', 1) AS BIGINT) AS idn
+FROM customer
+""",
+    tags=("kql", "text"),
+)
+def k26_kql_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse ... with`` (Kusto simple-mode pattern extraction) plus
+    ``extract`` — both compile to one anchored JVM ``regexp_extract``
+    per derived column, no UDF. The parsed id round-trips to the key so
+    the oracle checks the extraction exactly."""
+    cust = load(spark, sf_dir, "customer")
+    return kql(
+        "Customers"
+        " | parse c_name with 'Customer#' idstr"
+        " | extend idn = tolong(extract('^0*(\\d+)', 1, idstr))"
+        " | project c_custkey, idn",
+        {"Customers": cust},
+    )
+
+
+@query(
+    "k27_kql_case_tiers",
+    oracle="""
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 150000 THEN 'mid'
+            ELSE 'low' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+""",
+    tags=("kql",),
+)
+def k27_kql_case_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``case()`` — ordered predicate/value pairs compiled to a chained
+    when/otherwise; the derived tier is a groupable expression, so the
+    aggregation still partial-aggregates map-side."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | extend tier = case(o_totalprice >= 300000, 'high',"
+        "                      o_totalprice >= 150000, 'mid', 'low')"
+        " | summarize n = count() by tier",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k28_kql_arg_max",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_totalprice, o_orderkey) AS latest_price
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("kql", "agg"),
+)
+def k28_kql_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``arg_max`` — the value of one expression at another's maximum,
+    compiled to Spark's ``max_by``: a single mergeable struct-max (one
+    shuffle, map-side partials), NOT a ranking window. The maximized
+    key (o_orderkey) is unique, so the result is deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | summarize latest_price = arg_max(o_orderkey, o_totalprice)"
+        "   by o_orderpriority",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k29_kql_make_set",
+    oracle="""
+SELECT o_orderpriority,
+       array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',')
+         AS statuses
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("kql", "agg", "array"),
+)
+def k29_kql_make_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``make_set`` + ``strcat_array`` + ``project-away`` — the dynamic-
+    array aggregation surface. The set is sorted (collect order is
+    partition-dependent in any distributed engine) and joined to a
+    scalar string so the differential gate can hash it — the b28
+    contract, reached through the KQL front end."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | summarize s = make_set(o_orderstatus) by o_orderpriority"
+        " | extend statuses = strcat_array(s, ',')"
+        " | project-away s",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k30_kql_percentile",
+    oracle="""
+SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("kql", "agg"),
+)
+def k30_kql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile(col, 50)`` — exact median per group (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share linear
+    interpolation; the b27 exactness contract through the KQL front
+    end). Kusto's own percentile is approximate — at 100 TB swap in
+    ``percentile_approx``, as b27x does."""
+    li = load(spark, sf_dir, "lineitem")
+    return kql(
+        "Lineitem | summarize p50 = percentile(l_extendedprice, 50)"
+        " by l_returnflag",
+        {"Lineitem": li},
+    )
+
+
+@query(
     "k18_kql_time_binning",
     oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS t,

@@ -341,3 +341,68 @@ def test_let_scalar_and_tabular(spark):
     assert set(tables) == {"T"}
     with pytest.raises(ValueError, match="let"):
         kql("x = 1; T | take 1", {"T": df})
+
+
+def test_parse_verb_and_scalars(spark):
+    df = spark.createDataFrame(
+        [("Customer#000000007", 7, 120.5, "P1"), ("C#8", 8, 80.0, "P1")],
+        "c_name string, k int, price double, prio string",
+    )
+    t = {"T": df}
+    got = {
+        r["k"]: r["idstr"]
+        for r in kql("T | parse c_name with 'Customer#' idstr", t).collect()
+    }
+    assert got == {7: "000000007", 8: ""}  # non-matching rows -> empty
+    got = {
+        r["k"]: r["g"]
+        for r in kql("T | extend g = extract('#0*(\\d+)', 1, c_name)", t).collect()
+    }
+    assert got == {7: "7", 8: "8"}
+    got = {
+        r["k"]: r["e"]
+        for r in kql(
+            "T | extend e = iff(price > 100, strcat(prio, '-big'), 'small')", t
+        ).collect()
+    }
+    assert got == {7: "P1-big", 8: "small"}
+    got = {
+        r["k"]: r["tier"]
+        for r in kql(
+            "T | extend tier = case(price >= 150, 'hi', price >= 100, 'mid', 'lo')",
+            t,
+        ).collect()
+    }
+    assert got == {7: "mid", 8: "lo"}
+    assert kql("T | extend s = substring(c_name, 0, 8) | take 1", t).collect()[0][
+        "s"
+    ] == "Customer"
+    with pytest.raises(ValueError, match="case"):
+        kql("T | extend x = case(price > 1, 'a')", t)
+
+
+def test_projectaway_rename_and_new_aggs(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("b", 3, 20.0)],
+        "g string, k int, v double",
+    )
+    t = {"T": df}
+    out = kql("T | project-away v | take 1", t)
+    assert out.columns == ["g", "k"]
+    out = kql("T | project-rename grp = g | distinct grp", t)
+    assert out.columns == ["grp"]
+    got = {
+        r["g"]: r["best_k"]
+        for r in kql("T | summarize best_k = arg_max(v, k) by g", t).collect()
+    }
+    assert got == {"a": 2, "b": 3}
+    got = {
+        r["g"]: r["ks"]
+        for r in kql(
+            "T | summarize s = make_set(k) by g | extend ks = strcat_array(s, ',')",
+            t,
+        ).collect()
+    }
+    assert got == {"a": "1,2", "b": "3"}
+    r = kql("T | summarize p50 = percentile(v, 50)", t).collect()[0]
+    assert r["p50"] == 20.0
