@@ -22,6 +22,9 @@ Supported (the reference's surface plus the obvious neighbors):
       | parse Source with 'lit' Name 'lit' Name ...   (simple mode;
         compiles to one anchored regex, non-greedy captures)
       | extend name = expr, ...
+      | make-series n = agg() [default = lit] on ts
+          from 'ts' to 'ts' step 1h [by col, ...]   (dense per-group
+          value arrays over uniform bins, gap-filled; JVM-only grid)
       | mv-expand [name =] arraycol
       | distinct col, ...
       | count
@@ -308,6 +311,23 @@ class _Parser:
                 "in this subset (dynamic values have no standalone type)"
             )
         return e
+
+    def _datetime_literal(self) -> str:
+        """A timestamp literal: ``'2024-01-01 00:00:00'`` or
+        ``datetime('2024-01-01')`` (Kusto spelling)."""
+        t = self.next()
+        if t.kind == "word" and t.text.lower() == "datetime":
+            self.expect("(")
+            inner = self.next()
+            if inner.kind != "str":
+                raise ValueError(
+                    "KQL: datetime() needs a quoted timestamp in this subset"
+                )
+            self.expect(")")
+            return inner.text[1:-1]
+        if t.kind == "str":
+            return t.text[1:-1]
+        raise ValueError(f"KQL: expected a timestamp literal, got {t.text!r}")
 
     _DUR_SECONDS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
 
@@ -762,6 +782,11 @@ def kql(
             if p.next().text.lower() != "expand":
                 raise ValueError("KQL: expected 'mv-expand'")
             verb = "mv-expand"
+        if verb == "make" and p.peek() and p.peek().text == "-":
+            p.next()
+            if p.next().text.lower() != "series":
+                raise ValueError("KQL: expected 'make-series'")
+            verb = "make-series"
         if verb == "project" and p.peek() and p.peek().text == "-":
             p.next()
             sub = p.next().text.lower()
@@ -811,6 +836,87 @@ def kql(
                 if not p.accept(","):
                     break
             df = df.select(*cols)
+        elif verb == "make-series":
+            # make-series name = agg() [default = lit] on tscol
+            #   from 'ts' to 'ts' step <dur> [by g, ...]
+            # Kusto's signature time-series shape: per group, a DENSE
+            # array of aggregate values over uniform time bins (gaps
+            # filled with the default) plus the bin-start array.
+            # Compiles to: bin → per-bin aggregate (one shuffle, map-side
+            # partials) → per-group map(bin→val) → sequence+transform
+            # grid materialization. All JVM expressions — the grid fan-
+            # out costs nbins array slots per group, never a row explode,
+            # and no UDF.
+            agg_name = p.next().text
+            p.expect("=")
+            agg_col = p.agg_item().alias(agg_name)
+            fill = 0
+            if p.accept("default"):
+                p.expect("=")
+                fill = p._literal_value()
+            if p.next().text.lower() != "on":
+                raise ValueError("KQL: make-series needs 'on <timecol>'")
+            ts_col = p.next().text
+            if p.next().text.lower() != "from":
+                raise ValueError("KQL: make-series needs 'from'")
+            start_s = p._datetime_literal()
+            if p.next().text.lower() != "to":
+                raise ValueError("KQL: make-series needs 'to'")
+            end_s = p._datetime_literal()
+            if p.next().text.lower() != "step":
+                raise ValueError("KQL: make-series needs 'step'")
+            st = p.next()
+            if st.kind != "dur":
+                raise ValueError("KQL: make-series step needs a duration")
+            secs = int(p._duration_seconds(st.text))
+            groups = p.ident_list() if p.accept("by") else []
+
+            from datetime import datetime, timezone
+
+            t0 = datetime.fromisoformat(start_s).replace(tzinfo=timezone.utc)
+            t1 = datetime.fromisoformat(end_s).replace(tzinfo=timezone.utc)
+            span = (t1 - t0).total_seconds()
+            if span <= 0:
+                raise ValueError("KQL: make-series 'to' must be after 'from'")
+            nbins = int(-(-span // secs))  # ceil
+            start_unix = int(t0.timestamp())
+
+            binned = (
+                df.filter(
+                    (F.col(ts_col) >= F.lit(start_s).cast("timestamp"))
+                    & (F.col(ts_col) < F.lit(end_s).cast("timestamp"))
+                )
+                .withColumn(
+                    "__msi",
+                    F.floor(
+                        (F.unix_timestamp(F.col(ts_col)) - F.lit(start_unix))
+                        / F.lit(secs)
+                    ).cast("long"),
+                )
+                .groupBy(*groups, "__msi")
+                .agg(agg_col)
+            )
+            per_group = binned.groupBy(*groups).agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("__msi", agg_name))
+                ).alias("__m")
+            )
+            grid = F.sequence(F.lit(0), F.lit(nbins - 1))
+            series = F.transform(
+                grid,
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("long")), F.lit(fill)
+                ),
+            )
+            ts_arr = F.transform(
+                grid,
+                lambda i: F.timestamp_seconds(
+                    F.lit(start_unix) + i.cast("long") * F.lit(secs)
+                ),
+            )
+            df = per_group.select(
+                *groups, series.alias(agg_name), ts_arr.alias(ts_col)
+            )
         elif verb == "project-away":
             df = df.drop(*p.ident_list())
         elif verb == "project-rename":

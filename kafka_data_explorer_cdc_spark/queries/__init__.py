@@ -27,6 +27,7 @@ _FRONT = [
     "k28_kql_arg_max",
     "k29_kql_make_set",
     "k30_kql_percentile",
+    "k31_kql_make_series",
 ]
 
 

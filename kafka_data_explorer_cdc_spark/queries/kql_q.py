@@ -409,6 +409,56 @@ def k30_kql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k31_kql_make_series",
+    oracle="""
+WITH grid AS (
+  SELECT et.event_type, g.t
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                  TIMESTAMP '2024-01-07 00:00:00',
+                                  INTERVAL '1 day')) AS t
+  ) g
+), binned AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT g.event_type,
+       array_to_string(list(COALESCE(b.n, 0) ORDER BY g.t), ',') AS series
+FROM grid g LEFT JOIN binned b ON g.event_type = b.event_type AND g.t = b.t
+GROUP BY g.event_type
+""",
+    tags=("kql", "timeseries"),
+)
+def k31_kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``make-series`` — Kusto's signature time-series materialization:
+    per group, a DENSE per-day count array over a fixed window, gaps
+    zero-filled. Compiles to bin → per-bin aggregate (one shuffle) →
+    per-group map → sequence/transform grid; all JVM expressions, the
+    grid is array slots per group, never a row explode. Joined to a
+    scalar string for the gate (b28 hashability contract)."""
+    events = load(spark, sf_dir, "events")
+    out = kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-08 00:00:00'"
+        " step 1d by event_type",
+        {"Events": events},
+    )
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "event_type",
+        F.array_join(F.transform("n", lambda x: x.cast("string")), ",").alias(
+            "series"
+        ),
+    )
+
+
+@query(
     "k18_kql_time_binning",
     oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS t,

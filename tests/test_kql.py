@@ -406,3 +406,38 @@ def test_projectaway_rename_and_new_aggs(spark):
     assert got == {"a": "1,2", "b": "3"}
     r = kql("T | summarize p50 = percentile(v, 50)", t).collect()[0]
     assert r["p50"] == 20.0
+
+
+def test_make_series_dense_grid(spark):
+    """make-series must produce a DENSE value array per group: empty
+    bins filled with the default, aligned with the bin-start array."""
+    rows = [
+        ("a", "2024-01-01 10:00:00"),
+        ("a", "2024-01-01 11:00:00"),
+        ("a", "2024-01-03 00:00:00"),
+        ("b", "2024-01-02 05:00:00"),
+        ("a", "2024-01-09 00:00:00"),  # outside [from, to) — excluded
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = kql(
+        "T | make-series n = count() on ts"
+        " from '2024-01-01 00:00:00' to '2024-01-04 00:00:00' step 1d by g",
+        {"T": df},
+    )
+    got = {r["g"]: (list(r["n"]), [str(t) for t in r["ts"]]) for r in out.collect()}
+    days = ["2024-01-0%d 00:00:00" % d for d in (1, 2, 3)]
+    assert got == {
+        "a": ([2, 0, 1], days),
+        "b": ([0, 1, 0], days),
+    }
+    # custom default fill + datetime() literal spelling
+    out = kql(
+        "T | make-series n = count() default = 9 on ts"
+        " from datetime('2024-01-01 00:00:00') to datetime('2024-01-03 00:00:00')"
+        " step 1d by g",
+        {"T": df},
+    )
+    got = {r["g"]: list(r["n"]) for r in out.collect()}
+    assert got == {"a": [2, 9], "b": [9, 1]}
