@@ -156,3 +156,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_kql_join_entries_plan_well(spark, sf_dir):
+    """The KQL join front end must compile to the same physical shapes
+    a hand-written DataFrame program gets: broadcast for the small
+    side, pushed filters, no cartesian products."""
+    p = plan_of(spark, sf_dir, "k24_kql_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    p = plan_of(spark, sf_dir, "k25_kql_let")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p, "small filtered side must broadcast"
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, "let CTE filter must push to scan"
+    assert "GreaterThanOrEqual(o_totalprice,400000" in p, "scalar-let threshold must push to scan"
+
+
+def test_kql_make_series_single_shuffle_no_explode(spark, sf_dir):
+    """make-series' grid is array construction, not a row explode, and
+    the whole shape needs exactly the two aggregate exchanges (per-bin,
+    then per-group) — no Generate (explode) node, no extra shuffle."""
+    p = plan_of(spark, sf_dir, "k31_kql_make_series")
+    assert "Generate" not in p, "grid must not explode rows"
+    assert p.count("Exchange hashpartitioning") <= 2
+    # the [from, to) window must reach the parquet scan
+    assert "PushedFilters" in p and "ts" in p
