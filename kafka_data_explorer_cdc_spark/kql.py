@@ -16,6 +16,8 @@ Supported (the reference's surface plus the obvious neighbors):
       | sort by col [asc|desc], ...        (KQL default: DESCENDING)
       | order by ...                       (alias of sort)
       | top N by col [asc|desc]
+      | top-nested N of col by [name =] agg() [, top-nested ...]
+        (hierarchical top-k; ties break on the key ascending)
       | take N  /  limit N
       | project col [= expr], ...
       | project-away col, ...  /  project-rename new = old, ...
@@ -816,6 +818,72 @@ def kql(
                 if not p.accept(","):
                     break
             df = df.orderBy(*cols)
+        elif verb == "top" and p.peek() and p.peek().text == "-":
+            # top-nested N of col by [name =] agg() [, top-nested ...]
+            # Hierarchical top-k: each level keeps the top N keys by its
+            # aggregate WITHIN the surviving parent keys. Compiles to,
+            # per level: one aggregate (shuffle with map-side partials)
+            # + a ranking window partitioned by the parent prefix; the
+            # surviving-prefix set is ≤ prod(N_i) rows, so it broadcasts
+            # into the next level's filter join. Ties break on the key
+            # ascending (Kusto leaves ties arbitrary; deterministic is
+            # the testable contract).
+            p.next()
+            if p.next().text.lower() != "nested":
+                raise ValueError("KQL: expected 'top-nested'")
+            from pyspark.sql import Window as _W
+
+            surv = None
+            prefix: list[str] = []
+            vnames: list[str] = []
+            while True:
+                n = int(p.next().text)
+                if p.next().text.lower() != "of":
+                    raise ValueError("KQL: top-nested needs 'of <column>'")
+                col = p.next().text
+                p.expect("by")
+                tok = p.next()
+                if p.peek() and p.peek().text == "=":
+                    vname = tok.text
+                    p.next()
+                else:
+                    p.i -= 1
+                    vname = f"aggregated_{col}"
+                agg = p.agg_item().alias(vname)
+
+                lvl = df
+                if surv is not None:
+                    lvl = lvl.join(
+                        F.broadcast(surv.select(*prefix)), prefix, "inner"
+                    )
+                grouped = lvl.groupBy(*prefix, col).agg(agg)
+                w = _W.partitionBy(*prefix).orderBy(
+                    F.desc(vname), F.asc(col)
+                )
+                top = (
+                    grouped.withColumn("__tnr", F.row_number().over(w))
+                    .filter(F.col("__tnr") <= n)
+                    .drop("__tnr")
+                )
+                if surv is not None:
+                    # re-attach the parent levels' value columns
+                    top = top.join(F.broadcast(surv), prefix, "inner")
+                surv = top
+                prefix = prefix + [col]
+                vnames.append(vname)
+                if not p.accept(","):
+                    break
+                if (
+                    p.next().text.lower() != "top"
+                    or p.next().text != "-"
+                    or p.next().text.lower() != "nested"
+                ):
+                    raise ValueError(
+                        "KQL: top-nested levels must each start with 'top-nested'"
+                    )
+            # Kusto column order: key1, value1, key2, value2, ...
+            ordered = [c for pair in zip(prefix, vnames) for c in pair]
+            df = surv.select(*ordered)
         elif verb == "top":
             n = int(p.next().text)
             p.expect("by")

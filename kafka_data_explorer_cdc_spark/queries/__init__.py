@@ -28,6 +28,7 @@ _FRONT = [
     "k29_kql_make_set",
     "k30_kql_percentile",
     "k31_kql_make_series",
+    "k32_kql_top_nested",
 ]
 
 

@@ -459,6 +459,46 @@ def k31_kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k32_kql_top_nested",
+    oracle="""
+WITH l1 AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n1
+  FROM orders GROUP BY 1
+), t1 AS (
+  SELECT o_orderpriority, n1 FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY n1 DESC, o_orderpriority ASC) AS r
+    FROM l1
+  ) WHERE r <= 3
+), l2 AS (
+  SELECT o.o_orderpriority, o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n2
+  FROM orders o JOIN t1 USING (o_orderpriority) GROUP BY 1, 2
+), t2 AS (
+  SELECT o_orderpriority, o_orderstatus, n2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY n2 DESC, o_orderstatus ASC) AS r
+    FROM l2
+  ) WHERE r <= 2
+)
+SELECT t2.o_orderpriority, t1.n1, t2.o_orderstatus, t2.n2
+FROM t2 JOIN t1 USING (o_orderpriority)
+""",
+    tags=("kql", "agg", "window"),
+)
+def k32_kql_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top-nested`` — hierarchical top-k (top-3 priorities by order
+    count, top-2 statuses within each): per level one aggregate plus a
+    ranking window partitioned by the parent prefix; the surviving
+    prefix set (≤ 3×2 rows) broadcasts into the next level. Ties break
+    on the key ascending so the differential gate is deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders | top-nested 3 of o_orderpriority by n1 = count(),"
+        "         top-nested 2 of o_orderstatus by n2 = count()",
+        {"Orders": orders},
+    )
+
+
+@query(
     "k18_kql_time_binning",
     oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS t,

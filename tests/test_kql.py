@@ -441,3 +441,20 @@ def test_make_series_dense_grid(spark):
     )
     got = {r["g"]: list(r["n"]) for r in out.collect()}
     assert got == {"a": [2, 9], "b": [9, 1]}
+
+
+def test_top_nested_hierarchy(spark):
+    rows = [("a", 1, 10), ("a", 1, 5), ("a", 2, 3), ("a", 3, 1),
+            ("b", 4, 8), ("b", 5, 2), ("c", 6, 1)]
+    df = spark.createDataFrame(rows, "city string, custid int, amount int")
+    out = kql(
+        "T | top-nested 2 of city by t1 = sum(amount),"
+        "    top-nested 1 of custid by t2 = sum(amount)",
+        {"T": df},
+    )
+    assert out.columns == ["city", "t1", "custid", "t2"]
+    got = sorted(tuple(r) for r in out.collect())
+    # top-2 cities: a (19), b (10); best custid within: a->1 (15), b->4 (8)
+    assert got == [("a", 19, 1, 15), ("b", 10, 4, 8)]
+    # plain `top` still works alongside the compound form
+    assert kql("T | top 1 by amount", {"T": df}).collect()[0]["custid"] == 1
