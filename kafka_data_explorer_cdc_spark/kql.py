@@ -33,6 +33,7 @@ Supported (the reference's surface plus the obvious neighbors):
       | join [kind=K] ( Sub | ... ) on k [, ...]   (Kusto innerunique
         default; $left.a == $right.b key form; right-side name clashes
         get a '1' suffix)
+      | union T2 [, ( Sub | ... ), ...]   (align by name, null-fill)
       | render charttype [with (...)]   (must be last; presentation hint)
 
     let name = <scalar literal> ;  /  let name = T | ... ;   (named
@@ -40,7 +41,8 @@ Supported (the reference's surface plus the obvious neighbors):
 
 Expressions: arithmetic (+ - * / %), comparisons (== != < <= > >=),
 ``and``/``or``/``not``, ``contains``/``startswith``/``endswith``/
-``has``/``in``, ``between (lo .. hi)``, string / numeric / duration
+``has``/``has_any``/``in``/``matches regex``, ``between (lo .. hi)``,
+string / numeric / duration
 (``1h``, ``30m``) literals, ``bin(expr, size)`` time/numeric bucketing,
 ``ago(duration)`` (anchorable for deterministic replay), and
 ``parse_json(col).field`` dynamic access (compiles to a single
@@ -207,6 +209,33 @@ class _Parser:
             hi = self._add()
             self.expect(")")
             return (left >= lo) & (left <= hi)
+        if op == "matches":
+            # `matches regex 'pattern'` — unanchored RE2-style search,
+            # compiled to rlike (a compile-time literal regex, JVM-side)
+            self.next()
+            if self.next().text.lower() != "regex":
+                raise ValueError("KQL: expected 'matches regex'")
+            t2 = self.next()
+            if t2.kind != "str":
+                raise ValueError(
+                    "KQL: 'matches regex' needs a string-literal pattern"
+                )
+            return left.rlike(t2.text[1:-1])
+        if op == "has_any":
+            # has_any (t1, t2, ...) — OR of term matches
+            self.next()
+            self.expect("(")
+            terms = [self._literal_value()]
+            while self.accept(","):
+                terms.append(self._literal_value())
+            self.expect(")")
+            cond = None
+            for term in terms:
+                c = F.lower(left).rlike(
+                    r"\b" + re.escape(str(term).lower()) + r"\b"
+                )
+                cond = c if cond is None else (cond | c)
+            return cond
         if op in ("contains", "startswith", "endswith", "has", "in"):
             self.next()
             if op == "in":
@@ -776,6 +805,27 @@ def kql(
             # stage-level compile: the parenthesized right side is a
             # full sub-pipeline, not an expression
             df = _compile_join(df, stage, tables, now, lets)
+            continue
+        if head and head.group().lower() == "union":
+            # union T2 [, (Sub | ...), ...] — Kusto aligns columns by
+            # name and null-fills the gaps, exactly unionByName with
+            # allowMissingColumns
+            rest = stage[head.end():].lstrip()
+            for item in _split_top(rest, ","):
+                if item.startswith("("):
+                    if not item.endswith(")"):
+                        raise ValueError(
+                            f"KQL: unbalanced parens in union: {item!r}"
+                        )
+                    other = kql(item[1:-1].strip(), tables, now=now, _lets=lets)
+                elif re.fullmatch(r"[A-Za-z_]\w*", item) and item in tables:
+                    other = tables[item]
+                else:
+                    raise ValueError(
+                        f"KQL: union operand must be a known table or a "
+                        f"parenthesized subquery, got {item!r}"
+                    )
+                df = df.unionByName(other, allowMissingColumns=True)
             continue
         p = _Parser(_tokenize(stage), now=now, lets=lets)
         verb = p.next().text.lower()

@@ -456,6 +456,7 @@ def start_cdc_pipeline(
     trigger_seconds: int = 30,
     max_files_per_trigger: int | None = None,
     sink: CdcStateSink | None = None,
+    tombstone_gc_lsn_lag: int | None = None,
 ) -> StreamingQuery:
     """Wire the full pipeline. The reference seals batches by BOTH time
     and size (``adx-sink-config.json:5-6``: flush.size.bytes 10000 /
@@ -468,7 +469,10 @@ def start_cdc_pipeline(
     is the parquet manifest sink at ``state_root``.
     """
     if sink is None:
-        sink = ParquetStateSink(spark, state_root, ["orderid"])
+        sink = ParquetStateSink(
+            spark, state_root, ["orderid"],
+            tombstone_gc_lsn_lag=tombstone_gc_lsn_lag,
+        )
     flat = flatten_after(
         read_file_envelopes(spark, input_dir, max_files_per_trigger)
     )

@@ -458,3 +458,20 @@ def test_top_nested_hierarchy(spark):
     assert got == [("a", 19, 1, 15), ("b", 10, 4, 8)]
     # plain `top` still works alongside the compound form
     assert kql("T | top 1 by amount", {"T": df}).collect()[0]["custid"] == 1
+
+
+def test_union_and_regex_predicates(spark):
+    a = spark.createDataFrame([(1, "alpha beta"), (2, "gamma")], "id int, txt string")
+    b = spark.createDataFrame([(3, "delta", 9.0)], "id int, txt string, extra double")
+    t = {"A": a, "B": b}
+    out = kql("A | union B", t)
+    assert out.count() == 3 and "extra" in out.columns
+    assert {r["extra"] for r in out.collect()} == {None, 9.0}
+    out = kql("A | union (B | project id, txt) | where id >= 2", t)
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
+    got = kql("A | where txt matches regex 'a.pha'", t)
+    assert [r["id"] for r in got.collect()] == [1]
+    got = kql("A | where txt has_any ('beta', 'gamma')", t)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
+    with pytest.raises(ValueError, match="union operand"):
+        kql("A | union Nope", t)
