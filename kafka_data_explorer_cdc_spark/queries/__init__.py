@@ -29,6 +29,7 @@ _FRONT = [
     "k30_kql_percentile",
     "k31_kql_make_series",
     "k32_kql_top_nested",
+    "d04x_minhash_lsh_portable",
 ]
 
 

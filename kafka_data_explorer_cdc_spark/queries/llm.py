@@ -114,6 +114,133 @@ def d03_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D04X_P = 1_000_000_007
+_D04X_MULT = [1000003, 999983, 774047, 31]  # band-hash mixing multipliers
+
+
+def _d04x_band_sql(band: int) -> str:
+    terms = " + ".join(
+        f"mh_{band * 4 + r} * {m}" for r, m in enumerate(_D04X_MULT)
+    )
+    return f"({terms}) % {_D04X_P}"
+
+
+_D04X_ORACLE = (
+    _SH_DUCK
+    + ", h AS (SELECT doc_id, "
+    + DUCKDB_POLY_HASH.format(expr="shingle")
+    + " AS h FROM sh),\nsigs AS (SELECT doc_id, "
+    + ", ".join(
+        f"CAST(MIN(({a} * h + {b}) % {_D04X_P}) AS BIGINT) AS mh_{i}"
+        for i, (a, b) in enumerate(_MINHASH_PERMS)
+    )
+    + " FROM h GROUP BY doc_id),"
+    + """
+tagged AS (
+  SELECT *, MIN(doc_id) OVER (
+    PARTITION BY mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+  ) AS rep FROM sigs
+), star AS (
+  SELECT rep AS id1, doc_id AS id2 FROM tagged WHERE doc_id <> rep
+), reps AS (
+  SELECT * FROM tagged WHERE doc_id = rep
+), buckets AS (
+"""
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_d04x_band_sql(b)} AS bh FROM reps"
+        for b in range(2)
+    )
+    + """
+), banded AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+), cands AS (
+  SELECT * FROM banded UNION ALL SELECT * FROM star
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS isz
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2, isz * 1.0 / (c1.n + c2.n - isz) AS jaccard
+FROM inter i
+JOIN cnt c1 ON i.id1 = c1.doc_id
+JOIN cnt c2 ON i.id2 = c2.doc_id
+WHERE isz * 1.0 / (c1.n + c2.n - isz) >= 0.5
+"""
+)
+
+
+@query("d04x_minhash_lsh_portable", oracle=_D04X_ORACLE, tags=("llm", "dedup"))
+def d04x_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE MinHash-LSH near-dup pipeline with engine-portable
+    hashing, hash-exact against DuckDB: shingle → polynomial-hash
+    minhash (8 perms) → identical-signature star extraction → 2×4
+    banding with arithmetic band mixing → bucket equi-join candidates →
+    exact-Jaccard verify at 0.5. d03 proves the signature math and d04
+    runs the xxhash64 production path (recall-tested); this twin pins
+    the full pipeline STRUCTURE — star form, banding, candidate
+    generation, verification — to an independent engine, so a silent
+    change in any stage breaks the differential gate, not just a
+    recall bound. Same scale shape as d04: one signature shuffle, one
+    window over signatures, equi-joins only."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    h = sh.withColumn("h", F.expr(poly_hash("shingle")))
+    sigs = h.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _D04X_P).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_MINHASH_PERMS)
+        ]
+    )
+    sig_cols = [f"mh_{i}" for i in range(8)]
+    tagged = sigs.withColumn(
+        "__rep", F.min("id").over(Window.partitionBy(*sig_cols))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    star = tagged.filter(F.col("id") != F.col("__rep")).select(
+        F.col("__rep").alias("id1"), F.col("id").alias("id2")
+    )
+    reps = tagged.filter(F.col("id") == F.col("__rep"))
+
+    def band_hash(b: int):
+        expr = None
+        for r, m in enumerate(_D04X_MULT):
+            term = F.col(f"mh_{b * 4 + r}") * F.lit(m)
+            expr = term if expr is None else expr + term
+        return (expr % F.lit(_D04X_P)).alias("bh")
+
+    buckets = reps.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_hash(b))
+                    for b in range(2)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    banded = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+    cands = banded.unionByName(star)
+    return D.verify_jaccard(cands, sh, 0.5)
+
+
 @query("d04_minhash_lsh_pairs", oracle=None, tags=("llm", "dedup", "approx"))
 def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash+LSH near-dup pipeline (B17): xxhash64
