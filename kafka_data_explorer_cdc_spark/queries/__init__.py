@@ -30,6 +30,7 @@ _FRONT = [
     "k31_kql_make_series",
     "k32_kql_top_nested",
     "d04x_minhash_lsh_portable",
+    "d06x_simhash_portable",
 ]
 
 

@@ -241,6 +241,148 @@ def d04x_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.verify_jaccard(cands, sh, 0.5)
 
 
+_D06X_H = [(31, 1_000_000_007), (37, 998_244_353)]  # two independent ~30-bit hashes
+_D06X_BITS = 60  # 30 from each hash
+_D06X_CHUNKS = 4  # 4 x 15-bit chunks -> pigeonhole radius <= 3
+_D06X_W = _D06X_BITS // _D06X_CHUNKS
+
+
+def _poly_spark(expr: str, mult: int, mod: int) -> str:
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+        f"aggregate(transform(split({expr}, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, c) -> (acc * {mult} + c) % {mod}) END"
+    )
+
+
+def _poly_duck(expr: str, mult: int, mod: int) -> str:
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_transform(generate_series(1, length({expr})), "
+        f"i -> CAST(unicode({expr}[i:i]) AS BIGINT)), "
+        f"(acc, c) -> (acc * {mult} + c) % {mod}) END"
+    )
+
+
+def _d06x_vote_sql(j: int) -> str:
+    src, bit = ("h1", j) if j < 30 else ("h2", j - 30)
+    return (
+        f"SUM(CASE WHEN ({src} >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+    )
+
+
+_D06X_ORACLE = (
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, """
+    + _poly_duck("tok", *_D06X_H[0])
+    + " AS h1, "
+    + _poly_duck("tok", *_D06X_H[1])
+    + " AS h2 FROM toks\n), votes AS (\n  SELECT doc_id, "
+    + ", ".join(_d06x_vote_sql(j) for j in range(_D06X_BITS))
+    + "\n  FROM h GROUP BY doc_id\n), fp AS (\n  SELECT doc_id, "
+    + " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_D06X_BITS)
+    )
+    + " AS fp FROM votes\n), pieces AS (\n"
+    + " UNION ALL ".join(
+        f"SELECT doc_id, fp, {c} AS ci, (fp >> {c * _D06X_W}) & {(1 << _D06X_W) - 1} AS cv FROM fp"
+        for c in range(_D06X_CHUNKS)
+    )
+    + """
+), banded AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         CAST(bit_count(xor(l.fp, r.fp)) AS BIGINT) AS hamming
+  FROM pieces l JOIN pieces r
+    ON l.ci = r.ci AND l.cv = r.cv AND l.doc_id < r.doc_id
+)
+SELECT id1, id2, hamming FROM banded WHERE hamming <= 3
+"""
+)
+
+
+@query("d06x_simhash_portable", oracle=_D06X_ORACLE, tags=("llm", "dedup"))
+def d06x_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE SimHash near-dup pipeline with engine-portable
+    hashing, hash-exact against DuckDB: per-token votes from two
+    independent 30-bit polynomial hashes build a 60-bit fingerprint;
+    4×15-bit chunk equi-join generates candidates (pigeonhole-lossless
+    at radius ≤ 3); exact hamming via bit_count(xor) filters. The
+    production d06 path uses xxhash64's full 63 bits (recall-tested);
+    this twin pins the vote → fingerprint → chunk-index → verify
+    structure to an independent engine. Same scale shape: one explode,
+    one 60-aggregate shuffle, chunk equi-join — never O(n²)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = ensure_parallelism(docs).select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    hs = toks.withColumn(
+        "h1", F.expr(_poly_spark("tok", *_D06X_H[0]))
+    ).withColumn("h2", F.expr(_poly_spark("tok", *_D06X_H[1])))
+    votes = hs.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(
+                        F.col("h1" if j < 30 else "h2"), j % 30
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(_D06X_BITS)
+        ]
+    )
+    fp_expr = None
+    for j in range(_D06X_BITS):
+        bit = F.when(
+            F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp_expr = bit if fp_expr is None else fp_expr + bit
+    fps = votes.select("id", fp_expr.alias("fp"))
+    mask = (1 << _D06X_W) - 1
+    pieces = fps.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.shiftright(F.col("fp"), c * _D06X_W)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for c in range(_D06X_CHUNKS)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "fp", F.col("p.ci").alias("ci"), F.col("p.cv").alias("cv"))
+    l, r = pieces.alias("l"), pieces.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.ci") == F.col("r.ci"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
 @query("d04_minhash_lsh_pairs", oracle=None, tags=("llm", "dedup", "approx"))
 def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash+LSH near-dup pipeline (B17): xxhash64
