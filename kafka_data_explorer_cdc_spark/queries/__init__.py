@@ -31,6 +31,7 @@ _FRONT = [
     "k32_kql_top_nested",
     "d04x_minhash_lsh_portable",
     "d06x_simhash_portable",
+    "d07w_lsh_cosine_portable",
 ]
 
 

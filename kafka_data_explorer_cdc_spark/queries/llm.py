@@ -537,6 +537,148 @@ def d07x_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_cosine_topk(em, queries, k=5, bits=8, tables=2)
 
 
+_D07W_DIM, _D07W_TABLES, _D07W_BITS = 64, 2, 8
+
+
+def _d07w_parity_const(t: int, b: int) -> int:
+    return t * 131071 + b * 524287
+
+
+def _d07w_fold_sql(t: int, b: int, vec: str) -> str:
+    c = _d07w_parity_const(t, b)
+    return (
+        f"list_reduce(list_transform(generate_series(0, {_D07W_DIM - 1}), "
+        f"i -> CASE WHEN (({c} + i * 8191) % 1000003) % 2 = 0 "
+        f"THEN CAST({vec}[i + 1] AS DOUBLE) "
+        f"ELSE -CAST({vec}[i + 1] AS DOUBLE) END), (p, q) -> p + q)"
+    )
+
+
+def _d07w_sig_sql(t: int, vec: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_d07w_fold_sql(t, b, vec)} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_D07W_BITS)
+    )
+
+
+_D07W_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, 0 AS tbl, {_d07w_sig_sql(0, "embedding")} AS sig FROM embeddings
+  UNION ALL
+  SELECT vec_id, 1, {_d07w_sig_sql(1, "embedding")} FROM embeddings
+), cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM sig q JOIN sig c
+    ON q.tbl = c.tbl AND q.sig = c.sig AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+), n AS (
+  SELECT vec_id, embedding, sqrt({_NORMSQ.format(a="embedding")}) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT cand.q_id, cand.c_id,
+         {_DOT.format(a="q.embedding", b="c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.c_id
+)
+SELECT q_id, c_id, cosine, rn AS rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@query("d07w_lsh_cosine_portable", oracle=_D07W_ORACLE, tags=("llm", "similarity"))
+def d07w_lsh_cosine_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5 with engine-portable DETERMINISTIC ±1
+    planes, hash-exact against DuckDB: plane entry signs come from an
+    integer parity function of (table, bit, dim), so the signature dot
+    products are sequential folds both engines compute bit-identically
+    (the Spark fold seeds from element 0 to mirror list_reduce exactly).
+    Candidates = bucket collisions on either of 2×8-bit signatures;
+    exact cosine re-rank with the d07 fold. This pins the full ANN
+    pipeline — signature → bucket-join candidates → re-rank — to an
+    independent engine; d07x keeps the Gaussian-plane production path
+    whose recall is tested against brute force. ±1 (Rademacher) planes
+    are themselves a standard LSH choice, not a test-only hack."""
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def fold(t: int, b: int):
+        c = _d07w_parity_const(t, b)
+        arr = F.transform(
+            F.sequence(F.lit(0), F.lit(_D07W_DIM - 1)),
+            lambda i: F.when(
+                ((F.lit(c) + i * F.lit(8191)) % F.lit(1000003)) % 2 == 0,
+                F.element_at(F.col("embedding"), i + 1).cast("double"),
+            ).otherwise(-F.element_at(F.col("embedding"), i + 1).cast("double")),
+        )
+        # seed from element 0, fold the rest — exactly list_reduce
+        return F.aggregate(
+            F.slice(arr, 2, _D07W_DIM - 1),
+            F.element_at(arr, 1),
+            lambda acc, x: acc + x,
+        )
+
+    def sig(t: int):
+        out = None
+        for b in range(_D07W_BITS):
+            bit = F.when(fold(t, b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            out = bit if out is None else out + bit
+        return out.alias("sig")
+
+    sigs = None
+    for t in range(_D07W_TABLES):
+        part = em.select("vec_id", F.lit(t).alias("tbl"), sig(t))
+        sigs = part if sigs is None else sigs.unionByName(part)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    q, c = sigs.alias("q"), sigs.alias("c")
+    cand = (
+        q.filter(F.col("q.vec_id") < 20)
+        .join(
+            c,
+            (F.col("q.tbl") == F.col("c.tbl"))
+            & (F.col("q.sig") == F.col("c.sig"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(F.col("q.vec_id").alias("q_id"), F.col("c.vec_id").alias("c_id"))
+        .distinct()
+    )
+    n = em.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(S._norm_sq(F.col("embedding"))).alias("nrm"),
+    )
+    scored = (
+        cand.join(
+            n.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+                F.col("nrm").alias("q_nrm"),
+            ),
+            "q_id",
+        )
+        .join(
+            n.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_vec"),
+                F.col("nrm").alias("c_nrm"),
+            ),
+            "c_id",
+        )
+        .withColumn(
+            "cosine",
+            S._dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
 @query("d07y_ivf_cosine_topk", oracle=None, tags=("llm", "similarity", "approx"))
 def d07y_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (B18 partition-pruned scale path): corpus bucketed
