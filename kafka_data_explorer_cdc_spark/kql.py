@@ -563,11 +563,25 @@ class _Parser:
             raise ValueError(f"KQL: unsupported aggregate {fn!r}")
         self.expect("(")
         col = None
+        default_alias = fn
         if not self.accept(")"):
-            col = self.next().text
+            # full expression argument (sum(a * b), avg(iff(...)), …);
+            # a bare identifier keeps the fn_col default alias
+            t0 = self.peek()
+            col = self.expr()
+            if (
+                t0 is not None
+                and t0.kind == "word"
+                and self.peek()
+                and self.peek().text == ")"
+                and self.toks[self.i - 1] is t0
+            ):
+                default_alias = f"{fn}_{t0.text}"
+            else:
+                default_alias = f"{fn}_"
             self.expect(")")
         agg = _AGGS[fn](col)
-        return agg.alias(name or (f"{fn}_{col}" if col else fn))
+        return agg.alias(name or default_alias)
 
     def ident_list(self) -> list[str]:
         names = [self.next().text]

@@ -475,3 +475,19 @@ def test_union_and_regex_predicates(spark):
     assert sorted(r["id"] for r in got.collect()) == [1, 2]
     with pytest.raises(ValueError, match="union operand"):
         kql("A | union Nope", t)
+
+
+def test_aggregate_over_expression(spark):
+    df = spark.createDataFrame(
+        [("a", 2, 3), ("a", 4, 5), ("b", 1, 10)], "g string, x int, y int"
+    )
+    got = {
+        r["g"]: r["t"]
+        for r in kql(
+            "T | summarize t = sum(x * y) by g", {"T": df}
+        ).collect()
+    }
+    assert got == {"a": 26, "b": 10}
+    # bare-identifier default alias is preserved
+    out = kql("T | summarize sum(x) by g", {"T": df})
+    assert "sum_x" in out.columns
