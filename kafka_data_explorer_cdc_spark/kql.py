@@ -77,7 +77,7 @@ _TOKEN_RE = re.compile(
         (?P<dur>\d+(?:ms|[smhd])\b)
       | (?P<num>\d+\.\d+|\d+)
       | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-      | (?P<op><=|>=|!=|==|=~|!~|\.\.|[|=+\-*/%(),<>.])
+      | (?P<op><=|>=|!=|==|=~|!~|\.\.|[|=+\-*/%(),<>.:\[\]])
       | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
     re.VERBOSE,
@@ -133,11 +133,15 @@ class _Parser:
         toks: list[_Tok],
         now: str | None = None,
         lets: dict[str, object] | None = None,
+        vars: dict[str, Column] | None = None,
     ):
         self.toks = toks
         self.i = 0
         self.now = now
         self.lets = lets or {}
+        # name -> Column bindings that shadow table columns; used by
+        # mv-apply to bind the array-element lambda variable
+        self.vars = vars or {}
 
     def peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -321,6 +325,8 @@ class _Parser:
             # scalar function call, e.g. strlen(x), tolower(x)
             if self.peek() and self.peek().text == "(":
                 return self._postfix(self._scalar_fn(low))
+            if t.text in self.vars:
+                return self.vars[t.text]
             if t.text in self.lets:
                 return F.lit(self.lets[t.text])
             return F.col(t.text)
@@ -374,8 +380,46 @@ class _Parser:
         "toint": lambda c: c.cast("int"),
         "tolong": lambda c: c.cast("long"),
         "todouble": lambda c: c.cast("double"),
+        "toreal": lambda c: c.cast("double"),
+        "tobool": lambda c: c.cast("boolean"),
+        "todatetime": lambda c: c.cast("timestamp"),
         "round": F.round,
         "abs": F.abs,
+        "floor": F.floor,
+        "ceiling": F.ceil,
+        "exp": F.exp,
+        "log": F.log,  # natural log, as in Kusto
+        "log10": F.log10,
+        "log2": F.log2,
+        "sqrt": F.sqrt,
+        "pow": F.pow,
+        "sign": F.signum,
+        "reverse": F.reverse,
+        "strrep": lambda c, n: F.repeat(c, n),
+        # replace_string is plain-text (not regex) replacement — exactly
+        # Spark's `replace`; all three arguments may be expressions
+        "replace_string": lambda s, a, b: F.replace(s, a, b),
+        "array_length": F.size,
+        "array_min": F.array_min,
+        "array_max": F.array_max,
+        "array_concat": lambda *cs: F.concat(*cs),
+        # JVM fold — sums element-wise without exploding (double result;
+        # Kusto's dynamic arithmetic is double-typed for reals anyway)
+        "array_sum": lambda c: F.aggregate(
+            c, F.lit(0.0), lambda a, x: a + x.cast("double")
+        ),
+        "dayofmonth": F.dayofmonth,
+        "monthofyear": F.month,
+        "getyear": F.year,
+        "hourofday": F.hour,
+        "startofday": lambda c: F.date_trunc("day", c),
+        "startofmonth": lambda c: F.date_trunc("month", c),
+        "startofyear": lambda c: F.date_trunc("year", c),
+        # Kusto weeks start on Sunday (Spark's date_trunc uses Monday),
+        # so anchor on dayofweek (1 = Sunday) instead
+        "startofweek": lambda c: F.date_sub(
+            c, F.dayofweek(c) - F.lit(1)
+        ).cast("timestamp"),
         # iff/iif: Kusto's ternary — a single when/otherwise
         "iff": lambda c, a, b: F.when(c, a).otherwise(b),
         "iif": lambda c, a, b: F.when(c, a).otherwise(b),
@@ -404,11 +448,98 @@ class _Parser:
                 else F.current_timestamp()
             )
             return anchor - F.expr(f"INTERVAL {secs} SECOND")
-        if name == "parse_json":
+        if name == "now":
+            # now(): same injectable anchor as ago() so differential
+            # replays stay deterministic
+            self.expect("(")
+            self.expect(")")
+            return (
+                F.lit(self.now).cast("timestamp")
+                if self.now is not None
+                else F.current_timestamp()
+            )
+        if name in ("parse_json", "todynamic"):
             self.expect("(")
             e = self.expr()
             self.expect(")")
             return _DynamicJson(e)
+        if name == "split":
+            # split(source, 'delimiter') — Kusto's delimiter is a plain
+            # string, Spark's is a regex, so escape it
+            self.expect("(")
+            src = self.expr()
+            self.expect(",")
+            d = self.next()
+            if d.kind != "str":
+                raise ValueError("KQL: split() needs a string-literal delimiter")
+            self.expect(")")
+            return F.split(src, re.escape(d.text[1:-1]))
+        if name == "indexof":
+            # indexof(source, 'lookup') — Kusto is 0-based with -1 for
+            # no match; instr is 1-based with 0, so shift by one
+            self.expect("(")
+            src = self.expr()
+            self.expect(",")
+            sub = self.next()
+            if sub.kind != "str":
+                raise ValueError("KQL: indexof() needs a string-literal lookup")
+            self.expect(")")
+            return (F.instr(src, sub.text[1:-1]) - F.lit(1)).cast("long")
+        if name == "countof":
+            # countof(source, 'search'): occurrence count via the length
+            # delta of a full plain-text erase — one JVM expression
+            self.expect("(")
+            src = self.expr()
+            self.expect(",")
+            sub = self.next()
+            if sub.kind != "str":
+                raise ValueError("KQL: countof() needs a string-literal search")
+            self.expect(")")
+            needle = sub.text[1:-1]
+            if not needle:
+                raise ValueError("KQL: countof() search must be non-empty")
+            erased = F.replace(src, F.lit(needle), F.lit(""))
+            return (
+                (F.length(src) - F.length(erased)) / F.lit(len(needle))
+            ).cast("long")
+        if name == "datetime_part":
+            # datetime_part('part', ts) — compile the literal part name
+            # to Spark's date_part field
+            self.expect("(")
+            part = self.next()
+            if part.kind != "str":
+                raise ValueError("KQL: datetime_part() needs a literal part name")
+            self.expect(",")
+            src = self.expr()
+            self.expect(")")
+            field = {
+                "year": "YEAR",
+                "quarter": "QUARTER",
+                "month": "MONTH",
+                "week_of_year": "WEEK",
+                "day": "DAY",
+                "dayofyear": "DOY",
+                "hour": "HOUR",
+                "minute": "MINUTE",
+                "second": "SECOND",
+            }.get(part.text[1:-1].lower())
+            if field is None:
+                raise ValueError(
+                    f"KQL: unsupported datetime_part {part.text!r}"
+                )
+            return F.date_part(F.lit(field), src).cast("long")
+        if name == "trim":
+            # trim('regex', source): strip leading+trailing matches, as
+            # in Kusto (the plain-whitespace form is trim('\\s', x))
+            self.expect("(")
+            rxt = self.next()
+            if rxt.kind != "str":
+                raise ValueError("KQL: trim() needs a string-literal regex")
+            self.expect(",")
+            src = self.expr()
+            self.expect(")")
+            rx = rxt.text[1:-1]
+            return F.regexp_replace(src, f"^(?:{rx})+|(?:{rx})+$", "")
         if name == "bin":
             # bin(expr, size): floor to a timestamp bucket (duration
             # literal: 1h, 30m, ...) or a numeric bucket. Compiles to
@@ -656,6 +787,238 @@ _JOIN_KINDS = {
 }
 
 
+def _parse_rhs_and_keys(
+    rest: str,
+    tables: dict[str, DataFrame],
+    now: str | None,
+    lets: dict[str, object] | None,
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Parse ``( Subquery | ... ) on keys`` / ``T on keys`` — the right
+    side and key list shared by ``join`` and ``lookup``. Keys are
+    ``on col[, col...]`` or ``on $left.a == $right.b[, ...]``."""
+    if rest.startswith("("):
+        masked = _mask(rest)
+        depth = 0
+        end = -1
+        for i, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise ValueError(f"KQL: unbalanced parens in join: {rest!r}")
+        right = kql(rest[1:end].strip(), tables, now=now, _lets=lets)
+        rest = rest[end + 1:].lstrip()
+    else:
+        m2 = re.match(r"[A-Za-z_]\w*", rest)
+        if not m2 or m2.group() not in tables:
+            raise ValueError(
+                f"KQL: join right side must be a known table or a "
+                f"parenthesized subquery, got {rest[:30]!r}"
+            )
+        right = tables[m2.group()]
+        rest = rest[m2.end():].lstrip()
+
+    if not re.match(r"on\b", rest, re.I):
+        raise ValueError(f"KQL: join requires an 'on' clause: {rest!r}")
+    keys: list[tuple[str, str]] = []
+    for item in _split_top(rest[2:], ","):
+        m3 = re.fullmatch(
+            r"\$left\.([A-Za-z_]\w*)\s*==\s*\$right\.([A-Za-z_]\w*)", item
+        )
+        if m3:
+            keys.append((m3.group(1), m3.group(2)))
+        elif re.fullmatch(r"[A-Za-z_]\w*", item):
+            keys.append((item, item))
+        else:
+            raise ValueError(f"KQL: cannot parse join key {item!r}")
+    if not keys:
+        raise ValueError("KQL: join needs at least one key")
+    return right, keys
+
+
+def _compile_lookup(
+    left: DataFrame,
+    stage: str,
+    tables: dict[str, DataFrame],
+    now: str | None,
+    lets: dict[str, object] | None = None,
+) -> DataFrame:
+    """``lookup [kind=leftouter|inner] (Dim) on keys`` — Kusto's
+    dimension-table join. Differences from ``join`` are exactly Kusto's:
+    the right side is a DIMENSION table (small by contract), the right
+    key columns are not duplicated into the output, and only
+    ``leftouter`` (default) / ``inner`` flavors exist.
+
+    The dimension contract is also the scale contract, so the right side
+    is explicitly broadcast: at 100 TB the fact side never shuffles —
+    every executor gets the dim table and the lookup is a map-side hash
+    probe. Name clashes on non-key columns raise (as in Kusto) rather
+    than silently renaming."""
+    m = re.match(r"lookup\b\s*(?:kind\s*=\s*([A-Za-z]+)\s*)?", stage, re.I)
+    kind = (m.group(1) or "leftouter").lower()
+    if kind not in ("leftouter", "inner"):
+        raise ValueError(
+            f"KQL: lookup supports kind=leftouter|inner, got {kind!r}"
+        )
+    right, keys = _parse_rhs_and_keys(stage[m.end():].lstrip(), tables, now, lets)
+    right_keys = {rk for _, rk in keys}
+    clashes = (set(right.columns) - right_keys) & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"KQL: lookup right side re-defines columns {sorted(clashes)}; "
+            f"project them away or rename first"
+        )
+    l, r = left.alias("__l"), right.alias("__r")
+    cond = None
+    for lk, rk in keys:
+        c = F.col(f"__l.{lk}") == F.col(f"__r.{rk}")
+        cond = c if cond is None else (cond & c)
+    joined = l.join(
+        F.broadcast(r), cond, "left" if kind == "leftouter" else "inner"
+    )
+    keep = [F.col(f"__l.{c}") for c in left.columns] + [
+        F.col(f"__r.{c}") for c in right.columns if c not in right_keys
+    ]
+    return joined.select(*keep)
+
+
+_TYPEOF = {
+    "real": "double",
+    "double": "double",
+    "long": "long",
+    "int": "int",
+    "string": "string",
+    "bool": "boolean",
+    "datetime": "timestamp",
+}
+
+
+def _compile_mv_apply(
+    df: DataFrame,
+    stage: str,
+    now: str | None,
+    lets: dict[str, object] | None,
+) -> DataFrame:
+    """``mv-apply x = arrcol [to typeof(T)] on ( where ... [| where ...]
+    [| summarize name = agg(expr), ...] )`` — Kusto's per-record
+    sub-pipeline over a dynamic array.
+
+    Spark-first compilation: the sub-pipeline never expands the array
+    into rows. ``where`` stages become JVM ``filter()`` higher-order
+    functions and ``summarize`` becomes ``aggregate``/``size``/
+    ``array_min``/``array_max`` folds over the (filtered, transformed)
+    array — the per-record grouping Kusto re-aggregates after its
+    expansion is FREE here because the record never stopped being one
+    row. Zero shuffle, zero explode for the summarize form; the
+    where-only form appends one ``explode`` of the surviving elements
+    (still shuffle-free). At 100 TB this is the difference between a
+    narrow map stage and exploding 64× the corpus through an exchange."""
+    m = re.match(
+        r"mv-apply\s+([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*"
+        r"(?:to\s+typeof\s*\(\s*([A-Za-z]+)\s*\)\s*)?on\s*\(",
+        stage,
+        re.I,
+    )
+    if not m:
+        raise ValueError(
+            "KQL: mv-apply needs 'x = arraycol [to typeof(T)] on (...)'"
+        )
+    var, srccol, ty = m.group(1), m.group(2), m.group(3)
+    rest = stage[m.end() - 1:]
+    masked = _mask(rest)
+    depth, end = 0, -1
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end < 0 or rest[end + 1:].strip():
+        raise ValueError(f"KQL: malformed mv-apply 'on (...)': {stage!r}")
+    body = rest[1:end].strip()
+
+    arr = F.col(srccol)
+    if ty:
+        sty = _TYPEOF.get(ty.lower())
+        if sty is None:
+            raise ValueError(f"KQL: unsupported typeof({ty})")
+        arr = F.transform(arr, lambda e: e.cast(sty))
+
+    def elem_expr(text: str):
+        # re-parse per call: the element Column exists only inside the
+        # enclosing higher-order-function lambda
+        return lambda e: _Parser(
+            _tokenize(text), now=now, lets=lets, vars={var: e}
+        ).expr()
+
+    sub_stages = [s.strip() for s in _split_top(body, "|")]
+    summarize_text = None
+    for si, sub in enumerate(sub_stages):
+        head = re.match(r"[A-Za-z_]\w*", sub)
+        verb = head.group().lower() if head else ""
+        if verb == "where":
+            arr = F.filter(arr, elem_expr(sub[head.end():]))
+        elif verb == "summarize":
+            if si != len(sub_stages) - 1:
+                raise ValueError(
+                    "KQL: mv-apply summarize must be the last sub-stage"
+                )
+            summarize_text = sub[head.end():]
+        else:
+            raise ValueError(
+                f"KQL: mv-apply sub-pipeline supports where/summarize, "
+                f"got {sub[:30]!r}"
+            )
+
+    if summarize_text is None:
+        return df.withColumn(var, F.explode(arr))
+
+    out = df
+    for item in _split_top(summarize_text, ","):
+        mi = re.fullmatch(
+            r"(?:([A-Za-z_]\w*)\s*=\s*)?([A-Za-z_]\w*)\s*\((.*)\)", item.strip()
+        )
+        if not mi:
+            raise ValueError(f"KQL: cannot parse mv-apply aggregate {item!r}")
+        name, fn, argtext = mi.group(1), mi.group(2).lower(), mi.group(3).strip()
+        if fn == "count":
+            if argtext:
+                raise ValueError("KQL: mv-apply count() takes no argument")
+            col = F.size(arr).cast("long")
+            name = name or "count_"
+        else:
+            if not argtext:
+                raise ValueError(f"KQL: mv-apply {fn}() needs an argument")
+            vals = F.transform(arr, elem_expr(argtext))
+            dsum = F.aggregate(
+                vals, F.lit(0.0), lambda a, x: a + x.cast("double")
+            )
+            nonempty = F.size(vals) > 0
+            if fn == "sum":
+                col = dsum
+            elif fn == "avg":
+                col = F.when(nonempty, dsum / F.size(vals))
+            elif fn == "min":
+                col = F.array_min(vals)
+            elif fn == "max":
+                col = F.array_max(vals)
+            else:
+                raise ValueError(
+                    f"KQL: mv-apply supports count/sum/avg/min/max, got {fn!r}"
+                )
+            name = name or (
+                f"{fn}_{argtext}" if re.fullmatch(r"\w+", argtext) else f"{fn}_"
+            )
+        out = out.withColumn(name, col)
+    return out
+
+
 def _compile_join(
     left: DataFrame,
     stage: str,
@@ -681,49 +1044,7 @@ def _compile_join(
     kind = (m.group(1) or "innerunique").lower()
     if kind not in _JOIN_KINDS:
         raise ValueError(f"KQL: unsupported join kind {kind!r}")
-    rest = stage[m.end():].lstrip()
-
-    if rest.startswith("("):
-        masked = _mask(rest)
-        depth = 0
-        end = -1
-        for i, ch in enumerate(masked):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    end = i
-                    break
-        if end < 0:
-            raise ValueError(f"KQL: unbalanced parens in join: {stage!r}")
-        right = kql(rest[1:end].strip(), tables, now=now, _lets=lets)
-        rest = rest[end + 1:].lstrip()
-    else:
-        m2 = re.match(r"[A-Za-z_]\w*", rest)
-        if not m2 or m2.group() not in tables:
-            raise ValueError(
-                f"KQL: join right side must be a known table or a "
-                f"parenthesized subquery, got {rest[:30]!r}"
-            )
-        right = tables[m2.group()]
-        rest = rest[m2.end():].lstrip()
-
-    if not re.match(r"on\b", rest, re.I):
-        raise ValueError(f"KQL: join requires an 'on' clause: {stage!r}")
-    keys: list[tuple[str, str]] = []
-    for item in _split_top(rest[2:], ","):
-        m3 = re.fullmatch(
-            r"\$left\.([A-Za-z_]\w*)\s*==\s*\$right\.([A-Za-z_]\w*)", item
-        )
-        if m3:
-            keys.append((m3.group(1), m3.group(2)))
-        elif re.fullmatch(r"[A-Za-z_]\w*", item):
-            keys.append((item, item))
-        else:
-            raise ValueError(f"KQL: cannot parse join key {item!r}")
-    if not keys:
-        raise ValueError("KQL: join needs at least one key")
+    right, keys = _parse_rhs_and_keys(stage[m.end():].lstrip(), tables, now, lets)
 
     if kind == "innerunique":
         left = left.dropDuplicates([lk for lk, _ in keys])
@@ -761,6 +1082,175 @@ def _compile_join(
         c = F.col(f"__l.{lk}") == F.col(f"__r.{renamed.get(rk, rk)}")
         cond = c if cond is None else (cond & c)
     return l.join(r, cond, spark_kind)
+
+
+def _session(tables: dict[str, DataFrame]):
+    if tables:
+        return next(iter(tables.values())).sparkSession
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("KQL: no table bindings and no active SparkSession")
+    return spark
+
+
+def _compile_source(
+    stage: str,
+    tables: dict[str, DataFrame],
+    now: str | None,
+    lets: dict[str, object] | None,
+) -> DataFrame:
+    """Tabular source operators that generate rows instead of reading a
+    binding: ``print``, ``range``, ``datatable``.
+
+    - ``print [name =] expr, ...`` — one row of computed scalars.
+    - ``range x from a to b step s`` — inclusive arithmetic sequence
+      (numeric, or datetime with a duration step). Compiles to
+      ``spark.range(n)`` + affine projection: the sequence is
+      GENERATED per-partition on executors, never materialized on the
+      driver, so a billion-row range is a parallel source, not a
+      literal.
+    - ``datatable (name: type, ...) [v, v, ...]`` — inline literal
+      table (driver-side by definition; bounded by the query text)."""
+    spark = _session(tables)
+    p = _Parser(_tokenize(stage), now=now, lets=lets)
+    verb = p.next().text.lower()
+    if verb == "print":
+        cols = []
+        while True:
+            name = None
+            t = p.peek()
+            if (
+                t is not None
+                and t.kind == "word"
+                and p.toks[p.i + 1 : p.i + 2]
+                and p.toks[p.i + 1].text == "="
+            ):
+                name = p.next().text
+                p.next()
+            cols.append(p.expr().alias(name or f"print_{len(cols)}"))
+            if not p.accept(","):
+                break
+        return spark.range(1).select(*cols)
+    if verb == "range":
+        name = p.next().text
+        if p.next().text.lower() != "from":
+            raise ValueError("KQL: range needs 'from'")
+        t0 = p.peek()
+        if t0 is not None and (
+            t0.kind == "str" or t0.text.lower() == "datetime"
+        ):
+            start_s = p._datetime_literal()
+            if p.next().text.lower() != "to":
+                raise ValueError("KQL: range needs 'to'")
+            end_s = p._datetime_literal()
+            if p.next().text.lower() != "step":
+                raise ValueError("KQL: range needs 'step'")
+            st = p.next()
+            if st.kind != "dur":
+                raise ValueError("KQL: datetime range needs a duration step")
+            secs = int(p._duration_seconds(st.text))
+            from datetime import datetime, timezone
+
+            a = int(
+                datetime.fromisoformat(start_s)
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+            b = int(
+                datetime.fromisoformat(end_s)
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+            n = max(0, (b - a) // secs + 1)
+            return spark.range(n).select(
+                F.timestamp_seconds(F.lit(a) + F.col("id") * F.lit(secs)).alias(
+                    name
+                )
+            )
+        a = p._literal_value()
+        if p.next().text.lower() != "to":
+            raise ValueError("KQL: range needs 'to'")
+        b = p._literal_value()
+        if p.next().text.lower() != "step":
+            raise ValueError("KQL: range needs 'step'")
+        s = p._literal_value()
+        if s <= 0:
+            raise ValueError("KQL: range step must be positive")
+        n = max(0, int((b - a) // s) + 1)
+        out = spark.range(n).select(
+            (F.lit(a) + F.col("id") * F.lit(s)).alias(name)
+        )
+        return out
+    # datatable (name: type, ...) [ v1, v2, ... ]
+    p.expect("(")
+    names: list[str] = []
+    types: list[str] = []
+    while True:
+        names.append(p.next().text)
+        p.expect(":")
+        ty = p.next().text.lower()
+        if ty not in _TYPEOF:
+            raise ValueError(f"KQL: unsupported datatable type {ty!r}")
+        types.append(_TYPEOF[ty])
+        if not p.accept(","):
+            break
+    p.expect(")")
+    p.expect("[")
+    vals: list[object] = []
+    while not p.accept("]"):
+        neg = p.accept("-")
+        t = p.next()
+        if t.kind == "num":
+            v = float(t.text) if "." in t.text else int(t.text)
+            vals.append(-v if neg else v)
+        elif neg:
+            raise ValueError("KQL: '-' only precedes numeric datatable literals")
+        elif t.kind == "str":
+            vals.append(t.text[1:-1])
+        elif t.kind == "word" and t.text.lower() in ("true", "false"):
+            vals.append(t.text.lower() == "true")
+        elif t.kind == "word" and t.text.lower() == "datetime":
+            p.expect("(")
+            inner = p.next()
+            p.expect(")")
+            vals.append(inner.text[1:-1])
+        else:
+            raise ValueError(f"KQL: datatable literal expected, got {t.text!r}")
+        p.accept(",")
+    if len(vals) % len(names) != 0:
+        raise ValueError(
+            f"KQL: datatable has {len(vals)} values for {len(names)} columns"
+        )
+
+    def coerce(v, t):
+        if v is None:
+            return None
+        if t == "double":
+            return float(v)
+        if t in ("int", "long"):
+            return int(v)
+        if t == "boolean":
+            return bool(v)
+        return str(v)
+
+    rows = [
+        tuple(
+            coerce(v, t)
+            for v, t in zip(vals[i : i + len(names)], types)
+        )
+        for i in range(0, len(vals), len(names))
+    ]
+    schema = ", ".join(
+        f"{n} {'string' if t == 'timestamp' else t}"
+        for n, t in zip(names, types)
+    )
+    df = spark.createDataFrame(rows, schema)
+    for n, t in zip(names, types):
+        if t == "timestamp":
+            df = df.withColumn(n, F.col(n).cast("timestamp"))
+    return df
 
 
 def kql(
@@ -806,9 +1296,17 @@ def kql(
     if not stages:
         raise ValueError("KQL: empty query")
     table = stages[0]
-    if table not in tables:
+    src_head = re.match(r"[A-Za-z_]\w*", table)
+    if (
+        table not in tables
+        and src_head
+        and src_head.group().lower() in ("print", "range", "datatable")
+    ):
+        df = _compile_source(table, tables, now, lets)
+    elif table not in tables:
         raise ValueError(f"KQL: unknown table {table!r}")
-    df = tables[table]
+    else:
+        df = tables[table]
     render = None
 
     for stage in stages[1:]:
@@ -819,6 +1317,12 @@ def kql(
             # stage-level compile: the parenthesized right side is a
             # full sub-pipeline, not an expression
             df = _compile_join(df, stage, tables, now, lets)
+            continue
+        if head and head.group().lower() == "lookup":
+            df = _compile_lookup(df, stage, tables, now, lets)
+            continue
+        if head and head.group().lower() == "mv-apply":
+            df = _compile_mv_apply(df, stage, now, lets)
             continue
         if head and head.group().lower() == "union":
             # union T2 [, (Sub | ...), ...] — Kusto aligns columns by
@@ -882,6 +1386,39 @@ def kql(
                 if not p.accept(","):
                     break
             df = df.orderBy(*cols)
+        elif (
+            verb == "top"
+            and p.peek()
+            and p.peek().text == "-"
+            and p.toks[p.i + 1 : p.i + 2]
+            and p.toks[p.i + 1].text.lower() == "hitters"
+        ):
+            # top-hitters N of col [by valcol] — Kusto's heavy-hitters
+            # sketch. Compiled exactly (group + top-k) rather than
+            # approximately, the same deliberate exactness choice as
+            # dcount: one mergeable aggregate with map-side partials,
+            # then TakeOrderedAndProject — no sketch needed until the
+            # group cardinality itself is the bottleneck. Ties break on
+            # the key ascending for determinism.
+            p.next()
+            p.next()
+            n = int(p.next().text)
+            if p.next().text.lower() != "of":
+                raise ValueError("KQL: top-hitters needs 'of <column>'")
+            col = p.next().text
+            if p.accept("by"):
+                val = p.next().text
+                vname = f"approximate_sum_{val}"
+                agg = F.sum(val).alias(vname)
+            else:
+                vname = f"approximate_count_{col}"
+                agg = F.count("*").alias(vname)
+            df = (
+                df.groupBy(col)
+                .agg(agg)
+                .orderBy(F.desc(vname), F.asc(col))
+                .limit(n)
+            )
         elif verb == "top" and p.peek() and p.peek().text == "-":
             # top-nested N of col by [name =] agg() [, top-nested ...]
             # Hierarchical top-k: each level keeps the top N keys by its
@@ -1115,6 +1652,73 @@ def kql(
             df = df.select(*p.ident_list()).distinct()
         elif verb == "count":
             df = df.agg(F.count("*").alias("count_"))
+        elif verb == "search":
+            # search 'term' — case-insensitive containment over every
+            # string column (Kusto's unscoped search, restricted to the
+            # current tabular input). Compiles to one OR-chain of
+            # contains() probes: a single narrow scan, no UDF. Kusto
+            # resolves this against its term index; a columnar engine's
+            # equivalent is exactly this predicate (optionally behind a
+            # bloom/zonemap skip at rest).
+            t = p.next()
+            if t.kind != "str":
+                raise ValueError("KQL: search needs a string literal")
+            term = t.text[1:-1].lower()
+            from pyspark.sql.types import StringType
+
+            scols = [
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, StringType)
+            ]
+            if not scols:
+                raise ValueError("KQL: search found no string columns")
+            pred = None
+            for c in scols:
+                cc = F.lower(F.col(c)).contains(term)
+                pred = cc if pred is None else (pred | cc)
+            df = df.filter(pred)
+        elif verb == "getschema":
+            # metadata-only: one driver-side row per column, never a scan
+            rows = [
+                (f.name, i, f.dataType.simpleString())
+                for i, f in enumerate(df.schema.fields)
+            ]
+            df = df.sparkSession.createDataFrame(
+                rows, "ColumnName string, ColumnOrdinal int, DataType string"
+            )
+        elif verb == "evaluate":
+            # evaluate pivot(pivotCol [, agg(valueCol)]) — every other
+            # column is a group key, one output column per pivot value.
+            # Compiles to relational groupBy().pivot(): Spark first runs
+            # a bounded distinct-values job (spark.sql.pivotMaxValues
+            # caps it) to fix the output schema, then ONE aggregate pass
+            # with map-side partials — the Kusto-parity cost of not
+            # declaring the value list in the query text.
+            if p.next().text.lower() != "pivot":
+                raise ValueError("KQL: only 'evaluate pivot(...)' is supported")
+            p.expect("(")
+            pcol = p.next().text
+            if p.accept(","):
+                fn = p.next().text.lower()
+                if fn not in _AGGS:
+                    raise ValueError(f"KQL: unsupported pivot aggregate {fn!r}")
+                p.expect("(")
+                src = None
+                if not p.accept(")"):
+                    src = p.next().text
+                    p.expect(")")
+                # Pivot rejects count(*) — count a constant instead
+                agg = (
+                    F.count(F.lit(1))
+                    if fn == "count" and src is None
+                    else _AGGS[fn](src)
+                )
+            else:
+                fn, src = "count", None
+                agg = F.count(F.lit(1))
+            p.expect(")")
+            keys = [c for c in df.columns if c != pcol and c != src]
+            df = df.groupBy(*keys).pivot(pcol).agg(agg)
         elif verb == "render":
             # presentation hint (A17): the relational result is exactly
             # the preceding pipeline; the chart type is recorded on the

@@ -491,3 +491,158 @@ def test_aggregate_over_expression(spark):
     # bare-identifier default alias is preserved
     out = kql("T | summarize sum(x) by g", {"T": df})
     assert "sum_x" in out.columns
+
+
+def test_lookup(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 7.0), (3, 99, 2.0)], "oid int, cust int, amt double"
+    )
+    dim = spark.createDataFrame([(10, "A"), (20, "B")], "cust int, seg string")
+    t = {"O": orders, "D": dim}
+    out = kql("O | lookup D on cust", t)
+    assert out.columns == ["oid", "cust", "amt", "seg"]
+    rows = {r["oid"]: r["seg"] for r in out.collect()}
+    assert rows == {1: "A", 2: "A", 3: None}  # leftouter default
+    inner = kql("O | lookup kind=inner D on cust", t)
+    assert sorted(r["oid"] for r in inner.collect()) == [1, 2]
+    # $left/$right key form drops the right key too
+    dim2 = spark.createDataFrame([(10, "A")], "k int, seg string")
+    out2 = kql("O | lookup (D2) on $left.cust == $right.k", {**t, "D2": dim2})
+    assert out2.columns == ["oid", "cust", "amt", "seg"]
+    with pytest.raises(ValueError, match="re-defines"):
+        kql("O | lookup (D | project cust, amt = seg) on cust", t)
+
+
+def test_lookup_broadcasts(spark):
+    orders = spark.createDataFrame([(1, 10)], "oid int, cust int")
+    dim = spark.createDataFrame([(10, "A")], "cust int, seg string")
+    plan = kql(
+        "O | lookup D on cust", {"O": orders, "D": dim}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_evaluate_pivot(spark):
+    df = spark.createDataFrame(
+        [("p1", "F", 5.0), ("p1", "O", 7.0), ("p2", "F", 2.0)],
+        "pri string, status string, amt double",
+    )
+    out = kql("T | evaluate pivot(status, sum(amt))", {"T": df})
+    assert sorted(out.columns) == ["F", "O", "pri"]
+    rows = {r["pri"]: (r["F"], r["O"]) for r in out.collect()}
+    assert rows == {"p1": (5.0, 7.0), "p2": (2.0, None)}
+    cnt = kql("T | project pri, status | evaluate pivot(status)", {"T": df})
+    got = {r["pri"]: (r["F"], r["O"]) for r in cnt.collect()}
+    assert got == {"p1": (1, 1), "p2": (1, None)}
+
+
+def test_mv_apply(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 3.0]), (2, [-1.0, -1.0, 4.0]), (3, [])],
+        "id int, v array<double>",
+    )
+    out = kql(
+        "T | mv-apply e = v on (where e > 0 | summarize s = sum(e), "
+        "n = count(), mx = max(e), av = avg(e))",
+        {"T": df},
+    )
+    rows = {r["id"]: (r["s"], r["n"], r["mx"], r["av"]) for r in out.collect()}
+    assert rows[1] == (4.0, 2, 3.0, 2.0)
+    assert rows[2] == (4.0, 1, 4.0, 4.0)
+    assert rows[3] == (0.0, 0, None, None)
+    # where-only form expands surviving elements to rows, keeps source
+    exp = kql("T | mv-apply e = v on (where e > 0)", {"T": df})
+    assert sorted((r["id"], r["e"]) for r in exp.collect()) == [
+        (1, 1.0), (1, 3.0), (2, 4.0)]
+    # typeof cast + expression aggregate
+    iv = spark.createDataFrame([(1, [1, 2, 3])], "id int, v array<int>")
+    got = kql(
+        "T | mv-apply e = v to typeof(real) on (summarize s = sum(e * 2))",
+        {"T": iv},
+    ).collect()[0]
+    assert got["s"] == 12.0
+
+
+def test_mv_apply_plan_has_no_shuffle(spark):
+    # the summarize form must stay a narrow projection: no Exchange, no
+    # Generate (explode) in the plan
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id int, v array<double>")
+    plan = kql(
+        "T | mv-apply e = v on (where e > 0 | summarize s = sum(e))", {"T": df}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_search_and_top_hitters(spark):
+    df = spark.createDataFrame(
+        [(1, "Alice", "x"), (2, "bob", "ALICEy"), (3, "carol", "z")],
+        "id int, name string, tag string",
+    )
+    out = kql("T | search 'alice'", {"T": df})
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+    ev = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0), ("c", 5.0)], "k string, x double"
+    )
+    th = kql("T | top-hitters 2 of k by x", {"T": ev}).collect()
+    assert [(r["k"], r["approximate_sum_x"]) for r in th] == [("b", 10.0), ("c", 5.0)]
+    tc = kql("T | top-hitters 1 of k", {"T": ev}).collect()
+    assert [(r["k"], r["approximate_count_k"]) for r in tc] == [("a", 2)]
+
+
+def test_getschema(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, s string")
+    rows = kql("T | getschema", {"T": df}).collect()
+    assert [(r["ColumnName"], r["ColumnOrdinal"], r["DataType"]) for r in rows] == [
+        ("id", 0, "int"), ("s", 1, "string")]
+
+
+def test_source_generators(spark):
+    t = {"T": spark.range(1)}
+    out = kql("print x = 1 + 2, y = strcat('a', 'b')", t).collect()[0]
+    assert (out["x"], out["y"]) == (3, "ab")
+    r = kql("range x from 2 to 11 step 3", t)
+    assert [row["x"] for row in r.collect()] == [2, 5, 8, 11]
+    rd = kql(
+        "range d from datetime('2024-01-01 00:00:00') to "
+        "datetime('2024-01-02 00:00:00') step 12h | count",
+        t,
+    ).collect()[0]
+    assert rd["count_"] == 3
+    dt = kql(
+        "datatable (a: long, b: string, c: real) [1, 'x', 1.5, -2, 'y', 0.25] "
+        "| where a > 0",
+        t,
+    )
+    assert dt.collect() == [(1, "x", 1.5)]
+    # a binding that shadows a generator name still resolves as a table
+    named = {"range": spark.createDataFrame([(7,)], "z int")}
+    assert kql("range | count", named).collect()[0]["count_"] == 1
+
+
+def test_new_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("hello world", "2024-03-15 13:45:10")], "s string, t string"
+    ).withColumn("ts", F.col("t").cast("timestamp"))
+    out = kql(
+        "T | extend ix = indexof(s, 'o'), n = countof(s, 'o'), "
+        "rep = replace_string(s, 'l', 'L'), tr = trim('h|d', s), "
+        "wk = datetime_part('week_of_year', ts), sow = startofweek(ts)",
+        {"T": df},
+    )
+    r = out.collect()[0]
+    assert r["ix"] == 4 and r["n"] == 2
+    assert r["rep"] == "heLLo worLd"
+    assert r["tr"] == "ello worl"
+    assert r["wk"] == 11
+    assert str(r["sow"]) == "2024-03-10 00:00:00"
+    r2 = kql(
+        "T | extend sp = split(s, ' '), a = array_length(split(s, ' ')), "
+        "m = array_max(split('1,5,3', ',')), lg = log2(8.0), "
+        "sg = sign(0 - 3), fl = floor(2.9), ce = ceiling(2.1)",
+        {"T": df},
+    ).collect()[0]
+    assert list(r2["sp"]) == ["hello", "world"] and r2["a"] == 2
+    assert r2["m"] == "5" and r2["lg"] == 3.0 and r2["sg"] == -1.0
+    assert r2["fl"] == 2 and r2["ce"] == 3
+    anchored = kql("print d = now()", {"T": df}, now="2024-05-05 01:02:03")
+    assert str(anchored.collect()[0]["d"]) == "2024-05-05 01:02:03"
