@@ -29,6 +29,14 @@ _FRONT = [
     "k30_kql_percentile",
     "k31_kql_make_series",
     "k32_kql_top_nested",
+    "k33_kql_lookup",  # new in r3 — never driver-checked
+    "k34_kql_mv_apply",
+    "k35_kql_pivot",
+    "k36_kql_top_hitters",
+    "k37_kql_search",
+    "k38_kql_range_source",
+    "k39_kql_scalar_strings",
+    "k40_kql_datetime_scalars",
     "d04x_minhash_lsh_portable",
     "d06x_simhash_portable",
     "d07w_lsh_cosine_portable",

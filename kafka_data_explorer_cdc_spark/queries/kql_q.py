@@ -519,3 +519,212 @@ def k18_kql_time_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Events | summarize n = count() by t = bin(ts, 1h), event_type",
         {"Events": events},
     )
+
+
+@query(
+    "k33_kql_lookup",
+    oracle="""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("kql", "join"),
+)
+def k33_kql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lookup`` — Kusto's dimension-table join, compiled to an
+    explicitly broadcast left join (the dimension contract IS the scale
+    contract: the fact side never shuffles, every executor hash-probes
+    the dim). Right key columns are dropped from the output, as in
+    Kusto; plan test pins BroadcastHashJoin."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return kql(
+        "Customer"
+        " | lookup Nation on $left.c_nationkey == $right.n_nationkey"
+        " | summarize n_cust = count() by n_name",
+        {"Customer": c, "Nation": n},
+    )
+
+
+@query(
+    "k34_kql_mv_apply",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n,
+       CAST(list_max(list_filter(embedding, x -> x > 0)) AS DOUBLE) AS mx
+FROM embeddings
+""",
+    tags=("kql", "array"),
+)
+def k34_kql_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mv-apply`` — per-record sub-pipeline over a dynamic array.
+    Compiled WITHOUT the expand: ``where`` becomes a JVM higher-order
+    ``filter()`` over the array and the re-aggregation is an array fold
+    (``size``/``array_max``) — the row never stops being one row, so
+    the Kusto expand+regroup costs zero shuffle and zero explode. At
+    100 TB that is a narrow map stage vs 64× the corpus through an
+    exchange. Only order-independent aggregates (count/max) are used so
+    the float→double differential is bit-exact."""
+    em = load(spark, sf_dir, "embeddings")
+    return kql(
+        "Embeddings"
+        " | mv-apply e = embedding to typeof(real) on"
+        "   (where e > 0 | summarize n = count(), mx = max(e))"
+        " | project vec_id, n, mx",
+        {"Embeddings": em},
+    )
+
+
+@query(
+    "k35_kql_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("kql", "agg"),
+)
+def k35_kql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate pivot`` — one output column per pivot value. Spark
+    runs a bounded distinct-values job to fix the schema, then ONE
+    aggregate pass with map-side partials; the oracle declares the
+    status values (F/O/P) statically. Every priority×status cell is
+    populated at the tested SFs, so COUNT's 0-vs-NULL edge never
+    arises."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders | project o_orderpriority, o_orderstatus"
+        " | evaluate pivot(o_orderstatus)",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k36_kql_top_hitters",
+    oracle=f"""{_OI}
+SELECT city, CAST(SUM(amount) AS BIGINT) AS approximate_sum_amount
+FROM orders_info GROUP BY city
+ORDER BY approximate_sum_amount DESC, city LIMIT 3
+""",
+    tags=("kql", "reference", "agg"),
+)
+def k36_kql_top_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top-hitters`` — heavy-hitters over the reference's orders_info
+    feed. Compiled exactly (mergeable SUM with map-side partials, then
+    TakeOrderedAndProject) rather than approximately — the same
+    deliberate exactness choice as dcount; ties break on the key
+    ascending for a deterministic differential."""
+    return kql(
+        "Orders | top-hitters 3 of city by amount",
+        _orders(spark, sf_dir),
+    )
+
+
+@query(
+    "k37_kql_search",
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE lower(o_orderstatus) LIKE '%urgent%'
+   OR lower(o_orderpriority) LIKE '%urgent%'
+GROUP BY o_orderstatus
+""",
+    tags=("kql", "filter"),
+)
+def k37_kql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``search`` — unscoped case-insensitive containment over every
+    string column (here: o_orderstatus, o_orderpriority). Compiles to
+    one OR-chain of contains() probes — a single narrow scan, no UDF;
+    at rest this is exactly the predicate a bloom/zonemap skip
+    accelerates."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders | search 'urgent' | summarize n = count() by o_orderstatus",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k38_kql_range_source",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS s,
+       MAX(x) AS mx
+FROM generate_series(1, 100000, 7) t(x)
+""",
+    tags=("kql", "source"),
+)
+def k38_kql_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``range`` tabular source — the inclusive arithmetic sequence is
+    GENERATED on executors (``spark.range`` + affine projection), never
+    materialized on the driver: a billion-row range is a parallel
+    source, not a literal."""
+    return kql(
+        "range x from 1 to 100000 step 7"
+        " | summarize n = count(), s = sum(x), mx = max(x)",
+        {},
+    )
+
+
+@query(
+    "k39_kql_scalar_strings",
+    oracle="""
+SELECT o_orderkey,
+       CAST(strpos(o_orderpriority, '-') - 1 AS BIGINT) AS idx,
+       CAST(length(o_orderpriority)
+            - length(replace(o_orderpriority, 'E', '')) AS BIGINT) AS cnt,
+       replace(o_orderpriority, '-', '_') AS rep,
+       array_to_string(string_split(o_orderpriority, '-'), '~') AS parts,
+       regexp_replace(o_orderpriority, '^(?:[0-9-])+|(?:[0-9-])+$', '', 'g')
+         AS core
+FROM orders
+""",
+    tags=("kql", "scalar"),
+)
+def k39_kql_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-scalar surface: ``indexof`` (0-based, vs instr's 1-based),
+    ``countof`` (occurrence count via a length-delta erase — one JVM
+    expression, no UDF), ``replace_string`` (plain-text, not regex),
+    ``split`` + ``strcat_array`` round-trip, and regex ``trim``. All
+    whole-stage-codegen string expressions."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | extend idx = indexof(o_orderpriority, '-'),"
+        "   cnt = countof(o_orderpriority, 'E'),"
+        "   rep = replace_string(o_orderpriority, '-', '_'),"
+        "   parts = strcat_array(split(o_orderpriority, '-'), '~'),"
+        "   core = trim('[0-9-]', o_orderpriority)"
+        " | project o_orderkey, idx, cnt, rep, parts, core",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k40_kql_datetime_scalars",
+    oracle="""
+SELECT CAST(month(ts) AS BIGINT) AS m,
+       CAST(CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS TIMESTAMP)
+         AS w,
+       date_trunc('day', ts) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3
+""",
+    tags=("kql", "timeseries", "scalar"),
+)
+def k40_kql_datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-scalar surface: ``datetime_part`` (compiled to
+    ``date_part``), ``startofweek`` (Kusto weeks are SUNDAY-anchored —
+    Spark's ``date_trunc('week')`` is Monday-based, so the compiler
+    anchors on ``dayofweek`` instead; the oracle mirrors with DuckDB's
+    Sunday=0 ``dayofweek``), and ``startofday``."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | project m = datetime_part('month', ts), w = startofweek(ts),"
+        "   d = startofday(ts)"
+        " | summarize n = count() by m, w, d",
+        {"Events": events},
+    )
