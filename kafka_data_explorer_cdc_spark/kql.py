@@ -18,12 +18,19 @@ Supported (the reference's surface plus the obvious neighbors):
       | top N by col [asc|desc]
       | top-nested N of col by [name =] agg() [, top-nested ...]
         (hierarchical top-k; ties break on the key ascending)
+      | top-hitters N of col [by valcol]   (exact heavy-hitters)
       | take N  /  limit N
       | project col [= expr], ...
       | project-away col, ...  /  project-rename new = old, ...
+      | project-keep col, ...  /  project-reorder col, ...
       | parse Source with 'lit' Name 'lit' Name ...   (simple mode;
         compiles to one anchored regex, non-greedy captures)
+      | parse-where ...   (as parse, but non-matching rows are dropped)
       | extend name = expr, ...
+      | serialize [name = expr, ...]   (requires a prior sort; enables
+        row_number()/prev()/next()/row_cumsum() — also legal directly
+        after sort/top, whose output is serialized as in Kusto)
+      | as Name   (bind the pipeline state for later join/union stages)
       | make-series n = agg() [default = lit] on ts
           from 'ts' to 'ts' step 1h [by col, ...]   (dense per-group
           value arrays over uniform bins, gap-filled; JVM-only grid)
@@ -33,8 +40,18 @@ Supported (the reference's surface plus the obvious neighbors):
       | join [kind=K] ( Sub | ... ) on k [, ...]   (Kusto innerunique
         default; $left.a == $right.b key form; right-side name clashes
         get a '1' suffix)
+      | lookup [kind=leftouter|inner] Dim on k   (broadcast dim join)
+      | mv-apply x = arr [to typeof(T)] on ( where ... | summarize ... )
+        (per-record array sub-pipeline; compiled to higher-order
+        filter/fold — zero explode, zero shuffle for the summarize form)
       | union T2 [, ( Sub | ... ), ...]   (align by name, null-fill)
+      | search 'term'   (case-insensitive scan of every string column)
+      | getschema   (column metadata, no scan)
+      | evaluate pivot(col [, agg(val)])
       | render charttype [with (...)]   (must be last; presentation hint)
+
+    print / range / datatable tabular sources (range generates on
+    executors via spark.range — a parallel source, not a literal).
 
     let name = <scalar literal> ;  /  let name = T | ... ;   (named
     constants and tabular CTEs, visible to the query and join subqueries)
@@ -69,7 +86,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TOKEN_RE = re.compile(
@@ -134,6 +151,7 @@ class _Parser:
         now: str | None = None,
         lets: dict[str, object] | None = None,
         vars: dict[str, Column] | None = None,
+        win: list[Column] | None = None,
     ):
         self.toks = toks
         self.i = 0
@@ -142,6 +160,10 @@ class _Parser:
         # name -> Column bindings that shadow table columns; used by
         # mv-apply to bind the array-element lambda variable
         self.vars = vars or {}
+        # serialized row order (sort-key Columns) established by a
+        # preceding `sort by` / `top` — enables the serialized window
+        # functions (row_number/prev/next/row_cumsum); None = unordered
+        self.win = win
 
     def peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -326,16 +348,30 @@ class _Parser:
             if self.peek() and self.peek().text == "(":
                 return self._postfix(self._scalar_fn(low))
             if t.text in self.vars:
-                return self.vars[t.text]
+                return self._postfix(self.vars[t.text])
             if t.text in self.lets:
                 return F.lit(self.lets[t.text])
-            return F.col(t.text)
+            return self._postfix(F.col(t.text))
         raise ValueError(f"KQL: unexpected token {t.text!r}")
 
     def _postfix(self, e):
-        """``.field`` access after a function call — only meaningful on
-        ``parse_json`` results (dynamic property access)."""
-        while self.peek() and self.peek().text == ".":
+        """``.field`` / ``[idx]`` access after a function call —
+        dynamic property access on ``parse_json`` results, 0-based
+        element access on arrays (Kusto dynamic indexing)."""
+        while self.peek() and self.peek().text in (".", "["):
+            if self.peek().text == "[":
+                self.next()
+                t = self.next()
+                if t.kind != "num":
+                    raise ValueError(
+                        "KQL: array index must be a numeric literal"
+                    )
+                self.expect("]")
+                if isinstance(e, _DynamicJson):
+                    e = F.get_json_object(e.raw, f"$[{int(t.text)}]")
+                else:
+                    e = e.getItem(int(t.text))
+                continue
             self.next()
             name = self.next().text
             if isinstance(e, _DynamicJson):
@@ -540,6 +576,68 @@ class _Parser:
             self.expect(")")
             rx = rxt.text[1:-1]
             return F.regexp_replace(src, f"^(?:{rx})+|(?:{rx})+$", "")
+        if name in ("row_number", "prev", "next", "row_cumsum"):
+            # Kusto's serialized window functions. They are only legal
+            # over a serialized (row-ordered) input — in this subset
+            # that means after `sort by` / `top` (whose output Kusto
+            # likewise defines as serialized). Compiled to a Spark
+            # window over the recorded sort keys. SCALE NOTE: a global
+            # (un-partitioned) ordered window evaluates on a single
+            # task — identical to Kusto, whose serialized operators are
+            # single-node too; use these after a row-count-bounding
+            # stage (top / take / summarize) at 100 TB, not on the raw
+            # fact table.
+            if self.win is None:
+                raise ValueError(
+                    f"KQL: {name}() requires serialized input — "
+                    f"precede it with 'sort by' (or 'top')"
+                )
+            w = Window.orderBy(*self.win)
+            self.expect("(")
+            if name == "row_number":
+                start = None
+                if not self.accept(")"):
+                    t = self.next()
+                    if t.kind != "num":
+                        raise ValueError(
+                            "KQL: row_number() start index must be a "
+                            "numeric literal"
+                        )
+                    start = int(t.text)
+                    self.expect(")")
+                col = F.row_number().over(w).cast("long")
+                return col if start is None else col - F.lit(1) + F.lit(start)
+            if name == "row_cumsum":
+                e = self.expr()
+                self.expect(")")
+                return F.sum(e).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+            e = self.expr()
+            off, dflt = 1, None
+            if self.accept(","):
+                t = self.next()
+                if t.kind != "num":
+                    raise ValueError(
+                        f"KQL: {name}() offset must be a numeric literal"
+                    )
+                off = int(t.text)
+                if self.accept(","):
+                    neg = self.accept("-")
+                    d = self.next()
+                    if d.kind == "num":
+                        dflt = float(d.text) if "." in d.text else int(d.text)
+                        if neg:
+                            dflt = -dflt
+                    elif d.kind == "str" and not neg:
+                        dflt = d.text[1:-1]
+                    else:
+                        raise ValueError(
+                            f"KQL: {name}() default must be a literal"
+                        )
+            self.expect(")")
+            fn = F.lag if name == "prev" else F.lead
+            return fn(e, off, dflt).over(w)
         if name == "bin":
             # bin(expr, size): floor to a timestamp bucket (duration
             # literal: 1h, 30m, ...) or a numeric bucket. Compiles to
@@ -1307,7 +1405,11 @@ def kql(
         raise ValueError(f"KQL: unknown table {table!r}")
     else:
         df = tables[table]
+    tables = dict(tables)  # `as` adds bindings; never mutate the caller's
     render = None
+    # serialized row order (sort-key Columns) for the window functions;
+    # set by sort/top, preserved by row-local verbs, reset by the rest
+    ser: list[Column] | None = None
 
     for stage in stages[1:]:
         if render is not None:
@@ -1317,12 +1419,15 @@ def kql(
             # stage-level compile: the parenthesized right side is a
             # full sub-pipeline, not an expression
             df = _compile_join(df, stage, tables, now, lets)
+            ser = None
             continue
         if head and head.group().lower() == "lookup":
             df = _compile_lookup(df, stage, tables, now, lets)
+            ser = None
             continue
         if head and head.group().lower() == "mv-apply":
             df = _compile_mv_apply(df, stage, now, lets)
+            ser = None
             continue
         if head and head.group().lower() == "union":
             # union T2 [, (Sub | ...), ...] — Kusto aligns columns by
@@ -1344,8 +1449,9 @@ def kql(
                         f"parenthesized subquery, got {item!r}"
                     )
                 df = df.unionByName(other, allowMissingColumns=True)
+            ser = None
             continue
-        p = _Parser(_tokenize(stage), now=now, lets=lets)
+        p = _Parser(_tokenize(stage), now=now, lets=lets, win=ser)
         verb = p.next().text.lower()
         if verb == "mv" and p.peek() and p.peek().text == "-":
             p.next()
@@ -1357,12 +1463,28 @@ def kql(
             if p.next().text.lower() != "series":
                 raise ValueError("KQL: expected 'make-series'")
             verb = "make-series"
+        if verb == "parse" and p.peek() and p.peek().text == "-":
+            p.next()
+            if p.next().text.lower() != "where":
+                raise ValueError("KQL: expected 'parse-where'")
+            verb = "parse-where"
         if verb == "project" and p.peek() and p.peek().text == "-":
             p.next()
             sub = p.next().text.lower()
-            if sub not in ("away", "rename"):
+            if sub not in ("away", "rename", "keep", "reorder"):
                 raise ValueError(f"KQL: unsupported operator 'project-{sub}'")
             verb = f"project-{sub}"
+        # which verbs keep the serialized order: row-local transforms
+        # do; anything that re-groups, re-joins, or explodes does not.
+        # sort/top establish a NEW order below.
+        if verb not in (
+            "where", "extend", "serialize", "project", "project-away",
+            "project-rename", "project-keep", "project-reorder", "parse",
+            "parse-where", "take", "limit", "search", "as", "render",
+            "sort", "order", "top",
+        ):
+            ser = None
+            p.win = None
         if verb == "where":
             df = df.filter(p.expr())
         elif verb == "summarize":
@@ -1386,6 +1508,7 @@ def kql(
                 if not p.accept(","):
                     break
             df = df.orderBy(*cols)
+            ser = cols  # sort output is serialized, as in Kusto
         elif (
             verb == "top"
             and p.peek()
@@ -1492,6 +1615,7 @@ def kql(
             order = F.asc(c) if p.accept("asc") else F.desc(c)
             p.accept("desc")
             df = df.orderBy(order).limit(n)
+            ser = [order]  # top output is serialized, as in Kusto
         elif verb in ("take", "limit"):
             df = df.limit(int(p.next().text))
         elif verb == "project":
@@ -1597,7 +1721,39 @@ def kql(
                 df = df.withColumnRenamed(old, new)
                 if not p.accept(","):
                     break
-        elif verb == "parse":
+        elif verb == "project-keep":
+            # keep only the listed columns, in the TABLE's order (Kusto)
+            keep = set(p.ident_list())
+            df = df.select(*[c for c in df.columns if c in keep])
+        elif verb == "project-reorder":
+            # listed columns first, the rest in their existing order
+            names = p.ident_list()
+            named = set(names)
+            df = df.select(*names, *[c for c in df.columns if c not in named])
+        elif verb == "serialize":
+            # serialize marks row order as significant. A distributed
+            # engine has no implicit input order to freeze, so this
+            # subset requires the order to be explicit: a preceding
+            # `sort by` / `top`. With assignments it behaves like
+            # extend (window functions allowed).
+            if ser is None:
+                raise ValueError(
+                    "KQL: serialize needs an established row order in a "
+                    "distributed engine — precede it with 'sort by'"
+                )
+            if p.peek() is not None:
+                while True:
+                    name = p.next().text
+                    p.expect("=")
+                    df = df.withColumn(name, p.expr())
+                    if not p.accept(","):
+                        break
+        elif verb == "as":
+            # bind the current pipeline state to a name usable by later
+            # join/lookup/union stages (this query only — the caller's
+            # table dict is never mutated)
+            tables[p.next().text] = df
+        elif verb in ("parse", "parse-where"):
             # parse Source with 'lit' Name1 'lit' Name2 ... — Kusto's
             # simple-mode pattern extraction. Compiles to ONE anchored
             # regex with a non-greedy capture per name (last capture
@@ -1629,6 +1785,11 @@ def kql(
                     rx += "(.*)"  # trailing capture takes the rest
                 else:
                     rx += "(.*?)"
+            if verb == "parse-where":
+                # parse-where drops the rows the pattern rejects — one
+                # rlike probe with the same anchored regex, pushed as an
+                # ordinary filter (prunable, codegen'd)
+                df = df.filter(src.rlike(rx))
             for gi, cname in enumerate(names, start=1):
                 df = df.withColumn(cname, F.regexp_extract(src, rx, gi))
         elif verb == "extend":

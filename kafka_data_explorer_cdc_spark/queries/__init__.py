@@ -37,6 +37,8 @@ _FRONT = [
     "k38_kql_range_source",
     "k39_kql_scalar_strings",
     "k40_kql_datetime_scalars",
+    "k41_kql_serialized_windows",
+    "k42_kql_parse_where",
     "d04x_minhash_lsh_portable",
     "d06x_simhash_portable",
     "d07w_lsh_cosine_portable",

@@ -728,3 +728,61 @@ def k40_kql_datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | summarize n = count() by m, w, d",
         {"Events": events},
     )
+
+
+@query(
+    "k41_kql_serialized_windows",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn,
+       lag(o_totalprice) OVER (ORDER BY o_orderkey) AS prv,
+       CAST(SUM(o_orderkey) OVER (ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum
+FROM orders
+""",
+    tags=("kql", "window"),
+)
+def k41_kql_serialized_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto's serialized window functions — ``row_number``/``prev``/
+    ``row_cumsum`` after ``sort by`` (whose output is serialized, as in
+    Kusto). Compiled to a Spark window over the recorded sort keys.
+    SCALE NOTE: a global ordered window is a single task — identical to
+    Kusto's single-node serialized operators; at 100 TB use these after
+    a row-bounding stage (top/take/summarize), not on the raw fact
+    table. The sort key is unique, so lag/cumsum are deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders | sort by o_orderkey asc"
+        " | extend rn = row_number(), prv = prev(o_totalprice),"
+        "   cum = row_cumsum(o_orderkey)"
+        " | project o_orderkey, rn, prv, cum",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k42_kql_parse_where",
+    oracle=r"""
+SELECT string_split(o_orderpriority, '-')[1] AS head,
+       regexp_extract(o_orderpriority, '^(.*?)\-NOT (.*)', 2) AS rest,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE regexp_matches(o_orderpriority, '^(.*?)\-NOT (.*)')
+GROUP BY 1, 2
+""",
+    tags=("kql", "scalar", "filter"),
+)
+def k42_kql_parse_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse-where`` (pattern extraction that DROPS non-matching rows
+    — one rlike filter plus per-capture regexp_extract, all pushed
+    JVM expressions) composed with 0-based dynamic array indexing
+    (``split(x, '-')[0]`` compiles to ``getItem``)."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | extend head = split(o_orderpriority, '-')[0]"
+        " | parse-where o_orderpriority with num '-NOT ' rest"
+        " | summarize n = count() by head, rest",
+        {"Orders": orders},
+    )

@@ -646,3 +646,96 @@ def test_new_scalar_functions(spark):
     assert r2["fl"] == 2 and r2["ce"] == 3
     anchored = kql("print d = now()", {"T": df}, now="2024-05-05 01:02:03")
     assert str(anchored.collect()[0]["d"]) == "2024-05-05 01:02:03"
+
+
+def test_serialized_window_functions(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    )
+    out = kql(
+        "T | sort by k asc"
+        " | extend rn = row_number(), prv = prev(v), nxt = next(k, 1, -1),"
+        "   cum = row_cumsum(k)"
+        " | project k, rn, prv, nxt, cum",
+        {"T": df},
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert [rows[k]["rn"] for k in (1, 2, 3)] == [1, 2, 3]
+    assert rows[1]["prv"] is None and rows[2]["prv"] == 10.0
+    assert rows[3]["nxt"] == -1  # lead past the end takes the default
+    assert [rows[k]["cum"] for k in (1, 2, 3)] == [1, 3, 6]
+    # row_number(start) re-bases the index
+    out2 = kql(
+        "T | top 2 by k | serialize rk = row_number(10) | project k, rk",
+        {"T": df},
+    )
+    assert {r["k"]: r["rk"] for r in out2.collect()} == {3: 10, 2: 11}
+
+
+def test_window_functions_need_order(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="serialized input"):
+        kql("T | extend r = row_number()", {"T": df})
+    with pytest.raises(ValueError, match="established row order"):
+        kql("T | serialize x = 1", {"T": df})
+    # an order-destroying stage resets the serialization
+    with pytest.raises(ValueError, match="serialized input"):
+        kql(
+            "T | sort by k | summarize n = count() by k"
+            " | extend r = row_number()",
+            {"T": df},
+        )
+    # ...but row-local stages preserve it
+    out = kql(
+        "T | sort by k | where k > 0 | extend r = row_number()", {"T": df}
+    )
+    assert out.collect()[0]["r"] == 1
+
+
+def test_parse_where_drops_nonmatching(spark):
+    df = spark.createDataFrame(
+        [("dur=120ms",), ("malformed",), ("dur=7ms",)], "line string"
+    )
+    out = kql(
+        "T | parse-where line with 'dur=' ms 'ms' | project ms",
+        {"T": df},
+    )
+    assert sorted(r["ms"] for r in out.collect()) == ["120", "7"]
+    # plain parse keeps the row with empty captures
+    out2 = kql("T | parse line with 'dur=' ms 'ms'", {"T": df})
+    assert out2.count() == 3
+
+
+def test_project_keep_and_reorder(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "x int, s string, v double")
+    kept = kql("T | project-keep v, x", {"T": df})
+    assert kept.columns == ["x", "v"]  # table order, not list order
+    reo = kql("T | project-reorder v", {"T": df})
+    assert reo.columns == ["v", "x", "s"]
+
+
+def test_as_binds_pipeline_state(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k int, g string"
+    )
+    tables = {"T": df}
+    out = kql(
+        "T | where k > 1 | as Filt | summarize n = count() by g"
+        " | join (Filt | summarize m = max(k) by g) on g",
+        tables,
+    )
+    rows = {r["g"]: (r["n"], r["m"]) for r in out.collect()}
+    assert rows == {"a": (1, 2), "b": (1, 3)}
+    assert set(tables) == {"T"}  # caller's dict never mutated
+
+
+def test_array_indexing(spark):
+    df = spark.createDataFrame(
+        [("1-URGENT", '["x","y"]')], "pri string, j string"
+    )
+    out = kql(
+        "T | extend head = split(pri, '-')[0], snd = parse_json(j)[1]",
+        {"T": df},
+    )
+    r = out.collect()[0]
+    assert r["head"] == "1" and r["snd"] == "y"
