@@ -120,9 +120,10 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-#: events.ts is physically TIMESTAMP(NANOS) which Spark's parquet reader
-#: rejects outright; read the raw INT64 and truncate to micros exactly as
-#: DuckDB does (floor division — verified against duckdb 1.0 output).
+#: Fallback physical schema for events when the parquet stores ``ts`` as a
+#: plain INT64 or as TIMESTAMP(NANOS) (which Spark reads lossily or rejects
+#: depending on version): read the raw INT64 and convert with the divisor
+#: derived from the footer metadata — never a hardcoded unit.
 _EVENTS_PHYSICAL = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -135,13 +136,89 @@ _EVENTS_PHYSICAL = T.StructType(
 )
 
 
+def _events_ts_arrow_type(path: str):
+    """Arrow type of events.ts, read from the parquet footer (no data IO)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        candidates = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not candidates:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = candidates[0]
+    return pq.ParquetFile(path).schema_arrow.field("ts").type
+
+
+def _int64_epoch_to_micros_divisor(path: str) -> int:
+    """Infer the epoch unit of a raw-INT64 ts column from footer statistics.
+
+    Magnitude is unambiguous across units for any plausible event time
+    (1973..2500 CE): seconds ~1e9, millis ~1e12, micros ~1e15, nanos ~1e18.
+    Returns the divisor that maps the stored value to MICROseconds
+    (negative divisor => multiply, for seconds/millis inputs).
+    """
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    col_idx = next(
+        i for i in range(meta.num_columns)
+        if meta.row_group(0).column(i).path_in_schema == "ts"
+    )
+    stats = meta.row_group(0).column(col_idx).statistics
+    probe = abs(stats.max) if stats is not None and stats.max is not None else None
+    if probe is None:  # no stats: read one value
+        probe = abs(pq.ParquetFile(path).read_row_group(0, columns=["ts"])["ts"][0].as_py())
+    if probe < 10**11:
+        return -1_000_000  # seconds -> micros: multiply
+    if probe < 10**14:
+        return -1_000  # millis -> micros: multiply
+    if probe < 10**17:
+        return 1  # already micros
+    return 1_000  # nanos -> micros: floor-divide (matches DuckDB truncation)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events with the ts unit sniffed from the parquet footer.
+
+    Round-3 postmortem: a hardcoded TIMESTAMP(NANOS) assumption silently
+    compressed 30 days of 2024 events into one 1970 minute when the driver
+    regenerated the data as timestamp[us] — 11 queries went wrong from one
+    line. The physical unit is now always derived from the file footer:
+
+    - logical timestamp (s/ms/us): Spark's parquet reader handles the
+      conversion natively; read with the declared ``TimestampType`` schema.
+    - logical timestamp[ns] or raw INT64: read the column as LongType and
+      rescale to micros with a divisor inferred from footer statistics.
+
+    ``tests/test_io.py`` pins an invariant (loaded min(ts) year >= 2020)
+    plus a chaos fixture written in each of ns/us/ms so the next silent
+    testdata regeneration fails loudly instead of corrupting time.
+    """
+    import pyarrow as pa
+
+    t = _events_ts_arrow_type(path)
+    if pa.types.is_timestamp(t) and t.unit in ("s", "ms", "us"):
+        return spark.read.schema(SCHEMAS["events"]).parquet(path)
+    raw = spark.read.schema(_EVENTS_PHYSICAL).parquet(path)
+    if pa.types.is_timestamp(t):  # logical timestamp[ns]: unit is declared
+        div = 1_000
+    else:  # raw INT64: infer unit from value magnitude
+        div = _int64_epoch_to_micros_divisor(path)
+    if div == 1:
+        micros = F.col("ts")
+    elif div > 0:
+        micros = F.expr(f"ts div {div}")
+    else:
+        micros = F.expr(f"ts * {-div}")
+    return raw.withColumn("ts", F.timestamp_micros(micros))
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one testdata table with its declared schema."""
     if table == "events":
-        raw = spark.read.schema(_EVENTS_PHYSICAL).parquet(f"{sf_dir}/events.parquet")
-        from pyspark.sql import functions as F
-
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, f"{sf_dir}/events.parquet")
     return spark.read.schema(SCHEMAS[table]).parquet(f"{sf_dir}/{table}.parquet")
 
 
