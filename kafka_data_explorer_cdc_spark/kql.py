@@ -1694,6 +1694,23 @@ def kql(
                     F.collect_list(F.struct("__msi", agg_name))
                 ).alias("__m")
             )
+            # Kusto emits a series for EVERY group present in the input,
+            # zero-filled when all of the group's rows fall outside
+            # [from, to) — the group set comes from the pre-filter input,
+            # not the windowed rows (a group dropping out of the window
+            # must not vanish from the output). Without `by`, make-series
+            # always yields exactly one (possibly all-default) series row.
+            if groups:
+                base = df.select(*groups).distinct()
+                per_group = base.join(per_group, list(groups), "left")
+            else:
+                spark_s = df.sparkSession
+                base = spark_s.range(1).select(F.lit(1).alias("__k"))
+                per_group = (
+                    base.join(
+                        per_group.withColumn("__k", F.lit(1)), "__k", "left"
+                    ).drop("__k")
+                )
             grid = F.sequence(F.lit(0), F.lit(nbins - 1))
             series = F.transform(
                 grid,

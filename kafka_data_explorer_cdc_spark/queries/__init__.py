@@ -5,11 +5,12 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # Each module registers its queries at import time. Registration order
 # is driver-execution order, and the driver checks only the FIRST 50
 # registry entries per round — so each round fronts the entries with
-# the weakest driver evidence. Round 3: (a) the entries that have
-# never had a green driver row (b27x never checked, b28 errored in
-# r01, d08 returned 0 rows in r02 — now oracle-backed), then (b) the
-# relational + reference families (green in r01, rotated out of r02's
-# window), then the r02-green tail (KQL, LLM, streaming).
+# the weakest driver evidence. Round 4: (a) the 11 queries broken by
+# the events-ts unit bug (fixed this round — their r01/r02 green rows
+# are void, VERDICT r3 #1/#2), (b) b27x/b08x which just gained
+# bounded-comparison oracles after being no_oracle in every round,
+# (c) the ts-adjacent entries whose r03 greens were order-preserving
+# luck (b29/s23/s24/a12) plus entries green only in r01, then the rest.
 from . import kql_q  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
@@ -17,31 +18,30 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 _FRONT = [
-    "b27x_percentiles_approx",
-    "b28_collect_sorted_list",
-    "d08_embedding_near_dup",
-    "k24_kql_join",  # new in r3 — never driver-checked
-    "k25_kql_let",  # new in r3 — never driver-checked
-    "k26_kql_parse_extract",
-    "k27_kql_case_tiers",
-    "k28_kql_arg_max",
-    "k29_kql_make_set",
-    "k30_kql_percentile",
-    "k31_kql_make_series",
-    "k32_kql_top_nested",
-    "k33_kql_lookup",  # new in r3 — never driver-checked
-    "k34_kql_mv_apply",
-    "k35_kql_pivot",
-    "k36_kql_top_hitters",
-    "k37_kql_search",
-    "k38_kql_range_source",
-    "k39_kql_scalar_strings",
+    # (a) red-or-stale through the events-ts bug, fixed this round
+    "b06_range_join_funnel",
+    "b21_tumbling_window_agg",
+    "b21b_sliding_window_agg",
+    "b25_session_window",
+    "k18_kql_time_binning",
+    "k19_kql_ago_filter",
+    "k31_kql_make_series",  # + empty-group semantics fix this round
     "k40_kql_datetime_scalars",
-    "k41_kql_serialized_windows",
-    "k42_kql_parse_where",
-    "d04x_minhash_lsh_portable",
-    "d06x_simhash_portable",
-    "d07w_lsh_cosine_portable",
+    "s21_stream_tumbling_counts",
+    "s22_stream_sliding_counts",
+    "s25_stream_sessionization",
+    # (b) first-ever oracle rows (bounded-comparison gate forms)
+    "b27x_percentiles_approx",
+    "b08x_approx_count_distinct",
+    # (c) ts-adjacent luck-greens + green-only-in-r01 entries
+    "b29_asof_join",
+    "s23_stream_dedup",
+    "s24_stream_cdc_apply",
+    "a12_cdc_latest_state",
+    "b26_salted_skew_agg",
+    "b27_percentiles",
+    "a16_order_count_by_city",
+    "a17_cdc_scd2_history",
 ]
 
 

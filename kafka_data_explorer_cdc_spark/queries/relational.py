@@ -399,19 +399,43 @@ def b08_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "b08x_approx_count_distinct",
-    oracle=None,  # approximate — verified by exact-recount bound in tests
-    tags=("relational", "agg", "approx"),
-)
-def b08x_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (B8 approx) — at 100 TB this
-    replaces the expensive exact expand with a constant-size sketch that
-    merges map-side. Checked against exact recount (±5%) in tests.
-    """
+def approx_distinct_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of b08x: HLL++ approximate distinct per group —
+    at 100 TB this replaces the expensive exact expand with a
+    constant-size sketch that merges map-side."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("n_orders_approx")
+    )
+
+
+@query(
+    "b08x_approx_count_distinct",
+    oracle="""
+SELECT l_returnflag, TRUE AS within_5pct
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("relational", "agg", "approx"),
+)
+def b08x_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-comparison gate form of HLL++ approximate distinct (B8
+    approx): sketch estimates are merge-order dependent, so the raw
+    values can't hash-match a portable oracle — instead the query emits
+    ``|approx − exact| / exact ≤ 5%`` per group against an all-TRUE
+    oracle, making the error bound itself the mechanically-checked
+    contract (VERDICT r3 #7). Production callers use
+    :func:`approx_distinct_by_flag` (sketch only — the exact recount
+    here exists to measure the sketch, not to run at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    )
+    return both.select(
+        "l_returnflag",
+        (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.05).alias(
+            "within_5pct"
+        ),
     )
 
 
@@ -786,20 +810,56 @@ def b27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("b27x_percentiles_approx", oracle=None, tags=("relational", "agg", "approx"))
-def b27x_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path for b27: ``percentile_approx`` (Greenwald-Khanna
+def approx_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of b27x: ``percentile_approx`` (Greenwald-Khanna
     sketch — mergeable, constant memory per group) at accuracy 10000,
     i.e. rank error ≤ n/10000 per group. Exact percentiles buffer every
     group value in memory and cannot scale past it; the sketch is what
-    actually runs at 100 TB. Rows-only in the gate (approximation is
-    seed/merge-order dependent); the error bound vs the exact b27 is
-    asserted in tests/test_relational.py."""
+    actually runs at 100 TB."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+    )
+
+
+@query(
+    "b27x_percentiles_approx",
+    oracle="""
+SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("relational", "agg", "approx"),
+)
+def b27x_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-comparison gate form of the GK-sketch percentiles: sketch
+    output is merge-order dependent, so raw values can't hash-match a
+    portable oracle — instead each group emits
+    ``|approx − exact| / exact ≤ 1%`` per quantile against an all-TRUE
+    oracle, making the error bound the mechanically-checked contract
+    (VERDICT r3 #7). Production callers use
+    :func:`approx_percentiles_by_flag` (sketch only — the exact
+    percentile here exists to measure the sketch, not to run at
+    scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("a99"),
+        F.percentile("l_extendedprice", 0.5).alias("e50"),
+        F.percentile("l_extendedprice", 0.95).alias("e95"),
+        F.percentile("l_extendedprice", 0.99).alias("e99"),
+    )
+
+    def ok(a: str, e: str) -> F.Column:
+        return F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.01
+
+    return both.select(
+        "l_returnflag",
+        ok("a50", "e50").alias("p50_ok"),
+        ok("a95", "e95").alias("p95_ok"),
+        ok("a99", "e99").alias("p99_ok"),
     )
 
 

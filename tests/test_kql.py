@@ -443,6 +443,35 @@ def test_make_series_dense_grid(spark):
     assert got == {"a": [2, 9], "b": [9, 1]}
 
 
+def test_make_series_group_entirely_outside_window(spark):
+    """A group whose rows ALL fall outside [from, to) must still appear,
+    zero-filled — the group set comes from the pre-filter input (Kusto
+    semantics; VERDICT r3 #5). Without `by`, an all-outside input still
+    yields exactly one default-filled series row."""
+    rows = [
+        ("in", "2024-01-01 10:00:00"),
+        ("out", "2024-03-15 00:00:00"),  # entirely outside the window
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = kql(
+        "T | make-series n = count() on ts"
+        " from '2024-01-01 00:00:00' to '2024-01-03 00:00:00' step 1d by g",
+        {"T": df},
+    )
+    got = {r["g"]: list(r["n"]) for r in out.collect()}
+    assert got == {"in": [1, 0], "out": [0, 0]}
+
+    out = kql(
+        "T | where g == 'out' | make-series n = count() on ts"
+        " from '2024-01-01 00:00:00' to '2024-01-03 00:00:00' step 1d",
+        {"T": df},
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and list(rows[0]["n"]) == [0, 0]
+
+
 def test_top_nested_hierarchy(spark):
     rows = [("a", 1, 10), ("a", 1, 5), ("a", 2, 3), ("a", 3, 1),
             ("b", 4, 8), ("b", 5, 2), ("c", 6, 1)]

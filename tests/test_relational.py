@@ -9,9 +9,13 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
     """B8 approx variant: HLL++ at rsd=0.02 must land within 5% of the
     exact recount (FIXTURES.md: approx ops are checked by threshold,
     never hash-equality)."""
+    from kafka_data_explorer_cdc_spark.queries.relational import (
+        approx_distinct_by_flag,
+    )
+
     approx = {
         r["l_returnflag"]: r["n_orders_approx"]
-        for r in REGISTRY["b08x_approx_count_distinct"].fn(spark, sf_dir).collect()
+        for r in approx_distinct_by_flag(spark, sf_dir).collect()
     }
     exact = {
         r["l_returnflag"]: r["n_orders"]
@@ -20,6 +24,9 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for flag, est in approx.items():
         assert abs(est - exact[flag]) / exact[flag] < 0.05, (flag, est, exact[flag])
+    # and the gate form (boolean bounded-comparison) is all-true
+    rows = REGISTRY["b08x_approx_count_distinct"].fn(spark, sf_dir).collect()
+    assert rows and all(r["within_5pct"] for r in rows)
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
@@ -71,6 +78,9 @@ def test_approx_percentiles_bounded_error(spark, sf_dir):
     tight relative bound at accuracy=10000 — the invariant that makes it
     a safe drop-in for the exact aggregate at scale."""
     from kafka_data_explorer_cdc_spark.queries import REGISTRY
+    from kafka_data_explorer_cdc_spark.queries.relational import (
+        approx_percentiles_by_flag,
+    )
 
     exact = {
         r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
@@ -78,9 +88,14 @@ def test_approx_percentiles_bounded_error(spark, sf_dir):
     }
     approx = {
         r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
-        for r in REGISTRY["b27x_percentiles_approx"].fn(spark, sf_dir).collect()
+        for r in approx_percentiles_by_flag(spark, sf_dir).collect()
     }
     assert set(exact) == set(approx)
     for flag, ex in exact.items():
         for e, a in zip(ex, approx[flag]):
             assert abs(a - e) / e < 0.01, (flag, e, a)
+    # and the gate form (boolean bounded-comparison) is all-true
+    rows = REGISTRY["b27x_percentiles_approx"].fn(spark, sf_dir).collect()
+    assert rows and all(
+        r["p50_ok"] and r["p95_ok"] and r["p99_ok"] for r in rows
+    )
