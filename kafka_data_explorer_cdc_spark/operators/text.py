@@ -95,3 +95,31 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.length(text_col).alias("n_chars_actual"),
     )
+
+
+#: PII patterns in the Java-regex ∩ RE2 portable subset (char classes,
+#: bounded repetition, \b word boundaries — NO lookaround, which RE2
+#: lacks), so Spark and the DuckDB oracle match byte-identically.
+#: Order matters at application time: SSN (3-2-4) before phone (3-3-4)
+#: keeps the two digit-group shapes from shadowing each other.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone numbers / SSNs from ``text_col``, adding a
+    ``clean_text`` column plus one match-count column per category
+    (``n_ssn``, ``n_phone``, ``n_email``). Pure ``regexp_replace`` /
+    ``regexp_count`` expression work — whole-stage codegen, scales with
+    the scan, no Python in the row path."""
+    out = df
+    clean = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    return out.withColumn("clean_text", clean)

@@ -483,6 +483,54 @@ def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(fps, max_hamming=3, max_bucket=1000)
 
 
+@query(
+    "d20_neardup_clusters",
+    oracle=_SH_DUCK.replace("WITH", "WITH RECURSIVE", 1)
+    + _SH_CAPPED_DUCK
+    + f""",
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS isz
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN cnt c1 ON id1 = c1.doc_id
+  JOIN cnt c2 ON id2 = c2.doc_id
+  WHERE isz * 1.0 / (c1.n + c2.n - isz) >= 0.5
+),
+e AS (SELECT id1 AS a, id2 AS b FROM pairs
+      UNION SELECT id2, id1 FROM pairs),
+reach AS (
+  SELECT a AS id, a AS comp FROM e
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN e ON e.a = r.id
+)
+SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+FROM reach GROUP BY id
+""",
+    tags=("llm", "dedup"),
+)
+def d20_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment (the step after pairs): connected
+    components over the exact-Jaccard pair graph (d05), component =
+    min reachable doc_id. This is what a real dedup pipeline acts on —
+    "keep the component representative, drop the rest" needs the
+    transitive closure, not the pairwise edges (A~B, B~C must place A
+    and C in one group even when A≁C pairwise). Iterative min-label
+    propagation (operators/graph.py — O(diameter) rounds, one
+    join + one map-side-combined groupBy per round, lineage
+    checkpointed); the oracle recomputes the same closure with a
+    recursive CTE. Deterministic, hence hash-exact."""
+    from ..operators.graph import connected_components
+
+    pairs = d05_ngram_jaccard_pairs(spark, sf_dir).select("id1", "id2")
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -1043,6 +1091,144 @@ def d15_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+#: Deterministic PII planting shared by d21's Spark and oracle sides:
+#: the synthetic corpus contains no real PII, so every 20th doc gets a
+#: known email+phone+SSN suffix — the redaction is then exercised on
+#: real matches, not vacuously green on zero matches.
+_D21_PLANT_SUFFIX = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or 555-123-4567 ssn 123-45-6789'"
+)
+
+
+@query(
+    "d21_pii_redaction",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 20 = 0 THEN {_D21_PLANT_SUFFIX}
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
+      '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '[PHONE]', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'
+  ) AS clean_text
+FROM planted
+""",
+    tags=("llm", "text"),
+)
+def d21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / phones / SSNs → typed placeholders) with
+    per-category match counts — the scrub stage every training corpus
+    runs before tokenization. Patterns live in the Java-regex ∩ RE2
+    portable subset (operators/text.py PII_PATTERNS) so the DuckDB
+    oracle reproduces the redaction byte-identically; pure
+    regexp_replace/regexp_count expression work, no Python in the row
+    path. PII is planted deterministically on every 20th doc (both
+    engines) so the gate checks real matches."""
+    from ..operators.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_email").cast("long").alias("n_email"),
+        "clean_text",
+    )
+
+
+@query(
+    "d22_segment_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), chunks AS (
+  SELECT doc_id,
+         array_to_string(t[1 + s.i * 20 : least(1 + s.i * 20 + 19, len(t))], ' ')
+           AS chunk_text
+  FROM toks, unnest(generate_series(0, (len(t) - 1) // 20)) AS s(i)
+), hashed AS (
+  SELECT doc_id, """
+    + DUCKDB_POLY_HASH.format(expr="chunk_text")
+    + """ AS ch FROM chunks
+), freq AS (
+  SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS shared_ratio
+FROM hashed JOIN freq USING (ch)
+GROUP BY doc_id
+""",
+    tags=("llm", "dedup", "text"),
+)
+def d22_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level dedup stats (the paragraph-dedup / boilerplate
+    detector): split each doc into disjoint 20-token segments, portable-
+    hash each, and report per doc how many of its segments also appear
+    in at least one OTHER document. Catches cross-document boilerplate
+    that document-level dedup misses (shared headers, license blocks,
+    navigation chrome). Plan: zero-shuffle chunk fan-out (same slice
+    pipeline as d16) → segment-hash groupBy (map-side partials) →
+    equi-join back — shuffles carry 8-byte hashes, never segment text.
+    The portable polynomial hash makes the oracle exact; at 100 TB swap
+    xxhash64 for speed (identical plan shape)."""
+    docs = load(spark, sf_dir, "documents")
+    seg = 20
+    toks = ensure_parallelism(docs).select(
+        "doc_id", F.split(F.col("text"), " ").alias("__t")
+    )
+    t = F.col("__t")
+    starts = F.sequence(
+        F.lit(0), F.floor((F.size(t) - 1) / F.lit(seg)).cast("int"), F.lit(1)
+    )
+    chunks = (
+        toks.select("doc_id", t.alias("__t"), F.posexplode(starts))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("__t"), F.col("pos") * seg + 1, F.lit(seg))
+            ).alias("chunk_text"),
+        )
+        .select("doc_id", F.expr(poly_hash("chunk_text")).alias("ch"))
+    )
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    freq = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            shared.alias("n_shared"),
+            (shared * F.lit(1.0) / F.count("*")).alias("shared_ratio"),
+        )
     )
 
 

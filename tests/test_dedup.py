@@ -173,3 +173,28 @@ def test_mega_cluster_survives_bucket_cap(spark):
     assert ids_in_pairs == set(range(n))
     # all verified pairs are exact duplicates here
     assert out.filter(F.col("jaccard") < 1.0).count() == 0
+
+
+def test_connected_components_multihop(spark):
+    """A 6-node path graph (diameter 5) must fully converge to one
+    component — exercises multiple propagation rounds, not just the
+    1-hop star case the dedup pair graphs usually present. Plus a
+    disjoint triangle and an isolated pair."""
+    from kafka_data_explorer_cdc_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),  # path 1-6
+         (10, 11), (11, 12), (10, 12),            # triangle
+         (20, 21)],                               # pair
+        "id1 long, id2 long",
+    )
+    got = {
+        r["id"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
