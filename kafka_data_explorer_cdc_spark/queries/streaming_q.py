@@ -199,3 +199,39 @@ def s25_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@query(
+    "s26_stream_stateful_funnel",
+    oracle="""
+SELECT e1.user_id,
+       CAST(COUNT(*) AS BIGINT) AS conversions
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+GROUP BY e1.user_id
+""",
+    tags=("streaming", "stateful"),
+)
+def s26_stream_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    click→purchase funnel as an incremental stream. No built-in
+    streaming operator expresses a stream-side range join; the state —
+    clicks still inside the 10-minute horizon, pruned every batch so
+    state stays O(rate × horizon) — is owned by user code in the state
+    store (streaming/stateful.py). Replaying the events table through
+    the operator and summing the per-batch deltas must equal the batch
+    b06 range join — the custom-state analogue of the unified
+    batch/streaming contract."""
+    from ..streaming.stateful import streaming_funnel
+
+    name = f"s26_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_memory(streaming_funnel(ev), name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.sum("conversions").alias("conversions"))
+    )

@@ -1,60 +1,102 @@
-"""Custom arbitrary-stateful streaming operators via
-``applyInPandasWithState`` (PySpark's route to hand-written state
-machines — ``flatMapGroupsWithState`` is JVM-only; SURVEY.md §7).
+"""Custom stateful streaming operators (``applyInPandasWithState``).
 
-The state store holds one Arrow-encodable tuple per key; each
-micro-batch delivers that key's new rows as pandas batches, the
-callback folds them into state and emits output rows. Keys are
-hash-partitioned, state is per-key and checkpointed — the operator
-scales horizontally exactly like a streaming aggregation and recovers
-from the checkpoint like any built-in stateful op.
+Spark's built-in streaming operators cover windowed aggregation, dedup,
+and joins — but a *funnel* (count click→purchase sequences within a
+horizon, per user) is a stream-side range join whose state is "the
+clicks still inside the horizon", which no built-in expresses. This is
+exactly the seam ``applyInPandasWithState`` exists for: per-key state
+the user code owns, Arrow-batched, with the engine handling shuffle,
+state store, and recovery.
 
-Used sparingly by design: windowed aggs, streaming dedup, and
-session_window cover the common cases JVM-side (see ``windows.py``);
-this surface exists for semantics Catalyst cannot express — running
-per-key accumulators with custom emission rules, decaying counters,
-cross-event pattern state."""
+Scale design: state per user is O(clicks in the last horizon) — pruned
+every invocation, so state size is bounded by event rate × horizon, not
+by stream length. The per-key work is a sorted merge (numpy
+searchsorted), no quadratic scans. Ordering: correctness across
+micro-batches assumes per-key event-time-ordered arrival (true for
+replayed logs and for Kafka partitioned by user); a production
+deployment facing disorder puts a watermarked sort-buffer stage in
+front — the state logic here is unchanged by that.
+"""
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from typing import Iterator, Tuple
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
 
+#: click→purchase horizon, microseconds (10 minutes)
+_HORIZON_US = 600_000_000
 
-def _running_counts_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("conversions", LongType()),
+    ]
+)
+
+def _funnel_fn(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    (n_events, total_value) = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n_events += len(pdf)
-        total_value += float(pdf["value"].sum())
-    state.update((n_events, total_value))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n_events],
-            "total_value": [total_value],
-        }
+    import numpy as np
+
+    (user_id,) = key
+    clicks = list(state.get[0]) if state.exists else []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values("ts", kind="mergesort")
+    ts_us = rows["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+    kinds = rows["event_type"].to_numpy()
+    conversions = 0
+    click_arr = np.array(clicks, dtype="int64")
+    for t, kind in zip(ts_us, kinds):
+        if kind == "click":
+            click_arr = np.append(click_arr, t)
+        elif kind == "purchase":
+            # pairs: click strictly before purchase, purchase within
+            # [click, click + horizon] — i.e. click in [t - horizon, t)
+            lo = np.searchsorted(click_arr, t - _HORIZON_US, side="left")
+            hi = np.searchsorted(click_arr, t, side="left")
+            conversions += int(hi - lo)
+    # prune state to the horizon behind the newest event seen
+    if len(ts_us):
+        keep_from = ts_us.max() - _HORIZON_US
+        click_arr = click_arr[click_arr >= keep_from]
+    state.update(([int(x) for x in click_arr],))
+    if conversions:
+        yield pd.DataFrame(
+            {"user_id": [user_id], "conversions": [conversions]}
+        )
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Per-user click→purchase conversions within a 10-minute horizon,
+    as an incremental stateful stream. Emits (user_id, conversions)
+    deltas per micro-batch; downstream sums them per user. Equivalent
+    batch form: the b06 range join — the differential gate replays the
+    events table through this operator and checks the summed deltas
+    against that SQL."""
+    from pyspark.sql.types import ArrayType
+
+    state_schema = StructType(
+        [StructField("clicks", ArrayType(LongType()))]
     )
-
-
-def stateful_running_counts(events: DataFrame) -> DataFrame:
-    """Per-user running (count, sum) accumulator: every micro-batch
-    emits the updated cumulative totals for the users it touched.
-
-    The built-in unbounded streaming aggregation expresses the same
-    SUM/COUNT — this exists as the canonical template for state
-    machines that aren't aggregations (emission-on-change, custom
-    merge logic), with the same scale shape: one shuffle on the key,
-    state in the store, no driver involvement."""
-    return events.groupBy("user_id").applyInPandasWithState(
-        _running_counts_fn,
-        outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n_events long, total_value double",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -630,3 +630,75 @@ def test_kafka_wire_format_round_trip(spark, sf_dir):
     # the message key must carry the record key (partitioning contract)
     keys = {r["key"] for r in wire.collect()}
     assert keys == {str(r["orderid"]) for r in info.collect()}
+
+
+def test_streaming_funnel_state_spans_microbatches(spark, tmp_path):
+    """A click in micro-batch 1 must pair with a purchase in
+    micro-batch 2 — the conversion only exists if the click survived in
+    the state store across batches (maxFilesPerTrigger=1 forces the two
+    files into separate batches, oldest file first)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_data_explorer_cdc_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    indir = tmp_path / "funnel_in"
+    indir.mkdir()
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows]),
+                    "value": pa.array([0.0] * len(rows)),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(path),
+        )
+
+    # batch 1: two clicks (one will age out of the horizon)
+    write(indir / "a_batch1.parquet", [
+        (1, "2024-01-01 10:00:00", 7, "click"),
+        (2, "2024-01-01 10:30:00", 7, "click"),
+    ])
+    # batch 2: purchase at 10:35 — pairs ONLY with the 10:30 click
+    write(indir / "b_batch2.parquet", [
+        (3, "2024-01-01 10:35:00", 7, "purchase"),
+    ])
+    os.utime(indir / "a_batch1.parquet", (1_000_000, 1_000_000))
+    os.utime(indir / "b_batch2.parquet", (2_000_000, 2_000_000))
+
+    from kafka_data_explorer_cdc_spark.io import SCHEMAS
+
+    ev = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_funnel(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: r["conversions"]
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.sum("conversions").alias("conversions"))
+        .collect()
+    }
+    assert got == {7: 1}
