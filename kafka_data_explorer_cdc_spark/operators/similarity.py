@@ -400,3 +400,141 @@ def blocked_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_train: int = 256,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: per-subspace k-means over a
+    deterministic (hash-ordered) training sample of L2-normalized
+    corpus vectors. Returns (m, ksub, dsub) centroids.
+
+    Deterministic by construction — fixed sample, first-``ksub`` init,
+    fixed Lloyd iteration count, numpy first-index argmin tiebreak — so
+    repeated builds produce identical codebooks (reproducible encodes
+    across runs/engines matter more than the last % of quantization
+    error). The collect is bounded by ``n_train`` vectors (a few KB);
+    at 100 TB you train on a sample exactly like this, never the
+    corpus."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("__h", F.xxhash64("id"))
+        .orderBy("__h")
+        .limit(n_train)
+        .collect()
+    )
+    X = np.vstack([r["vec"] for r in rows]).astype("float64")
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    d = Xn.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for j in range(m):
+        S_ = Xn[:, j * dsub : (j + 1) * dsub]
+        C = S_[:ksub].copy()
+        for _ in range(iters):
+            d2 = (
+                (S_**2).sum(1)[:, None]
+                - 2.0 * S_ @ C.T
+                + (C**2).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            for c in range(ksub):
+                pts = S_[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books.append(C)
+    return np.stack(books)
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k — the memory-bound scale path.
+
+    Each corpus vector compresses to ``m`` codebook indices (m bytes at
+    ksub≤256 — 32× smaller than 64-d float32), and a query scores a
+    vector with ``m`` table lookups instead of a d-dim dot product: the
+    asymmetric-distance (ADC) scan. Per Arrow batch: encode, score ALL
+    queries via LUT gather (one numpy take per subspace), keep the
+    local top-``rerank`` per query, compute EXACT cosine only for those
+    survivors — so the shuffle carries ≤ batches×rerank×|queries| rows
+    with exact scores, and the final window re-ranks exactly (same
+    candidates-approx/scores-exact discipline as the LSH and IVF
+    paths). ``rerank ≥ batch size`` degenerates to exact brute force —
+    the knob trades recall against scan cost, never against score
+    correctness. At rest, the codes column is precomputed once and the
+    scan never touches raw vectors until re-rank.
+
+    Recall is probabilistic (quantization error can evict a true
+    neighbor from the rerank pool) — measured against brute force in
+    tests, never hash-compared."""
+    B = pq_train(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    dsub = B.shape[2]
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.vstack([r[1] for r in qrows]).astype("float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # LUT[q, j, c] = <query_q subvector j, codeword c> ; cosine ≈ Σ_j LUT
+    LUT = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Qn), m, dsub), B)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].values.astype("int64")
+            M = np.vstack(pdf[vec_col].values).astype("float64")
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            codes = np.empty((len(Mn), m), dtype="int64")
+            for j in range(m):
+                S_ = Mn[:, j * dsub : (j + 1) * dsub]
+                C = B[j]
+                d2 = (
+                    (S_**2).sum(1)[:, None]
+                    - 2.0 * S_ @ C.T
+                    + (C**2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            # approx[q, i] = Σ_j LUT[q, j, codes[i, j]]
+            approx = np.zeros((len(q_ids), len(ids)))
+            for j in range(m):
+                approx += LUT[:, j, codes[:, j]]
+            approx[ids[None, :] == q_ids[:, None]] = -np.inf  # self-match
+            r = min(rerank, approx.shape[1])
+            top = np.argpartition(-approx, r - 1, axis=1)[:, :r]  # (Q, r)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                sel = top[qi]
+                # drop self-matches here too: the -inf mask only keeps
+                # self out of the approx ranking, and with rerank >= n
+                # the exact re-score would resurrect it at cosine 1.0
+                sel = sel[ids[sel] != q_ids[qi]]
+                exact = Mn[sel] @ Qn[qi]  # exact cosine for survivors
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_c.extend(ids[sel])
+                out_s.extend(exact)
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cosine": out_s})
+
+    cand = ensure_parallelism(corpus).mapInPandas(
+        scan, "q_id long, c_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

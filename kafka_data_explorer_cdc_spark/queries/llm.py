@@ -752,6 +752,21 @@ def d07z_blocked_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.blocked_cosine_topk(em, queries, k=5)
 
 
+@query("d07v_pq_cosine_topk", oracle=None, tags=("llm", "similarity", "approx"))
+def d07v_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 (B18 memory-bound scale path):
+    corpus vectors compress to m=8 codebook bytes (32× smaller than the
+    raw 64-d float32), queries score candidates with 8 table lookups
+    each (ADC scan), exact cosine re-ranks the per-batch survivors —
+    candidates approximate, scores exact, like the LSH/IVF paths. The
+    deterministic codebook (hash-ordered sample, fixed Lloyd rounds)
+    makes builds reproducible. Recall vs brute force + exact-degenerate
+    equality (rerank ≥ corpus) in tests/test_similarity.py."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20)
+    return S.pq_cosine_topk(em, queries, k=5, rerank=20)
+
+
 @query(
     "d08_embedding_near_dup",
     oracle="""

@@ -135,3 +135,34 @@ def test_blocked_topk_rank_identical_to_brute_force(spark, sf_dir):
     for key in naive:
         assert naive[key][0] == blocked[key][0], f"id mismatch at {key}"
         assert abs(naive[key][1] - blocked[key][1]) < 1e-9
+
+
+def test_pq_topk_recall_and_exact_degenerate(spark, sf_dir, planted_vecs):
+    """PQ/ADC: (1) with rerank >= corpus size the scan degenerates to
+    exact brute force (quantization chooses candidates, never scores);
+    (2) at a realistic rerank the planted near-identical twins — whose
+    codes collapse to the same codewords — must be found; (3) recall@5
+    vs brute force stays useful even on near-orthogonal vectors."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in S.brute_force_cosine_topk(em, queries, k=5).collect()
+    }
+    # (1) exact-degenerate: rerank covers every batch
+    full = {
+        (r["q_id"], r["c_id"])
+        for r in S.pq_cosine_topk(em, queries, k=5, rerank=10**6).collect()
+    }
+    assert full == truth, "rerank>=corpus must reproduce brute force"
+    # (2) planted twins at realistic rerank
+    twins_q = planted_vecs.filter(F.col("vec_id") < 20)
+    got = S.pq_cosine_topk(planted_vecs, twins_q, k=1, rerank=20).collect()
+    hits = sum(1 for r in got if r["c_id"] == r["q_id"] + 100000)
+    assert hits >= 18, f"planted-twin recall {hits}/20"
+    # (3) recall@5 on the raw near-orthogonal corpus
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in S.pq_cosine_topk(em, queries, k=5, rerank=50).collect()
+    }
+    assert len(approx & truth) / len(truth) >= 0.5, "recall@5 too low"
