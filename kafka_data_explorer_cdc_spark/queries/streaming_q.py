@@ -235,3 +235,55 @@ def s26_stream_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("conversions").alias("conversions"))
     )
+
+
+@query(
+    "s27_stream_stream_join",
+    oracle="""
+SELECT e1.user_id,
+       CAST(COUNT(*) AS BIGINT) AS conversions
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+GROUP BY e1.user_id
+""",
+    tags=("streaming", "join"),
+)
+def s27_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the built-in twin of s26's custom
+    stateful funnel): clicks and purchases as two watermarked streams,
+    inner-joined on user + a 10-minute event-time range. The watermark
+    + range condition bound BOTH join buffers — a click can leave state
+    once the purchase-side watermark passes click.ts + 10 min, which is
+    what makes an unbounded stream joinable in finite memory. Join rows
+    drain append-mode to the sink; the per-user rollup happens batch-
+    side (chaining a streaming agg after a stream-stream join stacks a
+    second stateful operator for no test value). Same oracle as
+    b06/s26: three execution strategies, one range-join semantics."""
+    name = f"s27_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts > c_ts "
+            "AND p_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+    )
+    run_to_memory(joined, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("conversions"))
+    )
