@@ -30,9 +30,16 @@ _FRONT = [
     "s21_stream_tumbling_counts",
     "s22_stream_sliding_counts",
     "s25_stream_sessionization",
-    # (b) first-ever oracle rows (bounded-comparison gate forms)
+    # (b) first-ever oracle rows (bounded-comparison gate forms) and
+    # the round-4 additions, never driver-checked
     "b27x_percentiles_approx",
     "b08x_approx_count_distinct",
+    "d20_neardup_clusters",
+    "d21_pii_redaction",
+    "d22_segment_dedup",
+    "d07v_pq_cosine_topk",
+    "s26_stream_stateful_funnel",
+    "s27_stream_stream_join",
     # (c) ts-adjacent luck-greens + green-only-in-r01 entries
     "b29_asof_join",
     "s23_stream_dedup",
