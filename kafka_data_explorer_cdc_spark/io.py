@@ -215,11 +215,48 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
+_TS_CHECKED: set[str] = set()
+
+
+def _assert_native_timestamps(path: str, schema: T.StructType, table: str) -> None:
+    """Fail LOUDLY if a declared-timestamp column is not stored in a
+    unit Spark's parquet reader converts natively (s/ms/us logical
+    timestamp). The events loader adapts to any unit; for the other
+    tables a silent regeneration to ns/int64 would previously have
+    produced garbage dates without an error — now it raises with the
+    column and stored type named, pointing at the adaptive path."""
+    import pyarrow as pa
+
+    ts_cols = [
+        f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)
+    ]
+    if not ts_cols or path in _TS_CHECKED:
+        return
+    _TS_CHECKED.add(path)
+    import pyarrow.parquet as pq
+
+    arrow = pq.ParquetFile(path).schema_arrow
+    for c in ts_cols:
+        t = arrow.field(c).type
+        if not (pa.types.is_timestamp(t) and t.unit in ("s", "ms", "us")):
+            raise ValueError(
+                f"{table}.{c} stored as {t}; extend the footer-sniffing "
+                f"loader (io._load_events pattern) to this table instead "
+                f"of reading it with a hardcoded unit"
+            )
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Scan one testdata table with its declared schema."""
+    """Scan one testdata table with its declared schema. Timestamp
+    physical units are never assumed: events adapts to any encoding
+    (footer sniff), every other table asserts the native-convertible
+    case it relies on (round-3 postmortem — a unit change must fail
+    loudly, not relocate the data to 1970)."""
     if table == "events":
         return _load_events(spark, f"{sf_dir}/events.parquet")
-    return spark.read.schema(SCHEMAS[table]).parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    _assert_native_timestamps(path, SCHEMAS[table], table)
+    return spark.read.schema(SCHEMAS[table]).parquet(path)
 
 
 def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:

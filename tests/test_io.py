@@ -90,3 +90,19 @@ def test_events_loader_unit_chaos(spark, tmp_path, unit, as_int64):
         r.ts for r in _load_events(spark, path).select("ts").collect()
     )
     assert got == _INSTANTS, f"unit={unit} int64={as_int64}: {got}"
+
+
+def test_non_events_tables_reject_exotic_timestamp_units(spark, tmp_path):
+    """orders/lineitem rely on Spark's native s/ms/us conversion; a
+    regeneration to ns (or raw int64) must raise with the column named,
+    not silently load garbage dates (the round-3 failure mode)."""
+    src = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    idx = src.schema.get_field_index("o_orderdate")
+    ns = src.set_column(
+        idx, "o_orderdate", src.column("o_orderdate").cast(pa.timestamp("ns"))
+    )
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pq.write_table(ns, str(d / "orders.parquet"))
+    with pytest.raises(ValueError, match="o_orderdate"):
+        load(spark, str(d), "orders").collect()
