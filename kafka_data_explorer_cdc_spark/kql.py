@@ -1674,43 +1674,43 @@ def kql(
             nbins = int(-(-span // secs))  # ceil
             start_unix = int(t0.timestamp())
 
+            # Kusto emits a series for EVERY group present in the input,
+            # zero-filled when all of the group's rows fall outside
+            # [from, to) — so the window must not FILTER rows (that
+            # would drop whole groups). Instead out-of-window rows bin
+            # to a NULL index: they keep their group alive through both
+            # aggregations, and map_from_entries never sees them
+            # (collect_list skips the null-wrapped structs). One scan,
+            # two exchanges — same plan shape as the filtering form.
+            # Without `by`, the global groupBy yields exactly one
+            # (possibly all-default) series row even on empty input.
+            in_win = (F.col(ts_col) >= F.lit(start_s).cast("timestamp")) & (
+                F.col(ts_col) < F.lit(end_s).cast("timestamp")
+            )
             binned = (
-                df.filter(
-                    (F.col(ts_col) >= F.lit(start_s).cast("timestamp"))
-                    & (F.col(ts_col) < F.lit(end_s).cast("timestamp"))
-                )
-                .withColumn(
+                df.withColumn(
                     "__msi",
-                    F.floor(
-                        (F.unix_timestamp(F.col(ts_col)) - F.lit(start_unix))
-                        / F.lit(secs)
-                    ).cast("long"),
+                    F.when(
+                        in_win,
+                        F.floor(
+                            (F.unix_timestamp(F.col(ts_col)) - F.lit(start_unix))
+                            / F.lit(secs)
+                        ).cast("long"),
+                    ),
                 )
                 .groupBy(*groups, "__msi")
                 .agg(agg_col)
             )
             per_group = binned.groupBy(*groups).agg(
                 F.map_from_entries(
-                    F.collect_list(F.struct("__msi", agg_name))
+                    F.collect_list(
+                        F.when(
+                            F.col("__msi").isNotNull(),
+                            F.struct("__msi", agg_name),
+                        )
+                    )
                 ).alias("__m")
             )
-            # Kusto emits a series for EVERY group present in the input,
-            # zero-filled when all of the group's rows fall outside
-            # [from, to) — the group set comes from the pre-filter input,
-            # not the windowed rows (a group dropping out of the window
-            # must not vanish from the output). Without `by`, make-series
-            # always yields exactly one (possibly all-default) series row.
-            if groups:
-                base = df.select(*groups).distinct()
-                per_group = base.join(per_group, list(groups), "left")
-            else:
-                spark_s = df.sparkSession
-                base = spark_s.range(1).select(F.lit(1).alias("__k"))
-                per_group = (
-                    base.join(
-                        per_group.withColumn("__k", F.lit(1)), "__k", "left"
-                    ).drop("__k")
-                )
             grid = F.sequence(F.lit(0), F.lit(nbins - 1))
             series = F.transform(
                 grid,

@@ -1,21 +1,33 @@
-"""Custom stateful streaming operators (``applyInPandasWithState``).
+"""Custom arbitrary-stateful streaming operators via
+``applyInPandasWithState`` (PySpark's route to hand-written state
+machines — ``flatMapGroupsWithState`` is JVM-only; SURVEY.md §7).
 
-Spark's built-in streaming operators cover windowed aggregation, dedup,
-and joins — but a *funnel* (count click→purchase sequences within a
-horizon, per user) is a stream-side range join whose state is "the
-clicks still inside the horizon", which no built-in expresses. This is
-exactly the seam ``applyInPandasWithState`` exists for: per-key state
-the user code owns, Arrow-batched, with the engine handling shuffle,
-state store, and recovery.
+The state store holds one Arrow-encodable tuple per key; each
+micro-batch delivers that key's new rows as pandas batches, the
+callback folds them into state and emits output rows. Keys are
+hash-partitioned, state is per-key and checkpointed — the operator
+scales horizontally exactly like a streaming aggregation and recovers
+from the checkpoint like any built-in stateful op.
 
-Scale design: state per user is O(clicks in the last horizon) — pruned
-every invocation, so state size is bounded by event rate × horizon, not
-by stream length. The per-key work is a sorted merge (numpy
-searchsorted), no quadratic scans. Ordering: correctness across
-micro-batches assumes per-key event-time-ordered arrival (true for
-replayed logs and for Kafka partitioned by user); a production
-deployment facing disorder puts a watermarked sort-buffer stage in
-front — the state logic here is unchanged by that.
+Used sparingly by design: windowed aggs, streaming dedup, and
+session_window cover the common cases JVM-side (see ``windows.py``);
+this surface exists for semantics Catalyst cannot express — running
+per-key accumulators with custom emission rules, decaying counters,
+cross-event pattern state.
+
+Two operators live here:
+
+- :func:`stateful_running_counts` — the canonical accumulator
+  template (per-user running count/sum, emission per touched key).
+- :func:`streaming_funnel` — a stream-side range join (click→purchase
+  within a horizon) no built-in streaming operator expresses. State
+  per user is the clicks still inside the horizon, pruned every
+  invocation, so state is O(rate × horizon), not stream length; the
+  per-key work is a sorted merge (numpy searchsorted). Correctness
+  across micro-batches assumes per-key event-time-ordered arrival
+  (true for replayed logs and Kafka partitioned by user); a deployment
+  facing disorder puts a watermarked sort-buffer stage in front — the
+  state logic is unchanged by that.
 """
 
 from __future__ import annotations
@@ -31,6 +43,42 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+def _running_counts_fn(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n_events, total_value) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n_events += len(pdf)
+        total_value += float(pdf["value"].sum())
+    state.update((n_events, total_value))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "total_value": [total_value],
+        }
+    )
+
+
+def stateful_running_counts(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) accumulator: every micro-batch
+    emits the updated cumulative totals for the users it touched.
+
+    The built-in unbounded streaming aggregation expresses the same
+    SUM/COUNT — this exists as the canonical template for state
+    machines that aren't aggregations (emission-on-change, custom
+    merge logic), with the same scale shape: one shuffle on the key,
+    state in the store, no driver involvement."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_counts_fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n_events long, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
 
 #: click→purchase horizon, microseconds (10 minutes)
 _HORIZON_US = 600_000_000
