@@ -50,6 +50,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), "comp"
@@ -60,15 +61,14 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "id")
-            .filter(F.col("o.comp") != F.col("n.comp"))
-            .limit(1)
-            .count()
-        )
+        # labels only ever DECREASE (min over a growing reachable set),
+        # so Σcomp is strictly monotone until the fixpoint — an O(n)
+        # scan of the checkpointed labels detects convergence without
+        # the per-round join-and-compare
+        new_sum = new_labels.agg(F.sum("comp")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels
