@@ -148,3 +148,67 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def transform_with_state_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) via ``transformWithStateInPandas``
+    — the Spark 4.1 typed-state successor to ``applyInPandasWithState``
+    (:func:`stateful_running_counts` is the same semantics on the old
+    API; both are kept because the two APIs checkpoint differently and
+    migrating real pipelines means running both).
+
+    The new API's state is named and typed per variable
+    (``getValueState`` here; list/map state and event-time timers exist
+    for richer machines) and supports TTL — at scale that replaces the
+    hand-rolled pruning the old-API funnel does manually. Same scale
+    shape as any streaming aggregation: one shuffle on the key, state
+    store per partition, no driver involvement.
+
+    ENVIRONMENT-GATED: the API's driver worker needs a working
+    ``google.protobuf`` (absent in this container — import fails with
+    "cannot import name 'descriptor'"), so there is no registry entry
+    (the driver gate would record a spurious error); the differential
+    test in tests/test_streaming.py skips unless protobuf imports.
+    The semantics it would verify are s28-shaped: last Update-mode
+    emission per user == batch GROUP BY count/sum."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n_events long, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n_events, total_value = self._agg.get()
+            else:
+                n_events, total_value = 0, 0.0
+            for pdf in rows:
+                n_events += len(pdf)
+                total_value += float(pdf["value"].sum())
+            self._agg.update((n_events, total_value))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "total_value": [total_value],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

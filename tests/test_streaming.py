@@ -702,3 +702,43 @@ def test_streaming_funnel_state_spans_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == {7: 1}
+
+
+def test_transform_with_state_totals_matches_batch(spark, tmp_path):
+    """Spark 4.1 transformWithStateInPandas (typed-state API): final
+    Update-mode emission per user must equal the batch GROUP BY.
+    Skipped where google.protobuf is broken (this container) — the
+    API's driver worker requires it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "driver worker cannot start in this environment")
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.streaming.stateful import (
+        transform_with_state_totals,
+    )
+    from kafka_data_explorer_cdc_spark.streaming.windows import (
+        read_events_stream, run_to_memory,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    run_to_memory(transform_with_state_totals(ev), name, output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("total_value").alias("total_value"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want
