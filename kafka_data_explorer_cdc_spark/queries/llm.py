@@ -1248,6 +1248,63 @@ def d22_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d23_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, substring(text, s.i, 1) AS ch
+  FROM documents, unnest(generate_series(1, length(text))) AS s(i)
+), freq AS (
+  SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, SUM(n) AS total, COUNT(*) AS n_distinct FROM freq GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct_chars,
+       -SUM((n * 1.0 / total) * log2(n * 1.0 / total)) AS entropy_bits,
+       CASE WHEN -SUM((n * 1.0 / total) * log2(n * 1.0 / total)) >= 3.0
+            THEN 1 ELSE 0 END AS keep
+FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+GROUP BY f.doc_id, t.n_distinct
+""",
+    tags=("llm", "text"),
+)
+def d23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality score (the cheap perplexity proxy):
+    Shannon entropy of the per-document character distribution, in
+    bits. Degenerate content — repeated single characters, base64
+    blobs' uniformity aside, single-token spam — sits far from natural
+    text's ~4 bits/char, so a floor (3.0 here) is a standard corpus
+    gate. Plan: char explode → (doc, char) count → per-doc entropy
+    fold, exactly a character-level word count — scales with the scan,
+    no UDFs. Same-operand-order sum as the oracle (term-per-char,
+    grouped) keeps the float hash stable at 6 dp."""
+    docs = load(spark, sf_dir, "documents")
+    chars = ensure_parallelism(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("n") * F.lit(1.0) / F.col("total")
+    ent = -F.sum(p * F.log2(p))
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "n_distinct")
+        .agg(
+            ent.alias("entropy_bits"),
+            F.when(ent >= 3.0, 1).otherwise(0).alias("keep"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_distinct").cast("long").alias("n_distinct_chars"),
+            "entropy_bits",
+            "keep",
+        )
+    )
+
+
+@query(
     "d16_chunk_documents",
     oracle="""
 WITH toks AS (
