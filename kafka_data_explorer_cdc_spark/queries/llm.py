@@ -1283,14 +1283,17 @@ def d23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
     ).filter(F.length("ch") > 0)
     freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
-    tot = freq.groupBy("doc_id").agg(
-        F.sum("n").alias("total"), F.count("*").alias("n_distinct")
+    # per-doc totals via a window (not a join-back): the window's
+    # doc_id exchange is then REUSED by the final groupBy — 2 hash
+    # exchanges total for the whole query (pinned in test_plans)
+    w = Window.partitionBy("doc_id")
+    freq = freq.withColumn("total", F.sum("n").over(w)).withColumn(
+        "n_distinct", F.count("*").over(w)
     )
     p = F.col("n") * F.lit(1.0) / F.col("total")
     ent = -F.sum(p * F.log2(p))
     return (
-        freq.join(tot, "doc_id")
-        .groupBy("doc_id", "n_distinct")
+        freq.groupBy("doc_id", "n_distinct")
         .agg(
             ent.alias("entropy_bits"),
             F.when(ent >= 3.0, 1).otherwise(0).alias("keep"),

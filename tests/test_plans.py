@@ -181,3 +181,28 @@ def test_kql_make_series_single_shuffle_no_explode(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") <= 2
     # the [from, to) window must reach the parquet scan
     assert "PushedFilters" in p and "ts" in p
+
+
+def test_pii_redaction_is_pure_projection(spark, sf_dir):
+    """d21 must plan as scan → project: regexp work stays inside
+    whole-stage codegen, no Exchange, no Python evaluation."""
+    p = plan_of(spark, sf_dir, "d21_pii_redaction")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_char_entropy_two_exchanges_no_python(spark, sf_dir):
+    """d23: (doc,char) count + doc-window totals + final fold must
+    reuse the doc_id partitioning — exactly two hash exchanges, all
+    JVM expressions."""
+    p = plan_of(spark, sf_dir, "d23_char_entropy")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_segment_dedup_hash_keyed_shuffles(spark, sf_dir):
+    """d22's shuffles carry the 8-byte segment hash / doc_id, never
+    segment text, and no Python reaches the row path."""
+    p = plan_of(spark, sf_dir, "d22_segment_dedup")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
