@@ -23,6 +23,9 @@ Supported (the reference's surface plus the obvious neighbors):
       | project col [= expr], ...
       | project-away col, ...  /  project-rename new = old, ...
       | project-keep col, ...  /  project-reorder col, ...
+      | sample N  /  sample-distinct N of col   (deterministic
+        pseudo-random — hash-ordered; Kusto promises no determinism,
+        this engine promises replay-stable samples)
       | parse Source with 'lit' Name 'lit' Name ...   (simple mode;
         compiles to one anchored regex, non-greedy captures)
       | parse-where ...   (as parse, but non-matching rows are dropped)
@@ -1474,6 +1477,11 @@ def kql(
             if sub not in ("away", "rename", "keep", "reorder"):
                 raise ValueError(f"KQL: unsupported operator 'project-{sub}'")
             verb = f"project-{sub}"
+        if verb == "sample" and p.peek() and p.peek().text == "-":
+            p.next()
+            if p.next().text.lower() != "distinct":
+                raise ValueError("KQL: expected 'sample-distinct'")
+            verb = "sample-distinct"
         # which verbs keep the serialized order: row-local transforms
         # do; anything that re-groups, re-joins, or explodes does not.
         # sort/top establish a NEW order below.
@@ -1828,6 +1836,27 @@ def kql(
                 df = df.withColumn(name, F.explode(F.col(name)))
         elif verb == "distinct":
             df = df.select(*p.ident_list()).distinct()
+        elif verb == "sample":
+            # Kusto's sample is random with NO determinism promise; this
+            # engine strengthens it to a deterministic pseudo-random
+            # sample (hash-ordered over the row's columns) so replays,
+            # retries, and the differential gate all see the same rows.
+            # TakeOrderedAndProject keeps it a top-k, never a full sort.
+            n = int(p.next().text)
+            df = df.orderBy(F.xxhash64(*df.columns)).limit(n)
+        elif verb == "sample-distinct":
+            # sample-distinct N of Col — deterministic for the same
+            # reason; emits the single distinct column, Kusto-style.
+            n = int(p.next().text)
+            if p.next().text.lower() != "of":
+                raise ValueError("KQL: sample-distinct needs 'of <column>'")
+            col = p.next().text
+            df = (
+                df.select(col)
+                .distinct()
+                .orderBy(F.xxhash64(F.col(col)))
+                .limit(n)
+            )
         elif verb == "count":
             df = df.agg(F.count("*").alias("count_"))
         elif verb == "search":

@@ -768,3 +768,30 @@ def test_array_indexing(spark):
     )
     r = out.collect()[0]
     assert r["head"] == "1" and r["snd"] == "y"
+
+
+def test_sample_and_sample_distinct_deterministic(spark):
+    """sample/sample-distinct: engine-deterministic pseudo-random
+    subsets (documented strengthening of Kusto's no-promise
+    randomness) — repeat runs give identical rows, results are true
+    subsets, and sizes are exact when enough rows exist."""
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    a = {r["id"] for r in kql("T | sample 25", {"T": df}).collect()}
+    b = {r["id"] for r in kql("T | sample 25", {"T": df}).collect()}
+    assert a == b and len(a) == 25
+    assert a <= set(range(1000))
+    # shuffled input, same rows — determinism is content-based
+    c = {
+        r["id"]
+        for r in kql("T | sample 25", {"T": df.repartition(13)}).collect()
+    }
+    assert c == a
+
+    d1 = {r["g"] for r in kql("T | sample-distinct 3 of g", {"T": df}).collect()}
+    d2 = {r["g"] for r in kql("T | sample-distinct 3 of g", {"T": df}).collect()}
+    assert d1 == d2 and len(d1) == 3 and d1 <= set(range(7))
+    # asking for more than exist returns all of them
+    alln = kql("T | sample-distinct 99 of g", {"T": df}).count()
+    assert alln == 7
