@@ -41,6 +41,8 @@ _FRONT = [
     "d07v_pq_cosine_topk",
     "s26_stream_stateful_funnel",
     "s27_stream_stream_join",
+    "b14c_edit_distance",
+    "b30_window_distribution",
     # (c) ts-adjacent luck-greens + green-only-in-r01 entries
     "b29_asof_join",
     "s23_stream_dedup",

@@ -964,3 +964,62 @@ def b21b_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+@query(
+    "b14c_edit_distance",
+    oracle="""
+SELECT p.p_partkey,
+       p.p_brand,
+       CAST(levenshtein(p.p_brand, 'Brand#33') AS INTEGER) AS dist,
+       CASE WHEN levenshtein(p.p_brand, 'Brand#33') <= 1 THEN 1 ELSE 0 END
+         AS near_match
+FROM part p
+WHERE p.p_partkey <= 2000
+""",
+    tags=("relational", "scalar"),
+)
+def b14c_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance (B14 string-scalar breadth): the fuzzy
+    string matcher behind typo-tolerant joins and entity resolution.
+    JVM expression, whole-stage codegen — at 100 TB a fuzzy probe runs
+    as a plain projected scan (blocking/candidate generation is the
+    dedup family's job, e.g. d05/d06)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    dist = F.levenshtein(F.col("p_brand"), F.lit("Brand#33"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        dist.cast("int").alias("dist"),
+        F.when(dist <= 1, 1).otherwise(0).alias("near_match"),
+    )
+
+
+@query(
+    "b30_window_distribution",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("relational", "window"),
+)
+def b30_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (B10/B11 breadth): ntile quartiles,
+    percent_rank, cume_dist per market segment — the analytics used for
+    cohort bucketing and percentile bands. One shuffle on the partition
+    key; the deterministic (c_acctbal, c_custkey) order makes ntile's
+    bucket boundaries engine-portable."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
