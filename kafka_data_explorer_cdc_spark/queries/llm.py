@@ -1307,6 +1307,120 @@ def d23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rare-term blocking threshold for d24: a term appearing in ≤ this many
+#: docs generates candidate pairs (bounded C(df,2) per term); common
+#: terms never join. idf = ln(N/df) makes corpus-wide terms weightless,
+#: so the blocked candidates capture the high-cosine mass.
+_D24_RARE_DF = 20
+
+
+@query(
+    "d24_tfidf_cosine_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS term
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM sh GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), norms AS (
+  SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+), rare AS (
+  SELECT term FROM dfreq WHERE df <= {_D24_RARE_DF} AND df >= 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  WHERE a.term IN (SELECT term FROM rare)
+), dots AS (
+  SELECT c.id1, c.id2, SUM(w1.w * w2.w) AS dot
+  FROM cand c
+  JOIN w w1 ON w1.doc_id = c.id1
+  JOIN w w2 ON w2.doc_id = c.id2 AND w2.term = w1.term
+  GROUP BY c.id1, c.id2
+)
+SELECT d.id1, d.id2, d.dot / (n1.nrm * n2.nrm) AS cosine
+FROM dots d
+JOIN norms n1 ON n1.doc_id = d.id1
+JOIN norms n2 ON n2.doc_id = d.id2
+WHERE d.dot / (n1.nrm * n2.nrm) >= 0.3
+""",
+    tags=("llm", "similarity", "text"),
+)
+def d24_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-native similarity search (the sparse-vector complement of
+    the embedding family): TF-IDF cosine over 3-gram shingle multisets
+    — tf-weighted and idf-discounted, a genuinely different measure
+    from d05's set-Jaccard — with candidate pairs blocked by shared
+    RARE shingles (2 ≤ df ≤ 20) and the full cosine computed over ALL
+    shared shingles for the survivors. ln(N/df) zeroes corpus-wide
+    boilerplate, so the rare-term blocking captures the high-cosine
+    mass while bounding candidate generation at C(df,2) per rare term —
+    the classic inverted-index prune, never an O(n²) doc cross-join.
+    (Shingles, not words: this corpus draws from a ~30-word vocabulary,
+    so every word is corpus-wide; the shingle space has ~7k rare terms.
+    At the 0.3 threshold the output isolates true near-dups — observed
+    p99 of candidate cosines is ~0.05, near-dups land ≥0.9.)
+    Every shuffle is keyed by term or doc id. Deterministic end-to-end,
+    DuckDB-exact."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension (one job, like IVF's codebook)
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3, distinct=False)
+    tf = (
+        sh.groupBy("id", "shingle")
+        .agg(F.count("*").alias("tf"))
+        .select(F.col("id").alias("doc_id"), F.col("shingle").alias("term"), "tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(dfreq, "term")
+        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .select("doc_id", "term", "w", "df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    rare_w = w.filter((F.col("df") <= _D24_RARE_DF) & (F.col("df") >= 2))
+    cand = (
+        rare_w.alias("a")
+        .join(
+            rare_w.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    w1 = w.select(F.col("doc_id").alias("id1"), "term", F.col("w").alias("w1"))
+    w2 = w.select(F.col("doc_id").alias("id2"), "term", F.col("w").alias("w2"))
+    dots = (
+        cand.join(w1, "id1")
+        .join(w2, ["id2", "term"])
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    n1 = norms.select(F.col("doc_id").alias("id1"), F.col("nrm").alias("n1"))
+    n2 = norms.select(F.col("doc_id").alias("id2"), F.col("nrm").alias("n2"))
+    return (
+        dots.join(n1, "id1")
+        .join(n2, "id2")
+        .withColumn("cosine", F.col("dot") / (F.col("n1") * F.col("n2")))
+        .filter(F.col("cosine") >= 0.3)
+        .select("id1", "id2", "cosine")
+    )
+
+
 @query(
     "d16_chunk_documents",
     oracle="""
