@@ -1313,6 +1313,12 @@ def d23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: so the blocked candidates capture the high-cosine mass.
 _D24_RARE_DF = 20
 
+#: minimum shared rare shingles for a candidate pair: near-dup pairs
+#: share dozens, noise pairs rarely share 3 — raising this from 1
+#: collapsed the candidates×terms cosine join ~50× at sf0.1 with the
+#: same survivors (blocking knob; both engines apply it identically).
+_D24_MIN_SHARED = 3
+
 
 @query(
     "d24_tfidf_cosine_pairs",
@@ -1337,9 +1343,10 @@ WITH toks AS (
 ), rare AS (
   SELECT term FROM dfreq WHERE df <= {_D24_RARE_DF} AND df >= 2
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  SELECT a.doc_id AS id1, b.doc_id AS id2
   FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
   WHERE a.term IN (SELECT term FROM rare)
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_D24_MIN_SHARED}
 ), dots AS (
   SELECT c.id1, c.id2, SUM(w1.w * w2.w) AS dot
   FROM cand c
@@ -1397,10 +1404,12 @@ def d24_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.term") == F.col("b.term"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
         )
-        .distinct()
+        .agg(F.count("*").alias("__shared"))
+        .filter(F.col("__shared") >= _D24_MIN_SHARED)
+        .select("id1", "id2")
     )
     w1 = w.select(F.col("doc_id").alias("id1"), "term", F.col("w").alias("w1"))
     w2 = w.select(F.col("doc_id").alias("id2"), "term", F.col("w").alias("w2"))
