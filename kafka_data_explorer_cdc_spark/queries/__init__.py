@@ -39,6 +39,7 @@ _FRONT = [
     "d22_segment_dedup",
     "d23_char_entropy",
     "d24_tfidf_cosine_pairs",
+    "d25_url_canonical_dedup",
     "d07v_pq_cosine_topk",
     "s26_stream_stateful_funnel",
     "s27_stream_stream_join",

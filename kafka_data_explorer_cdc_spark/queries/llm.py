@@ -1431,6 +1431,75 @@ def d24_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d25_url_canonical_dedup",
+    oracle="""
+WITH planted AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.Example.com/Path/' || CAST(doc_id % 3 AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '^https?://', ''),
+               '^www\\.', ''),
+             '\\?.*$', ''),
+           '/+$', '') AS curl
+  FROM planted
+)
+SELECT curl,
+       regexp_extract(curl, '^[^/]+') AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+FROM canon
+GROUP BY curl
+""",
+    tags=("llm", "dedup", "text"),
+)
+def d25_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (the crawl-pipeline primitive:
+    scheme/case/www/query-string/trailing-slash variants of one page
+    must collapse to one fetch). Canonical form: lowercase, scheme and
+    'www.' stripped, query string and trailing slashes dropped; dedup
+    groups by canonical URL with a deterministic survivor (min doc_id).
+    Pure regexp expression chain in the Java∩RE2 portable subset —
+    codegen scan + one map-side-combined groupBy. URLs are planted
+    deterministically (scheme-case × query × trailing-slash variants
+    over 21 page identities) so the collapse is exercised for real in
+    both engines."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.com/Path/"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "?utm_source=feed&ref=rss").otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+    )
+    curl = F.lower(url)
+    for pat in [r"^https?://", r"^www\.", r"\?.*$", r"/+$"]:
+        curl = F.regexp_replace(curl, pat, "")
+    return (
+        docs.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .select(
+            "curl",
+            F.regexp_extract("curl", r"^[^/]+", 0).alias("host"),
+            "n_docs",
+            "canonical_doc",
+        )
+    )
+
+
+@query(
     "d16_chunk_documents",
     oracle="""
 WITH toks AS (
