@@ -137,18 +137,28 @@ _EVENTS_PHYSICAL = T.StructType(
 
 
 def _events_ts_arrow_type(path: str):
-    """Arrow type of events.ts, read from the parquet footer (no data IO)."""
+    """Arrow type of events.ts, read from the parquet footer (no data IO).
+
+    ``path`` must be a concrete parquet file — directory inputs are
+    resolved once in ``_load_events`` (via ``_resolve_parquet_file``) so
+    the same member file feeds both this probe and the divisor inference.
+    """
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).schema_arrow.field("ts").type
+
+
+def _resolve_parquet_file(path: str) -> str:
+    """Resolve a dataset path to one member parquet file for footer probes."""
     import glob
     import os
-
-    import pyarrow.parquet as pq
 
     if os.path.isdir(path):
         candidates = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not candidates:
             raise FileNotFoundError(f"no parquet files under {path}")
-        path = candidates[0]
-    return pq.ParquetFile(path).schema_arrow.field("ts").type
+        return candidates[0]
+    return path
 
 
 def _int64_epoch_to_micros_divisor(path: str) -> int:
@@ -198,14 +208,15 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """
     import pyarrow as pa
 
-    t = _events_ts_arrow_type(path)
+    probe_file = _resolve_parquet_file(path)
+    t = _events_ts_arrow_type(probe_file)
     if pa.types.is_timestamp(t) and t.unit in ("s", "ms", "us"):
         return spark.read.schema(SCHEMAS["events"]).parquet(path)
     raw = spark.read.schema(_EVENTS_PHYSICAL).parquet(path)
     if pa.types.is_timestamp(t):  # logical timestamp[ns]: unit is declared
         div = 1_000
     else:  # raw INT64: infer unit from value magnitude
-        div = _int64_epoch_to_micros_divisor(path)
+        div = _int64_epoch_to_micros_divisor(probe_file)
     if div == 1:
         micros = F.col("ts")
     elif div > 0:
@@ -232,7 +243,6 @@ def _assert_native_timestamps(path: str, schema: T.StructType, table: str) -> No
     ]
     if not ts_cols or path in _TS_CHECKED:
         return
-    _TS_CHECKED.add(path)
     import pyarrow.parquet as pq
 
     arrow = pq.ParquetFile(path).schema_arrow
@@ -244,6 +254,9 @@ def _assert_native_timestamps(path: str, schema: T.StructType, table: str) -> No
                 f"loader (io._load_events pattern) to this table instead "
                 f"of reading it with a hardcoded unit"
             )
+    # Only cache success: a caught-and-retried failing load must re-validate,
+    # not silently skip the guard on the second attempt.
+    _TS_CHECKED.add(path)
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

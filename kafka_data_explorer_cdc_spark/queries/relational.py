@@ -835,31 +835,55 @@ FROM lineitem GROUP BY l_returnflag
 def b27x_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-comparison gate form of the GK-sketch percentiles: sketch
     output is merge-order dependent, so raw values can't hash-match a
-    portable oracle — instead each group emits
-    ``|approx − exact| / exact ≤ 1%`` per quantile against an all-TRUE
-    oracle, making the error bound the mechanically-checked contract
-    (VERDICT r3 #7). Production callers use
-    :func:`approx_percentiles_by_flag` (sketch only — the exact
-    percentile here exists to measure the sketch, not to run at
+    portable oracle — instead each group checks the sketch value against
+    the bound Greenwald-Khanna actually guarantees: a RANK error of at
+    most max(n/accuracy, 1), i.e. the returned value's rank lies within
+    ±max(n/10000, 1) of the target. That is checked distribution-free by
+    re-counting the sketch value's true rank interval (lt, le] in a
+    second pass and intersecting it with the guaranteed band — unlike a
+    relative-VALUE bound, a heavier price tail cannot flip the all-TRUE
+    oracle red without a real code bug (ADVICE r4). Production
+    callers use :func:`approx_percentiles_by_flag` (sketch only — the
+    exact percentiles here exist to measure the sketch, not to run at
     scale)."""
     li = load(spark, sf_dir, "lineitem")
-    both = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("a99"),
-        F.percentile("l_extendedprice", 0.5).alias("e50"),
-        F.percentile("l_extendedprice", 0.95).alias("e95"),
-        F.percentile("l_extendedprice", 0.99).alias("e99"),
+    quantiles = ((0.5, "50"), (0.95, "95"), (0.99, "99"))
+
+    approx = li.groupBy("l_returnflag").agg(
+        *[
+            F.percentile_approx("l_extendedprice", q, 10000).alias(f"a{nm}")
+            for q, nm in quantiles
+        ]
     )
+    # Second pass measures each sketch value's true rank in its group:
+    # lt = #values strictly below, le = #values at-or-below, so the
+    # value occupies ranks (lt, le]. GK promises that interval meets
+    # [(q-eps)n, (q+eps)n]; +/-1 rank of slack absorbs the discrete
+    # floor/ceil at group boundaries.
+    joined = li.join(F.broadcast(approx), "l_returnflag")
+    rank_aggs = [F.count("*").alias("n")]
+    for _, nm in quantiles:
+        rank_aggs.append(
+            F.sum(
+                (F.col("l_extendedprice") < F.col(f"a{nm}")).cast("long")
+            ).alias(f"lt{nm}")
+        )
+        rank_aggs.append(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col(f"a{nm}")).cast("long")
+            ).alias(f"le{nm}")
+        )
+    ranks = joined.groupBy("l_returnflag").agg(*rank_aggs)
 
-    def ok(a: str, e: str) -> F.Column:
-        return F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.01
+    def ok(q: float, nm: str) -> F.Column:
+        eps_ranks = F.greatest(F.col("n") / 10000, F.lit(1.0))
+        lo = q * F.col("n") - eps_ranks - 1
+        hi = q * F.col("n") + eps_ranks + 1
+        return (F.col(f"le{nm}") >= lo) & (F.col(f"lt{nm}") <= hi)
 
-    return both.select(
+    return ranks.select(
         "l_returnflag",
-        ok("a50", "e50").alias("p50_ok"),
-        ok("a95", "e95").alias("p95_ok"),
-        ok("a99", "e99").alias("p99_ok"),
+        *[ok(q, nm).alias(f"p{nm}_ok") for q, nm in quantiles],
     )
 
 

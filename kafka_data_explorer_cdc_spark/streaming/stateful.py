@@ -101,7 +101,11 @@ def _funnel_fn(
     clicks = list(state.get[0]) if state.exists else []
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values("ts", kind="mergesort")
-    ts_us = rows["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+    # Unit-safe: pandas may surface the Arrow timestamp[us] column as
+    # datetime64[us] (pandas 2 without nanosecond coercion) or
+    # datetime64[ns]; converting through datetime64[us] yields epoch
+    # micros regardless of the incoming resolution.
+    ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
     kinds = rows["event_type"].to_numpy()
     conversions = 0
     click_arr = np.array(clicks, dtype="int64")

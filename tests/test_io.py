@@ -92,6 +92,37 @@ def test_events_loader_unit_chaos(spark, tmp_path, unit, as_int64):
     assert got == _INSTANTS, f"unit={unit} int64={as_int64}: {got}"
 
 
+def test_events_loader_int64_directory(spark, tmp_path):
+    """A raw-int64 events DIRECTORY (not a single file) must load: the
+    footer probes (arrow type + divisor inference) both need the resolved
+    member file, not the directory path (ADVICE r4)."""
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    src = _write_fixture(tmp_path, "ns", True)
+    import shutil
+
+    shutil.copy(src, str(d / "part-0.parquet"))
+    got = sorted(r.ts for r in _load_events(spark, str(d)).select("ts").collect())
+    assert got == _INSTANTS
+
+
+def test_ts_guard_revalidates_after_failure(spark, tmp_path):
+    """A caught-and-retried failing load must fail AGAIN — the guard may
+    only cache success, otherwise the retry silently reads garbage dates
+    (ADVICE r4)."""
+    src = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    idx = src.schema.get_field_index("o_orderdate")
+    ns = src.set_column(
+        idx, "o_orderdate", src.column("o_orderdate").cast(pa.timestamp("ns"))
+    )
+    d = tmp_path / "sfy"
+    d.mkdir()
+    pq.write_table(ns, str(d / "orders.parquet"))
+    for _ in range(2):
+        with pytest.raises(ValueError, match="o_orderdate"):
+            load(spark, str(d), "orders").collect()
+
+
 def test_non_events_tables_reject_exotic_timestamp_units(spark, tmp_path):
     """orders/lineitem rely on Spark's native s/ms/us conversion; a
     regeneration to ns (or raw int64) must raise with the column named,

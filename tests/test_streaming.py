@@ -704,6 +704,43 @@ def test_streaming_funnel_state_spans_microbatches(spark, tmp_path):
     assert got == {7: 1}
 
 
+def test_funnel_fn_resolution_invariant():
+    """_funnel_fn must count identically whether pandas hands it the ts
+    column as datetime64[ns] or datetime64[us] (pandas 2 / pyarrow
+    without nanosecond coercion) — the silent-unit failure class the
+    round-3 postmortem is about (ADVICE r4)."""
+    import pandas as pd
+
+    from kafka_data_explorer_cdc_spark.streaming.stateful import _funnel_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    rows = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00:00",  # click (ages out)
+                    "2024-01-01 10:30:00",  # click
+                    "2024-01-01 10:35:00",  # purchase -> 1 conversion
+                ]
+            ),
+            "event_type": ["click", "click", "purchase"],
+        }
+    )
+    results = {}
+    for unit in ("ns", "us"):
+        pdf = rows.assign(ts=rows["ts"].astype(f"datetime64[{unit}]"))
+        out = list(_funnel_fn((7,), iter([pdf]), FakeState()))
+        results[unit] = int(out[0]["conversions"].iloc[0]) if out else 0
+    # 10:00 click is 35 min before the purchase (outside the 10-min
+    # horizon); 10:30 is inside -> exactly 1 conversion in BOTH units.
+    assert results["ns"] == results["us"] == 1
+
+
 def test_transform_with_state_totals_matches_batch(spark, tmp_path):
     """Spark 4.1 transformWithStateInPandas (typed-state API): final
     Update-mode emission per user must equal the batch GROUP BY.
