@@ -5,12 +5,12 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # Each module registers its queries at import time. Registration order
 # is driver-execution order, and the driver checks only the FIRST 50
 # registry entries per round — so each round fronts the entries with
-# the weakest driver evidence. Round 4: (a) the 11 queries broken by
-# the events-ts unit bug (fixed this round — their r01/r02 green rows
-# are void, VERDICT r3 #1/#2), (b) b27x/b08x which just gained
-# bounded-comparison oracles after being no_oracle in every round,
-# (c) the ts-adjacent entries whose r03 greens were order-preserving
-# luck (b29/s23/s24/a12) plus entries green only in r01, then the rest.
+# the weakest driver evidence. Round 5: (a) the 6 formerly-no_oracle
+# approximate entries, now bounded-comparison GATES (VERDICT r4 #1) —
+# first-ever hash rows, (b) the round-5 additions (new registry
+# entries land here as they are built), (c) b27x whose gate was
+# rewritten to the GK rank-error contract this round, then entries
+# whose only green is the oldest (r01-window) driver rows.
 from . import kql_q  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
@@ -18,42 +18,41 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 _FRONT = [
-    # (a) red-or-stale through the events-ts bug, fixed this round
-    "b06_range_join_funnel",
-    "b21_tumbling_window_agg",
-    "b21b_sliding_window_agg",
-    "b25_session_window",
-    "k18_kql_time_binning",
-    "k19_kql_ago_filter",
-    "k31_kql_make_series",  # + empty-group semantics fix this round
-    "k40_kql_datetime_scalars",
-    "s21_stream_tumbling_counts",
-    "s22_stream_sliding_counts",
-    "s25_stream_sessionization",
-    # (b) first-ever oracle rows (bounded-comparison gate forms) and
-    # the round-4 additions, never driver-checked
-    "b27x_percentiles_approx",
-    "b08x_approx_count_distinct",
-    "d20_neardup_clusters",
-    "d21_pii_redaction",
-    "d22_segment_dedup",
-    "d23_char_entropy",
-    "d24_tfidf_cosine_pairs",
-    "d25_url_canonical_dedup",
+    # (a) formerly-no_oracle approx entries, now gates — first hash rows
+    "d04_minhash_lsh_pairs",
+    "d06_simhash_near_pairs",
+    "d07x_lsh_cosine_topk",
+    "d07y_ivf_cosine_topk",
+    "d07z_blocked_cosine_topk",
     "d07v_pq_cosine_topk",
-    "s26_stream_stateful_funnel",
-    "s27_stream_stream_join",
-    "b14c_edit_distance",
-    "b30_window_distribution",
-    # (c) ts-adjacent luck-greens + green-only-in-r01 entries
-    "b29_asof_join",
-    "s23_stream_dedup",
-    "s24_stream_cdc_apply",
-    "a12_cdc_latest_state",
-    "b26_salted_skew_agg",
-    "b27_percentiles",
-    "a16_order_count_by_city",
-    "a17_cdc_scd2_history",
+    # (b) round-5 additions (appended as built)
+    # (c) gate rewritten this round (GK rank-error contract)
+    "b27x_percentiles_approx",
+    # (d) entries whose newest green is the r01 driver window
+    "d01_exact_dedup_groups",
+    "d02_dedup_keep_first",
+    "d03_minhash_portable",
+    "d05_ngram_jaccard_pairs",
+    "d08_embedding_near_dup",
+    "d09_doc_fingerprint",
+    "d10_token_stats",
+    "d11_quality_score",
+    "d12_langid",
+    "d13_tfidf_top_terms",
+    "d14_bigram_freq",
+    "d15_training_pipeline",
+    "mm1_binary_stats",
+    "mm2_image_decode_stub",
+    "mm3_frame_sample",
+    "mm4_pandas_udf_score",
+    "a08_order_generator",
+    "a09_envelope_unwrap",
+    "a10_jsonpath_mapping",
+    "a11_source_table_filter",
+    "a13_recent_orders_topk",
+    "a14_avg_sales_by_city",
+    "a15_total_sales_by_city",
+    "b01_scan_region",
 ]
 
 
