@@ -3,25 +3,35 @@ pair graphs (the step after candidate generation + verification: pairs
 say "these two are duplicates", components say "this is the dedup group
 and this member survives").
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with its own id; each round pushes labels across edges and keeps the
-minimum seen; convergence when no label changes. Rounds = graph
-diameter. Near-dup graphs are unions of small cliques and stars
-(diameter ≲ 3-4 even on web-scale corpora — a duplicate cluster is by
-construction densely connected), so simple propagation with an early
-exit beats the O(log n)-round large-star/small-star alternation in
-practice; swap that in only for adversarial long-path graphs.
+Two algorithms, one contract (``component = min(reachable node id)``,
+deterministic, engine-portable — the DuckDB oracle recomputes it with a
+recursive CTE):
 
-Scale design per round: one equi-join (labels onto edges) + one
-groupBy-min (map-side partial) — both shuffles keyed by node id, so AQE
-coalesces them, and ``localCheckpoint`` truncates the lineage each
-round (an unbounded iterative plan otherwise re-executes every prior
-round per action and overwhelms the optimizer). The result is exactly
-``component = min(reachable node id)`` — deterministic, engine-portable
-(the DuckDB oracle recomputes it with a recursive CTE).
+- **Min-label propagation** (default): every node starts labeled with
+  its own id; each round pushes labels across edges and keeps the
+  minimum seen. Rounds = graph diameter. Near-dup graphs are unions of
+  small cliques and stars (diameter ≲ 3-4 even on web-scale corpora — a
+  duplicate cluster is by construction densely connected), so simple
+  propagation with an early exit wins there.
+- **Large-star/small-star alternation** (Kiveris et al., "Connected
+  Components in MapReduce and Beyond"): each round contracts every node
+  toward the minimum of its neighborhood, halving long paths — O(log²
+  n) rounds on ANY graph shape. This is the escape hatch for
+  adversarial long-path graphs, and what :func:`connected_components`
+  falls back to (with a warning) when the propagation round cap is hit
+  instead of silently returning partially-propagated labels (ADVICE
+  r4).
+
+Scale design per round (both algorithms): one equi-join + one
+groupBy-min (map-side partial), shuffles keyed by node id so AQE
+coalesces them, and ``localCheckpoint`` truncates the lineage each round
+(an unbounded iterative plan otherwise re-executes every prior round per
+action and overwhelms the optimizer).
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,7 +47,14 @@ def connected_components(
     """(id, component) for every node appearing in ``edges``; component
     is the minimum node id reachable. Nodes with no edges don't appear —
     singletons are trivially their own component and the caller can
-    left-join them back if wanted."""
+    left-join them back if wanted.
+
+    Min-label propagation, O(diameter) rounds. If ``max_iter`` rounds
+    don't reach the fixpoint (a long-path graph a dedup pipeline should
+    never produce), a warning is emitted and the computation RESTARTS on
+    the star algorithm (O(log² n) rounds regardless of shape) — the
+    caller always gets fully-converged labels, never a silent partial
+    result."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -51,6 +68,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
+    converged = False
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), "comp"
@@ -68,7 +86,123 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("comp")).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components: min-label propagation did not reach "
+            f"its fixpoint in max_iter={max_iter} rounds (graph diameter "
+            f"> {max_iter}; dedup graphs never look like this) — falling "
+            f"back to large-star/small-star, O(log² n) rounds on any "
+            f"shape",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return connected_components_star(edges, src=src, dst=dst)
     return labels
+
+
+def _edge_signature(e: DataFrame) -> tuple:
+    """Order-insensitive fingerprint of an edge set, used as the star
+    fixpoint test (one aggregate scan, no join-and-compare)."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["sa"], row["sb"], row["h"])
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 60,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star — the
+    shape-robust form: O(log² n) rounds on ANY graph, including long
+    paths, at the same per-round cost as label propagation (one
+    groupBy-min + one equi-join).
+
+    One round:
+    - **large-star**: for every node u, connect each STRICTLY LARGER
+      neighbor to m(u) = min(N(u) ∪ {u}).
+    - **small-star**: for every node u, connect each neighbor ≤ u (and
+      u itself) to the minimum of that set.
+    Both steps only ever link nodes to smaller ids, so the edge set
+    monotonically contracts toward per-component stars rooted at the
+    component minimum; the fixpoint is exactly those stars. Each round
+    rewrites the edge set (localCheckpoint truncates lineage) and
+    convergence is an aggregate-scan signature, not a join.
+
+    ``max_iter`` is a safety net only — 60 rounds covers any graph that
+    fits in storage (log²(2⁶⁴) < 60 large/small pairs); hitting it
+    raises instead of returning partial labels."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _edge_signature(e)
+    rounds = 0
+    for _ in range(max_iter):
+        # ---- large-star: sym view, emit (bigger-neighbor -> m(u)) ----
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least("a", "mn").alias("m"))
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star: group by the LARGER endpoint ----
+        # canonical (a < b) means b's smaller-or-equal neighbors are
+        # exactly the a values grouped by b
+        smins = large.groupBy("b").agg(F.min("a").alias("mn"))
+        small = (
+            large.join(smins, "b")
+            .select(F.col("a").alias("x"), F.col("mn").alias("y"))
+            .unionByName(
+                smins.select(F.col("b").alias("x"), F.col("mn").alias("y"))
+            )
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        new_sig = _edge_signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} rounds "
+            f"— not a connectivity structure this algorithm can miss; "
+            f"inspect the edge input for pathological id types"
+        )
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    # fixpoint edges are (member -> root) with root = component min,
+    # canonically stored as (a=root, b=member); roots self-map
+    members = e.select(F.col("b").alias("id"), F.col("a").alias("comp"))
+    roots = e.select(F.col("a").alias("id"), F.col("a").alias("comp")).distinct()
+    return members.unionByName(roots).groupBy("id").agg(
+        F.min("comp").alias("comp")
+    )

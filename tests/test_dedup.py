@@ -198,3 +198,77 @@ def test_connected_components_multihop(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_star_cc_path_graph_log_rounds(spark):
+    """Large-star/small-star on a 50-node path (diameter 49, the
+    adversarial shape for label propagation) must converge to one
+    component in O(log n) rounds — the round count is the point of the
+    algorithm, so it's asserted, not just the labels."""
+    import math
+
+    from kafka_data_explorer_cdc_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 50
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    stats: dict = {}
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(edges, _stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # 2·log2(n) + slack; label propagation would need 49 rounds
+    bound = 2 * math.ceil(math.log2(n)) + 2
+    assert stats["rounds"] <= bound, stats
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Both algorithms implement the same contract — identical labels
+    on a mixed graph (cliques + stars + a path + singleton-free)."""
+    import random
+
+    from kafka_data_explorer_cdc_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # cliques of 4 at bases 0,100,200; stars at 300,400; path at 500
+    for base in (0, 100, 200):
+        ids = [base + i for i in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    for base in (300, 400):
+        edges += [(base, base + i) for i in range(1, 6)]
+    edges += [(500 + i, 500 + i + 1) for i in range(10)]
+    # random cross edges inside the 0..11 id space of one clique group
+    edges += [(rng.randrange(4), 200 + rng.randrange(4)) for _ in range(2)]
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    lab = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    star = {r["id"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert lab == star
+
+
+def test_label_cc_cap_falls_back_with_warning(spark):
+    """Hitting max_iter must NOT return partially-propagated labels
+    (ADVICE r4): it warns and restarts on the star algorithm, so the
+    caller still gets fully-converged components."""
+    import pytest as _pytest
+
+    from kafka_data_explorer_cdc_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "id1 long, id2 long"
+    )
+    with _pytest.warns(RuntimeWarning, match="falling.*back"):
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(edges, max_iter=3).collect()
+        }
+    assert got == {i: 0 for i in range(20)}
