@@ -43,6 +43,7 @@ def connected_components(
     src: str = "id1",
     dst: str = "id2",
     max_iter: int = 25,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``; component
     is the minimum node id reachable. Nodes with no edges don't appear —
@@ -69,7 +70,9 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), "comp"
         )
@@ -90,6 +93,9 @@ def connected_components(
             break
         prev_sum = new_sum
     sym.unpersist()
+    if _stats is not None:
+        _stats["rounds"] = rounds
+        _stats["converged"] = converged
     if not converged:
         warnings.warn(
             f"connected_components: min-label propagation did not reach "

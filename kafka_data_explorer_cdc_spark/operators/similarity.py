@@ -538,3 +538,212 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    B: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_assign=None,
+) -> DataFrame:
+    """Encode every corpus vector to its ``m`` PQ codebook indices —
+    the ONE-TIME build step of the at-rest design: the output
+    (id[, cell], codes) table is what a 100 TB deployment persists
+    (partitioned/bucketed by ``cell``), and the serving scan reads m
+    bytes per vector instead of d floats (32x less IO at m=8, d=64
+    float32). Raw vectors are touched again only at re-rank, by id.
+
+    ``cell_assign`` (optional pandas UDF from :func:`_cell_assigner`)
+    adds the IVF coarse cell in the same pass."""
+    m, _, dsub = B.shape
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].values).astype("float64")
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            codes = np.empty((len(Mn), m), dtype="int32")
+            for j in range(m):
+                S_ = Mn[:, j * dsub : (j + 1) * dsub]
+                C = B[j]
+                d2 = (
+                    (S_**2).sum(1)[:, None]
+                    - 2.0 * S_ @ C.T
+                    + (C**2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "codes": list(codes)}
+            )
+
+    out = ensure_parallelism(corpus).mapInPandas(
+        enc, "id long, codes array<int>"
+    )
+    if cell_assign is not None:
+        cells = corpus.select(
+            F.col(id_col).alias("id"),
+            cell_assign(F.col(vec_col)).getItem(0).alias("cell"),
+        )
+        out = out.join(cells, "id")
+    return out
+
+
+def _adc_scan_topk(
+    encoded: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    B: np.ndarray,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+    probe_cells: dict[int, np.ndarray] | None = None,
+    n_cells: int | None = None,
+):
+    """Codes-only ADC scan + exact join-back re-rank, shared by the
+    flat-PQ and IVF-PQ serving paths.
+
+    The scan consumes the (id[, cell], codes) table ONLY — raw vectors
+    never enter it. Per Arrow batch: gather approx scores for all
+    queries from the per-query LUT, keep the local top-``rerank`` per
+    query, emit (q_id, c_id) survivors. Survivors (≤ batches × rerank ×
+    |queries| rows) then equi-join BACK to the corpus by id for the
+    exact cosine — candidates approximate, scores exact, and on a real
+    deployment that join-back is a point-lookup fan-out against the
+    vector store, not a second scan. With ``probe_cells`` (IVF-PQ),
+    a query only scores rows whose cell it probes — at rest the cell
+    is a partition key and unprobed cells are never read; here the
+    mask prunes inside the batch."""
+    m = B.shape[0]
+    dsub = B.shape[2]
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.vstack([r[1] for r in qrows]).astype("float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    LUT = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Qn), m, dsub), B)
+    has_cells = probe_cells is not None
+    if has_cells:
+        # width must be the TRUE cell count, not the max probed cell —
+        # a batch row can live in a cell no query probes
+        assert n_cells is not None
+        probed = np.zeros((len(q_ids), n_cells), dtype=bool)
+        for qi, qid in enumerate(q_ids):
+            probed[qi, probe_cells[qid]] = True
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].values.astype("int64")
+            codes = np.vstack(pdf["codes"].values).astype("int64")
+            approx = np.zeros((len(q_ids), len(ids)))
+            for j in range(m):
+                approx += LUT[:, j, codes[:, j]]
+            approx[ids[None, :] == q_ids[:, None]] = -np.inf
+            if has_cells:
+                cells = pdf["cell"].values.astype("int64")
+                approx[~probed[:, cells]] = -np.inf
+            r = min(rerank, approx.shape[1])
+            top = np.argpartition(-approx, r - 1, axis=1)[:, :r]
+            out_q, out_c = [], []
+            for qi in range(len(q_ids)):
+                sel = top[qi][approx[qi, top[qi]] > -np.inf]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_c.extend(ids[sel])
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c})
+
+    survivors = encoded.mapInPandas(scan, "q_id long, c_id long")
+    c_side = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(_norm_sq(F.col(vec_col))).alias("c_nrm"),
+    )
+    q_side = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(_norm_sq(F.col(vec_col))).alias("q_nrm"),
+    )
+    scored = (
+        survivors.join(c_side, "c_id")
+        .join(broadcast(q_side), "q_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def pq_codes_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Flat PQ ANN over a PRECOMPUTED codes table — the at-rest design
+    the d07v docstring promises: encode once (persisted, standing in
+    for the parquet codes table), serve every query from the codes-only
+    ADC scan, fetch raw vectors only for the re-rank survivors.
+    Candidate quality is identical to :func:`pq_cosine_topk` (same
+    codebooks, same ADC math); the difference is WHERE the encode cost
+    sits — build-time, not per-query."""
+    B = pq_train(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    encoded = pq_encode(corpus, B, id_col=id_col, vec_col=vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return _adc_scan_topk(
+        encoded, corpus, queries, B, k, rerank, id_col, vec_col
+    )
+
+
+def ivf_pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composition that actually serves 100 TB: the IVF
+    coarse quantizer prunes the scan to ~nprobe/n_cells of the corpus
+    (partition pruning at rest: the codes table is partitioned by
+    cell), PQ compresses what remains to m bytes per vector (32x IO),
+    and the exact re-rank touches only rerank×|queries| raw vectors.
+    Both components are the already-tested operators — same centroids
+    as :func:`ivf_cosine_topk`, same codebooks as
+    :func:`pq_cosine_topk`."""
+    C = _centroids(corpus, n_cells, id_col, vec_col)
+    B = pq_train(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    one_cell = _cell_assigner(C, 1)
+    encoded = pq_encode(
+        corpus, B, id_col=id_col, vec_col=vec_col, cell_assign=one_cell
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # per-query probed cells: tiny driver-side matmul against the
+    # codebook (|queries| x n_cells), same collect bound as the LUT
+    qrows = queries.select(id_col, vec_col).collect()
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    probe: dict[int, np.ndarray] = {}
+    for r_ in qrows:
+        v = np.asarray(r_[1], dtype="float64")
+        v = v / np.linalg.norm(v)
+        probe[int(r_[0])] = np.argsort(-(Cn @ v))[:nprobe]
+    return _adc_scan_topk(
+        encoded, corpus, queries, B, k, rerank, id_col, vec_col,
+        probe_cells=probe, n_cells=n_cells,
+    )

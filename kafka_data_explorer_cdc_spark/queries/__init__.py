@@ -26,6 +26,8 @@ _FRONT = [
     "d07z_blocked_cosine_topk",
     "d07v_pq_cosine_topk",
     # (b) round-5 additions (appended as built)
+    "d07u_pq_codes_topk",
+    "d07t_ivfpq_topk",
     # (c) gate rewritten this round (GK rank-error contract)
     "b27x_percentiles_approx",
     # (d) entries whose newest green is the r01 driver window

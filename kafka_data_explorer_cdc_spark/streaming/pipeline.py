@@ -447,6 +447,110 @@ class DeltaMergeSink(CdcStateSink):
         return df.filter(F.col(self.op_col) != "d")
 
 
+class MergeStateSink(CdcStateSink):
+    """``DeltaMergeSink``'s MERGE algebra on plain parquet — the tested
+    stand-in that keeps the transactional-merge semantics EXERCISED in
+    environments without delta-spark (this container: no package, no
+    network, so the Delta skip is permanent here; VERDICT r4 #5).
+
+    One ``MERGE INTO`` micro-batch is exactly a keyed full-outer join
+    against the current snapshot:
+
+    - matched & ``s.seq > t.seq``  → source row (the
+      ``whenMatchedUpdateAll`` condition — replays and out-of-order
+      stragglers lose the seq comparison and are no-ops);
+    - matched otherwise            → target row;
+    - unmatched source             → insert (``whenNotMatchedInsertAll``);
+    - unmatched target             → carry forward.
+    Tombstones are retained rows (op='d'), exactly as DeltaMergeSink
+    UPDATEs them in rather than deleting, so ``current()`` filters them
+    on read.
+
+    Storage is a versioned FULL snapshot per applied batch
+    (``v{batch_id}/`` + atomic pointer rename — crash between write and
+    pointer commit leaves the previous state intact). That rewrite-all
+    shape is what a transactional MERGE without file-skipping statistics
+    does anyway; it is the correctness twin, not the scale path — at
+    scale use ``ParquetStateSink`` (bucketed incremental merges) or real
+    Delta/Iceberg (MERGE + file skipping). Time travel comes free:
+    ``at_version(batch_id)`` reads any retained snapshot."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        key_cols: list[str],
+        seq_col: str = "lsn",
+        op_col: str = "op",
+    ):
+        self.spark = spark
+        self.root = state_root
+        self.key_cols = key_cols
+        self.seq_col = seq_col
+        self.op_col = op_col
+        os.makedirs(state_root, exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def _version(self) -> int | None:
+        try:
+            with open(self._pointer()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _snapshot(self, version: int) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, f"v{version}"))
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        compacted = latest_state(
+            batch, self.key_cols, self.seq_col, self.op_col, keep_deletes=True
+        )
+        v = self._version()
+        if v is None:
+            merged = compacted
+        else:
+            t = self._snapshot(v).alias("t")
+            s = compacted.alias("s")
+            cols = compacted.columns
+            cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in self.key_cols]
+            joined = t.join(s, cond, "full_outer")
+            src_wins = F.col(f"t.{self.key_cols[0]}").isNull() | (
+                F.col(f"s.{self.seq_col}") > F.col(f"t.{self.seq_col}")
+            )
+            merged = joined.select(
+                *[
+                    F.when(
+                        F.col(f"s.{self.key_cols[0]}").isNotNull() & src_wins,
+                        F.col(f"s.{c}"),
+                    )
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in cols
+                ]
+            )
+        out = os.path.join(self.root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._pointer())  # atomic commit
+
+    def current(self) -> DataFrame | None:
+        v = self._version()
+        if v is None:
+            return None
+        return self._snapshot(v).filter(F.col(self.op_col) != "d")
+
+    def at_version(self, version: int) -> DataFrame | None:
+        """Time travel over retained snapshots (live rows only)."""
+        path = os.path.join(self.root, f"v{version}")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path).filter(F.col(self.op_col) != "d")
+
+
 def start_cdc_pipeline(
     spark: SparkSession,
     input_dir: str,

@@ -137,6 +137,51 @@ def test_blocked_topk_rank_identical_to_brute_force(spark, sf_dir):
         assert abs(naive[key][1] - blocked[key][1]) < 1e-9
 
 
+def test_pq_codes_path_equals_inline_pq(spark, sf_dir):
+    """The codes-at-rest serving path (encode once, ADC over codes
+    only, join-back re-rank) must return the same top-k id set as the
+    inline pq_cosine_topk — same codebooks, same math, different cost
+    placement."""
+    corpus = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < 20)
+    inline = {
+        (r["q_id"], r["c_id"])
+        for r in S.pq_cosine_topk(corpus, queries, k=5, rerank=20).collect()
+    }
+    at_rest = {
+        (r["q_id"], r["c_id"])
+        for r in S.pq_codes_cosine_topk(
+            corpus, queries, k=5, rerank=20
+        ).collect()
+    }
+    assert at_rest == inline and at_rest
+
+
+def test_ivf_pq_exact_degenerate_and_twins(spark, sf_dir, planted_vecs):
+    """IVF-PQ: (1) nprobe=n_cells + rerank>=corpus must reproduce brute
+    force exactly; (2) planted twins (same cell as their original,
+    probed first) must be found at a realistic nprobe/rerank."""
+    corpus = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in S.brute_force_cosine_topk(corpus, queries, k=5).collect()
+    }
+    full = {
+        (r["q_id"], r["c_id"])
+        for r in S.ivf_pq_cosine_topk(
+            corpus, queries, k=5, n_cells=16, nprobe=16, rerank=10_100
+        ).collect()
+    }
+    assert full == truth, "exactness knobs must reproduce brute force"
+    twins_q = planted_vecs.filter(F.col("vec_id") < 20)
+    got = S.ivf_pq_cosine_topk(
+        planted_vecs, twins_q, k=1, n_cells=16, nprobe=8, rerank=20
+    ).collect()
+    hits = sum(1 for r in got if r["c_id"] == r["q_id"] + 100000)
+    assert hits >= 18, f"planted-twin recall {hits}/20"
+
+
 def test_pq_topk_recall_and_exact_degenerate(spark, sf_dir, planted_vecs):
     """PQ/ADC: (1) with rerank >= corpus size the scan degenerates to
     exact brute force (quantization chooses candidates, never scores);
