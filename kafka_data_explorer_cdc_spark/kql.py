@@ -15,7 +15,8 @@ Supported (the reference's surface plus the obvious neighbors):
       | summarize [name =] agg(col), ... [by col | name = expr, ...]
       | sort by col [asc|desc], ...        (KQL default: DESCENDING)
       | order by ...                       (alias of sort)
-      | top N by col [asc|desc]
+      | top N by expr [asc|desc] [nulls first|last]   (any scalar
+        expression, Kusto default: DESCENDING)
       | top-nested N of col by [name =] agg() [, top-nested ...]
         (hierarchical top-k; ties break on the key ascending)
       | top-hitters N of col [by valcol]   (exact heavy-hitters)
@@ -38,8 +39,8 @@ Supported (the reference's surface plus the obvious neighbors):
           from 'ts' to 'ts' step 1h [by col, ...]   (dense per-group
           value arrays over uniform bins, gap-filled; JVM-only grid)
       | mv-expand [name =] arraycol
-      | distinct col, ...
-      | count
+      | distinct col, ...  /  distinct *
+      | count   (column named `Count`, as in Kusto)
       | join [kind=K] ( Sub | ... ) on k [, ...]   (Kusto innerunique
         default; $left.a == $right.b key form; right-side name clashes
         get a '1' suffix)
@@ -55,6 +56,10 @@ Supported (the reference's surface plus the obvious neighbors):
 
     print / range / datatable tabular sources (range generates on
     executors via spark.range — a parallel source, not a literal).
+
+    find [in (T1, T2, ...)] where <pred>   (cross-table search source:
+    union of matching rows aligned by name, `source_` column names the
+    table; tables lacking a referenced column contribute no rows).
 
     let name = <scalar literal> ;  /  let name = T | ... ;   (named
     constants and tabular CTEs, visible to the query and join subqueries)
@@ -89,6 +94,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1354,6 +1360,60 @@ def _compile_source(
     return df
 
 
+def _compile_find(
+    stage: str,
+    tables: dict[str, DataFrame],
+    now: str | None,
+    lets: dict[str, object],
+) -> DataFrame:
+    """``find [in (T1, T2, ...)] where <pred>`` — Kusto's cross-table
+    search verb (round-5 sweep): evaluate the predicate against every
+    named table (all bound tables when ``in`` is omitted), union the
+    matching rows aligned by column name with null fill, and prepend
+    ``source_`` naming the contributing table. Tables that lack a
+    column the predicate references contribute no rows (their filter
+    does not compile) — Kusto's behavior for simple predicates. The
+    union is column-aligned (Kusto's ``project-all`` output mode; its
+    default pack()-based ``project-smart`` is presentation sugar over
+    the same rows). Each branch keeps its own scan + filter, so
+    pushdown applies per table."""
+    m = re.match(r"find\s+(?:in\s*\(([^)]*)\)\s*)?where\b", stage, re.I | re.S)
+    if not m:
+        raise ValueError(
+            "KQL: find expects 'find [in (T1, ...)] where <predicate>'"
+        )
+    names = (
+        [s.strip() for s in m.group(1).split(",") if s.strip()]
+        if m.group(1)
+        else list(tables)
+    )
+    pred_text = stage[m.end():]
+    out = None
+    for name in names:
+        if name not in tables:
+            raise ValueError(f"KQL: find references unknown table {name!r}")
+        df = tables[name]
+        p = _Parser(_tokenize(pred_text), now=now, lets=lets)
+        try:
+            part = df.filter(p.expr())
+        except AnalysisException:
+            continue  # predicate references columns this table lacks
+        part = part.select(
+            F.lit(name).alias("source_"), *[F.col(c) for c in df.columns]
+        )
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
+    if out is None:
+        raise ValueError(
+            "KQL: find predicate references columns absent from every "
+            "searched table"
+        )
+    return out
+
+
 def kql(
     query_text: str,
     tables: dict[str, DataFrame],
@@ -1399,6 +1459,12 @@ def kql(
     table = stages[0]
     src_head = re.match(r"[A-Za-z_]\w*", table)
     if (
+        table not in tables
+        and src_head
+        and src_head.group().lower() == "find"
+    ):
+        df = _compile_find(table, tables, now, lets)
+    elif (
         table not in tables
         and src_head
         and src_head.group().lower() in ("print", "range", "datatable")
@@ -1619,9 +1685,27 @@ def kql(
         elif verb == "top":
             n = int(p.next().text)
             p.expect("by")
-            c = p.next().text
-            order = F.asc(c) if p.accept("asc") else F.desc(c)
-            p.accept("desc")
+            # Kusto: top N by <expr> [asc|desc] [nulls first|last] —
+            # any scalar expression, not just a column (round-5 sweep)
+            key = p.expr()
+            asc = bool(p.accept("asc"))
+            if not asc:
+                p.accept("desc")
+            nulls = None
+            if p.accept("nulls"):
+                nulls = p.next().text.lower()
+                if nulls not in ("first", "last"):
+                    raise ValueError("KQL: top expects 'nulls first|last'")
+            if asc:
+                order = {
+                    "first": key.asc_nulls_first(),
+                    "last": key.asc_nulls_last(),
+                }.get(nulls, key.asc())
+            else:
+                order = {
+                    "first": key.desc_nulls_first(),
+                    "last": key.desc_nulls_last(),
+                }.get(nulls, key.desc())
             df = df.orderBy(order).limit(n)
             ser = [order]  # top output is serialized, as in Kusto
         elif verb in ("take", "limit"):
@@ -1858,7 +1942,9 @@ def kql(
                 .limit(n)
             )
         elif verb == "count":
-            df = df.agg(F.count("*").alias("count_"))
+            # Kusto's terminal count names its column exactly `Count`
+            # (`summarize count()` without a name stays `count_`)
+            df = df.agg(F.count("*").alias("Count"))
         elif verb == "search":
             # search 'term' — case-insensitive containment over every
             # string column (Kusto's unscoped search, restricted to the

@@ -28,6 +28,9 @@ _FRONT = [
     # (b) round-5 additions (appended as built)
     "d07u_pq_codes_topk",
     "d07t_ivfpq_topk",
+    "k43_kql_top_by_expr",
+    "k44_kql_count_and_distinct_star",
+    "k45_kql_find",
     # (c) gate rewritten this round (GK rank-error contract)
     "b27x_percentiles_approx",
     # (d) entries whose newest green is the r01 driver window

@@ -786,3 +786,81 @@ def k42_kql_parse_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | summarize n = count() by head, rest",
         {"Orders": orders},
     )
+
+
+@query(
+    "k43_kql_top_by_expr",
+    oracle="""
+SELECT o_orderkey, rn FROM (
+  SELECT o_orderkey,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey * 2 + 1 DESC) AS BIGINT) AS rn
+  FROM orders
+) WHERE rn <= 5
+""",
+    tags=("kql", "topk"),
+)
+def k43_kql_top_by_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top N by <expr>`` with a scalar expression key (round-5 verb
+    sweep): compiles to TakeOrderedAndProject on the computed key —
+    the same no-global-sort plan as column-keyed top — and the output
+    is serialized, so ``row_number()`` works directly after it. The
+    key expression is injective over orderkey, making the selection
+    deterministic without a secondary sort key (Kusto ``top`` takes
+    exactly one expression)."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | top 5 by o_orderkey * 2 + 1"
+        " | extend rn = row_number()"
+        " | project o_orderkey, rn",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k44_kql_count_and_distinct_star",
+    oracle=f"""{_OI}
+SELECT CAST(COUNT(*) AS BIGINT) AS "Count"
+FROM (SELECT DISTINCT * FROM orders_info)
+""",
+    tags=("kql", "agg"),
+)
+def k44_kql_count_and_distinct_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``distinct *`` piped into terminal ``count`` (round-5 verb
+    sweep): the all-columns dedup + Kusto's exact `Count` column
+    naming, both audited against Kusto semantics this round."""
+    return kql("Orders | distinct * | count", _orders(spark, sf_dir))
+
+
+@query(
+    "k45_kql_find",
+    oracle=f"""{_OI}
+SELECT * FROM (
+  SELECT 'Orders' AS source_, CAST(orderid AS VARCHAR) AS orderid, amount
+  FROM orders_info WHERE amount > 190
+  UNION ALL
+  SELECT 'Nations', 'n-' || CAST(n_nationkey AS VARCHAR), NULL
+  FROM nation WHERE n_nationkey > 1000000
+)
+""",
+    tags=("kql", "search"),
+)
+def k45_kql_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``find in (T1, T2) where pred`` (round-5 verb sweep): cross-
+    table search — per-table filter (pushdown preserved per branch),
+    name-aligned union with null fill, ``source_`` provenance column.
+    Nations lacks ``amount``, so it contributes no rows — asserted by
+    the oracle's vacuous second branch."""
+    oi = orders_info(load(spark, sf_dir, "orders")).select(
+        "orderid", "amount"
+    )
+    nations = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = kql(
+        "find in (Orders, Nations) where amount > 190",
+        {"Orders": oi, "Nations": nations},
+    )
+    import pyspark.sql.functions as F
+
+    return out.select(
+        "source_", F.col("orderid").cast("string").alias("orderid"), "amount"
+    )

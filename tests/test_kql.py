@@ -636,7 +636,7 @@ def test_source_generators(spark):
         "datetime('2024-01-02 00:00:00') step 12h | count",
         t,
     ).collect()[0]
-    assert rd["count_"] == 3
+    assert rd["Count"] == 3
     dt = kql(
         "datatable (a: long, b: string, c: real) [1, 'x', 1.5, -2, 'y', 0.25] "
         "| where a > 0",
@@ -645,7 +645,7 @@ def test_source_generators(spark):
     assert dt.collect() == [(1, "x", 1.5)]
     # a binding that shadows a generator name still resolves as a table
     named = {"range": spark.createDataFrame([(7,)], "z int")}
-    assert kql("range | count", named).collect()[0]["count_"] == 1
+    assert kql("range | count", named).collect()[0]["Count"] == 1
 
 
 def test_new_scalar_functions(spark):
@@ -795,3 +795,58 @@ def test_sample_and_sample_distinct_deterministic(spark):
     # asking for more than exist returns all of them
     alln = kql("T | sample-distinct 99 of g", {"T": df}).count()
     assert alln == 7
+
+
+def test_count_column_named_Count(orders):
+    """Kusto's terminal `| count` names its column exactly `Count` —
+    dashboards reference it by that name (round-5 sweep)."""
+    out = kql("O | count", {"O": orders}).collect()
+    assert [f for f in out[0].asDict()] == ["Count"]
+    assert out[0]["Count"] == 6
+
+
+def test_top_by_expression(orders):
+    """`top N by <expr>` accepts any scalar expression plus
+    asc/desc and nulls first|last (round-5 sweep)."""
+    got = [
+        r["city"]
+        for r in kql("O | top 2 by amount * 2", {"O": orders}).collect()
+    ]
+    want = [
+        r["city"]
+        for r in kql("O | top 2 by amount", {"O": orders}).collect()
+    ]
+    assert got == want  # monotone transform preserves the order
+    lo = kql("O | top 1 by amount + 0 asc", {"O": orders}).collect()[0]
+    assert lo["amount"] == min(r["amount"] for r in orders.collect())
+    # serialized after top-by-expr: row_number() works
+    rn = kql(
+        "O | top 3 by amount * 1 | extend rn = row_number()", {"O": orders}
+    ).collect()
+    assert [r["rn"] for r in rn] == [1, 2, 3]
+
+
+def test_find_cross_table_search(spark, orders):
+    """`find in (T1, T2) where pred`: union of matching rows aligned by
+    name with null fill, source_ column, tables lacking a referenced
+    column contribute nothing (round-5 sweep)."""
+    other = spark.createDataFrame(
+        [(100, "Rome"), (5, "Oslo")], "amount int, place string"
+    )
+    t = {"O": orders, "P": other}
+    got = kql("find in (O, P) where amount > 90", t)
+    assert "source_" in got.columns and "place" in got.columns
+    by_src = {}
+    for r in got.collect():
+        by_src.setdefault(r["source_"], 0)
+        by_src[r["source_"]] += 1
+    want_o = orders.filter("amount > 90").count()
+    assert by_src == {"O": want_o, "P": 1}
+    # column only one table has: the other contributes no rows
+    got2 = kql("find in (O, P) where place == 'Oslo'", t).collect()
+    assert {r["source_"] for r in got2} == {"P"} and len(got2) == 1
+    # `in (...)` omitted = all bound tables
+    got3 = kql("find where amount > 90", t)
+    assert got3.count() == want_o + 1
+    with pytest.raises(ValueError, match="absent from every"):
+        kql("find in (O, P) where nonexistent_col > 1", t)
