@@ -291,6 +291,44 @@ class ParquetStateSink(CdcStateSink):
             raise FileNotFoundError(f"no manifest for version {version}")
         return self._live(self._read_buckets(m["buckets"]))
 
+    def vacuum(self, retain_last: int = 10) -> dict:
+        """Drop history older than the newest ``retain_last`` manifests
+        — Delta's ``VACUUM`` for the manifest log. Without it a
+        long-running stream's version history grows one ``v{batch}/``
+        dir per micro-batch forever even though live state is bounded
+        (the soak harness's disk-leak axis).
+
+        Safety: a ``v{N}/`` dir is deleted only if NO retained manifest
+        maps any bucket to it — retained manifests (including LATEST)
+        stay fully readable for time travel. Deletion order is
+        manifests-first, then unreferenced data dirs, so a crash
+        mid-vacuum can only strand unreferenced dirs (re-vacuumed next
+        call), never break a reader."""
+        import shutil
+
+        vers = self.versions()
+        if len(vers) <= retain_last:
+            return {"dropped_manifests": 0, "dropped_dirs": 0}
+        keep = set(vers[-retain_last:])
+        referenced: set[int] = set()
+        for v in keep:
+            m = self._manifest(v)
+            if m:
+                referenced.update(int(x) for x in m["buckets"].values())
+        dropped_m = 0
+        for v in vers:
+            if v not in keep:
+                os.remove(os.path.join(self.root, f"manifest_v{v}.json"))
+                dropped_m += 1
+        dropped_d = 0
+        for d in os.listdir(self.root):
+            if d.startswith("v") and d[1:].isdigit():
+                ver = int(d[1:])
+                if ver not in referenced and ver not in keep:
+                    shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                    dropped_d += 1
+        return {"dropped_manifests": dropped_m, "dropped_dirs": dropped_d}
+
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         # the batch feeds several actions (DLQ write, touched-bucket
         # probe, merge write) — persist it so the envelope JSON parse
