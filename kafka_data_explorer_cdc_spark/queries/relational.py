@@ -1047,3 +1047,215 @@ def b30_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --- Subquery decorrelation family (B31-B35) ----------------------------
+#
+# The SQL-subquery surface (EXISTS / NOT EXISTS, IN / NOT IN, correlated
+# scalar subqueries, CTE + scalar aggregate) is its own operator class:
+# Catalyst must DECORRELATE — rewrite the correlated form into
+# joins/aggregates — before any physical planning. Expressed via
+# spark.sql with DataFrame args so the actual subquery rewrite paths
+# (RewritePredicateSubquery, RewriteCorrelatedScalarSubquery,
+# null-aware anti join) are exercised, not hand-decorrelated DataFrame
+# twins of b05b/b05c. At 100 TB each decorrelates to a shuffled-or-
+# broadcast hash join, never a per-row re-scan: the plan-shape tests in
+# tests/test_plans.py pin that.
+
+
+@query(
+    "b31_exists_subquery",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "subquery"),
+)
+def b31_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to this schema (no commit/receipt dates):
+    priority counts of orders with at least one line shipped >60 days
+    after the order date. The EXISTS predicate is correlated on BOTH an
+    equality (orderkey) and a non-equi condition (shipdate vs. the
+    outer row's orderdate) — Catalyst decorrelates it to a LEFT SEMI
+    hash join on l_orderkey with the date comparison as a join-side
+    filter. One shuffle on the key; the orders date filter pushes into
+    the parquet scan before the join."""
+    return spark.sql(
+        """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM {orders} o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM {lineitem} l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+GROUP BY o_orderpriority
+""",
+        orders=load(spark, sf_dir, "orders"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "b32_scalar_correlated",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+""",
+    tags=("relational", "subquery"),
+)
+def b32_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would be lost by only filling
+    small-quantity orders — each lineitem compared against 20% of ITS
+    part's average quantity via a correlated scalar subquery. Catalyst
+    rewrites it to a per-partkey aggregate joined back on l_partkey
+    (one scan of lineitem for the aggregate, one for the probe) — the
+    naive per-row re-scan would be O(n²) and never appears in the plan.
+    Exactness: the threshold is decimal-sum/count (deterministic double
+    on both engines); the outer sum goes through DECIMAL(18,2)."""
+    return spark.sql(
+        """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(*))
+    FROM {lineitem} l2 WHERE l2.l_partkey = p.p_partkey)
+""",
+        lineitem=load(spark, sf_dir, "lineitem"),
+        part=load(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "b33_in_subquery_having",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l2.l_orderkey FROM lineitem l2
+  GROUP BY l2.l_orderkey
+  HAVING SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) > 240)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+    tags=("relational", "subquery"),
+)
+def b33_in_subquery_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, found by an IN subquery over a grouped HAVING.
+    The IN becomes a LEFT SEMI join against the aggregated subquery —
+    at scale the subquery side is the small (post-aggregation,
+    post-HAVING) side, so AQE can broadcast it into the orders scan.
+    Quantity sums are exact DECIMAL so the HAVING threshold cannot
+    flip on summation order."""
+    return spark.sql(
+        """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM {customer} c
+JOIN {orders} o ON c.c_custkey = o.o_custkey
+JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l2.l_orderkey FROM {lineitem} l2
+  GROUP BY l2.l_orderkey
+  HAVING SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) > 240)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+        customer=load(spark, sf_dir, "customer"),
+        orders=load(spark, sf_dir, "orders"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "b34_not_in_null_aware",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE c.c_custkey NOT IN (
+  SELECT o.o_custkey FROM orders o
+  WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 150000)
+""",
+    tags=("relational", "subquery"),
+)
+def b34_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with three-valued-logic semantics: customers with no
+    high-value finished order. NOT IN is NOT an anti join — one NULL in
+    the subquery result empties the output — so Spark plans a
+    null-aware anti join (broadcast; single-column NAAJ is the
+    supported fast path). Distinct from b05c's NOT EXISTS/anti-join
+    exactly because of that null semantics difference; at scale the
+    subquery side is aggregated small and broadcast."""
+    return spark.sql(
+        """
+SELECT c.c_custkey, c.c_name
+FROM {customer} c
+WHERE c.c_custkey NOT IN (
+  SELECT o.o_custkey FROM {orders} o
+  WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 150000)
+""",
+        customer=load(spark, sf_dir, "customer"),
+        orders=load(spark, sf_dir, "orders"),
+    )
+
+
+@query(
+    "b35_top_supplier_cte",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l_discount AS DECIMAL(12,2))) AS total_revenue_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue_dec AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue_dec = (SELECT MAX(total_revenue_dec) FROM revenue)
+""",
+    tags=("relational", "subquery"),
+)
+def b35_top_supplier_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a CTE computed once, consumed both as
+    the join input and inside an uncorrelated scalar subquery (MAX over
+    the CTE). The scalar subquery is one extra reduce producing a
+    1-row broadcast; revenue is an exact decimal sum so the MAX
+    equality cannot be lost to double rounding (the classic Q15
+    pitfall). The winner join side is tiny and broadcasts."""
+    return spark.sql(
+        """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l_discount AS DECIMAL(12,2))) AS total_revenue_dec
+  FROM {lineitem}
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue_dec AS DOUBLE) AS total_revenue
+FROM {supplier} s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue_dec = (SELECT MAX(total_revenue_dec) FROM revenue)
+""",
+        lineitem=load(spark, sf_dir, "lineitem"),
+        supplier=load(spark, sf_dir, "supplier"),
+    )

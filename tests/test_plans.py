@@ -224,3 +224,30 @@ def test_segment_dedup_hash_keyed_shuffles(spark, sf_dir):
     p = plan_of(spark, sf_dir, "d22_segment_dedup")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_subqueries_decorrelate_to_hash_joins(spark, sf_dir):
+    """The subquery family (b31-b35) must decorrelate: no per-row
+    re-scan (nested-loop / cartesian) anywhere, each subquery rewritten
+    to a hash join against a (pre-aggregated) subquery side."""
+    # EXISTS with a correlated non-equi condition -> LEFT SEMI hash join
+    # carrying the date comparison as the join condition
+    p = plan_of(spark, sf_dir, "b31_exists_subquery")
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+    # correlated scalar subquery -> per-key aggregate joined back
+    # (two scans of lineitem, zero nested loops)
+    p = plan_of(spark, sf_dir, "b32_scalar_correlated")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # subquery agg (partial+final)
+    # NOT IN -> null-aware anti join, not a plain anti join: the NAAJ
+    # flag is the trailing 'true' on the BroadcastHashJoin line
+    p = plan_of(spark, sf_dir, "b34_not_in_null_aware")
+    naaj = [ln for ln in p.splitlines()
+            if "LeftAnti" in ln and "BroadcastHashJoin" in ln]
+    assert naaj and naaj[0].rstrip().endswith("true"), naaj
+    # Q15: scalar MAX subquery over the CTE is a Subquery reuse +
+    # 1-row broadcast, winner join broadcasts the tiny side
+    p = plan_of(spark, sf_dir, "b35_top_supplier_cte")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
