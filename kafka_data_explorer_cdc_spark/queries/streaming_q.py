@@ -287,3 +287,39 @@ def s27_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count("*").alias("conversions"))
     )
+
+
+@query(
+    "s28_stream_static_enrich",
+    oracle="""
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+    tags=("streaming", "join"),
+)
+def s28_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined per
+    micro-batch against the static customer dimension (the canonical
+    "enrich the CDC/event stream with reference data" shape). The
+    static side is broadcast — stream-static joins are STATELESS
+    (no watermark, no join state store): each micro-batch probes the
+    dimension table and the downstream aggregation holds the only
+    state. At scale the dimension broadcast is the same plan as b03's
+    batch join; counts and decimal-exact sums must match the batch/
+    DuckDB twin exactly — the unified-batch/streaming contract for
+    joins."""
+    from .helpers import dsum
+
+    name = f"s28_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = load(spark, sf_dir, "customer")
+    enriched = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), dsum("value", "total_value")
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
