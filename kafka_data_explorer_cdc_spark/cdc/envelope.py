@@ -221,3 +221,54 @@ def to_envelope_json(info: DataFrame) -> DataFrame:
         F.col("orderid").cast("string").alias("key"),
         F.to_json(F.struct(payload.alias("payload"))).alias("value"),
     )
+
+
+def to_change_envelopes(info: DataFrame, op: str, lsn_step: int = 0) -> DataFrame:
+    """Serialize an orders_info-shaped DataFrame into Debezium
+    envelopes of any op kind (generalizes :func:`to_envelope_json`,
+    which is the op='c' form). ``lsn_step`` offsets the per-key lsn so
+    a synthesized multi-op log has a well-defined total order per key
+    (insert step 0 < update step 1 < delete step 2, etc.).
+
+    Delete envelopes follow the reference's wire shape
+    (``README.md:268-288``): ``after`` is null and the key rides in the
+    ``before`` image (default REPLICA IDENTITY — key-only before)."""
+    row = F.struct(
+        F.col("orderid").cast("int").alias("orderid"),
+        F.col("custid").cast("int").alias("custid"),
+        F.col("amount").cast("int").alias("amount"),
+        F.col("city").alias("city"),
+    )
+    key_only = F.struct(
+        F.col("orderid").cast("int").alias("orderid"),
+        F.lit(None).cast("int").alias("custid"),
+        F.lit(None).cast("int").alias("amount"),
+        F.lit(None).cast("string").alias("city"),
+    )
+    before = key_only if op == "d" else F.lit(None).cast(ORDERS_ROW_SCHEMA)
+    after = F.lit(None).cast(ORDERS_ROW_SCHEMA) if op == "d" else row
+    source = F.struct(
+        F.lit("1.2.0.Final").alias("version"),
+        F.lit("postgresql").alias("connector"),
+        F.lit("myserver").alias("name"),
+        (F.lit(1602057392691) + F.col("orderid")).alias("ts_ms"),
+        F.lit("false").alias("snapshot"),
+        F.lit("postgres").alias("db"),
+        F.lit("inventory").alias("schema"),
+        F.lit("orders_info").alias("table"),
+        (F.lit(653) + F.col("orderid")).alias("txId"),
+        (F.lit(34220200) + F.col("orderid") * 10 + F.lit(lsn_step)).alias("lsn"),
+        F.lit(None).cast("long").alias("xmin"),
+    )
+    payload = F.struct(
+        before.alias("before"),
+        after.alias("after"),
+        source.alias("source"),
+        F.lit(op).alias("op"),
+        (F.lit(1602057392692) + F.col("orderid")).alias("ts_ms"),
+        F.lit(None).cast("string").alias("transaction"),
+    )
+    return info.select(
+        F.col("orderid").cast("string").alias("key"),
+        F.to_json(F.struct(payload.alias("payload"))).alias("value"),
+    )

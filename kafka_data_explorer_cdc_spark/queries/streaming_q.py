@@ -323,3 +323,68 @@ def s28_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@query(
+    "s29_incremental_agg_view",
+    oracle=f"""
+WITH orders_info AS ({ORDERS_INFO_SQL}),
+final AS (
+  SELECT city,
+         CASE WHEN orderid % 3 = 0 THEN amount + 100 ELSE amount END AS amount
+  FROM orders_info WHERE orderid % 5 <> 0)
+SELECT city, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM final GROUP BY city
+""",
+    tags=("streaming", "cdc", "matview"),
+)
+def s29_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (streaming/matview.py):
+    a synthesized insert→update→delete change log (every 3rd key's
+    amount bumped, every 5th key deleted — closed form, so the oracle
+    derives the final aggregate relationally) streamed through the CDC
+    pipeline with one-file micro-batches; each batch applies only its
+    keys' COUNT/decimal-SUM delta to the stored per-city view. The
+    returned view must equal re-aggregating the final state — without
+    the sink ever re-reading history (ingest O(batch), read O(groups):
+    the streaming-warehouse shape for dashboard aggregates at 100 TB)."""
+    from ..cdc.envelope import to_change_envelopes
+    from ..streaming.matview import AggViewSink
+
+    run_id = uuid.uuid4().hex[:8]
+    indir, state, ckpt = (
+        _tmp(f"s29_in_{run_id}_"),
+        _tmp(f"s29_state_{run_id}_"),
+        _tmp(f"s29_ckpt_{run_id}_"),
+    )
+    info = orders_info(load(spark, sf_dir, "orders"))
+    updated = info.filter(F.col("orderid") % 3 == 0).withColumn(
+        "amount", F.col("amount") + 100
+    )
+    deleted = info.filter(F.col("orderid") % 5 == 0)
+    for fname, env in [
+        ("0_inserts", to_change_envelopes(info, "c", 0)),
+        ("1_updates", to_change_envelopes(updated, "u", 1)),
+        ("2_deletes", to_change_envelopes(deleted, "d", 2)),
+    ]:
+        # one flat .txt per op set (the file source does not recurse):
+        # write to a scratch dir, move the single part file up
+        scratch = _tmp(f"s29_scratch_{run_id}_")
+        env.select("value").coalesce(1).write.mode("overwrite").text(scratch)
+        part = next(
+            p for p in os.listdir(scratch)
+            if p.startswith("part-") and p.endswith(".txt")
+        )
+        os.rename(
+            os.path.join(scratch, part), os.path.join(indir, f"{fname}.txt")
+        )
+    sink = AggViewSink(
+        spark, state, ["orderid"], group_col="city", value_col="amount"
+    )
+    q = start_cdc_pipeline(
+        spark, indir, state, ckpt, available_now=True,
+        max_files_per_trigger=1, sink=sink,
+    )
+    q.awaitTermination()
+    return sink.view()

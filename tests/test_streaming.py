@@ -911,3 +911,83 @@ def test_soak_latency_flat_and_state_bounded(spark):
     assert 0 < rep["state_rows"] <= 300
     # vacuum kept version history bounded
     assert rep["retained_versions"] <= 15
+
+
+def _flat_changes(spark, rows):
+    """(orderid, custid, amount, city, op, lsn) rows as a flat batch."""
+    return spark.createDataFrame(
+        rows, "orderid long, custid long, amount long, city string, op string, lsn long"
+    )
+
+
+def test_agg_view_incremental_matches_reaggregation(spark):
+    """AggViewSink: inserts, update (moves a key ACROSS groups),
+    delete — after each batch the maintained view equals re-aggregating
+    the live state from scratch."""
+    from kafka_data_explorer_cdc_spark.streaming.matview import AggViewSink
+
+    root = _tmp("mv_state_")
+    sink = AggViewSink(spark, root, ["orderid"], "city", "amount")
+
+    def view_dict():
+        return {
+            r["city"]: (r["n_rows"], float(r["sum_value"]))
+            for r in sink.view().collect()
+        }
+
+    def reagg_dict():
+        cur = sink.current()
+        return {
+            r["city"]: (r["n"], float(r["s"]))
+            for r in cur.groupBy("city")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("s"))
+            .collect()
+        }
+
+    sink.apply_batch(_flat_changes(spark, [
+        (1, 10, 100, "A", "c", 1), (2, 20, 50, "A", "c", 2),
+        (3, 30, 70, "B", "c", 3),
+    ]), 0)
+    assert view_dict() == {"A": (2, 150.0), "B": (1, 70.0)} == reagg_dict()
+    # update moves key 2 from group A to group B and changes amount
+    sink.apply_batch(_flat_changes(spark, [
+        (2, 20, 60, "B", "u", 10),
+    ]), 1)
+    assert view_dict() == {"A": (1, 100.0), "B": (2, 130.0)} == reagg_dict()
+    # delete key 3 (empty groups drop out of the view)
+    sink.apply_batch(_flat_changes(spark, [
+        (3, None, None, None, "d", 20),
+    ]), 2)
+    assert view_dict() == {"A": (1, 100.0), "B": (1, 60.0)} == reagg_dict()
+
+
+def test_agg_view_replay_and_straggler_are_noops(spark):
+    """The two at-least-once hazards: (a) a replayed batch_id must not
+    double-apply its delta; (b) a lower-lsn straggler for a deleted key
+    must neither resurrect the key nor perturb the view."""
+    from kafka_data_explorer_cdc_spark.streaming.matview import AggViewSink
+
+    root = _tmp("mv_state2_")
+    sink = AggViewSink(spark, root, ["orderid"], "city", "amount")
+    b0 = _flat_changes(spark, [
+        (1, 10, 100, "A", "c", 1), (2, 20, 50, "B", "c", 2),
+    ])
+    b1 = _flat_changes(spark, [(2, None, None, None, "d", 30)])
+    sink.apply_batch(b0, 0)
+    sink.apply_batch(b1, 1)
+    want = {r["city"]: (r["n_rows"], float(r["sum_value"]))
+            for r in sink.view().collect()}
+    assert want == {"A": (1, 100.0)}
+    # (a) replay both batches with their original ids
+    sink.apply_batch(b0, 0)
+    sink.apply_batch(b1, 1)
+    # (b) straggler: an update for deleted key 2 with lsn below the
+    # tombstone's arrives in a NEW batch
+    sink.apply_batch(
+        _flat_changes(spark, [(2, 20, 999, "B", "u", 5)]), 2
+    )
+    got = {r["city"]: (r["n_rows"], float(r["sum_value"]))
+           for r in sink.view().collect()}
+    assert got == want
+    assert sink.current().filter(F.col("orderid") == 2).count() == 0
