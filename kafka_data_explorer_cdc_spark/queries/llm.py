@@ -2214,3 +2214,45 @@ def d26_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return matched.groupBy("event_type").agg(
         F.count("*").alias("n_events"), dsum("value", "total_value")
     )
+
+
+@query(
+    "d27_freq_items_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences, TRUE AS covered
+FROM toks CROSS JOIN tot
+GROUP BY word, tot.n
+HAVING COUNT(*) > 0.01 * tot.n
+""",
+    tags=("llm", "sketch", "text"),
+)
+def d27_freq_items_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark's one-pass frequent-items sketch
+    (``df.stat.freqItems``, the Karp/Papadimitriou/Shenker lossy-count
+    algorithm): vocabulary words above 1% of all tokens. The sketch's
+    guarantee is NO FALSE NEGATIVES (every item above the support
+    threshold is returned; driver state bounded by ~1/support items
+    regardless of corpus size — the 100 TB path needs no full-vocab
+    shuffle). The bounded-comparison gate: exact counts identify the
+    true heavy set, and ``covered`` asserts each is in the sketch's
+    candidate list — all-TRUE against the oracle, so a sketch false
+    negative flips the hash. The exact recount exists only to verify
+    the sketch; production runs the sketch alone."""
+    docs = load(spark, sf_dir, "documents")
+    toks = ensure_parallelism(docs).select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    support = 0.01
+    candidates = set(toks.stat.freqItems(["word"], support).collect()[0][0])
+    total = toks.count()
+    exact = toks.groupBy("word").agg(F.count("*").alias("n_occurrences"))
+    heavy = exact.filter(F.col("n_occurrences") > support * total)
+    cand_df = toks.sparkSession.createDataFrame(
+        [(w,) for w in sorted(candidates)], "word string"
+    ).withColumn("covered", F.lit(True))
+    return heavy.join(broadcast(cand_df), "word", "left").select(
+        "word", "n_occurrences", F.coalesce("covered", F.lit(False)).alias("covered")
+    )

@@ -1259,3 +1259,39 @@ WHERE r.total_revenue_dec = (SELECT MAX(total_revenue_dec) FROM revenue)
         lineitem=load(spark, sf_dir, "lineitem"),
         supplier=load(spark, sf_dir, "supplier"),
     )
+
+
+@query(
+    "b36_unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+""",
+    tags=("relational", "reshape"),
+)
+def b36_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide→long reshape, the inverse of k35's pivot):
+    four lineitem measures unpivoted to (key, measure, value) rows.
+    Spark's native ``unpivot`` (Catalyst Expand) emits all measure rows
+    in ONE pass over the scan — no self-union re-reading the table per
+    measure (the oracle's UNION ALL spelling reads it 4×; at 100 TB
+    Expand reads it once). Shipdate filter + 6-column pruning still
+    reach the scan below the Expand."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1998-06-01"
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
