@@ -1295,3 +1295,73 @@ def b36_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@query(
+    "b37_salted_skew_join",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events)
+SELECT e.event_type, d.type_label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type, d.type_label
+""",
+    tags=("relational", "join", "skew"),
+)
+def b37_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew JOIN (operators/skew.py:65, b26's join-side twin):
+    events ⋈ a per-type dimension on the maximally skewed event_type
+    key (~5 distinct values → 5 hot reducers in a plain shuffle join).
+    The skewed side is salted over 16 buckets and the dim replicated
+    16×, joined on (key, salt) — each hot key spreads over 16 reducers.
+    ``shuffle_hash`` hint keeps the demo on the shuffle path (the real
+    target is a dim too big to broadcast, where salting is the only
+    lever AQE's sort-merge-only skew splitting doesn't cover). The
+    oracle is the UNSALTED join — salting must rewrite the shuffle,
+    never the answer."""
+    from ..operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("type_label", F.upper(F.col("event_type")))
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(ev, dim, on="event_type", buckets=16)
+    return joined.groupBy("event_type", "type_label").agg(
+        F.count("*").alias("n"), dsum("value", "total_value")
+    )
+
+
+@query(
+    "b38_range_interval_window",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(COUNT(*) OVER (
+         PARTITION BY event_type ORDER BY epoch_us(ts)
+         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_prev_10m
+FROM events
+""",
+    tags=("relational", "window"),
+)
+def b38_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame (b11's rows-frame sibling): per
+    event, how many same-type events occurred in the trailing 10
+    minutes — the frame is bounded by VALUE distance on the ordering
+    key (exact epoch MICROSECONDS on both engines: second-granularity
+    casts disagree — DuckDB rounds, Spark truncates), not row count,
+    so co-timestamped events share one frame. One shuffle on the partition key; the frame scan is a
+    per-partition sliding pointer, O(n) per partition at any scale."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "event_type",
+        F.count("*").over(w).alias("n_prev_10m"),
+    )
