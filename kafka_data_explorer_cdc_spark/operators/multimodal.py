@@ -101,3 +101,65 @@ def sample_frames(df: DataFrame, step: int = 5) -> DataFrame:
             F.sequence(F.lit(0), n_frames_minus1, F.lit(step))
         ).alias("frame_idx"),
     )
+
+
+#: Output schema of the (stubbed) audio feature extraction.
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+AUDIO_WINDOW = 64
+
+
+def audio_energy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary waveform → windowed energy features.
+
+    Real shape of an audio feature extractor (decode blob → sample
+    array → fixed-size windows → per-window aggregate), with the codec
+    stubbed deterministically: samples are the payload's raw bytes
+    (ASCII corpus ⇒ equal to code points, so the DuckDB oracle can
+    recompute them from the text), energy is the exact integer sum of
+    squared samples per 64-sample window. Swap the np.frombuffer line
+    for soundfile/librosa decode without touching schema or plan. The
+    per-blob loop mirrors a real codec (variable-length blobs decode
+    one at a time); all arithmetic on each blob is vectorized numpy."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, wins, ns, es = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n = len(samples)
+            if n == 0:
+                continue
+            n_win = (n + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+            idx = np.arange(n) // AUDIO_WINDOW
+            energy = np.bincount(idx, weights=samples * samples, minlength=n_win)
+            count = np.bincount(idx, minlength=n_win)
+            ids.extend([doc_id] * n_win)
+            wins.extend(range(n_win))
+            ns.extend(count.astype(np.int64))
+            es.extend(energy.astype(np.int64))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "window_idx": pd.Series(wins, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "energy": pd.Series(es, dtype="int64"),
+            }
+        )
+
+
+def audio_energy(df: DataFrame) -> DataFrame:
+    """Distributed windowed-energy extraction over the binary column —
+    same Arrow-batched plumbing as :func:`decode_images`."""
+    from ..io import ensure_parallelism
+
+    return ensure_parallelism(to_binary_docs(df)).mapInPandas(
+        audio_energy_batch, AUDIO_ENERGY_SCHEMA
+    )

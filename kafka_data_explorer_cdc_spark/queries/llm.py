@@ -2256,3 +2256,32 @@ def d27_freq_items_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy.join(broadcast(cand_df), "word", "left").select(
         "word", "n_occurrences", F.coalesce("covered", F.lit(False)).alias("covered")
     )
+
+
+@query(
+    "mm5_audio_window_energy",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS vs
+  FROM documents
+), pos AS (
+  SELECT doc_id, vs, unnest(range(0, len(vs))) AS i FROM s
+)
+SELECT doc_id, CAST(i // 64 AS BIGINT) AS window_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(vs[i + 1] * vs[i + 1]) AS BIGINT) AS energy
+FROM pos GROUP BY 1, 2
+""",
+    tags=("llm", "multimodal"),
+)
+def mm5_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing (B-multimodal): binary
+    waveform → 64-sample windows → exact integer energy per window,
+    via Arrow-batched mapInPandas (operators/multimodal.py:
+    audio_energy_batch — codec stubbed to raw bytes; ASCII corpus makes
+    the oracle able to recompute samples from code points). What's
+    verified is the real thing: blob→array decode, windowing math, and
+    the Arrow round-trip, at every window of every document."""
+    docs = load(spark, sf_dir, "documents")
+    return MM.audio_energy(docs)
