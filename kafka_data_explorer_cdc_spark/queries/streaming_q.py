@@ -369,16 +369,16 @@ def s29_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("2_deletes", to_change_envelopes(deleted, "d", 2)),
     ]:
         # one flat .txt per op set (the file source does not recurse):
-        # write to a scratch dir, move the single part file up
+        # serialize in parallel, then concat the parts driver-side —
+        # coalesce(1) would funnel all JSON serialization through one
+        # task (measured 2.5x on this entry's wall at sf0.1)
         scratch = _tmp(f"s29_scratch_{run_id}_")
-        env.select("value").coalesce(1).write.mode("overwrite").text(scratch)
-        part = next(
-            p for p in os.listdir(scratch)
-            if p.startswith("part-") and p.endswith(".txt")
-        )
-        os.rename(
-            os.path.join(scratch, part), os.path.join(indir, f"{fname}.txt")
-        )
+        env.select("value").write.mode("overwrite").text(scratch)
+        with open(os.path.join(indir, f"{fname}.txt"), "wb") as out:
+            for p in sorted(os.listdir(scratch)):
+                if p.startswith("part-") and p.endswith(".txt"):
+                    with open(os.path.join(scratch, p), "rb") as src:
+                        out.write(src.read())
     sink = AggViewSink(
         spark, state, ["orderid"], group_col="city", value_col="amount"
     )
