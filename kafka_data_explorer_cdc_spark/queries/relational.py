@@ -1365,3 +1365,37 @@ def b38_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type",
         F.count("*").over(w).alias("n_prev_10m"),
     )
+
+
+@query(
+    "b39_lateral_topn_per_group",
+    oracle="""
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+""",
+    tags=("relational", "subquery", "lateral"),
+)
+def b39_lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders
+    per customer) — the SQL spelling of per-group top-k. Catalyst
+    decorrelates it into a WindowGroupLimit (partial per-partition
+    top-k heaps, then final — rows beyond rank 2 never reach the
+    shuffle) joined back to customer by hash; the naive reading (run
+    the subquery once per customer row) appears nowhere in the plan.
+    Completes the subquery family (b31-b35) with the lateral-join
+    decorrelation path; tie on price breaks on o_orderkey so the LIMIT
+    edge is deterministic across engines."""
+    return spark.sql(
+        """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM {customer} c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM {orders} o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+""",
+        customer=load(spark, sf_dir, "customer"),
+        orders=load(spark, sf_dir, "orders"),
+    )

@@ -251,3 +251,31 @@ def test_subqueries_decorrelate_to_hash_joins(spark, sf_dir):
     p = plan_of(spark, sf_dir, "b35_top_supplier_cte")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_lateral_topn_uses_window_group_limit(spark, sf_dir):
+    """LATERAL + ORDER BY + LIMIT must decorrelate to WindowGroupLimit
+    (per-partition top-k pruning BEFORE the shuffle) — never a
+    per-outer-row re-execution or a full sort."""
+    p = plan_of(spark, sf_dir, "b39_lateral_topn_per_group")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout (the other half of the layout story next
+    to bucketing): a filter on the partition column must become a
+    PartitionFilter — directories outside the predicate are never
+    listed into the scan. At 100 TB, date/tenant partitioning plus this
+    pruning is the difference between reading one partition and the
+    whole lake."""
+    from kafka_data_explorer_cdc_spark.io import load
+
+    out = str(tmp_path / "events_by_type")
+    ev = load(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").parquet(out)
+    got = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0].split("PartitionFilters", 1)[1][:120], pf
+    assert got.count() == ev.filter(F.col("event_type") == "click").count()
