@@ -124,8 +124,10 @@ def bloom_semi_join(
     prefiltered = big.crossJoin(broadcast(bitmap)).filter(
         might_contain(F.col(big_key), F.col("__bloom"), m_bits, k)
     ).drop("__bloom")
-    return prefiltered.join(
-        broadcast(small.select(small_key).distinct()),
-        prefiltered[big_key] == F.col(small_key),
+    # alias both sides so big_key == small_key stays unambiguous
+    keys = small.select(F.col(small_key).alias("__bf_key")).distinct()
+    return prefiltered.alias("__bf_big").join(
+        broadcast(keys),
+        F.col(f"__bf_big.{big_key}") == F.col("__bf_key"),
         "left_semi",
     )

@@ -94,3 +94,12 @@ def test_bloom_path_is_jvm_only(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # the confirm join broadcasts
+
+
+def test_bloom_semi_join_same_key_name(spark, sf_dir):
+    """big_key == small_key must not trip column-reference ambiguity."""
+    ev = load(spark, sf_dir, "events")
+    sub = ev.filter(F.col("value") > 45).select("user_id")
+    got = bloom_semi_join(ev, sub, "user_id", "user_id")
+    want = ev.join(sub.distinct(), "user_id", "left_semi")
+    assert got.count() == want.count() > 0
