@@ -388,3 +388,64 @@ def s29_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return sink.view()
+
+
+@query(
+    "s30_change_data_feed",
+    oracle=f"""
+WITH orders_info AS ({ORDERS_INFO_SQL})
+SELECT orderid, custid,
+       CASE WHEN orderid % 3 = 0 THEN amount + 100 ELSE amount END AS amount,
+       city
+FROM orders_info WHERE orderid % 5 <> 0
+""",
+    tags=("streaming", "cdc", "changefeed"),
+)
+def s30_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (streaming/changefeed.py — Delta CDF's shape):
+    the s29 insert/update/delete log streamed through the CDC pipeline
+    with a ChangeFeedSink deriving per-commit row-level net changes
+    (insert / delete / update pre+postimage) from each micro-batch's
+    merge. Returned is the feed COMPACTED back to latest state — the
+    feed-completeness invariant: replaying only the emitted changes
+    must reproduce the closed-form final table exactly (replays and
+    intra-batch churn arbitrated away, so the at-least-once input
+    yields an effectively-exactly-once feed)."""
+    from ..cdc.envelope import to_change_envelopes
+    from ..streaming.changefeed import ChangeFeedSink
+
+    run_id = uuid.uuid4().hex[:8]
+    indir, state, ckpt = (
+        _tmp(f"s30_in_{run_id}_"),
+        _tmp(f"s30_state_{run_id}_"),
+        _tmp(f"s30_ckpt_{run_id}_"),
+    )
+    info = orders_info(load(spark, sf_dir, "orders"))
+    updated = info.filter(F.col("orderid") % 3 == 0).withColumn(
+        "amount", F.col("amount") + 100
+    )
+    deleted = info.filter(F.col("orderid") % 5 == 0)
+    for fname, env in [
+        ("0_inserts", to_change_envelopes(info, "c", 0)),
+        ("1_updates", to_change_envelopes(updated, "u", 1)),
+        ("2_deletes", to_change_envelopes(deleted, "d", 2)),
+    ]:
+        scratch = _tmp(f"s30_scratch_{run_id}_")
+        env.select("value").write.mode("overwrite").text(scratch)
+        with open(os.path.join(indir, f"{fname}.txt"), "wb") as out:
+            for p in sorted(os.listdir(scratch)):
+                if p.startswith("part-") and p.endswith(".txt"):
+                    with open(os.path.join(scratch, p), "rb") as src:
+                        out.write(src.read())
+    sink = ChangeFeedSink(spark, state, ["orderid"])
+    q = start_cdc_pipeline(
+        spark, indir, state, ckpt, available_now=True,
+        max_files_per_trigger=1, sink=sink,
+    )
+    q.awaitTermination()
+    return sink.compact().select(
+        F.col("orderid").cast("long").alias("orderid"),
+        F.col("custid").cast("long").alias("custid"),
+        F.col("amount").cast("long").alias("amount"),
+        "city",
+    )

@@ -991,3 +991,50 @@ def test_agg_view_replay_and_straggler_are_noops(spark):
            for r in sink.view().collect()}
     assert got == want
     assert sink.current().filter(F.col("orderid") == 2).count() == 0
+
+
+def test_change_feed_types_counts_and_compaction(spark):
+    """ChangeFeedSink: per-commit change rows carry the right types and
+    images, compaction reproduces current(), and a replayed batch adds
+    nothing to the feed."""
+    from kafka_data_explorer_cdc_spark.streaming.changefeed import ChangeFeedSink
+
+    root = _tmp("cf_state_")
+    sink = ChangeFeedSink(spark, root, ["orderid"])
+    b0 = _flat_changes(spark, [
+        (1, 10, 100, "A", "c", 1), (2, 20, 50, "B", "c", 2),
+        (3, 30, 70, "B", "c", 3),
+    ])
+    b1 = _flat_changes(spark, [
+        (2, 20, 60, "C", "u", 10),            # update (moves group, new amount)
+        (3, None, None, None, "d", 11),        # delete
+        (4, 40, 80, "A", "c", 12),             # insert
+        (1, 10, 999, "A", "u", 0),             # straggler: loses to lsn 1 -> no change
+    ])
+    sink.apply_batch(b0, 0)
+    sink.apply_batch(b1, 1)
+    feed = sink.feed().collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault((r["_commit_version"], r["_change_type"]), []).append(r)
+    assert len(by_type[(0, "insert")]) == 3
+    assert len(by_type[(1, "insert")]) == 1
+    assert len(by_type[(1, "delete")]) == 1
+    assert len(by_type[(1, "update_preimage")]) == 1
+    assert len(by_type[(1, "update_postimage")]) == 1
+    # the straggler produced NO change row
+    assert len(feed) == 3 + 4
+    pre = by_type[(1, "update_preimage")][0]
+    post = by_type[(1, "update_postimage")][0]
+    assert (pre["amount"], pre["city"]) == (50, "B")
+    assert (post["amount"], post["city"]) == (60, "C")
+    assert by_type[(1, "delete")][0]["orderid"] == 3
+    # compaction == current state
+    got = {(r["orderid"], r["amount"], r["city"]) for r in sink.compact().collect()}
+    want = {(r["orderid"], r["amount"], r["city"]) for r in sink.current().collect()}
+    assert got == want == {(1, 100, "A"), (2, 60, "C"), (4, 80, "A")}
+    # replay adds nothing
+    sink.apply_batch(b1, 1)
+    assert len(sink.feed().collect()) == len(feed)
+    # cursor read: only commit 1's rows
+    assert len(sink.feed(since_version=0).collect()) == 4
