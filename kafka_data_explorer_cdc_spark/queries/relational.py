@@ -1399,3 +1399,45 @@ LATERAL (SELECT o_orderkey, o_totalprice FROM {orders} o
         customer=load(spark, sf_dir, "customer"),
         orders=load(spark, sf_dir, "orders"),
     )
+
+
+@query(
+    "b40_grouping_sets",
+    oracle="""
+SELECT n_name, o_orderpriority,
+       CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, o_orderpriority), (o_orderpriority), ())
+""",
+    tags=("relational", "agg"),
+)
+def b40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (B9's general form — rollup/cube are its
+    prefix/powerset specializations): (nation, priority), (priority),
+    and grand total in ONE Expand+aggregate pass over the join — not
+    three scans unioned. GROUPING() flags disambiguate a NULL group
+    value from a rollup row, which is what makes the result joinable /
+    hashable deterministically. Both dims broadcast."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = o.join(broadcast(c), o.o_custkey == c.c_custkey).join(
+        broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return spark.sql(
+        """
+SELECT n_name, o_orderpriority,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM {j}
+GROUP BY GROUPING SETS ((n_name, o_orderpriority), (o_orderpriority), ())
+""",
+        j=joined,
+    )
