@@ -1441,3 +1441,45 @@ GROUP BY GROUPING SETS ((n_name, o_orderpriority), (o_orderpriority), ())
 """,
         j=joined,
     )
+
+
+@query(
+    "b41_hll_sketch_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+    tags=("relational", "sketch", "agg"),
+)
+def b41_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches at rest (Datasketches ``hll_sketch_agg``,
+    b08x's industrial-strength sibling): distinct users per event type
+    computed as a TWO-LEVEL rollup — per-(type, day) sketches built in
+    one pass (the binary column a 100 TB pipeline would PERSIST
+    alongside each daily partition), then ``hll_union_agg`` merges
+    arbitrary slices without re-touching raw data. That
+    re-aggregability is what COUNT(DISTINCT) can never give a rollup
+    table. Bounded-comparison gate (b08x pattern): the sketch estimate
+    must land within 5% of the exact count per group (HLL lgK=12 ⇒
+    ~1.6% typical), emitted as an all-TRUE boolean against the oracle;
+    the exact recount exists only to verify the sketch."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_bound"),
+    )
