@@ -331,3 +331,36 @@ def a17_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+@query(
+    "a18_custom_source_connector",
+    oracle=f"""{_OI}
+SELECT CAST(orderid AS VARCHAR) AS orderid,
+       CAST(custid AS VARCHAR) AS custid,
+       city,
+       CAST(amount AS INTEGER) AS amount
+FROM orders_info
+""",
+    tags=("reference", "cdc", "connector"),
+)
+def a18_custom_source_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-CONNECTOR role as a pluggable Spark source
+    (sources/envelope_source.py, Spark 4 Python Data Source API — the
+    reference's pg-source-config.json slot): envelope files read via
+    ``format("cdc_envelopes")`` with one input partition per file and
+    Kafka-style provenance columns (src_file, line_no), then the
+    UNCHANGED downstream pipeline (parse → unwrap → ADX projection).
+    Same oracle as a09 — the connector must be a transparent transport
+    swap."""
+    import tempfile
+
+    from ..sources.envelope_source import register
+
+    register(spark)
+    indir = tempfile.mkdtemp(prefix="a18_env_", dir="/tmp")
+    env = to_envelope_json(_info(spark, sf_dir))
+    env.select("value").write.mode("overwrite").text(indir)
+    raw = spark.read.format("cdc_envelopes").load(indir)
+    flat = unwrap(parse_envelope(raw, value_col="value"))
+    return flat.select(sink_projection(F.col("after")))

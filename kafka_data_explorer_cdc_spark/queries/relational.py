@@ -1483,3 +1483,45 @@ def b41_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("within_bound"),
     )
+
+
+@query(
+    "b42_variant_shred",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_high,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+GROUP BY event_type
+""",
+    tags=("relational", "json", "variant"),
+)
+def b42_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics via the VARIANT type (Spark 4 /
+    Parquet variant shredding — b15a's get_json_object successor): the
+    JSON column is parsed ONCE into a binary variant value, and every
+    downstream ``variant_get`` is a typed path lookup into that
+    encoding, not a re-parse of the string (get_json_object re-parses
+    per call — the b15a/a10 json_tuple lesson, solved at the type
+    system level). At rest, variant columns shred into parquet
+    subcolumns, restoring pushdown/pruning over semi-structured data."""
+    ev = load(spark, sf_dir, "events")
+    shredded = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        shredded.filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_high"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+        )
+    )

@@ -1038,3 +1038,49 @@ def test_change_feed_types_counts_and_compaction(spark):
     assert len(sink.feed().collect()) == len(feed)
     # cursor read: only commit 1's rows
     assert len(sink.feed(since_version=0).collect()) == 4
+
+
+def test_custom_envelope_source_batch_and_stream(spark):
+    """Python Data Source connector (sources/envelope_source.py):
+    batch reads parallelize one partition per file with provenance
+    columns; the streaming form tails the directory — files appended
+    AFTER the stream starts arrive in later micro-batches (Kafka-tail
+    semantics at file granularity)."""
+    from kafka_data_explorer_cdc_spark.sources.envelope_source import register
+
+    register(spark)
+    indir = _tmp("cds_in_")
+    for i in range(3):
+        with open(os.path.join(indir, f"f{i}.jsonl"), "w") as f:
+            for j in range(10):
+                f.write(json.dumps({"n": i * 10 + j}) + "\n")
+    # batch: one partition per file, all rows, provenance columns
+    df = spark.read.format("cdc_envelopes").load(indir)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 30
+    assert set(df.columns) == {"value", "src_file", "line_no"}
+    assert df.filter(F.col("src_file") == "f1.jsonl").count() == 10
+
+    # streaming: drain, then append a new file -> arrives later
+    seen = []
+    q = (
+        spark.readStream.format("cdc_envelopes").load(indir)
+        .writeStream.trigger(processingTime="0 seconds")
+        .foreachBatch(lambda b, bid: seen.append(b.count()))
+        .option("checkpointLocation", _tmp("cds_ckpt_"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while sum(seen) < 30 and time.time() < deadline:
+            time.sleep(0.2)
+        assert sum(seen) == 30, seen
+        with open(os.path.join(indir, "f3_late.jsonl"), "w") as f:
+            for j in range(5):
+                f.write(json.dumps({"n": 100 + j}) + "\n")
+        deadline = time.time() + 60
+        while sum(seen) < 35 and time.time() < deadline:
+            time.sleep(0.2)
+        assert sum(seen) == 35, seen
+    finally:
+        q.stop()
