@@ -449,3 +449,50 @@ def s30_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("amount").cast("long").alias("amount"),
         "city",
     )
+
+
+@query(
+    "s31_pipeline_over_custom_source",
+    oracle=f"""
+WITH orders_info AS ({ORDERS_INFO_SQL})
+SELECT CAST(orderid AS VARCHAR) AS orderid,
+       CAST(custid AS VARCHAR) AS custid,
+       city,
+       CAST(amount AS INTEGER) AS amount
+FROM orders_info
+""",
+    tags=("streaming", "cdc", "connector"),
+)
+def s31_pipeline_over_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s24's full CDC pipeline with the TRANSPORT swapped: envelopes
+    arrive through the pluggable ``cdc_envelopes`` streaming connector
+    (Python Data Source API, offset-checkpointed file tail —
+    sources/envelope_source.py) instead of the built-in file reader.
+    Everything from parse to merge is unchanged and the oracle is
+    s24's — the connector seam is proven transport-agnostic end to
+    end, which is the whole point of a connector API."""
+    from ..cdc.envelope import parse_envelope, unwrap
+    from ..sources.envelope_source import register
+
+    register(spark)
+    run_id = uuid.uuid4().hex[:8]
+    indir, state, ckpt = (
+        _tmp(f"s31_in_{run_id}_"),
+        _tmp(f"s31_state_{run_id}_"),
+        _tmp(f"s31_ckpt_{run_id}_"),
+    )
+    env = to_envelope_json(orders_info(load(spark, sf_dir, "orders")))
+    env.select("value").write.mode("overwrite").text(indir)
+    raw = spark.readStream.format("cdc_envelopes").load(indir)
+    envelopes = unwrap(parse_envelope(raw, value_col="value"), keep_raw=True)
+    q = start_cdc_pipeline(
+        spark, indir, state, ckpt, available_now=True, envelopes=envelopes
+    )
+    q.awaitTermination()
+    final = ParquetStateSink(spark, state, ["orderid"]).current()
+    return final.select(
+        F.col("orderid").cast("string").alias("orderid"),
+        F.col("custid").cast("string").alias("custid"),
+        F.col("city"),
+        F.col("amount").cast("int").alias("amount"),
+    )

@@ -618,6 +618,7 @@ def start_cdc_pipeline(
     max_files_per_trigger: int | None = None,
     sink: CdcStateSink | None = None,
     tombstone_gc_lsn_lag: int | None = None,
+    envelopes: DataFrame | None = None,
 ) -> StreamingQuery:
     """Wire the full pipeline. The reference seals batches by BOTH time
     and size (``adx-sink-config.json:5-6``: flush.size.bytes 10000 /
@@ -634,9 +635,12 @@ def start_cdc_pipeline(
             spark, state_root, ["orderid"],
             tombstone_gc_lsn_lag=tombstone_gc_lsn_lag,
         )
-    flat = flatten_after(
-        read_file_envelopes(spark, input_dir, max_files_per_trigger)
-    )
+    # ``envelopes`` swaps the transport (Kafka reader, the pluggable
+    # cdc_envelopes connector, ...) for the default file replay —
+    # everything downstream of unwrap is transport-agnostic
+    if envelopes is None:
+        envelopes = read_file_envelopes(spark, input_dir, max_files_per_trigger)
+    flat = flatten_after(envelopes)
     writer = flat.writeStream.option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
