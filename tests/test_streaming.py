@@ -1061,12 +1061,23 @@ def test_custom_envelope_source_batch_and_stream(spark):
     assert set(df.columns) == {"value", "src_file", "line_no"}
     assert df.filter(F.col("src_file") == "f1.jsonl").count() == 10
 
-    # streaming: drain, then append a new file -> arrives later
+    # streaming (default = executor-parallel partition reader): drain,
+    # then append a new file -> arrives in a later micro-batch. Idle
+    # ticks fire between the drain and the append (processingTime=0),
+    # so this also covers the idle-batch path of the partition reader.
     seen = []
+    parts = []
+
+    def _sink(b, bid):
+        n = b.count()
+        if n:
+            parts.append(b.rdd.getNumPartitions())
+        seen.append(n)
+
     q = (
         spark.readStream.format("cdc_envelopes").load(indir)
         .writeStream.trigger(processingTime="0 seconds")
-        .foreachBatch(lambda b, bid: seen.append(b.count()))
+        .foreachBatch(_sink)
         .option("checkpointLocation", _tmp("cds_ckpt_"))
         .start()
     )
@@ -1075,12 +1086,104 @@ def test_custom_envelope_source_batch_and_stream(spark):
         while sum(seen) < 30 and time.time() < deadline:
             time.sleep(0.2)
         assert sum(seen) == 30, seen
-        with open(os.path.join(indir, "f3_late.jsonl"), "w") as f:
+        # first non-empty micro-batch scanned 3 files -> 3 task partitions
+        # (reads happen in executor tasks, not on the driver)
+        assert parts[0] == 3, parts
+        # atomic publish: dot-prefixed names are invisible to the tail
+        tmp = os.path.join(indir, ".f3_late.jsonl")
+        with open(tmp, "w") as f:
             for j in range(5):
                 f.write(json.dumps({"n": 100 + j}) + "\n")
+        os.rename(tmp, os.path.join(indir, "f3_late.jsonl"))
         deadline = time.time() + 60
         while sum(seen) < 35 and time.time() < deadline:
             time.sleep(0.2)
         assert sum(seen) == 35, seen
+    finally:
+        q.stop()
+
+
+def test_envelope_source_stream_reader_dispatch():
+    """Default streaming path is the partition-based
+    DataSourceStreamReader (executor-side reads); `simpleReader=true`
+    falls back to the driver-side simple tail via Spark's documented
+    PySparkNotImplementedError dispatch. Pure-Python — no session."""
+    import pytest
+    from pyspark.errors import PySparkNotImplementedError
+    from kafka_data_explorer_cdc_spark.sources.envelope_source import (
+        CdcEnvelopeDataSource,
+        CdcEnvelopePartitionStreamReader,
+    )
+
+    ds = CdcEnvelopeDataSource(options={"path": "/tmp"})
+    r = ds.streamReader(None)
+    assert isinstance(r, CdcEnvelopePartitionStreamReader)
+    ds2 = CdcEnvelopeDataSource(
+        options={"path": "/tmp", "simplereader": "true"}
+    )
+    with pytest.raises(PySparkNotImplementedError):
+        ds2.streamReader(None)
+
+    # partition planning: one InputPartition per newly-arrived file,
+    # empty plan for an empty offset range (the idle micro-batch case)
+    indir = _tmp("cds_plan_")
+    for i in range(4):
+        with open(os.path.join(indir, f"f{i}.jsonl"), "w") as f:
+            f.write('{"n": %d}\n' % i)
+    pr = CdcEnvelopePartitionStreamReader({"path": indir})
+    assert pr.latestOffset() == {"files_done": 4}
+    ps = pr.partitions({"files_done": 1}, {"files_done": 4})
+    assert [os.path.basename(p.path) for p in ps] == [
+        "f1.jsonl", "f2.jsonl", "f3.jsonl"
+    ]
+    assert pr.partitions({"files_done": 4}, {"files_done": 4}) == []
+    assert list(pr.read(ps[0])) == [('{"n": 1}', "f1.jsonl", 0)]
+
+
+def test_envelope_source_simple_reader_idle_tick(spark):
+    """Regression for the round-5 bug: the simple reader returned a
+    bare list, and PySpark's _SimpleStreamReaderWrapper probes the
+    end==start idle micro-batch with next(it) — any idle tick killed
+    the stream with TypeError. Start the tail on an ALREADY-DRAINED
+    directory so idle ticks fire before the late file appears; the
+    stream must survive them and deliver the late rows."""
+    from kafka_data_explorer_cdc_spark.sources.envelope_source import register
+
+    register(spark)
+    indir = _tmp("cds_idle_")
+    with open(os.path.join(indir, "f0.jsonl"), "w") as f:
+        f.write('{"n": 0}\n')
+    seen = []
+    q = (
+        spark.readStream.format("cdc_envelopes")
+        .option("simpleReader", "true")
+        .load(indir)
+        .writeStream.trigger(processingTime="0 seconds")
+        .foreachBatch(lambda b, bid: seen.append(b.count()))
+        .option("checkpointLocation", _tmp("cds_idle_ckpt_"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while sum(seen) < 1 and time.time() < deadline:
+            time.sleep(0.2)
+        assert sum(seen) == 1, seen
+        # let idle micro-batches fire on the drained dir (the round-5
+        # crash happened on the FIRST idle tick)
+        idle_until = len(seen) + 3
+        deadline = time.time() + 60
+        while len(seen) < idle_until and time.time() < deadline:
+            time.sleep(0.1)
+            assert q.exception() is None, q.exception()
+        tmp = os.path.join(indir, ".f1.jsonl")
+        with open(tmp, "w") as f:
+            f.write('{"n": 1}\n')
+            f.write('{"n": 2}\n')
+        os.rename(tmp, os.path.join(indir, "f1.jsonl"))
+        deadline = time.time() + 60
+        while sum(seen) < 3 and time.time() < deadline:
+            time.sleep(0.2)
+        assert sum(seen) == 3, seen
+        assert q.exception() is None
     finally:
         q.stop()
