@@ -4,13 +4,21 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 
 # Each module registers its queries at import time. Registration order
 # is driver-execution order, and the driver checks only the FIRST 50
-# registry entries per round — so each round fronts the entries with
-# the weakest driver evidence. Round 5: (a) the 6 formerly-no_oracle
-# approximate entries, now bounded-comparison GATES (VERDICT r4 #1) —
-# first-ever hash rows, (b) the round-5 additions (new registry
-# entries land here as they are built), (c) b27x whose gate was
-# rewritten to the GK rank-error contract this round, then entries
-# whose only green is the oldest (r01-window) driver rows.
+# registry entries per round.
+#
+# ROTATION POLICY (standing): each round, _FRONT is rebuilt as
+#   1. every entry with NO driver CORRECTNESS row in any round
+#      (new additions since the last window), in build order; then
+#   2. the stalest cohort — entries whose newest driver-green round is
+#      oldest — until the 50-slot window is full.
+# Goal: union driver coverage stays at 100% and no entry's newest
+# driver row is more than ~3 rounds old. The per-entry last-green
+# table is generated into COVERAGE.md ("Driver-check freshness").
+#
+# Round 6: (1) = the 20 round-5 additions the r5 window missed
+# (b31-b42, a18, d26, d27, mm5, s28-s31); (2) = the r2 cohort (14:
+# k13-k23 family + d07/d16-d19) and 16 of the r3 cohort (d04x/d06x —
+# also bench-flagged for an idle A/B — plus k24-k37).
 from . import kql_q  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
@@ -18,46 +26,59 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 _FRONT = [
-    # (a) formerly-no_oracle approx entries, now gates — first hash rows
-    "d04_minhash_lsh_pairs",
-    "d06_simhash_near_pairs",
-    "d07x_lsh_cosine_topk",
-    "d07y_ivf_cosine_topk",
-    "d07z_blocked_cosine_topk",
-    "d07v_pq_cosine_topk",
-    # (b) round-5 additions (appended as built)
-    "d07u_pq_codes_topk",
-    "d07t_ivfpq_topk",
-    "k43_kql_top_by_expr",
-    "k44_kql_count_and_distinct_star",
-    "k45_kql_find",
-    # (c) gate rewritten this round (GK rank-error contract)
-    "b27x_percentiles_approx",
-    # (d) entries whose newest green is the r01 driver window
-    "d01_exact_dedup_groups",
-    "d02_dedup_keep_first",
-    "d03_minhash_portable",
-    "d05_ngram_jaccard_pairs",
-    "d08_embedding_near_dup",
-    "d09_doc_fingerprint",
-    "d10_token_stats",
-    "d11_quality_score",
-    "d12_langid",
-    "d13_tfidf_top_terms",
-    "d14_bigram_freq",
-    "d15_training_pipeline",
-    "mm1_binary_stats",
-    "mm2_image_decode_stub",
-    "mm3_frame_sample",
-    "mm4_pandas_udf_score",
-    "a08_order_generator",
-    "a09_envelope_unwrap",
-    "a10_jsonpath_mapping",
-    "a11_source_table_filter",
-    "a13_recent_orders_topk",
-    "a14_avg_sales_by_city",
-    "a15_total_sales_by_city",
-    "b01_scan_region",
+    # (1) never driver-checked: the 20 round-5 additions
+    "b31_exists_subquery",
+    "b32_scalar_correlated",
+    "b33_in_subquery_having",
+    "b34_not_in_null_aware",
+    "b35_top_supplier_cte",
+    "b36_unpivot_measures",
+    "b37_salted_skew_join",
+    "b38_range_interval_window",
+    "b39_lateral_topn_per_group",
+    "b40_grouping_sets",
+    "b41_hll_sketch_rollup",
+    "b42_variant_shred",
+    "a18_custom_source_connector",
+    "d26_bloom_prefilter_semi_join",
+    "d27_freq_items_heavy_hitters",
+    "mm5_audio_window_energy",
+    "s28_stream_static_enrich",
+    "s29_incremental_agg_view",
+    "s30_change_data_feed",
+    "s31_pipeline_over_custom_source",
+    # (2a) stalest cohort: newest driver green is round 2
+    "k13_kql_recent_orders",
+    "k14_kql_avg_sales",
+    "k15_kql_total_sales",
+    "k16_kql_order_counts",
+    "k17_kql_filtered_pipeline",
+    "k20_kql_between",
+    "k21_kql_countif_sumif",
+    "k22_kql_parse_json",
+    "k23_kql_mv_expand",
+    "d07_embedding_cosine_topk",
+    "d16_chunk_documents",
+    "d17_contamination_check",
+    "d18_repetition_ratio",
+    "d19_stratified_sample",
+    # (2b) round-3 cohort, bench-flagged twins first
+    "d04x_minhash_lsh_portable",
+    "d06x_simhash_portable",
+    "k24_kql_join",
+    "k25_kql_let",
+    "k26_kql_parse_extract",
+    "k27_kql_case_tiers",
+    "k28_kql_arg_max",
+    "k29_kql_make_set",
+    "k30_kql_percentile",
+    "k32_kql_top_nested",
+    "k33_kql_lookup",
+    "k34_kql_mv_apply",
+    "k35_kql_pivot",
+    "k36_kql_top_hitters",
+    "k37_kql_search",
+    "k38_kql_range_source",
 ]
 
 
