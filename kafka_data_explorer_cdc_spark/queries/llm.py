@@ -752,6 +752,55 @@ def _recall_row(
     )
 
 
+def _exact_score_row(
+    ann: DataFrame, corpus: DataFrame, queries: DataFrame, probe_id: int
+) -> DataFrame:
+    """One (probe_id, ok) row: reported cosines are exact to 1e-6 when
+    recomputed from the raw vectors, and per-query ranks are contiguous
+    from 1 with non-increasing cosine. Costs |queries| x k rows — a
+    serving-path invariant, not a corpus re-scan."""
+    qv = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    cv = corpus.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    recomputed = (
+        ann.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .select(
+            "q_id",
+            "rank",
+            "cosine",
+            (dot / (norm(F.col("qv")) * norm(F.col("cv")))).alias("exact"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("rank")
+    checked = recomputed.select(
+        "q_id",
+        (F.abs(F.col("cosine") - F.col("exact")) < 1e-6).alias("score_ok"),
+        (F.col("rank") == F.row_number().over(w)).alias("rank_ok"),
+        (
+            F.col("cosine")
+            <= F.coalesce(F.lag("cosine").over(w), F.lit(2.0)) + 1e-9
+        ).alias("mono_ok"),
+    )
+    return checked.agg(
+        (
+            F.min("score_ok") & F.min("rank_ok") & F.min("mono_ok")
+            & (F.count("*") > 0)
+        ).alias("ok")
+    ).select(F.lit(probe_id).cast("long").alias("probe_id"), "ok")
+
+
 _TWIN_ORACLE = """
 SELECT vec_id AS probe_id, TRUE AS ok FROM embeddings WHERE vec_id < 20
 UNION ALL SELECT CAST(-1 AS BIGINT), TRUE
@@ -1158,8 +1207,17 @@ def d07t_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       rerank=20 (measured 0.53 at sf0.01 on the near-orthogonal
       corpus — composition pays both the prune and the quantization;
       clustered real embeddings recall far higher).
-    - probe -3: exactness knobs — nprobe=n_cells AND rerank >= |corpus|
-      must reproduce the brute-force top-5 id set exactly.
+    - probe -3: the serving path's reported scores are EXACT — every
+      returned cosine matches a recomputation from the raw vectors to
+      1e-6 and ranks are contiguous/monotone per query (quantization
+      chooses candidates; it must never leak into reported scores).
+
+    The heavyweight exactness-knob equivalence (nprobe=n_cells +
+    rerank >= |corpus| == brute force) is a property of the operator,
+    not of a serving run — it is enforced in
+    ``tests/test_similarity.py::test_ivf_pq_exact_degenerate_and_twins``
+    (VERDICT r5 #3: the entry times the serving path; gates that
+    re-run the corpus exhaustively live in pytest).
     Raw surface: ``operators.similarity.ivf_pq_cosine_topk``."""
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = _twin_corpus(em)
@@ -1167,9 +1225,7 @@ def d07t_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = S.ivf_pq_cosine_topk(
         corpus, queries, k=5, n_cells=16, nprobe=8, rerank=20
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    brute = S.brute_force_cosine_topk(corpus, queries, k=5).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    brute = S.brute_force_cosine_topk(corpus, queries, k=5)
     twin_hits = (
         ann.filter(
             (F.col("rank") == 1)
@@ -1180,21 +1236,8 @@ def d07t_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-1).cast("long").alias("probe_id"), "ok")
     )
     recall = _recall_row(ann, brute, 0.35, -2)
-    full = S.ivf_pq_cosine_topk(
-        corpus, queries, k=5, n_cells=16, nprobe=16, rerank=10_100
-    )
-    missing = brute.select("q_id", "c_id").join(
-        full.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
-    )
-    extra = full.select("q_id", "c_id").join(
-        brute.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
-    )
-    degenerate = (
-        missing.unionByName(extra)
-        .agg((F.count("*") == 0).alias("ok"))
-        .select(F.lit(-3).cast("long").alias("probe_id"), "ok")
-    )
-    return twin_hits.unionByName(recall).unionByName(degenerate)
+    exact_scores = _exact_score_row(ann, corpus, queries, -3)
+    return twin_hits.unionByName(recall).unionByName(exact_scores)
 
 
 @query(

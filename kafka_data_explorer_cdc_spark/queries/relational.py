@@ -1119,25 +1119,55 @@ WHERE p.p_brand = 'Brand#4'
 def b32_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue that would be lost by only filling
     small-quantity orders — each lineitem compared against 20% of ITS
-    part's average quantity via a correlated scalar subquery. Catalyst
-    rewrites it to a per-partkey aggregate joined back on l_partkey
-    (one scan of lineitem for the aggregate, one for the probe) — the
-    naive per-row re-scan would be O(n²) and never appears in the plan.
-    Exactness: the threshold is decimal-sum/count (deterministic double
-    on both engines); the outer sum goes through DECIMAL(18,2)."""
-    return spark.sql(
-        """
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
-       AS avg_yearly
-FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
-WHERE p.p_brand = 'Brand#4'
-  AND l.l_quantity < (
-    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                  / COUNT(*))
-    FROM {lineitem} l2 WHERE l2.l_partkey = p.p_partkey)
-""",
-        lineitem=load(spark, sf_dir, "lineitem"),
-        part=load(spark, sf_dir, "part"),
+    part's average quantity (the correlated-scalar-subquery semantics
+    in the oracle).
+
+    Scale shape (VERDICT r5 #4): Catalyst decorrelates the subquery to
+    a per-partkey aggregate over ALL of lineitem and only then joins
+    the Brand#4 filter — at 100x that aggregates ~25x more fact rows
+    than survive. The classic Q17 hand-optimization applied here
+    instead: broadcast-join lineitem to the filtered partkeys FIRST
+    (part.p_partkey is unique, so the inner broadcast join is an exact
+    semi-join that keeps lineitem's multiplicity), then compute the
+    per-partkey threshold and the probe from that same reduced
+    intermediate — both the aggregate and the probe read only Brand#4
+    rows, and the correlated average is unchanged because the semi-join
+    filters on the correlation key itself. The threshold side after
+    the aggregate is |Brand#4 parts| rows -> broadcast back.
+    Exactness matches the oracle: threshold is decimal-sum/count cast
+    to double; the outer sum goes through DECIMAL(18,2)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li_b4 = li.join(
+        F.broadcast(brand_parts),
+        li["l_partkey"] == brand_parts["p_partkey"],
+    ).drop("p_partkey")
+    thresholds = li_b4.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("qty_thr")
+    )
+    return (
+        li_b4.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly")
+        )
     )
 
 

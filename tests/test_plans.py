@@ -234,12 +234,25 @@ def test_subqueries_decorrelate_to_hash_joins(spark, sf_dir):
     # carrying the date comparison as the join condition
     p = plan_of(spark, sf_dir, "b31_exists_subquery")
     assert "LeftSemi" in p and "CartesianProduct" not in p
-    # correlated scalar subquery -> per-key aggregate joined back
-    # (two scans of lineitem, zero nested loops)
+    # correlated scalar subquery, Q17 hand-optimized shape (VERDICT r5
+    # #4): the Brand#4 filter must feed BOTH the per-partkey aggregate
+    # and the probe — the filtered part side joins lineitem via
+    # broadcast BELOW every aggregate, so no aggregate ever consumes
+    # unfiltered lineitem, and the threshold side broadcasts back.
     p = plan_of(spark, sf_dir, "b32_scalar_correlated")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2  # subquery agg (partial+final)
+    assert p.count("BroadcastHashJoin") >= 2  # parts->lineitem, thr->probe
+    # toString() prints top-down: the DEEPEST aggregate is the partial
+    # per-partkey threshold agg, and the parts⋈lineitem broadcast join
+    # must sit BELOW it (print after it) — i.e. the aggregate consumes
+    # the filtered join output, never raw lineitem (the old plan had
+    # the deepest aggregate reading the bare lineitem scan).
+    assert p.rfind("BroadcastHashJoin") > p.rfind("HashAggregate"), (
+        "per-partkey aggregate runs on unfiltered lineitem"
+    )
+    assert "Brand#4" in p  # the filter reached the plan (pushed to scan)
     # NOT IN -> null-aware anti join, not a plain anti join: the NAAJ
     # flag is the trailing 'true' on the BroadcastHashJoin line
     p = plan_of(spark, sf_dir, "b34_not_in_null_aware")
