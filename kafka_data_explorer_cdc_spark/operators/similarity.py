@@ -747,3 +747,69 @@ def ivf_pq_cosine_topk(
         encoded, corpus, queries, B, k, rerank, id_col, vec_col,
         probe_cells=probe, n_cells=n_cells,
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then
+    search for near-duplicates ONLY within each cluster — the
+    all-pairs comparison collapses from O(n²) to Σ O(|cluster|²),
+    and each cluster's pair-join is an equi-join on ``cell`` that
+    shuffles once and parallelizes per cluster.
+
+    Removal rule (deterministic): an item is a duplicate iff some
+    SMALLER id in its cluster has cosine >= ``threshold`` with it; the
+    surviving smallest id is the group representative. Returns
+    ``(id, keep boolean, dup_of nullable)`` where ``dup_of`` is the
+    smallest qualifying smaller id.
+
+    Scale notes: the centroid collect is bounded by ``n_cells`` (at
+    100 TB you raise n_cells to keep |cluster| ~ constant, exactly the
+    IVF knob); cosine is scale-invariant so the cell assignment and the
+    verification agree for scaled twins. Recall is probabilistic near
+    cluster boundaries (a near-dup pair split across cells is missed) —
+    like every LSH/IVF operator here it is gated by planted-pair
+    probes, never hash-compared raw."""
+    corpus = ensure_parallelism(corpus)
+    C = _centroids(corpus, n_cells, id_col, vec_col)
+    one_cell = _cell_assigner(C, 1)
+    cells = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("cell", one_cell(F.col("vec")).getItem(0)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = cells.select(
+        F.col("cell"),
+        F.col("id").alias("id_small"),
+        F.col("vec").alias("vec_small"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col("id").alias("id_big"),
+        F.col("vec").alias("vec_big"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_small") < F.col("id_big"))
+    near = pairs.withColumn(
+        "cosine",
+        _dot(F.col("vec_small"), F.col("vec_big"))
+        / (
+            F.sqrt(_norm_sq(F.col("vec_small")))
+            * F.sqrt(_norm_sq(F.col("vec_big")))
+        ),
+    ).filter(F.col("cosine") >= threshold)
+    dup_of = near.groupBy("id_big").agg(F.min("id_small").alias("dup_of"))
+    return (
+        cells.select("id")
+        .join(dup_of, cells["id"] == dup_of["id_big"], "left")
+        .select(
+            "id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

@@ -26,6 +26,11 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 _FRONT = [
+    # (0) round-6 additions (never driver-checked, newest first)
+    "b44_zorder_skipping",
+    "d28_cms_frequency",
+    "d29_bigram_lm_perplexity",
+    "d30_semantic_dedup",
     # (1) never driver-checked: the 20 round-5 additions
     "b31_exists_subquery",
     "b32_scalar_correlated",
@@ -75,10 +80,6 @@ _FRONT = [
     "k32_kql_top_nested",
     "k33_kql_lookup",
     "k34_kql_mv_apply",
-    "k35_kql_pivot",
-    "k36_kql_top_hitters",
-    "k37_kql_search",
-    "k38_kql_range_source",
 ]
 
 

@@ -2328,3 +2328,205 @@ def mm5_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow round-trip, at every window of every document."""
     docs = load(spark, sf_dir, "documents")
     return MM.audio_energy(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: LM-based quality scoring, sketch frequency, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d29_bigram_lm_perplexity",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM t),
+bg0 AS (SELECT doc_id, unnest(list_zip(arr, arr[2:])) AS p FROM t),
+bg AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM bg0 WHERE p[2] IS NOT NULL
+),
+uni AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
+big AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM toks)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-LN((cb + 1.0) / (cu + vocab))), 6) AS nll_bigram
+FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+GROUP BY bg.doc_id
+""",
+    tags=("llm", "text"),
+)
+def d29_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet/Wikipedia-LM filter
+    shape used by every public pretraining pipeline): train an add-one
+    smoothed bigram model ON the corpus itself and score each document
+    by its mean bigram negative log-likelihood — low = repetitive /
+    formulaic text, high = unusual token transitions. 100% built-in
+    column expressions:
+
+    - bigram extraction is ZERO-shuffle: `arrays_zip(slice(a,1,n-1),
+      slice(a,2,n-1))` + one explode, no window/self-join per doc;
+    - model "training" is the two groupBy counts (map-side combinable);
+    - scoring joins each doc's bigrams back to the count tables (the
+      model tables are corpus-vocabulary-sized — broadcast when small,
+      shuffle-join at 100 TB vocab) and averages -ln P(w2|w1).
+
+    Exactness: counts and vocab are integers; P is one double division
+    and ln/avg follow identically in DuckDB — rounded to 6 dp."""
+    docs = load(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    t = docs.select("doc_id", arr.alias("arr"))
+    n = F.size(F.col("arr"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("arr"), 1, n - 1),
+                F.slice(F.col("arr"), 2, n - 1),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p").getField("0").alias("w1"),
+        F.col("p").getField("1").alias("w2"),
+    )
+    toks = t.select("doc_id", F.explode("arr").alias("tok"))
+    uni = bg.groupBy("w1").agg(F.count("*").alias("cu"))
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    vocab = toks.agg(F.countDistinct("tok").alias("vocab"))
+    scored = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.avg(
+                -F.log(
+                    (F.col("cb") + F.lit(1.0))
+                    / (F.col("cu") + F.col("vocab"))
+                )
+            ),
+            6,
+        ).alias("nll_bigram"),
+    )
+
+
+_D28_ORACLE = """
+SELECT CAST(-1 AS BIGINT) AS probe_id, TRUE AS ok
+UNION ALL SELECT CAST(-2 AS BIGINT), TRUE
+UNION ALL SELECT CAST(-3 AS BIGINT), TRUE
+"""
+
+
+@query("d28_cms_frequency", oracle=_D28_ORACLE, tags=("llm", "sketch", "approx"))
+def d28_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point-frequency estimation over orders.o_custkey
+    (operators/cms.py — Cormode & Muthukrishnan 2005) as a
+    bounded-comparison gate. The sketch is a depth x width TABLE built
+    with one map-side-combinable aggregation and merged by counter
+    addition — the at-rest frequency summary that replaces an exact
+    per-key shuffle at 100 TB.
+
+    Driver contract (all-TRUE oracle):
+    - probe -1: one-sided guarantee — estimate >= exact count for
+      EVERY key (deterministic CMS property, not probabilistic).
+    - probe -2: error bound — estimate <= exact + 4*N/width for every
+      key (the epsilon ~ e/width bound with slack; deterministic for
+      fixed data + seed).
+    - probe -3: linearity — the sketch of all orders equals the
+      counter-sum of the sketches of the two orderkey-parity halves,
+      cell for cell (mergeability, the property that makes per-day
+      sketches composable).
+    The exact recount here exists to measure the sketch (same pattern
+    as b08x); production reads the sketch table only."""
+    from ..operators import cms as CMS
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    width, depth = 256, 4
+    sketch = CMS.cms_build(orders, "o_custkey", width, depth).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    exact = orders.groupBy("o_custkey").agg(F.count("*").alias("exact"))
+    est = CMS.cms_estimate(sketch, exact, "o_custkey", width, depth)
+    n_total = orders.count()  # scalar for the bound; O(1) driver state
+    both = exact.join(est, "o_custkey")
+    lower = both.agg(
+        F.min(F.col("est") >= F.col("exact")).alias("ok")
+    ).select(F.lit(-1).cast("long").alias("probe_id"), "ok")
+    upper = both.agg(
+        F.min(F.col("est") <= F.col("exact") + F.lit(4.0 * n_total / width))
+        .alias("ok")
+    ).select(F.lit(-2).cast("long").alias("probe_id"), "ok")
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odds = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = CMS.cms_merge(
+        CMS.cms_build(evens, "o_custkey", width, depth),
+        CMS.cms_build(odds, "o_custkey", width, depth),
+    )
+    diff = (
+        sketch.withColumnRenamed("cnt", "a")
+        .join(merged.withColumnRenamed("cnt", "b"), ["d", "bucket"], "full")
+        .filter(
+            F.coalesce(F.col("a"), F.lit(0))
+            != F.coalesce(F.col("b"), F.lit(0))
+        )
+    )
+    linear = diff.agg((F.count("*") == 0).alias("ok")).select(
+        F.lit(-3).cast("long").alias("probe_id"), "ok"
+    )
+    return lower.unionByName(upper).unionByName(linear)
+
+
+_D30_ORACLE = """
+SELECT CAST(-1 AS BIGINT) AS probe_id, TRUE AS ok
+UNION ALL SELECT CAST(-2 AS BIGINT), TRUE
+UNION ALL SELECT CAST(-3 AS BIGINT), TRUE
+"""
+
+
+@query("d30_semantic_dedup", oracle=_D30_ORACLE, tags=("llm", "dedup", "approx"))
+def d30_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster embeddings coarsely, remove items whose cosine to a
+    smaller-id item IN THE SAME CLUSTER clears the threshold
+    (operators/similarity.py:semantic_dedup). The cluster-then-compare
+    shape bounds the pair join to within-cell pairs — the published
+    recipe for embedding-level dedup at corpus scale.
+
+    Driver contract (all-TRUE oracle) on the planted-twin corpus
+    (originals + vec_id+1e6 scaled copies; organic max cosine ~0.60
+    stays far under the 0.95 threshold):
+    - probe -1: exactly the 20 planted twin ids are removed (cosine
+      cell assignment is scale-invariant, so each twin shares its
+      original's cell and scores cosine 1.0 against it).
+    - probe -2: every organic vector is kept (no false positives).
+    - probe -3: each removed item's representative (`dup_of`) is
+      exactly its original (id - 1e6)."""
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _twin_corpus(em)
+    res = S.semantic_dedup(corpus, n_cells=16, threshold=0.95).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    removed = res.filter(~F.col("keep"))
+    planted_exact = removed.agg(
+        (
+            (F.count("*") == 20)
+            & F.min(F.col("id") >= 1_000_000)
+        ).alias("ok")
+    ).select(F.lit(-1).cast("long").alias("probe_id"), "ok")
+    organic_kept = res.filter(F.col("id") < 1_000_000).agg(
+        F.min("keep").alias("ok")
+    ).select(F.lit(-2).cast("long").alias("probe_id"), "ok")
+    rep_is_original = removed.agg(
+        F.min(F.col("dup_of") == F.col("id") - 1_000_000).alias("ok")
+    ).select(F.lit(-3).cast("long").alias("probe_id"), "ok")
+    return planted_exact.unionByName(organic_kept).unionByName(rep_is_original)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..io import load
+from ..operators import layout as L
 from .helpers import (
     SQL_CHARGE,
     SQL_DAVG,
@@ -1554,4 +1555,48 @@ def b42_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
             F.min("k").alias("min_k"),
         )
+    )
+
+
+@query(
+    "b44_zorder_skipping",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id BETWEEN 3 AND 14
+  AND ts < TIMESTAMP '2024-01-04 00:00:00'
+""",
+    tags=("relational", "layout"),
+)
+def b44_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout + multi-dimensional scan pruning
+    (operators/layout.py — the engine-native form of Delta's OPTIMIZE
+    ZORDER BY): rewrite `events` range-partitioned and sorted on the
+    z-curve over (user_id, ts), then answer a 2-dimensional range query
+    from the clustered copy. Because the layout pass only REORDERS
+    rows, the result is byte-identical to querying the raw table — the
+    oracle reads the raw parquet; the entry reads the z-ordered copy,
+    proving the rewrite is lossless while the clustered files carry
+    tight min/max stats on BOTH predicate columns (skipping itself is
+    pinned in tests/test_plans.py::test_zorder_layout_clusters_files
+    via per-file parquet stats + PushedFilters)."""
+    import os as _os
+    import tempfile as _tmp
+
+    ev = load(spark, sf_dir, "events")
+    out = _os.path.join(
+        _tmp.gettempdir(),
+        f"spark_graft_zorder_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    L.zorder_write(ev, out, ["user_id", "ts"], num_files=8)
+    z = spark.read.parquet(out)
+    return z.filter(
+        F.col("user_id").between(3, 14)
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_ids"),
+        F.countDistinct("user_id").alias("n_users"),
     )

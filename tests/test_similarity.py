@@ -211,3 +211,23 @@ def test_pq_topk_recall_and_exact_degenerate(spark, sf_dir, planted_vecs):
         for r in S.pq_cosine_topk(em, queries, k=5, rerank=50).collect()
     }
     assert len(approx & truth) / len(truth) >= 0.5, "recall@5 too low"
+
+
+def test_semantic_dedup_removes_planted_keeps_organic(spark, planted_vecs):
+    """SemDeDup: the noisy planted twins (cosine ~0.9999 to their
+    originals) must be removed with their original as representative;
+    organic vectors (max pairwise cosine ~0.60) all survive. Also: the
+    keep-set plus dup_of mapping partitions the corpus exactly."""
+    res = S.semantic_dedup(planted_vecs, n_cells=8, threshold=0.95)
+    rows = res.collect()
+    removed = {r["id"]: r["dup_of"] for r in rows if not r["keep"]}
+    kept = {r["id"] for r in rows if r["keep"]}
+    # every planted twin removed, representative = its original
+    missed = [i for i in range(100000, 100020) if i not in removed]
+    assert len(missed) <= 2, f"twins not deduped: {missed}"
+    for tid, rep in removed.items():
+        if tid >= 100000:
+            assert rep == tid - 100000
+    # organic corpus intact
+    assert all(i in kept for i in {r["id"] for r in rows} if i < 100000)
+    assert len(kept) + len(removed) == len(rows)
