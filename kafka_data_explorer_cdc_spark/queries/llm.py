@@ -27,7 +27,7 @@ from ..io import ensure_parallelism, load
 from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators import similarity as S
-from ..operators.text import DUCKDB_POLY_HASH, LANG_STOPWORDS, poly_hash
+from ..operators.text import DUCKDB_POLY_HASH, LANG_STOPWORDS, POLY_MOD, poly_hash
 from .helpers import dsum
 from .registry import query
 
@@ -2530,3 +2530,174 @@ def d30_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("dup_of") == F.col("id") - 1_000_000).alias("ok")
     ).select(F.lit(-3).cast("long").alias("probe_id"), "ok")
     return planted_exact.unionByName(organic_kept).unionByName(rep_is_original)
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): sampling & data mixing for training pipelines
+# ---------------------------------------------------------------------------
+
+_D31_HASH = DUCKDB_POLY_HASH.format(expr="('wps:' || CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "d31_weighted_priority_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, n_chars, {_D31_HASH} AS h FROM documents
+)
+SELECT doc_id, n_chars AS weight,
+       ROUND(LN((h + 1) / {POLY_MOD + 1}.0) / GREATEST(n_chars, 1), 9)
+         AS priority
+FROM h
+ORDER BY priority DESC, doc_id
+LIMIT 100
+""",
+    tags=("llm", "sampling"),
+)
+def d31_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): each document gets priority ``u^(1/w)`` — equivalently
+    ``ln(u)/w``, the monotone form used here — with ``u`` derived from
+    the portable polynomial hash of its id (deterministic, so both
+    engines select the identical sample) and ``w = n_chars`` (longer
+    documents proportionally likelier). Take the top-k priorities.
+
+    Scale shape: the one-pass distributed weighted sampler — priority
+    is a pure per-row expression inside codegen and the top-k is
+    ``TakeOrderedAndProject`` (map-side partial top-k per partition,
+    only k rows per partition reach the driver-side merge); no shuffle
+    of the corpus, no RNG state to coordinate, and re-running on the
+    same snapshot reproduces the sample bit-for-bit (the property that
+    makes training-data draws auditable)."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.expr(poly_hash("concat('wps:', cast(doc_id as string))"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(POLY_MOD + 1))
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round(F.log(u) / w, 9).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+_D32_HASH = DUCKDB_POLY_HASH.format(expr="('mix:' || CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "d32_mixture_rebalance",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_total FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+m AS (SELECT MIN(n_total) AS mn FROM c),
+r AS (
+  SELECT lang, n_total, CAST(mn AS DOUBLE) / n_total AS rate
+  FROM c CROSS JOIN m
+),
+k AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN r USING (lang)
+  WHERE ({_D32_HASH} + 1) / {POLY_MOD + 1}.0 < rate
+  GROUP BY d.lang
+)
+SELECT lang, n_total, n_kept, ROUND(rate, 6) AS keep_rate
+FROM r JOIN k USING (lang)
+""",
+    tags=("llm", "sampling"),
+)
+def d32_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: downsample every language to the
+    scarcest language's share (the balanced-mixture special case of
+    per-source mixture weights used when assembling pretraining mixes).
+    Per-lang keep-rate ``rate = min_count / count``, applied as a
+    deterministic Bernoulli filter ``u(doc) < rate`` with ``u`` from
+    the portable hash — so the subsample is reproducible and the
+    per-document decision needs no RNG coordination across executors.
+
+    Scale shape: one small aggregate (lang cardinality ~dozens)
+    broadcast back onto the corpus, then a pure filter inside codegen
+    — the corpus is scanned once and never shuffled; the output agg
+    shuffles only the surviving row counts. Integer hash + one double
+    divide on each side → the selection is bit-identical across
+    engines (no libm in the decision path)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    mn = cnt.agg(F.min("n_total").alias("mn"))
+    rates = cnt.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_total",
+        (F.col("mn").cast("double") / F.col("n_total")).alias("rate"),
+    )
+    h = F.expr(poly_hash("concat('mix:', cast(doc_id as string))"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(POLY_MOD + 1))
+    kept = (
+        docs.join(broadcast(rates.select("lang", "rate")), "lang")
+        .filter(u < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return kept.join(broadcast(rates), "lang").select(
+        "lang", "n_total", "n_kept", F.round("rate", 6).alias("keep_rate")
+    )
+
+
+@query(
+    "d33_shingle_containment_pairs",
+    oracle=_SH_DUCK
+    + _SH_CAPPED_DUCK
+    + """,
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS isz
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_id, dst_id, isz * 1.0 / c1.n AS containment
+FROM inter JOIN cnt c1 ON src_id = c1.doc_id
+WHERE isz * 1.0 / c1.n >= 0.8
+""",
+    tags=("llm", "dedup"),
+)
+def d33_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs (asymmetric Jaccard, Broder 1997):
+    ``C(src→dst) = |src ∩ dst| / |src|`` over distinct 3-gram sets —
+    the subset-duplicate detector that symmetric-Jaccard dedup (d05)
+    structurally misses: a short document quoted whole inside a long
+    one has high containment but low Jaccard. Threshold 0.8 emits
+    ordered (src, dst) pairs: "80% of src's n-grams appear in dst".
+
+    Scale shape is d05's: the inverted-index equi-join on shingles
+    bounds candidate pairs to documents actually sharing an n-gram,
+    and the shared document-frequency cap (applied identically in both
+    engines) removes the hot-shingle quadratic bucket. The asymmetric
+    output doubles the pair rows but needs only ONE per-doc count join
+    (the denominator is the src set only)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3)
+    sh = D.cap_bucket_width(sh, ["shingle"], _D05_MAX_DF)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("src_id"), F.col("b.id").alias("dst_id"))
+        .agg(F.count("*").alias("isz"))
+    )
+    counts = sh.groupBy("id").agg(F.count("*").alias("n"))
+    return (
+        inter.join(
+            counts.select(F.col("id").alias("src_id"), F.col("n").alias("n1")),
+            "src_id",
+        )
+        .withColumn("containment", F.col("isz") * F.lit(1.0) / F.col("n1"))
+        .filter(F.col("containment") >= 0.8)
+        .select("src_id", "dst_id", "containment")
+    )

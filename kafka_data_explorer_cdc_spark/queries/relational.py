@@ -1600,3 +1600,208 @@ def b44_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("sum_ids"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# -- b45: mergeable bottom-sketch (k-mins) distinct counting with set algebra
+
+#: k-mins sketch width: k independent pairwise-affine hash minima per
+#: group. Relative stderr ~ 1/sqrt(k) ≈ 6%; the gate bound below is
+#: ~3 sigma plus small-n absolute slack. Deterministic (fixed perms).
+_B45_K = 256
+_B45_P = 1_000_000_007
+
+
+def _b45_perms() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(4242)
+    return [
+        (rng.randrange(1, _B45_P), rng.randrange(_B45_P)) for _ in range(_B45_K)
+    ]
+
+
+@query(
+    "b45_kmins_distinct_sketch",
+    oracle="""
+SELECT event_type AS label,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'union:click+view',
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+        WHERE event_type IN ('click', 'view')), TRUE
+UNION ALL
+SELECT 'intersect:click+view',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+          JOIN
+          (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') b
+          USING (user_id)), TRUE
+""",
+    tags=("relational", "sketch", "agg"),
+)
+def b45_kmins_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable k-mins bottom sketch (Flajolet-Martin '85 / Cohen '97
+    — the estimator family behind theta sketches) with the set algebra
+    HLL cannot do: per-group sketches SUPPORT UNION (elementwise min —
+    what b41's HLL union does too) AND INTERSECTION via
+    inclusion-exclusion on the union estimate. k=256 affine-permuted
+    minima of one xxhash64 are plain MIN aggregates: map-side
+    combinable, one tiny shuffle of 5 groups x 256 doubles, mergeable
+    at rest exactly like b41's sketch column.
+
+    Estimator: n̂ = k / Σ_i m_i − 1 (each group min ~ Beta(1, n), so
+    Σ minima ~ Gamma(k, 1/(n+1))); ∩̂(A,B) = n̂_A + n̂_B − n̂_{A∪B}.
+    Bounded-comparison gate (b41 pattern): every estimate must land
+    within 20% + 3 of the exact count (~3x the 6% stderr at k=256,
+    plus absolute slack for the tiny-corpus case); the exact recount
+    exists only to verify the sketch."""
+    ev = load(spark, sf_dir, "events")
+    perms = _b45_perms()
+    h1 = F.pmod(F.xxhash64("user_id"), F.lit(_B45_P))
+    # 5 rows x 256 doubles; feeds est/ea/eb and both sketch-merge sides
+    # below — persist so the fact table is aggregated exactly once.
+    mins = ev.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.pmod(h1 * F.lit(a) + F.lit(b), F.lit(_B45_P)).cast("double")
+                / F.lit(float(_B45_P))
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(perms)
+        ]
+    ).persist()
+    ssum = sum((F.col(f"m{i}") for i in range(1, _B45_K)), F.col("m0"))
+    est = mins.select(
+        "event_type", (F.lit(float(_B45_K)) / ssum - 1).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    ok = (
+        exact.join(est, "event_type")
+        .select(
+            F.col("event_type").alias("label"),
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= 0.2 * F.col("n_exact") + 3
+            ).alias("within_bound"),
+        )
+    )
+    # union + intersection of two sketches (pure sketch merge — the raw
+    # rows are NOT re-touched; only the 2 x 256 minima are combined)
+    a = mins.filter(F.col("event_type") == "click").drop("event_type")
+    b = mins.filter(F.col("event_type") == "view").drop("event_type")
+    ab = a.select(*[F.col(f"m{i}").alias(f"a{i}") for i in range(_B45_K)]).crossJoin(
+        b.select(*[F.col(f"m{i}").alias(f"b{i}") for i in range(_B45_K)])
+    )
+    usum = sum(
+        (F.least(F.col(f"a{i}"), F.col(f"b{i}")) for i in range(1, _B45_K)),
+        F.least(F.col("a0"), F.col("b0")),
+    )
+    est_u = ab.select((F.lit(float(_B45_K)) / usum - 1).alias("est_u"))
+    exact_u = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .agg(F.countDistinct("user_id").alias("n_u"))
+    )
+    clk = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    vw = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    exact_i = clk.join(vw, "user_id").agg(F.count("*").alias("n_i"))
+    ea = est.filter(F.col("event_type") == "click").select(
+        F.col("est").alias("est_a")
+    )
+    eb = est.filter(F.col("event_type") == "view").select(
+        F.col("est").alias("est_b")
+    )
+    merged = (
+        exact_u.crossJoin(exact_i)
+        .crossJoin(est_u)
+        .crossJoin(ea)
+        .crossJoin(eb)
+    )
+    union_row = merged.select(
+        F.lit("union:click+view").alias("label"),
+        F.col("n_u").alias("n_exact"),
+        (F.abs(F.col("est_u") - F.col("n_u")) <= 0.2 * F.col("n_u") + 3).alias(
+            "within_bound"
+        ),
+    )
+    inter_row = merged.select(
+        F.lit("intersect:click+view").alias("label"),
+        F.col("n_i").alias("n_exact"),
+        (
+            F.abs(F.col("est_a") + F.col("est_b") - F.col("est_u") - F.col("n_i"))
+            <= 0.25 * F.col("n_u") + 3
+        ).alias("within_bound"),
+    )
+    return ok.unionByName(union_row).unionByName(inter_row)
+
+
+@query(
+    "b46_quantile_sketch_rollup",
+    oracle="""
+SELECT 0.5 AS q, CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS within_bound
+FROM lineitem
+UNION ALL
+SELECT 0.9, CAST(COUNT(*) AS BIGINT), TRUE FROM lineitem
+UNION ALL
+SELECT 0.99, CAST(COUNT(*) AS BIGINT), TRUE FROM lineitem
+""",
+    tags=("relational", "sketch", "agg"),
+)
+def b46_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summaries at rest (b41's HLL rollup, for
+    percentiles): per ship-month, a 128-point equi-spaced quantile
+    summary of l_extendedprice plus its row count — the compact column
+    a 100 TB pipeline PERSISTS per partition — then any slice's
+    percentile is answered by merging summaries (weighted cumulative
+    rank over summary points) without re-touching raw rows. Per-group
+    summaries come from one ``percentile_approx`` pass (GK sketch,
+    map-side combinable); the merge handles ~months x 128 rows.
+
+    Bounded-comparison gate (b41 pattern): for q in {0.5, 0.9, 0.99}
+    the merged estimate's EXACT rank (one counting scan) must be
+    within 2.5% of q*N — the merge's theoretical rank error is
+    ~1/128 per group, so 2.5% is ~3x slack. All-TRUE oracle."""
+    li = load(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice")
+    qs128 = [i / 128.0 for i in range(1, 129)]
+    summaries = li.groupBy(F.trunc("l_shipdate", "month").alias("mon")).agg(
+        F.percentile_approx("l_extendedprice", qs128, 10000).alias("pts"),
+        F.count("*").alias("cnt"),
+    )
+    pts = summaries.select(
+        F.explode("pts").alias("v"), (F.col("cnt") / 128.0).alias("w")
+    )
+    wsorted = pts.withColumn(
+        "cum_w",
+        F.sum("w").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = pts.agg(F.sum("w").alias("tot_w"), F.count("*").alias("npts"))
+    targets = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    ests = (
+        wsorted.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(targets))
+        .filter(F.col("cum_w") >= F.col("q") * F.col("tot_w"))
+        .groupBy("q")
+        .agg(F.min("v").alias("est"))
+    )
+    n = li.count()
+    ranks = (
+        li.crossJoin(F.broadcast(ests))
+        .groupBy("q", "est")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("est"), 1).otherwise(0)
+            ).alias("rank")
+        )
+    )
+    return ranks.select(
+        "q",
+        F.lit(n).cast("long").alias("n_rows"),
+        (F.abs(F.col("rank") - F.col("q") * n) <= 0.025 * n).alias(
+            "within_bound"
+        ),
+    )
