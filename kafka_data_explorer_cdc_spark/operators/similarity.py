@@ -813,3 +813,96 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def sq8_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN: per-dimension int8 codes at rest,
+    approximate scan on the codes, exact re-rank of the shortlist —
+    the third quantization family next to PQ (d07v/u) and IVF-PQ
+    (d07t), and the one FAISS ships as ``SQ8``: 4x smaller than
+    float32 at rest with near-exact recall, no codebook training.
+
+    Quantizer: ``code_d = round((x_d - min_d) / scale_d) - 128`` with
+    per-dim [min, max] over the corpus and ``scale = range/255``. The
+    2 x dim stats are the entire "codebook" — a bounded driver collect
+    (dim rows; same class as PQ's centroid collect, documented there).
+    The scan dequantizes codes on the fly (pure codegen arithmetic),
+    takes the top-``shortlist`` per query by approximate cosine, and
+    re-ranks ONLY those against raw vectors — at 100 TB the raw float
+    column is touched for shortlist x |queries| rows, everything else
+    reads the int8 column."""
+    stats = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mins = [float(r.mn) for r in stats]
+    scales = [max((float(r.mx) - float(r.mn)) / 255.0, 1e-12) for r in stats]
+    mins_arr = F.array(*[F.lit(m) for m in mins])
+    sc_arr = F.array(*[F.lit(s) for s in scales])
+
+    def enc(col):
+        shifted = F.zip_with(col, mins_arr, lambda x, m: x.cast("double") - m)
+        return F.zip_with(
+            shifted, sc_arr, lambda y, s: (F.round(y / s) - 128).cast("tinyint")
+        )
+
+    def deq(codes):
+        scaled = F.zip_with(
+            codes, sc_arr, lambda c, s: (c.cast("double") + 128.0) * s
+        )
+        return F.zip_with(scaled, mins_arr, lambda y, m: y + m)
+
+    # the at-rest artifact: id + int8 codes (stands in for the parquet
+    # codes table a real deployment would persist alongside the corpus)
+    codes = corpus.select(
+        F.col(id_col).alias("c_id"), enc(F.col(vec_col)).alias("c_codes")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    qb = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_norm", F.sqrt(_norm_sq(F.col("q_vec"))))
+    cd = ensure_parallelism(codes).withColumn("c_deq", deq(F.col("c_codes")))
+    cd = cd.withColumn("c_dnorm", F.sqrt(_norm_sq(F.col("c_deq"))))
+    approx = (
+        cd.crossJoin(broadcast(qb))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "ascore",
+            _dot(F.col("q_vec"), F.col("c_deq"))
+            / (F.col("q_norm") * F.col("c_dnorm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ascore"), F.asc("c_id"))
+    shortl = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= shortlist)
+        .select("q_id", "c_id")
+    )
+    c_raw = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        shortl.join(c_raw, "c_id")
+        .join(broadcast(qb), "q_id")
+        .withColumn("c_norm", F.sqrt(_norm_sq(F.col("c_vec"))))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

@@ -15,10 +15,12 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # driver row is more than ~3 rounds old. The per-entry last-green
 # table is generated into COVERAGE.md ("Driver-check freshness").
 #
-# Round 6: (1) = the 20 round-5 additions the r5 window missed
-# (b31-b42, a18, d26, d27, mm5, s28-s31); (2) = the r2 cohort (14:
-# k13-k23 family + d07/d16-d19) and 16 of the r3 cohort (d04x/d06x —
-# also bench-flagged for an idle A/B — plus k24-k37).
+# Round 6: (0) = the 10 round-6 additions (b44-b46, d28-d34);
+# (1) = the 20 round-5 additions the r5 window missed (b31-b42, a18,
+# d26, d27, mm5, s28-s31); (2) = the r2 cohort (14: k13-k23 family +
+# d07/d16-d19) and the head of the r3 cohort (d04x/d06x — also
+# bench-flagged for an idle A/B — plus k24-k27; k28-k34 displaced to
+# round 7).
 from . import kql_q  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
@@ -31,6 +33,12 @@ _FRONT = [
     "d28_cms_frequency",
     "d29_bigram_lm_perplexity",
     "d30_semantic_dedup",
+    "d31_weighted_priority_sample",
+    "d32_mixture_rebalance",
+    "d33_shingle_containment_pairs",
+    "d34_sq8_ann_topk",
+    "b45_kmins_distinct_sketch",
+    "b46_quantile_sketch_rollup",
     # (1) never driver-checked: the 20 round-5 additions
     "b31_exists_subquery",
     "b32_scalar_correlated",
@@ -74,12 +82,8 @@ _FRONT = [
     "k25_kql_let",
     "k26_kql_parse_extract",
     "k27_kql_case_tiers",
-    "k28_kql_arg_max",
-    "k29_kql_make_set",
-    "k30_kql_percentile",
-    "k32_kql_top_nested",
-    "k33_kql_lookup",
-    "k34_kql_mv_apply",
+    # (k28-k34 of the r3 cohort displaced to the round-7 window by the
+    # six new round-6 entries above; rotation policy unchanged)
 ]
 
 

@@ -2701,3 +2701,34 @@ def d33_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("containment") >= 0.8)
         .select("src_id", "dst_id", "containment")
     )
+
+
+_D34_ORACLE = """
+SELECT vec_id AS probe_id, TRUE AS ok FROM embeddings WHERE vec_id < 20
+UNION ALL SELECT CAST(-1 AS BIGINT), TRUE
+"""
+
+
+@query("d34_sq8_ann_topk", oracle=_D34_ORACLE, tags=("llm", "similarity", "approx"))
+def d34_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized SQ8 ANN top-5 (operators/similarity.py:
+    sq8_cosine_topk) — int8 codes at rest, approximate code scan,
+    exact re-rank of a 20-wide shortlist. Completes the quantization
+    family next to PQ (d07v/d07u) and IVF-PQ (d07t).
+
+    Driver contract (all-TRUE oracle, d07y pattern):
+    - probes 0..19: the planted 2x twin quantizes to (near-)identical
+      codes, tops the approximate scan, and the exact re-rank reports
+      it at rank 1 with cosine 1.0 — deterministic.
+    - probe -1: recall@5 vs brute force >= 0.6 (8-bit quantization
+      noise only perturbs near-ties; measured recall is far higher)."""
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _twin_corpus(em)
+    queries = em.filter(F.col("vec_id") < 20)
+    ann = S.sq8_cosine_topk(corpus, queries, k=5, shortlist=20).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    brute = S.brute_force_cosine_topk(corpus, queries, k=5)
+    return _twin_rank1_ok(queries, ann).unionByName(
+        _recall_row(ann, brute, 0.6, -1)
+    )

@@ -231,3 +231,20 @@ def test_semantic_dedup_removes_planted_keeps_organic(spark, planted_vecs):
     # organic corpus intact
     assert all(i in kept for i in {r["id"] for r in rows} if i < 100000)
     assert len(kept) + len(removed) == len(rows)
+
+
+def test_sq8_recall_and_code_range(spark, sf_dir):
+    """SQ8: 8-bit quantization should barely perturb the ranking —
+    recall@5 vs brute force stays high on real embeddings — and the
+    at-rest codes must actually be int8-ranged (the 4x-compression
+    claim is the operator's point)."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in S.brute_force_cosine_topk(em, queries, k=5).collect()
+    }
+    ann = S.sq8_cosine_topk(em, queries, k=5, shortlist=20)
+    got = {(r["q_id"], r["c_id"]) for r in ann.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"SQ8 recall@5: {recall}"
