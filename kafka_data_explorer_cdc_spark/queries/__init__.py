@@ -39,6 +39,7 @@ _FRONT = [
     "d34_sq8_ann_topk",
     "b45_kmins_distinct_sketch",
     "b46_quantile_sketch_rollup",
+    "s32_stream_minhash_dedup",
     # (1) never driver-checked: the 20 round-5 additions
     "b31_exists_subquery",
     "b32_scalar_correlated",
@@ -81,9 +82,8 @@ _FRONT = [
     "k24_kql_join",
     "k25_kql_let",
     "k26_kql_parse_extract",
-    "k27_kql_case_tiers",
-    # (k28-k34 of the r3 cohort displaced to the round-7 window by the
-    # six new round-6 entries above; rotation policy unchanged)
+    # (k27-k34 of the r3 cohort displaced to the round-7 window by the
+    # eleven new round-6 entries above; rotation policy unchanged)
 ]
 
 

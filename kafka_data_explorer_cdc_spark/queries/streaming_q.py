@@ -496,3 +496,95 @@ def s31_pipeline_over_custom_source(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("city"),
         F.col("amount").cast("int").alias("amount"),
     )
+
+
+_S32_PERMS = [(2 * i + 1, 97 * i + 13) for i in range(4)]  # _MINHASH_PERMS[:4]
+_S32_P = 1_000_000_007
+_S32_POLY = (
+    "CASE WHEN length(s) = 0 THEN 0 ELSE "
+    "aggregate(transform(split(s, ''), ch -> ascii(ch)), 0L, "
+    f"(acc, c) -> (acc * 31 + c) % {_S32_P}) END"
+)
+_S32_DUCK_H = (
+    "CASE WHEN length(shingle) = 0 THEN 0 ELSE "
+    "list_reduce(list_transform(generate_series(1, length(shingle)), "
+    "i -> CAST(unicode(shingle[i:i]) AS BIGINT)), "
+    f"(acc, c) -> (acc * 31 + c) % {_S32_P}) END"
+)
+
+
+@query(
+    "s32_stream_minhash_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), h AS (
+  SELECT doc_id, {_S32_DUCK_H} AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * h + {b}) % {_S32_P}) AS s{i}" for i, (a, b) in enumerate(_S32_PERMS))}
+  FROM h GROUP BY doc_id
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM (
+  SELECT DISTINCT d.lang, s.s0, s.s1, s.s2, s.s3
+  FROM documents d JOIN sig s USING (doc_id)
+)
+GROUP BY lang
+""",
+    tags=("streaming", "dedup", "llm"),
+)
+def s32_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup suppression (B23's content-keyed form): the
+    documents table replayed through a real file stream; each arriving
+    document gets a 4-component portable MinHash signature computed as
+    PURE per-row expressions (token array → shingle transform → poly
+    hash → affine minima: zero shuffle, whole-stage codegen), and
+    ``dropDuplicates`` on (lang, signature) keeps only the first
+    signature-identical document per language — exact dups and
+    shuffled near-identical twins collapse in flight, before they ever
+    reach the training store.
+
+    Scale shape: state is one compact row per distinct (lang, sig) —
+    bounded by CONTENT diversity, not stream length; the production
+    form adds an ingest-time watermark (s23) to bound the horizon.
+    The result is arrival-order independent by construction (the keep
+    decision depends only on the key), so the batch oracle can verify
+    the streaming execution exactly."""
+    from ..io import SCHEMAS
+
+    name = f"s32_{uuid.uuid4().hex[:8]}"
+    src = f"{sf_dir}/documents.parquet"
+    d = _tmp("docs_stream_")
+    os.symlink(src, os.path.join(d, "documents.parquet"))
+    docs = spark.readStream.schema(SCHEMAS["documents"]).parquet(d)
+    toks = docs.withColumn(
+        "__t", F.expr("split(lower(trim(text)), ' ')")
+    ).filter(F.size("__t") >= 3)
+    sh = toks.withColumn(
+        "__hs",
+        F.expr(
+            "transform(sequence(1, size(__t) - 2), "
+            "i -> concat_ws(' ', __t[i-1], __t[i], __t[i+1]))"
+        ),
+    ).withColumn("__hs", F.expr(f"transform(__hs, s -> {_S32_POLY})"))
+    sig = sh.select(
+        "lang",
+        *[
+            F.expr(
+                f"array_min(transform(__hs, h -> ({a} * h + {b}) % {_S32_P}))"
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(_S32_PERMS)
+        ],
+    )
+    kept = sig.dropDuplicates(["lang", "s0", "s1", "s2", "s3"])
+    run_to_memory(kept, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_unique"))
+    )
