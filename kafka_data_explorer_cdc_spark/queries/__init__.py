@@ -40,6 +40,8 @@ _FRONT = [
     "b45_kmins_distinct_sketch",
     "b46_quantile_sketch_rollup",
     "s32_stream_minhash_dedup",
+    "b47_bucketed_colocated_join",
+    "d35_incremental_dedup",
     # (1) never driver-checked: the 20 round-5 additions
     "b31_exists_subquery",
     "b32_scalar_correlated",
@@ -80,10 +82,8 @@ _FRONT = [
     "d04x_minhash_lsh_portable",
     "d06x_simhash_portable",
     "k24_kql_join",
-    "k25_kql_let",
-    "k26_kql_parse_extract",
-    # (k27-k34 of the r3 cohort displaced to the round-7 window by the
-    # eleven new round-6 entries above; rotation policy unchanged)
+    # (k25-k34 of the r3 cohort displaced to the round-7 window by the
+    # thirteen new round-6 entries above; rotation policy unchanged)
 ]
 
 

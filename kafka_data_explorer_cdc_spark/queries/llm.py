@@ -2732,3 +2732,129 @@ def d34_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _twin_rank1_ok(queries, ann).unionByName(
         _recall_row(ann, brute, 0.6, -1)
     )
+
+
+_D35_ORACLE = (
+    _SH_DUCK.replace("FROM documents", "FROM documents")
+    + ", h AS (SELECT doc_id, "
+    + DUCKDB_POLY_HASH.format(expr="shingle")
+    + " AS h FROM sh),\nsigs AS (SELECT doc_id, "
+    + ", ".join(
+        f"CAST(MIN(({a} * h + {b}) % {_D04X_P}) AS BIGINT) AS mh_{i}"
+        for i, (a, b) in enumerate(_MINHASH_PERMS)
+    )
+    + " FROM h GROUP BY doc_id),"
+    + """
+base_reps AS (
+  SELECT MIN(doc_id) AS doc_id,
+         mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+  FROM sigs WHERE doc_id % 10 < 7
+  GROUP BY mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+), delta AS (
+  SELECT * FROM sigs WHERE doc_id % 10 >= 7
+), bb AS (
+"""
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_d04x_band_sql(b)} AS bh FROM base_reps"
+        for b in range(2)
+    )
+    + "), db AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_d04x_band_sql(b)} AS bh FROM delta"
+        for b in range(2)
+    )
+    + """
+), cands AS (
+  SELECT DISTINCT bb.doc_id AS id1, db.doc_id AS id2
+  FROM bb JOIN db ON bb.band = db.band AND bb.bh = db.bh
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS isz
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id1 AS base_id, i.id2 AS delta_id,
+       isz * 1.0 / (c1.n + c2.n - isz) AS jaccard
+FROM inter i
+JOIN cnt c1 ON i.id1 = c1.doc_id
+JOIN cnt c2 ON i.id2 = c2.doc_id
+WHERE isz * 1.0 / (c1.n + c2.n - isz) >= 0.5
+"""
+)
+
+
+@query("d35_incremental_dedup", oracle=_D35_ORACLE, tags=("llm", "dedup"))
+def d35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission — the shape every GROWING corpus
+    needs: new (delta) documents are checked against the EXISTING
+    (base) dedup store without ever re-pairing the base with itself.
+    Base signatures are collapsed to one representative per identical
+    signature (what a dedup store persists); delta band hashes probe
+    the base's band buckets (base x delta equi-join only — cost scales
+    with the DELTA, not corpus²); survivors get the exact-Jaccard
+    verify at 0.5 against the stored representative.
+
+    Split is deterministic (doc_id % 10: 70% base / 30% delta) so both
+    engines see the identical store; the portable polynomial hashing
+    (d04x machinery) makes the whole pipeline hash-exact vs DuckDB.
+    Emits (base_id, delta_id, jaccard) for every REJECTED delta doc —
+    at 100 TB the same plan runs per ingest batch with the base
+    signature/bucket tables pre-materialized at rest."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    h = sh.withColumn("h", F.expr(poly_hash("shingle")))
+    sigs = h.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _D04X_P).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_MINHASH_PERMS)
+        ]
+    )
+    sig_cols = [f"mh_{i}" for i in range(8)]
+    base_reps = (
+        sigs.filter(F.col("id") % 10 < 7)
+        .groupBy(*sig_cols)
+        .agg(F.min("id").alias("id"))
+    )
+    delta = sigs.filter(F.col("id") % 10 >= 7)
+
+    def band_hash(b: int):
+        expr = None
+        for r, m in enumerate(_D04X_MULT):
+            term = F.col(f"mh_{b * 4 + r}") * F.lit(m)
+            expr = term if expr is None else expr + term
+        return (expr % F.lit(_D04X_P)).alias("bh")
+
+    def to_buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), band_hash(b))
+                        for b in range(2)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    bb = to_buckets(base_reps).alias("l")
+    db = to_buckets(delta).alias("r")
+    cands = (
+        bb.join(
+            db,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+    return D.verify_jaccard(cands, sh, 0.5).select(
+        F.col("id1").alias("base_id"),
+        F.col("id2").alias("delta_id"),
+        "jaccard",
+    )

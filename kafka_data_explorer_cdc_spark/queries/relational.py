@@ -1805,3 +1805,60 @@ def b46_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+@query(
+    "b47_bucketed_colocated_join",
+    oracle=f"""
+SELECT c_custkey,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       {SQL_DSUM.format(col="o_totalprice")} AS total_spent
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+HAVING COUNT(o_orderkey) >= 10
+""",
+    tags=("relational", "join", "layout"),
+)
+def b47_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join + aggregation (io.write_bucketed made a
+    first-class queryable path): customer and orders are materialized
+    hash-bucketed on the join key, so the join needs NO exchange on
+    either side AND the following per-custkey aggregation reuses the
+    same bucketing — the write-once/amortize-forever layout decision
+    that dominates nightly 100 TB fact-dim workloads. The zero-Exchange
+    plan shape is pinned in tests/test_plans.py; this entry verifies
+    the VALUES through the full bucketed write→catalog→join→agg path
+    against the plain-join oracle (bucketing must be invisible to
+    results)."""
+    import os as _os
+    import tempfile as _tmp
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = _os.path.join(_tmp.gettempdir(), f"spark_graft_b47_{tag}")
+    from ..io import write_bucketed
+
+    # write once per session+SF; later invocations reuse the layout
+    if not spark.catalog.tableExists(f"b47_cust_{tag}"):
+        write_bucketed(
+            cust, f"b47_cust_{tag}", ["c_custkey"], 16,
+            path=_os.path.join(base, "cust"),
+        )
+        write_bucketed(
+            orders, f"b47_ord_{tag}", ["o_custkey"], 16,
+            path=_os.path.join(base, "ord"),
+        )
+    c = spark.table(f"b47_cust_{tag}")
+    o = spark.table(f"b47_ord_{tag}")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "total_spent"),
+        )
+        .filter(F.col("n_orders") >= 10)
+    )
