@@ -42,6 +42,7 @@ _FRONT = [
     "s32_stream_minhash_dedup",
     "b47_bucketed_colocated_join",
     "d35_incremental_dedup",
+    "d36_pagerank_centrality",
     # (1) never driver-checked: the 20 round-5 additions
     "b31_exists_subquery",
     "b32_scalar_correlated",
@@ -81,9 +82,8 @@ _FRONT = [
     # (2b) round-3 cohort, bench-flagged twins first
     "d04x_minhash_lsh_portable",
     "d06x_simhash_portable",
-    "k24_kql_join",
-    # (k25-k34 of the r3 cohort displaced to the round-7 window by the
-    # thirteen new round-6 entries above; rotation policy unchanged)
+    # (k24-k34 of the r3 cohort displaced to the round-7 window by the
+    # fourteen new round-6 entries above; rotation policy unchanged)
 ]
 
 

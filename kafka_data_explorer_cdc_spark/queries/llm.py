@@ -2858,3 +2858,89 @@ def d35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id2").alias("delta_id"),
         "jaccard",
     )
+
+
+def _d36_oracle(iters: int = 5) -> str:
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""pr{i + 1} AS (
+  SELECT nodes.node,
+         0.15 / nn.n + 0.85 * COALESCE(SUM(pr{i}.rank / deg.d), 0) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN edges ON edges.dst = nodes.node
+  LEFT JOIN deg ON deg.src = edges.src
+  LEFT JOIN pr{i} ON pr{i}.node = edges.src
+  GROUP BY nodes.node, nn.n
+)"""
+        )
+    return (
+        """
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + k) % (SELECT n FROM nn) AS dst
+  FROM documents, unnest([1, 2, 3]) AS t(k)
+  WHERE (doc_id * 7 + k) % (SELECT n FROM nn) <> doc_id
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+"""
+        + ",\n".join(steps)
+        + f"\nSELECT node, ROUND(rank, 6) AS rank FROM pr{iters}"
+    )
+
+
+@query("d36_pagerank_centrality", oracle=_d36_oracle(5), tags=("llm", "graph"))
+def d36_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 synchronous iterations) — the
+    iterative-algorithm class beyond one-shot queries, on a
+    deterministic synthetic link graph derived from doc_id (each doc
+    links to (id*7+k) % N, k=1..3, self-loops dropped — the d25 trick:
+    the graph is synthesized, the OPERATOR is real). Each iteration is
+    one join of the rank vector to the edge list plus a grouped sum —
+    the classic Pregel-as-DataFrame step; ``localCheckpoint`` truncates
+    the growing lineage per round (the d20 connected-components
+    pattern), and at 100 TB both sides hash-partition on the join key
+    so each round is one co-partitioned shuffle.
+
+    The DuckDB oracle unrolls the same 5 iterations as chained CTEs —
+    value-exact to the 6-dp rounding (per-node in-degree is ~3, so
+    float summation-order drift stays ~1e-15, far under the rounding
+    grain)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select("src", ((F.col("src") * 7 + F.col("k")) % n).alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ed = edges.join(deg, "src")
+    ranks = docs.select(
+        F.col("doc_id").alias("node"), F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(5):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("d")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            docs.select(F.col("doc_id").alias("node"))
+            .join(contribs, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -292,3 +292,35 @@ def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "event_type" in pf[0].split("PartitionFilters", 1)[1][:120], pf
     assert got.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_weighted_sample_is_take_ordered_no_shuffle(spark, sf_dir):
+    """d31: the weighted sampler must be one scan feeding
+    TakeOrderedAndProject (map-side partial top-k) — a global Sort or
+    an Exchange here means the whole corpus is shuffled to rank 100
+    rows."""
+    p = plan_of(spark, sf_dir, "d31_weighted_priority_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_mixture_rebalance_broadcasts_rates(spark, sf_dir):
+    """d32: the per-lang keep-rates join back onto the corpus as a
+    BROADCAST — shuffling the corpus by lang (a ~5-value key) would be
+    both skewed and unnecessary."""
+    p = plan_of(spark, sf_dir, "d32_mixture_rebalance")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bucketed_join_entry_zero_shuffle(spark, sf_dir):
+    """b47: with both sides bucketed on the join key, the join AND the
+    downstream per-key aggregation run without any shuffle Exchange
+    (broadcast of the small side is allowed — it's not a shuffle)."""
+    p = plan_of(spark, sf_dir, "b47_bucketed_colocated_join")
+    assert "Bucketed: true" in p
+    shuffles = [
+        ln for ln in p.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert not shuffles, shuffles
