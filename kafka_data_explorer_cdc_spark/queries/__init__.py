@@ -43,6 +43,8 @@ _FRONT = [
     "b47_bucketed_colocated_join",
     "d35_incremental_dedup",
     "d36_pagerank_centrality",
+    "d37_retrieval_pipeline",
+    "b48_multiformat_scan",
     # (1) never driver-checked: the 20 round-5 additions
     "b31_exists_subquery",
     "b32_scalar_correlated",
@@ -78,12 +80,10 @@ _FRONT = [
     "d16_chunk_documents",
     "d17_contamination_check",
     "d18_repetition_ratio",
-    "d19_stratified_sample",
     # (2b) round-3 cohort, bench-flagged twins first
     "d04x_minhash_lsh_portable",
-    "d06x_simhash_portable",
-    # (k24-k34 of the r3 cohort displaced to the round-7 window by the
-    # fourteen new round-6 entries above; rotation policy unchanged)
+    # (d19, d06x, k24-k34 of the r2/r3 cohorts displaced to the round-7
+    # window by the sixteen new round-6 entries above; policy unchanged)
 ]
 
 

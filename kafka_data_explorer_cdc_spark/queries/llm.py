@@ -2944,3 +2944,53 @@ def d36_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "d37_retrieval_pipeline",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({_NORMSQ.format(a="embedding")}) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {_DOT.format(a="q.embedding", b="c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+), topk AS (
+  SELECT q_id, c_id, cosine, rn AS rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rn
+    FROM scored
+  ) WHERE rn <= 3
+)
+SELECT t.q_id, t.rank, t.c_id, t.cosine, d.lang,
+       substring(d.text, 1, 40) AS snippet
+FROM topk t JOIN documents d ON d.doc_id = t.c_id
+""",
+    tags=("llm", "similarity", "retrieval"),
+)
+def d37_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval (the RAG serving shape): query embedding →
+    top-3 nearest neighbors by cosine → hydrate each hit with its
+    document's metadata and a snippet. The ANN stage here is the exact
+    brute-force scorer so the oracle can verify the WHOLE pipeline
+    value-exactly; swapping in any of the approximate indexes
+    (d07x/y/u/t/d34) changes one call — the hydration join is the same.
+
+    Scale shape: the similarity stage broadcasts the (small) query set
+    over the corpus; hydration is a |queries| x k row join against the
+    documents table — at 100 TB the join side is tiny and broadcasts,
+    so document payloads are fetched only for actual hits, never
+    scanned wholesale."""
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = em.filter(F.col("vec_id") < 10)
+    topk = S.brute_force_cosine_topk(em, queries, k=3)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("c_id"),
+        "lang",
+        F.substring("text", 1, 40).alias("snippet"),
+    )
+    return topk.join(docs, "c_id").select(
+        "q_id", "rank", "c_id", "cosine", "lang", "snippet"
+    )

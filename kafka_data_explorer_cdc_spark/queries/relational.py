@@ -1862,3 +1862,52 @@ def b47_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 10)
     )
+
+
+@query(
+    "b48_multiformat_scan",
+    oracle="""
+SELECT 'parquet' AS fmt, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+UNION ALL
+SELECT 'csv', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders
+UNION ALL
+SELECT 'json', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders
+""",
+    tags=("relational", "io"),
+)
+def b48_multiformat_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format source parity (B1's format breadth): the same
+    orders projection served from parquet, CSV, and JSON line files
+    must aggregate identically — the engine-side guarantee that lets a
+    pipeline ingest whatever the upstream emits. CSV/JSON copies are
+    materialized once per session+SF (declared schemas on read — no
+    inference scan, the 100 TB-safe form) and each format's plan is an
+    independent codegen scan + one-shuffle agg."""
+    import os as _os
+    import tempfile as _tmp
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = _os.path.join(_tmp.gettempdir(), f"spark_graft_b48_{tag}")
+    proj = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    csv_p, json_p = _os.path.join(base, "csv"), _os.path.join(base, "json")
+    if not _os.path.isdir(csv_p):
+        proj.write.mode("overwrite").option("header", True).csv(csv_p)
+        proj.write.mode("overwrite").json(json_p)
+    schema = "o_orderkey bigint, o_totalprice double"
+    srcs = {
+        "parquet": proj,
+        "csv": spark.read.schema(schema).option("header", True).csv(csv_p),
+        "json": spark.read.schema(schema).json(json_p),
+    }
+    out = None
+    for fmt, df in srcs.items():
+        agg = df.agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice", "total"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "total")
+        out = agg if out is None else out.unionByName(agg)
+    return out
