@@ -1911,3 +1911,214 @@ def b48_multiformat_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(fmt).alias("fmt"), "n_rows", "total")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+@query(
+    "b49_sessionize_events",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+), f AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+), s AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY tus, event_id
+    ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+), g AS (
+  SELECT user_id, sess, COUNT(*) AS n_ev, MAX(tus) - MIN(tus) AS dur_us
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(MAX(n_ev) AS BIGINT) AS longest_session_events,
+       CAST(SUM(dur_us) AS DOUBLE) / 1e6 AS total_active_sec
+FROM g GROUP BY user_id
+""",
+    tags=("relational", "analytics", "sessionize"),
+)
+def b49_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of s25's streaming session
+    window): a session is a run of events per user with no gap longer
+    than 30 minutes; emit per-user session statistics.
+
+    Plan shape: ONE shuffle on user_id serves all three steps — the
+    lag() gap flag, the running-sum session id, and the per-(user,
+    session) aggregate all share the same partitioning, and the final
+    per-user rollup is partial-agg'd map-side. Gap math is exact
+    integer microseconds (unix_micros), so the oracle comparison is
+    engine-independent. At 100 TB, sessionization is embarrassingly
+    parallel in user_id; skewed power users are bounded by the session
+    cap inherent in the time range, not by corpus size."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("sess", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count("*").alias("n_ev"),
+            (F.max("tus") - F.min("tus")).alias("dur_us"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("longest_session_events"),
+        (F.sum("dur_us").cast("double") / F.lit(1e6)).alias("total_active_sec"),
+    )
+
+
+@query(
+    "b50_cohort_retention",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), coh AS (
+  SELECT *, MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM act
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM coh GROUP BY 1, 2
+""",
+    tags=("relational", "analytics", "retention"),
+)
+def b50_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: bucket each user into the Monday-start
+    week of their first event (their cohort), then count how many of
+    each cohort's users are active 0, 1, 2, ... weeks later — the
+    standard retention-triangle query.
+
+    Plan shape: distinct (user, week) pairs first (the only pass over
+    the raw fact table — partial distinct map-side), then a window MIN
+    per user on the already-tiny distinct set, then the final
+    (cohort, offset) count. No join: the cohort assignment rides the
+    same user_id shuffle the distinct produced. date_trunc('week') is
+    Monday-start in both Spark and DuckDB; offsets are exact integer
+    day differences / 7."""
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    coh = act.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    return coh.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "b51_gap_fill_locf",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS dy,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_rev
+  FROM orders
+  WHERE year(o_orderdate) = 1995 AND o_totalprice > 400000
+  GROUP BY 1, 2
+), span AS (
+  SELECT pri, MIN(dy) AS d0, MAX(dy) AS d1 FROM daily GROUP BY 1
+), cal AS (
+  SELECT pri, UNNEST(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                     INTERVAL 1 DAY))::DATE AS dy
+  FROM span
+)
+SELECT c.pri, c.dy,
+       LAST_VALUE(d.day_rev IGNORE NULLS) OVER (
+         PARTITION BY c.pri ORDER BY c.dy
+         ROWS UNBOUNDED PRECEDING) AS revenue_locf,
+       d.day_rev IS NULL AS is_gap
+FROM cal c LEFT JOIN daily d ON c.pri = d.pri AND c.dy = d.dy
+""",
+    tags=("relational", "timeseries", "gapfill"),
+)
+def b51_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward:
+    the sparse daily revenue series of high-value 1995 orders, densified
+    to one row per (priority, calendar day) with missing days filled by
+    the most recent observed value and flagged as gaps.
+
+    Plan shape: the dense calendar is generated PER KEY with
+    sequence(min_day, max_day) exploded from the per-key span aggregate
+    — no driver-side collect, no literal date range; the grid is
+    time-bounded (days in span), not data-bound, so it stays tiny at
+    100 TB. The LOCF is one ordered window per key (last(ignorenulls))
+    riding the same partitioning as the left join. Daily revenue sums
+    in DECIMAL (exact, order-independent) before the double cast, so
+    the carried values are bit-identical across engines."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            (F.year("o_orderdate") == 1995) & (F.col("o_totalprice") > 400000)
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderdate").cast("date").alias("dy"),
+        )
+        .agg(dsum("o_totalprice", "day_rev"))
+    )
+    span = daily.groupBy("pri").agg(
+        F.min("dy").alias("d0"), F.max("dy").alias("d1")
+    )
+    cal = span.select(
+        "pri", F.explode(F.sequence("d0", "d1")).alias("dy")
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("dy")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cal.join(daily, ["pri", "dy"], "left").select(
+        "pri",
+        # emitted as timestamp: pandas renders a DATE from either engine
+        # as midnight-timestamp, so both sides canonicalize identically
+        F.col("dy").cast("timestamp").alias("dy"),
+        F.last("day_rev", ignorenulls=True).over(w).alias("revenue_locf"),
+        F.col("day_rev").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "b52_pivot_status_matrix",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("relational", "reshape", "pivot"),
+)
+def b52_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long-to-wide, the inverse of b36's UNPIVOT): order counts
+    as a priority x status matrix via DataFrame.pivot with an EXPLICIT
+    value list — the scale-critical detail, since an implicit pivot
+    first runs a distinct scan over the pivot column to discover values
+    (an extra full pass at 100 TB) while the explicit list compiles
+    straight to one partial-aggregated shuffle, exactly like a manual
+    conditional aggregation."""
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
