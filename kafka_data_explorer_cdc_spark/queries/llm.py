@@ -2994,3 +2994,116 @@ def d37_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docs, "c_id").select(
         "q_id", "rank", "c_id", "cosine", "lang", "snippet"
     )
+
+
+@query(
+    "d38_knn_label_classify",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, embedding, sqrt({_NORMSQ.format(a="embedding")}) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label,
+         {_DOT.format(a="q.embedding", b="c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON c.vec_id >= 20
+  WHERE q.vec_id < 20
+), top AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, label, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+), votes AS (
+  SELECT q_id, label, COUNT(*) AS votes FROM top GROUP BY 1, 2
+)
+SELECT q_id, label AS pred_label, CAST(votes AS BIGINT) AS votes FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY votes DESC, label) AS rn
+  FROM votes
+) WHERE rn = 1
+""",
+    tags=("llm", "similarity", "classify"),
+)
+def d38_knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification over the embedding column: for each
+    query vector, the majority label among its 10 nearest labeled
+    neighbors (ties broken toward the smaller label) — the standard
+    weak-labeling / quality-bucketing step of a training-data pipeline.
+
+    Plan shape: reuses the brute-force cosine top-k kernel (broadcast
+    queries, JVM fold, no Python) with the labeled corpus as candidates;
+    the label hydration is a broadcast join against the (q x k)-row hit
+    list, and the vote is a tiny two-level aggregation. Swapping the
+    exact kernel for any of the ANN indexes (d07x/y/u/t, d34) changes
+    one call — the voting stage is identical at 100 TB, where the hit
+    list is |queries| x k rows regardless of corpus size."""
+    em = load(spark, sf_dir, "embeddings")
+    corpus = em.filter(F.col("vec_id") >= 20)
+    queries = em.filter(F.col("vec_id") < 20)
+    topk = S.brute_force_cosine_topk(corpus, queries, k=10)
+    labels = em.select(F.col("vec_id").alias("c_id"), "label")
+    votes = (
+        topk.join(F.broadcast(labels), "c_id")
+        .groupBy("q_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+@query(
+    "d39_event_transitions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+), p AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY tus, event_id) AS next_type
+  FROM o
+), c AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS prob
+FROM c
+""",
+    tags=("llm", "sequence", "analytics"),
+)
+def d39_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type) — sequence
+    mining for behavioral features / curriculum ordering.
+
+    Plan shape: one shuffle on user_id for the lead() window, then a
+    partial-agg'd count on the 5x5 transition key space, then a window
+    normalization over the tiny counts table. The per-user ordering is
+    exact integer microseconds; the probability is the identical
+    double division in both engines. At 100 TB the transition-count
+    table stays |event_types|^2 rows — the heavy stage is the
+    embarrassingly-parallel per-user lead()."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")).alias(
+            "prob"
+        ),
+    )

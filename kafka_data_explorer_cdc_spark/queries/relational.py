@@ -9,6 +9,7 @@ and no operator collects to the driver.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves pandas-UDF type hints)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -2121,4 +2122,132 @@ def b52_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
         F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@query(
+    "b53_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS dy,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1, 2
+), win AS (
+  SELECT pri, dy, rev_dec,
+         COUNT(*) OVER w AS n,
+         SUM(rev_dec) OVER w AS s,
+         SUM(rev_dec * rev_dec) OVER w AS sq
+  FROM daily
+  WINDOW w AS (PARTITION BY pri ORDER BY dy
+               ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+), stats AS (
+  SELECT pri, dy, CAST(rev_dec AS DOUBLE) AS revenue, n,
+         CAST(s AS DOUBLE) / n AS mean,
+         CAST(sq AS DOUBLE) / n AS msq
+  FROM win WHERE n >= 20
+), z AS (
+  SELECT pri, dy, revenue,
+         (revenue - mean) / sqrt((msq - mean * mean) * n / (n - 1.0)) AS zscore
+  FROM stats WHERE (msq - mean * mean) > 0
+)
+SELECT pri, dy::TIMESTAMP AS dy, revenue, zscore
+FROM z WHERE abs(zscore) > 2.5
+""",
+    tags=("relational", "timeseries", "anomaly"),
+)
+def b53_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection: flag days whose revenue deviates
+    more than 2.5 sigma from the trailing 30-observation mean of their
+    priority class — the rolling z-score monitor every ingestion
+    pipeline runs over its arrival metrics.
+
+    Determinism design: the rolling mean/variance come from EXACT
+    decimal window sums (SUM(dec), SUM(dec*dec) — associative, order
+    independent), cast to double only at the final scalar math, which
+    is the identical expression in both engines — so the z-scores are
+    bit-identical, not merely close. Plan shape: one shuffle on the
+    series key (pri); each series' rolling window is a linear
+    single-pass frame. At scale, time-series anomaly detection is
+    always per-key parallel — there is no global ordered window in the
+    plan."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("dy"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"))
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("dy")
+        .rowsBetween(-30, -1)
+    )
+    win = daily.select(
+        "pri",
+        "dy",
+        "rev_dec",
+        F.count("*").over(w).alias("n"),
+        F.sum("rev_dec").over(w).alias("s"),
+        F.sum(F.col("rev_dec") * F.col("rev_dec")).over(w).alias("sq"),
+    ).filter(F.col("n") >= 20)
+    stats = win.select(
+        "pri",
+        "dy",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        (F.col("sq").cast("double") / F.col("n")).alias("msq"),
+    )
+    var = (
+        (F.col("msq") - F.col("mean") * F.col("mean"))
+        * F.col("n")
+        / (F.col("n") - F.lit(1.0))
+    )
+    z = stats.filter(
+        (F.col("msq") - F.col("mean") * F.col("mean")) > 0
+    ).select(
+        "pri",
+        F.col("dy").cast("timestamp").alias("dy"),
+        "revenue",
+        ((F.col("revenue") - F.col("mean")) / F.sqrt(var)).alias("zscore"),
+    )
+    return z.filter(F.abs(F.col("zscore")) > 2.5)
+
+
+@query(
+    "b54_pandas_grouped_median",
+    oracle="""
+SELECT o_orderpriority,
+       MEDIAN(o_totalprice) AS median_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("relational", "udf", "pandas"),
+)
+def b54_pandas_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation through the Arrow GROUPED_AGG pandas-UDF
+    surface (B20's aggregate form): exact per-group median via a
+    Series->scalar UDF running one Arrow batch per group, mixed in the
+    same .agg() with a built-in count — the escape hatch for aggregates
+    Catalyst lacks, still vectorized end-to-end.
+
+    np.median and DuckDB's MEDIAN both average the two middle order
+    statistics with the identical (a+b)/2 double op, so the comparison
+    is exact. At 100 TB the per-group partials ship as Arrow record
+    batches; groups are independent, so the stage parallelizes on the
+    group key (use the built-in percentile_approx — b27x — when groups
+    are too large for exact order statistics)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(v.median())
+
+    # GROUPED_AGG UDFs cannot mix with built-in aggregates in one agg()
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return int(len(v))
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        _median("o_totalprice").alias("median_price"),
+        _n("o_totalprice").alias("n_orders"),
     )
