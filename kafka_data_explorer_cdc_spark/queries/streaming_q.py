@@ -588,3 +588,81 @@ def s32_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_unique"))
     )
+
+
+@query(
+    "s33_stream_left_outer_join",
+    oracle="""
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+h AS (
+  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+         - INTERVAL 41 MINUTE AS hz
+)
+SELECT c.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(p.ts) AS BIGINT) AS n_matched
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE, h
+WHERE c.ts <= h.hz
+GROUP BY c.user_id
+""",
+    tags=("streaming", "join"),
+)
+def s33_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics s27's
+    inner join can't express: clicks with NO purchase within 10 minutes
+    are emitted null-padded once the join watermark passes their match
+    window (state eviction doubles as negative-result emission). The
+    final availableNow micro-batch flushes evictable state, so every
+    click older than min(side watermarks) - 10 min has a definitive
+    row; the aggregation (and the oracle) restrict to that horizon —
+    clicks newer than it are still awaiting potential matches at
+    end-of-replay, exactly as they would be on a live stream.
+
+    Scale: identical state-bound story to s27 — the watermark + range
+    condition bound both buffers, and unmatched emission is driven by
+    eviction, so state is O(events in the 40-minute horizon), not
+    O(stream)."""
+    name = f"s33_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts > c_ts "
+            "AND p_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+        "leftOuter",
+    )
+    run_to_memory(joined, name, output_mode="append")
+    evb = load(spark, sf_dir, "events")
+    horizon = evb.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 41 MINUTES")
+        ).alias("hz")
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.col("c_ts") <= F.col("hz"))
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("p_ts").alias("n_matched"),
+        )
+    )
