@@ -3107,3 +3107,64 @@ def d39_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+@query(
+    "d40_length_percentile_filter",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+  FROM documents
+) WHERE pr >= 0.05 AND pr <= 0.95
+""",
+    tags=("llm", "quality", "filter"),
+)
+def d40_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band quality filtering: drop the shortest and longest
+    5% of documents WITHIN each language — the standard
+    outlier-trimming pass of a pretraining pipeline, done per-language
+    because length distributions differ wildly across languages.
+
+    percent_rank depends only on the value ordering (ties share a
+    rank), so the cutoff is engine-independent — no floating
+    arithmetic beyond the exact (rank-1)/(n-1) rational. Plan: one
+    shuffle on lang; at 100 TB swap the exact window for the GK-sketch
+    per-group quantiles (b46) and broadcast the per-lang cut points —
+    same filter, sketch-bounded state."""
+    docs = load(spark, sf_dir, "documents")
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("n_chars")
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars", pr.alias("pr"))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .drop("pr")
+    )
+
+
+@query(
+    "d41_hash_bucket_sample",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ({DUCKDB_POLY_HASH.format(expr="(lower(trim(text)))")}) % 20 = 3
+""",
+    tags=("llm", "sampling"),
+)
+def d41_hash_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling: keep documents whose
+    portable rolling hash of the normalized text lands in 1 of 20
+    buckets — a reproducible ~5% sample that is stable across runs,
+    engines, and re-partitioning (unlike rand()-based sampling), which
+    is how a 100 TB pipeline carves held-out/eval splits that never
+    leak across reruns. Content-keyed (not id-keyed), so re-crawled
+    duplicates of a document always land in the same split.
+
+    Plan: a pure filter — no shuffle, no state; the hash is the same
+    JVM fold used by the MinHash family (operators/text.py:39)."""
+    docs = load(spark, sf_dir, "documents")
+    h = poly_hash("lower(trim(text))")
+    return docs.filter(F.expr(f"({h}) % 20 = 3")).select(
+        "doc_id", "lang", "n_chars"
+    )

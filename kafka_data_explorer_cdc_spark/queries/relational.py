@@ -2251,3 +2251,43 @@ def b54_pandas_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         _median("o_totalprice").alias("median_price"),
         _n("o_totalprice").alias("n_orders"),
     )
+
+
+@query(
+    "b55_grouped_map_normalize",
+    oracle="""
+SELECT event_id, event_type, value,
+       (value - AVG(value) OVER (PARTITION BY event_type))
+         / STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS norm
+FROM events WHERE user_id < 30
+""",
+    tags=("relational", "udf", "pandas"),
+)
+def b55_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization through the applyInPandas
+    GROUPED_MAP surface (B20's map form, completing the trio with mm4's
+    SCALAR and b54's GROUPED_AGG): each event_type group arrives as one
+    pandas DataFrame, is z-normalized against its own mean/std, and
+    returns row-per-row — the escape hatch for group-local transforms
+    that need the whole group in hand (sklearn-style fit_transform,
+    per-group model scoring).
+
+    At 100 TB the caveat is the operator's contract: one group must fit
+    in one executor's memory — right for bounded group cardinality
+    (event types, languages, tenants), wrong for per-user groups; the
+    window-function twin (the oracle's own shape) is the unbounded
+    alternative. Arrow-batched both directions, no per-row Python."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "event_type", "value"]].copy()
+        out["norm"] = (pdf["value"] - m) / s
+        return out
+
+    return ev.select("event_id", "event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandas(
+        _norm, "event_id long, event_type string, value double, norm double"
+    )
