@@ -324,3 +324,44 @@ def test_bucketed_join_entry_zero_shuffle(spark, sf_dir):
         if "Exchange" in ln and "BroadcastExchange" not in ln
     ]
     assert not shuffles, shuffles
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """b49: the gap flag, running session id, per-session aggregate and
+    per-user rollup must all ride ONE user_id exchange — the lag
+    window's partitioning satisfies every downstream distribution."""
+    p = plan_of(spark, sf_dir, "b49_sessionize_events")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_pivot_explicit_values_single_scan(spark, sf_dir):
+    """b52: pivot with an explicit value list must not run a separate
+    distinct-discovery pass — exactly one parquet scan in the plan."""
+    p = plan_of(spark, sf_dir, "b52_pivot_status_matrix")
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_hash_sample_zero_shuffle(spark, sf_dir):
+    """d41: deterministic hash sampling is a pure filter — no exchange,
+    no Python boundary."""
+    p = plan_of(spark, sf_dir, "d41_hash_bucket_sample")
+    assert "Exchange" not in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_knn_classify_broadcasts_probe_side(spark, sf_dir):
+    """d38: the query vectors and the label hydration must broadcast —
+    the corpus is never shuffled by the similarity stage."""
+    p = plan_of(spark, sf_dir, "d38_knn_label_classify")
+    assert "BroadcastExchange" in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_grouped_map_is_arrow_only(spark, sf_dir):
+    """b55: the GROUPED_MAP surface must plan as FlatMapGroupsInPandas
+    (Arrow) on a single group-key exchange — never row-at-a-time
+    Python."""
+    p = plan_of(spark, sf_dir, "b55_grouped_map_normalize")
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "BatchEvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
