@@ -66,24 +66,26 @@ _FRONT = [
     "s29_incremental_agg_view",
     "s30_change_data_feed",
     "s31_pipeline_over_custom_source",
-    # (2a) stalest cohort: newest driver green is round 2
+    # (0b) late-round-6 additions (never driver-checked)
+    "b49_sessionize_events",
+    "b50_cohort_retention",
+    "b51_gap_fill_locf",
+    "b52_pivot_status_matrix",
+    "b53_anomaly_zscore",
+    "b54_pandas_grouped_median",
+    "b55_grouped_map_normalize",
+    "d38_knn_label_classify",
+    "d39_event_transitions",
+    "d40_length_percentile_filter",
+    "d41_hash_bucket_sample",
+    "s33_stream_left_outer_join",
+    # (2) stalest cohort: newest driver green is round 2 — two slots
+    # remain after the 29 never-checked round-6 + 20 round-5 entries
     "k13_kql_recent_orders",
     "k14_kql_avg_sales",
-    "k15_kql_total_sales",
-    "k16_kql_order_counts",
-    "k17_kql_filtered_pipeline",
-    "k20_kql_between",
-    "k21_kql_countif_sumif",
-    "k22_kql_parse_json",
-    "k23_kql_mv_expand",
-    "d07_embedding_cosine_topk",
-    "d16_chunk_documents",
-    "d17_contamination_check",
-    "d18_repetition_ratio",
-    # (2b) round-3 cohort, bench-flagged twins first
-    "d04x_minhash_lsh_portable",
-    # (d19, d06x, k24-k34 of the r2/r3 cohorts displaced to the round-7
-    # window by the sixteen new round-6 entries above; policy unchanged)
+    # (k15-k23, d07, d16-d18, d04x of the r2/r3 cohorts displaced to the
+    # round-7 window by the thirteen late round-6 entries; policy
+    # unchanged — priority (1) never-checked fills before rotation)
 ]
 
 
