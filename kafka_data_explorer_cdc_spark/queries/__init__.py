@@ -79,13 +79,13 @@ _FRONT = [
     "d40_length_percentile_filter",
     "d41_hash_bucket_sample",
     "s33_stream_left_outer_join",
-    # (2) stalest cohort: newest driver green is round 2 — two slots
-    # remain after the 29 never-checked round-6 + 20 round-5 entries
-    "k13_kql_recent_orders",
-    "k14_kql_avg_sales",
-    # (k15-k23, d07, d16-d18, d04x of the r2/r3 cohorts displaced to the
-    # round-7 window by the thirteen late round-6 entries; policy
-    # unchanged — priority (1) never-checked fills before rotation)
+    "d42_bm25_retrieval",
+    "a19_point_in_time_lookup",
+    # (2) stalest cohort: ZERO slots this round — the 50 never-checked
+    # entries (round-6 additions + the 20 the r5 window missed) exactly
+    # fill the window. The r2/r3 rotation cohort (k13-k23, d07,
+    # d16-d19, d04x, d06x…) is first in line for round 7; policy
+    # unchanged — priority (1) never-checked fills before rotation.
 ]
 
 

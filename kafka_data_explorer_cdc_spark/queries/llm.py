@@ -3168,3 +3168,98 @@ def d41_hash_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.expr(f"({h}) % 20 = 3")).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+_BM25_TERMS = ("window", "merge", "scan")
+
+
+def _bm25_sql_term(i: int) -> str:
+    """One BM25 term of the oracle — the EXACT expression shape (and
+    therefore fp op order) of the Spark side."""
+    return (
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * 2.2)"
+        f" / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n)))"
+    )
+
+
+@query(
+    "d42_bm25_retrieval",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         len(list_filter(string_split(text, ' '), x -> x = '{_BM25_TERMS[0]}')) AS tf0,
+         len(list_filter(string_split(text, ' '), x -> x = '{_BM25_TERMS[1]}')) AS tf1,
+         len(list_filter(string_split(text, ' '), x -> x = '{_BM25_TERMS[2]}')) AS tf2
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       {_bm25_sql_term(0)} + {_bm25_sql_term(1)} + {_bm25_sql_term(2)} AS score
+FROM base, stats
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    tags=("llm", "retrieval", "text"),
+)
+def d42_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) — the sparse twin of
+    d37's embedding retrieval: top-10 documents for a 3-term keyword
+    query, scored with the Robertson-Sparck Jones idf and standard
+    length normalization.
+
+    Determinism: tf/df/dl/N are exact integers and the scalar double
+    formula is written with the IDENTICAL op order in both engines, so
+    scores are bit-identical (ties break on doc_id). Plan shape: one
+    scan computes per-doc tf/dl in codegen array ops; the corpus stats
+    (N, Σdl, df per term) are a 1-row aggregate broadcast back (the
+    classic two-pass scoring shape); the top-10 is
+    TakeOrderedAndProject — no sort shuffle, no UDF. At 100 TB the
+    1-row stats broadcast replaces what an IR system precomputes as
+    index metadata; per-doc scoring stays embarrassingly parallel."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    def _eq(term: str):
+        # a 2-arg lambda would be read as (element, index) by F.filter
+        return lambda x: x == F.lit(term)
+
+    base = docs.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sdl").cast("double") / F.col("n")
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            (F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(1.2) * (
+            F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / avgdl
+        )
+        return idf * (tf * F.lit(2.2)) / denom
+
+    score = term_score(0) + term_score(1) + term_score(2)
+    return (
+        j.select("doc_id", "dl", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

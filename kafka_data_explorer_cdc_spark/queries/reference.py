@@ -364,3 +364,71 @@ def a18_custom_source_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.format("cdc_envelopes").load(indir)
     flat = unwrap(parse_envelope(raw, value_col="value"))
     return flat.select(sink_projection(F.col("after")))
+
+
+@query(
+    "a19_point_in_time_lookup",
+    oracle="""
+WITH log AS (
+  SELECT user_id,
+         event_id,
+         CASE WHEN (event_id % 10) = 9 THEN 'd'
+              WHEN (event_id % 10) < 3 THEN 'c'
+              ELSE 'u' END AS op,
+         event_type, value
+  FROM events
+), v AS (
+  SELECT user_id, event_id AS valid_from, op, event_type, value,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS valid_to
+  FROM log
+), t AS (
+  SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS t_cut FROM events
+)
+SELECT user_id, valid_from, valid_to, event_type, value
+FROM v, t
+WHERE op <> 'd'
+  AND valid_from <= t_cut
+  AND (valid_to IS NULL OR valid_to > t_cut)
+""",
+    tags=("reference", "cdc", "timetravel"),
+)
+def a19_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup over the SCD2 history — A7's
+    versioned-state time travel expressed as a query: the dimension
+    exactly as it stood at sequence T (here T = half the max change
+    sequence, derived from the data, broadcast as a 1-row scalar).
+    Each key contributes at most its one version whose
+    [valid_from, valid_to) interval covers T; deleted-at-T keys
+    contribute nothing.
+
+    Plan shape: a17's one-window-shuffle history build + a broadcast
+    1-row cutoff + a pure interval filter — the standard warehouse
+    AS-OF read. At 100 TB the history table is typically materialized
+    once (a17 / the CDC sink's versioned state) and this entry is the
+    cheap read-side slice."""
+    ev = load(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 9, "d")
+        .when(F.col("event_id") % 10 < 3, "c")
+        .otherwise("u")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    from ..cdc.apply import scd2_history
+
+    hist = scd2_history(log, ["user_id"], seq_col="event_id")
+    t_cut = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("t_cut")
+    )
+    return (
+        hist.crossJoin(F.broadcast(t_cut))
+        .filter(
+            (F.col("valid_from") <= F.col("t_cut"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("t_cut")))
+        )
+        .select("user_id", "valid_from", "valid_to", "event_type", "value")
+    )
