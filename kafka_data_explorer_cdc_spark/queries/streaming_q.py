@@ -27,6 +27,47 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir="/tmp")
 
 
+def _change_log_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesized insert→update→delete change-log envelopes for
+    (sf_dir), generated ONCE per session+SF and shared read-only by
+    every pipeline entry that replays this log (s29, s30): the input
+    files are deterministic in sf_dir, and the streaming source only
+    reads the directory — checkpoints and state stay per-run. Same
+    caching pattern as b48's format copies."""
+    from ..cdc.envelope import to_change_envelopes
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    indir = os.path.join("/tmp", f"spark_graft_changelog_{tag}")
+    done = os.path.join(indir, "_DONE")
+    if os.path.exists(done):
+        return indir
+    os.makedirs(indir, exist_ok=True)
+    info = orders_info(load(spark, sf_dir, "orders"))
+    updated = info.filter(F.col("orderid") % 3 == 0).withColumn(
+        "amount", F.col("amount") + 100
+    )
+    deleted = info.filter(F.col("orderid") % 5 == 0)
+    for fname, env in [
+        ("0_inserts", to_change_envelopes(info, "c", 0)),
+        ("1_updates", to_change_envelopes(updated, "u", 1)),
+        ("2_deletes", to_change_envelopes(deleted, "d", 2)),
+    ]:
+        # one flat .txt per op set (the file source does not recurse):
+        # serialize in parallel, then concat the parts driver-side —
+        # coalesce(1) would funnel all JSON serialization through one
+        # task (measured 2.5x on this entry's wall at sf0.1)
+        scratch = _tmp(f"changelog_scratch_{tag}_")
+        env.select("value").write.mode("overwrite").text(scratch)
+        with open(os.path.join(indir, f"{fname}.txt"), "wb") as out:
+            for p in sorted(os.listdir(scratch)):
+                if p.startswith("part-") and p.endswith(".txt"):
+                    with open(os.path.join(scratch, p), "rb") as src:
+                        out.write(src.read())
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return indir
+
+
 @query(
     "s21_stream_tumbling_counts",
     oracle="""
@@ -349,36 +390,11 @@ def s29_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned view must equal re-aggregating the final state — without
     the sink ever re-reading history (ingest O(batch), read O(groups):
     the streaming-warehouse shape for dashboard aggregates at 100 TB)."""
-    from ..cdc.envelope import to_change_envelopes
     from ..streaming.matview import AggViewSink
 
     run_id = uuid.uuid4().hex[:8]
-    indir, state, ckpt = (
-        _tmp(f"s29_in_{run_id}_"),
-        _tmp(f"s29_state_{run_id}_"),
-        _tmp(f"s29_ckpt_{run_id}_"),
-    )
-    info = orders_info(load(spark, sf_dir, "orders"))
-    updated = info.filter(F.col("orderid") % 3 == 0).withColumn(
-        "amount", F.col("amount") + 100
-    )
-    deleted = info.filter(F.col("orderid") % 5 == 0)
-    for fname, env in [
-        ("0_inserts", to_change_envelopes(info, "c", 0)),
-        ("1_updates", to_change_envelopes(updated, "u", 1)),
-        ("2_deletes", to_change_envelopes(deleted, "d", 2)),
-    ]:
-        # one flat .txt per op set (the file source does not recurse):
-        # serialize in parallel, then concat the parts driver-side —
-        # coalesce(1) would funnel all JSON serialization through one
-        # task (measured 2.5x on this entry's wall at sf0.1)
-        scratch = _tmp(f"s29_scratch_{run_id}_")
-        env.select("value").write.mode("overwrite").text(scratch)
-        with open(os.path.join(indir, f"{fname}.txt"), "wb") as out:
-            for p in sorted(os.listdir(scratch)):
-                if p.startswith("part-") and p.endswith(".txt"):
-                    with open(os.path.join(scratch, p), "rb") as src:
-                        out.write(src.read())
+    state, ckpt = _tmp(f"s29_state_{run_id}_"), _tmp(f"s29_ckpt_{run_id}_")
+    indir = _change_log_dir(spark, sf_dir)
     sink = AggViewSink(
         spark, state, ["orderid"], group_col="city", value_col="amount"
     )
@@ -411,32 +427,11 @@ def s30_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     must reproduce the closed-form final table exactly (replays and
     intra-batch churn arbitrated away, so the at-least-once input
     yields an effectively-exactly-once feed)."""
-    from ..cdc.envelope import to_change_envelopes
     from ..streaming.changefeed import ChangeFeedSink
 
     run_id = uuid.uuid4().hex[:8]
-    indir, state, ckpt = (
-        _tmp(f"s30_in_{run_id}_"),
-        _tmp(f"s30_state_{run_id}_"),
-        _tmp(f"s30_ckpt_{run_id}_"),
-    )
-    info = orders_info(load(spark, sf_dir, "orders"))
-    updated = info.filter(F.col("orderid") % 3 == 0).withColumn(
-        "amount", F.col("amount") + 100
-    )
-    deleted = info.filter(F.col("orderid") % 5 == 0)
-    for fname, env in [
-        ("0_inserts", to_change_envelopes(info, "c", 0)),
-        ("1_updates", to_change_envelopes(updated, "u", 1)),
-        ("2_deletes", to_change_envelopes(deleted, "d", 2)),
-    ]:
-        scratch = _tmp(f"s30_scratch_{run_id}_")
-        env.select("value").write.mode("overwrite").text(scratch)
-        with open(os.path.join(indir, f"{fname}.txt"), "wb") as out:
-            for p in sorted(os.listdir(scratch)):
-                if p.startswith("part-") and p.endswith(".txt"):
-                    with open(os.path.join(scratch, p), "rb") as src:
-                        out.write(src.read())
+    state, ckpt = _tmp(f"s30_state_{run_id}_"), _tmp(f"s30_ckpt_{run_id}_")
+    indir = _change_log_dir(spark, sf_dir)
     sink = ChangeFeedSink(spark, state, ["orderid"])
     q = start_cdc_pipeline(
         spark, indir, state, ckpt, available_now=True,
