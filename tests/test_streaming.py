@@ -1187,3 +1187,86 @@ def test_envelope_source_simple_reader_idle_tick(spark):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+def test_left_outer_stream_join_flushes_unmatched_on_final_batch(spark, tmp_path):
+    """s33's load-bearing semantic: a clicks-side row with NO purchase
+    within its interval must be emitted NULL-padded once the final
+    availableNow micro-batch advances the watermark past its match
+    window — outer-join state eviction doubles as negative-result
+    emission. Crafted frame: one convertible click, one dead-end click,
+    and late sentinel rows on BOTH sides that push each side's
+    watermark far past every real row."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (user, type, ts-minute)
+        (1, "click", 0),      # converts at minute 5
+        (1, "purchase", 5),
+        (2, "click", 0),      # never converts → must surface null-padded
+        (3, "click", 500),    # click-side watermark sentinel
+        (3, "purchase", 500),  # purchase-side watermark sentinel
+    ]
+    pdf = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=r[2]) for r in rows],
+        }
+    )
+    src = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    from kafka_data_explorer_cdc_spark.streaming.windows import run_to_memory
+
+    ev = spark.readStream.schema(
+        "user_id bigint, event_type string, ts timestamp"
+    ).parquet(src)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts > c_ts "
+            "AND p_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+        "leftOuter",
+    )
+    run_to_memory(joined, "t_s33_flush", output_mode="append")
+    out = {
+        (r["c_user"], r["p_ts"] is not None)
+        for r in spark.table("t_s33_flush").collect()
+    }
+    assert (1, True) in out, "matched click must emit the joined row"
+    assert (2, False) in out, (
+        "unmatched click must be flushed null-padded by the final "
+        "availableNow watermark batch"
+    )
+
+
+def test_change_log_dir_generates_once(spark, sf_dir):
+    """The shared s29/s30 change-log synthesis must be idempotent per
+    session+SF: a second call returns the same directory without
+    regenerating (the _DONE marker gates the Spark jobs)."""
+    import os
+
+    from kafka_data_explorer_cdc_spark.queries.streaming_q import _change_log_dir
+
+    d1 = _change_log_dir(spark, sf_dir)
+    stamp = {
+        f: os.path.getmtime(os.path.join(d1, f)) for f in sorted(os.listdir(d1))
+    }
+    d2 = _change_log_dir(spark, sf_dir)
+    assert d2 == d1
+    assert {
+        f: os.path.getmtime(os.path.join(d1, f)) for f in sorted(os.listdir(d1))
+    } == stamp
