@@ -46,6 +46,13 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
     names += [n for n in sorted(REGISTRY) if n not in names]
+    # iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c times just those
+    # entries (BENCH_LOCAL.json is then left untouched — it always
+    # holds a full-registry run)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        names = [n for n in names if n in wanted]
 
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
@@ -85,9 +92,10 @@ def main() -> None:
         separators=(",", ":"),
     )
     print(line)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as f:
-        f.write(line + "\n")
+    if not only:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

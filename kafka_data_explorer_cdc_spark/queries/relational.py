@@ -2301,3 +2301,183 @@ def b55_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).applyInPandas(
         _norm, "event_id long, event_type string, value double, norm double"
     )
+
+@query(
+    "b56_recursive_cte_hierarchy",
+    oracle="""
+WITH RECURSIVE walk(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, w.root, w.depth + 1
+  FROM customer c
+  JOIN walk w
+    ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = w.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(root) AS BIGINT) AS sum_roots,
+       CAST(MIN(custkey) AS BIGINT) AS min_key,
+       CAST(MAX(custkey) AS BIGINT) AS max_key
+FROM walk GROUP BY depth ORDER BY depth
+""",
+    tags=("relational", "recursive", "sql"),
+)
+def b56_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE``, Spark 4's iterative-union
+    operator): walk a synthetic decimal-digit hierarchy over customer
+    keys (parent(k) = floor(k/10); roots are the single-digit keys, and
+    the recursive step excludes them since key 0 is its own parent) and
+    report per-depth node counts and root attributions — the
+    org-chart / bill-of-materials traversal shape SQL engines express
+    with recursion instead of client-side loops.
+
+    Execution model: Spark evaluates each recursion level as one join
+    of the previous frontier against the child table — at scale the
+    frontier is a shuffled hash join per level and the number of levels
+    is the hierarchy depth (log10 of the key space here), so the work
+    is levels x one-join, never a driver loop. The integer parentage
+    uses FLOOR(k/10.0), exact in doubles far beyond any key range and
+    identical in DuckDB (whose `/` is float division)."""
+    c = load(spark, sf_dir, "customer")
+    c.select("c_custkey").createOrReplaceTempView("b56_customer")
+    return spark.sql(
+        """
+WITH RECURSIVE walk(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM b56_customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, w.root, w.depth + 1
+  FROM b56_customer c
+  JOIN walk w
+    ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = w.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(root) AS BIGINT) AS sum_roots,
+       CAST(MIN(custkey) AS BIGINT) AS min_key,
+       CAST(MAX(custkey) AS BIGINT) AS max_key
+FROM walk GROUP BY depth ORDER BY depth
+"""
+    )
+
+
+@query(
+    "b57_equiwidth_histogram",
+    oracle="""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT), 19) AS bucket,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+  FROM orders
+)
+SELECT bucket,
+       CAST(bucket * 30000.0 AS DOUBLE) AS lo,
+       CAST(CASE WHEN bucket = 19 THEN 'Infinity' ELSE (bucket + 1) * 30000.0 END
+            AS DOUBLE) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price_dec) AS DOUBLE) AS total_price
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+    tags=("relational", "profiling"),
+)
+def b57_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (data profiling): bucket order totals into
+    20 fixed 30k-wide bins with an overflow top bin — the one-pass
+    distribution profile every ingestion/quality dashboard computes
+    before choosing filters or partition boundaries.
+
+    The bucket id is pure arithmetic (FLOOR of a double division —
+    identical in both engines; no width_bucket dialect dependence), so
+    the whole histogram is one map-side-combined hash aggregate over a
+    single scan: 20 groups regardless of input size, which makes the
+    shuffle O(partitions x 20 rows) — the cheapest possible reduce at
+    100 TB. Money sums stay DECIMAL until the final cast."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(30000.0)).cast("bigint"),
+        F.lit(19).cast("bigint"),
+    )
+    b = o.select(
+        bucket.alias("bucket"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_dec").cast("double").alias("total_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(30000.0)).cast("double").alias("lo"),
+            F.when(F.col("bucket") == 19, F.lit(float("inf")))
+            .otherwise((F.col("bucket") + 1) * F.lit(30000.0))
+            .cast("double")
+            .alias("hi"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "b58_ewma_smoothing",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS dy,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+), trail AS (
+  SELECT pri, dy, revenue,
+         list(revenue) OVER (PARTITION BY pri ORDER BY dy
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS lst
+  FROM daily
+)
+SELECT pri, dy::TIMESTAMP AS dy, revenue,
+       list_reduce(lst, (acc, x) -> 0.7 * acc + 0.3 * x) AS ewma
+FROM trail ORDER BY pri, dy
+""",
+    tags=("relational", "timeseries"),
+)
+def b58_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (the smoothing twin of
+    b53's rolling z-score): per priority class, smooth daily revenue
+    with the classic recursion s_t = 0.7*s_{t-1} + 0.3*x_t seeded at
+    the oldest observation of a trailing 10-day window.
+
+    EWMA is inherently sequential, so it is expressed as a fold over
+    the trailing window's value list — ``aggregate`` seeded with the
+    first element in Spark, ``list_reduce`` (which seeds with the first
+    element by definition) in DuckDB: the identical double operations
+    in the identical order make the smoothed series bit-exact across
+    engines, no rounding tolerance needed. Scale shape: one shuffle on
+    the series key; the fold is O(window) per row inside codegen, and
+    the bounded 10-element frame keeps the collect_list state constant
+    — the pattern extends to any bounded-window recursive smoother
+    (EWMA variance, double smoothing) without a Python UDF."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("dy"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.partitionBy("pri").orderBy("dy").rowsBetween(-9, 0)
+    trail = daily.select(
+        "pri", "dy", "revenue", F.collect_list("revenue").over(w).alias("lst")
+    )
+    ewma = F.expr(
+        "aggregate(slice(lst, 2, size(lst) - 1), "
+        "element_at(lst, 1), (acc, x) -> 0.7D * acc + 0.3D * x)"
+    )
+    return trail.select(
+        "pri",
+        F.col("dy").cast("timestamp").alias("dy"),
+        "revenue",
+        ewma.alias("ewma"),
+    ).orderBy("pri", "dy")
