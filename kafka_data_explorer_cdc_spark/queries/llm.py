@@ -3263,3 +3263,293 @@ def d42_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont. 2): span-level dedup, sampling, tokenization, projection
+# ---------------------------------------------------------------------------
+
+@query(
+    "d43_dup_span_coalesce",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), win AS (
+  SELECT doc_id, len(t) AS ntok, s.i * 8 AS st,
+         array_to_string(t[1 + s.i * 8 : s.i * 8 + 16], ' ') AS wstr
+  FROM toks, unnest(generate_series(0, (len(t) - 16) // 8)) AS s(i)
+  WHERE len(t) >= 16
+), hashed AS (
+  SELECT doc_id, ntok, st, """
+    + DUCKDB_POLY_HASH.format(expr="wstr")
+    + """ AS h FROM win
+), freq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
+), dup AS (
+  SELECT doc_id, ntok, st FROM hashed JOIN freq USING (h) WHERE nd > 1
+), isl AS (
+  SELECT doc_id, ntok, st,
+         CASE WHEN st - LAG(st) OVER (PARTITION BY doc_id ORDER BY st) <= 16
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+), grp AS (
+  SELECT doc_id, ntok, st,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY st
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+), spans AS (
+  SELECT doc_id, ntok, MIN(st) AS span_start,
+         LEAST(MAX(st) + 16, ntok) AS span_end
+  FROM grp GROUP BY doc_id, ntok, g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(span_end - span_start) AS BIGINT) AS dup_tokens,
+       SUM(span_end - span_start) * 1.0 / MAX(ntok) AS dup_ratio
+FROM spans GROUP BY doc_id
+""",
+    tags=("llm", "dedup", "text"),
+)
+def d43_dup_span_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection (the exact-substring
+    dedup of Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better", windowized): hash overlapping 16-token
+    windows at stride 8, mark windows whose hash appears in >1
+    document, then coalesce each doc's overlapping duplicated windows
+    into maximal token ranges (gaps-and-islands) — reporting the spans
+    a span-removal pass would cut, rather than d22's aligned-segment
+    counts. Stride-8 overlap catches duplication at ANY alignment
+    (a copied paragraph starting mid-segment hits d43 but can miss
+    d22's disjoint grid).
+
+    Scale shape: zero-shuffle window fan-out (same slice pipeline as
+    d16/d22) → one hash-frequency shuffle carrying 8-byte hashes → one
+    per-doc window (gaps-and-islands is a linear scan per doc after a
+    doc_id shuffle). All integer arithmetic except the final ratio, so
+    the oracle is exact; at 100 TB swap the portable polynomial hash
+    for xxhash64 (identical plan)."""
+    docs = load(spark, sf_dir, "documents")
+    wlen, stride = 16, 8
+    toks = ensure_parallelism(docs).select(
+        "doc_id", F.split(F.col("text"), " ").alias("__t")
+    )
+    t = F.col("__t")
+    toks = toks.filter(F.size(t) >= wlen).select(
+        "doc_id", t.alias("__t"), F.size(t).alias("ntok")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((F.col("ntok") - wlen) / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    win = toks.select(
+        "doc_id", "ntok", t.alias("__t"), F.explode(starts).alias("i")
+    ).select(
+        "doc_id",
+        "ntok",
+        (F.col("i") * stride).alias("st"),
+        F.concat_ws(
+            " ", F.slice(F.col("__t"), F.col("i") * stride + 1, F.lit(wlen))
+        ).alias("wstr"),
+    )
+    hashed = win.select(
+        "doc_id", "ntok", "st", F.expr(poly_hash("wstr")).alias("h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = hashed.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = (
+        hashed.join(freq.filter(F.col("nd") > 1), "h")
+        .select("doc_id", "ntok", "st")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("st")
+    isl = dup.withColumn(
+        "brk",
+        F.when(
+            F.col("st") - F.lag("st").over(w_ord) <= wlen, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    grp = isl.withColumn(
+        "g", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("doc_id", "ntok", "g").agg(
+        F.min("st").alias("span_start"),
+        F.least(F.max("st") + wlen, F.col("ntok")).alias("span_end"),
+    )
+    length = F.col("span_end") - F.col("span_start")
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(length).alias("dup_tokens"),
+        (F.sum(length) * F.lit(1.0) / F.max("ntok")).alias("dup_ratio"),
+    )
+
+
+_D44_HASH = DUCKDB_POLY_HASH.format(expr="('res:' || CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "d44_group_reservoir_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, {_D44_HASH} AS hk FROM documents WHERE lang IS NOT NULL
+), r AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+              AS BIGINT) AS rk
+  FROM h
+)
+SELECT doc_id, lang, rk FROM r WHERE rk <= 25
+""",
+    tags=("llm", "sampling"),
+)
+def d44_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-group sampling (the distributed reservoir): keep
+    exactly min(k, |group|) = 25 documents per language, chosen by
+    ranking on the portable content hash — uniform within each group,
+    deterministic across runs and engines. Complements the sampling
+    family: d19 is Bernoulli per-stratum (approximate k), d31 weighted
+    global top-k, d41 a hash-bucket split; this is the guaranteed-count
+    per-stratum draw evaluation sets are built with.
+
+    Scale shape: one shuffle on the group key, then a per-group sort
+    that Spark executes as WindowGroupLimit when the rank filter is
+    this shape — each partition keeps only its top-25 candidates per
+    group before the final merge, so the full corpus is never sorted
+    (the same physical optimization b39/a13 pin in plan tests)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    hk = F.expr(poly_hash("concat('res:', cast(doc_id as string))"))
+    w = Window.partitionBy("lang").orderBy(F.asc("hk"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", hk.alias("hk"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 25)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+#: Greedy-longest-match vocabulary for d45 — all printable ASCII chars
+#: (guaranteeing total coverage, so round-trip always reconstructs) plus
+#: frequent English subwords; deterministic and engine-independent.
+_D45_PIECES = (
+    "the and ing ion tion ent for ter ate ers est ity ous ment ness "
+    "able less ful pre com con de re un in er ed ly es s t d"
+).split()
+
+
+@query(
+    "d45_wordpiece_tokenize",
+    oracle="""
+SELECT doc_id,
+       TRUE AS roundtrip_ok,
+       TRUE AS tokens_bounded
+FROM documents
+""",
+    tags=("llm", "tokenize", "udf", "gate"),
+)
+def d45_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization plumbing (BPE/WordPiece-style greedy
+    longest-match over a fixed vocab) through the Arrow pandas-UDF
+    surface — the token-counting stage of a training pipeline when a
+    real tokenizer (tiktoken/sentencepiece) is plugged in. The vocab is
+    multi-char subwords + every single character, so greedy matching
+    always terminates with total coverage.
+
+    Verification is a bounded-comparison gate (greedy matching is not
+    SQL-expressible): per document, (a) concatenating the produced
+    pieces reconstructs the exact input text — lossless round-trip,
+    the property real tokenizers are audited on — and (b) the token
+    count lies in [ceil(len/max_piece_len), len]. Both booleans vs an
+    all-TRUE oracle, so a matching bug breaks the driver hash, not
+    just a unit test.
+
+    Scale shape: pure mapInPandas over Arrow batches — embarrassingly
+    parallel, no shuffle, tokenizer state broadcast once per worker as
+    a closure; the same shape serves a real BPE at 100 TB."""
+    vocab = sorted(set(_D45_PIECES), key=len, reverse=True)
+    max_len = max(len(p) for p in vocab)
+
+    def _tok(batches):
+        import pandas as pd  # local: executor-side import
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pieces, i, n = [], 0, len(text)
+                while i < n:
+                    for piece in vocab:
+                        if text.startswith(piece, i):
+                            pieces.append(piece)
+                            i += len(piece)
+                            break
+                    else:
+                        pieces.append(text[i])
+                        i += 1
+                n_tok = len(pieces)
+                ok_rt = "".join(pieces) == text
+                ok_bound = (n == 0 and n_tok == 0) or (
+                    0 < n_tok <= n and n_tok >= -(-n // max_len)
+                )
+                out.append((doc_id, bool(ok_rt), bool(ok_bound)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "roundtrip_ok", "tokens_bounded"]
+            )
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "text").mapInPandas(
+        _tok, "doc_id long, roundtrip_ok boolean, tokens_bounded boolean"
+    )
+
+
+def _d46_sign_sql(i: str, j: str) -> str:
+    """±1 Rademacher sign from a cheap integer mix — identical text in
+    Spark SQL and DuckDB (non-negative operands, BIGINT to avoid ANSI
+    int32 overflow; the mod-97 step breaks the checkerboard structure a
+    bare parity of odd multipliers would produce)."""
+    return (
+        f"(CASE WHEN ((CAST({i} AS BIGINT) * 1103515245 "
+        f"+ {j} * 12345) % 97) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+@query(
+    "d46_random_projection",
+    oracle="""
+SELECT vec_id, """
+    + ", ".join(
+        "ROUND(list_reduce(list_transform(range(0, 64), "
+        f"i -> CAST(embedding[i + 1] AS DOUBLE) * {_d46_sign_sql('i', str(j))}"
+        "), (a, b) -> a + b) / 4.0, 6) AS p" + str(j)
+        for j in range(16)
+    )
+    + """
+FROM embeddings WHERE vec_id < 50 ORDER BY vec_id
+""",
+    tags=("llm", "similarity", "projection"),
+)
+def d46_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    deterministic Rademacher (+-1) matrix derived from integer parity —
+    the dimensionality-reduction stage in front of clustering / ANN
+    when full embeddings are too wide (the hyperplane trick of d07x,
+    kept as real-valued coordinates instead of sign bits; scaled by
+    1/sqrt(16) so distances are preserved in expectation).
+
+    Exactness: the sign matrix is pure integer arithmetic and each
+    output coordinate is the same left-to-right fold in both engines
+    (Spark ``aggregate`` with 0-seed == DuckDB ``list_reduce``
+    first-element seed, since 0 + x1 == x1 exactly), divided by 4.0
+    (a power of two — exact) — so projected values are bit-identical
+    and the driver hash covers every coordinate, not a tolerance.
+
+    Scale shape: per-row codegen expression, no shuffle, no Python;
+    the matrix never materializes (signs are computed inline), so the
+    projection runs at scan speed on any corpus width where the fold
+    stays in registers."""
+    em = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    cols = [
+        F.expr(
+            "round(aggregate(transform(sequence(0, 63), i -> "
+            f"cast(element_at(embedding, i + 1) as double) * "
+            f"{_d46_sign_sql('i', str(j))}), 0D, (a, b) -> a + b) / 4.0, 6)"
+        ).alias(f"p{j}")
+        for j in range(16)
+    ]
+    return em.select("vec_id", *cols).orderBy("vec_id")
