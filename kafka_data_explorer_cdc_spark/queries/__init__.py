@@ -83,9 +83,10 @@ _FRONT = [
     "a19_point_in_time_lookup",
     # (2) stalest cohort: ZERO slots this round — the 50 never-checked
     # entries (round-6 additions + the 20 the r5 window missed) exactly
-    # fill the window. The r2/r3 rotation cohort (k13-k23, d07,
-    # d16-d19, d04x, d06x…) is first in line for round 7; policy
-    # unchanged — priority (1) never-checked fills before rotation.
+    # fill the window. The late-session additions b56-b58/d43-d46 and
+    # the r2/r3 rotation cohort (k13-k23, d07, d16-d19, d04x, d06x…)
+    # are first in line for round 7; policy unchanged — priority (1)
+    # never-checked fills before rotation.
 ]
 
 

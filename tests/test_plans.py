@@ -365,3 +365,57 @@ def test_grouped_map_is_arrow_only(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in p, p
     assert "BatchEvalPython" not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_histogram_single_tiny_reduce(spark, sf_dir):
+    """b57: the 20-bucket histogram is one map-side-combined hash
+    aggregate — exactly one partial+final pair, no join, no Python."""
+    p = plan_of(spark, sf_dir, "b57_equiwidth_histogram")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p and "BatchEvalPython" not in p, p
+
+
+def test_ewma_single_series_shuffle(spark, sf_dir):
+    """b58: daily rollup + trailing-window fold must ride ONE shuffle
+    on the series key (the daily agg and the window co-partition);
+    the EWMA fold itself is a codegen expression, not Python."""
+    p = plan_of(spark, sf_dir, "b58_ewma_smoothing")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "BatchEvalPython" not in p and "InPandas" not in p, p
+    assert "Window" in p, p
+
+
+def test_group_reservoir_uses_window_group_limit(spark, sf_dir):
+    """d44: rank-<=k per group must specialize to WindowGroupLimit
+    (partial top-k per partition BEFORE the group shuffle) — the corpus
+    is never fully sorted."""
+    p = plan_of(spark, sf_dir, "d44_group_reservoir_sample")
+    assert "WindowGroupLimit" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_wordpiece_is_arrow_only(spark, sf_dir):
+    """d45: the tokenizer runs through Arrow mapInPandas — zero
+    shuffles, no row-at-a-time Python."""
+    p = plan_of(spark, sf_dir, "d45_wordpiece_tokenize")
+    assert "MapInPandas" in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_random_projection_zero_shuffle_no_python(spark, sf_dir):
+    """d46: the JL projection is a per-row codegen expression — no
+    exchange (beyond the output ordering), no Python boundary, and the
+    vec_id filter reaches the parquet scan."""
+    p = plan_of(spark, sf_dir, "d46_random_projection")
+    assert "Exchange hashpartitioning" not in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+    assert "PushedFilters" in p and "vec_id" in p, p
+
+
+def test_dup_span_shuffles_carry_hashes_only(spark, sf_dir):
+    """d43: no cartesian/self-join of text — the only exchanges are the
+    8-byte hash frequency reduce and the per-doc island window."""
+    p = plan_of(spark, sf_dir, "d43_dup_span_coalesce")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "InPandas" not in p, p
