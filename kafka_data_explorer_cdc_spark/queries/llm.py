@@ -3553,3 +3553,104 @@ def d46_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(16)
     ]
     return em.select("vec_id", *cols).orderBy("vec_id")
+
+
+_D47_VECQ = (
+    "list_transform(range(0, 64), i -> "
+    "CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT))"
+)
+
+
+@query(
+    "d47_label_centroid_cohesion",
+    oracle="""
+WITH x AS (
+  SELECT label, s.i AS pos,
+         CAST(FLOOR(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS vq
+  FROM embeddings, unnest(generate_series(0, 63)) AS s(i)
+), cent AS (
+  SELECT label, pos, CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS cq
+  FROM x GROUP BY label, pos
+), cl AS (
+  SELECT label, list(cq ORDER BY pos) AS c FROM cent GROUP BY label
+), cos AS (
+  SELECT e.vec_id, e.label,
+         list_reduce(list_transform(range(0, 64),
+             i -> CAST(e.embedding[i + 1] AS DOUBLE) * c[i + 1]),
+           (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(range(0, 64),
+              i -> CAST(e.embedding[i + 1] AS DOUBLE)
+                   * CAST(e.embedding[i + 1] AS DOUBLE)), (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(range(0, 64),
+              i -> c[i + 1] * c[i + 1]), (a, b) -> a + b))) AS cosine
+  FROM embeddings e JOIN cl USING (label)
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(cosine * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS avg_cohesion,
+       ROUND(MIN(cosine), 6) AS min_cohesion
+FROM cos GROUP BY label
+""",
+    tags=("llm", "similarity", "quality"),
+)
+def d47_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-cohesion diagnostics for labeled embeddings (the curation
+    report behind "is this label a coherent cluster or a grab bag"):
+    per label, the centroid of its vectors and every member's cosine to
+    that centroid, rolled up to n / average / minimum cohesion — low
+    averages flag noisy labels, low minima flag candidate mislabels
+    (the confident-learning style screen).
+
+    Exactness contract: cross-row float addition is order-dependent, so
+    every cross-row sum is integer fixed-point — vectors are
+    floor-quantized to micros before the per-dimension centroid sums
+    (exact int64, order-free; the quantized centroid IS the operator's
+    definition, documented here), and per-member cosines are
+    floor-quantized before averaging. Per-ROW folds (dot, norms) keep
+    full doubles in a fixed left-to-right order, identical in both
+    engines. MIN is order-free on doubles.
+
+    Scale shape: one posexplode shuffle to build 10 x 64 centroid sums
+    (map-side combined), centroids broadcast back (10 rows), cosine as
+    zero-shuffle codegen folds, final 10-group reduce. No Python, no
+    corpus self-join; at 1000 labels x 4096 dims the centroid table is
+    still megabytes."""
+    em = load(spark, sf_dir, "embeddings")
+    x = em.select(
+        "label", F.posexplode(F.expr(
+            "transform(embedding, v -> "
+            "cast(floor(cast(v as double) * 1000000) as bigint))"
+        )).alias("pos", "vq"),
+    )
+    cent = x.groupBy("label", "pos").agg(
+        (F.sum("vq").cast("double") / F.count("*")).alias("cq")
+    )
+    cl = cent.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, cq))), "
+               "s -> s.cq)").alias("c")
+    )
+    j = em.join(broadcast(cl), "label")
+    dot = F.expr(
+        "aggregate(zip_with(embedding, c, "
+        "(x, y) -> cast(x as double) * y), 0D, (a, b) -> a + b)"
+    )
+    nv = F.expr(
+        "aggregate(transform(embedding, x -> "
+        "cast(x as double) * cast(x as double)), 0D, (a, b) -> a + b)"
+    )
+    nc = F.expr("aggregate(transform(c, y -> y * y), 0D, (a, b) -> a + b)")
+    cos = j.select(
+        "label", (dot / (F.sqrt(nv) * F.sqrt(nc))).alias("cosine")
+    )
+    return cos.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.sum(F.floor(F.col("cosine") * 1000000).cast("bigint"))
+            .cast("double")
+            / F.lit(1000000.0)
+            / F.count("*")
+        ).alias("avg_cohesion"),
+        F.round(F.min("cosine"), 6).alias("min_cohesion"),
+    )

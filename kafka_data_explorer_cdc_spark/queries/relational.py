@@ -2481,3 +2481,70 @@ def b58_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         ewma.alias("ewma"),
     ).orderBy("pri", "dy")
+
+
+@query(
+    "b59_mad_robust_outliers",
+    oracle="""
+WITH q AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000) AS BIGINT) AS vq
+  FROM events
+), m AS (
+  SELECT event_type, MEDIAN(vq) AS med FROM q GROUP BY event_type
+), d AS (
+  SELECT q.event_type, vq, ABS(vq - med) AS dev FROM q JOIN m USING (event_type)
+), s AS (
+  SELECT d.event_type, MEDIAN(dev) AS mad FROM d GROUP BY d.event_type
+)
+SELECT d.event_type,
+       CAST(MAX(m.med) / 1000000.0 AS DOUBLE) AS median_value,
+       CAST(MAX(s.mad) / 1000000.0 AS DOUBLE) AS mad_value,
+       CAST(SUM(CASE WHEN dev > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d JOIN m USING (event_type) JOIN s USING (event_type)
+GROUP BY d.event_type
+""",
+    tags=("relational", "robust", "anomaly"),
+)
+def b59_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe twin of b53's mean/sigma z-score (one wild value
+    shifts a mean, not a median): per event type, median, MAD, and the
+    count of points beyond 3 x 1.4826 x MAD (the consistency constant
+    that makes MAD estimate sigma under normality).
+
+    Exactness design: values are floor-quantized to integer micros
+    FIRST, so both engines take exact order statistics over integers —
+    and the even-count midpoint (a+b)/2 vs a+0.5*(b-a) interpolation
+    forms are then bit-identical (integer-valued doubles, exact
+    subexpressions), closing the cross-engine ulp gap raw-double
+    percentiles have. Two grouped exact percentiles + one broadcast
+    join back; group count is event-type cardinality (tiny), and the
+    100 TB swap-in is the GK sketch (b27x) when groups outgrow exact
+    order statistics."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("vq"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.expr("percentile(vq, 0.5D)").alias("med")
+    )
+    d = q.join(broadcast(m), "event_type").withColumn(
+        "dev", F.abs(F.col("vq") - F.col("med"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5D)").alias("mad")
+    )
+    j = d.join(broadcast(s), "event_type")
+    return j.groupBy("event_type").agg(
+        (F.max("med") / F.lit(1000000.0)).cast("double").alias("median_value"),
+        (F.max("mad") / F.lit(1000000.0)).cast("double").alias("mad_value"),
+        F.sum(
+            F.when(
+                F.col("dev") > F.lit(3) * F.lit(1.4826) * F.col("mad"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+        F.count("*").alias("n"),
+    )

@@ -661,3 +661,41 @@ def s33_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("p_ts").alias("n_matched"),
         )
     )
+
+
+@query(
+    "s34_stream_value_histogram",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+       LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 7) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming", "profiling"),
+)
+def s34_stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution monitor (b57's streaming twin): per
+    tumbling day, an 8-bin equi-width histogram of the event value —
+    the live "is today's traffic shaped like yesterday's" dashboard
+    behind drift alerts. The bucket id is the same pure arithmetic as
+    b57, computed BEFORE the stateful aggregation, so state is
+    (window x 8 buckets) rows — constant per window regardless of
+    event volume, the property that keeps the state store flat at
+    100 TB/day. Complete-mode memory sink; exact batch-equivalence is
+    the unified-engine contract (same plan family as s21)."""
+    name = f"s34_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(25.0)).cast("bigint"),
+        F.lit(7).cast("bigint"),
+    )
+    agg = (
+        ev.withColumn("bucket", bucket)
+        .groupBy(F.window("ts", "1 day"), "bucket")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"), "bucket", "n_events"
+        )
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)

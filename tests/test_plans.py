@@ -419,3 +419,21 @@ def test_dup_span_shuffles_carry_hashes_only(spark, sf_dir):
     p = plan_of(spark, sf_dir, "d43_dup_span_coalesce")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p and "InPandas" not in p, p
+
+
+def test_mad_broadcasts_medians_back(spark, sf_dir):
+    """b59: both per-group median tables are tiny and must broadcast
+    back onto the fact side — the events table shuffles only for its
+    own grouped percentiles, never for the joins."""
+    p = plan_of(spark, sf_dir, "b59_mad_robust_outliers")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p, p
+
+
+def test_centroid_cohesion_broadcasts_centroids(spark, sf_dir):
+    """d47: the 10-row centroid table broadcasts; the corpus is
+    shuffled only by the posexplode centroid build and the final
+    label reduce — cosine folds are codegen, no Python."""
+    p = plan_of(spark, sf_dir, "d47_label_centroid_cohesion")
+    assert "BroadcastHashJoin" in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
