@@ -3654,3 +3654,110 @@ def d47_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_cohesion"),
         F.round(F.min("cosine"), 6).alias("min_cohesion"),
     )
+
+
+@query(
+    "d48_source_jsd_shift",
+    oracle="""
+WITH tok AS (
+  SELECT source, t.tok FROM documents,
+         unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(text) > 0
+), cs AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+), cg AS (
+  SELECT tok, COUNT(*) AS g FROM tok GROUP BY tok
+), ns AS (
+  SELECT source, SUM(c) AS n_s FROM cs GROUP BY source
+), ng AS (
+  SELECT SUM(g) AS n_g FROM cg
+), grid AS (
+  SELECT s.source, v.tok, COALESCE(cs.c, 0) AS c, v.g
+  FROM (SELECT DISTINCT source FROM cs) s
+  CROSS JOIN cg v
+  LEFT JOIN cs ON cs.source = s.source AND cs.tok = v.tok
+), terms AS (
+  SELECT grid.source,
+         c * 1.0 / n_s AS p,
+         g * 1.0 / n_g AS q
+  FROM grid JOIN ns USING (source) CROSS JOIN ng
+), qterm AS (
+  SELECT source,
+         CAST(FLOOR((CASE WHEN p > 0
+               THEN p * log2(2.0 * p / (p + q)) ELSE 0.0 END) * 1000000000)
+              AS BIGINT)
+         + CAST(FLOOR(q * log2(2.0 * q / (p + q)) * 1000000000) AS BIGINT)
+           AS tq
+  FROM terms
+)
+SELECT source,
+       CAST(SUM(tq) AS DOUBLE) / 1000000000.0 / 2.0 AS jsd,
+       CAST(COUNT(*) AS BIGINT) AS vocab
+FROM qterm GROUP BY source
+""",
+    tags=("llm", "quality", "mixing"),
+)
+def d48_source_jsd_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift report for data mixing: per source, the
+    Jensen-Shannon divergence between that source's unigram token
+    distribution and the whole corpus's — the quantitative "how
+    different is this slice" number behind mixture re-weighting and
+    contamination triage (JSD is symmetric and bounded [0,1] in bits,
+    unlike raw KL which blows up on unseen tokens; the q-side term is
+    always finite because every vocab token has corpus mass).
+
+    Exactness: token counts are integers; each vocab term is computed
+    in doubles with the identical expression in both engines, then
+    floor-quantized to nano units BEFORE the per-source sum, making
+    the reduction an order-free int64 sum (the d47 contract; log2
+    agreement across libms is the d23/d29 precedent).
+
+    Scale shape: two grouped counts (map-side combined), the
+    sources x vocab grid is |vocab| x #sources rows of 8-byte ids
+    (linear in vocab, never corpus-squared) built from a tiny
+    broadcast source list, and the final reduce has #sources rows.
+    No Python anywhere."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tok = ensure_parallelism(docs).select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cs = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    cg = tok.groupBy("tok").agg(F.count("*").alias("g"))
+    ns = cs.groupBy("source").agg(F.sum("c").alias("n_s"))
+    ng = cg.agg(F.sum("g").alias("n_g"))
+    sources = cs.select("source").distinct()
+    grid = (
+        sources.crossJoin(cg)
+        .join(cs, ["source", "tok"], "left")
+        .select("source", "tok", F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+                "g")
+    )
+    terms = (
+        grid.join(broadcast(ns), "source")
+        .crossJoin(broadcast(ng))
+        .select(
+            "source",
+            (F.col("c") * F.lit(1.0) / F.col("n_s")).alias("p"),
+            (F.col("g") * F.lit(1.0) / F.col("n_g")).alias("q"),
+        )
+    )
+    pterm = F.when(
+        F.col("p") > 0,
+        F.col("p") * F.log2(F.lit(2.0) * F.col("p") / (F.col("p") + F.col("q"))),
+    ).otherwise(F.lit(0.0))
+    qterm_ = F.col("q") * F.log2(
+        F.lit(2.0) * F.col("q") / (F.col("p") + F.col("q"))
+    )
+    tq = (
+        F.floor(pterm * 1000000000).cast("bigint")
+        + F.floor(qterm_ * 1000000000).cast("bigint")
+    )
+    return (
+        terms.select("source", tq.alias("tq"))
+        .groupBy("source")
+        .agg(
+            (F.sum("tq").cast("double") / F.lit(1000000000.0) / F.lit(2.0))
+            .alias("jsd"),
+            F.count("*").alias("vocab"),
+        )
+    )

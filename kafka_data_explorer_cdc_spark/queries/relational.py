@@ -2548,3 +2548,74 @@ def b59_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_outliers"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "b60_referential_audit",
+    oracle="""
+SELECT 'lineitem->orders' AS relation,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphan
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+""",
+    tags=("relational", "quality", "audit"),
+)
+def b60_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (the data-quality gate a pipeline
+    runs after every load): for each declared FK relation, the child
+    row count and the orphan count (child keys with no parent) — all
+    four relations in one report. Composes b05c's anti-join as a
+    reusable audit: each orphan check is a LEFT ANTI join whose parent
+    side is duplicate-free keys only, so dims broadcast and the fact
+    table is scanned once per relation with the key column pruned at
+    the parquet scan. The tiny 1-row aggregates union driver-free; at
+    100 TB the audit costs four key-column scans, no wide rows move."""
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+              rel: str) -> DataFrame:
+        keys = child.select(F.col(ckey))
+        orphan = keys.join(
+            broadcast(parent.select(F.col(pkey)).distinct()),
+            keys[ckey] == F.col(pkey),
+            "left_anti",
+        )
+        return (
+            keys.agg(F.count("*").alias("n_child"))
+            .crossJoin(orphan.agg(F.count("*").alias("n_orphan")))
+            .select(
+                F.lit(rel).alias("relation"), "n_child", "n_orphan"
+            )
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(audit(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(audit(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionByName(
+            audit(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier")
+        )
+    )

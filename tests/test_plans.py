@@ -437,3 +437,23 @@ def test_centroid_cohesion_broadcasts_centroids(spark, sf_dir):
     p = plan_of(spark, sf_dir, "d47_label_centroid_cohesion")
     assert "BroadcastHashJoin" in p, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_referential_audit_broadcasts_parents(spark, sf_dir):
+    """b60: every orphan check is an anti join with a BROADCAST parent
+    key set — the fact side is never shuffled for the audit."""
+    p = plan_of(spark, sf_dir, "b60_referential_audit")
+    # (the 1-row x 1-row count cross joins are benign; what must never
+    # appear is a cartesian of the fact side — which would show as a
+    # CartesianProduct, since those only broadcast 1-row aggregates)
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "LeftAnti" in p, p
+
+
+def test_jsd_grid_is_vocab_linear(spark, sf_dir):
+    """d48: no corpus self-join — the only joins are the vocab-linear
+    grid build and tiny broadcast totals; no Python."""
+    p = plan_of(spark, sf_dir, "d48_source_jsd_shift")
+    assert "BatchEvalPython" not in p and "InPandas" not in p, p
+    assert "BroadcastExchange" in p, p
