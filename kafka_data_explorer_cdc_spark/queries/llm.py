@@ -3761,3 +3761,83 @@ def d48_source_jsd_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("vocab"),
         )
     )
+
+
+@query(
+    "d49_sequence_packing",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+  FROM base
+)
+SELECT lang,
+       CAST(FLOOR(tok_before / 2048.0) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM cum
+GROUP BY lang, seq_id
+""",
+    tags=("llm", "packing", "window"),
+)
+def d49_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (GPT-style concat-and-split): per
+    language, documents are concatenated in doc_id order and split
+    into 2048-token training sequences; each document is assigned to
+    the sequence its FIRST token lands in (seq_id = floor of the
+    running token offset / 2048). The report is the packing manifest a
+    dataloader shards on: docs per sequence, filled tokens, doc-id
+    span — the step that turns a cleaned corpus into fixed-length
+    pretraining rows.
+
+    Exactness: token counts and running offsets are integers; the only
+    division is by 2048 (a power of two — exact in doubles far beyond
+    any corpus size), so seq ids match DuckDB bit-for-bit.
+
+    Scale shape: ONE shuffle on lang for the running-sum window, then
+    the same partitioning feeds the (lang, seq_id) aggregate —
+    AQE-coalesced, no second exchange of the fan-out. The prefix sum
+    is sequential per partition key by definition; at 100 TB the
+    packing key becomes (lang, shard) where shard is a deterministic
+    hash bucket (d41's content hash), making every shard an
+    independent prefix sum — same manifest schema, embarrassingly
+    parallel. Budget straddling is inherent to concat-and-split
+    (sequences cross doc boundaries); first-fit no-straddle packing is
+    the d44-style WindowGroupLimit variant of the same plan."""
+    docs = load(spark, sf_dir, "documents")
+    base = ensure_parallelism(docs).select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = base.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("tok_before"),
+    )
+    return (
+        cum.select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.floor(F.col("tok_before") / F.lit(2048.0)).alias("seq_id"),
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -2619,3 +2619,286 @@ def b60_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             audit(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier")
         )
     )
+
+
+# -- b61: Python user-defined TABLE function (lateral row expansion)
+
+
+@query(
+    "b61_udtf_installments",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT o_orderkey,
+       CAST(gs.n AS BIGINT) AS pay_no,
+       CASE WHEN gs.n < 4 THEN cents // 4
+            ELSE cents - 3 * (cents // 4) END AS amount_cents
+FROM src CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS n) gs
+""",
+    tags=("relational", "udtf", "python"),
+)
+def b61_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 UDTF API): a
+    row-expanding `LATERAL` call that splits each order total into 4
+    integer-cent installments, the last absorbing the remainder — the
+    API surface for set-returning business logic (parsers, unrollers,
+    API paginators) that scalar UDFs cannot express.
+
+    Exactness: everything is int64 cents (`round(total*100)` is exact
+    for 2-decimal doubles), integer-divided identically in Python and
+    DuckDB — no fp anywhere after the cast.
+
+    Scale shape: the UDTF runs in executor Python workers over Arrow
+    batches — per-partition parallel like any map; the input is
+    pre-filtered (o_orderkey % 50) and column-pruned to (key, cents)
+    BEFORE crossing the Python boundary, so the slow path carries the
+    minimum bytes. A UDTF is still the escape hatch: the same 4-row
+    unroll is pure `explode(sequence())` when the logic is
+    expressible — that zero-Python twin is exactly how d49/b51 fan
+    out. Demonstrated here because the reference's JSONPath-style SMT
+    family (`jsonpath-mapping.json`) is the config-driven version of
+    "arbitrary per-record expansion", and UDTF is Spark's principled
+    slot for it."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pay_no: bigint, amount_cents: bigint")
+    class Installments:
+        def eval(self, cents: int):  # noqa: ANN001
+            base = cents // 4
+            for i in range(1, 4):
+                yield (i, base)
+            yield (4, cents - 3 * base)
+
+    spark.udtf.register("installments", Installments)
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    src.createOrReplaceTempView("b61_src")
+    return spark.sql(
+        """
+        SELECT o_orderkey, pay_no, amount_cents
+        FROM b61_src, LATERAL installments(cents)
+        """
+    )
+
+
+# -- b62: observed metrics (zero-cost data-quality counters)
+
+
+@query(
+    "b62_observed_metrics",
+    oracle="""
+SELECT 'lineitem_scan' AS probe,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_discounted,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+""",
+    tags=("relational", "observability"),
+)
+def b62_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via `df.observe()`: data-quality
+    counters (row count, discounted-line count, total quantity)
+    accumulated ON the scan of a real downstream job — Spark's
+    accumulator-backed metrics ride the existing task set, so the
+    counters cost ZERO extra passes over the data. This is how a
+    100 TB pipeline audits "rows seen / rows violating contract"
+    without doubling its I/O; the reference's pipeline has no
+    equivalent (its sink counts arrive from Kafka Connect metrics).
+
+    The entry runs the observed job (a per-returnflag aggregate whose
+    result is intentionally small), then surfaces the observation as
+    the result row. Exactness: counts are integers; the money sum uses
+    the decimal-sum convention (helpers.dsum).
+
+    Scale shape: observe() adds an AggregateInPandas-free,
+    codegen-stage metric collector — no shuffle, no extra scan; the
+    observed metrics flow back on task completion like any
+    accumulator."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("b62")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+        ).alias("n_discounted"),
+        dsum("l_quantity", "sum_qty"),
+    )
+    # the real job the metrics piggyback on (result small by design)
+    observed.groupBy("l_returnflag").agg(F.count("*")).collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [("lineitem_scan", m["n_rows"], m["n_discounted"], m["sum_qty"])],
+        "probe string, n_rows bigint, n_discounted bigint, sum_qty double",
+    )
+
+
+# -- b63: small-file compaction (engine-native OPTIMIZE)
+
+
+@query(
+    "b63_compact_small_files",
+    oracle="""
+SELECT 'events' AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS files_reduced,
+       TRUE AS sized_right
+FROM events
+""",
+    tags=("relational", "layout", "maintenance"),
+)
+def b63_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the engine-native form of Delta's
+    OPTIMIZE (bin-packing): a fragmented copy of `events` (64 tiny
+    files, the classic streaming-sink pathology) is rewritten into
+    size-targeted files (target 8 MiB: n_out = ceil(bytes/target)),
+    and the entry proves the rewrite LOSSLESS by aggregating the
+    compacted copy against the raw-table oracle, plus two gates:
+    `files_reduced` (file count strictly dropped) and `sized_right`
+    (file count equals the byte-budget bound).
+
+    The small-files problem is THE operational tax of a 100 TB lake —
+    every query pays per-file open/footer costs and the NameNode/
+    listing layer pays per-object; compaction restores ~row-group-
+    sized scans. Plan: the sizing decision reads only file METADATA
+    (a bounded driver listing, same contract as b44's layout pass);
+    the data path is one scan + one round-robin repartition write —
+    no shuffle key, no skew. `maxPartitionBytes` then re-splits for
+    parallelism on read, so compaction trades file count, not
+    read parallelism."""
+    import math as _math
+    import os as _os
+    import tempfile as _tmp
+
+    ev = load(spark, sf_dir, "events")
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = _os.path.join(_tmp.gettempdir(), f"spark_graft_b63_{tag}")
+    frag, compact = f"{base}/frag", f"{base}/compact"
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+
+    def _part_files(d: str) -> list[str]:
+        return [
+            _os.path.join(d, f)
+            for f in _os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+
+    frag_files = _part_files(frag)
+    total_bytes = sum(_os.path.getsize(f) for f in frag_files)
+    target = 8 * 1024 * 1024
+    n_out = max(1, _math.ceil(total_bytes / target))
+    spark.read.parquet(frag).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(compact)
+    n_after = len(_part_files(compact))
+    return (
+        spark.read.parquet(compact)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").alias("sum_ids"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.lit("events").alias("label"),
+            "n_rows",
+            "sum_ids",
+            "n_users",
+            F.lit(n_after < len(frag_files)).alias("files_reduced"),
+            F.lit(n_after == n_out).alias("sized_right"),
+        )
+    )
+
+
+# -- b64: one-pass column profiler
+
+
+@query(
+    "b64_column_profiler",
+    oracle="""
+SELECT 'o_orderkey' AS col,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+       MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate), CAST(MIN(o_orderdate) AS VARCHAR),
+       CAST(MAX(o_orderdate) AS VARCHAR)
+FROM orders
+""",
+    tags=("relational", "profiling"),
+)
+def b64_column_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler — the table-stats report every
+    catalog/quality layer runs after load (null count, exact distinct,
+    min/max per column), emitted long-form as (col, metric...) rows.
+
+    ONE scan computes all five columns' profiles: the non-distinct
+    metrics are plain partial+final aggregates and the five DISTINCT
+    aggregates share a single Expand pass (Catalyst's multi-distinct
+    rewrite — data is replicated x5 in the map stage, NOT rescanned).
+    The wide 1-row result then unpivots driver-free via `stack`.
+    Values surface as strings so one schema carries every column type;
+    int64/date/string casts are engine-identical (doubles are
+    deliberately excluded — their string forms differ across engines;
+    a double column would profile via the nano-quantized convention).
+
+    At 100 TB: exact COUNT(DISTINCT) on a high-cardinality key is the
+    expensive honest form (it is what makes the profile an AUDIT);
+    the monitoring form swaps in approx_count_distinct/HLL (b08x/b41)
+    with the same report schema — one Expand disappears and the scan
+    dominates."""
+    o = load(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__null, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col, n_null, n_distinct, min_s, max_s)"
+        )
+    )
