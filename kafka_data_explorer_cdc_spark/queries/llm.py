@@ -3841,3 +3841,41 @@ def d49_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "d50_prefix_filter_jaccard",
+    oracle=_SH_DUCK
+    + """,
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS isz
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       isz * 1.0 / (c1.n + c2.n - isz) AS jaccard
+FROM inter
+JOIN cnt c1 ON id1 = c1.doc_id
+JOIN cnt c2 ON id2 = c2.doc_id
+WHERE isz * 1.0 / (c1.n + c2.n - isz) >= 0.5
+""",
+    tags=("llm", "dedup"),
+)
+def d50_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (PPJoin family) — d05's
+    result WITHOUT the df-cap compromise: the oracle is the plain
+    uncapped all-pairs Jaccard >= 0.5, and the Spark side reproduces
+    it exactly while only ever joining each document's rarest-token
+    prefix (operators/dedup.py:prefix_filter_jaccard_pairs, which
+    carries the completeness proof).
+
+    This is the scale-correct exact near-dup join for 100 TB: d05
+    bounds the hot-token quadratic by DROPPING hot shingles (changing
+    the result), LSH (d04) bounds it by approximating; prefix
+    filtering bounds it structurally — corpus-frequent tokens sort
+    last in the (df, token) canonical order and so almost never enter
+    a prefix — while remaining EXACT."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3)
+    return D.prefix_filter_jaccard_pairs(sh, threshold=0.5)

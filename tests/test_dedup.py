@@ -272,3 +272,73 @@ def test_label_cc_cap_falls_back_with_warning(spark):
             for r in connected_components(edges, max_iter=3).collect()
         }
     assert got == {i: 0 for i in range(20)}
+
+
+def test_prefix_filter_jaccard_prunes_and_is_complete(spark):
+    """d50's operator: (a) the candidate index is the PREFIX only —
+    strictly smaller than the full inverted index for docs above the
+    threshold-determined prefix length; (b) a planted near-identical
+    pair (J >= 0.5) survives prefix filtering even when its shared
+    tokens include the corpus-hottest ones; (c) result equals the
+    brute-force pair set."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from kafka_data_explorer_cdc_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingle_docs,
+    )
+
+    # 8 docs over a tiny vocab; docs 0/1 are near-identical (J >= 0.5);
+    # the filler docs all share hot tokens "the end" so the hottest
+    # shingles carry no pair signal.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base),
+        (1, base + " iota"),
+        (2, "the end of the end of line one"),
+        (3, "the end of the end of line two"),
+        (4, "the end of the end of line three"),
+        (5, "completely different words entirely here now"),
+        (6, "the end comes for every doc the end"),
+        (7, "more the end of filler the end of"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_docs(docs, "doc_id", "text", n=3)
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(sh, 0.5).collect()
+    }
+
+    # brute force over the same shingle sets
+    sets = {
+        r["id"]: set(r["s"])
+        for r in sh.groupBy("id").agg(F.collect_set("shingle").alias("s")).collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.5:
+            want[(a, b)] = j
+    assert set(got) == set(want) and (0, 1) in got
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+    # prefix really prunes: total indexed rows < total shingle rows
+    n_full = sh.count()
+    t = 0.5
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    ranked = sh.join(dfc, "shingle").select(
+        "id",
+        F.row_number()
+        .over(W.partitionBy("id").orderBy("df", "shingle"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("id")).alias("n"),
+    )
+    n_prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
+    ).count()
+    assert n_prefix < n_full
