@@ -2902,3 +2902,115 @@ def b64_column_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack}) AS (col, n_null, n_distinct, min_s, max_s)"
         )
     )
+
+
+# -- b65: hive-partitioned layout + partition-pruned scan
+
+
+@query(
+    "b65_partition_pruned_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+""",
+    tags=("relational", "layout", "pruning"),
+)
+def b65_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning — the directory-
+    level complement of b44's file-level z-order skipping: `events` is
+    written `partitionBy(event_date)` (one directory per day, the
+    standard lake layout for time-series facts), and a one-day query
+    reads ONLY that directory — pruning happens at LISTING time, before
+    any file is opened (b44's min/max skipping still opens footers).
+
+    The rewrite is lossless (pure repartition of rows into
+    directories), so the raw-table oracle must match exactly. The plan
+    carries the day under `PartitionFilters` with zero `PushedFilters`
+    on data columns — pinned in tests/test_plans.py.
+
+    At 100 TB: daily partitions bound every incremental job's input to
+    its day regardless of table size, and partition pruning is pure
+    metadata — the NameNode/manifest answers it. The failure mode to
+    avoid is over-partitioning (small files per partition) — which is
+    exactly what b63's compaction fixes, run per-partition."""
+    import os as _os
+    import tempfile as _tmp
+
+    ev = load(spark, sf_dir, "events")
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    out = _os.path.join(_tmp.gettempdir(), f"spark_graft_b65_{tag}")
+    marker = _os.path.join(out, "_SUCCESS")
+    if not _os.path.exists(marker):
+        ev.withColumn(
+            "event_date", F.date_format("ts", "yyyy-MM-dd")
+        ).write.mode("overwrite").partitionBy("event_date").parquet(out)
+    part = spark.read.parquet(out)
+    return part.filter(F.col("event_date") == F.lit("2024-01-03")).agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# -- b66: metadata-only aggregate (parquet aggregate pushdown)
+
+
+@query(
+    "b66_metadata_only_agg",
+    oracle="""
+SELECT 'orders' AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       TRUE AS pushed
+FROM orders
+""",
+    tags=("relational", "pruning", "metadata"),
+)
+def b66_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation — COUNT/MIN/MAX answered from parquet
+    FOOTER STATISTICS without decoding a single data page
+    (`spark.sql.parquet.aggregatePushdown` over the V2 scan:
+    `PushedAggregation: [COUNT(*), MIN(o_totalprice), ...]` in the
+    BatchScan). At 100 TB this is the difference between a row-count
+    audit that reads 100 TB and one that reads a few MB of footers —
+    the same trick `SELECT count(*)` warehouses have always played.
+
+    The entry flips the two configs (V2 parquet + pushdown), executes
+    the pushed plan, verifies `PushedAggregation` actually appears
+    (the `pushed` gate — silently falling back to a full scan would
+    still return correct values, which is exactly why the gate exists),
+    and restores the session configs in a `finally` so no other
+    entry's plan shape changes. Values are exact: parquet stores
+    exact min/max for doubles and exact row counts per row group."""
+    pushdown, v1list = (
+        "spark.sql.parquet.aggregatePushdown",
+        "spark.sql.sources.useV1SourceList",
+    )
+    old_push = spark.conf.get(pushdown, None)
+    old_v1 = spark.conf.get(v1list, None)
+    try:
+        spark.conf.set(pushdown, "true")
+        spark.conf.set(v1list, "")
+        agg = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        pushed = "PushedAggregation: [COUNT(*)" in plan
+        row = agg.collect()[0]
+    finally:
+        for key, old in ((pushdown, old_push), (v1list, old_v1)):
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+    return spark.createDataFrame(
+        [("orders", row["n_rows"], row["min_price"], row["max_price"], pushed)],
+        "label string, n_rows bigint, min_price double, max_price double,"
+        " pushed boolean",
+    )

@@ -457,3 +457,23 @@ def test_jsd_grid_is_vocab_linear(spark, sf_dir):
     p = plan_of(spark, sf_dir, "d48_source_jsd_shift")
     assert "BatchEvalPython" not in p and "InPandas" not in p, p
     assert "BroadcastExchange" in p, p
+
+
+def test_b65_entry_partition_pruned(spark, sf_dir):
+    """The b65 registry entry's one-day query must prune at the
+    directory level: the day lands in PartitionFilters and no data
+    column appears in PushedFilters (nothing left to push — the
+    predicate was answered by listing)."""
+    plan = plan_of(spark, sf_dir, "b65_partition_pruned_scan")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0].split("PartitionFilters", 1)[1][:160], pf
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert all("PushedFilters: []" in ln for ln in pushed), pushed
+
+
+def test_b66_aggregate_actually_pushes(spark, sf_dir):
+    """b66's gate column must come back TRUE — the plan contains
+    PushedAggregation (footer-stats answer), not a full scan that
+    happens to produce the same numbers."""
+    row = REGISTRY["b66_metadata_only_agg"].fn(spark, sf_dir).collect()[0]
+    assert row["pushed"] is True
