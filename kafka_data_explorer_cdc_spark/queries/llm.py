@@ -3879,3 +3879,74 @@ def d50_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = D.shingle_docs(docs, "doc_id", "text", n=3)
     return D.prefix_filter_jaccard_pairs(sh, threshold=0.5)
+
+
+@query(
+    "d51_fuzzy_key_join",
+    oracle="""
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       a.c_name AS name1, b.c_name AS name2
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND len(a.c_name) = len(b.c_name)
+ AND a.c_name <> b.c_name
+ AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+    tags=("llm", "dedup", "fuzzy"),
+)
+def d51_fuzzy_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-key self-join via the delete-1 neighborhood (the SymSpell
+    algorithm, Garbe 2012): all customer-name pairs that are one
+    TYPO apart (equal length, Levenshtein <= 1 — i.e., exactly one
+    substituted character), found WITHOUT the quadratic name x name
+    comparison the oracle runs.
+
+    Candidate generation: each name emits its |name| delete-one
+    variants keyed by (position, variant); two equal-length names
+    differing only at position i collide on (i, delete_i) — and ONLY
+    near-identical names collide, so bucket width is bounded by the
+    alphabet at one position (<= ~10 here, digits), not by shared
+    prefixes. This matters precisely when the data is id-like: every
+    c_name shares the 'Customer#...' prefix, so any prefix/segment
+    blocking scheme (d06's pigeonhole chunks, d50's token prefixes)
+    degenerates to one giant bucket, while the delete-neighborhood
+    key spreads those names across per-position buckets. A final
+    `levenshtein <= 1` verify keeps the semantics independent of the
+    construction argument.
+
+    Cost: n x avg_len candidate rows (one explode, one equi-join on
+    the variant key), output-bound verification — vs the oracle's
+    n^2/2 edit distances. The standard scale-out for banks/MDM fuzzy
+    key matching."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    variants = c.select(
+        "id",
+        "name",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(name)),"
+                " i -> concat(substr(name, 1, i-1),"
+                " substr(name, i+1, length(name))))"
+            )
+        ).alias("pos", "variant"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.name") != F.col("b.name")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.name").alias("name1"),
+            F.col("b.name").alias("name2"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("name1", "name2") <= 1)

@@ -432,3 +432,54 @@ def a19_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "valid_from", "valid_to", "event_type", "value")
     )
+
+
+@query(
+    "a20_schema_evolution_ingest",
+    oracle="""
+SELECT o_orderkey, o_totalprice, NULL AS o_channel
+FROM orders WHERE o_orderkey % 4 = 1
+UNION ALL
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END AS o_channel
+FROM orders WHERE o_orderkey % 4 = 2
+""",
+    tags=("reference", "cdc", "schema"),
+)
+def a20_schema_evolution_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant ingest — the CDC concern the reference
+    delegates to Debezium/ADX schema registry updates
+    (`pg-source-config.json` — Debezium emits a new envelope schema
+    when the source table gains a column, and the sink table must
+    widen): two parquet batches of the same logical table, the second
+    carrying a NEW column `o_channel`, are read as ONE dataset with
+    `mergeSchema=true`. Early rows surface NULL for the late column —
+    exactly the UNION-with-NULL the oracle states.
+
+    Scale shape: schema merge reads FOOTERS of (by default) a sample
+    of files, not data; the scan itself stays a plain parallel
+    parquet read with pushdown intact. The alternative — rewriting
+    history to the new schema — is a 100 TB table rewrite; mergeSchema
+    is the zero-rewrite path, with the NULL-fill happening at read
+    time per batch."""
+    import os as _os
+    import tempfile as _tmp
+
+    o = load(spark, sf_dir, "orders")
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = _os.path.join(_tmp.gettempdir(), f"spark_graft_a20_{tag}")
+    b1, b2 = f"{base}/batch1", f"{base}/batch2"
+    if not _os.path.exists(_os.path.join(base, "_DONE")):
+        o.filter(F.col("o_orderkey") % 4 == 1).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(b1)
+        o.filter(F.col("o_orderkey") % 4 == 2).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 2 == 0, "web")
+            .otherwise("store")
+            .alias("o_channel"),
+        ).write.mode("overwrite").parquet(b2)
+        open(_os.path.join(base, "_DONE"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(b1, b2)
+    return merged.select("o_orderkey", "o_totalprice", "o_channel")

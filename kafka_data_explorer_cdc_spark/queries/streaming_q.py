@@ -699,3 +699,60 @@ def s34_stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@query(
+    "s35_stream_approx_distinct",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming", "sketch", "approx"),
+)
+def s35_stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate distinct-count (live per-window unique
+    users): exact COUNT(DISTINCT) is unsupported in a streaming
+    aggregation for the same reason it does not scale — the state
+    would be the full key set — so the streaming form is
+    `approx_count_distinct` (HLL state: KB per window regardless of
+    cardinality). The b41/b45 bounded-comparison gate pattern applied
+    to a REAL stream: the windowed sketch estimates materialize from
+    a complete-mode memory sink, then every estimate must land within
+    15% + 5 of the exact batch recount (~3x the default 5% rsd,
+    plus small-count slack); the driver-visible columns are the exact
+    counts plus the all-TRUE gate.
+
+    At 100 TB-rate streams this is THE live-dashboard cardinality
+    operator: mergeable sketch state, watermark-evictable, constant
+    memory per (window, type)."""
+    name = f"s35_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.approx_count_distinct("user_id").alias("n_approx"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n_approx"
+        )
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    approx = spark.table(name)
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("win_start"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return exact.join(approx, ["win_start", "event_type"]).select(
+        "win_start",
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 0.15 * F.col("n_exact") + 5
+        ).alias("within_bound"),
+    )
