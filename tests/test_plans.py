@@ -477,3 +477,32 @@ def test_b66_aggregate_actually_pushes(spark, sf_dir):
     happens to produce the same numbers."""
     row = REGISTRY["b66_metadata_only_agg"].fn(spark, sf_dir).collect()[0]
     assert row["pushed"] is True
+
+
+def test_sequence_packing_single_lang_shuffle(spark, sf_dir):
+    """d49: the running-offset window and the (lang, seq_id) rollup
+    must share ONE hashpartitioning exchange on lang — the aggregate
+    rides the window's partitioning instead of re-shuffling the
+    fan-out."""
+    plan = plan_of(spark, sf_dir, "d49_sequence_packing")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 lang shuffle, got {n_hash}:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_key_join_is_equi_join(spark, sf_dir):
+    """d51: the delete-1 candidate join must be a hash EQUI-join keyed
+    on (pos, variant) — no BroadcastNestedLoop/Cartesian anywhere.
+    Catalyst pushes the levenshtein verify into the join's RESIDUAL
+    condition (post-probe, candidates only) — that's the desired
+    shape: the edit distance must not be part of the join KEYS."""
+    plan = plan_of(spark, sf_dir, "d51_fuzzy_key_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+    ]
+    assert join_lines, plan
+    # equi-keys are the variant buckets: "[pos#..., variant#...], [pos#..., variant#...]"
+    assert any("variant" in ln.split(", Inner")[0] for ln in join_lines), join_lines
