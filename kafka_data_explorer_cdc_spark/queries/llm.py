@@ -3950,3 +3950,52 @@ def d51_fuzzy_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.levenshtein("name1", "name2") <= 1)
+
+
+@query(
+    "d54_bpe_pair_stats",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM words, unnest(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+""",
+    tags=("llm", "tokenizer", "text"),
+)
+def d54_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair statistics — ONE iteration of byte-pair-encoding
+    tokenizer training at corpus scale: the frequency of every
+    adjacent character pair inside words, top-20 (the next merge rule
+    is the argmax; training loops this with the vocab growing). This
+    is the d45 wordpiece gate's TRAINING-side twin: d45 consumes a
+    fixed vocab, d54 computes the statistics a vocab is built from.
+
+    Plan shape: pure codegen fan-out (split → explode words →
+    substring pairs via an in-row sequence transform — no Python, no
+    join), then ONE hash aggregate over pair keys; the top-20 is
+    TakeOrderedAndProject, never a global sort. Pair cardinality is
+    bounded by charset² regardless of corpus size, so the reduce side
+    is tiny at any scale; the map side is corpus-linear — the shape a
+    real BPE trainer (e.g. the parallel corpus-statistics pass of
+    SentencePiece) distributes exactly this way."""
+    docs = load(spark, sf_dir, "documents")
+    words = ensure_parallelism(docs).select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

@@ -3014,3 +3014,150 @@ def b66_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label string, n_rows bigint, min_price double, max_price double,"
         " pushed boolean",
     )
+
+
+# -- b67: linear-model batch scoring from a weights table
+
+
+@query(
+    "b67_linear_model_scoring",
+    oracle="""
+WITH feats AS (
+  SELECT o_orderkey, 'price' AS feature, o_totalprice AS v FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'urgent',
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'finished',
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END
+  FROM orders
+), weights AS (
+  SELECT 'price' AS feature, 0.00001 AS w
+  UNION ALL SELECT 'urgent', 0.5
+  UNION ALL SELECT 'finished', 0.3
+)
+SELECT o_orderkey,
+       CAST(SUM(CAST(FLOOR(w * v * 1000000000) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 AS score
+FROM feats JOIN weights USING (feature)
+GROUP BY o_orderkey
+HAVING SUM(CAST(FLOOR(w * v * 1000000000) AS BIGINT)) > 2000000000
+""",
+    tags=("relational", "ml", "scoring"),
+)
+def b67_linear_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference — a linear scorer whose weights live in a
+    TABLE (the way a nightly-trained model meets a 100 TB feature set):
+    features fan out long-form, the 3-row weights relation broadcasts
+    into a hash join, and the per-key score is the weighted sum, with
+    high scorers (score > 2.0) kept. The long-form join shape is what
+    scales to thousands of features and sparse feature vectors —
+    wide-column w1*x1+... breaks down when the feature set is dynamic.
+
+    Exactness: each w*v term is computed double-identically in both
+    engines, then nano-floor-quantized to int64 BEFORE the sum — the
+    reduction is an order-free integer sum (the d47/d48 contract), so
+    grouping order cannot produce fp drift. The sigmoid is omitted:
+    it is monotone, so thresholding the logit is thresholding the
+    probability.
+
+    Plan: one scan of orders (the UNION fan-out is an Expand over the
+    same scan), BroadcastHashJoin on feature, one groupBy(o_orderkey)
+    partial+final agg."""
+    o = load(spark, sf_dir, "orders")
+    feats = (
+        o.select(
+            "o_orderkey", F.lit("price").alias("feature"),
+            F.col("o_totalprice").alias("v"),
+        )
+        .unionByName(
+            o.select(
+                "o_orderkey", F.lit("urgent").alias("feature"),
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+                .otherwise(0.0).alias("v"),
+            )
+        )
+        .unionByName(
+            o.select(
+                "o_orderkey", F.lit("finished").alias("feature"),
+                F.when(F.col("o_orderstatus") == "F", 1.0)
+                .otherwise(0.0).alias("v"),
+            )
+        )
+    )
+    weights = spark.createDataFrame(
+        [("price", 0.00001), ("urgent", 0.5), ("finished", 0.3)],
+        "feature string, w double",
+    )
+    term = F.floor(F.col("w") * F.col("v") * 1000000000).cast("bigint")
+    return (
+        feats.join(broadcast(weights), "feature")
+        .groupBy("o_orderkey")
+        .agg(F.sum(term).alias("score_nano"))
+        .filter(F.col("score_nano") > 2000000000)
+        .select(
+            "o_orderkey",
+            (F.col("score_nano").cast("double") / 1000000000.0).alias("score"),
+        )
+    )
+
+
+# -- b68: shuffle-skew diagnostics probe
+
+
+@query(
+    "b68_skew_probe",
+    oracle="""
+WITH sizes AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+)
+SELECT 'lineitem.l_orderkey' AS rel,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_size,
+       quantile_cont(n, 0.5) AS p50,
+       quantile_cont(n, 0.99) AS p99,
+       MAX(n) * 1.0 / (SUM(n) * 1.0 / COUNT(*)) AS skew_ratio
+FROM sizes
+UNION ALL
+SELECT 'events.user_id', COUNT(*), MAX(n), quantile_cont(n, 0.5),
+       quantile_cont(n, 0.99), MAX(n) * 1.0 / (SUM(n) * 1.0 / COUNT(*))
+FROM (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY user_id) s
+""",
+    tags=("relational", "profiling", "skew"),
+)
+def b68_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics — the report you run BEFORE choosing a
+    join/agg strategy at 100 TB: per candidate shuffle key, the group-
+    size distribution (key count, max group, p50/p99, max/mean skew
+    ratio). A skew_ratio near 1 means hash partitioning balances; a
+    large one says the b26/b37 salting path (or AQE skew-join) is
+    needed for that key. Two keys are profiled in one report:
+    lineitem.l_orderkey (bounded 1..7 — healthy) and events.user_id.
+
+    Plan: each key costs one partial+final count (the same shuffle the
+    real query would pay ONCE, here produced as a reusable statistic)
+    and a tiny second-level aggregate over key sizes. Exact
+    percentiles over group-size integers follow b27's
+    percentile==quantile_cont interpolation contract; the skew ratio
+    divides in the identical op order both engines."""
+
+    def probe(df: DataFrame, key: str, rel: str) -> DataFrame:
+        sizes = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("n"))
+        return sizes.agg(
+            F.count("*").alias("n_keys"),
+            F.max("n").alias("max_size"),
+            F.percentile("n", 0.5).alias("p50"),
+            F.percentile("n", 0.99).alias("p99"),
+            (
+                F.max("n") * F.lit(1.0)
+                / (F.sum("n") * F.lit(1.0) / F.count("*"))
+            ).alias("skew_ratio"),
+        ).select(F.lit(rel).alias("rel"), "n_keys", "max_size", "p50", "p99",
+                 "skew_ratio")
+
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    return probe(li, "l_orderkey", "lineitem.l_orderkey").unionByName(
+        probe(ev, "user_id", "events.user_id")
+    )
