@@ -3161,3 +3161,120 @@ def b68_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe(li, "l_orderkey", "lineitem.l_orderkey").unionByName(
         probe(ev, "user_id", "events.user_id")
     )
+
+
+# -- b69: mergeable moments (mean/variance) from per-month partials
+
+
+@query(
+    "b69_moments_rollup",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS mean_qty,
+       (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+       / COUNT(*) AS var_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("relational", "sketch", "agg"),
+)
+def b69_moments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments at rest — b41 (HLL) / b46 (quantiles) for
+    mean and variance: per-(returnflag, ship-month) PARTIALS
+    (n, Σx, Σx²) are materialized first, then MERGED into global
+    per-flag moments by plain addition — the algebra every
+    incremental table-stats system (engine CBO stats, data-quality
+    monitors) uses to avoid rescanning history.
+
+    The oracle computes the same moments DIRECTLY from the raw rows —
+    matching proves merge-of-partials == single-pass, which is the
+    sketch's correctness claim. Exactness: Σx and Σx² are DECIMAL
+    sums (associative, order-free — decimal(18,2) and its square);
+    the final mean/variance divisions happen in doubles with the
+    IDENTICAL op order in both engines (population variance via
+    (Σx² − (Σx)²/n)/n).
+
+    At 100 TB: partials are per-partition rows (bounded by
+    #groups × #months), re-aggregable at read for ANY group subset —
+    the same at-rest layout b41/b46 pin for their sketches."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    partials = li.groupBy(
+        "l_returnflag", F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("pn"),
+        F.sum(q).alias("ps"),
+        F.sum(q * q).alias("ps2"),
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("ps").alias("s"),
+        F.sum("ps2").alias("s2"),
+    )
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("n")
+    return merged.select(
+        "l_returnflag",
+        "n",
+        (sd / nd).alias("mean_qty"),
+        ((s2d - sd * sd / nd) / nd).alias("var_qty"),
+    )
+
+
+# -- b70: dictionary encoding for low-cardinality strings
+
+
+@query(
+    "b70_dictionary_encoding",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority,
+         DENSE_RANK() OVER (ORDER BY o_orderpriority) AS prio_id
+  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+)
+SELECT CAST(prio_id AS INT) AS prio_id, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders JOIN d USING (o_orderpriority)
+GROUP BY 1, 2
+""",
+    tags=("relational", "encoding", "layout"),
+)
+def b70_dictionary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary encoding for a low-cardinality string column — the
+    at-rest dimension-encoding pass (surrogate-key assignment) every
+    warehouse load does: build the value→id dictionary (ids dense,
+    deterministic — ordinal of the sorted distinct values), broadcast
+    it back, and store the int id instead of the string. The entry
+    emits the encoded table's per-id audit (id, value, rows), proving
+    the encode join is lossless and the ids stable.
+
+    Plan: the dictionary is a distinct over the column (partial+final,
+    output = cardinality rows) + a single-partition row_number ONLY
+    over those few rows (never over data); the encode is a
+    BroadcastHashJoin — the fact table is scanned once, shuffled only
+    for the audit groupBy. At 100 TB the dictionary stays KBs; new
+    values append with ids > max (monotone growth), which is why the
+    ordinal-of-sorted choice matters: re-runs cannot permute ids."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    dict_df = (
+        o.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            F.row_number()
+            .over(W.orderBy("o_orderpriority"))
+            .alias("prio_id"),
+        )
+    )
+    encoded = o.join(broadcast(dict_df), "o_orderpriority")
+    return encoded.groupBy("prio_id", "o_orderpriority").agg(
+        F.count("*").alias("n_rows")
+    )
