@@ -1504,9 +1504,7 @@ def b41_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = daily.groupBy("event_type").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est")
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
+    exact = du.groupBy("event_type").agg(F.count("*").alias("n_exact"))
     return exact.join(merged, "event_type").select(
         "event_type",
         "n_exact",
@@ -1661,35 +1659,58 @@ def b45_kmins_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     perms = _b45_perms()
     h1 = F.pmod(F.xxhash64("user_id"), F.lit(_B45_P))
-    # 5 rows x 256 doubles; feeds est/ea/eb and both sketch-merge sides
-    # below — persist so the fact table is aggregated exactly once.
-    mins = ev.groupBy("event_type").agg(
-        *[
+    # Dedup to (event_type, user_id) FIRST: every downstream quantity —
+    # the 256 affine MINIMA (min over duplicates == min over the set),
+    # the exact per-type counts, the exact union count, and the exact
+    # intersection — is a function of the distinct pairs, and the 256
+    # pmod expressions per row are the entry's hot loop, so evaluating
+    # them on ~20x fewer rows is the dominant win (7.2 s -> ~3 s at
+    # sf0.1). One shuffle builds the set; everything reuses it.
+    du = ev.select("event_type", "user_id").distinct().persist()
+    # LONG-FORM minima, not 256 aggregate expressions: the wide
+    # 256-MIN agg was this entry's real cost — not data volume but
+    # CATALYST, ~3 s planning + a multi-thousand-line codegen unit for
+    # 256 aggregates (profiled: the same agg over only 7 500 distinct
+    # rows still took 8.7 s). Broadcasting the 256 (i, a, b) perm rows
+    # against the distinct pairs gives |pairs| x 256 simple rows, ONE
+    # scalar MIN per (event_type, i), and a trivial plan. min(x)/P ==
+    # min(x/P) (monotone), so values are bit-identical to the wide
+    # form; array_sort on i restores the fixed fold order
+    # collect_list does not guarantee. (7.2 s -> ~1.5 s at sf0.1.)
+    perms_df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(perms)],
+        "i int, a long, b long",
+    )
+    minlong = (
+        du.crossJoin(broadcast(perms_df))
+        .groupBy("event_type", "i")
+        .agg(
             F.min(
-                F.pmod(h1 * F.lit(a) + F.lit(b), F.lit(_B45_P)).cast("double")
-                / F.lit(float(_B45_P))
-            ).alias(f"m{i}")
-            for i, (a, b) in enumerate(perms)
-        ]
-    ).persist()
-    # Collapse the 256 min columns into ONE array immediately: every
-    # downstream expression becomes an `aggregate`/`zip_with` fold over
-    # it — same left-assoc fp order as the former 256-term column chain,
-    # but a ~50-line codegen unit instead of four multi-thousand-line
-    # ones (measured 9.9 s → ~4 s at sf0.1; the wide shape's only
-    # remaining instance is the map-side-combinable MIN agg itself,
-    # which is the part that must stay 256 independent aggregates).
-    marr = mins.select(
-        "event_type", F.array(*[f"m{i}" for i in range(_B45_K)]).alias("ms")
+                F.pmod(h1 * F.col("a") + F.col("b"), F.lit(_B45_P))
+            ).alias("mlong")
+        )
+    )
+    marr = (
+        minlong.select(
+            "event_type",
+            "i",
+            (F.col("mlong").cast("double") / F.lit(float(_B45_P))).alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda st: st["m"],
+            ).alias("ms")
+        )
+        .persist()
     )
     _fsum = lambda col: F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
     est = marr.select(
         "event_type",
         (F.lit(float(_B45_K)) / _fsum(F.col("ms")) - 1).alias("est"),
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
+    exact = du.groupBy("event_type").agg(F.count("*").alias("n_exact"))
     ok = (
         exact.join(est, "event_type")
         .select(
@@ -1712,13 +1733,16 @@ def b45_kmins_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ab = a.crossJoin(b)
     usum = _fsum(F.zip_with("as_", "bs", lambda x, y: F.least(x, y)))
     est_u = ab.select((F.lit(float(_B45_K)) / usum - 1).alias("est_u"))
-    exact_u = (
-        ev.filter(F.col("event_type").isin("click", "view"))
-        .agg(F.countDistinct("user_id").alias("n_u"))
+    cv = du.filter(F.col("event_type").isin("click", "view"))
+    exact_u = cv.select("user_id").distinct().agg(
+        F.count("*").alias("n_u")
     )
-    clk = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    vw = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
-    exact_i = clk.join(vw, "user_id").agg(F.count("*").alias("n_i"))
+    exact_i = (
+        cv.groupBy("user_id")
+        .agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count("*").alias("n_i"))
+    )
     ea = est.filter(F.col("event_type") == "click").select(
         F.col("est").alias("est_a")
     )
