@@ -3999,3 +3999,108 @@ def d54_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "d52_eval_decontamination",
+    oracle=_SH_DUCK
+    + """,
+ev AS (
+  SELECT doc_id + 10000000 AS eid, shingle FROM sh WHERE doc_id % 89 = 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+ecnt AS (SELECT eid, COUNT(*) AS n FROM ev GROUP BY eid),
+inter AS (
+  SELECT sh.doc_id AS train_id, ev.eid AS eval_id, COUNT(*) AS isz
+  FROM sh JOIN ev USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT train_id, eval_id,
+       isz * 1.0 / (c1.n + c2.n - isz) AS jaccard
+FROM inter
+JOIN cnt c1 ON train_id = c1.doc_id
+JOIN ecnt c2 ON eval_id = c2.eid
+WHERE isz * 1.0 / (c1.n + c2.n - isz) >= 0.5
+""",
+    tags=("llm", "dedup", "contamination"),
+)
+def d52_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination — d17's exact-n-gram check
+    upgraded to NEAR-duplicate detection (the Llama/GPT-4-report
+    protocol: an eval item is contaminated if any training doc is
+    j-similar, not just if it shares one 13-gram): every
+    (train doc, eval item) pair with 3-gram Jaccard >= 0.5, computed
+    EXACTLY via a two-sided prefix filter. A ~1.1% slice of the corpus
+    (doc_id % 89 = 3, ids offset +10M) stands in as the benchmark —
+    including, realistically, verbatim leaks (J = 1 self-pairs).
+
+    Cross-corpus prefix filtering (d50's theorem, R⋈S form): one
+    global (df, token) order from the UNION of both sides; each side
+    indexes only its n - ceil(t*n) + 1 rarest tokens; candidates =
+    train-prefix ⋈ eval-prefix (never train×train — the small side
+    alone bounds the index that matters), then exact verification
+    joins. Cost: |eval| drives the candidate count; the train corpus
+    is touched linearly (shingle + df pass). That asymmetry is the
+    100 TB point — the benchmark is MBs while train is TBs, so
+    decontamination costs ~one train scan."""
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 89 == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(ev)
+    sh = D.shingle_docs(corpus, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    t = 0.5
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    nw = Window.partitionBy("id")
+    ranked = sh.join(dfc, "shingle").select(
+        "id",
+        "shingle",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(nw).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
+    )
+    tr = prefix.filter(F.col("id") < 10_000_000).alias("a")
+    evp = prefix.filter(F.col("id") >= 10_000_000).alias("b")
+    cand = (
+        tr.join(
+            evp,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(t)))
+            & (F.col("a.n") >= F.ceil(F.col("b.n") * F.lit(t))),
+        )
+        .select(F.col("a.id").alias("train_id"), F.col("b.id").alias("eval_id"))
+        .distinct()
+    )
+    counts = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("sa")
+        .join(cand, F.col("sa.id") == F.col("train_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.id") == F.col("eval_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("isz"))
+    )
+    return (
+        inter.join(
+            counts.select(F.col("id").alias("train_id"), F.col("n").alias("n1")),
+            "train_id",
+        )
+        .join(
+            counts.select(F.col("id").alias("eval_id"), F.col("n").alias("n2")),
+            "eval_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("isz") * 1.0 / (F.col("n1") + F.col("n2") - F.col("isz")),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("train_id", "eval_id", "jaccard")
+    )
