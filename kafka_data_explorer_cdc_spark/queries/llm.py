@@ -4104,3 +4104,77 @@ def d52_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= t)
         .select("train_id", "eval_id", "jaccard")
     )
+
+
+_MM6_CHARS = ("a", "e", "i", "o", "u", "n", "r", "t")
+_MM6_W = (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)
+
+
+@query(
+    "mm6_multimodal_retrieval",
+    oracle="WITH f AS (\n  SELECT doc_id, lang, source,\n"
+    + ",\n".join(
+        f"    CAST(len(text) - len(replace(text, '{c}', '')) AS DOUBLE) AS c{i}"
+        for i, c in enumerate(_MM6_CHARS)
+    )
+    + "\n  FROM documents\n)\nSELECT doc_id, lang, source,\n  ("
+    + " + ".join(f"{w} * c{i}" for i, w in enumerate(_MM6_W))
+    + ") / sqrt("
+    + " + ".join(f"c{i} * c{i}" for i in range(8))
+    + """) AS score
+FROM f
+WHERE ("""
+    + " + ".join(f"c{i}" for i in range(8))
+    + """) > 0
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    tags=("llm", "multimodal", "retrieval"),
+)
+def mm6_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal retrieval plumbing: opaque binary payloads
+    → Arrow `mapInPandas` feature extraction (the embedding-model slot;
+    here a deterministic 8-dim char-count feature so the oracle can
+    recompute it from the text) → JVM-codegen cosine scoring against a
+    query vector → top-10 → metadata hydration. This is mm2's decode
+    plumbing composed with d37's retrieval shape — the
+    image-embedding-search pipeline with every Spark boundary real and
+    only the model weights faked.
+
+    Exactness: counts are integers; dot and norm are evaluated with the
+    identical op order in both engines, and IEEE sqrt/division are
+    correctly rounded everywhere — scores are bit-identical (tie-break
+    doc_id).
+
+    Scale shape: the Python stage sees only (doc_id, payload) and
+    emits (doc_id, 8 doubles) — minimum bytes across the Arrow
+    boundary; scoring/top-k never leave the JVM (TakeOrdered, no
+    global sort); hydration joins AFTER the top-10, so payload-wide
+    rows are never shuffled (d37's hits-only contract)."""
+    import pandas as pd  # noqa: F401
+
+    docs = load(spark, sf_dir, "documents")
+    bin_docs = MM.to_binary_docs(ensure_parallelism(docs))
+
+    def featurize(batches):
+        for pdf in batches:
+            texts = pdf["payload"].map(lambda b: bytes(b).decode("utf-8"))
+            out = {"doc_id": pdf["doc_id"]}
+            for i, ch in enumerate(_MM6_CHARS):
+                out[f"c{i}"] = texts.str.count(ch).astype("float64")
+            yield pd.DataFrame(out)
+
+    feats = bin_docs.mapInPandas(
+        featurize,
+        "doc_id long, " + ", ".join(f"c{i} double" for i in range(8)),
+    )
+    dot = sum(F.lit(w) * F.col(f"c{i}") for i, w in enumerate(_MM6_W))
+    nrm2 = sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(8))
+    scored = (
+        feats.filter(sum(F.col(f"c{i}") for i in range(8)) > 0)
+        .select("doc_id", (dot / F.sqrt(nrm2)).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+    return scored.join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    ).select("doc_id", "lang", "source", "score")
