@@ -4178,3 +4178,86 @@ def mm6_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(
         docs.select("doc_id", "lang", "source"), "doc_id"
     ).select("doc_id", "lang", "source", "score")
+
+
+@query(
+    "d53_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents WHERE len(text) > 0
+), freq AS (
+  SELECT lang, w, COUNT(*) AS n FROM tok GROUP BY lang, w
+), ranked AS (
+  SELECT lang,
+         log2(CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY n DESC, w) AS DOUBLE)) AS x,
+         log2(CAST(n AS DOUBLE)) AS y
+  FROM freq
+), terms AS (
+  SELECT lang,
+         CAST(FLOOR(x * 1000000 ) AS BIGINT) AS xq,
+         CAST(FLOOR(y * 1000000 ) AS BIGINT) AS yq,
+         CAST(FLOOR(x * y * 1000000) AS BIGINT) AS xyq,
+         CAST(FLOOR(x * x * 1000000) AS BIGINT) AS xxq
+  FROM ranked
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       (COUNT(*) * CAST(SUM(xyq) AS DOUBLE)
+          - CAST(SUM(xq) AS DOUBLE) * CAST(SUM(yq) AS DOUBLE) / 1000000.0)
+       / (COUNT(*) * CAST(SUM(xxq) AS DOUBLE)
+          - CAST(SUM(xq) AS DOUBLE) * CAST(SUM(xq) AS DOUBLE) / 1000000.0)
+         AS zipf_slope
+FROM terms GROUP BY lang
+""",
+    tags=("llm", "text", "stats"),
+)
+def d53_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit per language — the corpus-health diagnostic
+    (natural text follows freq ∝ rank^s with s ≈ −1; synthetic/spam
+    slices bend the curve): least-squares slope of log2(freq) over
+    log2(rank) across the unigram vocabulary.
+
+    Exactness contract (d47/d48): log2 terms are computed identically
+    per (lang, rank) row, micro-quantized (1e-6) to int64, and summed
+    order-free; the closed-form slope
+    (n·Σxy − Σx·Σy/q) / (n·Σx² − (Σx)²/q) then runs in doubles with
+    the identical op order both engines. Ranking ties break on the
+    token string, so ranks are engine-independent.
+
+    Scale shape: token count (map-side combined), ONE lang shuffle for
+    the rank window (the same exchange the per-lang sums reuse), and a
+    #langs-row result. Vocab is corpus-sublinear (Heaps' law), so the
+    window input stays far under the token count at any scale."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tok = ensure_parallelism(docs).select(
+        "lang", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
+    )
+    freq = tok.groupBy("lang", "w").agg(F.count("*").alias("n"))
+    rw = Window.partitionBy("lang").orderBy(F.desc("n"), "w")
+    ranked = freq.select(
+        "lang",
+        F.log2(F.row_number().over(rw).cast("double")).alias("x"),
+        F.log2(F.col("n").cast("double")).alias("y"),
+    )
+    q = 1000000
+    terms = ranked.select(
+        "lang",
+        F.floor(F.col("x") * q).cast("bigint").alias("xq"),
+        F.floor(F.col("y") * q).cast("bigint").alias("yq"),
+        F.floor(F.col("x") * F.col("y") * q).cast("bigint").alias("xyq"),
+        F.floor(F.col("x") * F.col("x") * q).cast("bigint").alias("xxq"),
+    )
+    n = F.count("*")
+    sx = F.sum("xq").cast("double")
+    sy = F.sum("yq").cast("double")
+    sxy = F.sum("xyq").cast("double")
+    sxx = F.sum("xxq").cast("double")
+    return terms.groupBy("lang").agg(
+        n.alias("vocab"),
+        (
+            (n * sxy - sx * sy / F.lit(1000000.0))
+            / (n * sxx - sx * sx / F.lit(1000000.0))
+        ).alias("zipf_slope"),
+    )
