@@ -2012,6 +2012,42 @@ def kql(
             p.expect(")")
             keys = [c for c in df.columns if c != pcol and c != src]
             df = df.groupBy(*keys).pivot(pcol).agg(agg)
+        elif verb == "partition":
+            # partition by Col ( top N by expr [asc|desc] ) — Kusto's
+            # per-partition subquery operator, supported for the
+            # subquery shape that dominates its real use (top-k per
+            # key) and the only one with a sound distributed plan that
+            # needs no per-key re-execution: the inner `top` compiles
+            # to row_number over (partitionBy key, orderBy expr) <= N,
+            # which Catalyst runs as WindowGroupLimit — per-group
+            # partial top-k BEFORE the shuffle, the b39 LATERAL plan.
+            # Kusto's other subquery shapes either degenerate to plain
+            # operators (summarize-by == summarize by key) or imply
+            # driver-side per-key loops this engine refuses by design.
+            p.expect("by")
+            keycol = p.next().text
+            p.expect("(")
+            inner = p.next().text.lower()
+            if inner != "top":
+                raise ValueError(
+                    "KQL: partition supports only a 'top N by <expr>' "
+                    f"subquery, got {inner!r}"
+                )
+            n = int(p.next().text)
+            p.expect("by")
+            key = p.expr()
+            asc = bool(p.accept("asc"))
+            if not asc:
+                p.accept("desc")
+            p.expect(")")
+            w = Window.partitionBy(keycol).orderBy(
+                key.asc() if asc else key.desc()
+            )
+            df = (
+                df.withColumn("__kql_pn", F.row_number().over(w))
+                .filter(F.col("__kql_pn") <= n)
+                .drop("__kql_pn")
+            )
         elif verb == "render":
             # presentation hint (A17): the relational result is exactly
             # the preceding pipeline; the chart type is recorded on the

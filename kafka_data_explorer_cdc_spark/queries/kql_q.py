@@ -864,3 +864,34 @@ def k45_kql_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source_", F.col("orderid").cast("string").alias("orderid"), "amount"
     )
+
+
+@query(
+    "k46_kql_partition",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn <= 2
+""",
+    tags=("kql", "topk", "partition"),
+)
+def k46_kql_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto's ``partition`` operator — per-partition subqueries —
+    for its dominant real shape, top-k per key: the two most recent
+    orders (by orderkey, an injective sort key, so the selection is
+    deterministic) for EVERY customer. Compiled to
+    row_number-over-window <= N, which Catalyst executes as
+    WindowGroupLimit: per-group partial top-k on the map side BEFORE
+    the one shuffle on the partition key — the same plan pinned for
+    b39's LATERAL. No per-key re-execution, no driver loop — the ADX
+    semantics on a scale-correct physical plan."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | partition by o_custkey ( top 2 by o_orderkey )"
+        " | project o_custkey, o_orderkey, o_totalprice",
+        {"Orders": orders},
+    )

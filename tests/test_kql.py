@@ -850,3 +850,29 @@ def test_find_cross_table_search(spark, orders):
     assert got3.count() == want_o + 1
     with pytest.raises(ValueError, match="absent from every"):
         kql("find in (O, P) where nonexistent_col > 1", t)
+
+
+def test_kql_partition_rejects_unsupported_subquery(spark, sf_dir):
+    """partition's restriction must be an explicit error, not silent
+    miscompilation."""
+    import pytest as _pytest
+
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    orders = load(spark, sf_dir, "orders")
+    with _pytest.raises(ValueError, match="partition supports only"):
+        kql(
+            "Orders | partition by o_custkey ( sample 2 )",
+            {"Orders": orders},
+        )
+
+
+def test_kql_partition_uses_window_group_limit(spark, sf_dir):
+    """The compiled partition/top plan must carry Catalyst's
+    WindowGroupLimit (pre-shuffle per-group top-k), like b39."""
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+
+    df = REGISTRY["k46_kql_partition"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
