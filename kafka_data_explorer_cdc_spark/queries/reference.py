@@ -483,3 +483,80 @@ def a20_schema_evolution_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(_os.path.join(base, "_DONE"), "w").close()
     merged = spark.read.option("mergeSchema", "true").parquet(b1, b2)
     return merged.select("o_orderkey", "o_totalprice", "o_channel")
+
+
+@query(
+    "a21_malformed_envelope_dlq",
+    oracle="""
+WITH oi AS (
+  SELECT o_orderkey AS orderid,
+         ((o_orderkey * 7 + o_custkey) % 100) + 100 AS amount
+  FROM orders
+)
+SELECT 'parsed' AS route,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(amount) AS BIGINT) AS sum_amount
+FROM oi WHERE orderid % 13 <> 0
+UNION ALL
+SELECT 'dead_letter', CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT)
+FROM oi WHERE orderid % 13 = 0
+""",
+    tags=("reference", "cdc", "dlq"),
+)
+def a21_malformed_envelope_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing for malformed envelopes — the ingestion
+    contract the reference delegates to Kafka Connect's
+    `errors.tolerance`/DLQ topic config: every 13th envelope is
+    corrupted (truncated mid-JSON, a torn message), `from_json` stays
+    PERMISSIVE (corrupt line → null struct, never a thrown task), and
+    the split routes good rows onward while quarantined lines keep
+    their raw payload for replay. The report is the per-route audit:
+    parsed row count + amount total, dead-letter count (amounts
+    unknowable there — the payload didn't parse).
+
+    The streaming twin of this split already runs inside
+    `start_cdc_pipeline` (streaming/pipeline.py:176 — bad rows append
+    to `state_root/dead_letter` each micro-batch); this entry gates
+    the SAME parse-split semantics through the driver oracle on the
+    batch path, where the corruption is deterministic.
+
+    Scale shape: corruption check and routing are one codegen
+    projection + filter — no shuffle until the two tiny audit
+    aggregates; the raw line is carried only on the dead-letter
+    branch (keep_raw contract), so the good path never pays the
+    duplicate string."""
+    from ..cdc.envelope import orders_info, parse_envelope, to_envelope_json
+
+    o = load(spark, sf_dir, "orders")
+    env = to_envelope_json(orders_info(o))
+    # torn message: keep the first 40 chars — valid prefix, invalid
+    # JSON. The corruption target comes from the envelope KEY (the
+    # Kafka key column to_envelope_json carries), NOT from re-parsing
+    # the value with get_json_object — the b15a/a10 per-call-reparse
+    # tax, measured 6.7 s -> ~1.5 s on this entry at sf0.1.
+    corrupted = env.select(
+        F.when(
+            F.col("key").cast("bigint") % 13 == 0,
+            F.substring("value", 1, 40),
+        )
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    parsed = parse_envelope(corrupted)
+    # ONE pass: route label + conditional amount, then a 2-group agg —
+    # two filtered aggregate branches would serialize+parse the
+    # envelope stream twice (measured ~2x this entry's wall). SUM over
+    # the dead-letter group is NULL naturally (all its amounts are
+    # null — the payload didn't parse).
+    routed = parsed.select(
+        F.when(
+            F.col("envelope.payload.after.orderid").isNull(), "dead_letter"
+        )
+        .otherwise("parsed")
+        .alias("route"),
+        F.col("envelope.payload.after.amount").alias("amount"),
+    )
+    return routed.groupBy("route").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("amount").cast("bigint").alias("sum_amount"),
+    )

@@ -756,3 +756,59 @@ def s35_stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("n_exact") + 5
         ).alias("within_bound"),
     )
+
+
+@query(
+    "s36_stream_partitioned_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       TRUE AS laid_out
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "layout", "sink"),
+)
+def s36_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file sink writing the LAKE LAYOUT: the events stream
+    lands as hive-partitioned parquet (`partitionBy(event_type)` —
+    b65's directory layout, produced by a real `writeStream` with a
+    checkpoint, not a batch rewrite). The file sink's manifest log
+    gives exactly-once files per micro-batch; the entry then reads the
+    landed table BACK through the partition-discovering reader and
+    must reproduce the batch aggregate exactly — proving no row was
+    lost, duplicated, or mis-bucketed on the way through the stream.
+    `laid_out` gates that every expected partition directory exists.
+
+    At 100 TB-rate ingest this is the standard bronze-layer shape:
+    streaming writers fan rows into partition dirs, downstream batch
+    readers prune on them (b65), and b63's compaction fixes the
+    small-files tax per partition. State here is zero (stateless
+    sink) — the checkpoint tracks only source offsets + sink
+    manifest."""
+    import glob as _glob
+
+    out = _tmp("s36_out_")
+    cp = _tmp("s36_cp_")
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .partitionBy("event_type")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    n_dirs = len(_glob.glob(os.path.join(out, "event_type=*")))
+    n_types = back.select("event_type").distinct().count()
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_ids"),
+    ).select(
+        "event_type",
+        "n_events",
+        "sum_ids",
+        F.lit(n_dirs == n_types).alias("laid_out"),
+    )
