@@ -506,3 +506,38 @@ def test_fuzzy_key_join_is_equi_join(spark, sf_dir):
     assert join_lines, plan
     # equi-keys are the variant buckets: "[pos#..., variant#...], [pos#..., variant#...]"
     assert any("variant" in ln.split(", Inner")[0] for ln in join_lines), join_lines
+
+
+def test_mm6_single_arrow_stage_topk_no_global_sort(spark, sf_dir):
+    """mm6: exactly ONE Python boundary (the mapInPandas featurizer,
+    Arrow-batched — no row-Python anywhere), scoring stays JVM-side,
+    and the top-10 is TakeOrdered, never a global Sort+Limit."""
+    plan = plan_of(spark, sf_dir, "mm6_multimodal_retrieval")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_decontamination_no_cartesian(spark, sf_dir):
+    """d52: the two-sided prefix join must stay an equi-join on the
+    shingle — the length filter rides as a residual condition, never
+    as a nested-loop driver."""
+    plan = plan_of(spark, sf_dir, "d52_eval_decontamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pairs_takeordered_single_agg(spark, sf_dir):
+    """d54: one hash aggregate over pair keys and a TakeOrdered top-20
+    — no global sort, no Python."""
+    plan = plan_of(spark, sf_dir, "d54_bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_linear_scoring_broadcasts_weights(spark, sf_dir):
+    """b67: the weights relation must broadcast (never shuffle the
+    feature fan-out against a 3-row table)."""
+    plan = plan_of(spark, sf_dir, "b67_linear_model_scoring")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
