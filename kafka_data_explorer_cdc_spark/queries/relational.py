@@ -3302,3 +3302,69 @@ def b70_dictionary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.groupBy("prio_id", "o_orderpriority").agg(
         F.count("*").alias("n_rows")
     )
+
+
+# -- b71: OHLC time-series downsampling
+
+
+@query(
+    "b71_ohlc_downsample",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+         value, ts, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, time_bucket(INTERVAL '15 minutes', ts)
+           ORDER BY ts, event_id) AS rf,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, time_bucket(INTERVAL '15 minutes', ts)
+           ORDER BY ts DESC, event_id DESC) AS rl
+  FROM events
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rf = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rl = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM b GROUP BY event_type, bucket
+""",
+    tags=("relational", "timeseries", "agg"),
+)
+def b71_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the financial/metrics resample operator:
+    per (series, 15-minute bar) the first (open), max (high), min
+    (low), and last (close) value plus tick count. Open/close are
+    ORDER-DEPENDENT aggregates; they are computed as MIN/MAX over a
+    (ts, event_id, value) struct — Spark orders structs
+    lexicographically, so one hash aggregate yields the
+    first/last-by-time values with a deterministic event_id
+    tie-break, NO window pass and NO second shuffle (the oracle
+    spells the same semantics with row_number twins).
+
+    Plan: a single partial+final hash aggregate over (type, bucket) —
+    map-side combine keeps per-partition state at one struct pair per
+    open bar, the shape that sustains billions of ticks per day. The
+    struct trick is the scale story: first/last via window functions
+    would sort every partition; MIN/MAX of a time-led struct is
+    associative and mergeable."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.window("ts", "15 minutes").getField("start").alias("bucket")
+    tick = F.struct("ts", "event_id", "value")
+    agg = ev.groupBy("event_type", bucket).agg(
+        F.min(tick).alias("first_tick"),
+        F.max(tick).alias("last_tick"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count("*").alias("n_ticks"),
+    )
+    return agg.select(
+        "event_type",
+        "bucket",
+        F.col("first_tick.value").alias("open"),
+        "high",
+        "low",
+        F.col("last_tick.value").alias("close"),
+        "n_ticks",
+    )
