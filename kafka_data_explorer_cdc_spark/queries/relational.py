@@ -1504,7 +1504,9 @@ def b41_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = daily.groupBy("event_type").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est")
     )
-    exact = du.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
     return exact.join(merged, "event_type").select(
         "event_type",
         "n_exact",

@@ -812,3 +812,54 @@ def s36_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_ids",
         F.lit(n_dirs == n_types).alias("laid_out"),
     )
+
+
+@query(
+    "s37_hybrid_backfill_union",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-03 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hist,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-03 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "backfill"),
+)
+def s37_hybrid_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid batch-backfill + live-stream unified view (the kappa/
+    lambda seam every production table has): history BEFORE the
+    cutoff is served by a plain batch scan, rows at/after the cutoff
+    arrive through a REAL stream (filtered inside the streaming plan,
+    append-mode sink), and the serving query is the UNION of the two —
+    which must equal the single-table batch answer exactly: no seam
+    row lost, duplicated, or double-counted. The per-side counts are
+    part of the report, so a cutoff drift (the classic backfill bug:
+    `<` vs `<=` on both sides) breaks the oracle match instead of
+    hiding.
+
+    Scale shape: history is pruned at the scan by the cutoff
+    predicate (with b65's layout, at listing time); the stream
+    carries only post-cutoff rows; the union is a plan-level concat —
+    no shuffle until the final aggregate."""
+    name = f"s37_{uuid.uuid4().hex[:8]}"
+    cutoff = "2024-01-03 00:00:00"
+    live = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("ts") >= F.lit(cutoff).cast("timestamp")
+    )
+    run_to_memory(live, name, output_mode="append")
+    live_tbl = spark.table(name).withColumn("side", F.lit("live"))
+    hist = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+        .withColumn("side", F.lit("hist"))
+    )
+    unified = hist.unionByName(live_tbl.select(*hist.columns))
+    return unified.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("side") == "hist", 1).otherwise(0)).alias("n_hist"),
+        F.sum(F.when(F.col("side") == "live", 1).otherwise(0)).alias("n_live"),
+        F.sum("event_id").alias("sum_ids"),
+    )
