@@ -4261,3 +4261,77 @@ def d53_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * sxx - sx * sx / F.lit(1000000.0))
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "d55_triangle_count",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + k) % n.n AS dst
+  FROM documents, n, (SELECT unnest([1, 2, 3]) AS k)
+  WHERE (doc_id * 7 + k) % n.n <> doc_id
+),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+FROM tri
+""",
+    tags=("llm", "graph"),
+)
+def d55_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting — the graph-analytics primitive
+    behind clustering coefficients and community density (e.g. how
+    connected a near-dup cluster really is), on d36's deterministic
+    link graph, undirected and deduplicated. The classic two-join
+    algorithm on ORDERED edges (a < b): wedges = e(x,y) ⋈ e(y,z),
+    closed by e(x,z) — ordering every triangle (x<y<z) counts it
+    exactly once with no post-hoc division by 6.
+
+    Scale notes: both joins are hash equi-joins on node keys; the
+    wedge fan-out is Σ_v C(deg_v, 2) — the skew risk is a hub node,
+    and the standard mitigation (not needed on this ~constant-degree
+    graph) is degree-ordered edge direction (point each edge toward
+    the higher-degree endpoint), which provably caps wedge counts at
+    O(m^1.5). Stated here because at 100 TB THAT choice, not the
+    join syntax, is the algorithm."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e0 = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select("src", ((F.col("src") * 7 + F.col("k")) % n).alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    e = (
+        e0.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        e.agg(F.count("*").alias("n_edges"))
+    )

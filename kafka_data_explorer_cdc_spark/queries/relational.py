@@ -3370,3 +3370,88 @@ def b71_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_tick.value").alias("close"),
         "n_ticks",
     )
+
+
+# -- b72: snapshot diff (batch table-diff audit)
+
+
+@query(
+    "b72_snapshot_diff",
+    oracle="""
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0
+              THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice FROM orders
+  WHERE o_orderkey % 19 = 0
+)
+SELECT 'added' AS change,
+       (SELECT COUNT(*) FROM v2 WHERE o_orderkey >= 10000000) AS n_rows
+UNION ALL
+SELECT 'removed',
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 17 = 0)
+UNION ALL
+SELECT 'changed',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey % 17 <> 0 AND o_orderkey % 11 = 0)
+UNION ALL
+SELECT 'unchanged',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey % 17 <> 0 AND o_orderkey % 11 <> 0)
+""",
+    tags=("relational", "audit", "diff"),
+)
+def b72_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the batch table-diff audit between two versions
+    of a table (what changed since yesterday's load: the batch twin of
+    s30's streaming change feed): version 2 is version 1 with
+    deterministic mutations (every 17th key dropped, every 11th
+    surviving price bumped, every 19th key re-inserted under a new id),
+    and the diff classifies every key as added / removed / changed /
+    unchanged via ONE full outer join on the key comparing value
+    hashes.
+
+    Plan: two scans + one full-outer hash join on the key + a 4-group
+    count — at 100 TB you run exactly this after every load as the
+    regression gate, and the full outer join is the honest form;
+    with both snapshots bucketed on the key (b47's layout) it runs
+    shuffle-free. The value comparison hashes the non-key columns
+    (xxhash64) so wide tables diff at scan speed, not string-concat
+    speed."""
+    v1 = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 17 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 50.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            v1.filter(F.col("o_orderkey") % 19 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    a = v1.select(
+        F.col("o_orderkey").alias("k"),
+        F.xxhash64("o_totalprice").alias("h1"),
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("k"),
+        F.xxhash64("o_totalprice").alias("h2"),
+    )
+    diff = a.join(b, "k", "full_outer").select(
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("change")
+    )
+    return diff.groupBy("change").agg(F.count("*").alias("n_rows"))
