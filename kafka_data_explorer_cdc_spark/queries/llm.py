@@ -4335,3 +4335,87 @@ def d55_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         e.agg(F.count("*").alias("n_edges"))
     )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!) —
+#: spelled as literals so both engines compare against identical
+#: doubles; draws truncate at k=6 (P ~ 1e-4, bias far under reporting
+#: precision and identical on both sides by construction).
+_D56_POIS = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+_D56_R = 16
+
+
+def _d56_k_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_D56_POIS)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query(
+    "d56_poisson_bootstrap",
+    oracle=f"""
+WITH reps AS (
+  SELECT doc_id, n_chars, r
+  FROM documents, (SELECT unnest(generate_series(0, {_D56_R - 1})) AS r)
+), draws AS (
+  SELECT r, n_chars,
+         {_d56_k_sql("(((doc_id * 2654435761 + r * 40503) % 1000003) / 1000003.0)")} AS k
+  FROM reps
+)
+SELECT CAST(r AS INT) AS replicate,
+       CAST(SUM(k) AS BIGINT) AS n_eff,
+       CAST(SUM(k * n_chars) AS DOUBLE) / SUM(k) AS mean_chars
+FROM draws GROUP BY r
+""",
+    tags=("llm", "stats", "sampling"),
+)
+def d56_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap — the distributed-bootstrap technique for
+    error bars over corpus statistics (each replicate weights every
+    row by an independent Poisson(1) draw instead of resampling n
+    rows, so NO replicate needs a global pass or shared state; the
+    method behind confidence intervals on counters at web scale).
+    16 replicates of mean document length; the spread of `mean_chars`
+    IS the bootstrap SE of the corpus mean.
+
+    Determinism (the part naive bootstrap gets wrong at scale): the
+    Poisson draw for (row, replicate) comes from a portable integer
+    hash → uniform → fixed inverse-CDF thresholds, so every engine,
+    partitioning, and rerun draws the SAME resample — reproducible
+    error bars, zero RNG state. Exactness: k and k*n_chars are
+    integer sums (order-free); the single division is identical both
+    sides.
+
+    Scale shape: a zero-shuffle ×16 fan-out (explode over a literal
+    sequence) into a 16-group partial+final aggregate — cost is 16
+    scans' worth of arithmetic in ONE scan, no joins, no state."""
+    docs = load(spark, sf_dir, "documents")
+    reps = ensure_parallelism(docs).select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_D56_R - 1))).alias("r"),
+    )
+    u = (
+        (F.col("doc_id") * F.lit(2654435761) + F.col("r") * F.lit(40503))
+        % F.lit(1000003)
+    ) / F.lit(1000003.0)
+    k = F.when(u < float(_D56_POIS[0]), 0)
+    for i, c in enumerate(_D56_POIS[1:], start=1):
+        k = k.when(u < float(c), i)
+    k = k.otherwise(6)
+    draws = reps.select("r", "n_chars", k.alias("k"))
+    return draws.groupBy(F.col("r").cast("int").alias("replicate")).agg(
+        F.sum("k").alias("n_eff"),
+        (
+            F.sum(F.col("k") * F.col("n_chars")).cast("double")
+            / F.sum("k")
+        ).alias("mean_chars"),
+    )
