@@ -3455,3 +3455,56 @@ def b72_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change")
     )
     return diff.groupBy("change").agg(F.count("*").alias("n_rows"))
+
+
+# -- b73: rolling distinct users (WAU)
+
+
+@query(
+    "b73_rolling_distinct_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), fan AS (
+  SELECT user_id, day + CAST(o AS INT) AS report_day
+  FROM du, (SELECT unnest(generate_series(0, 6)) AS o)
+)
+SELECT strftime(report_day, '%Y-%m-%d') AS report_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM fan
+WHERE report_day <= (SELECT MAX(CAST(ts AS DATE)) FROM events)
+GROUP BY 1
+""",
+    tags=("relational", "timeseries", "distinct"),
+)
+def b73_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU per day) — the metric every
+    product dashboard runs and every naive implementation gets wrong:
+    DISTINCT does not sum, so you cannot window-aggregate daily
+    distinct counts. The exact form: dedupe to (user, active-day)
+    pairs once, fan each pair out to the 7 report days it supports
+    (day..day+6, trimmed to observed days), then one COUNT(DISTINCT)
+    per report day.
+
+    Scale: the fan-out is x7 on the DEDUPED pairs (uniques x days,
+    orders of magnitude under raw events), and the per-day distinct is
+    the honest audit form. The production swap at 100 TB is b41's
+    layout: persist one HLL sketch per (day), answer any window by
+    union-merging 7 sketches — same report schema, constant state;
+    this entry pins the exact semantics that rollup must reproduce."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    max_day = ev.agg(F.max(F.to_date("ts")).alias("mx"))
+    fan = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+    )
+    return (
+        fan.join(broadcast(max_day), F.col("report_day") <= F.col("mx"))
+        .groupBy(
+            F.date_format("report_day", "yyyy-MM-dd").alias("report_day")
+        )
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
