@@ -1639,6 +1639,14 @@ def kql(
                 if p.next().text.lower() != "of":
                     raise ValueError("KQL: top-nested needs 'of <column>'")
                 col = p.next().text
+                others_label = None
+                if p.accept("with"):
+                    if p.next().text.lower() != "others":
+                        raise ValueError(
+                            "KQL: expected 'with others = \"label\"'"
+                        )
+                    p.expect("=")
+                    others_label = p.next().text.strip("'\"")
                 p.expect("by")
                 tok = p.next()
                 if p.peek() and p.peek().text == "=":
@@ -1647,7 +1655,19 @@ def kql(
                 else:
                     p.i -= 1
                     vname = f"aggregated_{col}"
+                fname = p.peek().text.lower() if p.peek() else ""
                 agg = p.agg_item().alias(vname)
+                if others_label is not None and fname not in (
+                    "sum", "count", "countif",
+                ):
+                    # the Others bucket re-aggregates per-key values;
+                    # that equals the aggregate over the remaining
+                    # records only for additive aggregates — refuse the
+                    # rest rather than silently mis-aggregate
+                    raise ValueError(
+                        "KQL: 'with others' supports additive aggregates "
+                        f"(sum/count/countif), got {fname!r}"
+                    )
 
                 lvl = df
                 if surv is not None:
@@ -1663,6 +1683,28 @@ def kql(
                     .filter(F.col("__tnr") <= n)
                     .drop("__tnr")
                 )
+                if others_label is not None:
+                    if p.accept(","):
+                        raise ValueError(
+                            "KQL: 'with others' is supported on the LAST "
+                            "top-nested level only (deeper levels would "
+                            "descend into a synthetic key)"
+                        )
+                    coltype = dict(grouped.dtypes)[col]
+                    others_row = (
+                        grouped.join(
+                            F.broadcast(top.select(*prefix, col)),
+                            prefix + [col],
+                            "left_anti",
+                        )
+                        .groupBy(*prefix)
+                        .agg(F.sum(vname).alias(vname))
+                        .withColumn(
+                            col, F.lit(others_label).cast(coltype)
+                        )
+                        .select(*top.columns)
+                    )
+                    top = top.unionByName(others_row)
                 if surv is not None:
                     # re-attach the parent levels' value columns
                     top = top.join(F.broadcast(surv), prefix, "inner")

@@ -895,3 +895,41 @@ def k46_kql_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | project o_custkey, o_orderkey, o_totalprice",
         {"Orders": orders},
     )
+
+
+@query(
+    "k47_kql_top_nested_others",
+    oracle=f"""{_OI},
+totals AS (
+  SELECT city, CAST(SUM(amount) AS BIGINT) AS total
+  FROM orders_info GROUP BY city
+), top3 AS (
+  SELECT city, total FROM totals
+  ORDER BY total DESC, city LIMIT 3
+)
+SELECT city, total FROM top3
+UNION ALL
+SELECT 'Other', CAST(SUM(total) AS BIGINT) FROM totals
+WHERE city NOT IN (SELECT city FROM top3)
+""",
+    tags=("kql", "topk", "agg"),
+)
+def k47_kql_top_nested_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top-nested N of col with others = "label" by agg`` — the
+    dashboard staple (top 3 cities + an "Other" bucket that keeps the
+    report summing to 100%). The Others row re-aggregates the
+    non-surviving keys' values — valid because the aggregate is
+    additive; the compiler REFUSES non-additive aggregates under
+    `with others` and refuses deeper levels after an others bucket
+    (which would descend into a synthetic key) — explicit errors, not
+    silent mis-aggregation.
+
+    Plan: the level's one grouped aggregate is shared by the top-k
+    window and the Others residual (an anti join against the ≤N
+    broadcast survivors + one tiny re-sum) — no second scan of the
+    fact table."""
+    return kql(
+        'Orders | top-nested 3 of city with others = "Other" by '
+        "total = sum(amount)",
+        _orders(spark, sf_dir),
+    )

@@ -876,3 +876,27 @@ def test_kql_partition_uses_window_group_limit(spark, sf_dir):
     df = REGISTRY["k46_kql_partition"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_kql_top_nested_others_guards(spark, sf_dir):
+    """'with others' must refuse non-additive aggregates and deeper
+    levels — explicit errors, never silent mis-aggregation."""
+    import pytest as _pytest
+
+    from kafka_data_explorer_cdc_spark.cdc.envelope import orders_info
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    src = {"Orders": orders_info(load(spark, sf_dir, "orders"))}
+    with _pytest.raises(ValueError, match="additive"):
+        kql(
+            'Orders | top-nested 2 of city with others = "O" by '
+            "m = avg(amount)",
+            src,
+        )
+    with _pytest.raises(ValueError, match="LAST"):
+        kql(
+            'Orders | top-nested 2 of city with others = "O" by '
+            "t = sum(amount), top-nested 2 of custid by t2 = sum(amount)",
+            src,
+        )
