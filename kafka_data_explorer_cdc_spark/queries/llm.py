@@ -4419,3 +4419,60 @@ def d56_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("k")
         ).alias("mean_chars"),
     )
+
+
+@query(
+    "d57_negative_sampling",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel FROM embeddings WHERE vec_id < 20
+), cand AS (
+  SELECT qid,
+         e.vec_id AS neg_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY (e.vec_id * 2654435761 + qid * 40503) % 1000003,
+                    e.vec_id) AS rk
+  FROM q JOIN embeddings e ON e.label <> q.qlabel
+)
+SELECT qid, neg_id, CAST(rk AS INT) AS rank
+FROM cand WHERE rk <= 4
+""",
+    tags=("llm", "training", "sampling"),
+)
+def d57_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling: for each of 20 query
+    vectors, 4 pseudo-random negatives drawn from the corpus vectors
+    with a DIFFERENT label — the (query, positive, negatives) tuple
+    construction every contrastive/embedding-training pipeline runs
+    over its corpus. The draw order is a deterministic integer hash of
+    (candidate, query) — d41/d56's portable-hash discipline — so every
+    engine, partitioning, and rerun builds the SAME training pairs
+    (reproducible batches; vec_id tiebreak kills hash collisions).
+
+    Scale shape: the 20-row query set broadcasts into the label-
+    mismatch join (never the corpus shuffled); ranking partitions by
+    query — WindowGroupLimit keeps only ~4 rows per query per
+    partition before the one shuffle. At real scale the label-mismatch
+    join becomes label-bucketed sampling (draw from precomputed
+    per-label shards) — same output contract, no per-query corpus
+    pass; stated because THAT layout choice, not the hash, is what
+    matters at 100 TB."""
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    cand = broadcast(q).join(em, F.col("label") != F.col("qlabel"))
+    w = Window.partitionBy("qid").orderBy(
+        (F.col("vec_id") * F.lit(2654435761) + F.col("qid") * F.lit(40503))
+        % F.lit(1000003),
+        "vec_id",
+    )
+    return (
+        cand.select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 4)
+    )

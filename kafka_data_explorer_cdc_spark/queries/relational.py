@@ -3508,3 +3508,71 @@ def b73_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+# -- b74: chi-square independence test
+
+
+@query(
+    "b74_chi_square_independence",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, dayofweek(ts) AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), rowm AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+colm AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT obs.event_type, obs.dow, o,
+         (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n AS DOUBLE) AS e
+  FROM obs JOIN rowm USING (event_type) JOIN colm USING (dow) CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CAST(FLOOR(((o - e) * (o - e) / e) * 1000000000) AS BIGINT))
+            AS DOUBLE) / 1000000000.0 AS chi2
+FROM cells
+""",
+    tags=("relational", "stats"),
+)
+def b74_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and
+    day-of-week — the contingency-table statistic behind "does this
+    categorical depend on that one" checks (A/B sanity, drift
+    detection between dimensions; the categorical sibling of b53's
+    z-score and b59's MAD). chi2 = Σ (observed − expected)² / expected
+    over the type × dow grid, expected = row_total·col_total/N.
+
+    Exactness: observed/marginal counts are integers; each cell term
+    is computed double-identically then nano-quantized to int64 before
+    the order-free sum (d47 contract). Scale shape: ONE count
+    aggregate over the grid (|types|·7 cells regardless of volume),
+    two marginal re-sums of the tiny grid, broadcast joins back, and a
+    1-row reduce — the fact table is scanned exactly once."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    rowm = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    colm = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(broadcast(rowm), "event_type")
+        .join(broadcast(colm), "dow")
+        .crossJoin(broadcast(tot))
+        .select(
+            "o",
+            (
+                F.col("r").cast("double")
+                * F.col("c").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    term = F.floor(
+        ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+        * 1000000000
+    ).cast("bigint")
+    return cells.agg(
+        F.count("*").alias("n_cells"),
+        (F.sum(term).cast("double") / 1000000000.0).alias("chi2"),
+    )
