@@ -4476,3 +4476,129 @@ def d57_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 4)
     )
+
+
+@query(
+    "d58_leakage_safe_split",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+), a AS (
+  SELECT doc_id, fp,
+         CASE WHEN ({DUCKDB_POLY_HASH.format(expr="fp")}) % 10 < 8
+              THEN 'train' ELSE 'eval' END AS split,
+         COUNT(*) OVER (PARTITION BY fp) AS grp_sz
+  FROM g
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN grp_sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs
+FROM a GROUP BY split
+""",
+    tags=("llm", "sampling", "dedup"),
+)
+def d58_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: the split key is the CONTENT
+    FINGERPRINT (md5 of normalized text), not the doc id — every exact
+    duplicate of a document lands on the same side by construction, so
+    an eval doc can never have a training-set twin (the classic
+    train/test contamination channel d17/d52 only *detect* after the
+    fact; this prevents it at split time). The 80/20 assignment hashes
+    the fingerprint with the portable rolling hash (d41's discipline):
+    reproducible across engines, runs, and repartitioning. Returns the
+    audit summary per split: docs, distinct groups, and how many docs
+    sit in multi-member groups (the rows that WOULD have leaked under
+    a doc-id split).
+
+    Scale shape: fingerprint + split are pure narrow projections (no
+    shuffle); the group-size window and the final agg share ONE
+    hash-partition by fp. At 100 TB the same recipe extends to
+    NEAR-dup safety by keying on the d20 connected-component id
+    instead of the md5 — same split function, cluster map joined in —
+    which is why the split key is a column, not an inline expression."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    h = poly_hash("fp")
+    a = docs.select(
+        "doc_id",
+        "fp",
+        F.when(F.expr(f"({h}) % 10 < 8"), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+        F.count("*").over(Window.partitionBy("fp")).alias("grp_sz"),
+    )
+    return a.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_groups"),
+        F.sum(F.when(F.col("grp_sz") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+    )
+
+
+_D59_TERMS = ("slow", "dup", "big")
+
+
+@query(
+    "d59_blocklist_filter",
+    oracle=f"""
+WITH n AS (
+  SELECT source,
+         ' ' || replace(replace(replace(replace(replace(replace(lower(text),
+           '0','o'),'1','i'),'3','e'),'4','a'),'5','s'),'7','t') || ' ' AS t
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  {", ".join(
+    f"CAST(SUM(CASE WHEN t LIKE '% {w} %' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS hits_{w}" for w in _D59_TERMS)},
+  CAST(SUM(CASE WHEN {" OR ".join(
+    f"t LIKE '% {w} %'" for w in _D59_TERMS)}
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM n GROUP BY source
+""",
+    tags=("llm", "quality", "safety"),
+)
+def d59_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist safety/quality filter with obfuscation-resistant
+    normalization — the word-list screening pass every training-data
+    pipeline runs before quality scoring (here with a neutral demo
+    list). Text is lowercased and leet-folded (0→o 1→i 3→e 4→a 5→s
+    7→t, the standard obfuscation alphabet) BEFORE matching, so
+    'SL0W'/'sl0w' hit the 'slow' rule; matching is whole-word via
+    space-padded containment (no substring false-positives: 'bigram'
+    does not hit 'big'). Returns per-source per-term hit counts plus
+    the any-term flag count — the triage report reviewers act on.
+
+    Plan: normalization is one translate() (JVM codegen, identical to
+    the oracle's single-char replace chain), matching is pure
+    Contains — no regex engine, no Python, no join; ONE aggregate by
+    source. At 100 TB a thousand-term list compiles to an Aho-Corasick
+    pass in a pandas UDF; the 3-term demo stays in codegen'd Contains
+    because that is the faster shape below ~dozens of terms."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.lit(" "),
+        F.translate(F.lower(F.col("text")), "013457", "oieast"),
+        F.lit(" "),
+    )
+    n = docs.select("source", t.alias("t"))
+    hit = {w: F.col("t").contains(f" {w} ") for w in _D59_TERMS}
+    any_hit = None
+    for w in _D59_TERMS:
+        any_hit = hit[w] if any_hit is None else (any_hit | hit[w])
+    aggs = [F.count("*").alias("n_docs")]
+    aggs += [
+        F.sum(F.when(hit[w], 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"hits_{w}")
+        for w in _D59_TERMS
+    ]
+    aggs.append(
+        F.sum(F.when(any_hit, 1).otherwise(0)).cast("bigint").alias("n_flagged")
+    )
+    return n.groupBy("source").agg(*aggs)

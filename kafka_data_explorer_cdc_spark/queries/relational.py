@@ -3576,3 +3576,64 @@ def b74_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cells"),
         (F.sum(term).cast("double") / 1000000000.0).alias("chi2"),
     )
+
+
+# -- b75: max concurrency via sweep-line
+
+
+@query(
+    "b75_max_concurrent",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, ts AS st, ts + INTERVAL 15 MINUTE AS en FROM events
+), pts AS (
+  SELECT event_type, st AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, en AS t, -1 AS d FROM iv
+), run AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d DESC) AS conc
+  FROM pts
+)
+SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM run GROUP BY event_type
+""",
+    tags=("relational", "window", "interval"),
+)
+def b75_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type — the sweep-line answer to "how
+    many 15-minute activity intervals were live at once", i.e. the
+    interval-overlap maximum behind capacity planning / peak-load
+    dashboards. Each event opens an interval [ts, ts+15m); intervals
+    unpivot to +1/-1 delta points; a running sum ordered by time is the
+    live count, and its max is the answer. Ties order starts before
+    ends (d DESC), so back-to-back touching intervals count as
+    overlapping — pinned identically in both engines.
+
+    Exactness: integer deltas, integer running sum — no fp anywhere.
+    Scale shape: the unpivot doubles rows but stays narrow (type, t,
+    d); ONE shuffle partitions by event_type and the running sum is a
+    per-partition scan. With few types the window key is coarse — at
+    real scale the sweep shards by (type, day-bucket) with per-bucket
+    carry-in prefix-summed from a tiny per-bucket delta table (two
+    passes, both parallel) — the classic distributed prefix-sum
+    decomposition; stated here because the single-key window is the
+    ONLY serial span in this plan."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    st = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    )
+    en = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("t").asc(), F.col("d").desc()
+    )
+    return (
+        st.unionAll(en)
+        .withColumn("conc", F.sum("d").over(w))
+        .groupBy("event_type")
+        .agg(F.max("conc").cast("bigint").alias("max_concurrent"))
+    )
