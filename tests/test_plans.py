@@ -541,3 +541,35 @@ def test_linear_scoring_broadcasts_weights(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "b67_linear_model_scoring")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_max_concurrent_single_window_shuffle(spark, sf_dir):
+    """b75: the sweep-line is union → ONE exchange on event_type for
+    the running-sum window → partial/final agg reusing that
+    partitioning — exactly one shuffle, no Python, no join."""
+    plan = plan_of(spark, sf_dir, "b75_max_concurrent")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan, plan
+    # window partitioning == agg grouping ⇒ the agg reuses the window's
+    # exchange; only that one hashpartitioning shuffle may appear
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_leakage_split_window_agg_share_exchange(spark, sf_dir):
+    """d58: the per-fp group-size window and the per-split aggregate
+    must not add a join or Python stage; the md5/poly-hash split is
+    pure projection."""
+    plan = plan_of(spark, sf_dir, "d58_leakage_safe_split")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_blocklist_filter_no_shuffle_before_agg(spark, sf_dir):
+    """d59: translate + Contains matching stays in whole-stage codegen
+    — a single scan → project → partial agg → ONE exchange on source
+    → final agg; no Python, no join, no regex UDF."""
+    plan = plan_of(spark, sf_dir, "d59_blocklist_filter")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
