@@ -4602,3 +4602,92 @@ def d59_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(any_hit, 1).otherwise(0)).cast("bigint").alias("n_flagged")
     )
     return n.groupBy("source").agg(*aggs)
+
+
+@query(
+    "mm7_interleaved_packing",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t_tok,
+         CAST(CEIL((octet_length(encode(text)) % 640 + 1) / 16.0)
+            * CEIL(((octet_length(encode(text)) * 7) % 480 + 1) / 16.0)
+            AS BIGINT) AS i_tok
+  FROM documents
+), cum AS (
+  SELECT source, t_tok, i_tok,
+         COALESCE(SUM(t_tok + i_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+  FROM meta
+)
+SELECT source,
+       CAST(FLOOR(tok_before / 4096.0) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(t_tok) AS BIGINT) AS n_text_tokens,
+       CAST(SUM(i_tok) AS BIGINT) AS n_image_tokens,
+       CAST(SUM(t_tok + i_tok) AS BIGINT) AS n_tokens
+FROM cum GROUP BY source, seq_id
+""",
+    tags=("llm", "multimodal", "packing"),
+)
+def mm7_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal sequence packing — d49's packing
+    discipline extended to text+image samples, the batch-prep step for
+    any VLM training run: each document contributes its text tokens
+    (whitespace count, d49's unit) PLUS its image patch tokens
+    (ceil(w/16)*ceil(h/16) — the ViT patch-grid formula — from the
+    decoded metadata), and samples pack greedily into 4096-token
+    sequences per source in deterministic doc_id order. Returns the
+    per-sequence manifest (samples, text/image/total token budget) a
+    dataloader consumes.
+
+    The image dimensions come from the REAL Arrow `mapInPandas` decode
+    path (operators/multimodal.py — the oracle mirrors its stub
+    formula, so what's verified end-to-end is decode → join → pack),
+    joined back to the text stats on doc_id. Scale shape: the decode
+    is embarrassingly parallel; the join is co-keyed on doc_id (at
+    real scale both sides come pre-bucketed by doc_id from the same
+    ingest); the packing window partitions by source — d49's
+    distributed-prefix-sum story applies verbatim to the hot-key
+    case."""
+    docs = load(spark, sf_dir, "documents")
+    meta = MM.decode_images(docs).select("doc_id", "width", "height")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("t_tok"),
+    )
+    m = meta.select(
+        "doc_id",
+        (
+            F.ceil(F.col("width") / F.lit(16.0))
+            * F.ceil(F.col("height") / F.lit(16.0))
+        )
+        .cast("bigint")
+        .alias("i_tok"),
+    )
+    base = t.join(m, "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = base.withColumn(
+        "tok_before",
+        F.coalesce(F.sum(F.col("t_tok") + F.col("i_tok")).over(w), F.lit(0)),
+    )
+    return (
+        cum.groupBy(
+            "source",
+            F.floor(F.col("tok_before") / F.lit(4096.0))
+            .cast("bigint")
+            .alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("t_tok").alias("n_text_tokens"),
+            F.sum("i_tok").alias("n_image_tokens"),
+            F.sum(F.col("t_tok") + F.col("i_tok")).alias("n_tokens"),
+        )
+    )

@@ -863,3 +863,54 @@ def s37_hybrid_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("side") == "live", 1).otherwise(0)).alias("n_live"),
         F.sum("event_id").alias("sum_ids"),
     )
+
+
+@query(
+    "s38_stream_window_topk",
+    oracle="""
+WITH c AS (
+  SELECT time_bucket(INTERVAL '6 hour', ts) AS win_start, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT win_start, user_id, n_events,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY win_start ORDER BY n_events DESC, user_id
+         ) AS INT) AS rk
+  FROM c
+)
+SELECT win_start, user_id, n_events, rk FROM r WHERE rk <= 2
+""",
+    tags=("streaming", "topk"),
+)
+def s38_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: top-2 users per tumbling 6-hour window
+    — the live "who is hammering the API this window" dashboard. The
+    STREAMING side maintains only the additive (window, user) count
+    state (mergeable, watermark-evictable); the rank-and-keep-2 runs
+    on the dashboard READ over the materialized counts, because a
+    ranking window over a streaming aggregate is not incrementally
+    maintainable (a late event can reorder the whole ranking — the
+    same reason Kusto's `top` is also a serve-time operator). That
+    split — additive state in the stream, ordering at read — is the
+    scale contract: state size is bounded by distinct (window, user),
+    never by ranking position, and the read-side rank touches only the
+    already-reduced counts (thousands of rows, not the event volume).
+    Deterministic tiebreak on user_id pins both engines."""
+    from pyspark.sql import Window
+
+    name = f"s38_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.groupBy(F.window("ts", "6 hours"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "user_id", "n_events")
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    counts = spark.table(name)
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
