@@ -4691,3 +4691,71 @@ def mm7_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("t_tok") + F.col("i_tok")).alias("n_tokens"),
         )
     )
+
+
+@query(
+    "d60_ngram_novelty",
+    oracle=_SH_DUCK
+    + """,
+ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+nov AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_sh,
+         SUM(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END) AS n_novel
+  FROM cand c LEFT JOIN ref r USING (shingle) GROUP BY c.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(SUM(n_novel) AS DOUBLE) / CAST(SUM(n_sh) AS DOUBLE) AS novelty
+FROM nov JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+    tags=("llm", "quality", "novelty"),
+)
+def d60_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty vs a reference shard — "how much of this source
+    is text we have NOT already got": per candidate document, the
+    fraction of its distinct word 3-grams absent from a reference
+    corpus (here the doc_id%10==0 shard standing in for "the previous
+    crawl"), rolled up per source. Low novelty flags near-duplicative
+    sources before any pairwise dedup runs — the cheap corpus-level
+    triage that decides where to POINT the d04/d24 machinery — and the
+    same statistic is the memorization screen when the reference is
+    the eval/benchmark set.
+
+    Plan: shingles explode once (d03's shared helper), the membership
+    probe is a LEFT join keyed on the shingle (one hash shuffle), and
+    both rollups are additive. At 100 TB the reference side first
+    compresses to a Bloom filter (d26's operator) so the common-case
+    miss never shuffles — the left join then only confirms the ~1%
+    maybe-hits; novelty is the ONE double divide at the very end, so
+    the whole pipeline stays integer-exact until the report row."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3)
+    ref = sh.filter(F.col("id") % 10 == 0).select("shingle").distinct()
+    cand = sh.filter(F.col("id") % 10 != 0)
+    marked = cand.join(
+        ref.withColumn("__hit", F.lit(1)), "shingle", "left"
+    )
+    nov = marked.groupBy("id").agg(
+        F.count("*").alias("n_sh"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+            "n_novel"
+        ),
+    )
+    return (
+        nov.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sh").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+            (
+                F.sum("n_novel").cast("double")
+                / F.sum("n_sh").cast("double")
+            ).alias("novelty"),
+        )
+    )
