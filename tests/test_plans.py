@@ -573,3 +573,22 @@ def test_blocklist_filter_no_shuffle_before_agg(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_interleaved_packing_one_arrow_stage(spark, sf_dir):
+    """mm7: exactly one Python boundary (the Arrow decode); the
+    doc_id join must be a hash join, never a nested loop."""
+    plan = plan_of(spark, sf_dir, "mm7_interleaved_packing")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_novelty_equi_join_no_python(spark, sf_dir):
+    """d60: the reference-membership probe is an equi-join on the
+    shingle — no cartesian, no Python anywhere in the pipeline."""
+    plan = plan_of(spark, sf_dir, "d60_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
