@@ -3637,3 +3637,71 @@ def b75_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("conc").cast("bigint").alias("max_concurrent"))
     )
+
+
+# -- b76: time-weighted average (TWAP)
+
+
+@query(
+    "b76_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, ts, value, event_id,
+         LEAD(ts) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+), w AS (
+  SELECT event_type, value,
+         date_diff('second', ts, nxt) AS dur_s
+  FROM seq WHERE nxt IS NOT NULL
+)
+SELECT event_type,
+       CAST(SUM(dur_s) AS BIGINT) AS total_sec,
+       CAST(SUM(CAST(FLOOR(value * dur_s * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000.0
+         / CAST(SUM(dur_s) AS DOUBLE) AS twap
+FROM w GROUP BY event_type
+""",
+    tags=("relational", "window", "timeseries"),
+)
+def b76_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP) — the
+    duration-weighted mean every market-data / metrics system serves
+    when observations are irregularly spaced: each observation holds
+    until the next one, so its weight is the seconds until its
+    successor (last observation per key carries no closing bracket and
+    is excluded, the standard open-interval convention). LEAD over
+    (type, time) builds the hold durations; ties pin on event_id so
+    both engines see the same successor.
+
+    Exactness: durations are integer seconds; each value*duration term
+    is micro-quantized to int64 before the order-free sum (d47/b74
+    contract), and the two divides happen once per output row. Scale
+    shape: ONE shuffle on event_type shared by the LEAD window and the
+    aggregate (same key ⇒ Catalyst reuses the exchange); everything
+    between is a per-partition ordered scan. Per-day sharding with
+    boundary carry-rows is the standard refinement when one type's
+    history exceeds a partition."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.withColumn("nxt", F.lead("ts").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    dur = (
+        F.unix_timestamp("nxt") - F.unix_timestamp("ts")
+    ).alias("dur_s")
+    wd = seq.select("event_type", "value", dur)
+    term = F.floor(F.col("value") * F.col("dur_s") * 1000000).cast("bigint")
+    return wd.groupBy("event_type").agg(
+        F.sum("dur_s").cast("bigint").alias("total_sec"),
+        (
+            F.sum(term).cast("double")
+            / 1000000.0
+            / F.sum("dur_s").cast("double")
+        ).alias("twap"),
+    )

@@ -592,3 +592,12 @@ def test_ngram_novelty_equi_join_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_twap_single_exchange_shared_by_window_and_agg(spark, sf_dir):
+    """b76: the LEAD window and the per-type aggregate key on the same
+    column, so the plan carries exactly ONE shuffle and no Python."""
+    plan = plan_of(spark, sf_dir, "b76_time_weighted_avg")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan, plan
