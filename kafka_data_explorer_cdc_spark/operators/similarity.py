@@ -906,3 +906,86 @@ def sq8_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd k-means over an embedding column — the
+    training step for the IVF coarse quantizer (``_centroids`` is the
+    untrained sample this refines; FAISS trains its IVF lists exactly
+    this way). Returns ``(assignments, sse_per_iter, centroids)``
+    where assignments is a DataFrame (id, cid, d2).
+
+    Execution shape per iteration (everything distributed except two
+    bounded collects):
+
+    - **assign**: corpus × broadcast(k×d codebook) cross join; the
+      squared-L2 is a JVM ``zip_with``/``aggregate`` fold (no Python);
+      argmin per vector via ``min(struct(d2, cid))`` — tie-break on
+      cid is pinned, so assignment is deterministic.
+    - **update**: posexplode dims → mean per (cid, dim) — a k·d-row
+      aggregate COLLECTED to the driver (bounded: k·d doubles, the
+      codebook itself; same bound as every codebook collect in this
+      module). Empty clusters keep their previous centroid.
+    - **sse**: per-row d2 nano-quantized to int64 before the order-free
+      sum, so the monotonicity sequence is bit-stable across runs and
+      partitionings.
+
+    At 100 TB: k~2^14, d~10^3 → the codebook is ~100 MB broadcast and
+    the per-iteration shuffle is one k·d-key aggregate — the textbook
+    scalable shape (cost is n·k·d multiply-adds per iteration, all in
+    codegen; mini-batch or sampled variants drop in by filtering df)."""
+    spark = df.sparkSession
+    C = _centroids(df, k, id_col, vec_col).copy()
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sse: list[int] = []
+    g = None
+    for _ in range(n_iter):
+        c_rows = [(int(i), [float(x) for x in C[i]]) for i in range(len(C))]
+        c_df = spark.createDataFrame(c_rows, "cid int, cvec array<double>")
+        d2 = F.aggregate(
+            F.zip_with(
+                "vec",
+                "cvec",
+                lambda a, b: (a.cast("double") - b)
+                * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if g is not None:
+            g.unpersist()
+        g = (
+            base.crossJoin(F.broadcast(c_df))
+            .withColumn("d2", d2)
+            .groupBy("id")
+            .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("best"))
+            .persist()
+        )
+        q = g.agg(
+            F.sum(
+                F.floor(F.col("best.d2") * 1000000000).cast("bigint")
+            ).alias("q")
+        ).collect()[0]["q"]
+        sse.append(int(q))
+        upd = (
+            g.join(base, "id")
+            .select(
+                F.col("best.cid").alias("cid"),
+                F.posexplode("vec").alias("pos", "val"),
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()  # bounded: k*d rows — the next codebook
+        )
+        for r in upd:
+            C[r["cid"]][r["pos"]] = r["m"]
+    assignments = g.select(
+        "id", F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2")
+    )
+    return assignments, sse, C

@@ -4759,3 +4759,48 @@ def d60_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "d61_kmeans_quantizer_train",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       TRUE AS sse_monotone,
+       TRUE AS k_bounded
+FROM embeddings
+""",
+    tags=("llm", "clustering", "iterative", "gate"),
+)
+def d61_kmeans_quantizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means training for the IVF coarse quantizer
+    (operators/similarity.py:kmeans_lloyd) — the iterative-algorithm
+    entry: 4 assign/update rounds over the embeddings, k=8. FAISS
+    trains IVF lists exactly this way; the d07y/d07t serving entries
+    consume precisely such a codebook, so this closes the build side
+    of the ANN story.
+
+    Verification is a bounded-comparison gate (iterative argmin is not
+    SQL-expressible — same discipline as d45): (a) every corpus vector
+    is assigned in the final round (count vs the SQL COUNT(*)), (b)
+    the nano-quantized SSE sequence is monotone non-increasing across
+    iterations — Lloyd's invariant; a wrong assign OR a wrong update
+    breaks it — and (c) cluster ids stay within [0, k). Booleans vs an
+    all-TRUE oracle: a violation flips the driver hash, not just a
+    unit test."""
+    emb = load(spark, sf_dir, "embeddings")
+    assignments, sse, _C = S.kmeans_lloyd(
+        emb, k=8, n_iter=4, id_col="vec_id", vec_col="embedding"
+    )
+    stats = assignments.agg(
+        F.count("*").alias("n"),
+        F.min("cid").alias("cmin"),
+        F.max("cid").alias("cmax"),
+    ).collect()[0]
+    monotone = all(b <= a for a, b in zip(sse, sse[1:]))
+    k_bounded = stats["cmin"] is not None and 0 <= stats["cmin"] and stats[
+        "cmax"
+    ] < 8
+    return spark.createDataFrame(
+        [(int(stats["n"]), bool(monotone), bool(k_bounded))],
+        "n_assigned bigint, sse_monotone boolean, k_bounded boolean",
+    )
