@@ -3705,3 +3705,60 @@ def b76_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dur_s").cast("double")
         ).alias("twap"),
     )
+
+
+# -- b77: week-over-week percent change
+
+
+@query(
+    "b77_week_over_week",
+    oracle="""
+WITH wk AS (
+  SELECT event_type, date_trunc('week', ts) AS week_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week_start, n_events,
+       LAG(n_events) OVER (
+         PARTITION BY event_type ORDER BY week_start
+       ) AS prev_events,
+       CASE WHEN LAG(n_events) OVER (
+              PARTITION BY event_type ORDER BY week_start) IS NULL THEN NULL
+            ELSE CAST(n_events - LAG(n_events) OVER (
+                   PARTITION BY event_type ORDER BY week_start) AS DOUBLE)
+                 / CAST(LAG(n_events) OVER (
+                     PARTITION BY event_type ORDER BY week_start) AS DOUBLE)
+       END AS wow_change
+FROM wk
+""",
+    tags=("relational", "window", "timeseries"),
+)
+def b77_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the `(this - prev) /
+    prev` trend column on every operations dashboard: weekly counts,
+    then LAG one row within each type's week-ordered series (first
+    week reports NULL, not zero — no fabricated baseline).
+
+    Exactness: counts are integers; the single divide happens per
+    output row on already-reduced values. Scale shape: the fact scan
+    reduces to (type × week) rows in ONE partial-agg'd shuffle; the
+    LAG window repartitions only that tiny rollup by type — the window
+    never sees raw events. week_start via date_trunc pins the ISO week
+    boundary identically in both engines."""
+    ev = load(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week_start")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("n_events").over(w)
+    return wk.select(
+        "event_type",
+        "week_start",
+        "n_events",
+        prev.alias("prev_events"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("n_events") - prev).cast("double") / prev.cast("double")
+        )
+        .alias("wow_change"),
+    )
