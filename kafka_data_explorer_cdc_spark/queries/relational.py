@@ -3547,11 +3547,17 @@ def b74_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order-free sum (d47 contract). Scale shape: ONE count
     aggregate over the grid (|types|·7 cells regardless of volume),
     two marginal re-sums of the tiny grid, broadcast joins back, and a
-    1-row reduce — the fact table is scanned exactly once."""
+    1-row reduce — the fact table is scanned exactly once: the grid is
+    cached (it is |types|·7 rows), so the marginals and the cell join
+    all read the in-memory grid, not the parquet scan (without the
+    cache Catalyst re-derives obs for every consumer — 4 fact scans,
+    the plan test pins the fixed shape)."""
     ev = load(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "event_type", F.dayofweek("ts").alias("dow")
-    ).agg(F.count("*").alias("o"))
+    obs = (
+        ev.groupBy("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(F.count("*").alias("o"))
+        .cache()
+    )
     rowm = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     colm = obs.groupBy("dow").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))

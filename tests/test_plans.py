@@ -601,3 +601,30 @@ def test_twap_single_exchange_shared_by_window_and_agg(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "Join" not in plan, plan
+
+
+def test_chi_square_single_fact_scan(spark, sf_dir):
+    """b74: the contingency grid is cached, so all four consumers
+    (grid, two marginals, total) read InMemoryTableScan — the events
+    parquet feeds the cache ONCE; every printed parquet scan sits
+    inside the cached InMemoryRelation subtree, never as a direct
+    input to a consumer."""
+    plan = plan_of(spark, sf_dir, "b74_chi_square_independence")
+    assert plan.count("InMemoryTableScan") == 4, plan
+    # each InMemoryTableScan reprints the cached build plan, so one
+    # FileScan shows per cache reader — and none outside the cache
+    assert plan.count("FileScan parquet") == plan.count(
+        "InMemoryRelation"
+    ), plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_negative_sampling_broadcast_and_group_limit(spark, sf_dir):
+    """d57: the 20-row query set drives a BROADCAST label-mismatch
+    join (the corpus is never shuffled for it) and the per-query
+    rank<=4 filter lowers to WindowGroupLimit, so only ~4 rows per
+    query survive each partition before the one shuffle."""
+    plan = plan_of(spark, sf_dir, "d57_negative_sampling")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
