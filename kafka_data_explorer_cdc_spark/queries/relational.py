@@ -3768,3 +3768,62 @@ def b77_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("wow_change"),
     )
+
+
+# -- b78: equi-depth (quantile-binned) histogram
+
+
+@query(
+    "b78_equidepth_histogram",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5) AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events
+)
+SELECT CASE WHEN value <= q1 THEN 0
+            WHEN value <= q2 THEN 1
+            WHEN value <= q3 THEN 2 ELSE 3 END AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(q1) AS q1, MIN(q2) AS q2, MIN(q3) AS q3
+FROM events CROSS JOIN q
+GROUP BY 1
+""",
+    tags=("relational", "agg", "histogram"),
+)
+def b78_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of the event value — b57's equi-width
+    sibling and the optimizer-statistics form (each bin holds ~25% of
+    rows, so bin boundaries ARE the quartiles): pass 1 computes exact
+    interpolated quartile edges (b27's percentile/quantile_cont parity),
+    pass 2 broadcasts the 1-row edge set and counts rows per bin with a
+    pure when-chain. Edge doubles are bit-identical in both engines, so
+    the <= comparisons bin identically — no epsilon anywhere.
+
+    Scale shape: two fact scans is the honest EXACT form (edges cannot
+    be known before a full pass); the 100 TB production swap is b27x's
+    mergeable percentile_approx sketch for pass 1 — same second pass,
+    one-row broadcast either way, no shuffle larger than 4 rows."""
+    ev = load(spark, sf_dir, "events").select("value")
+    q = ev.agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.5).alias("q2"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    binned = ev.crossJoin(broadcast(q)).select(
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        "q1",
+        "q2",
+        "q3",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_rows"),
+        F.min("q1").alias("q1"),
+        F.min("q2").alias("q2"),
+        F.min("q3").alias("q3"),
+    )
