@@ -4804,3 +4804,55 @@ def d61_kmeans_quantizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(stats["n"]), bool(monotone), bool(k_bounded))],
         "n_assigned bigint, sse_monotone boolean, k_bounded boolean",
     )
+
+
+@query(
+    "d62_data_card",
+    oracle="""
+WITH f AS (
+  SELECT source, lang, n_chars, md5(lower(trim(text))) AS fp
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dups,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_short
+FROM f GROUP BY source
+""",
+    tags=("llm", "profiling", "report"),
+)
+def d62_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card — the dataset-documentation row every
+    training corpus ships with (datasheets/data-cards practice):
+    volume (docs, chars), language diversity, exact-dup rate
+    (1 − unique fingerprints/docs, d01's md5 key), and the
+    short-document fraction that quality filters would drop. One scan,
+    one aggregate; the report that decides which sources get the
+    expensive d04/d24/d60 treatment.
+
+    Scale shape: the two exact DISTINCTs share a single Expand-based
+    aggregate keyed by source (Catalyst's multi-distinct rewrite —
+    same audited shape as b64's profiler); everything else is
+    additive. At 100 TB the distincts swap to approx_count_distinct
+    (b08x's documented trade) with the same report schema."""
+    docs = load(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_dups"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+    )
