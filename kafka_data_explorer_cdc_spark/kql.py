@@ -116,6 +116,9 @@ _AGGS = {
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
     "dcount": lambda c: F.countDistinct(c),
+    # sample forms, matching Kusto (stdev == stdevs, variance sample-based)
+    "stdev": lambda c: F.stddev_samp(c),
+    "variance": lambda c: F.var_samp(c),
 }
 
 
@@ -761,6 +764,18 @@ class _Parser:
             pred = self.expr()
             self.expect(")")
             return F.sum(F.when(pred, val)).alias(name or "sumif_")
+        if fn == "dcountif":
+            # dcountif(col, pred): distinct values of col on rows where
+            # pred holds — countDistinct skips the WHEN's null else-arm,
+            # so this stays ONE mergeable distinct aggregate
+            self.expect("(")
+            val = self.expr()
+            self.expect(",")
+            pred = self.expr()
+            self.expect(")")
+            return F.countDistinct(F.when(pred, val)).alias(
+                name or "dcountif_"
+            )
         if fn in ("arg_max", "arg_min"):
             # arg_max(toMaximize, toReturn): the returned expression of
             # the row maximizing the first — Spark's max_by/min_by

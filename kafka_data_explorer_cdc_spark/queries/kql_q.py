@@ -933,3 +933,33 @@ def k47_kql_top_nested_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total = sum(amount)",
         _orders(spark, sf_dir),
     )
+
+
+@query(
+    "k48_kql_dcountif_stdev",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END)
+            AS BIGINT) AS hi_users,
+       CAST(SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_extreme,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS all_users
+FROM events GROUP BY event_type
+""",
+    tags=("kql", "agg"),
+)
+def k48_kql_dcountif_stdev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dcountif(col, pred)`` (round-6 aggregate sweep, alongside new
+    ``stdev``/``variance`` — exercised in tests/test_kql.py since
+    sample-stddev doubles are not hash-portable): conditional distinct
+    count compiles to ONE mergeable ``countDistinct(when(pred, col))``
+    — the WHEN's null else-arm is skipped by count-distinct, so no
+    second aggregate pass and no join, exactly how the unconditional
+    ``dcount`` lowers."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | summarize hi_users = dcountif(user_id, value > 50), "
+        "n_extreme = countif(value > 90), all_users = dcount(user_id) "
+        "by event_type",
+        {"Events": events},
+    )

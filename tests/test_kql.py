@@ -900,3 +900,29 @@ def test_kql_top_nested_others_guards(spark, sf_dir):
             "t = sum(amount), top-nested 2 of custid by t2 = sum(amount)",
             src,
         )
+
+
+def test_kql_stdev_variance_dcountif(spark, sf_dir):
+    """stdev/variance lower to Spark's SAMPLE forms (Kusto semantics)
+    and dcountif to one countDistinct(when(...)) — values checked
+    against a pandas recompute (ddof=1), no second aggregate pass."""
+    import math
+
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    events = load(spark, sf_dir, "events")
+    out = kql(
+        "Events | summarize s = stdev(value), v = variance(value), "
+        "d = dcountif(user_id, value > 50) by event_type",
+        {"Events": events},
+    ).toPandas().set_index("event_type")
+    pdf = events.select("event_type", "value", "user_id").toPandas()
+    for et, g in pdf.groupby("event_type"):
+        assert math.isclose(
+            out.loc[et, "s"], g["value"].std(ddof=1), rel_tol=1e-9
+        )
+        assert math.isclose(
+            out.loc[et, "v"], g["value"].var(ddof=1), rel_tol=1e-9
+        )
+        assert out.loc[et, "d"] == g.loc[g["value"] > 50, "user_id"].nunique()
