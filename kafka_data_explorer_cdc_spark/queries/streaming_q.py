@@ -914,3 +914,67 @@ def s38_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= 2
     )
+
+
+@query(
+    "s39_stream_quantile_monitor",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY 1
+""",
+    tags=("streaming", "sketch", "approx", "gate"),
+)
+def s39_stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latency/value quantile monitor: per tumbling day,
+    p50/p95 of the event value via `percentile_approx` — the GK sketch
+    is the ONLY percentile that exists in a streaming aggregation
+    (exact forms would buffer every value in state; the sketch is
+    mergeable and constant-size per window, which is what makes live
+    p95 dashboards possible at 100 TB/day). b27x's rank-error gate
+    applied to the STREAM's output: each windowed sketch value's true
+    rank interval (lt, le], recounted exactly batch-side, must meet
+    the guaranteed band ±max(n/10000, 1) (+1 discrete slack) around
+    the target rank — booleans vs an all-TRUE oracle, so a sketch or
+    windowing bug flips the driver hash."""
+    name = f"s39_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.percentile_approx("value", 0.5, 10000).alias("a50"),
+            F.percentile_approx("value", 0.95, 10000).alias("a95"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"), "n_events", "a50", "a95"
+        )
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    sk = spark.table(name)
+    batch = load(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").start.alias("win_start"), "value"
+    )
+    joined = batch.join(F.broadcast(sk), "win_start")
+    ranks = joined.groupBy("win_start").agg(
+        F.first("n_events").alias("n_events"),
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("a50")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("a50")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("a95")).cast("long")).alias("lt95"),
+        F.sum((F.col("value") <= F.col("a95")).cast("long")).alias("le95"),
+    )
+
+    def ok(q: float, nm: str):
+        eps = F.greatest(F.col("n") / 10000, F.lit(1.0))
+        lo = q * F.col("n") - eps - 1
+        hi = q * F.col("n") + eps + 1
+        return (F.col(f"le{nm}") >= lo) & (F.col(f"lt{nm}") <= hi)
+
+    return ranks.select(
+        "win_start",
+        "n_events",
+        ok(0.5, "50").alias("p50_ok"),
+        ok(0.95, "95").alias("p95_ok"),
+    )
