@@ -23,8 +23,8 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # round 7).
 #
 # ROUND-7 QUEUE (never driver-checked, in priority order — the round-6
-# build outgrew the 50-slot window): b56-b76, d43-d61, k43-k47,
-# s34-s38, mm6-mm7, a20-a21 (~54 entries, all green under the local
+# build outgrew the 50-slot window): b56-b78, d43-d62, k43-k48,
+# s34-s39, mm6-mm7, a20-a21 (~59 entries, all green under the local
 # oracle mirror at sf0.001 — tests/test_oracle.py runs every entry).
 # Fill round 7's window with the first 50 of these, then resume the
 # r2/r3 rotation (k13-k34, d07, d16-d19, d04x, d06x) in round 8.
