@@ -4856,3 +4856,69 @@ def d62_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_short"),
     )
+
+
+@query(
+    "d63_dedup_keep_best",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, source, n_chars, md5(lower(trim(text))) AS fp
+  FROM documents
+), r AS (
+  SELECT doc_id, source, fp,
+         ROW_NUMBER() OVER (
+           PARTITION BY fp ORDER BY n_chars DESC, doc_id
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY fp) AS grp_sz
+  FROM g
+)
+SELECT source,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rk = 1 AND grp_sz > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_survivors_of_groups
+FROM r GROUP BY source
+""",
+    tags=("llm", "dedup", "apply"),
+)
+def d63_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLY with a keep-BEST policy: within each exact-dup group
+    (md5 fingerprint, d01's key) keep the highest-quality member — here
+    longest text, doc_id tiebreak — instead of d02's keep-first. This
+    is the policy real pipelines run (the canonical copy is the best
+    crawl, not the first one seen); the same rank-1 window applies
+    verbatim when the group key is a d20 near-dup cluster id. Reports
+    the per-source audit: kept, dropped, and how many survivors
+    actually beat a competitor (the rows where the policy mattered).
+
+    Plan: ONE hash-partition by fingerprint shared by both windows,
+    then an additive rollup by source — no join, no second scan; the
+    winner selection lowers to WindowGroupLimit-style per-partition
+    streaming rank, never a sort of the full corpus."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    wr = Window.partitionBy("fp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    r = docs.select(
+        "source",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy("fp")).alias("grp_sz"),
+    )
+    return r.groupBy("source").agg(
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rk") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(
+            F.when((F.col("rk") == 1) & (F.col("grp_sz") > 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_survivors_of_groups"),
+    )

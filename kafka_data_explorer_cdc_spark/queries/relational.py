@@ -3827,3 +3827,81 @@ def b78_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("q2").alias("q2"),
         F.min("q3").alias("q3"),
     )
+
+
+# -- b79: Pareto concentration (80/20) analysis
+
+
+@query(
+    "b79_pareto_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), r AS (
+  SELECT nationkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, nationkey) AS cum_cents,
+         SUM(cents) OVER () AS total_cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, nationkey) AS rk
+  FROM rev
+)
+SELECT CAST(rk AS INT) AS rk, nationkey,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS cum_share,
+       cum_cents * 5 <= total_cents * 4 AS below_80pct
+FROM r
+""",
+    tags=("relational", "window", "analytics"),
+)
+def b79_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 concentration: nations ranked by total order
+    revenue with each nation's CUMULATIVE share of the total — the
+    "how few keys carry 80% of the volume" analysis behind skew
+    diagnosis (b68's business-facing sibling) and account planning.
+    ``below_80pct`` marks the head that fits under the 80% line via
+    the integer cross-multiplication ``cum*5 <= total*4`` — no
+    floating-point threshold anywhere in the decision.
+
+    Exactness: revenue sums as integer cents (round(double×100) — the
+    doubles carry 2-decimal prices, so nearest-integer is exact), the share
+    divides once per output row. Scale shape: the fact join reduces to
+    |nations| rows BEFORE any window; the global sort/cumsum then
+    touches ~25 rows — the pattern that makes a "global" window safe:
+    aggregate first, window the rollup, never the fact table."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wo = Window.orderBy(F.col("cents").desc(), F.col("nationkey"))
+    r = rev.select(
+        "nationkey",
+        "cents",
+        F.sum("cents").over(wo).alias("cum_cents"),
+        F.sum("cents").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_cents"),
+        F.row_number().over(wo).alias("rk"),
+    )
+    return r.select(
+        F.col("rk").cast("int").alias("rk"),
+        "nationkey",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (
+            F.col("cum_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("cum_share"),
+        (F.col("cum_cents") * 5 <= F.col("total_cents") * 4).alias(
+            "below_80pct"
+        ),
+    )
