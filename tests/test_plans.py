@@ -630,3 +630,25 @@ def test_negative_sampling_broadcast_and_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_keep_best_single_fp_exchange(spark, sf_dir):
+    """d63: both windows (rank + group size) and nothing else share
+    the fingerprint partitioning — one shuffle to the winner rollup,
+    no join, no Python."""
+    plan = plan_of(spark, sf_dir, "d63_dedup_keep_best")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_pareto_windows_only_on_rollup(spark, sf_dir):
+    """b79: the global cumsum window must sit ABOVE the per-nation
+    aggregate — the single-partition exchange may only ever carry the
+    ~25-row rollup, and the fact join must broadcast the dim side."""
+    plan = plan_of(spark, sf_dir, "b79_pareto_concentration")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # the SinglePartition exchange for the global window appears after
+    # (i.e., physically above) the partial/final HashAggregate pair
+    agg_pos = plan.find("HashAggregate")
+    sp_pos = plan.find("Exchange SinglePartition")
+    assert sp_pos != -1 and agg_pos != -1 and sp_pos < agg_pos, plan
