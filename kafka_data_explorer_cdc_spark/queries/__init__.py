@@ -22,12 +22,30 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # bench-flagged for an idle A/B — plus k24-k27; k28-k34 displaced to
 # round 7).
 #
-# ROUND-7 QUEUE (never driver-checked, in priority order — the round-6
-# build outgrew the 50-slot window): b56-b78, d43-d62, k43-k48,
-# s34-s39, mm6-mm7, a20-a21 (~59 entries, all green under the local
-# oracle mirror at sf0.001 — tests/test_oracle.py runs every entry).
-# Fill round 7's window with the first 50 of these, then resume the
-# r2/r3 rotation (k13-k34, d07, d16-d19, d04x, d06x) in round 8.
+# ROUND-7 WINDOW (this file's _FRONT, below): the first 50 of the 58
+# never-driver-checked entries as of CORRECTNESS_r06, in documented
+# priority order — b56-b79, d43-d63, k46-k48, s34-s35. All are green
+# under the local oracle mirror at sf0.001 (tests/test_oracle.py runs
+# every entry).
+#
+# ROUND-8 QUEUE (in priority order):
+#   1. the 8 round-7 overflow never-checked entries:
+#      s36_stream_partitioned_sink, s37_hybrid_backfill_union,
+#      s38_stream_window_topk, s39_stream_quantile_monitor,
+#      mm6_multimodal_retrieval, mm7_interleaved_packing,
+#      a20_schema_evolution_ingest, a21_malformed_envelope_dlq;
+#   2. any round-7 additions never driver-checked;
+#   3. the stalest rotation cohort — newest driver row r2: k13, k14,
+#      k15, k16, k17, k20, k21, k22, k23, d07, d16, d17, d18, d19
+#      (14 entries), then r3: d04x, d06x, k24-k34, b13a…, until the
+#      window fills.
+# NOTE on the staleness ceiling: the policy aimed for "no entry's
+# newest driver row more than ~3 rounds old", but with a 230-entry
+# registry and a 50-slot window the arithmetic floor is ~5 rounds
+# (230/50); never-checked entries rightly pre-empt rotation. The r2
+# cohort above will be ~6 rounds stale when it rotates in during
+# round 8 — accepted trade, documented here so the number isn't a
+# surprise.
 from . import kql_q  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
@@ -35,65 +53,65 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 _FRONT = [
-    # (0) round-6 additions (never driver-checked, newest first)
-    "b44_zorder_skipping",
-    "d28_cms_frequency",
-    "d29_bigram_lm_perplexity",
-    "d30_semantic_dedup",
-    "d31_weighted_priority_sample",
-    "d32_mixture_rebalance",
-    "d33_shingle_containment_pairs",
-    "d34_sq8_ann_topk",
-    "b45_kmins_distinct_sketch",
-    "b46_quantile_sketch_rollup",
-    "s32_stream_minhash_dedup",
-    "b47_bucketed_colocated_join",
-    "d35_incremental_dedup",
-    "d36_pagerank_centrality",
-    "d37_retrieval_pipeline",
-    "b48_multiformat_scan",
-    # (1) never driver-checked: the 20 round-5 additions
-    "b31_exists_subquery",
-    "b32_scalar_correlated",
-    "b33_in_subquery_having",
-    "b34_not_in_null_aware",
-    "b35_top_supplier_cte",
-    "b36_unpivot_measures",
-    "b37_salted_skew_join",
-    "b38_range_interval_window",
-    "b39_lateral_topn_per_group",
-    "b40_grouping_sets",
-    "b41_hll_sketch_rollup",
-    "b42_variant_shred",
-    "a18_custom_source_connector",
-    "d26_bloom_prefilter_semi_join",
-    "d27_freq_items_heavy_hitters",
-    "mm5_audio_window_energy",
-    "s28_stream_static_enrich",
-    "s29_incremental_agg_view",
-    "s30_change_data_feed",
-    "s31_pipeline_over_custom_source",
-    # (0b) late-round-6 additions (never driver-checked)
-    "b49_sessionize_events",
-    "b50_cohort_retention",
-    "b51_gap_fill_locf",
-    "b52_pivot_status_matrix",
-    "b53_anomaly_zscore",
-    "b54_pandas_grouped_median",
-    "b55_grouped_map_normalize",
-    "d38_knn_label_classify",
-    "d39_event_transitions",
-    "d40_length_percentile_filter",
-    "d41_hash_bucket_sample",
-    "s33_stream_left_outer_join",
-    "d42_bm25_retrieval",
-    "a19_point_in_time_lookup",
-    # (2) stalest cohort: ZERO slots this round — the 50 never-checked
-    # entries (round-6 additions + the 20 the r5 window missed) exactly
-    # fill the window. The late-session additions b56-b58/d43-d46 and
-    # the r2/r3 rotation cohort (k13-k23, d07, d16-d19, d04x, d06x…)
-    # are first in line for round 7; policy unchanged — priority (1)
-    # never-checked fills before rotation.
+    # Round-7 window: the first 50 never-driver-checked entries (as of
+    # CORRECTNESS_r06) in documented priority order. Verified against
+    # the union of CORRECTNESS_r01..r06 — none of these has a driver
+    # row in any round.
+    # (1) relational b56-b79 (24)
+    "b56_recursive_cte_hierarchy",
+    "b57_equiwidth_histogram",
+    "b58_ewma_smoothing",
+    "b59_mad_robust_outliers",
+    "b60_referential_audit",
+    "b61_udtf_installments",
+    "b62_observed_metrics",
+    "b63_compact_small_files",
+    "b64_column_profiler",
+    "b65_partition_pruned_scan",
+    "b66_metadata_only_agg",
+    "b67_linear_model_scoring",
+    "b68_skew_probe",
+    "b69_moments_rollup",
+    "b70_dictionary_encoding",
+    "b71_ohlc_downsample",
+    "b72_snapshot_diff",
+    "b73_rolling_distinct_users",
+    "b74_chi_square_independence",
+    "b75_max_concurrent",
+    "b76_time_weighted_avg",
+    "b77_week_over_week",
+    "b78_equidepth_histogram",
+    "b79_pareto_concentration",
+    # (2) llm-pipeline d43-d63 (21)
+    "d43_dup_span_coalesce",
+    "d44_group_reservoir_sample",
+    "d45_wordpiece_tokenize",
+    "d46_random_projection",
+    "d47_label_centroid_cohesion",
+    "d48_source_jsd_shift",
+    "d49_sequence_packing",
+    "d50_prefix_filter_jaccard",
+    "d51_fuzzy_key_join",
+    "d52_eval_decontamination",
+    "d53_zipf_fit",
+    "d54_bpe_pair_stats",
+    "d55_triangle_count",
+    "d56_poisson_bootstrap",
+    "d57_negative_sampling",
+    "d58_leakage_safe_split",
+    "d59_blocklist_filter",
+    "d60_ngram_novelty",
+    "d61_kmeans_quantizer_train",
+    "d62_data_card",
+    "d63_dedup_keep_best",
+    # (3) KQL dialect k46-k48 (3)
+    "k46_kql_partition",
+    "k47_kql_top_nested_others",
+    "k48_kql_dcountif_stdev",
+    # (4) streaming head s34-s35 (2) — window full at 50; overflow
+    # (s36-s39, mm6-mm7, a20-a21) leads the round-8 queue above.
+    "s34_stream_value_histogram",
+    "s35_stream_approx_distinct",
 ]
 
 
