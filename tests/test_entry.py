@@ -33,3 +33,38 @@ def test_queries_and_oracles_are_consistent(spark):
     assert all(n.replace("_", "").isalnum() for n in qs)
     df = qs["b01_scan_region"](spark, "/root/testdata/sf0.001")
     assert df.count() == 5
+
+
+def test_coverage_freshness_table_not_stale():
+    """COVERAGE.md's generated freshness header must agree with the
+    CORRECTNESS_r*.json files on disk (tracked or not). Round 6 shipped
+    a stale table because the regen tool was never re-run after the
+    driver dropped CORRECTNESS_r06.json; this guard skips LOUDLY (not
+    fails — a new driver drop mid-round must not break green) with the
+    exact command to run."""
+    import glob
+    import json
+    import re
+
+    import pytest
+
+    checked: set[str] = set()
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        checked.update(json.load(open(p)).keys())
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+
+    ever = sum(1 for n in REGISTRY if n in checked)
+    never = len(REGISTRY) - ever
+    doc = open("/root/repo/COVERAGE.md").read()
+    m = re.search(
+        r"Registry entries: (\d+); ever driver-checked: (\d+); never: (\d+)",
+        doc,
+    )
+    assert m, "COVERAGE.md freshness header missing — run python tools/coverage_freshness.py"
+    got = tuple(int(x) for x in m.groups())
+    if got != (len(REGISTRY), ever, never):
+        pytest.skip(
+            f"COVERAGE.md freshness table STALE: header says {got}, "
+            f"disk says {(len(REGISTRY), ever, never)} — "
+            "run `python tools/coverage_freshness.py` and commit"
+        )
