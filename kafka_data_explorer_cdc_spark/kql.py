@@ -12,7 +12,14 @@ time and no custom Catalyst rule.
 Supported (the reference's surface plus the obvious neighbors):
 
     T | where <expr>
-      | summarize [name =] agg(col), ... [by col | name = expr, ...]
+      | summarize [hint.shufflekey = col ...] [hint.strategy = shuffle]
+          [name =] agg(col), ... [by col | name = expr, ...]
+        (Kusto's shuffle-strategy hints: pre-shuffle the input on the
+        hinted key(s) — legal because hash-partitioning on a SUBSET of
+        the group keys satisfies the aggregate's clustering
+        requirement, so Catalyst inserts no second Exchange; the
+        deliberate high-cardinality trade of map-side combine for one
+        well-keyed shuffle)
       | sort by col [asc|desc], ...        (KQL default: DESCENDING)
       | order by ...                       (alias of sort)
       | top N by expr [asc|desc] [nulls first|last]   (any scalar
@@ -41,9 +48,12 @@ Supported (the reference's surface plus the obvious neighbors):
       | mv-expand [name =] arraycol
       | distinct col, ...  /  distinct *
       | count   (column named `Count`, as in Kusto)
-      | join [kind=K] ( Sub | ... ) on k [, ...]   (Kusto innerunique
-        default; $left.a == $right.b key form; right-side name clashes
-        get a '1' suffix)
+      | join [kind=K] [hint.strategy = broadcast|shuffle]
+          ( Sub | ... ) on k [, ...]   (Kusto innerunique default;
+        $left.a == $right.b key form; right-side name clashes get a
+        '1' suffix; hint.strategy=broadcast pins a BroadcastHashJoin
+        on the sub-pipeline side, =shuffle pins shuffle-hash —
+        advisory exactly as in Kusto, Catalyst keeps final say)
       | lookup [kind=leftouter|inner] Dim on k   (broadcast dim join)
       | mv-apply x = arr [to typeof(T)] on ( where ... | summarize ... )
         (per-record array sub-pipeline; compiled to higher-order
@@ -1161,12 +1171,39 @@ def _compile_join(
 
     Compiles to a plain DataFrame equi-join, so Catalyst still picks
     the physical strategy (broadcast for a small right side, sort-merge
-    otherwise) — the KQL front end adds no execution of its own."""
-    m = re.match(r"join\b\s*(?:kind\s*=\s*([A-Za-z]+)\s*)?", stage, re.I)
-    kind = (m.group(1) or "innerunique").lower()
+    otherwise) — the KQL front end adds no execution of its own.
+
+    ``hint.strategy = broadcast`` / ``= shuffle`` (Kusto's join
+    strategy hints) lower to Spark's own advisory join hints on the
+    sub-pipeline side — ``broadcast()`` / ``hint("shuffle_hash")`` —
+    so they steer the physical pick without forcing an illegal plan
+    (Catalyst ignores a hint it cannot honor, e.g. broadcasting the
+    stream side of a left-semi after a rightsemi swap, exactly as
+    Kusto treats the hint as advisory)."""
+    m = re.match(
+        r"join\b((?:\s*(?:kind|hint\.(?:strategy))\s*=\s*[A-Za-z_]\w*)*)\s*",
+        stage,
+        re.I,
+    )
+    kind, strategy = "innerunique", None
+    for hname, hval in re.findall(
+        r"(kind|hint\.strategy)\s*=\s*([A-Za-z_]\w*)", m.group(1), re.I
+    ):
+        if hname.lower() == "kind":
+            kind = hval.lower()
+        else:
+            strategy = hval.lower()
+            if strategy not in ("broadcast", "shuffle"):
+                raise ValueError(
+                    f"KQL: unsupported join hint.strategy {hval!r}"
+                )
     if kind not in _JOIN_KINDS:
         raise ValueError(f"KQL: unsupported join kind {kind!r}")
     right, keys = _parse_rhs_and_keys(stage[m.end():].lstrip(), tables, now, lets)
+    if strategy == "broadcast":
+        right = F.broadcast(right)
+    elif strategy == "shuffle":
+        right = right.hint("shuffle_hash")
 
     if kind == "innerunique":
         left = left.dropDuplicates([lk for lk, _ in keys])
@@ -1577,12 +1614,56 @@ def kql(
         if verb == "where":
             df = df.filter(p.expr())
         elif verb == "summarize":
+            # hint.shufflekey = col / hint.strategy = shuffle — Kusto's
+            # shuffle-strategy hints for high-cardinality aggregates.
+            # Compiled to ONE explicit repartition on the hinted key(s)
+            # before groupBy: HashPartitioning on a subset of the group
+            # keys satisfies the aggregate's ClusteredDistribution, so
+            # EnsureRequirements inserts no second Exchange — the plan
+            # is repartition(hint) → final HashAggregate. That trades
+            # map-side combine for one well-keyed shuffle, exactly the
+            # trade the Kusto hint makes (worth it when group keys are
+            # near-unique so partials reduce nothing, or one subset key
+            # is where the skew/locality lives).
+            hint_keys: list[str] = []
+            hint_shuffle = False
+            while (
+                p.peek()
+                and p.peek().text.lower().startswith("hint.")
+            ):
+                hname = p.next().text.lower()[len("hint."):]
+                p.expect("=")
+                hval = p.next().text
+                if hname == "shufflekey":
+                    hint_keys.append(hval)
+                elif hname == "strategy":
+                    if hval.lower() != "shuffle":
+                        raise ValueError(
+                            "KQL: summarize supports only "
+                            "hint.strategy = shuffle, got "
+                            f"{hval!r}"
+                        )
+                    hint_shuffle = True
+                else:
+                    raise ValueError(
+                        f"KQL: unsupported summarize hint {hname!r}"
+                    )
             aggs = [p.agg_item()]
             while p.accept(","):
                 aggs.append(p.agg_item())
             if p.accept("by"):
-                df = df.groupBy(*p.group_items()).agg(*aggs)
+                keys = p.group_items()
+                if hint_keys:
+                    df = df.repartition(*[F.col(c) for c in hint_keys])
+                elif hint_shuffle:
+                    # bare strategy=shuffle: shuffle on the full key set
+                    df = df.repartition(*keys)
+                df = df.groupBy(*keys).agg(*aggs)
             else:
+                if hint_keys or hint_shuffle:
+                    raise ValueError(
+                        "KQL: shuffle hints need a 'by' clause"
+                    )
                 df = df.agg(*aggs)
         elif verb in ("sort", "order"):
             p.expect("by")

@@ -963,3 +963,68 @@ def k48_kql_dcountif_stdev(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by event_type",
         {"Events": events},
     )
+
+
+@query(
+    "k49_kql_shufflekey_hint",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MAX(value) AS maxv
+FROM events GROUP BY user_id, event_type
+""",
+    tags=("kql", "agg", "hint", "scale"),
+)
+def k49_kql_shufflekey_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto's ``summarize hint.shufflekey = key`` — the
+    high-cardinality aggregation hint (ADX docs prescribe it exactly
+    for group keys so distinct that map-side partials reduce nothing).
+    Compiled to ONE explicit repartition on the hinted key before the
+    groupBy: hash-partitioning on a SUBSET of the group keys satisfies
+    the aggregate's ClusteredDistribution, so EnsureRequirements adds
+    no second Exchange — plan-pinned in tests/test_plans.py as exactly
+    one Exchange, hashpartitioning(user_id) alone, REPARTITION_BY_COL.
+    At 100 TB this is the knob that puts the one unavoidable shuffle on
+    the key whose locality you want (e.g. the follow-up join key),
+    instead of the full composite. Values are hint-independent —
+    max/count are order-free — which is what the oracle proves."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | summarize hint.shufflekey = user_id cnt = count(), "
+        "maxv = max(value) by user_id, event_type",
+        {"Events": events},
+    )
+
+
+@query(
+    "k50_kql_join_strategy_hint",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("kql", "join", "hint", "scale"),
+)
+def k50_kql_join_strategy_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``join hint.strategy = broadcast`` — Kusto's broadcast-join hint,
+    lowered to Spark's own advisory broadcast hint on the sub-pipeline
+    side (``hint.strategy = shuffle`` lowers to ``shuffle_hash`` the
+    same way; both stay advisory, Catalyst keeps final say, so an
+    un-broadcastable side degrades to a legal plan instead of an OOM —
+    the failure mode a hard-pinned broadcast has at 100 TB).
+    Plan-pinned as BroadcastHashJoin with zero shuffle on the fact
+    side's join input. The dimension side here is customer — the
+    classic small-dim star-join shape the hint exists for."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return kql(
+        "Orders"
+        " | join kind=inner hint.strategy=broadcast ( Customers )"
+        " on $left.o_custkey == $right.c_custkey"
+        " | extend cents_1 = toint(round(o_totalprice * 100))"
+        " | summarize n = count(), cents = sum(cents_1) by c_mktsegment",
+        {"Orders": orders, "Customers": customer},
+    )

@@ -926,3 +926,56 @@ def test_kql_stdev_variance_dcountif(spark, sf_dir):
             out.loc[et, "v"], g["value"].var(ddof=1), rel_tol=1e-9
         )
         assert out.loc[et, "d"] == g.loc[g["value"] > 50, "user_id"].nunique()
+
+
+def test_kql_hint_guards_and_equivalence(spark, sf_dir):
+    """Shuffle hints are pure physical advice: hinted and unhinted
+    spellings must return identical rows; malformed hints are explicit
+    errors, not silent no-ops."""
+    import pytest
+
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    events = load(spark, sf_dir, "events")
+    plain = kql(
+        "Events | summarize cnt = count() by user_id, event_type",
+        {"Events": events},
+    )
+    hinted = kql(
+        "Events | summarize hint.shufflekey = user_id cnt = count() "
+        "by user_id, event_type",
+        {"Events": events},
+    )
+    strat = kql(
+        "Events | summarize hint.strategy = shuffle cnt = count() "
+        "by user_id, event_type",
+        {"Events": events},
+    )
+    want = sorted(map(tuple, plain.collect()))
+    assert sorted(map(tuple, hinted.collect())) == want
+    assert sorted(map(tuple, strat.collect())) == want
+
+    with pytest.raises(ValueError, match="hint.strategy"):
+        kql(
+            "Events | summarize hint.strategy = banana c = count() "
+            "by event_type",
+            {"Events": events},
+        )
+    with pytest.raises(ValueError, match="by"):
+        kql(
+            "Events | summarize hint.shufflekey = user_id c = count()",
+            {"Events": events},
+        )
+    with pytest.raises(ValueError, match="hint"):
+        kql(
+            "Events | summarize hint.partitionkey = user_id c = count() "
+            "by event_type",
+            {"Events": events},
+        )
+    with pytest.raises(ValueError, match="strategy"):
+        kql(
+            "Events | join kind=inner hint.strategy=sideways ( Events )"
+            " on user_id | take 1",
+            {"Events": events},
+        )

@@ -652,3 +652,41 @@ def test_pareto_windows_only_on_rollup(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     sp_pos = plan.find("Exchange SinglePartition")
     assert sp_pos != -1 and agg_pos != -1 and sp_pos < agg_pos, plan
+
+
+def test_shufflekey_hint_single_subset_exchange(spark, sf_dir):
+    """k49: the hinted summarize must show EXACTLY ONE Exchange, and it
+    must hash-partition on the hinted SUBSET key alone
+    (REPARTITION_BY_COL) — proving hash-partitioning on a subset of the
+    group keys satisfied the aggregate's clustering requirement and no
+    second Exchange was inserted."""
+    p = plan_of(spark, sf_dir, "k49_kql_shufflekey_hint")
+    assert p.count("Exchange") == 1
+    ex = [ln for ln in p.splitlines() if "Exchange" in ln][0]
+    assert "hashpartitioning(user_id" in ex and "event_type" not in ex
+    assert "REPARTITION_BY_COL" in ex
+
+
+def test_join_strategy_hint_lowers_to_physical_pick(spark, sf_dir):
+    """k50: hint.strategy=broadcast must yield a BroadcastHashJoin (the
+    fact side never shuffles for the join); the shuffle spelling of the
+    same query must yield ShuffledHashJoin — both advisory lowerings of
+    Kusto's join hints onto Catalyst's own hint mechanism."""
+    p = plan_of(spark, sf_dir, "k50_kql_join_strategy_hint")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    j = kql(
+        "Orders | join kind=inner hint.strategy=shuffle ( Customers )"
+        " on $left.o_custkey == $right.c_custkey"
+        " | summarize n = count() by c_mktsegment",
+        {
+            "Orders": load(spark, sf_dir, "orders"),
+            "Customers": load(spark, sf_dir, "customer"),
+        },
+    )
+    p2 = j._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in p2
