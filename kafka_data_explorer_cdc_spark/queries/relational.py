@@ -3905,3 +3905,103 @@ def b79_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "below_80pct"
         ),
     )
+
+
+@query(
+    "b80_merge_upsert_dsl",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         o_totalprice + 100.0 AS new_price, FALSE AS cancel
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE), TRUE
+  FROM orders WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT -o_orderkey, o_custkey, 500.0, FALSE
+  FROM orders WHERE o_orderkey % 10 = 1
+),
+merged AS (
+  SELECT t.o_orderstatus,
+         CASE WHEN s.k IS NOT NULL AND NOT s.cancel
+              THEN s.new_price ELSE t.o_totalprice END AS price
+  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.k
+  WHERE s.k IS NULL OR NOT s.cancel
+  UNION ALL
+  SELECT 'N', s.new_price
+  FROM src s LEFT JOIN orders t ON t.o_orderkey = s.k
+  WHERE t.o_orderkey IS NULL
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM merged GROUP BY o_orderstatus
+""",
+    tags=("relational", "merge", "upsert", "scale"),
+)
+def b80_merge_upsert_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO as a declarative operator
+    (operators/merge.py) — the lakehouse upsert: one statement applies
+    conditional updates (repriced orders), conditional deletes
+    (cancellations), and inserts (new keys) against the orders table,
+    then summarizes the post-MERGE state per status.
+
+    The engine form is ONE full-outer equi-join + per-column CASE
+    projection (each side scanned once, all codegen); the oracle keeps
+    the row-preserving three-branch UNION formulation — target scanned
+    twice, source twice — which is exactly the rewrite MERGE exists to
+    avoid. Matched clauses apply first-match-wins in declaration order
+    (Delta semantics); duplicate source keys raise
+    MergeCardinalityError via a source-only map-side-combined guard.
+    At 100 TB: the join shuffles each side once on the merge key, or
+    zero times from b47's bucketed layout; the CDC micro-batch sibling
+    is streaming/pipeline.py's MergeStateSink."""
+    from ..operators.merge import MatchedClause, merge_into
+
+    o = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    src = (
+        o.filter(key % 10 == 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + 100.0).alias("new_price"),
+            F.lit(False).alias("cancel"),
+        )
+        .unionByName(
+            o.filter(key % 10 == 7).select(
+                "o_orderkey",
+                "o_custkey",
+                F.lit(None).cast("double").alias("new_price"),
+                F.lit(True).alias("cancel"),
+            )
+        )
+        .unionByName(
+            o.filter(key % 10 == 1).select(
+                (-key).alias("o_orderkey"),
+                "o_custkey",
+                F.lit(500.0).alias("new_price"),
+                F.lit(False).alias("cancel"),
+            )
+        )
+    )
+    merged = merge_into(
+        o,
+        src,
+        ["o_orderkey"],
+        matched=[
+            MatchedClause("delete", condition=F.col("__s.cancel")),
+            MatchedClause(
+                "update", set_map={"o_totalprice": F.col("__s.new_price")}
+            ),
+        ],
+        insert_map={
+            "o_orderstatus": F.lit("N"),
+            "o_totalprice": F.col("__s.new_price"),
+        },
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("cents"),
+    )
