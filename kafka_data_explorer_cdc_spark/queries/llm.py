@@ -4922,3 +4922,111 @@ def d63_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_survivors_of_groups"),
     )
+
+
+@query(
+    "d64_boilerplate_line_removal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), segs AS (
+  SELECT doc_id, source, s.i AS pos,
+         array_to_string(
+           t[1 + s.i * 8 : least(1 + s.i * 8 + 7, len(t))], ' ') AS seg
+  FROM toks, unnest(generate_series(0, (len(t) - 1) // 8)) AS s(i)
+), hashed AS (
+  SELECT doc_id, source, pos,
+         seg,
+         CASE WHEN length(seg) = 0 THEN 0 ELSE
+           list_reduce(
+             list_transform(generate_series(1, length(seg)),
+                            i -> CAST(unicode(seg[i:i]) AS BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007)
+         END AS ch
+  FROM segs
+), freq AS (
+  SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY ch
+), marked AS (
+  SELECT doc_id, source, pos, seg, nd >= 3 AS boiler
+  FROM hashed JOIN freq USING (ch)
+)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(
+         string_agg(CASE WHEN NOT boiler THEN seg END, ' ' ORDER BY pos),
+         '') AS cleaned_text
+FROM marked GROUP BY doc_id, source
+""",
+    tags=("llm", "dedup", "quality", "apply"),
+)
+def d64_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide boilerplate removal, APPLIED: any "line"
+    (disjoint 8-token segment — the synthetic corpus has no newlines,
+    so the segment grid stands in for line splitting; the pipeline is
+    unit-agnostic) that occurs in >= 3 DISTINCT documents is cut from
+    every document, and the CLEANED text is rebuilt in order. This is
+    the C4/RefinedWeb "remove repeated lines" pass — the transform
+    itself, where d22 only reports shared-segment counts and d43 only
+    reports spans. Returns (doc_id, source, n_segments, n_removed,
+    cleaned_text).
+
+    Scale shape: zero-shuffle segment fan-out (d16/d22's slice
+    pipeline) → ONE portable-hash frequency shuffle carrying 8-byte
+    hashes (map-side partials) → the boiler set (only segments
+    repeated >= 3 docs — structurally tiny, boilerplate by definition)
+    broadcasts back as a hash semi-probe, so the corpus is never
+    shuffled by text → one doc_id shuffle rebuilds documents with
+    array_sort(collect_list(struct(pos, seg))) — per-doc linear. The
+    portable polynomial hash keeps the oracle exact (collisions, if
+    any, collide identically in both engines); at 100 TB swap
+    xxhash64 and pin the boiler set to a shuffle join if it outgrows
+    broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    seg_len = 8
+    t = F.col("__t")
+    toks = ensure_parallelism(docs).select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("__t")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((F.size(t) - 1) / F.lit(seg_len)).cast("int"),
+        F.lit(1),
+    )
+    segs = (
+        toks.select("doc_id", "source", t.alias("__t"), F.posexplode(starts))
+        .select(
+            "doc_id",
+            "source",
+            F.col("pos"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__t"), F.col("pos") * seg_len + 1, F.lit(seg_len)),
+            ).alias("seg"),
+        )
+        .withColumn("ch", F.expr(poly_hash("seg")))
+    )
+    segs = segs.persist(StorageLevel.MEMORY_AND_DISK)
+    boiler = (
+        segs.groupBy("ch")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("ch", F.lit(True).alias("__b"))
+    )
+    marked = segs.join(broadcast(boiler), "ch", "left")
+    kept = F.when(
+        F.col("__b").isNull(), F.struct(F.col("pos"), F.col("seg"))
+    )
+    return marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda x: x["seg"]
+            ),
+        ).alias("cleaned_text"),
+    )

@@ -690,3 +690,19 @@ def test_join_strategy_hint_lowers_to_physical_pick(spark, sf_dir):
     )
     p2 = j._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in p2
+
+
+def test_boilerplate_removal_broadcast_probe_no_python(spark, sf_dir):
+    """d64: the boiler set must come back as a BROADCAST hash probe
+    (the corpus is never shuffled by segment text for the mark step)
+    and the whole pipeline stays JVM-side — the only hash-partitioned
+    exchanges are the 8-byte-hash frequency count and the doc_id
+    rebuild."""
+    p = plan_of(spark, sf_dir, "d64_boilerplate_line_removal")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    hash_ex = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_ex) <= 3  # freq count + rebuild (+ AQE artifacts)
