@@ -786,6 +786,18 @@ class _Parser:
             return F.countDistinct(F.when(pred, val)).alias(
                 name or "dcountif_"
             )
+        if fn in ("avgif", "minif", "maxif"):
+            # the remaining -if family: aggregate over rows where pred
+            # holds — the WHEN's null else-arm is ignored by avg/min/
+            # max, so each stays ONE mergeable aggregate (no second
+            # pass, no join), the same lowering as sumif/dcountif
+            self.expect("(")
+            val = self.expr()
+            self.expect(",")
+            pred = self.expr()
+            self.expect(")")
+            base = {"avgif": F.avg, "minif": F.min, "maxif": F.max}[fn]
+            return base(F.when(pred, val)).alias(name or f"{fn}_")
         if fn in ("arg_max", "arg_min"):
             # arg_max(toMaximize, toReturn): the returned expression of
             # the row maximizing the first — Spark's max_by/min_by

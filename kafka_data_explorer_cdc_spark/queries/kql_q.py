@@ -1028,3 +1028,35 @@ def k50_kql_join_strategy_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | summarize n = count(), cents = sum(cents_1) by c_mktsegment",
         {"Orders": orders, "Customers": customer},
     )
+
+
+@query(
+    "k51_kql_conditional_agg_sweep",
+    oracle="""
+SELECT event_type,
+       MIN(CASE WHEN value > 50 THEN value END) AS lo_hi,
+       MAX(CASE WHEN value <= 50 THEN value END) AS hi_lo,
+       MIN_BY(user_id, event_id) AS first_user,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+    tags=("kql", "agg"),
+)
+def k51_kql_conditional_agg_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 aggregate sweep: ``minif``/``maxif`` (with ``avgif``
+    exercised in tests/test_kql.py against a pandas recompute, since
+    averaged doubles are not hash-portable) plus ``arg_min`` — closing
+    the Kusto conditional-aggregate family (`countif`/`sumif`/
+    `dcountif` landed earlier). Each lowers to ONE mergeable aggregate
+    over ``when(pred, col)`` — null else-arms are ignored by min/max/
+    avg, so no second pass and no join; ``arg_min`` is Spark's
+    ``min_by`` struct-min, one shuffle, no window. event_id is unique,
+    so the arg_min pick is deterministic."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | summarize lo_hi = minif(value, value > 50), "
+        "hi_lo = maxif(value, value <= 50), "
+        "first_user = arg_min(event_id, user_id), "
+        "n = count() by event_type",
+        {"Events": events},
+    )

@@ -979,3 +979,23 @@ def test_kql_hint_guards_and_equivalence(spark, sf_dir):
             " on user_id | take 1",
             {"Events": events},
         )
+
+
+def test_kql_avgif_matches_pandas(spark, sf_dir):
+    """avgif lowers to one mergeable avg(when(pred, col)) — values
+    checked against pandas (double averages are not hash-portable, so
+    this is the gate instead of the DuckDB differential)."""
+    import math
+
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    events = load(spark, sf_dir, "events")
+    out = kql(
+        "Events | summarize a = avgif(value, value > 50) by event_type",
+        {"Events": events},
+    ).toPandas().set_index("event_type")
+    pdf = events.select("event_type", "value").toPandas()
+    for et, g in pdf.groupby("event_type"):
+        want = g.loc[g["value"] > 50, "value"].mean()
+        assert math.isclose(out.loc[et, "a"], want, rel_tol=1e-9)
