@@ -4005,3 +4005,148 @@ def b80_merge_upsert_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
         ).alias("cents"),
     )
+
+
+@query(
+    "b81_exact_correlation",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr,
+       (CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       / (CAST(n AS DOUBLE) - 1.0) AS covar
+FROM s
+""",
+    tags=("relational", "stats", "agg"),
+)
+def b81_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance between quantity and
+    (whole-dollar) price per return flag — the two-measure dependence
+    statistic behind feature-selection and drift dashboards (b74's
+    continuous sibling). Spark's built-in ``corr``/``covar_samp``
+    aggregate doubles in partition order and is therefore not
+    hash-portable; this entry computes the SAME statistic from the six
+    EXACT integer power sums (n, Σx, Σy, Σxy, Σx², Σy² — whole-dollar
+    y keeps Σy² under int64), then evaluates one identical double
+    formula per group in both engines — order-free by construction,
+    bit-identical by IEEE determinism.
+
+    Scale shape: one map-side-combined aggregate to |returnflag| rows;
+    the formula runs on the 3-row rollup. The power sums are also the
+    MERGEABLE form (b69's moments discipline) — shard partials add."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice"), 0).cast("bigint").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        "l_returnflag",
+        "n",
+        (
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / (
+                F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+                * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+            )
+        ).alias("corr"),
+        (
+            (d("sxy") - d("sx") * d("sy") / d("n")) / (d("n") - F.lit(1.0))
+        ).alias("covar"),
+    )
+
+
+@query(
+    "b82_expectations_audit",
+    oracle="""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows FROM orders)
+SELECT rule, rows, violations, violations = 0 AS passed FROM n, (
+  SELECT 'not_null(o_custkey)' AS rule,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations
+  FROM orders
+  UNION ALL
+  SELECT 'in_range(o_totalprice,0,400000)',
+         CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                        OR o_totalprice > 400000 THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'matches(o_orderpriority)',
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                        OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)',
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('O', 'F')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+              + SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM orders
+)
+""",
+    tags=("relational", "quality", "dsl", "scale"),
+)
+def b82_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations
+    (operators/expectations.py) — the Delta-Live-Tables / dbt-test
+    contract surface: five rules over orders (null, range, regex,
+    domain, key uniqueness) audited in ONE shared aggregate; the range
+    and domain rules are deliberately tight enough to FAIL so the
+    report exercises both outcomes. The oracle keeps the
+    one-subquery-per-rule UNION formulation (five scans) that the
+    single-pass operator exists to avoid; plan-pinned as one scan in
+    tests/test_plans.py. Adding a rule adds a codegen expression, not
+    a scan — the property that matters when the table is 100 TB."""
+    from ..operators.expectations import (
+        accepted_values,
+        audit,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    return audit(
+        o,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 400000),
+            matches("o_orderpriority", "^[1-5]-"),
+            accepted_values("o_orderstatus", ["O", "F"]),
+            unique(["o_orderkey"]),
+        ],
+    )

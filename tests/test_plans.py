@@ -706,3 +706,14 @@ def test_boilerplate_removal_broadcast_probe_no_python(spark, sf_dir):
         if "Exchange hashpartitioning" in ln
     ]
     assert len(hash_ex) <= 3  # freq count + rebuild (+ AQE artifacts)
+
+
+def test_expectations_audit_single_scan(spark, sf_dir):
+    """b82: five rules, ONE scan of orders — rules are codegen
+    expressions inside a shared aggregate (the oracle's 5-scan UNION is
+    the shape this operator exists to avoid). The unique rule's
+    multi-distinct rides the same pass via Catalyst's Expand rewrite."""
+    p = plan_of(spark, sf_dir, "b82_expectations_audit")
+    scans = [ln for ln in p.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -99,3 +99,56 @@ def test_approx_percentiles_bounded_error(spark, sf_dir):
     assert rows and all(
         r["p50_ok"] and r["p95_ok"] and r["p99_ok"] for r in rows
     )
+
+
+def test_expectations_audit_semantics(spark):
+    """operators/expectations.py: each rule kind counts its violations,
+    unique counts duplicates AND null keys, names must be distinct."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_data_explorer_cdc_spark.operators.expectations import (
+        accepted_values,
+        audit,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0),
+            (2, None, 50.0),
+            (2, "c", -1.0),
+            (None, "dd", 7.0),
+        ],
+        "k int, tag string, val double",
+    )
+    rep = {
+        r.rule: (r.rows, r.violations, r.passed)
+        for r in audit(
+            df,
+            [
+                not_null("tag"),
+                in_range("val", 0, 10),
+                matches("tag", "^[a-c]$"),
+                accepted_values("tag", ["a", "c"]),
+                unique(["k"]),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(tag)"] == (4, 1, False)
+    assert rep["in_range(val,0,10)"] == (4, 2, False)      # 50.0, -1.0
+    assert rep["matches(tag)"] == (4, 2, False)            # None, "dd"
+    assert rep["accepted_values(tag)"] == (4, 2, False)    # None, "dd"
+    # k: one dup pair (2,2) = 1 excess row, one NULL key = 1 more
+    assert rep["unique(k)"] == (4, 2, False)
+
+    clean = audit(df.filter(F.col("k") == 1), [not_null("k")])
+    assert clean.collect()[0].passed is True
+
+    with pytest.raises(ValueError, match="duplicate"):
+        audit(df, [not_null("k"), not_null("k")])
+    with pytest.raises(ValueError, match="at least one"):
+        audit(df, [])
