@@ -5030,3 +5030,86 @@ def d64_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cleaned_text"),
     )
+
+
+@query(
+    "d65_auc_quality_score",
+    oracle="""
+WITH scored AS (
+  SELECT source, n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+), ranked AS (
+  SELECT source, label,
+         RANK() OVER (PARTITION BY source ORDER BY score)
+           + (COUNT(*) OVER (PARTITION BY source, score) - 1) / 2.0
+           AS avg_rank
+  FROM scored
+), agg AS (
+  SELECT source,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - label) AS BIGINT) AS n_neg,
+         SUM(CASE WHEN label = 1 THEN avg_rank ELSE 0.0 END) AS pos_rank_sum
+  FROM ranked GROUP BY source
+)
+SELECT source, n_pos, n_neg,
+       (pos_rank_sum
+          - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+       / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+FROM agg
+""",
+    tags=("llm", "eval", "stats"),
+)
+def d65_auc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC via the Mann-Whitney rank statistic — the
+    metric every quality-classifier / reward-model evaluation reports,
+    computed exactly at corpus scale with NO threshold sweep: AUC =
+    (Σ ranks of positives − n₊(n₊+1)/2) / (n₊·n₋), with midrank tie
+    handling (RANK + (ties−1)/2 — ties get the average of their rank
+    block, the textbook correction). Here: how well does document
+    length separate English from non-English docs, per source — the
+    demo stand-in for "how well does my quality score separate good
+    from bad", d11's evaluation-side complement.
+
+    Exactness: ranks are integers and midranks exact halves — every
+    per-row term is dyadic, so the order-free sum is bit-portable; one
+    double formula on the per-source rollup. Scale shape: ONE shuffle
+    on source orders the rank window (the tie-count window shares the
+    same partitioning — Catalyst reuses the exchange), then a
+    per-source aggregate; nothing global, no threshold grid, no
+    collect. At 100 TB: identical plan per source shard; for a global
+    AUC swap the partition key for a single salt-merged rollup of the
+    (score-bucket, label) histogram."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    w_rank = Window.partitionBy("source").orderBy("score")
+    w_tie = Window.partitionBy("source", "score")
+    ranked = scored.select(
+        "source",
+        "label",
+        (
+            F.rank().over(w_rank)
+            + (F.count("*").over(w_tie) - F.lit(1)) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("label")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.when(F.col("label") == 1, F.col("avg_rank")).otherwise(0.0)
+        ).alias("pos_rank_sum"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("pos_rank_sum") - d("n_pos") * (d("n_pos") + F.lit(1.0)) / F.lit(2.0))
+            / (d("n_pos") * d("n_neg"))
+        ).alias("auc"),
+    )

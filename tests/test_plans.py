@@ -717,3 +717,15 @@ def test_expectations_audit_single_scan(spark, sf_dir):
     scans = [ln for ln in p.splitlines() if "Scan parquet" in ln]
     assert len(scans) == 1
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_auc_one_exchange_for_windows_and_agg(spark, sf_dir):
+    """d65: the rank window, the tie-count window, AND the per-source
+    aggregate all ride ONE hashpartitioning(source) exchange with one
+    shared sort — Catalyst satisfies the (source, score) tie window and
+    the source aggregate from the rank window's partitioning. The AUC
+    of a 100 TB corpus costs exactly one shuffle."""
+    p = plan_of(spark, sf_dir, "d65_auc_quality_score")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
