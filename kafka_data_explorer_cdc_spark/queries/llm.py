@@ -5113,3 +5113,121 @@ def d65_auc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (d("n_pos") * d("n_neg"))
         ).alias("auc"),
     )
+
+
+@query(
+    "d67_retrieval_eval_metrics",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (p, q) -> p + q)) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+           (p, q) -> p + q) / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % 25 = 0
+), topk AS (
+  SELECT q_id, c_id, rn FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+), h AS (
+  SELECT t.q_id, ql.label AS q_label,
+         CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS hit, t.rn
+  FROM topk t
+  JOIN n ql ON ql.vec_id = t.q_id
+  JOIN n cl ON cl.vec_id = t.c_id
+), perq AS (
+  SELECT q_id, q_label,
+         CAST(SUM(hit) AS BIGINT) AS n_hits,
+         COALESCE(2520 // MIN(CASE WHEN hit = 1 THEN rn END), 0)
+           AS rr_scaled
+  FROM h GROUP BY q_id, q_label
+), relc AS (
+  SELECT label, COUNT(*) - 1 AS rel FROM embeddings GROUP BY label
+)
+SELECT q_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(rr_scaled) AS DOUBLE)
+         / (2520.0 * CAST(COUNT(*) AS DOUBLE)) AS mrr,
+       CAST(SUM(n_hits) AS DOUBLE)
+         / CAST(SUM(LEAST(rel, 10)) AS DOUBLE) AS recall_at10
+FROM perq JOIN relc ON relc.label = perq.q_label
+GROUP BY q_label
+""",
+    tags=("llm", "eval", "retrieval"),
+)
+def d67_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness — recall@10 and MRR per
+    label over the exact cosine top-10 (d07's kernel), with same-label
+    vectors as the relevance ground truth: the metric layer every
+    embedding/retriever training loop reports (d65's AUC for ranked
+    retrieval). Swap the kernel call for any ANN entry (d07x/y/t, d34)
+    and the SAME harness scores its quality drop.
+
+    Exactness: reciprocal ranks are scaled by 2520 = lcm(1..10), so
+    every per-query term is an INTEGER (2520/rank is exact for rank <=
+    10) and the label-level sums are order-free; recall is
+    micro-averaged (Σhits / Σmin(|relevant|, 10)) — one divide per
+    output row. No fp accumulates across rows anywhere.
+
+    Scale shape: the metric layer adds to the kernel only broadcast
+    label hydration (two small joins), one per-query aggregate, and a
+    |labels|-row rollup — evaluation cost stays O(retrieval), which is
+    what lets it run inline in a training pipeline's eval step."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") % 25 == 0)
+    topk = S.brute_force_cosine_topk(em, queries, k=10)
+    lab = em.select("vec_id", "label")
+    h = (
+        topk.join(
+            broadcast(lab.select(F.col("vec_id").alias("q_id"),
+                                 F.col("label").alias("q_label"))),
+            "q_id",
+        )
+        .join(
+            broadcast(lab.select(F.col("vec_id").alias("c_id"),
+                                 F.col("label").alias("c_label"))),
+            "c_id",
+        )
+        .select(
+            "q_id",
+            "q_label",
+            F.when(F.col("c_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("hit"),
+            F.col("rank").cast("bigint").alias("rn"),
+        )
+    )
+    perq = h.groupBy("q_id", "q_label").agg(
+        F.sum("hit").cast("bigint").alias("n_hits"),
+        F.coalesce(
+            F.expr("2520 div min(CASE WHEN hit = 1 THEN rn END)"),
+            F.lit(0),
+        ).alias("rr_scaled"),
+    )
+    relc = em.groupBy("label").agg((F.count("*") - 1).alias("rel"))
+    return (
+        perq.join(
+            broadcast(relc.select(F.col("label").alias("q_label"), "rel")),
+            "q_label",
+        )
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            (
+                F.sum("rr_scaled").cast("double")
+                / (F.lit(2520.0) * F.count("*").cast("double"))
+            ).alias("mrr"),
+            (
+                F.sum("n_hits").cast("double")
+                / F.sum(F.least(F.col("rel"), F.lit(10))).cast("double")
+            ).alias("recall_at10"),
+        )
+    )
