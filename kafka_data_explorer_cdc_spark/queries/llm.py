@@ -5231,3 +5231,163 @@ def d67_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at10"),
         )
     )
+
+
+@query(
+    "d66_dup_span_removal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), win AS (
+  SELECT doc_id, len(t) AS ntok, s.i * 8 AS st,
+         array_to_string(t[1 + s.i * 8 : s.i * 8 + 16], ' ') AS wstr
+  FROM toks, unnest(generate_series(0, (len(t) - 16) // 8)) AS s(i)
+  WHERE len(t) >= 16
+), hashed AS (
+  SELECT doc_id, ntok, st,
+         CASE WHEN length(wstr) = 0 THEN 0 ELSE
+           list_reduce(list_transform(generate_series(1, length(wstr)),
+             i -> CAST(unicode(wstr[i:i]) AS BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007)
+         END AS h
+  FROM win
+), freq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
+), dup AS (
+  SELECT doc_id, ntok, st FROM hashed JOIN freq USING (h) WHERE nd > 1
+), isl AS (
+  SELECT doc_id, ntok, st,
+         CASE WHEN st - LAG(st) OVER (PARTITION BY doc_id ORDER BY st) <= 16
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+), grp AS (
+  SELECT doc_id, ntok, st,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY st
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+), spans AS (
+  SELECT doc_id, MIN(st) AS span_start,
+         LEAST(MAX(st) + 16, ntok) AS span_end
+  FROM grp GROUP BY doc_id, ntok, g
+), tokidx AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(0, len(t) - 1)) AS idx
+  FROM toks
+), covered AS (
+  SELECT DISTINCT t.doc_id, t.idx
+  FROM tokidx t JOIN spans s
+    ON s.doc_id = t.doc_id
+   AND t.idx >= s.span_start AND t.idx < s.span_end
+)
+SELECT tk.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS ntok,
+       CAST(SUM(CASE WHEN c.idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS removed_tokens,
+       COALESCE(string_agg(CASE WHEN c.idx IS NULL THEN tk.tok END,
+                           ' ' ORDER BY tk.idx), '') AS cleaned_text
+FROM tokidx tk LEFT JOIN covered c
+  ON c.doc_id = tk.doc_id AND c.idx = tk.idx
+GROUP BY tk.doc_id
+""",
+    tags=("llm", "dedup", "apply"),
+)
+def d66_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL, applied (Lee et al. exact-substring
+    dedup, the cut step): d43 detects the maximal cross-document
+    duplicated token ranges; this entry CUTS them and rebuilds each
+    document's cleaned text — detect→apply symmetry, like d63 is to
+    d01. Returns (doc_id, ntok, removed_tokens, cleaned_text).
+
+    The rebuild never explodes tokens: each doc's (few) spans collect
+    into a sorted array, the complement gap ranges come from one
+    zip_with over (prepended-0 ends, appended-ntok starts), and the
+    kept text is flatten(slice per gap) + concat_ws — all JVM array
+    ops on the already-loaded token array, zero extra fan-out. The
+    oracle rebuilds token-by-token (explode + range anti-probe), an
+    independent formulation of the same cut. Scale shape: d43's
+    window/frequency pipeline unchanged (8-byte-hash shuffle), spans
+    rollup is small (docs with duplication only) and BROADCASTS back
+    onto the doc scan — the corpus text shuffles zero times."""
+    docs = load(spark, sf_dir, "documents")
+    wlen, stride = 16, 8
+    toks = ensure_parallelism(docs).select(
+        "doc_id", F.split(F.col("text"), " ").alias("__t")
+    )
+    t = F.col("__t")
+    base = toks.select("doc_id", "__t", F.size(t).alias("ntok"))
+    eligible = base.filter(F.col("ntok") >= wlen)
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((F.col("ntok") - wlen) / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    win = eligible.select(
+        "doc_id", "ntok", "__t", F.explode(starts).alias("i")
+    ).select(
+        "doc_id",
+        "ntok",
+        (F.col("i") * stride).alias("st"),
+        F.concat_ws(
+            " ", F.slice(F.col("__t"), F.col("i") * stride + 1, F.lit(wlen))
+        ).alias("wstr"),
+    )
+    hashed = win.select(
+        "doc_id", "ntok", "st", F.expr(poly_hash("wstr")).alias("h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = hashed.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = hashed.join(freq.filter(F.col("nd") > 1), "h").select(
+        "doc_id", "ntok", "st"
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("st")
+    grp = dup.withColumn(
+        "brk",
+        F.when(
+            F.col("st") - F.lag("st").over(w_ord) <= wlen, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "g", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = (
+        grp.groupBy("doc_id", "ntok", "g")
+        .agg(
+            F.min("st").alias("span_start"),
+            F.least(F.max("st") + wlen, F.col("ntok")).alias("span_end"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("spans")
+        )
+    )
+    j = base.join(broadcast(spans), "doc_id", "left").select(
+        "doc_id",
+        "ntok",
+        "__t",
+        F.coalesce(
+            F.col("spans"),
+            F.array().cast("array<struct<span_start:int,span_end:int>>"),
+        ).alias("spans"),
+    )
+    sp = F.col("spans")
+    gap_starts = F.concat(
+        F.array(F.lit(0)), F.transform(sp, lambda x: x["span_end"])
+    )
+    gap_ends = F.concat(
+        F.transform(sp, lambda x: x["span_start"]), F.array(F.col("ntok"))
+    )
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda s, e: F.slice(
+                F.col("__t"), s + F.lit(1), F.greatest(e - s, F.lit(0))
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.col("ntok").cast("bigint").alias("ntok"),
+        (F.col("ntok") - F.size(kept)).cast("bigint").alias("removed_tokens"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
