@@ -978,3 +978,133 @@ def s39_stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(0.5, "50").alias("p50_ok"),
         ok(0.95, "95").alias("p95_ok"),
     )
+
+
+@query(
+    "s40_stream_psi_drift",
+    oracle="""
+WITH bucketed AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+         LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 7) AS bucket
+  FROM events
+), days AS (
+  SELECT DISTINCT win_start FROM bucketed
+), grid AS (
+  SELECT d.win_start, b.i AS bucket
+  FROM days d, unnest(generate_series(0, 7)) AS b(i)
+), cur AS (
+  SELECT g.win_start, g.bucket,
+         CAST(COUNT(bk.bucket) AS BIGINT) AS n
+  FROM grid g LEFT JOIN bucketed bk
+    ON bk.win_start = g.win_start AND bk.bucket = g.bucket
+  GROUP BY g.win_start, g.bucket
+), ref0 AS (
+  SELECT LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 7) AS bucket
+  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+), ref AS (
+  SELECT b.i AS bucket, CAST(COUNT(r.bucket) AS BIGINT) AS rn
+  FROM unnest(generate_series(0, 7)) AS b(i)
+  LEFT JOIN ref0 r ON r.bucket = b.i GROUP BY b.i
+), tot AS (
+  SELECT win_start, SUM(n) + 8 AS t FROM cur GROUP BY win_start
+), rtot AS (
+  SELECT SUM(rn) + 8 AS rt FROM ref
+), terms AS (
+  SELECT c.win_start,
+         CAST(FLOOR(
+           ((CAST(c.n + 1 AS DOUBLE) / CAST(t.t AS DOUBLE))
+              - (CAST(ref.rn + 1 AS DOUBLE) / CAST(rtot.rt AS DOUBLE)))
+           * LN((CAST(c.n + 1 AS DOUBLE) / CAST(t.t AS DOUBLE))
+                / (CAST(ref.rn + 1 AS DOUBLE) / CAST(rtot.rt AS DOUBLE)))
+           * 1e9) AS BIGINT) AS tq
+  FROM cur c
+  JOIN tot t ON t.win_start = c.win_start
+  JOIN ref ON ref.bucket = c.bucket
+  CROSS JOIN rtot
+)
+SELECT win_start, CAST(SUM(tq) AS DOUBLE) / 1e9 AS psi
+FROM terms GROUP BY win_start
+""",
+    tags=("streaming", "drift", "monitor"),
+)
+def s40_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: per tumbling day, the
+    Population Stability Index of the live value distribution against
+    a frozen reference window (the first week) — the alert metric
+    behind "has today's traffic shifted" dashboards and model-input
+    monitoring (d48's JSD, gone live). The STREAM maintains only s34's
+    additive (window × 8 buckets) histogram state — constant per
+    window; the PSI itself (dense-grid fill, +1 Laplace smoothing,
+    (p−q)·ln(p/q) per bucket) runs on the serve-time read, because a
+    log-ratio over proportions is not incrementally maintainable but
+    an 8-row-per-window read-side rollup is free — the same
+    state/serve split as s38.
+
+    Exactness: each smoothed bucket term is nano-quantized to int64
+    (d47/d48 contract) before the order-free per-window sum; the
+    reference histogram is integer counts broadcast once. Oracle =
+    the identical computation on the batch table — the unified-engine
+    batch-equivalence contract."""
+    name = f"s40_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(25.0)).cast("bigint"),
+        F.lit(7).cast("bigint"),
+    )
+    agg = (
+        ev.withColumn("bucket", bucket)
+        .groupBy(F.window("ts", "1 day"), "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "bucket", "n")
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    tbl = spark.table(name)
+
+    # serve-time read: dense 8-bucket grid per observed window. The
+    # grid derives from the same memory table, so its columns are
+    # re-aliased (fresh exprIds) before the self-join back.
+    days = tbl.select(F.col("win_start").alias("ws")).distinct()
+    buckets = spark.range(8).select(F.col("id").alias("gb"))
+    grid = days.crossJoin(F.broadcast(buckets))
+    cur = (
+        grid.join(
+            tbl,
+            (F.col("ws") == F.col("win_start"))
+            & (F.col("gb") == F.col("bucket")),
+            "left",
+        )
+        .select(
+            F.col("ws").alias("win_start"),
+            F.col("gb").alias("bucket"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    # frozen reference: first-week histogram from the batch table,
+    # densified the same way (a tiny broadcast — 8 rows + 1 total)
+    ref0 = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("rn"))
+    )
+    ref = (
+        spark.range(8)
+        .select(F.col("id").alias("bucket"))
+        .join(ref0, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("rn"), F.lit(0)).alias("rn"))
+    )
+    rtot = ref.agg((F.sum("rn") + 8).alias("rt"))
+    tot = cur.groupBy("win_start").agg((F.sum("n") + 8).alias("t"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    p = d(F.col("n") + 1) / d(F.col("t"))
+    q = d(F.col("rn") + 1) / d(F.col("rt"))
+    term_q = F.floor((p - q) * F.log(p / q) * F.lit(1e9)).cast("bigint")
+    return (
+        cur.join(tot, "win_start")
+        .join(F.broadcast(ref), "bucket")
+        .crossJoin(F.broadcast(rtot))
+        .select("win_start", term_q.alias("tq"))
+        .groupBy("win_start")
+        .agg((F.sum("tq").cast("double") / F.lit(1e9)).alias("psi"))
+    )
