@@ -62,6 +62,9 @@ Supported (the reference's surface plus the obvious neighbors):
       | search 'term'   (case-insensitive scan of every string column)
       | getschema   (column metadata, no scan)
       | evaluate pivot(col [, agg(val)])
+      | evaluate bag_unpack(dynCol)   (one bounded key-discovery job,
+        then codegen get_json_object probes per key; string-typed
+        leaves, lexical key order, collision = explicit error)
       | render charttype [with (...)]   (must be last; presentation hint)
 
     print / range / datatable tabular sources (range generates on
@@ -2137,8 +2140,61 @@ def kql(
             # caps it) to fix the output schema, then ONE aggregate pass
             # with map-side partials — the Kusto-parity cost of not
             # declaring the value list in the query text.
-            if p.next().text.lower() != "pivot":
-                raise ValueError("KQL: only 'evaluate pivot(...)' is supported")
+            ev_fn = p.next().text.lower()
+            if ev_fn == "bag_unpack":
+                # evaluate bag_unpack(dynCol) — expand a dynamic
+                # property bag into one column per key, Kusto's
+                # schema-on-read staple. Key DISCOVERY is one bounded
+                # distinct job over json_object_keys (output = the key
+                # vocabulary — metadata-sized, the same cost class as
+                # pivot's value-discovery pass); the EXPANSION is then
+                # one codegen projection of get_json_object probes per
+                # discovered key — no per-row parse materialization
+                # (the b15a/k22 plan shape). Values come out as
+                # strings, Kusto's dynamic-leaf behavior; cast
+                # downstream. Keys sort lexically for a deterministic
+                # schema; a key colliding with an existing column is an
+                # explicit error (Kusto renames unpredictably — an
+                # error is the testable contract).
+                p.expect("(")
+                bcol = p.next().text
+                p.expect(")")
+                if bcol not in df.columns:
+                    raise ValueError(
+                        f"KQL: bag_unpack column {bcol!r} not found"
+                    )
+                keys2 = sorted(
+                    r[0]
+                    for r in df.select(
+                        F.explode(F.json_object_keys(F.col(bcol))).alias("k")
+                    )
+                    .distinct()
+                    .collect()  # bounded: key vocabulary, never rows
+                )
+                clash = [k for k in keys2 if k in df.columns]
+                if clash:
+                    raise ValueError(
+                        f"KQL: bag_unpack keys collide with existing "
+                        f"columns: {clash}"
+                    )
+                df = df.select(
+                    *[c for c in df.columns if c != bcol],
+                    *[
+                        F.get_json_object(F.col(bcol), f"$.{k}").alias(k)
+                        for k in keys2
+                    ],
+                )
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                continue
+            if ev_fn != "pivot":
+                raise ValueError(
+                    "KQL: only 'evaluate pivot(...)' and "
+                    "'evaluate bag_unpack(...)' are supported"
+                )
             p.expect("(")
             pcol = p.next().text
             if p.accept(","):

@@ -11,6 +11,7 @@ snippets.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..cdc.envelope import ORDERS_INFO_SQL, orders_info
 from ..io import load
@@ -1059,4 +1060,65 @@ def k51_kql_conditional_agg_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         "first_user = arg_min(event_id, user_id), "
         "n = count() by event_type",
         {"Events": events},
+    )
+
+
+@query(
+    "k52_kql_bag_unpack",
+    oracle="""
+WITH bagged AS (
+  SELECT event_id,
+         '{"city":"' || CASE WHEN user_id % 3 = 0 THEN 'austin'
+                             WHEN user_id % 3 = 1 THEN 'boston'
+                             ELSE 'chicago' END
+           || '","tier":' || CAST(user_id % 4 AS VARCHAR)
+           || ',"kv":' || CAST(json_extract_string(props, '$.k') AS VARCHAR)
+           || '}' AS bag
+  FROM events
+), unpacked AS (
+  SELECT event_id,
+         json_extract_string(bag, '$.city') AS city,
+         json_extract_string(bag, '$.kv') AS kv,
+         json_extract_string(bag, '$.tier') AS tier
+  FROM bagged
+)
+SELECT city, tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(kv AS BIGINT)) AS BIGINT) AS kv_total
+FROM unpacked GROUP BY city, tier
+""",
+    tags=("kql", "json", "dynamic"),
+)
+def k52_kql_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate bag_unpack(col)`` — Kusto's schema-on-read expansion
+    of a dynamic property bag into real columns. The bag here carries
+    three keys (a derived city, a tier, and the original props value),
+    so discovery genuinely infers a multi-key schema. Cost model
+    mirrors `evaluate pivot`: one bounded key-vocabulary job fixes the
+    output schema, then the expansion is pure codegen get_json_object
+    probes (the b15a/k22 plan shape — no per-row parse
+    materialization). Leaves are strings (Kusto dynamic-leaf
+    behavior); the follow-up summarize casts and aggregates them,
+    proving the unpacked columns compose with the rest of the
+    dialect."""
+    events = load(spark, sf_dir, "events")
+    bagged = events.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.when(F.col("user_id") % 3 == 0, "austin")
+                .when(F.col("user_id") % 3 == 1, "boston")
+                .otherwise("chicago")
+                .alias("city"),
+                (F.col("user_id") % 4).alias("tier"),
+                F.get_json_object("props", "$.k")
+                .cast("bigint")
+                .alias("kv"),
+            )
+        ).alias("bag"),
+    )
+    return kql(
+        "Events | evaluate bag_unpack(bag) "
+        "| summarize n = count(), kv_total = sum(tolong(kv)) by city, tier",
+        {"Events": bagged},
     )

@@ -999,3 +999,30 @@ def test_kql_avgif_matches_pandas(spark, sf_dir):
     for et, g in pdf.groupby("event_type"):
         want = g.loc[g["value"] > 50, "value"].mean()
         assert math.isclose(out.loc[et, "a"], want, rel_tol=1e-9)
+
+
+def test_kql_bag_unpack_semantics(spark):
+    """bag_unpack: multi-key discovery sorts keys lexically, drops the
+    bag column, string-types the leaves, errors on column collision
+    and trailing tokens."""
+    import pytest
+
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    df = spark.createDataFrame(
+        [(1, '{"b": 2, "a": "x"}'), (2, '{"c": 3}')],
+        "id int, bag string",
+    )
+    out = kql("T | evaluate bag_unpack(bag)", {"T": df})
+    assert out.columns == ["id", "a", "b", "c"]
+    rows = {r.id: (r.a, r.b, r.c) for r in out.collect()}
+    assert rows[1] == ("x", "2", None)
+    assert rows[2] == (None, None, "3")
+
+    clash = spark.createDataFrame([(1, '{"id": 9}')], "id int, bag string")
+    with pytest.raises(ValueError, match="collide"):
+        kql("T | evaluate bag_unpack(bag)", {"T": clash})
+    with pytest.raises(ValueError, match="not found"):
+        kql("T | evaluate bag_unpack(nope)", {"T": df})
+    with pytest.raises(ValueError, match="trailing"):
+        kql("T | evaluate bag_unpack(bag) extra", {"T": df})
