@@ -4150,3 +4150,61 @@ def b82_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             unique(["o_orderkey"]),
         ],
     )
+
+
+@query(
+    "b83_mode_per_group",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), r AS (
+  SELECT o_orderstatus, o_orderpriority, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY cnt DESC, o_orderpriority) AS rn,
+         SUM(cnt) OVER (PARTITION BY o_orderstatus) AS total
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_value, cnt AS mode_count,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS mode_share
+FROM r WHERE rn = 1
+""",
+    tags=("relational", "agg", "stats"),
+)
+def b83_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE() — the SQL:2016 ordered-set aggregate Spark lacks as a
+    built-in with a defined tie rule: the most frequent category per
+    group plus its frequency share, ties broken on the smallest value
+    (engines that ship mode() leave ties implementation-defined; the
+    pinned tie-break is what makes this oracle-checkable and
+    replay-stable). The b64 profiler's categorical complement.
+
+    Scale shape: the fact table reduces to the (group × category)
+    rollup in ONE map-side-combined aggregate; the ranking window and
+    the share total then run over that tiny rollup, never the fact
+    table — the b79 aggregate-first-window-later pattern. Share
+    divides once per output row from exact integer counts."""
+    c = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wp = Window.partitionBy("o_orderstatus")
+    r = c.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "cnt",
+        F.row_number()
+        .over(wp.orderBy(F.col("cnt").desc(), F.col("o_orderpriority")))
+        .alias("rn"),
+        F.sum("cnt").over(wp).alias("total"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("mode_value"),
+        F.col("cnt").alias("mode_count"),
+        (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+            "mode_share"
+        ),
+    )

@@ -1108,3 +1108,97 @@ def s40_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_start")
         .agg((F.sum("tq").cast("double") / F.lit(1e9)).alias("psi"))
     )
+
+
+@query(
+    "s41_stream_expectations_audit",
+    oracle="""
+WITH w AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+         CAST(COUNT(*) AS BIGINT) AS rows,
+         CAST(SUM(CASE WHEN value IS NULL OR value < 0 OR value > 95
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+         CAST(SUM(CASE WHEN event_type IS NULL
+                        OR NOT regexp_matches(event_type, '^(click|view|purchase)$')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+         CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 98
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_kv
+  FROM events GROUP BY 1
+)
+SELECT win_start, 'in_range(value,0,95)' AS rule, rows,
+       v_range AS violations, v_range = 0 AS passed FROM w
+UNION ALL
+SELECT win_start, 'accepted_values(event_type)', rows, v_domain,
+       v_domain = 0 FROM w
+UNION ALL
+SELECT win_start, 'kv_below(98)', rows, v_kv, v_kv = 0 FROM w
+""",
+    tags=("streaming", "quality", "dsl"),
+)
+def s41_stream_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b82's expectations audit, GONE LIVE: per tumbling day, each
+    declared rule's row count and violation count on a real stream —
+    the data-quality gate a streaming pipeline promotes micro-batches
+    on (Delta Live Tables' expectations are exactly this surface).
+    Violation indicators are computed row-locally BEFORE the stateful
+    aggregation (s34's bucket-before-agg discipline), so state is
+    (window × n_rules) SCALARS — adding a rule adds one sum column,
+    never a row, and never state growth with volume. The long-form
+    report (stack unpivot) runs on the serve-time read, s38's
+    state/serve split. Batch-equivalence oracle — the unified-engine
+    contract."""
+    name = f"s41_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    v_range = F.when(
+        F.col("value").isNull()
+        | (F.col("value") < 0)
+        | (F.col("value") > 95),
+        1,
+    ).otherwise(0)
+    v_domain = F.when(
+        F.col("event_type").isNull()
+        | ~F.col("event_type").rlike("^(click|view|purchase)$"),
+        1,
+    ).otherwise(0)
+    v_kv = F.when(
+        F.get_json_object("props", "$.k").cast("bigint") >= 98, 1
+    ).otherwise(0)
+    agg = (
+        ev.select(
+            "ts",
+            v_range.alias("vr"),
+            v_domain.alias("vd"),
+            v_kv.alias("vk"),
+        )
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("vr").alias("v_range"),
+            F.sum("vd").alias("v_domain"),
+            F.sum("vk").alias("v_kv"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "rows",
+            "v_range",
+            "v_domain",
+            "v_kv",
+        )
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    tbl = spark.table(name)
+    return tbl.select(
+        "win_start",
+        F.expr(
+            "stack(3, 'in_range(value,0,95)', v_range, "
+            "'accepted_values(event_type)', v_domain, "
+            "'kv_below(98)', v_kv) AS (rule, violations)"
+        ),
+        "rows",
+    ).select(
+        "win_start",
+        "rule",
+        "rows",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
