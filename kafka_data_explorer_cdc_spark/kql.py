@@ -469,6 +469,51 @@ class _Parser:
         "array_sum": lambda c: F.aggregate(
             c, F.lit(0.0), lambda a, x: a + x.cast("double")
         ),
+        # series_stats_dynamic(arr) — Kusto's one-call series summary,
+        # returned as a dynamic bag (min/min_idx/max/max_idx/avg/stdev/
+        # sum/len) so it composes with `evaluate bag_unpack`. All
+        # statistics are JVM array folds over the make-series array —
+        # no explode, no shuffle; stdev is the sample form from exact
+        # power sums. Idx fields are 0-based first occurrences, as in
+        # Kusto.
+        "series_stats_dynamic": lambda c: F.to_json(
+            F.struct(
+                F.array_min(c).cast("double").alias("min"),
+                (F.array_position(c, F.array_min(c)) - 1).alias("min_idx"),
+                F.array_max(c).cast("double").alias("max"),
+                (F.array_position(c, F.array_max(c)) - 1).alias("max_idx"),
+                (
+                    F.aggregate(
+                        c, F.lit(0.0), lambda a, x: a + x.cast("double")
+                    )
+                    / F.size(c)
+                ).alias("avg"),
+                F.sqrt(
+                    (
+                        F.aggregate(
+                            c,
+                            F.lit(0.0),
+                            lambda a, x: a
+                            + x.cast("double") * x.cast("double"),
+                        )
+                        - F.pow(
+                            F.aggregate(
+                                c,
+                                F.lit(0.0),
+                                lambda a, x: a + x.cast("double"),
+                            ),
+                            2,
+                        )
+                        / F.size(c)
+                    )
+                    / (F.size(c) - 1)
+                ).alias("stdev"),
+                F.aggregate(
+                    c, F.lit(0.0), lambda a, x: a + x.cast("double")
+                ).alias("sum"),
+                F.size(c).alias("len"),
+            )
+        ),
         "dayofmonth": F.dayofmonth,
         "monthofyear": F.month,
         "getyear": F.year,

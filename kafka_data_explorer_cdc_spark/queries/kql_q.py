@@ -1122,3 +1122,58 @@ def k52_kql_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "| summarize n = count(), kv_total = sum(tolong(kv)) by city, tier",
         {"Events": bagged},
     )
+
+
+@query(
+    "k53_kql_series_stats",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-08 00:00:00'
+  GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT t.event_type,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (g.i) DAY AS d
+  FROM types t, unnest(generate_series(0, 6)) AS g(i)
+), dense AS (
+  SELECT g.event_type, COALESCE(daily.n, 0) AS n
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.d = g.d
+)
+SELECT event_type,
+       CAST(MIN(n) AS BIGINT) AS smin,
+       CAST(MAX(n) AS BIGINT) AS smax,
+       CAST(SUM(n) AS BIGINT) AS total,
+       CAST(COUNT(*) AS BIGINT) AS slen
+FROM dense GROUP BY event_type
+""",
+    tags=("kql", "timeseries", "dynamic"),
+)
+def k53_kql_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_stats_dynamic`` — Kusto's series summary bag — composed
+    with ``make-series`` and ``evaluate bag_unpack`` end to end: build
+    the dense per-type daily series, summarize each array into a
+    dynamic bag (JVM folds, no explode), unpack the bag into columns,
+    and project the integer-safe statistics (avg/stdev are double-
+    formatted JSON leaves, exercised in tests/test_kql.py instead —
+    the k48 stdev discipline). Three dialect features that each
+    compile to pure Catalyst expressions chain without a single extra
+    shuffle beyond make-series' one per-bin aggregate."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-08 00:00:00'"
+        " step 1d by event_type"
+        " | extend s = series_stats_dynamic(n)"
+        " | project-away n"
+        " | evaluate bag_unpack(s)"
+        " | project event_type, smin = tolong(todouble(min)),"
+        " smax = tolong(todouble(max)), total = tolong(todouble(sum)),"
+        " slen = tolong(len)",
+        {"Events": events},
+    )

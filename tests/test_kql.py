@@ -1026,3 +1026,36 @@ def test_kql_bag_unpack_semantics(spark):
         kql("T | evaluate bag_unpack(nope)", {"T": df})
     with pytest.raises(ValueError, match="trailing"):
         kql("T | evaluate bag_unpack(bag) extra", {"T": df})
+
+
+def test_kql_series_stats_dynamic_values(spark, sf_dir):
+    """series_stats_dynamic: every bag field (including the double-
+    typed avg/stdev and the 0-based idx fields) checked against a
+    pandas recompute of the same dense series."""
+    import json
+    import math
+
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    events = load(spark, sf_dir, "events")
+    out = kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-08 00:00:00'"
+        " step 1d by event_type"
+        " | extend s = series_stats_dynamic(n)",
+        {"Events": events},
+    ).select("event_type", "n", "s").collect()
+    assert out
+    for r in out:
+        series = list(r.n)
+        bag = json.loads(r.s)
+        assert bag["len"] == len(series) == 7
+        assert bag["min"] == min(series) and bag["max"] == max(series)
+        assert bag["min_idx"] == series.index(min(series))
+        assert bag["max_idx"] == series.index(max(series))
+        assert bag["sum"] == sum(series)
+        mean = sum(series) / len(series)
+        var = sum((x - mean) ** 2 for x in series) / (len(series) - 1)
+        assert math.isclose(bag["avg"], mean, rel_tol=1e-12)
+        assert math.isclose(bag["stdev"], math.sqrt(var), rel_tol=1e-9)
