@@ -4208,3 +4208,126 @@ def b83_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mode_share"
         ),
     )
+
+
+@query(
+    "b84_scd2_dimension_merge",
+    oracle="""
+WITH seed AS (
+  SELECT c_custkey, c_mktsegment, TIMESTAMP '2023-01-01 00:00:00' AS ts,
+         0 AS src
+  FROM customer
+), obs AS (
+  SELECT c_custkey, 'S' || CAST(c_custkey % 3 AS VARCHAR),
+         TIMESTAMP '2024-02-01 00:00:00', 1
+  FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL
+  SELECT c_custkey, 'T' || CAST(c_custkey % 3 AS VARCHAR),
+         TIMESTAMP '2024-03-01 00:00:00', 1
+  FROM customer WHERE c_custkey % 8 = 5
+  UNION ALL
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '2024-02-01 00:00:00', 1
+  FROM customer WHERE c_custkey % 10 = 2
+  UNION ALL
+  SELECT -c_custkey, 'NEWSEG',
+         TIMESTAMP '2024-02-01 00:00:00', 1
+  FROM customer WHERE c_custkey % 10 = 3
+), tl AS (
+  SELECT * FROM seed UNION ALL SELECT * FROM obs
+), m AS (
+  SELECT *, LAG(c_mktsegment) OVER (
+    PARTITION BY c_custkey ORDER BY ts, src) AS prev
+  FROM tl
+), surv AS (
+  SELECT c_custkey, c_mktsegment, ts, src FROM m
+  WHERE NOT (src = 1 AND c_mktsegment IS NOT DISTINCT FROM prev)
+), fin AS (
+  SELECT c_custkey, c_mktsegment,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts, src)
+           AS valid_to,
+         LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts, src) IS NULL
+           AS is_current
+  FROM surv
+)
+SELECT * FROM fin
+UNION ALL
+SELECT c_custkey, 'ANCIENT' AS c_mktsegment,
+       TIMESTAMP '2022-01-01 00:00:00' AS valid_from,
+       TIMESTAMP '2023-01-01 00:00:00' AS valid_to,
+       FALSE AS is_current
+FROM customer WHERE c_custkey % 10 = 7
+""",
+    tags=("relational", "scd", "merge", "dimension"),
+)
+def b84_scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension merge with change suppression
+    (operators/scd.py) — the warehouse-side sibling of a17's op-log
+    SCD2: a batch of observed snapshots (daily-extract shape) applied
+    to the current dimension in ONE statement. The scenario exercises
+    every branch: real changes (one and two per key), attribute-
+    identical re-deliveries (MUST NOT open a version — the nuance that
+    keeps daily full extracts from doubling the dimension), brand-new
+    keys, and already-closed history passing through untouched.
+
+    Plan: one customer-key shuffle shared by the suppression LAG and
+    the re-window LEAD (same partitioning, same sort); closed history
+    unions through shuffle-free. The oracle re-derives the identical
+    algorithm in SQL."""
+    from ..operators.scd import scd2_apply
+
+    c = load(spark, sf_dir, "customer")
+    t0 = F.lit("2023-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    open_rows = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = c.filter(F.col("c_custkey") % 10 == 7).select(
+        "c_custkey",
+        F.lit("ANCIENT").alias("c_mktsegment"),
+        F.lit("2022-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        t0.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    current = open_rows.unionByName(closed)
+    k = F.col("c_custkey")
+    obs = (
+        c.filter(k % 4 == 1)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("S"), (k % 3).cast("string")).alias(
+                "c_mktsegment"
+            ),
+            t1.alias("observed_at"),
+        )
+        .unionByName(
+            c.filter(k % 8 == 5).select(
+                "c_custkey",
+                F.concat(F.lit("T"), (k % 3).cast("string")).alias(
+                    "c_mktsegment"
+                ),
+                t2.alias("observed_at"),
+            )
+        )
+        .unionByName(
+            c.filter(k % 10 == 2).select(
+                "c_custkey", "c_mktsegment", t1.alias("observed_at")
+            )
+        )
+        .unionByName(
+            c.filter(k % 10 == 3).select(
+                (-k).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                t1.alias("observed_at"),
+            )
+        )
+    )
+    return scd2_apply(
+        current, obs, keys=["c_custkey"], tracked=["c_mktsegment"]
+    )
