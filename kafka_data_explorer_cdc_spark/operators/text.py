@@ -123,3 +123,38 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         clean = F.regexp_replace(clean, pat, repl)
     return out.withColumn("clean_text", clean)
+
+
+def luhn_valid_expr(col: str, length: int = 16) -> str:
+    """SQL expression (string, for ``F.expr``) testing whether the
+    ``length``-digit string in ``col`` passes the Luhn mod-10 checksum
+    — the validation stage that turns "16 consecutive digits" (a regex
+    candidate, d21's recall layer) into "a structurally valid card
+    number" (the precision layer): ~90% of random digit runs fail the
+    checksum, so validated detection cuts false redactions by an order
+    of magnitude.
+
+    Pure codegen: one transform over ``sequence(1, length)`` doubling
+    every second digit from the right (d*2 > 9 folds to d*2 - 9), one
+    integer fold, one mod test — no UDF, no regex beyond the candidate
+    scan. The DuckDB mirror is the same fold over ``generate_series``
+    (exact integer arithmetic both sides)."""
+    d = f"CAST(substring({col}, i, 1) AS INT)"
+    return (
+        f"aggregate(transform(sequence(1, {length}), i -> "
+        f"CASE WHEN ({length + 1} - i) % 2 = 0 THEN "
+        f"IF({d} * 2 > 9, {d} * 2 - 9, {d} * 2) ELSE {d} END), "
+        f"0, (a, x) -> a + x) % 10 = 0"
+    )
+
+
+def duckdb_luhn_sql(col: str, length: int = 16) -> str:
+    """The DuckDB twin of :func:`luhn_valid_expr` (same fold, same
+    integer arithmetic) for oracle SQL strings."""
+    d = f"CAST({col}[i:i] AS INT)"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {length}), i -> "
+        f"CASE WHEN ({length + 1} - i) % 2 = 0 THEN "
+        f"CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END "
+        f"ELSE {d} END), (a, x) -> a + x) % 10 = 0"
+    )

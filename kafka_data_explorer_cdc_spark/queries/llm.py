@@ -5391,3 +5391,59 @@ def d66_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ntok") - F.size(kept)).cast("bigint").alias("removed_tokens"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
+
+
+@query(
+    "d68_luhn_pan_validation",
+    oracle="""
+WITH cand AS (
+  SELECT o_orderstatus,
+         '4' || lpad(CAST((o_orderkey * 2654435761) % 1000000000000000
+                          AS VARCHAR), 15, '0') AS pan
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN {LUHN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid
+FROM cand GROUP BY o_orderstatus
+""".format(LUHN=__import__(
+        "kafka_data_explorer_cdc_spark.operators.text", fromlist=["x"]
+    ).duckdb_luhn_sql("pan")),
+    tags=("llm", "pii", "quality"),
+)
+def d68_luhn_pan_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PAN detection — the PRECISION stage of PII
+    scanning (operators/text.py:luhn_valid_expr): d21's regex finds
+    16-digit candidates (recall), the Luhn mod-10 fold then rejects
+    the ~90% of digit runs that are not structurally valid card
+    numbers, cutting false redactions an order of magnitude. The
+    corpus here is deterministic synthetic candidates (the testdata
+    carries no digit runs), so the rate itself is verifiable: ~10% of
+    uniform random 16-digit strings pass Luhn.
+
+    Scale shape: the whole validator is ONE codegen expression
+    (transform/aggregate fold over sequence(1,16)) — no UDF, no
+    explode, no shuffle beyond the final tiny rollup; it composes into
+    d21's redaction pass as a WHERE clause at zero plan cost."""
+    from ..operators.text import luhn_valid_expr
+
+    o = load(spark, sf_dir, "orders")
+    cand = o.select(
+        "o_orderstatus",
+        F.concat(
+            F.lit("4"),
+            F.lpad(
+                ((F.col("o_orderkey") * F.lit(2654435761))
+                 % F.lit(1000000000000000)).cast("string"),
+                15,
+                "0",
+            ),
+        ).alias("pan"),
+    )
+    return cand.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.expr(luhn_valid_expr("pan")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid"),
+    )

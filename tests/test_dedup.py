@@ -342,3 +342,26 @@ def test_prefix_filter_jaccard_prunes_and_is_complete(spark):
         F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
     ).count()
     assert n_prefix < n_full
+
+
+def test_luhn_known_vectors(spark):
+    """luhn_valid_expr against published test vectors (valid cards and
+    their off-by-one corruptions)."""
+    from pyspark.sql import functions as F
+
+    from kafka_data_explorer_cdc_spark.operators.text import luhn_valid_expr
+
+    cases = [
+        ("4539578763621486", True),
+        ("4539578763621487", False),
+        ("4111111111111111", True),
+        ("4111111111111112", False),
+        ("5500005555555559", True),
+        ("1234567812345678", False),
+    ]
+    df = spark.createDataFrame(cases, "pan string, want boolean")
+    got = df.select(
+        "pan", "want", F.expr(luhn_valid_expr("pan")).alias("ok")
+    ).collect()
+    for r in got:
+        assert r.ok == r.want, r.pan
