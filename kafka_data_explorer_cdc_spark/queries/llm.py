@@ -5447,3 +5447,55 @@ def d68_luhn_pan_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_valid"),
     )
+
+
+@query(
+    "d69_logreg_quality_train",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(4 AS BIGINT) AS n_rounds,
+       TRUE AS loss_monotone,
+       TRUE AS beats_majority
+FROM embeddings
+""",
+    tags=("llm", "ml", "iterative", "gate"),
+)
+def d69_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training
+    (operators/ml.py:logreg_train) — the build side of the quality-
+    classifier story (b67 scores with a FIXED weight table; this fits
+    one): 4 full-batch GD rounds predicting the coarse label group
+    (label < 5) from the 64-dim embedding. The supervised sibling of
+    d61's k-means, with the same verification discipline: iterative
+    GD is not SQL-expressible, so the gates are (a) every vector
+    scored (count vs SQL COUNT(*)), (b) the nano-quantized loss
+    sequence STRICTLY decreases across all 4 rounds, (c) final
+    training accuracy beats the majority-class baseline — on weights
+    that are bit-deterministic because every cross-row sum (gradients
+    and loss) is int64-quantized per row before the order-free
+    reduction, so the booleans cannot flap with partitioning."""
+    from ..operators.ml import logreg_train
+
+    em = load(spark, sf_dir, "embeddings")
+    labeled = em.select(
+        "embedding", (F.col("label") < 5).cast("int").alias("y")
+    )
+    scored, losses, _w = logreg_train(labeled, "y", n_iter=4, lr=0.5)
+    agg = scored.agg(
+        F.count("*").alias("n_scored"),
+        F.sum(
+            F.when(
+                ((F.col("p") >= 0.5).cast("int") == F.col("y").cast("int")),
+                1,
+            ).otherwise(0)
+        ).alias("n_correct"),
+        F.sum(F.col("y").cast("bigint")).alias("n_pos"),
+    ).first()
+    n, correct, npos = agg["n_scored"], agg["n_correct"], agg["n_pos"]
+    majority = max(npos, n - npos)
+    monotone = all(b < a for a, b in zip(losses, losses[1:]))
+    return spark.createDataFrame(
+        [(n, 4, bool(monotone), bool(correct > majority))],
+        "n_scored bigint, n_rounds bigint, loss_monotone boolean, "
+        "beats_majority boolean",
+    )

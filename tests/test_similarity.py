@@ -248,3 +248,33 @@ def test_sq8_recall_and_code_range(spark, sf_dir):
     got = {(r["q_id"], r["c_id"]) for r in ann.collect()}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.8, f"SQ8 recall@5: {recall}"
+
+
+def test_logreg_train_separable(spark):
+    """operators/ml.py logreg_train: on a linearly separable toy set the
+    loss strictly decreases and training accuracy reaches 1.0; weights
+    are deterministic across repartitionings (the quantized-sum
+    contract)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_data_explorer_cdc_spark.operators.ml import logreg_train
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        y = i % 2
+        center = 2.0 if y else -2.0
+        rows.append(([rng.gauss(center, 0.3) for _ in range(4)], y))
+    df = spark.createDataFrame(rows, "embedding array<double>, y int")
+
+    scored, losses, w = logreg_train(df, "y", n_iter=5, lr=1.0)
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+    acc = scored.agg(
+        F.avg(((F.col("p") >= 0.5).cast("int") == F.col("y")).cast("int"))
+    ).first()[0]
+    assert acc == 1.0
+
+    _, losses2, w2 = logreg_train(df.repartition(7), "y", n_iter=5, lr=1.0)
+    assert w == w2 and losses == losses2
