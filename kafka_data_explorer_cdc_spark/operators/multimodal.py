@@ -163,3 +163,50 @@ def audio_energy(df: DataFrame) -> DataFrame:
     return ensure_parallelism(to_binary_docs(df)).mapInPandas(
         audio_energy_batch, AUDIO_ENERGY_SCHEMA
     )
+
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_patches", T.IntegerType()),
+        T.StructField("first_patch_sum", T.LongType()),
+        T.StructField("total_sum", T.LongType()),
+    ]
+)
+
+
+def patchify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: ViT-style patchify plumbing. The patch GRID
+    comes from the (stubbed) decoded dimensions — ceil(w/16)·ceil(h/16)
+    patches, the ViT formula mm7 budgets with — and each byte of the
+    payload is assigned round-robin to a patch (index mod n_patches),
+    a deterministic stand-in for the pixel→patch gather a real decoder
+    performs. Per patch the feature is the byte sum; the returned
+    summary (first patch's sum + the total, which must equal the whole
+    payload's byte sum) makes the gather oracle-checkable byte-for-
+    byte while keeping the Arrow batch shapes, variable patch counts,
+    and numpy vectorization identical to the real-codec path
+    (np.frombuffer → bincount — no per-byte Python)."""
+    import numpy as np
+
+    for pdf in batches:
+        meta = _fake_meta(pdf["doc_id"], pdf["payload"])
+        out = []
+        for payload, doc_id, w, h in zip(
+            pdf["payload"], meta["doc_id"], meta["width"], meta["height"]
+        ):
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n_patches = int(-(-int(w) // 16) * (-(-int(h) // 16)))
+            idx = np.arange(arr.size) % n_patches
+            sums = np.bincount(idx, weights=arr, minlength=n_patches)
+            out.append(
+                (
+                    int(doc_id),
+                    n_patches,
+                    int(sums[0]) if n_patches else 0,
+                    int(arr.sum()),
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "n_patches", "first_patch_sum", "total_sum"]
+        )

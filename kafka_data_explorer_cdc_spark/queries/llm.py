@@ -5499,3 +5499,50 @@ def d69_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_scored bigint, n_rounds bigint, loss_monotone boolean, "
         "beats_majority boolean",
     )
+
+
+@query(
+    "mm8_vit_patchify",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+         length(text) AS n,
+         (length(text) % 640 + 1) AS w,
+         ((length(text) * 7) % 480 + 1) AS h
+  FROM documents
+), grid AS (
+  SELECT doc_id, n,
+         CAST(ceil(w / 16.0) * ceil(h / 16.0) AS INT) AS n_patches
+  FROM meta
+), bytes AS (
+  SELECT d.doc_id, g.n_patches, s.i - 1 AS pos,
+         unicode(d.text[s.i:s.i]) AS b
+  FROM documents d
+  JOIN grid g ON g.doc_id = d.doc_id,
+  unnest(generate_series(1, g.n)) AS s(i)
+  WHERE g.n > 0
+)
+SELECT doc_id,
+       CAST(MAX(n_patches) AS INT) AS n_patches,
+       CAST(SUM(CASE WHEN pos % n_patches = 0 THEN b ELSE 0 END)
+            AS BIGINT) AS first_patch_sum,
+       CAST(SUM(b) AS BIGINT) AS total_sum
+FROM bytes GROUP BY doc_id
+""",
+    tags=("llm", "multimodal", "arrow"),
+)
+def mm8_vit_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patchify plumbing (operators/multimodal.py:patchify_batch):
+    payload bytes gathered into the ceil(w/16)·ceil(h/16) patch grid
+    (the formula mm7 budgets with) through one Arrow ``mapInPandas``
+    stage — the real pixel→patch gather's exact Spark shape (batch in,
+    numpy bincount, variable patch counts out) with the codec stubbed
+    to deterministic byte dimensions, so every patch sum is
+    recomputable from character codes by the oracle (the ASCII-corpus
+    trick mm5 uses for audio). Plan: scan → one ArrowEvalPython-free
+    mapInPandas boundary → rows; zero shuffles, zero joins."""
+    from ..operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = M.to_binary_docs(ensure_parallelism(docs))
+    return payloads.mapInPandas(M.patchify_batch, M.PATCH_SCHEMA)

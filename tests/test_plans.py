@@ -729,3 +729,15 @@ def test_auc_one_exchange_for_windows_and_agg(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("Window") == 2
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_patchify_single_arrow_stage(spark, sf_dir):
+    """mm8: exactly ONE Python boundary (the mapInPandas patchify), no
+    shuffles, no joins — the decode/gather path must stay a straight
+    scan → Arrow stage → rows pipe."""
+    p = plan_of(spark, sf_dir, "mm8_vit_patchify")
+    assert p.count("MapInPandas") == 1
+    # ensure_parallelism's round-robin split is expected; a KEYED
+    # shuffle or join is not
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
