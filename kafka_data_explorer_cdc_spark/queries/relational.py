@@ -4331,3 +4331,61 @@ def b84_scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         current, obs, keys=["c_custkey"], tracked=["c_mktsegment"]
     )
+
+
+@query(
+    "b85_bitmap_distinct_at_rest",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT time_bucket(INTERVAL '1 day', ts)) AS BIGINT)
+         AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type
+""",
+    tags=("relational", "sketch", "exact", "scale"),
+)
+def b85_bitmap_distinct_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-at-rest via long-form bitmaps — the
+    precise counterpart of b41's HLL sketches for BOUNDED id domains
+    (user ids, product ids, any dictionary-encoded key — b70 supplies
+    the surrogates when the natural key is unbounded): per
+    (type, day, word) a 64-bit word with one bit per present user
+    (``bit_or`` aggregate, pure codegen), stored long-form so merge
+    across days is another ``bit_or`` group-by and the final count is
+    ``sum(bit_count(word))`` — associative, mergeable, EXACT, and 8
+    bytes per 64 possible ids per partition: the roaring-bitmap
+    pattern warehouses use for exact distinct rollups without
+    re-touching raw events.
+
+    The oracle computes the DIRECT ``COUNT(DISTINCT user_id)`` per
+    type — so a hash match proves build→store→merge→count returns
+    exactly the raw-scan answer. Scale shape: one (type, day, word)
+    aggregate with map-side partials (the at-rest write), one
+    (type, word) bit_or merge, one tiny count — raw events are
+    scanned ONCE ever, all rollup reads touch only bitmap words."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        (F.col("user_id") / 64).cast("bigint").alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+        ).alias("bit"),
+    )
+    at_rest = ev.groupBy("event_type", "day", "word_idx").agg(
+        F.bit_or("bit").alias("word")
+    )
+    merged = (
+        at_rest.groupBy("event_type", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("word")).alias("distinct_users"))
+    )
+    days = at_rest.groupBy("event_type").agg(
+        F.count_distinct("day").alias("n_days")
+    )
+    # both sides are |event_type|-row rollups of the same at-rest table
+    return days.join(broadcast(merged), "event_type").select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("distinct_users").cast("bigint").alias("distinct_users"),
+    )
