@@ -42,7 +42,7 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 #      k52 bag_unpack, b83 mode, s41 streaming expectations, k53
 #      series_stats_dynamic, b84 SCD2 dimension merge, d68 Luhn PAN
 #      validation, d69 logreg training, mm8 ViT patchify, b85 bitmap
-#      exact distinct);
+#      exact distinct, s42 streaming bitmap distinct);
 #   3. the stalest rotation cohort — newest driver row r2: k13, k14,
 #      k15, k16, k17, k20, k21, k22, k23, d07, d16, d17, d18, d19
 #      (14 entries), then r3: d04x, d06x, k24-k34, b13a…, until the

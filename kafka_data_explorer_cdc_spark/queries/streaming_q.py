@@ -1202,3 +1202,54 @@ def s41_stream_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         "violations",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+@query(
+    "s42_stream_bitmap_distinct",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+       event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming", "exact", "sketch"),
+)
+def s42_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming distinct count — the thing s35 had to
+    approximate with HLL — made possible for bounded id domains by
+    b85's bitmap trick: the streaming aggregation keys on
+    (window, type, user_id div 64) and its ONLY state per key is one
+    64-bit ``bit_or`` word (associative and idempotent, so state
+    merges across micro-batches and replays are no-ops bit-wise). The
+    serve-time read sums ``bit_count`` per (window, type). State =
+    windows × types × (domain/64) words — 8 bytes per 64 possible
+    users per window, volume-independent; for a 10⁹-id domain that is
+    125 MB/window, and b70's dictionary encoding densifies unbounded
+    natural keys into exactly such a domain. Exact COUNT(DISTINCT) in
+    a streaming aggregation is otherwise unsupported (state would be
+    the full key set — the reason s35 exists). Batch-equivalence
+    oracle: the streamed bitmap answer must equal the raw-scan
+    COUNT(DISTINCT)."""
+    name = f"s42_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.select(
+            "ts",
+            "event_type",
+            (F.col("user_id") / 64).cast("bigint").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy(F.window("ts", "1 day"), "event_type", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "word"
+        )
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .groupBy("win_start", "event_type")
+        .agg(F.sum(F.bit_count("word")).cast("bigint").alias("distinct_users"))
+    )
