@@ -5546,3 +5546,157 @@ def mm8_vit_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payloads = M.to_binary_docs(ensure_parallelism(docs))
     return payloads.mapInPandas(M.patchify_batch, M.PATCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Data selection
+# ---------------------------------------------------------------------------
+
+_D70_BUCKETS = 512
+_D70_KEEP = 100
+
+_D70_BUCKET_DUCK = DUCKDB_POLY_HASH.format(expr="concat('dsir:', tok)")
+_D70_GUMBEL_DUCK = DUCKDB_POLY_HASH.format(
+    expr="concat('dsirg:', CAST(doc_id AS VARCHAR))"
+)
+
+
+@query(
+    "d70_dsir_resample",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id, lang, ({_D70_BUCKET_DUCK}) % {_D70_BUCKETS} AS bucket
+  FROM toks
+), raw AS (
+  SELECT bucket, COUNT(*) AS cr FROM tb GROUP BY bucket
+), tgt AS (
+  SELECT bucket, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+  SELECT CAST((SELECT COUNT(*) FROM tb WHERE lang = 'en') AS DOUBLE) AS nt,
+         CAST((SELECT COUNT(*) FROM tb) AS DOUBLE) AS nr
+), ratios AS (
+  SELECT bucket,
+         CAST(ROUND(
+           LN((COALESCE(ct, 0) + 1.0) / (nt + {_D70_BUCKETS}))
+           - LN((cr + 1.0) / (nr + {_D70_BUCKETS})), 9)
+         AS DECIMAL(28,9)) AS lr
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+), wdoc AS (
+  SELECT doc_id, lang, SUM(lr) AS w
+  FROM tb JOIN ratios USING (bucket)
+  GROUP BY doc_id, lang
+), keyed AS (
+  SELECT doc_id, lang, w,
+         w + CAST(ROUND(
+               -LN(-LN((({_D70_GUMBEL_DUCK}) + 1) / {POLY_MOD + 1}.0)), 9)
+             AS DECIMAL(28,9)) AS score
+  FROM wdoc
+)
+SELECT doc_id, lang,
+       ROUND(CAST(w AS DOUBLE), 6) AS weight,
+       ROUND(CAST(score AS DOUBLE), 6) AS score
+FROM keyed
+ORDER BY score DESC, doc_id
+LIMIT {_D70_KEEP}
+""",
+    tags=("llm", "sampling", "selection"),
+)
+def d70_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): select raw-corpus documents that look like a target
+    domain by importance weights over HASHED n-gram features, then
+    draw a fixed-size sample with the Gumbel-top-k trick. Here the
+    target is the English stratum (stand-in for "quality domain"),
+    features are {_D70_BUCKETS} hashed unigram buckets, and the top
+    {_D70_KEEP} Gumbel-perturbed docs are kept. Per the paper:
+    log w(x) = Σ_tokens [log p_target(bucket) − log p_raw(bucket)]
+    with Laplace (+1) smoothing; sampling without replacement ≡ top-k
+    of log w + Gumbel noise (here a deterministic salted-hash Gumbel,
+    so the draw is reproducible and engine-portable).
+
+    Exactness: each bucket's log-ratio is quantized to DECIMAL(28,9)
+    BEFORE the per-doc sum, so the fold is exact decimal addition —
+    order-free, bit-identical across engines regardless of token
+    order (the d69 quantized-gradient trick); the Gumbel term is
+    quantized the same way. Scale shape: token fan-out is zero-shuffle;
+    TWO bucket aggregates carry {_D70_BUCKETS} partials each (map-side
+    combine); the {_D70_BUCKETS}-row ratio table broadcasts back onto
+    the token stream; ONE doc_id shuffle of decimal partials; global
+    top-k is TakeOrderedAndProject (k per partition, never a full
+    sort). At 100 TB the ratio table is still {_D70_BUCKETS} rows —
+    the paper's whole point is that the selector state is O(buckets),
+    not O(corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = ensure_parallelism(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    tb = toks.select(
+        "doc_id",
+        "lang",
+        (F.expr(poly_hash("concat('dsir:', tok)")) % _D70_BUCKETS).alias("bucket"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    raw = tb.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        tb.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    totals = tb.agg(
+        F.count("*").cast("double").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("nt"),
+    )
+    b = F.lit(float(_D70_BUCKETS))
+    ratios = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + b))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + b)),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("lr"),
+        )
+    )
+    wdoc = (
+        tb.join(broadcast(ratios), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lr").alias("w"))
+    )
+    gumbel = (
+        F.round(
+            -F.log(
+                -F.log(
+                    (
+                        F.expr(
+                            poly_hash("concat('dsirg:', CAST(doc_id AS STRING))")
+                        )
+                        + 1
+                    )
+                    / float(POLY_MOD + 1)
+                )
+            ),
+            9,
+        )
+    ).cast("decimal(28,9)")
+    keyed = wdoc.withColumn("score", F.col("w") + gumbel)
+    return (
+        keyed.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_D70_KEEP)
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("w").cast("double"), 6).alias("weight"),
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+        )
+    )
