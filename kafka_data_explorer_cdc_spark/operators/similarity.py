@@ -48,6 +48,55 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm", F.sqrt(_norm_sq(F.col(vec_col))))
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k most-cosine-similar corpus vectors whose LABEL DIFFERS — the
+    negatives a triplet/InfoNCE loss learns most from (vs d57's random
+    negatives). Same scale shape as the exact kernel: queries
+    broadcast, corpus never shuffled, label filter applied BEFORE the
+    ranking window so the per-partition top-k pre-reduction carries
+    only cross-label candidates. At 100 TB swap the exact scorer for
+    an IVF probe (d07y) and keep the label-mismatch filter on the
+    candidate stream."""
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(label_col).alias("q_label"),
+            F.col(vec_col).alias("q_vec"),
+        ),
+        "q_vec",
+    ).withColumnRenamed("norm", "q_norm")
+    c = with_norm(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("c_id"),
+            F.col(label_col).alias("c_label"),
+            F.col(vec_col).alias("c_vec"),
+        ),
+        "c_vec",
+    ).withColumnRenamed("norm", "c_norm")
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "q_label", "c_id", "c_label", "cosine", "rank")
+    )
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -5700,3 +5700,116 @@ def d70_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score").cast("double"), 6).alias("score"),
         )
     )
+
+
+@query(
+    "d71_k_anonymity_audit",
+    oracle="""
+WITH qi AS (
+  SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_band
+  FROM documents
+), classes AS (
+  SELECT lang, source, len_band, COUNT(*) AS class_size
+  FROM qi GROUP BY lang, source, len_band
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+       CAST(SUM(CASE WHEN class_size < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(SUM(CASE WHEN class_size < 3 THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_risky_docs,
+       ROUND(CAST(SUM(CASE WHEN class_size < 3 THEN class_size ELSE 0 END)
+                  AS DOUBLE) / SUM(class_size), 6) AS suppression_rate
+FROM classes GROUP BY lang
+""",
+    tags=("llm", "privacy", "quality"),
+)
+def d71_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over quasi-identifiers — the
+    privacy gate a training corpus passes before release: group docs
+    by the QI tuple (lang, source, 100-char length band), measure each
+    equivalence class, and report per-lang the achieved k (min class
+    size), the classes below k=3, and the fraction of documents a
+    suppression pass would drop. Complements d21/d68 (which find
+    direct identifiers IN the text) by measuring re-identification
+    risk from the METADATA. Scale shape: two cascaded hash aggregates
+    — QI classes (map-side partials; cardinality = |QI space|, not
+    |corpus|) then a per-lang rollup over class rows; no joins, no
+    windows, no collect. At 100 TB the class table is the only
+    shuffle and it is bounded by the QI domain."""
+    docs = load(spark, sf_dir, "documents")
+    classes = (
+        docs.select(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_band"),
+        )
+        .groupBy("lang", "source", "len_band")
+        .agg(F.count("*").alias("class_size"))
+    )
+    risky = F.col("class_size") < 3
+    return classes.groupBy("lang").agg(
+        F.count("*").alias("n_classes"),
+        F.min("class_size").alias("k_anonymity"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("bigint").alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_docs"),
+        F.round(
+            F.sum(F.when(risky, F.col("class_size")).otherwise(0)).cast("double")
+            / F.sum("class_size"),
+            6,
+        ).alias("suppression_rate"),
+    )
+
+
+_D72_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+)
+_D72_NORMSQ = (
+    "list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(p, q) -> p + q)"
+)
+
+
+@query(
+    "d72_hard_negative_mining",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_D72_NORMSQ.format(a="embedding")}) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         c.vec_id AS c_id, c.label AS c_label,
+         {_D72_DOT.format(a="q.embedding", b="c.embedding")}
+           / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON c.label <> q.label
+  WHERE q.vec_id % 25 = 0
+)
+SELECT q_id, q_label, c_id, c_label, cosine, rn AS rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+    tags=("llm", "similarity", "training"),
+)
+def d72_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the negatives an
+    InfoNCE/triplet loss learns most from — e.g. Robinson et al. 2021):
+    for each anchor (every 25th vec_id), the 3 most-cosine-similar
+    vectors with a DIFFERENT label. d57 samples negatives uniformly;
+    this ranks them by similarity, which is what embedding fine-tuning
+    pipelines actually mine at scale. Operator:
+    operators/similarity.py:hard_negative_topk — anchors broadcast,
+    corpus never shuffled, cross-label filter applied before the
+    per-anchor top-k window so the shuffle carries only k·|anchors|
+    rows after the per-partition rank pre-reduction. Exact kernel here
+    (the oracle's brute force); at 100 TB the scorer swaps to the IVF
+    probe (d07y) with the same label-mismatch candidate filter."""
+    em = load(spark, sf_dir, "embeddings")
+    anchors = em.filter(F.col("vec_id") % 25 == 0)
+    return S.hard_negative_topk(em, anchors, k=3)
