@@ -5813,3 +5813,48 @@ def d72_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load(spark, sf_dir, "embeddings")
     anchors = em.filter(F.col("vec_id") % 25 == 0)
     return S.hard_negative_topk(em, anchors, k=3)
+
+
+_D73_FP_DUCK = DUCKDB_POLY_HASH.format(expr="concat('fp:', lower(trim(text)))")
+
+
+@query(
+    "d73_dataset_fingerprint",
+    oracle=f"""
+WITH fp AS (
+  SELECT source, ({_D73_FP_DUCK}) AS h FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(h) AS BIGINT) AS xor_fp,
+       CAST(SUM(h) AS BIGINT) AS sum_fp,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique
+FROM fp GROUP BY source
+""",
+    tags=("llm", "versioning", "quality"),
+)
+def d73_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dataset fingerprint — the version stamp a
+    100 TB corpus snapshot publishes so replicas/re-materializations
+    can be compared WITHOUT moving data: per source shard, the doc
+    count plus two ORDER-FREE reductions of the per-doc content hash
+    (XOR and exact integer SUM — together they detect any single-doc
+    change, addition, or drop regardless of row order or partitioning)
+    and the distinct-hash count (dedup-state drift). Two replicas
+    agree on this 5-number row iff their shards hold the same multiset
+    of normalized documents (up to hash collisions at ~1e-9). Scale
+    shape: one scan, per-doc hash is a linear fold, ONE map-side-
+    combined groupBy(source); the distinct count is the only partial
+    that isn't O(1) — swap it for approx_count_distinct when the exact
+    dedup ledger isn't required. No joins, no sort, no collect."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        F.expr(poly_hash("concat('fp:', lower(trim(text)))")).alias("h"),
+    )
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("bit_xor(h)").cast("bigint").alias("xor_fp"),
+        F.sum("h").cast("bigint").alias("sum_fp"),
+        F.countDistinct("h").alias("n_unique"),
+    )

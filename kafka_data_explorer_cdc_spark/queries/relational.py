@@ -4389,3 +4389,142 @@ def b85_bitmap_distinct_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").cast("bigint").alias("n_days"),
         F.col("distinct_users").cast("bigint").alias("distinct_users"),
     )
+
+
+@query(
+    "b86_wilson_ranking",
+    oracle="""
+WITH perf AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM lineitem GROUP BY l_suppkey
+), scored AS (
+  SELECT suppkey, n, s,
+         ROUND((CAST(s AS DOUBLE) / n + 1.9208 / n
+                - 1.96 * sqrt((CAST(s AS DOUBLE) / n)
+                              * (1.0 - CAST(s AS DOUBLE) / n) / n
+                              + 0.9604 / (CAST(n AS DOUBLE) * n)))
+               / (1.0 + 3.8416 / n), 6) AS wilson_lb
+  FROM perf
+)
+SELECT suppkey, n, s, wilson_lb FROM scored
+ORDER BY wilson_lb DESC, suppkey LIMIT 25
+""",
+    tags=("relational", "stats", "ranking"),
+)
+def b86_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound ranking — the statistically honest way
+    to rank entities by a success RATE when sample sizes differ (the
+    "how not to sort by average rating" correction): suppliers ranked
+    by the 95% lower confidence bound of their non-return rate
+    (l_returnflag <> 'R'), so a 5/5 supplier does NOT outrank a 480/500
+    one. lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n),
+    z = 1.96 (z² = 3.8416 folded into constants). Exactness: the only
+    shuffle-dependent values are integer n and s (exact); the double
+    formula is then a deterministic per-row map — identical in both
+    engines — rounded to 6. Scale shape: ONE map-side-combined
+    groupBy(suppkey) over the fact table, per-row scalar math, global
+    top-25 via TakeOrderedAndProject. No windows, no joins."""
+    li = load(spark, sf_dir, "lineitem")
+    perf = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("l_returnflag") != "R", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    p = F.col("s").cast("double") / F.col("n")
+    n = F.col("n").cast("double")
+    lb = F.round(
+        (p + 1.9208 / n - 1.96 * F.sqrt(p * (1.0 - p) / n + 0.9604 / (n * n)))
+        / (1.0 + 3.8416 / n),
+        6,
+    )
+    return (
+        perf.withColumn("wilson_lb", lb)
+        .orderBy(F.col("wilson_lb").desc(), "suppkey")
+        .limit(25)
+        .select("suppkey", "n", "s", "wilson_lb")
+    )
+
+
+@query(
+    "b87_last_touch_attribution",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_ts
+  FROM events
+), attrib AS (
+  SELECT CASE WHEN touch_ts IS NOT NULL
+               AND ts - touch_ts <= INTERVAL 7 DAY
+              THEN touch_type ELSE 'direct' END AS channel,
+         value
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {SQL_DSUM.format(col="value")} AS revenue
+FROM attrib GROUP BY channel
+""",
+    tags=("relational", "window", "analytics"),
+)
+def b87_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent PRECEDING non-purchase event within a
+    7-day lookback (else 'direct'), then revenue rolls up by credited
+    channel. The classic sessionless attribution model, computed with
+    NO self-join: one window per user carries the last-seen touch
+    type/timestamp forward (``last(..., ignorenulls=True)`` over
+    UNBOUNDED PRECEDING..1 PRECEDING — constant state per user, never
+    a per-purchase scan-back), so the plan is ONE user_id shuffle for
+    the window plus one map-side-combined channel rollup. Revenue sums
+    in DECIMAL(18,2) (order-free exact). At 100 TB: the window
+    partitions by user (millions of independent partitions), the
+    lookback is a per-row comparison, and the rollup output is
+    |channels| rows."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    attrib = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (F.col("ts") <= F.col("touch_ts") + F.expr("INTERVAL 7 DAYS")),
+            F.col("touch_type"),
+        )
+        .otherwise("direct")
+        .alias("channel"),
+        "value",
+    )
+    return attrib.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        dsum("value", "revenue"),
+    )
