@@ -28,29 +28,37 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # under the local oracle mirror at sf0.001 (tests/test_oracle.py runs
 # every entry).
 #
-# ROUND-8 QUEUE (in priority order):
-#   1. the 8 round-7 overflow never-checked entries:
+# ROUND-8 QUEUE (in priority order; exact as of the r7 registry —
+# 257 entries, 85 never driver-checked, 50 in this window, 35
+# overflow):
+#   1. the 35 round-7 overflow never-checked entries:
+#      b80_merge_upsert_dsl, b81_exact_correlation,
+#      b82_expectations_audit, b83_mode_per_group,
+#      b84_scd2_dimension_merge, b85_bitmap_distinct_at_rest,
+#      b86_wilson_ranking, b87_last_touch_attribution,
+#      a20_schema_evolution_ingest, a21_malformed_envelope_dlq,
+#      k49_kql_shufflekey_hint, k50_kql_join_strategy_hint,
+#      k51_kql_conditional_agg_sweep, k52_kql_bag_unpack,
+#      k53_kql_series_stats, mm6_multimodal_retrieval,
+#      mm7_interleaved_packing, mm8_vit_patchify,
+#      d64_boilerplate_line_removal, d65_auc_quality_score,
+#      d66_dup_span_removal, d67_retrieval_eval_metrics,
+#      d68_luhn_pan_validation, d69_logreg_quality_train,
+#      d70_dsir_resample, d71_k_anonymity_audit,
+#      d72_hard_negative_mining, d73_dataset_fingerprint,
 #      s36_stream_partitioned_sink, s37_hybrid_backfill_union,
 #      s38_stream_window_topk, s39_stream_quantile_monitor,
-#      mm6_multimodal_retrieval, mm7_interleaved_packing,
-#      a20_schema_evolution_ingest, a21_malformed_envelope_dlq;
-#   2. any round-7 additions never driver-checked (so far: k49
-#      shufflekey hint, k50 join strategy hint, b80 merge DSL, d64
-#      boilerplate removal, k51 conditional-agg sweep, b81 exact corr,
-#      b82 expectations audit, d65 Mann-Whitney AUC, d67 retrieval
-#      eval metrics, d66 dup-span removal apply, s40 PSI drift monitor,
-#      k52 bag_unpack, b83 mode, s41 streaming expectations, k53
-#      series_stats_dynamic, b84 SCD2 dimension merge, d68 Luhn PAN
-#      validation, d69 logreg training, mm8 ViT patchify, b85 bitmap
-#      exact distinct, s42 streaming bitmap distinct);
+#      s40_stream_psi_drift, s41_stream_expectations_audit,
+#      s42_stream_bitmap_distinct;
+#   2. any round-8 additions never driver-checked;
 #   3. the stalest rotation cohort — newest driver row r2: k13, k14,
 #      k15, k16, k17, k20, k21, k22, k23, d07, d16, d17, d18, d19
 #      (14 entries), then r3: d04x, d06x, k24-k34, b13a…, until the
 #      window fills.
 # NOTE on the staleness ceiling: the policy aimed for "no entry's
-# newest driver row more than ~3 rounds old", but with a 230-entry
-# registry and a 50-slot window the arithmetic floor is ~5 rounds
-# (230/50); never-checked entries rightly pre-empt rotation. The r2
+# newest driver row more than ~3 rounds old", but with a 257-entry
+# registry and a 50-slot window the arithmetic floor is ~5-6 rounds
+# (257/50); never-checked entries rightly pre-empt rotation. The r2
 # cohort above will be ~6 rounds stale when it rotates in during
 # round 8 — accepted trade, documented here so the number isn't a
 # surprise.
