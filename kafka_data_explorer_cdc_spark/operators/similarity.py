@@ -1038,3 +1038,109 @@ def kmeans_lloyd(
         "id", F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2")
     )
     return assignments, sse, C
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    CCMatrix/LASER parallel-corpus miner): for every source-side
+    vector, its best target-side candidate scored by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((fwd_k(x) + bwd_k(y)) / 2)
+
+    where ``fwd_k(x)`` is the mean cosine of x's k nearest targets and
+    ``bwd_k(y)`` the mean cosine of y's k nearest sources. The margin
+    normalizes away "hub" vectors that are close to everything — raw
+    cosine thresholds are not comparable across query density, which
+    is why production bitext pipelines mine on margin, not cosine.
+
+    Exactness/portability: the kNN means are computed from cosines
+    quantized to 1e-9 (integer sums — order-free), so the final margin
+    is one identical double formula in Spark and DuckDB.
+
+    Scale shape: the source side broadcasts against a never-shuffled
+    target scan; the scored block is persisted once and reused for the
+    forward means, backward means, and final re-rank (three
+    aggregations over one materialization). The per-side kNN means are
+    tiny (|src| and |tgt| rows) and broadcast back onto the block. At
+    100 TB both "nearest" scans swap to the IVF probe (ivf_cosine_topk)
+    per side — the margin formula and rank logic are unchanged, only
+    the candidate generator narrows from the full bipartite block to
+    cell-pruned candidates."""
+    q = with_norm(
+        src.select(
+            F.col(id_col).alias("src_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+    ).withColumnRenamed("norm", "q_norm")
+    c = with_norm(
+        ensure_parallelism(tgt).select(
+            F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+    ).withColumnRenamed("norm", "c_norm")
+    scored = (
+        c.crossJoin(broadcast(q))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .select("src_id", "tgt_id", "cosine")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c9 = F.round(F.col("cosine") * 1e9, 0).cast("bigint")
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.desc("cosine"), F.asc("tgt_id")
+    )
+    fwd = (
+        scored.withColumn("rn", F.row_number().over(w_fwd))
+        .filter(F.col("rn") <= k)
+        .groupBy("src_id")
+        .agg(F.sum(c9).alias("s9"))
+        .select(
+            "src_id",
+            (F.col("s9").cast("double") / (k * 1e9)).alias("fwd_avg"),
+        )
+    )
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cosine"), F.asc("src_id")
+    )
+    bwd = (
+        scored.withColumn("rn", F.row_number().over(w_bwd))
+        .filter(F.col("rn") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum(c9).alias("s9"))
+        .select(
+            "tgt_id",
+            (F.col("s9").cast("double") / (k * 1e9)).alias("bwd_avg"),
+        )
+    )
+    m = (
+        scored.join(broadcast(fwd), "src_id")
+        .join(broadcast(bwd), "tgt_id")
+        .withColumn(
+            "margin",
+            F.col("cosine") / ((F.col("fwd_avg") + F.col("bwd_avg")) / 2),
+        )
+    )
+    w_top = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.round("margin", 6).alias("margin"),
+            (F.col("margin") >= threshold).alias("mined"),
+        )
+    )

@@ -5858,3 +5858,209 @@ def d73_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").cast("bigint").alias("sum_fp"),
         F.countDistinct("h").alias("n_unique"),
     )
+
+
+@query(
+    "d74_bitext_margin_mining",
+    oracle=f"""
+WITH a AS (
+  SELECT vec_id AS src_id, embedding AS q_vec,
+         sqrt({_D72_NORMSQ.format(a="embedding")}) AS q_norm
+  FROM embeddings WHERE label = 0
+), b AS (
+  SELECT vec_id AS tgt_id, embedding AS c_vec,
+         sqrt({_D72_NORMSQ.format(a="embedding")}) AS c_norm
+  FROM embeddings WHERE label = 1
+), s AS (
+  SELECT src_id, tgt_id,
+         {_D72_DOT.format(a="q_vec", b="c_vec")} / (q_norm * c_norm)
+           AS cosine
+  FROM a CROSS JOIN b
+), fwd AS (
+  SELECT src_id, SUM(CAST(ROUND(cosine * 1e9) AS BIGINT)) AS s9
+  FROM (SELECT src_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY cosine DESC, tgt_id) AS rn
+        FROM s) t WHERE rn <= 4 GROUP BY src_id
+), bwd AS (
+  SELECT tgt_id, SUM(CAST(ROUND(cosine * 1e9) AS BIGINT)) AS s9
+  FROM (SELECT tgt_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                  ORDER BY cosine DESC, src_id) AS rn
+        FROM s) t WHERE rn <= 4 GROUP BY tgt_id
+), m AS (
+  SELECT s.src_id, s.tgt_id, s.cosine,
+         s.cosine / (((CAST(fwd.s9 AS DOUBLE) / (4 * 1e9))
+                      + (CAST(bwd.s9 AS DOUBLE) / (4 * 1e9))) / 2)
+           AS margin_raw
+  FROM s JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)
+)
+SELECT src_id, tgt_id,
+       ROUND(cosine, 6) AS cosine,
+       ROUND(margin_raw, 6) AS margin,
+       margin_raw >= 1.05 AS mined
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                   ORDER BY margin_raw DESC, tgt_id) AS rn
+      FROM m) t WHERE rn = 1
+""",
+    tags=("llm", "similarity", "multilingual"),
+)
+def d74_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    CCMatrix/LASER parallel-corpus recipe): label-0 vectors play the
+    source language, label-1 the target; each source is paired with
+    its best target by the RATIO margin cos(x,y) / ((fwd_k(x) +
+    bwd_k(y))/2), which normalizes away hub vectors that raw cosine
+    thresholds mis-rank. The mined flag is the margin >= 1.05 accept
+    decision a translation-pair harvesting pipeline would apply.
+
+    Operator: operators/similarity.py:bitext_margin_pairs — the scored
+    bipartite block is persisted ONCE and reused for the forward
+    means, backward means, and final re-rank; the per-side kNN means
+    (quantized to 1e-9 integer sums, so the means are order-free and
+    the margin is one identical double formula in both engines) are
+    |src|- and |tgt|-row tables broadcast back onto the block. At
+    100 TB each "nearest" scan swaps to the IVF probe (d07y) per side;
+    margin math and rank logic are unchanged."""
+    em = load(spark, sf_dir, "embeddings")
+    return S.bitext_margin_pairs(
+        em.filter(F.col("label") == 0),
+        em.filter(F.col("label") == 1),
+        k=4,
+        threshold=1.05,
+    )
+
+
+@query(
+    "d75_tokenizer_fertility",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_char,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_byte,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_char) AS DOUBLE) / SUM(n_tok), 6)
+         AS chars_per_token,
+       ROUND(CAST(SUM(n_byte) AS DOUBLE) / SUM(n_char), 6)
+         AS bytes_per_char,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS tokens_per_doc
+FROM t GROUP BY lang
+""",
+    tags=("llm", "text", "profiling"),
+)
+def d75_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression datasheet per language — the
+    numbers a tokenizer-budget decision is made from (how many tokens
+    a corpus costs, and how unevenly languages pay: chars-per-token is
+    the whitespace-proxy inverse fertility, bytes-per-char exposes the
+    UTF-8 multi-byte tax CJK pays that byte-level BPEs inherit).
+    Whitespace tokens are the d70 convention (split of
+    lower(trim(text)) on ' '); a real subword tokenizer plugs in via
+    d45's mapInPandas seam without changing this rollup.
+
+    Scale shape: per-row lengths are codegen scalar exprs fused into
+    the scan; ONE map-side-combined groupBy(lang) to |langs| rows; the
+    ratios are computed on the rollup from exact integer sums — order-
+    free, no UDF, no second pass."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_char"),
+        F.octet_length("text").cast("long").alias("n_byte"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(
+            F.sum("n_char").cast("double") / F.sum("n_tok"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("n_byte").cast("double") / F.sum("n_char"), 6
+        ).alias("bytes_per_char"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.count("*"), 6
+        ).alias("tokens_per_doc"),
+    )
+
+
+_D76_FP_DUCK = DUCKDB_POLY_HASH.format(expr="lower(trim(text))")
+_D76_SPLIT_DUCK = DUCKDB_POLY_HASH.format(
+    expr="concat('split:', lower(trim(text)))"
+)
+
+
+@query(
+    "d76_curation_pipeline",
+    oracle=f"""
+WITH quality AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+  WHERE n_chars >= 50
+    AND len(string_split(lower(trim(text)), ' ')) >= 10
+    AND lang IN ('en', 'fr', 'es', 'de')
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY ({_D76_FP_DUCK}) ORDER BY doc_id) AS rn
+    FROM quality
+  ) t WHERE rn = 1
+), train AS (
+  SELECT * FROM deduped WHERE ({_D76_SPLIT_DUCK}) % 20 < 15
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM train GROUP BY source
+""",
+    tags=("llm", "pipeline", "curation"),
+)
+def d76_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE composed Catalyst plan — the
+    C4/CCNet recipe shape: quality gate (length + token floor) →
+    language selection → exact dedup keep-first (content fingerprint)
+    → deterministic 75% train split → per-source datasheet rollup.
+    The point is COMPOSITION: every stage is an operator this engine
+    already ships standalone (d09 quality, d10 langid, d02 dedup
+    apply, d41 hash split, d62 data card), and chaining them stays one
+    DataFrame plan — no intermediate materialization, filters fused
+    into the scan, ONE shuffle for the dedup window (WindowGroupLimit
+    rank-1) and one map-side-combined rollup.
+
+    At 100 TB this is the nightly curation job: the quality/lang
+    filters prune before the only wide exchange, the dedup fingerprint
+    partitions uniformly (content hash), and the split is content-
+    keyed (d41's discipline) so reruns and re-crawls never migrate a
+    document across the train/eval boundary."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+    quality = docs.filter(
+        (F.col("n_chars") >= 50)
+        & (n_tok >= 10)
+        & F.col("lang").isin("en", "fr", "es", "de")
+    ).withColumn("n_tok", n_tok.cast("long"))
+    fp = F.expr(poly_hash("lower(trim(text))"))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    split_h = F.expr(poly_hash("concat('split:', lower(trim(text)))"))
+    train = deduped.filter(split_h % 20 < 15)
+    return train.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )

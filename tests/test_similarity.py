@@ -278,3 +278,52 @@ def test_logreg_train_separable(spark):
 
     _, losses2, w2 = logreg_train(df.repartition(7), "y", n_iter=5, lr=1.0)
     assert w == w2 and losses == losses2
+
+
+def test_bitext_margin_mines_planted_pair(spark):
+    """operators/similarity.py bitext_margin_pairs: a planted
+    translation pair (near-identical vectors across the two sides)
+    must be mined rank-1 with a margin above every organic pair's, and
+    the margin ordering must be invariant to target-side partitioning
+    (the order-free quantized-kNN-mean contract)."""
+    import random
+
+    from kafka_data_explorer_cdc_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    planted = vec()
+    src_rows = [(0, [x + rng.gauss(0, 0.01) for x in planted])] + [
+        (i, vec()) for i in range(1, 21)
+    ]
+    tgt_rows = [(100, [x + rng.gauss(0, 0.01) for x in planted])] + [
+        (100 + i, vec()) for i in range(1, 21)
+    ]
+    src = spark.createDataFrame(
+        src_rows, "vec_id long, embedding array<float>"
+    )
+    tgt = spark.createDataFrame(
+        tgt_rows, "vec_id long, embedding array<float>"
+    )
+
+    mined = bitext_margin_pairs(src, tgt, k=4, threshold=1.05)
+    rows = {r["src_id"]: r for r in mined.collect()}
+    assert rows[0]["tgt_id"] == 100
+    assert rows[0]["mined"] is True
+    assert rows[0]["margin"] == max(r["margin"] for r in rows.values())
+
+    again = {
+        r["src_id"]: r
+        for r in bitext_margin_pairs(
+            src, tgt.repartition(7), k=4, threshold=1.05
+        ).collect()
+    }
+    assert {k: (v["tgt_id"], v["margin"]) for k, v in rows.items()} == {
+        k: (v["tgt_id"], v["margin"]) for k, v in again.items()
+    }
