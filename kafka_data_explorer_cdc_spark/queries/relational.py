@@ -4528,3 +4528,164 @@ def b87_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         dsum("value", "revenue"),
     )
+
+
+@query(
+    "b88_welch_ttest",
+    oracle=f"""
+WITH q AS (
+  SELECT event_type, user_id % 2 AS g,
+         CAST(value AS DECIMAL(18,2)) AS x
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN g = 0 THEN x END) AS DOUBLE) AS sxa,
+         CAST(SUM(CASE WHEN g = 1 THEN x END) AS DOUBLE) AS sxb,
+         CAST(SUM(CASE WHEN g = 0 THEN x * x END) AS DOUBLE) AS sxxa,
+         CAST(SUM(CASE WHEN g = 1 THEN x * x END) AS DOUBLE) AS sxxb
+  FROM q GROUP BY event_type
+), w AS (
+  SELECT event_type, na, nb,
+         sxa / na AS ma, sxb / nb AS mb,
+         (sxxa - sxa * sxa / na) / (na - 1.0) / na AS sea,
+         (sxxb - sxb * sxb / nb) / (nb - 1.0) / nb AS seb
+  FROM s
+)
+SELECT event_type, na AS n_a, nb AS n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+       ROUND((sea + seb) * (sea + seb)
+             / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6)
+         AS welch_df,
+       abs((ma - mb) / sqrt(sea + seb)) >= 1.96 AS significant
+FROM w
+""",
+    tags=("relational", "stats", "abtest"),
+)
+def b88_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per metric — the A/B
+    experimentation primitive: users deterministically hash-bucketed
+    into variants (user_id % 2, the production assignment shape — no
+    RNG state), and per event_type the difference in mean `value` is
+    tested with Welch's t and the Welch-Satterthwaite df (the honest
+    default when variances differ; Student's pooled t is a special
+    case that silently lies under variance skew).
+
+    Exactness: per-variant n, Σx, Σx² are computed in DECIMAL (exact,
+    order-free) inside ONE conditional aggregate — no self-join, no
+    second scan; the t/df formula then runs on the |event_types|-row
+    rollup as one identical double expression in both engines.
+
+    Scale shape: single map-side-combined groupBy(event_type); the
+    power sums are also the mergeable form, so per-shard partials add
+    and a 1000-experiment scorecard is one pass over 100 TB of
+    events, not 1000."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,2)")
+    g = F.col("user_id") % 2
+    s = ev.groupBy("event_type").agg(
+        F.sum(F.when(g == 0, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(g == 1, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(g == 0, x)).cast("double").alias("sxa"),
+        F.sum(F.when(g == 1, x)).cast("double").alias("sxb"),
+        F.sum(F.when(g == 0, x * x)).cast("double").alias("sxxa"),
+        F.sum(F.when(g == 1, x * x)).cast("double").alias("sxxb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    w = s.select(
+        "event_type",
+        "na",
+        "nb",
+        (F.col("sxa") / d("na")).alias("ma"),
+        (F.col("sxb") / d("nb")).alias("mb"),
+        (
+            (F.col("sxxa") - F.col("sxa") * F.col("sxa") / d("na"))
+            / (d("na") - 1.0)
+            / d("na")
+        ).alias("sea"),
+        (
+            (F.col("sxxb") - F.col("sxb") * F.col("sxb") / d("nb"))
+            / (d("nb") - 1.0)
+            / d("nb")
+        ).alias("seb"),
+    )
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(F.col("sea") + F.col("seb"))
+    return w.select(
+        "event_type",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(
+            (F.col("sea") + F.col("seb"))
+            * (F.col("sea") + F.col("seb"))
+            / (
+                F.col("sea") * F.col("sea") / (F.col("na") - F.lit(1.0))
+                + F.col("seb") * F.col("seb") / (F.col("nb") - F.lit(1.0))
+            ),
+            6,
+        ).alias("welch_df"),
+        (F.abs(t) >= 1.96).alias("significant"),
+    )
+
+
+@query(
+    "b89_dynamic_partition_pruning",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       {SQL_DSUM.format(col="e.value")} AS total_value,
+       CAST(COUNT(DISTINCT CAST(e.ts AS DATE)) AS BIGINT) AS n_days
+FROM events e
+WHERE isodow(CAST(e.ts AS DATE)) = 1
+""",
+    tags=("relational", "layout", "pruning", "join"),
+)
+def b89_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) — b65's star-schema sibling: the
+    fact table is hive-partitioned by day, but the day filter lives on
+    a DIMENSION (a calendar table filtered to Mondays), so no static
+    partition filter exists at compile time. Catalyst plants a
+    `dynamicpruningexpression` on the fact's partition column that is
+    fed at RUNTIME from the broadcasted dim side — the fact scan lists
+    only the ~1/7 of directories that survive, without the query ever
+    mentioning a date literal. Plan pinned in tests/test_plans.py.
+
+    At 100 TB this is THE star-schema join pattern: `facts JOIN dims
+    ON fact.part_col = dim.key WHERE dim.attr = ...` reads only the
+    matching partitions, which is why warehouses partition facts by
+    the dim foreign key users actually filter on. Without DPP the same
+    plan scans the full fact table and throws 6/7 of it away post-join.
+
+    The partitioned rewrite and the calendar dim are lossless
+    derivations of `events`, so the raw-table oracle (Monday events)
+    must match exactly."""
+    import os as _os
+    import tempfile as _tmp
+
+    ev = load(spark, sf_dir, "events")
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    out = _os.path.join(_tmp.gettempdir(), f"spark_graft_b65_{tag}")
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        ev.withColumn(
+            "event_date", F.date_format("ts", "yyyy-MM-dd")
+        ).write.mode("overwrite").partitionBy("event_date").parquet(out)
+    dim_dir = _os.path.join(_tmp.gettempdir(), f"spark_graft_b89dim_{tag}")
+    if not _os.path.exists(_os.path.join(dim_dir, "_SUCCESS")):
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d")
+        ).distinct().coalesce(1).write.mode("overwrite").parquet(dim_dir)
+    fact = spark.read.parquet(out)
+    dim = spark.read.parquet(dim_dir).filter(
+        F.dayofweek(F.to_date("d")) == 2  # Monday (Spark: 1=Sunday)
+    )
+    return (
+        fact.join(broadcast(dim), fact.event_date == dim.d)
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+            F.countDistinct("event_date").alias("n_days"),
+        )
+    )

@@ -741,3 +741,31 @@ def test_patchify_single_arrow_stage(spark, sf_dir):
     # shuffle or join is not
     assert "Exchange hashpartitioning" not in p
     assert "Join" not in p
+
+
+def test_dpp_fact_scan_dynamically_pruned(spark, sf_dir):
+    """b89: the day filter lives on the calendar DIM, yet the fact scan
+    must carry a runtime `dynamicpruningexpression` on its partition
+    column (fed from the broadcast dim) and ZERO data-column pushed
+    filters — directory-level pruning decided at runtime, the
+    star-schema contract. The dim side must broadcast."""
+    p = plan_of(spark, sf_dir, "b89_dynamic_partition_pruning")
+    fact_scans = [
+        ln
+        for ln in p.splitlines()
+        if "Scan parquet" in ln and "spark_graft_b65_" in ln
+    ]
+    assert len(fact_scans) == 1
+    assert "dynamicpruningexpression" in fact_scans[0]
+    assert "BroadcastHashJoin" in p
+
+
+def test_welch_single_conditional_aggregate(spark, sf_dir):
+    """b88: both variants' power sums come from ONE scan and ONE
+    map-side-combined aggregate — no self-join, no second exchange; the
+    t/df math is projection-only on the rollup."""
+    p = plan_of(spark, sf_dir, "b88_welch_ttest")
+    scans = [ln for ln in p.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
