@@ -1253,3 +1253,61 @@ def s42_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_start", "event_type")
         .agg(F.sum(F.bit_count("word")).cast("bigint").alias("distinct_users"))
     )
+
+
+@query(
+    "s43_stream_last_touch",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_ts
+  FROM events
+), attrib AS (
+  SELECT CASE WHEN touch_ts IS NOT NULL
+               AND ts - touch_ts <= INTERVAL 7 DAY
+              THEN touch_type ELSE 'direct' END AS channel,
+         value
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM attrib GROUP BY channel
+""",
+    tags=("streaming", "stateful", "attribution"),
+)
+def s43_stream_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time last-touch attribution (streaming twin of batch b87):
+    a custom stateful operator (applyInPandasWithState,
+    streaming/stateful.py:streaming_last_touch) carries ONE
+    (touch_type, touch_ts) pair per user and emits each purchase
+    credited to the last preceding non-purchase touch within the 7-day
+    lookback (else 'direct'); the channel rollup happens batch-side on
+    the drained attributions. Where b87 answers "what drove last
+    month's revenue" with one window over history, this answers it
+    continuously with O(1) state per user — the production shape for a
+    live marketing dashboard. Same oracle as b87: two execution
+    strategies, one attribution semantics."""
+    from ..streaming.stateful import streaming_last_touch
+    from .helpers import dsum
+
+    name = f"s43_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_memory(streaming_last_touch(ev), name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum("value", "revenue"),
+        )
+    )

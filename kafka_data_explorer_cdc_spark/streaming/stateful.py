@@ -216,3 +216,74 @@ def transform_with_state_totals(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+#: last-touch attribution lookback, microseconds (7 days)
+_LOOKBACK_US = 7 * 86_400 * 1_000_000
+
+
+def _last_touch_fn(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    touch_type, touch_us = state.get if state.exists else (None, None)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # Match the batch twin's (ts, event_id) tie order exactly.
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    kinds = rows["event_type"].to_numpy()
+    values = rows["value"].to_numpy()
+    out_channel, out_value = [], []
+    for t, kind, v in zip(ts_us, kinds, values):
+        if kind == "purchase":
+            if touch_us is not None and t - touch_us <= _LOOKBACK_US:
+                out_channel.append(touch_type)
+            else:
+                out_channel.append("direct")
+            out_value.append(float(v))
+        else:
+            touch_type, touch_us = str(kind), int(t)
+    state.update((touch_type, touch_us))
+    if out_channel:
+        yield pd.DataFrame({"channel": out_channel, "value": out_value})
+
+
+def streaming_last_touch(events: DataFrame) -> DataFrame:
+    """Last-touch attribution as an incremental stateful stream: per
+    user the state is ONE (touch_type, touch_ts) pair — the most recent
+    non-purchase event seen — and each purchase is emitted credited to
+    that carry if it lies within the 7-day lookback, else 'direct'.
+    The streaming twin of the batch b87 window (last(ignorenulls) over
+    UNBOUNDED PRECEDING..1 PRECEDING): identical semantics, O(1) state
+    per user instead of a window over history — the shape a real-time
+    marketing-attribution pipeline runs on the live event bus.
+
+    Same ordered-arrival contract as :func:`streaming_funnel` (per-key
+    event-time order across micro-batches; a watermarked sort buffer in
+    front handles true disorder); within a batch rows are sorted by
+    (ts, event_id), the batch twin's exact tie order."""
+    from pyspark.sql.types import DoubleType, StringType
+
+    state_schema = StructType(
+        [
+            StructField("touch_type", StringType()),
+            StructField("touch_us", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("channel", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _last_touch_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1270,3 +1270,77 @@ def test_change_log_dir_generates_once(spark, sf_dir):
     assert {
         f: os.path.getmtime(os.path.join(d1, f)) for f in sorted(os.listdir(d1))
     } == stamp
+
+
+def test_streaming_last_touch_state_spans_microbatches(spark, tmp_path):
+    """A click in micro-batch 1 must attribute a purchase in
+    micro-batch 2 (carry survives the state store), a purchase outside
+    the 7-day lookback must fall to 'direct', and a later touch must
+    overwrite the carry — the O(1)-state contract of
+    streaming_last_touch."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_data_explorer_cdc_spark.io import SCHEMAS
+    from kafka_data_explorer_cdc_spark.streaming.stateful import (
+        streaming_last_touch,
+    )
+
+    indir = tmp_path / "lt_in"
+    indir.mkdir()
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows]),
+                    "value": pa.array(
+                        [float(r[4]) for r in rows], pa.float64()
+                    ),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(path),
+        )
+
+    # batch 1: user 7 clicks, then views (view overwrites the carry);
+    # user 8's only touch is 8 days before their purchase
+    write(indir / "a_batch1.parquet", [
+        (1, "2024-01-01 10:00:00", 7, "click", 0.0),
+        (2, "2024-01-01 11:00:00", 7, "view", 0.0),
+        (3, "2024-01-01 09:00:00", 8, "click", 0.0),
+    ])
+    # batch 2: purchases — user 7 credited to 'view' (cross-batch
+    # carry), user 8 falls outside 7 days -> 'direct'
+    write(indir / "b_batch2.parquet", [
+        (4, "2024-01-02 12:00:00", 7, "purchase", 10.0),
+        (5, "2024-01-09 09:00:01", 8, "purchase", 20.0),
+    ])
+    os.utime(indir / "a_batch1.parquet", (1_000_000, 1_000_000))
+    os.utime(indir / "b_batch2.parquet", (2_000_000, 2_000_000))
+
+    ev = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    name = f"lt_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_last_touch(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["channel"], r["value"]) for r in spark.table(name).collect()
+    )
+    assert got == [("direct", 20.0), ("view", 10.0)]
