@@ -53,3 +53,53 @@ SQL_DISC_PRICE = (
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))"
 )
 SQL_CHARGE = SQL_DISC_PRICE + " * CAST(1 + l_tax AS DECIMAL(12,2))"
+
+
+def welch_from_power_sums(df):
+    """Welch t-test output columns from a rollup carrying the exact
+    per-variant power sums (na, nb, sxa, sxb, sxxa, sxxb as DOUBLE-cast
+    exact sums) plus any leading key columns. Shared by the batch b88
+    aggregate and the streaming s44 monitor — the power sums are the
+    MERGEABLE state; this is the serve-time formula, one identical
+    double expression in Spark and the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    w = df.select(
+        *[c for c in df.columns if c not in
+          ("na", "nb", "sxa", "sxb", "sxxa", "sxxb")],
+        "na",
+        "nb",
+        (F.col("sxa") / d("na")).alias("ma"),
+        (F.col("sxb") / d("nb")).alias("mb"),
+        (
+            (F.col("sxxa") - F.col("sxa") * F.col("sxa") / d("na"))
+            / (d("na") - 1.0)
+            / d("na")
+        ).alias("sea"),
+        (
+            (F.col("sxxb") - F.col("sxb") * F.col("sxb") / d("nb"))
+            / (d("nb") - 1.0)
+            / d("nb")
+        ).alias("seb"),
+    )
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(F.col("sea") + F.col("seb"))
+    return w.select(
+        *[c for c in w.columns if c not in
+          ("na", "nb", "ma", "mb", "sea", "seb")],
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(
+            (F.col("sea") + F.col("seb"))
+            * (F.col("sea") + F.col("seb"))
+            / (
+                F.col("sea") * F.col("sea") / (F.col("na") - F.lit(1.0))
+                + F.col("seb") * F.col("seb") / (F.col("nb") - F.lit(1.0))
+            ),
+            6,
+        ).alias("welch_df"),
+        (F.abs(t) >= 1.96).alias("significant"),
+    )

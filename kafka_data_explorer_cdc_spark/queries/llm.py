@@ -6064,3 +6064,82 @@ def d76_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_D77_HASH = DUCKDB_POLY_HASH.format(
+    expr="concat('umx:', cast(doc_id as varchar))"
+)
+
+
+@query(
+    "d77_unimax_temperature_sample",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), tot AS (
+  SELECT CAST(FLOOR(0.4 * SUM(n)) AS BIGINT) AS b,
+         SUM(CAST(ROUND(sqrt(n) * 1e6) AS BIGINT)) AS s
+  FROM c
+), bud AS (
+  SELECT lang, n,
+         CAST(LEAST(n, (CAST(ROUND(sqrt(n) * 1e6) AS BIGINT) * b) // s)
+              AS BIGINT) AS k
+  FROM c CROSS JOIN tot
+), r AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY ({_D77_HASH}), doc_id) AS BIGINT)
+           AS rk
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT r.doc_id, r.lang, r.rk, bud.k AS lang_budget
+FROM r JOIN bud USING (lang) WHERE rk <= k
+""",
+    tags=("llm", "sampling", "multilingual"),
+)
+def d77_unimax_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the UniMax / mT5 α=0.5
+    recipe): per-language budgets proportional to n_lang^0.5 — high-
+    resource languages are downweighted, low-resource ones get their
+    full corpus (LEAST(n, budget) is UniMax's epoch cap) — then exactly
+    budget_l documents drawn per language by portable-hash rank. d32
+    equalizes to the minimum (α=0); this is the tunable-α production
+    mixer multilingual pretraining actually uses.
+
+    Exactness: the n^0.5 weights are quantized to integer micro-units
+    and the budget is pure integer arithmetic ((q·B) div S), so both
+    engines compute byte-identical budgets — no cross-engine double
+    summation anywhere.
+
+    Scale shape: budgets come from a count-only rollup (|langs| rows,
+    broadcast back); selection is ONE lang shuffle ranking on the
+    content-independent portable hash (reproducible across runs,
+    engines, partitionings). At 100 TB the rank is bounded per group
+    by the broadcast budget — the same per-stratum exact-k shape as
+    d44."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    q = F.round(F.sqrt(F.col("n")) * 1e6, 0).cast("bigint")
+    tot = c.agg(
+        F.floor(0.4 * F.sum("n")).cast("bigint").alias("b"),
+        F.sum(q).alias("s"),
+    )
+    bud = (
+        c.crossJoin(broadcast(tot))
+        .withColumn("q", q)
+        .select(
+            "lang",
+            F.least(F.col("n"), F.expr("(q * b) div s")).alias("k"),
+        )
+    )
+    hk = F.expr(poly_hash("concat('umx:', cast(doc_id as string))"))
+    w = Window.partitionBy("lang").orderBy(F.asc("hk"), F.asc("doc_id"))
+    r = docs.select("doc_id", "lang", hk.alias("hk")).withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    )
+    return (
+        r.join(broadcast(bud), "lang")
+        .filter(F.col("rk") <= F.col("k"))
+        .select("doc_id", "lang", "rk", F.col("k").alias("lang_budget"))
+    )

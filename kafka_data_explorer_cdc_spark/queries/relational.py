@@ -4593,43 +4593,9 @@ def b88_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(g == 0, x * x)).cast("double").alias("sxxa"),
         F.sum(F.when(g == 1, x * x)).cast("double").alias("sxxb"),
     )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    w = s.select(
-        "event_type",
-        "na",
-        "nb",
-        (F.col("sxa") / d("na")).alias("ma"),
-        (F.col("sxb") / d("nb")).alias("mb"),
-        (
-            (F.col("sxxa") - F.col("sxa") * F.col("sxa") / d("na"))
-            / (d("na") - 1.0)
-            / d("na")
-        ).alias("sea"),
-        (
-            (F.col("sxxb") - F.col("sxb") * F.col("sxb") / d("nb"))
-            / (d("nb") - 1.0)
-            / d("nb")
-        ).alias("seb"),
-    )
-    t = (F.col("ma") - F.col("mb")) / F.sqrt(F.col("sea") + F.col("seb"))
-    return w.select(
-        "event_type",
-        F.col("na").alias("n_a"),
-        F.col("nb").alias("n_b"),
-        F.round("ma", 6).alias("mean_a"),
-        F.round("mb", 6).alias("mean_b"),
-        F.round(t, 6).alias("t_stat"),
-        F.round(
-            (F.col("sea") + F.col("seb"))
-            * (F.col("sea") + F.col("seb"))
-            / (
-                F.col("sea") * F.col("sea") / (F.col("na") - F.lit(1.0))
-                + F.col("seb") * F.col("seb") / (F.col("nb") - F.lit(1.0))
-            ),
-            6,
-        ).alias("welch_df"),
-        (F.abs(t) >= 1.96).alias("significant"),
-    )
+    from .helpers import welch_from_power_sums
+
+    return welch_from_power_sums(s)
 
 
 @query(
@@ -4688,4 +4654,100 @@ def b89_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             dsum("value", "total_value"),
             F.countDistinct("event_date").alias("n_days"),
         )
+    )
+
+
+@query(
+    "b90_funnel_stages",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+), u AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM s3 GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t1) AS BIGINT) AS n_view,
+       CAST(COUNT(t2) AS BIGINT) AS n_view_click,
+       CAST(COUNT(t3) AS BIGINT) AS n_view_click_purchase,
+       ROUND(CAST(COUNT(t2) AS DOUBLE) / COUNT(t1), 6) AS click_rate,
+       ROUND(CAST(COUNT(t3) AS DOUBLE) / COUNT(t2), 6) AS purchase_rate,
+       ROUND(CAST(COUNT(t3) AS DOUBLE) / COUNT(t1), 6) AS full_funnel_rate
+FROM u
+""",
+    tags=("relational", "window", "analytics"),
+)
+def b90_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-stage funnel (view → click → purchase), the
+    product-analytics staple: a user converts stage N only with an
+    event STRICTLY AFTER their stage-N-1 time (first-touch semantics —
+    min qualifying timestamp per stage). s26/b06 count click→purchase
+    PAIRS in a horizon; this is the per-user staged progression with
+    stage-over-stage conversion rates.
+
+    No self-joins: three chained per-user window minima (each stage's
+    predicate references the previous stage's column) share ONE
+    user_id exchange + sort — Catalyst stacks the Window operators on
+    the same partitioning, so a 3-stage funnel over 100 TB of events
+    costs one shuffle, the same as a 2-stage one. The per-user rollup
+    and the global rates run on |users| rows, then 1 row out."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    u = s.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"),
+        F.round(F.count("t2").cast("double") / F.count("t1"), 6).alias(
+            "click_rate"
+        ),
+        F.round(F.count("t3").cast("double") / F.count("t2"), 6).alias(
+            "purchase_rate"
+        ),
+        F.round(F.count("t3").cast("double") / F.count("t1"), 6).alias(
+            "full_funnel_rate"
+        ),
     )

@@ -1311,3 +1311,75 @@ def s43_stream_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "revenue"),
         )
     )
+
+
+@query(
+    "s44_stream_ab_monitor",
+    oracle="""
+WITH q AS (
+  SELECT event_type, user_id % 2 AS g,
+         CAST(value AS DECIMAL(18,2)) AS x
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN g = 0 THEN x END) AS DOUBLE) AS sxa,
+         CAST(SUM(CASE WHEN g = 1 THEN x END) AS DOUBLE) AS sxb,
+         CAST(SUM(CASE WHEN g = 0 THEN x * x END) AS DOUBLE) AS sxxa,
+         CAST(SUM(CASE WHEN g = 1 THEN x * x END) AS DOUBLE) AS sxxb
+  FROM q GROUP BY event_type
+), w AS (
+  SELECT event_type, na, nb,
+         sxa / na AS ma, sxb / nb AS mb,
+         (sxxa - sxa * sxa / na) / (na - 1.0) / na AS sea,
+         (sxxb - sxb * sxb / nb) / (nb - 1.0) / nb AS seb
+  FROM s
+)
+SELECT event_type, na AS n_a, nb AS n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+       ROUND((sea + seb) * (sea + seb)
+             / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6)
+         AS welch_df,
+       abs((ma - mb) / sqrt(sea + seb)) >= 1.96 AS significant
+FROM w
+""",
+    tags=("streaming", "stats", "abtest"),
+)
+def s44_stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live A/B experiment monitor (streaming twin of batch b88): the
+    stream maintains only the per-(metric, variant) EXACT power sums
+    (n, Σx, Σx² in DECIMAL — associative, order-free, so replay and
+    micro-batch boundaries cannot change them), and the Welch t / df /
+    significance math runs at serve time on the tiny rollup — the s38
+    state/serve split applied to experiment stats. This is the
+    production dashboard shape: state is O(metrics × variants)
+    regardless of traffic, and the serve-time formula is shared code
+    with b88 (queries/helpers.py:welch_from_power_sums), so the live
+    readout can never drift from the offline scorecard."""
+    from .helpers import welch_from_power_sums
+
+    name = f"s44_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    x = F.col("value").cast("decimal(18,2)")
+    g = F.col("user_id") % 2
+    agg = ev.groupBy("event_type").agg(
+        F.sum(F.when(g == 0, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(g == 1, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(g == 0, x)).alias("sxa_dec"),
+        F.sum(F.when(g == 1, x)).alias("sxb_dec"),
+        F.sum(F.when(g == 0, x * x)).alias("sxxa_dec"),
+        F.sum(F.when(g == 1, x * x)).alias("sxxb_dec"),
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    s = spark.table(name).select(
+        "event_type",
+        "na",
+        "nb",
+        F.col("sxa_dec").cast("double").alias("sxa"),
+        F.col("sxb_dec").cast("double").alias("sxb"),
+        F.col("sxxa_dec").cast("double").alias("sxxa"),
+        F.col("sxxb_dec").cast("double").alias("sxxb"),
+    )
+    return welch_from_power_sums(s)

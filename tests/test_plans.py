@@ -769,3 +769,13 @@ def test_welch_single_conditional_aggregate(spark, sf_dir):
     assert len(scans) == 1
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_funnel_stages_one_exchange_three_windows(spark, sf_dir):
+    """b90: the three chained stage-minimum windows (t2 references t1,
+    t3 references t2) must all ride ONE user_id exchange with one
+    shared sort — adding funnel stages must not add shuffles."""
+    p = plan_of(spark, sf_dir, "b90_funnel_stages")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 3
+    assert "Join" not in p
