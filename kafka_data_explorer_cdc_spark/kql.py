@@ -116,7 +116,7 @@ _TOKEN_RE = re.compile(
         (?P<dur>\d+(?:ms|[smhd])\b)
       | (?P<num>\d+\.\d+|\d+)
       | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-      | (?P<op><=|>=|!=|==|=~|!~|\.\.|[|=+\-*/%(),<>.:\[\]])
+      | (?P<op><=|>=|!=|==|=~|!~|\.\.|[|=+\-*/%(),<>.:;\[\]])
       | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
     re.VERBOSE,
@@ -1472,6 +1472,71 @@ def _compile_source(
     return df
 
 
+def _compile_scan(
+    df: DataFrame,
+    keycol: str,
+    sort_names: list[str],
+    sort_asc: list[bool],
+    steps: list,
+    match_col: str = "match_id",
+) -> DataFrame:
+    """Execute `partition by key ( sort by ... | scan ... )`.
+
+    The step predicates are Catalyst Columns — they are evaluated
+    JVM-side into boolean marker columns BEFORE the Python boundary, so
+    the Arrow automaton below never re-implements expression semantics:
+    it reads pre-computed booleans and walks the greedy single-sequence
+    state machine over each key's sorted rows (advance on the next
+    step's predicate; on completing the last step, emit and reset).
+    Matched rows are emitted with the step name and a per-key sequence
+    ordinal.
+
+    Scale shape: one hash shuffle on the partition key; every key's
+    walk is independent and Arrow-batched; per-row Python work is a few
+    list appends. State is O(1) per key during the walk. The sequential
+    dependency is intrinsic to scan's semantics (Kusto serializes it
+    too) — the partition wrapper is what makes it parallel."""
+    import pandas as pd  # noqa: F401 — executor-side
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    n_steps = len(steps)
+    step_names = [s[0] for s in steps]
+    pred_cols = [f"__kql_scan_p{i}" for i in range(n_steps)]
+    aug = df
+    for c, (_, pred) in zip(pred_cols, steps):
+        aug = aug.withColumn(c, pred)
+    out_cols = list(df.columns)
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("step", StringType()), StructField(match_col, LongType())]
+    )
+
+    def walk(pdf):
+        pdf = pdf.sort_values(
+            sort_names, ascending=sort_asc, kind="mergesort"
+        ).reset_index(drop=True)
+        preds = [pdf[c].to_numpy() for c in pred_cols]
+        cur, seq = 0, 0
+        idx, names, mids = [], [], []
+        for i in range(len(pdf)):
+            if cur < n_steps and bool(preds[cur][i]):
+                if cur == 0:
+                    seq += 1
+                idx.append(i)
+                names.append(step_names[cur])
+                mids.append(seq)
+                cur += 1
+                if cur == n_steps:
+                    cur = 0
+        out = pdf.iloc[idx][out_cols].copy()
+        out["step"] = names
+        out[match_col] = mids
+        return out
+
+    return aug.groupBy(keycol).applyInPandas(walk, schema)
+
+
 def _compile_find(
     stage: str,
     tables: dict[str, DataFrame],
@@ -2264,14 +2329,35 @@ def kql(
             keys = [c for c in df.columns if c != pcol and c != src]
             df = df.groupBy(*keys).pivot(pcol).agg(agg)
         elif verb == "partition":
-            # partition by Col ( top N by expr [asc|desc] ) — Kusto's
-            # per-partition subquery operator, supported for the
-            # subquery shape that dominates its real use (top-k per
-            # key) and the only one with a sound distributed plan that
-            # needs no per-key re-execution: the inner `top` compiles
-            # to row_number over (partitionBy key, orderBy expr) <= N,
-            # which Catalyst runs as WindowGroupLimit — per-group
-            # partial top-k BEFORE the shuffle, the b39 LATERAL plan.
+            # partition by Col ( <subquery> ) — Kusto's per-partition
+            # subquery operator, supported for the two subquery shapes
+            # that dominate its real use AND have a sound distributed
+            # plan needing no per-key re-execution:
+            #
+            # 1. `top N by expr [asc|desc]` — compiles to row_number
+            #    over (partitionBy key, orderBy expr) <= N, which
+            #    Catalyst runs as WindowGroupLimit — per-group partial
+            #    top-k BEFORE the shuffle, the b39 LATERAL plan.
+            # 2. `sort by c1 [asc|desc], ... | scan [with_match_id=X]
+            #    with (step s1: pred; ...)` — Kusto's sequence-match
+            #    state machine, per partition key. Step predicates are
+            #    ordinary KQL expressions compiled to Catalyst columns
+            #    and JVM-evaluated BEFORE the Python boundary; only the
+            #    inherently-sequential automaton walk (greedy matching
+            #    over the per-key sorted stream) runs in an Arrow
+            #    applyInPandas — one shuffle on the key, keys scanned
+            #    in parallel, no driver loop. Supported subset: one
+            #    active sequence per key (greedy non-overlapping
+            #    matching — the funnel/session shape `scan` exists
+            #    for); Kusto's simultaneous-sequence semantics with
+            #    `declare()` state columns is out of scope, as is a
+            #    GLOBAL serialized scan (a repartition(1) degeneration
+            #    this engine refuses by design — wrap scan in
+            #    partition, which is how Kusto pipelines deploy it at
+            #    scale anyway). Emits the matched rows plus `step`
+            #    (matched step name) and `match_id` (per-key sequence
+            #    ordinal; Kusto's is globally unique).
+            #
             # Kusto's other subquery shapes either degenerate to plain
             # operators (summarize-by == summarize by key) or imply
             # driver-side per-key loops this engine refuses by design.
@@ -2279,26 +2365,75 @@ def kql(
             keycol = p.next().text
             p.expect("(")
             inner = p.next().text.lower()
-            if inner != "top":
-                raise ValueError(
-                    "KQL: partition supports only a 'top N by <expr>' "
-                    f"subquery, got {inner!r}"
+            if inner == "top":
+                n = int(p.next().text)
+                p.expect("by")
+                key = p.expr()
+                asc = bool(p.accept("asc"))
+                if not asc:
+                    p.accept("desc")
+                p.expect(")")
+                w = Window.partitionBy(keycol).orderBy(
+                    key.asc() if asc else key.desc()
                 )
-            n = int(p.next().text)
-            p.expect("by")
-            key = p.expr()
-            asc = bool(p.accept("asc"))
-            if not asc:
-                p.accept("desc")
-            p.expect(")")
-            w = Window.partitionBy(keycol).orderBy(
-                key.asc() if asc else key.desc()
-            )
-            df = (
-                df.withColumn("__kql_pn", F.row_number().over(w))
-                .filter(F.col("__kql_pn") <= n)
-                .drop("__kql_pn")
-            )
+                df = (
+                    df.withColumn("__kql_pn", F.row_number().over(w))
+                    .filter(F.col("__kql_pn") <= n)
+                    .drop("__kql_pn")
+                )
+            elif inner in ("sort", "order"):
+                p.expect("by")
+                sort_names: list[str] = []
+                sort_asc: list[bool] = []
+                while True:
+                    sort_names.append(p.next().text)
+                    if p.accept("asc"):
+                        sort_asc.append(True)
+                    elif p.accept("desc"):
+                        sort_asc.append(False)
+                    else:
+                        sort_asc.append(True)
+                    if not p.accept(","):
+                        break
+                p.expect("|")
+                if p.next().text.lower() != "scan":
+                    raise ValueError(
+                        "KQL: partition subquery must be 'top ...' or "
+                        "'sort by ... | scan ...'"
+                    )
+                match_col = "match_id"
+                if (
+                    p.peek()
+                    and p.peek().text.lower() == "with_match_id"
+                ):
+                    p.next()
+                    p.expect("=")
+                    match_col = p.next().text
+                p.expect("with")
+                p.expect("(")
+                steps: list[tuple[str, Column]] = []
+                while True:
+                    if p.peek() and p.peek().text == ")":
+                        break
+                    if p.next().text.lower() != "step":
+                        raise ValueError("KQL: expected 'step' in scan")
+                    sname = p.next().text
+                    p.expect(":")
+                    steps.append((sname, p.expr()))
+                    if not p.accept(";"):
+                        break
+                p.expect(")")
+                p.expect(")")
+                if not steps:
+                    raise ValueError("KQL: scan needs at least one step")
+                df = _compile_scan(
+                    df, keycol, sort_names, sort_asc, steps, match_col
+                )
+            else:
+                raise ValueError(
+                    "KQL: partition supports only a 'top N by <expr>' or "
+                    f"'sort by ... | scan ...' subquery, got {inner!r}"
+                )
         elif verb == "render":
             # presentation hint (A17): the relational result is exactly
             # the preceding pipeline; the chart type is recorded on the

@@ -1177,3 +1177,74 @@ def k53_kql_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " slen = tolong(len)",
         {"Events": events},
     )
+
+
+@query(
+    "k54_kql_scan_funnel",
+    oracle="""
+WITH RECURSIVE coded AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END AS x
+  FROM events
+), walk AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS state,
+         CAST(0 AS BIGINT) AS rows_m, CAST(0 AS BIGINT) AS matches
+  FROM (SELECT DISTINCT user_id FROM coded)
+  UNION ALL
+  SELECT c.user_id, c.rn,
+         CASE WHEN c.x = w.state + 1 THEN (w.state + 1) % 3
+              ELSE w.state END,
+         w.rows_m + CASE WHEN c.x = w.state + 1 THEN 1 ELSE 0 END,
+         w.matches + CASE WHEN c.x = w.state + 1 AND w.state = 2
+                          THEN 1 ELSE 0 END
+  FROM walk w JOIN coded c ON c.user_id = w.user_id AND c.rn = w.rn + 1
+)
+SELECT w.user_id, w.rows_m AS n_matched_rows, w.matches AS n_matches
+FROM walk w
+JOIN (SELECT user_id, max(rn) AS mx FROM coded GROUP BY user_id) t
+  ON t.user_id = w.user_id AND w.rn = t.mx
+WHERE w.rows_m > 0
+""",
+    tags=("kql", "scan", "stateful"),
+)
+def k54_kql_scan_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto's ``scan`` sequence-match operator, deployed the way real
+    Kusto pipelines deploy it — inside ``partition by`` so every key's
+    state machine runs independently and in parallel: per user (sorted
+    by event time) a greedy view→click→purchase automaton advances on
+    each step's predicate, emits the matched rows annotated with the
+    step name, and resets on completion. The pipeline then rolls up
+    matched-row and completed-sequence counts per user — the
+    process-mining workload ``scan`` exists for.
+
+    Compilation (kql.py:_compile_scan): step predicates are ordinary
+    KQL expressions lowered to Catalyst columns and JVM-evaluated
+    BEFORE the Python boundary; only the intrinsically-sequential walk
+    runs in an Arrow applyInPandas, one shuffle on the partition key.
+    The oracle replays the identical automaton as a DuckDB recursive
+    CTE stepping one event position per iteration and carrying the
+    (state, advances, completions) triple — two independent
+    implementations of the same state machine must agree on every
+    user. (A list_reduce fold was rejected: DuckDB 1.0.0 returns
+    cross-row-corrupted accumulators when several rows fold in one
+    vector batch — verified by folding the identical list alone vs in
+    a batch.)
+
+    Supported subset documented at kql.py (partition verb): single
+    active sequence per key (greedy non-overlapping matching); Kusto's
+    simultaneous-sequence ``declare()`` semantics and global serialized
+    scans are out of scope by design."""
+    ev = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | partition by user_id ( sort by ts asc, event_id asc"
+        "   | scan with (step view: event_type == 'view';"
+        "                step click: event_type == 'click';"
+        "                step purchase: event_type == 'purchase') )"
+        " | summarize n_matched_rows = count(),"
+        "             n_matches = countif(step == 'purchase') by user_id",
+        {"Events": ev},
+    )

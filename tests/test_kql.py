@@ -1059,3 +1059,58 @@ def test_kql_series_stats_dynamic_values(spark, sf_dir):
         var = sum((x - mean) ** 2 for x in series) / (len(series) - 1)
         assert math.isclose(bag["avg"], mean, rel_tol=1e-12)
         assert math.isclose(bag["stdev"], math.sqrt(var), rel_tol=1e-9)
+
+
+def test_kql_partition_scan_semantics(spark):
+    """partition(sort|scan): greedy non-overlapping automaton per key —
+    advance only on the NEXT step's predicate, emit matched rows with
+    step name + per-key sequence ordinal, reset after the last step;
+    keys that never start a sequence emit nothing; with_match_id
+    renames the ordinal column; grammar guards stay loud."""
+    rows = [
+        # (key, seq, kind) — key 1 completes two funnels with noise
+        (1, 1, "view"), (1, 2, "view"), (1, 3, "click"),
+        (1, 4, "error"), (1, 5, "purchase"), (1, 6, "view"),
+        (1, 7, "purchase"), (1, 8, "click"), (1, 9, "purchase"),
+        # key 2 never emits a 'view' — no rows at all
+        (2, 1, "click"), (2, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "k int, seq int, kind string")
+    out = kql(
+        "T | partition by k ( sort by seq asc"
+        "   | scan with (step a: kind == 'view';"
+        "                step b: kind == 'click';"
+        "                step c: kind == 'purchase') )",
+        {"T": df},
+    )
+    assert out.columns == ["k", "seq", "kind", "step", "match_id"]
+    got = sorted((r.k, r.seq, r.step, r.match_id) for r in out.collect())
+    assert got == [
+        (1, 1, "a", 1), (1, 3, "b", 1), (1, 5, "c", 1),
+        (1, 6, "a", 2), (1, 8, "b", 2), (1, 9, "c", 2),
+    ]
+
+    renamed = kql(
+        "T | partition by k ( sort by seq asc"
+        "   | scan with_match_id = m with (step a: kind == 'view') )",
+        {"T": df},
+    )
+    assert "m" in renamed.columns and "match_id" not in renamed.columns
+    # single-step scan: every matching row is its own sequence
+    assert [r.m for r in renamed.orderBy("seq").collect()] == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="at least one step"):
+        kql(
+            "T | partition by k ( sort by seq | scan with ( ) )",
+            {"T": df},
+        )
+    with pytest.raises(ValueError, match="expected 'step'"):
+        kql(
+            "T | partition by k ( sort by seq | scan with (oops x: 1) )",
+            {"T": df},
+        )
+    with pytest.raises(ValueError, match="'top ...' or"):
+        kql(
+            "T | partition by k ( sort by seq | where kind == 'x' )",
+            {"T": df},
+        )
