@@ -29,9 +29,9 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # every entry).
 #
 # ROUND-8 QUEUE (in priority order; exact as of the r7 registry —
-# 257 entries, 85 never driver-checked, 50 in this window, 35
+# 267 entries, 95 never driver-checked, 50 in this window, 45
 # overflow):
-#   1. the 35 round-7 overflow never-checked entries:
+#   1. the 45 round-7 overflow never-checked entries:
 #      b80_merge_upsert_dsl, b81_exact_correlation,
 #      b82_expectations_audit, b83_mode_per_group,
 #      b84_scd2_dimension_merge, b85_bitmap_distinct_at_rest,
@@ -49,16 +49,21 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 #      s36_stream_partitioned_sink, s37_hybrid_backfill_union,
 #      s38_stream_window_topk, s39_stream_quantile_monitor,
 #      s40_stream_psi_drift, s41_stream_expectations_audit,
-#      s42_stream_bitmap_distinct;
+#      s42_stream_bitmap_distinct, d74_bitext_margin_mining,
+#      d75_tokenizer_fertility, d76_curation_pipeline,
+#      d77_unimax_temperature_sample, b88_welch_ttest,
+#      b89_dynamic_partition_pruning, b90_funnel_stages,
+#      s43_stream_last_touch, s44_stream_ab_monitor,
+#      k54_kql_scan_funnel;
 #   2. any round-8 additions never driver-checked;
 #   3. the stalest rotation cohort — newest driver row r2: k13, k14,
 #      k15, k16, k17, k20, k21, k22, k23, d07, d16, d17, d18, d19
 #      (14 entries), then r3: d04x, d06x, k24-k34, b13a…, until the
 #      window fills.
 # NOTE on the staleness ceiling: the policy aimed for "no entry's
-# newest driver row more than ~3 rounds old", but with a 257-entry
+# newest driver row more than ~3 rounds old", but with a 267-entry
 # registry and a 50-slot window the arithmetic floor is ~5-6 rounds
-# (257/50); never-checked entries rightly pre-empt rotation. The r2
+# (267/50); never-checked entries rightly pre-empt rotation. The r2
 # cohort above will be ~6 rounds stale when it rotates in during
 # round 8 — accepted trade, documented here so the number isn't a
 # surprise.
