@@ -6143,3 +6143,95 @@ def d77_unimax_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rk") <= F.col("k"))
         .select("doc_id", "lang", "rk", F.col("k").alias("lang_budget"))
     )
+
+
+@query(
+    "d78_jaro_winkler_linkage",
+    oracle="""
+WITH dirty AS (
+  SELECT p_partkey AS dkey, p_name AS dname_orig, p_brand,
+         substr(p_name, 1, p_partkey % length(p_name))
+           || substr(p_name, (p_partkey % length(p_name)) + 2) AS dname
+  FROM part WHERE length(p_name) >= 2
+), cand AS (
+  SELECT d.dkey, d.dname_orig, c.p_partkey AS ckey, c.p_name AS cname,
+         CAST(FLOOR(jaro_winkler_similarity(d.dname, c.p_name) * 1e9)
+              AS BIGINT) AS sq
+  FROM dirty d JOIN part c ON d.p_brand = c.p_brand
+), best AS (
+  SELECT dkey, ckey, cname, dname_orig, sq,
+         row_number() OVER (PARTITION BY dkey ORDER BY sq DESC, ckey)
+           AS rn
+  FROM cand WHERE sq >= 880000000
+)
+SELECT dkey, ckey AS matched_key,
+       CAST(sq AS DOUBLE) / 1e9 AS score,
+       cname = dname_orig AS name_match
+FROM best WHERE rn = 1
+""",
+    tags=("llm", "linkage", "fuzzy", "pandas-udf"),
+)
+def d78_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution with Jaro-Winkler scoring —
+    the classic dirty-catalog re-link: every part name gets one
+    deterministic character deletion (position keyed by p_partkey), and
+    the operator must link each dirty record back to a clean catalog
+    row. Blocking on p_brand bounds candidates structurally (pairs =
+    sum of block sizes squared, never corpus squared — the same
+    candidate-bounding contract as d50/d51); each candidate pair is
+    scored with Jaro-Winkler and the best match >= 0.88 wins
+    (ties: smallest clean key). `name_match` reports whether the linked
+    name equals the pre-corruption original — the linkage-quality
+    metric a real pipeline would track.
+
+    Cross-engine exactness: the Spark side scores with an original
+    Python implementation of Jaro-Winkler (operators/dedup.py:
+    jaro_winkler_pandas — Arrow-batched; floored transpositions, 0.7
+    boost gate, prefix cap 4) while the oracle scores with DuckDB's
+    built-in jaro_winkler_similarity — two INDEPENDENT implementations
+    that must agree on every candidate pair after 1e9 floor
+    quantization; the argmax then runs on the quantized int64 in both.
+
+    Scale shape: the dirty derivation and blocking join are pure JVM;
+    only the JW kernel crosses to Python (Arrow batches of short name
+    pairs); the per-record argmax is one WindowGroupLimit-shaped rank
+    over the candidate set, partitioned by dirty key."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    cut = F.col("p_partkey") % F.length("p_name")
+    dirty = (
+        part.filter(F.length("p_name") >= 2)
+        .select(
+            F.col("p_partkey").alias("dkey"),
+            F.col("p_name").alias("dname_orig"),
+            F.col("p_brand").alias("dbrand"),
+            F.concat(
+                F.expr("substring(p_name, 1, p_partkey % length(p_name))"),
+                F.expr(
+                    "substring(p_name, (p_partkey % length(p_name)) + 2)"
+                ),
+            ).alias("dname"),
+        )
+    )
+    clean = part.select(
+        F.col("p_partkey").alias("ckey"),
+        F.col("p_name").alias("cname"),
+        F.col("p_brand").alias("cbrand"),
+    )
+    cand = dirty.join(clean, F.col("dbrand") == F.col("cbrand")).withColumn(
+        "sq",
+        F.floor(
+            D.jaro_winkler_pandas(F.col("dname"), F.col("cname")) * F.lit(1e9)
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("dkey").orderBy(F.desc("sq"), F.asc("ckey"))
+    return (
+        cand.filter(F.col("sq") >= 880000000)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dkey",
+            F.col("ckey").alias("matched_key"),
+            (F.col("sq").cast("double") / F.lit(1e9)).alias("score"),
+            (F.col("cname") == F.col("dname_orig")).alias("name_match"),
+        )
+    )

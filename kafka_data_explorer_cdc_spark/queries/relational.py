@@ -4751,3 +4751,177 @@ def b90_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "full_funnel_rate"
         ),
     )
+
+
+@query(
+    "b91_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS y_dec
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), tr AS (
+  SELECT event_type, day, CAST(y_dec AS DOUBLE) AS y,
+         CAST(SUM(y_dec) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS trend,
+         isodow(day) AS dow
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dt AS (
+  SELECT *, CAST(FLOOR((y - trend) * 1e9) AS BIGINT) AS dt_q FROM tr
+), seas AS (
+  SELECT *,
+         CAST(SUM(dt_q) OVER (PARTITION BY event_type, dow) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY event_type, dow) / 1e9
+           AS seasonal
+  FROM dt
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       ROUND(y, 6) AS y,
+       ROUND(trend, 6) AS trend,
+       ROUND(seasonal, 6) AS seasonal,
+       ROUND(dt_q / 1e9 - seasonal, 6) AS residual
+FROM seas
+""",
+    tags=("relational", "timeseries", "stats"),
+)
+def b91_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (STL-lite) of the
+    daily value series per event_type: trend = centered 7-day moving
+    average, seasonal = per-day-of-week mean of the detrended series,
+    residual = what's left — the anomaly-detection / capacity-planning
+    baseline every metrics pipeline ends up needing.
+
+    Exactness: daily totals are order-free DECIMAL sums; the trend
+    window SUM stays in DECIMAL (exact) and both engines perform the
+    identical double division by the frame count; the detrended value
+    is floor-quantized to nano units BEFORE the per-(type, dow) mean,
+    so that reduction is an order-free int64 sum (the d48 contract).
+
+    Scale shape: events are scanned ONCE into the (event_type x day)
+    rollup with map-side combine; every window after that runs on the
+    tiny day grid (|types| x |days| rows), so the two window shuffles
+    cost nothing at any scale. The ROWS frame is edge-honest (partial
+    windows average over the rows that exist, like pandas
+    rolling(center=True, min_periods=1)) and deterministic because
+    (event_type, day) is a unique sort key."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("y_dec"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        F.col("y_dec").cast("double").alias("y"),
+        (F.sum("y_dec").over(w).cast("double") / F.count("*").over(w)).alias(
+            "trend"
+        ),
+        (((F.dayofweek("day") + 5) % 7) + 1).alias("dow"),
+    )
+    dt = tr.withColumn(
+        "dt_q", F.floor((F.col("y") - F.col("trend")) * F.lit(1e9)).cast("bigint")
+    )
+    ws = Window.partitionBy("event_type", "dow")
+    seas = dt.withColumn(
+        "seasonal",
+        F.sum("dt_q").over(ws).cast("double") / F.count("*").over(ws) / F.lit(1e9),
+    )
+    return seas.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("y", 6).alias("y"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("dt_q") / F.lit(1e9) - F.col("seasonal"), 6).alias(
+            "residual"
+        ),
+    )
+
+
+@query(
+    "b92_sole_fault_supplier",
+    oracle="""
+SELECT s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 25
+""",
+    tags=("relational", "join", "subquery", "tpch"),
+)
+def b92_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's join topology (the hardest classic plan: a fact
+    table correlated with ITSELF twice, once EXISTS and once NOT
+    EXISTS) on the columns this schema has: suppliers who returned a
+    line (l_returnflag = 'R') on a finalized multi-supplier order where
+    NO other supplier on that order returned anything — the
+    "sole-fault" supplier scorecard, counted per qualifying lineitem,
+    top 25.
+
+    The oracle keeps the textbook correlated-subquery form. The Spark
+    plan deliberately does NOT: both correlations depend only on
+    per-(order, supplier) facts, so one groupBy(l_orderkey, l_suppkey)
+    rollup plus two windows over l_orderkey (supplier count and
+    returning-supplier count) replaces BOTH self-joins — the fact
+    table is scanned ONCE and shuffled ONCE on the order key instead
+    of three scans and three shuffle joins. EXISTS becomes
+    n_supp > 1, NOT EXISTS becomes n_ret_supp == 1 carried by the
+    returning row itself.
+
+    Scale shape: the rollup is map-side combined; orders arrives as a
+    projected semi-side join on the same order key; supplier (the
+    smallest dim) broadcasts for the name; the final agg is |suppliers|
+    rows with TakeOrderedAndProject for the top-25. Skewed mega-orders
+    salt naturally under AQE because the windows run on the rollup,
+    not raw lines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "r_lines"
+        )
+    )
+    wo = Window.partitionBy("l_orderkey")
+    per_os = per_os.withColumn("n_supp", F.count("*").over(wo)).withColumn(
+        "n_ret_supp",
+        F.sum(F.when(F.col("r_lines") > 0, 1).otherwise(0)).over(wo),
+    )
+    fin = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    qual = (
+        per_os.filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_ret_supp") == 1)
+            & (F.col("r_lines") > 0)
+        )
+        .join(fin, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("r_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )

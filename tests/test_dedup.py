@@ -365,3 +365,49 @@ def test_luhn_known_vectors(spark):
     ).collect()
     for r in got:
         assert r.ok == r.want, r.pan
+
+
+def test_jaro_winkler_matches_duckdb_semantics(spark):
+    """The Python JW kernel must agree with DuckDB's
+    jaro_winkler_similarity bit-for-bit on the probes that pin every
+    semantic branch: textbook pairs, floored transpositions (3-cycle),
+    zero-match window collapse, prefix cap at 4, and the 0.7 boost
+    gate crossed only by float excess. Expected values are DuckDB
+    1.0.0 outputs (this file re-derives them live so an oracle-side
+    engine upgrade that shifts semantics fails HERE, not in a 270-way
+    diff)."""
+    import duckdb
+
+    from kafka_data_explorer_cdc_spark.operators.dedup import (
+        jaro_winkler_pandas,
+    )
+
+    pairs = [
+        ("martha", "marhta"),
+        ("DWAYNE", "DUANE"),
+        ("DIXON", "DICKSONX"),
+        ("CRATE", "TRACE"),
+        ("abcdef", "bcadef"),  # 3-cycle: floored transpositions
+        ("ab", "ba"),  # window 0 -> no matches
+        ("aaxxxxxx", "aayyyyyy"),  # jaro 0.5: boost gate must NOT fire
+        ("abcdefgh", "abcdefxy"),  # common prefix 6: cap at 4
+        ("abcxx", "abcyyy"),  # jaro == 0.7 + 1ulp: gate fires
+        ("same", "same"),
+        ("", "x"),
+    ]
+    con = duckdb.connect()
+    want = {
+        (a, b): con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        for a, b in pairs
+    }
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r.a, r.b): r.jw
+        for r in df.select(
+            "a", "b", jaro_winkler_pandas(F.col("a"), F.col("b")).alias("jw")
+        ).collect()
+    }
+    for p in pairs:
+        assert got[p] == want[p], (p, got[p], want[p])
