@@ -62,6 +62,8 @@ Supported (the reference's surface plus the obvious neighbors):
       | search 'term'   (case-insensitive scan of every string column)
       | getschema   (column metadata, no scan)
       | evaluate pivot(col [, agg(val)])
+      | evaluate basket([threshold])   (frequent attribute itemsets,
+        size <= 2, exact counts; one masked-explode + one groupBy)
       | evaluate bag_unpack(dynCol)   (one bounded key-discovery job,
         then codegen get_json_object probes per key; string-typed
         leaves, lexical key order, collision = explicit error)
@@ -133,6 +135,42 @@ _AGGS = {
     "stdev": lambda c: F.stddev_samp(c),
     "variance": lambda c: F.var_samp(c),
 }
+
+
+def _series_outliers(c: Column) -> Column:
+    """``series_outliers(arr)`` — per-element anomaly scores for a
+    make-series array, this engine's deterministic Tukey-fence
+    definition (Kusto's is tied to its internal percentile sketch, so
+    an exact pin is impossible; the SHAPE — 0 inside the fence, signed
+    scaled distance outside — matches): with q10/q50/q90 the linearly
+    interpolated percentiles of the non-null elements, score = 0 for
+    x within [q10, q90], else (x - q50) / (q90 - q10); null elements
+    score null, and a degenerate fence (q90 == q10) scores 0
+    everywhere. Pure JVM array expressions — sort + fold + transform,
+    no explode, no Python."""
+    s = F.array_sort(F.filter(c, lambda x: x.isNotNull()))
+    n = F.size(s)
+
+    def q(p: float) -> Column:
+        idx = (n - F.lit(1)).cast("double") * F.lit(p)
+        lo = F.floor(idx).cast("int")
+        frac = idx - lo.cast("double")
+        return F.element_at(s, lo + F.lit(1)).cast("double") * (
+            F.lit(1.0) - frac
+        ) + F.element_at(s, F.least(lo + F.lit(2), n)).cast("double") * frac
+
+    q10, q50, q90 = q(0.1), q(0.5), q(0.9)
+    iqr = q90 - q10
+    x = lambda e: e.cast("double")  # noqa: E731
+    return F.when(n == 0, F.transform(c, lambda e: F.lit(None).cast("double"))).otherwise(
+        F.transform(
+            c,
+            lambda e: F.when(e.isNull(), F.lit(None).cast("double"))
+            .when(iqr == 0, F.lit(0.0))
+            .when((x(e) > q90) | (x(e) < q10), (x(e) - q50) / iqr)
+            .otherwise(F.lit(0.0)),
+        )
+    )
 
 
 @dataclass
@@ -514,6 +552,11 @@ class _Parser:
                 F.size(c).alias("len"),
             )
         ),
+        # series_outliers(arr) — deterministic Tukey-fence anomaly
+        # scores per element (see _series_outliers for the exact
+        # definition and the divergence note vs Kusto's sketch-based
+        # percentiles)
+        "series_outliers": _series_outliers,
         "dayofmonth": F.dayofmonth,
         "monthofyear": F.month,
         "getyear": F.year,
@@ -1537,6 +1580,72 @@ def _compile_scan(
     return aug.groupBy(keycol).applyInPandas(walk, schema)
 
 
+def _compile_basket(df: DataFrame, threshold: float) -> DataFrame:
+    """``evaluate basket(threshold)`` — frequent attribute-combination
+    mining over the piped table's (string) columns, Kusto's
+    segmentation plugin. This engine's pinned subset: itemsets of size
+    1 and 2, EXACT counts (Kusto's plugin approximates the full
+    lattice with Apriori sampling; depth-2-exact is the deterministic,
+    oracle-checkable contract — project the attribute columns first,
+    as basket users do anyway). Output shape follows Kusto: one row
+    per frequent itemset with the member attribute values filled and
+    the rest null, plus Count and Percent.
+
+    Scale shape: each row emits its k + C(k,2) masked copies
+    (JVM-generated struct array, exploded — linear blowup bounded by
+    the attribute count, never by cardinality), then ONE
+    map-side-combined groupBy over all itemsets at once; the only
+    other job is a bounded COUNT(*) for the support floor. Null
+    attribute values never form itemsets (masking would conflate
+    "null value" with "not in basket")."""
+    import math
+
+    if not 0 < threshold <= 1:
+        raise ValueError("KQL: basket threshold must be in (0, 1]")
+    cols = df.columns
+    non_str = [c for c, t in df.dtypes if t != "string"]
+    if non_str:
+        raise ValueError(
+            f"KQL: basket needs string attribute columns; project/"
+            f"tostring first (non-string: {non_str})"
+        )
+    if len(cols) < 2:
+        raise ValueError("KQL: basket needs at least two columns")
+    total = df.count()  # bounded: one scalar, the support denominator
+    min_count = math.ceil(threshold * total)
+    k = len(cols)
+    subsets = [(i,) for i in range(k)] + [
+        (i, j) for i in range(k) for j in range(i + 1, k)
+    ]
+
+    def masked(sub: tuple) -> Column:
+        struct = F.struct(
+            *[
+                (F.col(c) if i in sub else F.lit(None).cast("string")).alias(c)
+                for i, c in enumerate(cols)
+            ]
+        )
+        nonnull = None
+        for i in sub:
+            cond = F.col(cols[i]).isNotNull()
+            nonnull = cond if nonnull is None else (nonnull & cond)
+        return F.when(nonnull, struct)
+
+    out = (
+        df.select(F.explode(F.array(*[masked(s) for s in subsets])).alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select("b.*")
+        .groupBy(*cols)
+        .agg(F.count("*").alias("Count"))
+        .filter(F.col("Count") >= F.lit(min_count))
+        .withColumn(
+            "Percent",
+            F.round(F.col("Count") / F.lit(float(total)) * 100, 4),
+        )
+    )
+    return out.orderBy(F.desc("Count"), *cols)
+
+
 def _compile_find(
     stage: str,
     tables: dict[str, DataFrame],
@@ -2300,10 +2409,25 @@ def kql(
                         f"{p.peek().text!r}"
                     )
                 continue
+            if ev_fn == "basket":
+                # evaluate basket([threshold]) — see _compile_basket.
+                p.expect("(")
+                thr = 0.05
+                if not p.accept(")"):
+                    thr = float(p.next().text)
+                    p.expect(")")
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                df = _compile_basket(df, thr)
+                continue
             if ev_fn != "pivot":
                 raise ValueError(
-                    "KQL: only 'evaluate pivot(...)' and "
-                    "'evaluate bag_unpack(...)' are supported"
+                    "KQL: only 'evaluate pivot(...)', 'evaluate "
+                    "bag_unpack(...)' and 'evaluate basket(...)' are "
+                    "supported"
                 )
             p.expect("(")
             pcol = p.next().text

@@ -1248,3 +1248,153 @@ def k54_kql_scan_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "             n_matches = countif(step == 'purchase') by user_id",
         {"Events": ev},
     )
+
+
+@query(
+    "k55_kql_series_outliers",
+    oracle="""
+WITH grid AS (
+  SELECT et.event_type, g.t
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                  TIMESTAMP '2024-01-29 00:00:00',
+                                  INTERVAL '1 day')) AS t
+  ) g
+), binned AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+  GROUP BY 1, 2
+), ser AS (
+  SELECT g.event_type, list(COALESCE(b.n, 0) ORDER BY g.t) AS xs
+  FROM grid g LEFT JOIN binned b
+    ON g.event_type = b.event_type AND g.t = b.t
+  GROUP BY g.event_type
+), qq AS (
+  SELECT event_type, xs, list_sort(xs) AS s, len(xs) AS n FROM ser
+), qv AS (
+  SELECT event_type, xs,
+    s[CAST(FLOOR((n-1)*CAST(0.1 AS DOUBLE)) AS INT)+1] * (1 - ((n-1)*CAST(0.1 AS DOUBLE) - FLOOR((n-1)*CAST(0.1 AS DOUBLE))))
+      + s[LEAST(CAST(FLOOR((n-1)*CAST(0.1 AS DOUBLE)) AS INT)+2, n)]
+        * ((n-1)*CAST(0.1 AS DOUBLE) - FLOOR((n-1)*CAST(0.1 AS DOUBLE))) AS q10,
+    s[CAST(FLOOR((n-1)*CAST(0.5 AS DOUBLE)) AS INT)+1] * (1 - ((n-1)*CAST(0.5 AS DOUBLE) - FLOOR((n-1)*CAST(0.5 AS DOUBLE))))
+      + s[LEAST(CAST(FLOOR((n-1)*CAST(0.5 AS DOUBLE)) AS INT)+2, n)]
+        * ((n-1)*CAST(0.5 AS DOUBLE) - FLOOR((n-1)*CAST(0.5 AS DOUBLE))) AS q50,
+    s[CAST(FLOOR((n-1)*CAST(0.9 AS DOUBLE)) AS INT)+1] * (1 - ((n-1)*CAST(0.9 AS DOUBLE) - FLOOR((n-1)*CAST(0.9 AS DOUBLE))))
+      + s[LEAST(CAST(FLOOR((n-1)*CAST(0.9 AS DOUBLE)) AS INT)+2, n)]
+        * ((n-1)*CAST(0.9 AS DOUBLE) - FLOOR((n-1)*CAST(0.9 AS DOUBLE))) AS q90
+  FROM qq
+)
+SELECT event_type,
+  array_to_string(list_transform(xs, x -> CAST(x AS VARCHAR)), ',')
+    AS series,
+  array_to_string(list_transform(xs, x -> CAST(CAST(FLOOR(
+    CASE WHEN q90 = q10 THEN 0.0
+         WHEN x > q90 OR x < q10 THEN (x - q50) / (q90 - q10)
+         ELSE 0.0 END * 1e6) AS BIGINT) AS VARCHAR)), ',') AS scores
+FROM qv
+""",
+    tags=("kql", "timeseries", "anomaly"),
+)
+def k55_kql_series_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_outliers`` over a ``make-series`` array — Kusto's
+    series anomaly scoring, under this engine's deterministic
+    Tukey-fence definition (kql.py:_series_outliers: 0 inside
+    [q10, q90], else (x - q50)/(q90 - q10), linearly interpolated
+    percentiles): per event_type, 29 daily counts are scored and the
+    outlier days surface as non-zero entries.
+
+    All array work is JVM expressions on the make-series output (sort
+    + fold + transform — no explode, no Python, no extra shuffle past
+    make-series' one per-bin aggregate). The oracle rebuilds the dense
+    grid relationally and applies the identical interpolation/scoring
+    formulas to DuckDB lists; scores are floor-quantized to micro
+    units on both sides (b28 hashability contract via array_join)."""
+    events = load(spark, sf_dir, "events")
+    out = kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-30 00:00:00'"
+        " step 1d by event_type"
+        " | extend sc = series_outliers(n)",
+        {"Events": events},
+    )
+    return out.select(
+        "event_type",
+        F.array_join(
+            F.transform("n", lambda x: x.cast("string")), ","
+        ).alias("series"),
+        F.array_join(
+            F.transform(
+                "sc",
+                lambda x: F.floor(x * F.lit(1e6)).cast("bigint").cast(
+                    "string"
+                ),
+            ),
+            ",",
+        ).alias("scores"),
+    )
+
+
+@query(
+    "k56_kql_basket",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value >= 500 THEN 'high' ELSE 'low' END AS vband,
+         CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 'am' ELSE 'pm' END
+           AS period
+  FROM events
+), t AS (SELECT COUNT(*) AS n FROM b),
+u AS (
+  SELECT event_type, CAST(NULL AS VARCHAR) AS vband,
+         CAST(NULL AS VARCHAR) AS period, COUNT(*) AS c
+  FROM b GROUP BY 1
+  UNION ALL
+  SELECT CAST(NULL AS VARCHAR), vband, CAST(NULL AS VARCHAR), COUNT(*)
+  FROM b GROUP BY 2
+  UNION ALL
+  SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), period, COUNT(*)
+  FROM b GROUP BY 3
+  UNION ALL
+  SELECT event_type, vband, CAST(NULL AS VARCHAR), COUNT(*)
+  FROM b GROUP BY 1, 2
+  UNION ALL
+  SELECT event_type, CAST(NULL AS VARCHAR), period, COUNT(*)
+  FROM b GROUP BY 1, 3
+  UNION ALL
+  SELECT CAST(NULL AS VARCHAR), vband, period, COUNT(*)
+  FROM b GROUP BY 2, 3
+)
+SELECT u.event_type, u.vband, u.period,
+       CAST(u.c AS BIGINT) AS Count,
+       ROUND(u.c / CAST(t.n AS DOUBLE) * 100, 4) AS Percent
+FROM u, t
+WHERE u.c >= CEIL(0.1 * t.n)
+""",
+    tags=("kql", "itemsets", "segmentation"),
+)
+def k56_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate basket`` — Kusto's frequent-segment plugin under
+    this engine's depth-2-exact contract (kql.py:_compile_basket): all
+    attribute combinations of size 1-2 over (event_type, value band,
+    am/pm period) with support >= 10%, one row per frequent itemset
+    with member values filled, Count and Percent.
+
+    Plan: k + C(k,2) masked struct copies per row (JVM array +
+    explode — blowup bounded by the attribute count), ONE map-side-
+    combined groupBy over every itemset at once, plus one bounded
+    COUNT(*) for the support floor. The oracle enumerates the same
+    lattice as six relational GROUP BY branches — structurally
+    different plans, identical counts."""
+    ev = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | project event_type,"
+        "   vband = iff(value >= 500, 'high', 'low'),"
+        "   period = iff(hourofday(ts) < 12, 'am', 'pm')"
+        " | evaluate basket(0.1)",
+        {"Events": ev},
+    )

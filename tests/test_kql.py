@@ -1114,3 +1114,71 @@ def test_kql_partition_scan_semantics(spark):
             "T | partition by k ( sort by seq | where kind == 'x' )",
             {"T": df},
         )
+
+
+def test_kql_series_outliers_semantics(spark):
+    """series_outliers: nulls score null, constant series (degenerate
+    fence) scores all-zero, empty/all-null arrays score all-null, and
+    a planted spike scores (x - q50)/(q90 - q10) with interpolated
+    percentiles."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 1.0, 1.0, 1.0]),           # constant
+            (2, [None, 2.0, None]),                    # nulls pass through
+            (3, []),                                   # empty
+            (4, [1.0, 2.0, 3.0, 4.0, 100.0]),          # spike
+        ],
+        "id int, arr array<double>",
+    )
+    out = {
+        r.id: r.sc
+        for r in kql(
+            "T | extend sc = series_outliers(arr)", {"T": df}
+        ).collect()
+    }
+    assert out[1] == [0.0] * 5
+    assert out[2][0] is None and out[2][2] is None
+    assert out[3] == []
+    # id=4: n=5, idx10=0.4 -> q10 = 1*0.6+2*0.4 = 1.4; q50 = 3;
+    # q90 = 4*(1-0.6)+100*0.6 = 61.6; fence [1.4, 61.6]; only 100 and
+    # 1.0 are outside; 1.0 < q10 -> (1-3)/60.2
+    import math
+
+    sc = out[4]
+    assert sc[1] == sc[2] == sc[3] == 0.0
+    assert math.isclose(sc[4], (100 - 3) / 60.2, rel_tol=1e-12)
+    assert math.isclose(sc[0], (1 - 3) / 60.2, rel_tol=1e-12)
+
+
+def test_kql_basket_semantics(spark):
+    """basket: exact depth-2 itemset counts with null attrs never
+    forming itemsets; threshold floor is ceil(thr * rows); guards for
+    non-string columns, arity, and threshold range stay loud."""
+    df = spark.createDataFrame(
+        [
+            ("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"), ("a", None),
+        ],
+        "c1 string, c2 string",
+    )
+    out = kql("T | evaluate basket(0.4)", {"T": df})
+    assert out.columns == ["c1", "c2", "Count", "Percent"]
+    rows = {(r.c1, r.c2): (r.Count, r.Percent) for r in out.collect()}
+    # total 5, floor = ceil(0.4*5) = 2
+    assert rows[("a", None)] == (4, 80.0)       # single {c1=a}
+    assert rows[(None, "x")] == (3, 60.0)       # single {c2=x}
+    assert rows[("a", "x")] == (2, 40.0)        # pair
+    assert ("a", "y") not in rows               # count 1 < 2
+    # the (a, NULL-value) row contributed to {c1=a} but never to a pair
+    assert (None, None) not in rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="string attribute"):
+        kql(
+            "T | evaluate basket(0.4)",
+            {"T": spark.createDataFrame([(1, "x")], "a int, b string")},
+        )
+    with _pytest.raises(ValueError, match="threshold"):
+        kql("T | evaluate basket(1.5)", {"T": df})
+    with _pytest.raises(ValueError, match="at least two"):
+        kql("T | project c1 | evaluate basket(0.4)", {"T": df})
