@@ -1383,3 +1383,81 @@ def s44_stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxxb_dec").cast("double").alias("sxxb"),
     )
     return welch_from_power_sums(s)
+
+
+@query(
+    "s45_stream_session_windows",
+    oracle="""
+WITH mx AS (
+  SELECT max(ts) - INTERVAL 51 MINUTE AS hz FROM events
+), ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 20 MINUTE
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), isl AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+), sess AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 20 MINUTE AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM isl GROUP BY user_id, sid
+)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events
+FROM sess s, mx WHERE s.session_end <= mx.hz
+""",
+    tags=("streaming", "session"),
+)
+def s45_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows — the stateful windowing b25's batch
+    sessionization can't stand in for: ``session_window(ts, 20 min)``
+    per user on a real watermarked stream, where the state store must
+    MERGE adjacent per-event windows as events arrive and emit a
+    session only when the 30-minute watermark passes its close (append
+    mode: eviction doubles as emission, the s33 contract). The final
+    availableNow no-data micro-batch flushes evictable sessions, so
+    every session closed 51+ minutes (watermark 30 + gap 20 + 1
+    boundary margin) before the stream's end has a definitive row;
+    both sides restrict to that horizon — sessions newer than it are
+    still open or awaiting the watermark at end-of-replay, exactly as
+    on a live stream.
+
+    Oracle: batch gaps-and-islands (break at gap >= 20 min) over the
+    same events — two independent sessionizations (state-store merge
+    vs window-function islands) that must agree on every session.
+
+    Scale: state is one (user, open-session) accumulator bounded by
+    the watermark horizon — O(active users), not O(stream); the
+    shuffle is one hash exchange on user_id sized by
+    ``state_partitions`` (thousands on a real cluster)."""
+    name = f"s45_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sess = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.session_window("ts", "20 minutes"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    run_to_memory(sess, name, output_mode="append")
+    hz = load(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 51 MINUTES")).alias("hz")
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(hz))
+        .filter(F.col("session_end") <= F.col("hz"))
+        .drop("hz")
+    )

@@ -1344,3 +1344,84 @@ def test_streaming_last_touch_state_spans_microbatches(spark, tmp_path):
         (r["channel"], r["value"]) for r in spark.table(name).collect()
     )
     assert got == [("direct", 20.0), ("view", 10.0)]
+
+
+def test_streaming_session_window_merges_across_microbatches(spark, tmp_path):
+    """Session-window state must MERGE across micro-batches: batch 1
+    opens a session for user 7 (events 10:00, 10:10); batch 2 extends
+    it (10:25 — 15 min gap, inside the 20-min session gap) and opens a
+    separate later session (12:00); a far-future batch-3 event pushes
+    the watermark so both sessions flush. One merged 3-event session
+    + one singleton must come out — not the per-batch fragments."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    indir = tmp_path / "sess_in"
+    indir.mkdir()
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["view"] * len(rows)),
+                    "value": pa.array([0.0] * len(rows)),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(path),
+        )
+
+    write(indir / "a_batch1.parquet", [
+        (1, "2024-01-01 10:00:00", 7),
+        (2, "2024-01-01 10:10:00", 7),
+    ])
+    write(indir / "b_batch2.parquet", [
+        (3, "2024-01-01 10:25:00", 7),
+        (4, "2024-01-01 12:00:00", 7),
+    ])
+    write(indir / "c_batch3.parquet", [
+        (5, "2024-01-02 00:00:00", 99),  # watermark push
+    ])
+    os.utime(indir / "a_batch1.parquet", (1_000_000, 1_000_000))
+    os.utime(indir / "b_batch2.parquet", (2_000_000, 2_000_000))
+    os.utime(indir / "c_batch3.parquet", (3_000_000, 3_000_000))
+
+    from kafka_data_explorer_cdc_spark.io import SCHEMAS
+
+    ev = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "20 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.s), str(r.e)): r.n
+        for r in spark.table(name).filter(F.col("user_id") == 7).collect()
+    }
+    assert got == {
+        (7, "2024-01-01 10:00:00", "2024-01-01 10:45:00"): 3,
+        (7, "2024-01-01 12:00:00", "2024-01-01 12:20:00"): 1,
+    }
