@@ -1144,3 +1144,106 @@ def bitext_margin_pairs(
             (F.col("margin") >= threshold).alias("mined"),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): per query, greedily select k of the m exact-cosine
+    candidates maximizing ``lam * rel(c) - (1-lam) * max_{s in
+    selected} sim(c, s)`` — the diversity-aware retrieval head RAG
+    pipelines bolt onto a top-k kernel so five near-identical chunks
+    don't crowd out coverage.
+
+    Split of labor (the k54 contract): everything PARALLEL is JVM —
+    the exact top-m candidate kernel (brute_force_cosine_topk; swap
+    the IVF kernel at 100 TB), hits-only embedding hydration, and the
+    m*(m-1) candidate-pair cosines per query (zip_with/aggregate
+    folds, bit-identical to the DuckDB list folds) — while the
+    intrinsically SEQUENTIAL greedy walk runs per query in an Arrow
+    cogrouped applyInPandas over the tiny (m rows + m^2 sims) per-query
+    state. The walk itself only compares and scales scalars (no
+    re-summation), so float semantics stay engine-portable.
+
+    Shuffle story: candidates are k-bounded (m*Q rows), sims m^2*Q —
+    both independent of corpus size; one hash exchange on q_id feeds
+    the cogroup. Ties break on candidate id ascending."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cand = brute_force_cosine_topk(
+        corpus, queries, k=m, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "c_id", F.col("cosine").alias("rel"))
+    cvec = with_norm(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
+        "cv",
+    )
+    hyd = cand.join(cvec, "c_id")
+    a, b = hyd.alias("a"), hyd.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id"))
+            & (F.col("a.c_id") != F.col("b.c_id")),
+        )
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.c_id").alias("a_id"),
+            F.col("b.c_id").alias("b_id"),
+            (
+                _dot(F.col("a.cv"), F.col("b.cv"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("sim"),
+        )
+    )
+    schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("pick_order", LongType()),
+            StructField("c_id", LongType()),
+        ]
+    )
+
+    def walk(cand_pdf: pd.DataFrame, sims_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=["q_id", "pick_order", "c_id"])
+        qid = int(cand_pdf["q_id"].iloc[0])
+        rel = dict(zip(cand_pdf["c_id"], cand_pdf["rel"]))
+        sim = {
+            (x, y): s
+            for x, y, s in zip(
+                sims_pdf["a_id"], sims_pdf["b_id"], sims_pdf["sim"]
+            )
+        }
+        remaining = sorted(rel)
+        picked: list[int] = []
+        while remaining and len(picked) < k:
+            best, best_score = None, None
+            for c in remaining:  # ascending id = deterministic ties
+                ms = max((sim[(c, s)] for s in picked), default=0.0)
+                score = lam * rel[c] - (1.0 - lam) * ms
+                if best_score is None or score > best_score:
+                    best, best_score = c, score
+            picked.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "q_id": [qid] * len(picked),
+                "pick_order": range(1, len(picked) + 1),
+                "c_id": picked,
+            }
+        )
+
+    return (
+        cand.groupBy("q_id")
+        .cogroup(sims.groupBy("q_id"))
+        .applyInPandas(walk, schema)
+    )

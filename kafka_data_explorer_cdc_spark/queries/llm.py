@@ -6235,3 +6235,71 @@ def d78_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cname") == F.col("dname_orig")).alias("name_match"),
         )
     )
+
+
+@query(
+    "d79_mmr_diversified_retrieval",
+    oracle=f"""
+WITH RECURSIVE n AS (
+  SELECT vec_id, embedding, sqrt({_NORMSQ.format(a="embedding")}) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {_DOT.format(a="q.embedding", b="c.embedding")}
+           / (q.nrm * c.nrm) AS rel
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+), cand AS (
+  SELECT q_id, c_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+    FROM scored
+  ) WHERE rn <= 20
+), sims AS (
+  SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+         {_DOT.format(a="na.embedding", b="nb.embedding")}
+           / (na.nrm * nb.nrm) AS sim
+  FROM cand a
+  JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+  JOIN n na ON na.vec_id = a.c_id
+  JOIN n nb ON nb.vec_id = b.c_id
+), sel AS (
+  SELECT q_id, 0 AS it, CAST([] AS BIGINT[]) AS picked
+  FROM (SELECT DISTINCT q_id FROM cand)
+  UNION ALL
+  SELECT q_id, it + 1,
+         list_append(picked, (
+           SELECT c.c_id FROM cand c
+           WHERE c.q_id = sel.q_id
+             AND NOT list_contains(sel.picked, c.c_id)
+           ORDER BY 0.7 * c.rel - 0.3 * COALESCE((
+             SELECT max(s.sim) FROM sims s
+             WHERE s.q_id = sel.q_id AND s.a_id = c.c_id
+               AND list_contains(sel.picked, s.b_id)), 0.0) DESC,
+             c.c_id
+           LIMIT 1))
+  FROM sel WHERE it < 5
+)
+SELECT sel.q_id, gs.i AS pick_order, picked[gs.i] AS c_id
+FROM sel CROSS JOIN generate_series(1, 5) gs(i)
+WHERE it = 5
+""",
+    tags=("llm", "similarity", "retrieval", "pandas-udf"),
+)
+def d79_mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/similarity.py:mmr_rerank):
+    per query (vec_id < 10), greedily pick 5 of the exact-cosine
+    top-20 maximizing 0.7*relevance - 0.3*max-similarity-to-already-
+    picked — the diversity head that stops RAG retrieval returning
+    five copies of the same chunk.
+
+    Two independent implementations of the greedy walk must agree
+    pick-for-pick: Spark runs candidate kernel + pairwise sims as JVM
+    folds (bit-identical to the oracle's list folds, the d07
+    contract) with only the sequential selection in an Arrow cogrouped
+    applyInPandas; the oracle replays the same walk as a DuckDB
+    recursive CTE with a correlated argmax per iteration. Output is
+    ids and pick order only — no float columns to round."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    return S.mmr_rerank(em, queries, k=5, m=20, lam=0.7)

@@ -327,3 +327,38 @@ def test_bitext_margin_mines_planted_pair(spark):
     assert {k: (v["tgt_id"], v["margin"]) for k, v in rows.items()} == {
         k: (v["tgt_id"], v["margin"]) for k, v in again.items()
     }
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    """MMR's defining behavior: after picking the best candidate, its
+    near-duplicate (relevance rank 2) must LOSE to a less relevant but
+    diverse candidate — plain top-k would return the twin second."""
+    from kafka_data_explorer_cdc_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        mmr_rerank,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0]),        # most relevant
+        (2, [0.98, 0.2, 0.0]),         # near-duplicate of 1
+        (3, [0.6, 0.0, 0.8]),          # diverse, less relevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    topk = [
+        r.c_id
+        for r in brute_force_cosine_topk(df, q, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert topk == [1, 2, 3]  # redundancy wins under pure relevance
+    picks = [
+        r.c_id
+        for r in mmr_rerank(df, q, k=3, m=3, lam=0.3)
+        .orderBy("pick_order")
+        .collect()
+    ]
+    assert picks[0] == 1
+    assert picks[1] == 3, picks  # diversity beats the near-duplicate
+    assert picks[2] == 2
