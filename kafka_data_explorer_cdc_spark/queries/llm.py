@@ -6303,3 +6303,82 @@ def d79_mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame
     em = load(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10)
     return S.mmr_rerank(em, queries, k=5, m=20, lam=0.7)
+
+
+@query(
+    "d80_unicode_nfc_normalize",
+    oracle="""
+WITH injected AS (
+  SELECT doc_id, lang,
+         CASE doc_id % 3
+           WHEN 0 THEN replace(text, 'e', 'e' || chr(769))
+           WHEN 1 THEN replace(text, 'a', 'a' || chr(776))
+           ELSE text END AS raw,
+         length(text) AS n_orig
+  FROM documents
+), norm AS (
+  SELECT doc_id, lang, n_orig, length(raw) AS n_raw,
+         nfc_normalize(raw) AS fixed
+  FROM injected
+)
+SELECT doc_id, lang,
+       CAST(n_raw AS BIGINT) AS chars_raw,
+       CAST(length(fixed) AS BIGINT) AS chars_fixed,
+       CAST(n_raw - n_orig AS BIGINT) AS marks_injected,
+       length(fixed) < n_raw AS composed,
+       substr(fixed, 1, 40) AS head
+FROM norm
+""",
+    tags=("llm", "text", "unicode", "pandas-udf"),
+)
+def d80_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the text-cleanup pass every
+    multilingual corpus needs before dedup or tokenization (decomposed
+    e+COMBINING ACUTE and e-acute must hash identically). The synthetic
+    corpus is ASCII, so the pipeline first INJECTS decomposed marks
+    deterministically (doc_id % 3 keys which vowel gets a combining
+    mark — the same expression in both engines), then normalizes: the
+    Spark side through the one genuinely non-SQL kernel (pandas
+    ``str.normalize('NFC')``, Arrow-batched, zero shuffles), the
+    oracle through DuckDB's independent ``nfc_normalize`` — two
+    Unicode implementations (Python unicodedata vs utf8proc) that must
+    agree on every composed length and prefix.
+
+    Scale shape: a pure mapInPandas-free projection — injection,
+    lengths, and the head sample are codegen string exprs; the
+    normalize UDF is the only Python boundary and carries one string
+    column through Arrow. No shuffle anywhere."""
+    import pandas as pd
+
+    @pandas_udf(T.StringType())
+    def nfc(s):
+        return s.str.normalize("NFC")
+
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.replace(F.col("text"), F.lit("a"), F.lit("a\u0308")),
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+        F.length("text").alias("n_orig"),
+    )
+    norm = injected.withColumn("fixed", nfc(F.col("raw")))
+    return norm.select(
+        "doc_id",
+        "lang",
+        F.length("raw").cast("bigint").alias("chars_raw"),
+        F.length("fixed").cast("bigint").alias("chars_fixed"),
+        (F.length("raw") - F.col("n_orig")).cast("bigint").alias(
+            "marks_injected"
+        ),
+        (F.length("fixed") < F.length("raw")).alias("composed"),
+        F.substring("fixed", 1, 40).alias("head"),
+    )
