@@ -6149,7 +6149,7 @@ def d77_unimax_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     "d78_jaro_winkler_linkage",
     oracle="""
 WITH dirty AS (
-  SELECT p_partkey AS dkey, p_name AS dname_orig, p_brand,
+  SELECT p_partkey AS dkey, p_name AS dname_orig, p_brand, p_size,
          substr(p_name, 1, p_partkey % length(p_name))
            || substr(p_name, (p_partkey % length(p_name)) + 2) AS dname
   FROM part WHERE length(p_name) >= 2
@@ -6157,7 +6157,8 @@ WITH dirty AS (
   SELECT d.dkey, d.dname_orig, c.p_partkey AS ckey, c.p_name AS cname,
          CAST(FLOOR(jaro_winkler_similarity(d.dname, c.p_name) * 1e9)
               AS BIGINT) AS sq
-  FROM dirty d JOIN part c ON d.p_brand = c.p_brand
+  FROM dirty d
+  JOIN part c ON d.p_brand = c.p_brand AND d.p_size = c.p_size
 ), best AS (
   SELECT dkey, ckey, cname, dname_orig, sq,
          row_number() OVER (PARTITION BY dkey ORDER BY sq DESC, ckey)
@@ -6196,7 +6197,9 @@ def d78_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the JW kernel crosses to Python (Arrow batches of short name
     pairs); the per-record argmax is one WindowGroupLimit-shaped rank
     over the candidate set, partitioned by dirty key."""
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
     cut = F.col("p_partkey") % F.length("p_name")
     dirty = (
         part.filter(F.length("p_name") >= 2)
@@ -6204,6 +6207,7 @@ def d78_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("dkey"),
             F.col("p_name").alias("dname_orig"),
             F.col("p_brand").alias("dbrand"),
+            F.col("p_size").alias("dsize"),
             F.concat(
                 F.expr("substring(p_name, 1, p_partkey % length(p_name))"),
                 F.expr(
@@ -6216,8 +6220,13 @@ def d78_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("ckey"),
         F.col("p_name").alias("cname"),
         F.col("p_brand").alias("cbrand"),
+        F.col("p_size").alias("csize"),
     )
-    cand = dirty.join(clean, F.col("dbrand") == F.col("cbrand")).withColumn(
+    cand = dirty.join(
+        clean,
+        (F.col("dbrand") == F.col("cbrand"))
+        & (F.col("dsize") == F.col("csize")),
+    ).withColumn(
         "sq",
         F.floor(
             D.jaro_winkler_pandas(F.col("dname"), F.col("cname")) * F.lit(1e9)
