@@ -779,3 +779,55 @@ def test_funnel_stages_one_exchange_three_windows(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("Window") == 3
     assert "Join" not in p
+
+
+def test_sole_fault_single_fact_scan_shared_window_exchange(spark, sf_dir):
+    """b92's whole point vs textbook Q21: lineitem is scanned ONCE
+    (not three times for the two self-correlations), the rollup is
+    map-side combined before its exchange, BOTH per-order windows ride
+    one l_orderkey exchange, the supplier dim broadcasts, and the
+    top-25 is TakeOrderedAndProject — never a global sort."""
+    p = plan_of(spark, sf_dir, "b92_sole_fault_supplier")
+    assert p.count("lineitem.parquet") == 1, "fact must be scanned once"
+    assert "partial_sum" in p, "rollup must map-side combine"
+    assert p.count("Window") == 2
+    import re as _re
+
+    # orderkey-ONLY exchanges (the window one); the rollup exchange is
+    # hashpartitioning(l_orderkey, l_suppkey, ...) and doesn't count
+    assert len(_re.findall(r"hashpartitioning\(l_orderkey#\d+L, \d+\)", p)) == 1, (
+        "both windows must share one order-key exchange"
+    )
+    assert "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_seasonal_decompose_single_scan_rollup_windows(spark, sf_dir):
+    """b91: events are scanned once into the (type, day) rollup with
+    map-side combine; every window after that runs on the tiny day
+    grid — no second pass over the fact table."""
+    p = plan_of(spark, sf_dir, "b91_seasonal_decompose")
+    assert p.count("events.parquet") == 1
+    assert "partial_sum" in p
+    assert p.count("Window") == 2
+
+
+def test_mmr_kernel_stays_jvm_until_the_walk(spark, sf_dir):
+    """d79: exactly one Arrow Python boundary (the cogrouped greedy
+    walk) — candidate generation and all pairwise sims must stay in
+    JVM folds, and the query side must broadcast."""
+    p = plan_of(spark, sf_dir, "d79_mmr_diversified_retrieval")
+    assert p.count("FlatMapCoGroupsInPandas") == 1
+    assert "BatchEvalPython" not in p, "no row-at-a-time Python"
+    assert "BroadcastExchange" in p
+
+
+def test_jaro_winkler_blocked_join_prefilters(spark, sf_dir):
+    """d78: the candidate join must be an equi-join on the (brand,
+    size) block key — never a cross join — and the scoring UDF must be
+    Arrow-batched, with the argmax as a rank window."""
+    p = plan_of(spark, sf_dir, "d78_jaro_winkler_linkage")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" in p, "JW kernel must be Arrow-batched"
+    assert "BatchEvalPython" not in p
+    assert "RunningWindowFunction" in p or "Window" in p
