@@ -2558,6 +2558,39 @@ def kql(
                     "KQL: partition supports only a 'top N by <expr>' or "
                     f"'sort by ... | scan ...' subquery, got {inner!r}"
                 )
+        elif verb == "reduce":
+            # reduce by Col — Kusto's log-pattern clustering. Kusto's
+            # plugin is heuristic (undocumented similarity grouping);
+            # this engine pins the deterministic core that covers the
+            # dominant use (collapsing variable tokens in log lines):
+            # the pattern is the value with every digit run replaced
+            # by '*', and rows group by that pattern. Output matches
+            # Kusto's shape: Pattern, Count, Representative (the
+            # smallest raw value — Kusto picks an arbitrary exemplar;
+            # min is the replay-stable choice). One map-side-combined
+            # groupBy; the pattern expr is codegen regexp_replace
+            # (Java∩RE2 regex subset, the d21 contract).
+            p.expect("by")
+            rcol = p.next().text
+            if rcol not in df.columns:
+                raise ValueError(f"KQL: reduce by column {rcol!r} not found")
+            if p.peek() is not None:
+                raise ValueError(
+                    f"KQL: trailing tokens in stage {stage!r}: "
+                    f"{p.peek().text!r}"
+                )
+            df = (
+                df.groupBy(
+                    F.regexp_replace(F.col(rcol), "[0-9]+", "*").alias(
+                        "Pattern"
+                    )
+                )
+                .agg(
+                    F.count("*").alias("Count"),
+                    F.min(rcol).alias("Representative"),
+                )
+                .orderBy(F.desc("Count"), "Pattern")
+            )
         elif verb == "render":
             # presentation hint (A17): the relational result is exactly
             # the preceding pipeline; the chart type is recorded on the

@@ -1398,3 +1398,42 @@ def k56_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | evaluate basket(0.1)",
         {"Events": ev},
     )
+
+
+@query(
+    "k57_kql_reduce_by",
+    oracle="""
+WITH lines AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR)
+         || ' amt=' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)
+           AS line
+  FROM events
+)
+SELECT regexp_replace(line, '[0-9]+', '*', 'g') AS Pattern,
+       CAST(COUNT(*) AS BIGINT) AS Count,
+       MIN(line) AS Representative
+FROM lines GROUP BY 1
+""",
+    tags=("kql", "patterns", "observability"),
+)
+def k57_kql_reduce_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``reduce by`` — Kusto's log-pattern clustering, under this
+    engine's deterministic core (kql.py, reduce verb): synthesize the
+    log line every service emits (type + user + amount), collapse
+    digit runs to '*', group by the resulting pattern with count and
+    the smallest raw line as the replay-stable exemplar. Kusto's
+    plugin groups by an undocumented similarity heuristic; the pinned
+    digit-run rule is the deterministic 90% of its real use
+    (divergence documented at the verb).
+
+    One map-side-combined groupBy over a codegen regexp_replace — no
+    Python, no second scan; the pattern table is observability-sized
+    (distinct shapes, not rows)."""
+    ev = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | project line = strcat(event_type, ' user=',"
+        "     tostring(user_id), ' amt=', tostring(tolong(floor(value))))"
+        " | reduce by line",
+        {"Events": ev},
+    )

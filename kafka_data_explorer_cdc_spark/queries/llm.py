@@ -6391,3 +6391,77 @@ def d80_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("fixed") < F.length("raw")).alias("composed"),
         F.substring("fixed", 1, 40).alias("head"),
     )
+
+
+@query(
+    "d81_calibration_audit",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(FLOOR(1e9 / (1.0 + exp(-((n_chars - 300.0) / 80.0))))
+              AS BIGINT) AS pred_q,
+         CASE WHEN ({DUCKDB_POLY_HASH.format(expr="CAST(doc_id AS VARCHAR)")})
+                   % 100
+              < 40 + CASE WHEN lang = 'en' THEN 30 ELSE 0 END
+              THEN 1 ELSE 0 END AS label
+  FROM documents
+), binned AS (
+  SELECT LEAST(pred_q // 100000000, 9) AS bin, pred_q, label FROM scored
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(pred_q) AS DOUBLE) / COUNT(*) / 1e9, 6)
+         AS mean_pred,
+       ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+       ROUND(ABS(CAST(SUM(pred_q) AS DOUBLE) / COUNT(*) / 1e9
+                 - CAST(SUM(label) AS DOUBLE) / COUNT(*)), 6) AS gap
+FROM binned GROUP BY 1
+""",
+    tags=("llm", "ml", "calibration"),
+)
+def d81_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model calibration audit — the reliability diagram + per-bin ECE
+    terms every deployed quality classifier needs: predictions (a
+    sigmoid scorer over document length, the b67/d69 serving shape)
+    are nano-floor-quantized, bucketed into 10 confidence bins, and
+    each bin reports its size, mean predicted probability, observed
+    positive rate, and |gap| — the Expected Calibration Error is the
+    n-weighted gap sum over these rows. Labels are a deterministic
+    portable-hash Bernoulli whose rate shifts with lang, so bins are
+    genuinely miscalibrated and the gaps non-trivial.
+
+    Exactness: the sigmoid is computed as the identical double
+    expression in both engines and floor-quantized BEFORE any
+    aggregation, making every reduction an order-free integer sum
+    (the b67/d48 contract); bin ids derive from the quantized value.
+
+    Scale shape: one scan, one 10-row map-side-combined groupBy —
+    the audit costs a single pass regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    pred_q = F.floor(
+        F.lit(1e9)
+        / (F.lit(1.0) + F.exp(-((F.col("n_chars") - F.lit(300.0)) / F.lit(80.0))))
+    ).cast("bigint")
+    h = F.expr(poly_hash("cast(doc_id as string)"))
+    label = F.when(
+        h % 100
+        < F.lit(40) + F.when(F.col("lang") == "en", 30).otherwise(0),
+        1,
+    ).otherwise(0)
+    scored = docs.select(
+        pred_q.alias("pred_q"), label.alias("label")
+    ).withColumn(
+        "bin", F.least(F.col("pred_q") / F.lit(100000000), F.lit(9)).cast("bigint")
+    )
+    mean_pred = F.sum("pred_q").cast("double") / F.count("*") / F.lit(1e9)
+    pos_rate = F.sum("label").cast("double") / F.count("*")
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(mean_pred, 6).alias("mean_pred"),
+            F.round(pos_rate, 6).alias("pos_rate"),
+            F.round(F.abs(mean_pred - pos_rate), 6).alias("gap"),
+        )
+        .select("bin", "n", "mean_pred", "pos_rate", "gap")
+    )
