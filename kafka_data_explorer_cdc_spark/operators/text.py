@@ -134,18 +134,29 @@ def luhn_valid_expr(col: str, length: int = 16) -> str:
     checksum, so validated detection cuts false redactions by an order
     of magnitude.
 
-    Pure codegen: one transform over ``sequence(1, length)`` doubling
-    every second digit from the right (d*2 > 9 folds to d*2 - 9), one
-    integer fold, one mod test — no UDF, no regex beyond the candidate
-    scan. The DuckDB mirror is the same fold over ``generate_series``
-    (exact integer arithmetic both sides)."""
-    d = f"CAST(substring({col}, i, 1) AS INT)"
-    return (
-        f"aggregate(transform(sequence(1, {length}), i -> "
-        f"CASE WHEN ({length + 1} - i) % 2 = 0 THEN "
-        f"IF({d} * 2 > 9, {d} * 2 - 9, {d} * 2) ELSE {d} END), "
-        f"0, (a, x) -> a + x) % 10 = 0"
-    )
+    Pure codegen, UNROLLED: a flat ``length``-term integer sum, one
+    term per digit position, doubling every second digit from the
+    right (d*2 > 9 folds to d*2 - 9), one mod test — no UDF, no regex
+    beyond the candidate scan, and crucially no higher-order function:
+    the original ``aggregate(transform(sequence(1, N)))`` fold kept the
+    per-element lambdas OUT of whole-stage codegen (Catalyst evaluates
+    HOF lambdas interpreted) and its analysis/codegen fixed cost alone
+    was ~2.8 s in a fresh JVM (7 s late in a long bench run — the b45
+    postmortem shape). The flat sum is ordinary arithmetic that fuses
+    into the scan's codegen stage: same-session A/B at sf0.1 measured
+    first-run 2.8 s → 1.0 s (warm ~0.07 s both) with a bit-identical
+    result — the integer arithmetic is unchanged. The DuckDB mirror
+    keeps the equivalent fold over ``generate_series`` (same integer
+    math, same result)."""
+    terms = []
+    for i in range(1, length + 1):
+        d = f"CAST(substring({col}, {i}, 1) AS INT)"
+        if (length + 1 - i) % 2 == 0:
+            # doubled position: 2d, minus 9 when 2d > 9 (i.e. d > 4)
+            terms.append(f"IF({d} > 4, {d} * 2 - 9, {d} * 2)")
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ") % 10 = 0"
 
 
 def duckdb_luhn_sql(col: str, length: int = 16) -> str:
