@@ -480,13 +480,18 @@ def jaro_winkler_pandas(s1_col, s2_col):
     the documented Python boundary: Arrow batches in, numpy-free
     per-pair loops over short strings (record-linkage names, not
     documents). Everything AROUND it — candidate blocking, the 1e9
-    score quantization, the per-record argmax — stays JVM-side."""
+    score quantization, the per-record argmax — stays JVM-side.
+
+    Null contract (matches DuckDB's SQL semantics): a NULL on either
+    side yields NULL, not 0.0 — so any future caller feeding nullable
+    columns stays oracle-aligned (d78 itself only feeds non-null
+    names). Empty strings still score 0.0."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def jw_one(a: str, b: str) -> float:
+    def jw_one(a: str, b: str) -> float | None:
         if a is None or b is None:
-            return 0.0
+            return None
         if a == b:
             return 1.0
         la, lb = len(a), len(b)
@@ -524,8 +529,10 @@ def jaro_winkler_pandas(s1_col, s2_col):
 
     @pandas_udf("double")
     def _jw(s1, s2):
+        # nullable Float64 (not float64): None must cross Arrow as a
+        # true NULL, not collapse to NaN.
         return pd.Series(
-            [jw_one(x, y) for x, y in zip(s1, s2)], dtype="float64"
+            [jw_one(x, y) for x, y in zip(s1, s2)], dtype="Float64"
         )
 
     return _jw(s1_col, s2_col)

@@ -1152,6 +1152,7 @@ def mmr_rerank(
     k: int = 5,
     m: int = 20,
     lam: float = 0.7,
+    mu: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1174,8 +1175,20 @@ def mmr_rerank(
 
     Shuffle story: candidates are k-bounded (m*Q rows), sims m^2*Q —
     both independent of corpus size; one hash exchange on q_id feeds
-    the cogroup. Ties break on candidate id ascending."""
+    the cogroup. Ties break on candidate id ascending.
+
+    ``mu`` is the diversity-penalty weight, default ``1.0 - lam``.
+    Pass it EXPLICITLY when an external oracle replays the walk with a
+    literal coefficient: computing ``1.0 - 0.7`` yields
+    0.30000000000000004 while the literal ``0.3`` is
+    0.29999999999999999 — a one-ulp divergence that can flip a greedy
+    argmax on a near-tie between engines (the d79 contract is
+    pick-for-pick agreement, so both sides must score with the SAME
+    double)."""
     import pandas as pd
+
+    if mu is None:
+        mu = 1.0 - lam
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -1229,7 +1242,7 @@ def mmr_rerank(
             best, best_score = None, None
             for c in remaining:  # ascending id = deterministic ties
                 ms = max((sim[(c, s)] for s in picked), default=0.0)
-                score = lam * rel[c] - (1.0 - lam) * ms
+                score = lam * rel[c] - mu * ms
                 if best_score is None or score > best_score:
                     best, best_score = c, score
             picked.append(best)

@@ -6311,7 +6311,9 @@ def d79_mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame
     ids and pick order only — no float columns to round."""
     em = load(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10)
-    return S.mmr_rerank(em, queries, k=5, m=20, lam=0.7)
+    # mu passed explicitly as the literal 0.3: the oracle's argmax uses
+    # the literal too, and 1.0 - 0.7 != 0.3 by one ulp (see mmr_rerank).
+    return S.mmr_rerank(em, queries, k=5, m=20, lam=0.7, mu=0.3)
 
 
 @query(

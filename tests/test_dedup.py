@@ -394,6 +394,9 @@ def test_jaro_winkler_matches_duckdb_semantics(spark):
         ("abcxx", "abcyyy"),  # jaro == 0.7 + 1ulp: gate fires
         ("same", "same"),
         ("", "x"),
+        (None, "x"),  # null contract: NULL in -> NULL out (not 0.0)
+        ("x", None),
+        (None, None),
     ]
     con = duckdb.connect()
     want = {
