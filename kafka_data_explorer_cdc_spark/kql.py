@@ -45,7 +45,9 @@ Supported (the reference's surface plus the obvious neighbors):
       | make-series n = agg() [default = lit] on ts
           from 'ts' to 'ts' step 1h [by col, ...]   (dense per-group
           value arrays over uniform bins, gap-filled; JVM-only grid)
-      | mv-expand [name =] arraycol
+      | mv-expand [with_itemindex = idx] [name =] arraycol
+          [to typeof(T)] [limit N]   (posexplode when indexed; element
+        cast; per-RECORD expansion cap compiled to a pre-explode slice)
       | distinct col, ...  /  distinct *
       | count   (column named `Count`, as in Kusto)
       | join [kind=K] [hint.strategy = broadcast|shuffle]
@@ -67,6 +69,9 @@ Supported (the reference's surface plus the obvious neighbors):
       | evaluate bag_unpack(dynCol)   (one bounded key-discovery job,
         then codegen get_json_object probes per key; string-typed
         leaves, lexical key order, collision = explicit error)
+      | evaluate narrow()   (unpivot every column to Row/Column/Value
+        string triples; Row = 0-based serialized index, so a prior
+        'sort by' is required in a distributed engine)
       | render charttype [with (...)]   (must be last; presentation hint)
 
     print / range / datatable tabular sources (range generates on
@@ -1836,7 +1841,10 @@ def kql(
             verb = "sample-distinct"
         # which verbs keep the serialized order: row-local transforms
         # do; anything that re-groups, re-joins, or explodes does not.
-        # sort/top establish a NEW order below.
+        # sort/top establish a NEW order below. evaluate narrow()
+        # CONSUMES the incoming order (its Row index) even though its
+        # output is unordered — it reads prev_ser.
+        prev_ser = ser
         if verb not in (
             "where", "extend", "serialize", "project", "project-away",
             "project-rename", "project-keep", "project-reorder", "parse",
@@ -2281,15 +2289,51 @@ def kql(
                 if not p.accept(","):
                     break
         elif verb == "mv-expand":
-            # expand an array column to one row per element (Kusto's
-            # dynamic-array fan-out) — compiles to explode, the same
-            # generator Spark uses for every flatten
-            name = p.next().text
+            # mv-expand [with_itemindex = Idx] [Name =] ArrayCol
+            #           [to typeof(T)] [limit N]
+            # Kusto's dynamic-array fan-out — compiles to explode (or
+            # posexplode when the 0-based element index is requested),
+            # the same generator Spark uses for every flatten.
+            # `to typeof(T)` casts each element (Kusto's typed
+            # expansion — dynamic leaves are otherwise strings after
+            # bag_unpack); `limit N` caps expansion per RECORD (Kusto
+            # semantics), compiled to a slice BEFORE the generator so
+            # oversized arrays never fan out — at scale that bound is
+            # what keeps a hot record from exploding a partition.
+            idx_name = None
+            t = p.next().text
+            if t.lower() == "with_itemindex":
+                p.expect("=")
+                idx_name = p.next().text
+                t = p.next().text
+            name = t
+            src = name
             if p.accept("="):
                 src = p.next().text
-                df = df.withColumn(name, F.explode(F.col(src)))
+            arr = F.col(src)
+            cast_ty = None
+            if p.peek() is not None and p.peek().text.lower() == "to":
+                p.next()
+                if p.next().text.lower() != "typeof":
+                    raise ValueError("KQL: mv-expand expects 'to typeof(T)'")
+                p.expect("(")
+                ty = p.next().text.lower()
+                p.expect(")")
+                cast_ty = _TYPEOF.get(ty)
+                if cast_ty is None:
+                    raise ValueError(f"KQL: unsupported typeof({ty})")
+            if p.peek() is not None and p.peek().text.lower() == "limit":
+                p.next()
+                arr = F.slice(arr, 1, int(p.next().text))
+            if idx_name is not None:
+                keep = [c for c in df.columns if c != name]
+                df = df.select(
+                    *keep, F.posexplode(arr).alias(idx_name, name)
+                )
             else:
-                df = df.withColumn(name, F.explode(F.col(name)))
+                df = df.withColumn(name, F.explode(arr))
+            if cast_ty is not None:
+                df = df.withColumn(name, F.col(name).cast(cast_ty))
         elif verb == "distinct":
             df = df.select(*p.ident_list()).distinct()
         elif verb == "sample":
@@ -2360,6 +2404,53 @@ def kql(
             # with map-side partials — the Kusto-parity cost of not
             # declaring the value list in the query text.
             ev_fn = p.next().text.lower()
+            if ev_fn == "narrow":
+                # evaluate narrow() — unpivot EVERY column to
+                # (Row, Column, Value) string triples, Kusto's debug /
+                # generic-renderer plugin. Row is the 0-based serialized
+                # row index, so (as with serialize/row_number) a
+                # distributed engine demands an explicit order first —
+                # precede with 'sort by'. Compiles to ONE projection:
+                # row_number over the established order, then an
+                # inline array<struct>-explode (the same generator as
+                # stack/UNPIVOT — no shuffle beyond the ordering
+                # window; column count is schema-bounded so the fan-out
+                # factor is a constant).
+                p.expect("(")
+                p.expect(")")
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                if prev_ser is None:
+                    raise ValueError(
+                        "KQL: evaluate narrow() needs an established row "
+                        "order in a distributed engine — precede it with "
+                        "'sort by'"
+                    )
+                w = Window.orderBy(*prev_ser)
+                kv = F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("Column"),
+                            F.col(c).cast("string").alias("Value"),
+                        )
+                        for c in df.columns
+                    ]
+                )
+                df = (
+                    df.withColumn(
+                        "__kql_row",
+                        (F.row_number().over(w) - 1).cast("long"),
+                    )
+                    .select(
+                        F.col("__kql_row").alias("Row"),
+                        F.explode(kv).alias("__kv"),
+                    )
+                    .select("Row", "__kv.Column", "__kv.Value")
+                )
+                continue
             if ev_fn == "bag_unpack":
                 # evaluate bag_unpack(dynCol) — expand a dynamic
                 # property bag into one column per key, Kusto's

@@ -1437,3 +1437,71 @@ def k57_kql_reduce_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | reduce by line",
         {"Events": ev},
     )
+
+
+@query(
+    "k58_kql_mv_expand_typed",
+    oracle="""
+SELECT vec_id,
+       CAST(t.i - 1 AS BIGINT) AS i,
+       CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS e
+FROM embeddings,
+     UNNEST(range(1, least(3, len(embedding)) + 1)) AS t(i)
+WHERE vec_id < 100
+""",
+    tags=("kql", "array"),
+)
+def k58_kql_mv_expand_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mv-expand with_itemindex = i e = embedding to typeof(real)
+    limit 3`` — Kusto's full expansion form (kql.py, mv-expand verb):
+    0-based element index via posexplode, typed elements, and the
+    per-RECORD expansion cap. The cap compiles to a slice BEFORE the
+    generator, so a hot record's oversized array never fans out — the
+    bound that keeps one pathological row from exploding a partition
+    at 100 TB. Oracle replays with generate_series-with-ordinality."""
+    em = load(spark, sf_dir, "embeddings")
+    return kql(
+        "Embeddings"
+        " | where vec_id < 100"
+        " | mv-expand with_itemindex = i e = embedding"
+        "     to typeof(real) limit 3"
+        " | project vec_id, i = tolong(i), e",
+        {"Embeddings": em},
+    )
+
+
+@query(
+    "k59_kql_narrow",
+    oracle="""
+WITH agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+), ordered AS (
+  SELECT event_type, n,
+         ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS r
+  FROM agg
+)
+SELECT r AS Row, 'event_type' AS Column, event_type AS Value FROM ordered
+UNION ALL
+SELECT r AS Row, 'n' AS Column, CAST(n AS VARCHAR) AS Value FROM ordered
+""",
+    tags=("kql", "unpivot"),
+)
+def k59_kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate narrow()`` — Kusto's generic unpivot plugin (kql.py,
+    evaluate narrow): every column of the serialized input becomes a
+    (Row, Column, Value) string triple, Row being the 0-based row
+    index of the REQUIRED preceding sort (a distributed engine has no
+    implicit order to narrow by). Compiled to one ordering window +
+    one inline array<struct> explode — fan-out factor is the schema
+    width, a constant; only long/string columns are narrowed here so
+    the Value stringification is engine-portable (double formatting
+    is not a cross-engine contract)."""
+    ev = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | summarize n = count() by event_type"
+        " | sort by event_type asc"
+        " | evaluate narrow()",
+        {"Events": ev},
+    )

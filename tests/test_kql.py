@@ -1182,3 +1182,51 @@ def test_kql_basket_semantics(spark):
         kql("T | evaluate basket(1.5)", {"T": df})
     with _pytest.raises(ValueError, match="at least two"):
         kql("T | project c1 | evaluate basket(0.4)", {"T": df})
+
+
+def test_kql_mv_expand_typed_index_limit(spark):
+    """mv-expand extras: with_itemindex is 0-based, to typeof casts the
+    element, and limit caps expansion PER RECORD (a pre-explode slice,
+    so the generator never sees the oversized tail)."""
+    import pytest
+
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    df = spark.createDataFrame(
+        [(1, ["5", "7", "9"]), (2, ["1"]), (3, [])],
+        "id int, vals array<string>",
+    )
+    got = kql(
+        "T | mv-expand with_itemindex = i v = vals to typeof(long) limit 2"
+        " | project id, i, v",
+        {"T": df},
+    ).collect()
+    rows = sorted((r.id, r.i, r.v) for r in got)
+    # id=1 capped at 2 of 3 elements; id=3's empty array yields no rows
+    assert rows == [(1, 0, 5), (1, 1, 7), (2, 0, 1)]
+    assert dict(kql("T | mv-expand v = vals to typeof(long)", {"T": df})
+                .dtypes)["v"] == "bigint"
+    with pytest.raises(ValueError, match="typeof"):
+        kql("T | mv-expand v = vals to typeof(widget)", {"T": df})
+
+
+def test_kql_narrow_semantics(spark):
+    """evaluate narrow(): Row is the 0-based index of the REQUIRED
+    preceding sort; every column narrows to a string Value; unordered
+    input is an explicit error (a distributed engine has no implicit
+    order to freeze)."""
+    import pytest
+
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    df = spark.createDataFrame(
+        [("b", 2), ("a", 1)], "k string, n int"
+    )
+    got = kql("T | sort by k asc | evaluate narrow()", {"T": df}).collect()
+    triples = sorted((r.Row, r.Column, r.Value) for r in got)
+    assert triples == [
+        (0, "k", "a"), (0, "n", "1"),
+        (1, "k", "b"), (1, "n", "2"),
+    ]
+    with pytest.raises(ValueError, match="sort"):
+        kql("T | evaluate narrow()", {"T": df})
