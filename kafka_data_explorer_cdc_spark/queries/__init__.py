@@ -22,51 +22,30 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # bench-flagged for an idle A/B — plus k24-k27; k28-k34 displaced to
 # round 7).
 #
-# ROUND-7 WINDOW (this file's _FRONT, below): the first 50 of the 58
-# never-driver-checked entries as of CORRECTNESS_r06, in documented
-# priority order — b56-b79, d43-d63, k46-k48, s34-s35. All are green
-# under the local oracle mirror at sf0.001 (tests/test_oracle.py runs
-# every entry).
+# ROUND-8 WINDOW (this file's _FRONT, below): the first 50 of the 55
+# entries never driver-checked as of CORRECTNESS_r07 — the 45-entry
+# round-8 queue documented in round 7 PLUS the first 5 of the 10 late
+# round-7 additions (b91, b92, d78, d79, d80). Verified against the
+# union of CORRECTNESS_r01..r07 — none of these has a driver row in
+# any round. All are green under the local oracle mirror at sf0.001
+# (tests/test_oracle.py runs every entry).
 #
-# ROUND-8 QUEUE (in priority order; exact as of the r7 registry —
-# 267 entries, 95 never driver-checked, 50 in this window, 45
-# overflow):
-#   1. the 45 round-7 overflow never-checked entries:
-#      b80_merge_upsert_dsl, b81_exact_correlation,
-#      b82_expectations_audit, b83_mode_per_group,
-#      b84_scd2_dimension_merge, b85_bitmap_distinct_at_rest,
-#      b86_wilson_ranking, b87_last_touch_attribution,
-#      a20_schema_evolution_ingest, a21_malformed_envelope_dlq,
-#      k49_kql_shufflekey_hint, k50_kql_join_strategy_hint,
-#      k51_kql_conditional_agg_sweep, k52_kql_bag_unpack,
-#      k53_kql_series_stats, mm6_multimodal_retrieval,
-#      mm7_interleaved_packing, mm8_vit_patchify,
-#      d64_boilerplate_line_removal, d65_auc_quality_score,
-#      d66_dup_span_removal, d67_retrieval_eval_metrics,
-#      d68_luhn_pan_validation, d69_logreg_quality_train,
-#      d70_dsir_resample, d71_k_anonymity_audit,
-#      d72_hard_negative_mining, d73_dataset_fingerprint,
-#      s36_stream_partitioned_sink, s37_hybrid_backfill_union,
-#      s38_stream_window_topk, s39_stream_quantile_monitor,
-#      s40_stream_psi_drift, s41_stream_expectations_audit,
-#      s42_stream_bitmap_distinct, d74_bitext_margin_mining,
-#      d75_tokenizer_fertility, d76_curation_pipeline,
-#      d77_unimax_temperature_sample, b88_welch_ttest,
-#      b89_dynamic_partition_pruning, b90_funnel_stages,
-#      s43_stream_last_touch, s44_stream_ab_monitor,
-#      k54_kql_scan_funnel;
-#   2. any round-8 additions never driver-checked;
+# ROUND-9 QUEUE (in priority order; exact as of this file — verify
+# against the union of CORRECTNESS_r01..r08 before committing):
+#   1. the 5 round-8 overflow never-checked entries:
+#      d81_calibration_audit, k55_kql_series_outliers,
+#      k56_kql_basket, k57_kql_reduce_by, s45_stream_session_windows;
+#   2. any round-8 additions never driver-checked (in build order);
 #   3. the stalest rotation cohort — newest driver row r2: k13, k14,
 #      k15, k16, k17, k20, k21, k22, k23, d07, d16, d17, d18, d19
 #      (14 entries), then r3: d04x, d06x, k24-k34, b13a…, until the
 #      window fills.
 # NOTE on the staleness ceiling: the policy aimed for "no entry's
-# newest driver row more than ~3 rounds old", but with a 267-entry
-# registry and a 50-slot window the arithmetic floor is ~5-6 rounds
-# (267/50); never-checked entries rightly pre-empt rotation. The r2
-# cohort above will be ~6 rounds stale when it rotates in during
-# round 8 — accepted trade, documented here so the number isn't a
-# surprise.
+# newest driver row more than ~3 rounds old", but with a 277+-entry
+# registry and a 50-slot window the arithmetic floor is ~6 rounds;
+# never-checked entries rightly pre-empt rotation. The r2 cohort above
+# will be ~7 rounds stale when it rotates in during round 9 —
+# accepted trade, documented here so the number isn't a surprise.
 from . import kql_q  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
@@ -74,65 +53,64 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 _FRONT = [
-    # Round-7 window: the first 50 never-driver-checked entries (as of
-    # CORRECTNESS_r06) in documented priority order. Verified against
-    # the union of CORRECTNESS_r01..r06 — none of these has a driver
-    # row in any round.
-    # (1) relational b56-b79 (24)
-    "b56_recursive_cte_hierarchy",
-    "b57_equiwidth_histogram",
-    "b58_ewma_smoothing",
-    "b59_mad_robust_outliers",
-    "b60_referential_audit",
-    "b61_udtf_installments",
-    "b62_observed_metrics",
-    "b63_compact_small_files",
-    "b64_column_profiler",
-    "b65_partition_pruned_scan",
-    "b66_metadata_only_agg",
-    "b67_linear_model_scoring",
-    "b68_skew_probe",
-    "b69_moments_rollup",
-    "b70_dictionary_encoding",
-    "b71_ohlc_downsample",
-    "b72_snapshot_diff",
-    "b73_rolling_distinct_users",
-    "b74_chi_square_independence",
-    "b75_max_concurrent",
-    "b76_time_weighted_avg",
-    "b77_week_over_week",
-    "b78_equidepth_histogram",
-    "b79_pareto_concentration",
-    # (2) llm-pipeline d43-d63 (21)
-    "d43_dup_span_coalesce",
-    "d44_group_reservoir_sample",
-    "d45_wordpiece_tokenize",
-    "d46_random_projection",
-    "d47_label_centroid_cohesion",
-    "d48_source_jsd_shift",
-    "d49_sequence_packing",
-    "d50_prefix_filter_jaccard",
-    "d51_fuzzy_key_join",
-    "d52_eval_decontamination",
-    "d53_zipf_fit",
-    "d54_bpe_pair_stats",
-    "d55_triangle_count",
-    "d56_poisson_bootstrap",
-    "d57_negative_sampling",
-    "d58_leakage_safe_split",
-    "d59_blocklist_filter",
-    "d60_ngram_novelty",
-    "d61_kmeans_quantizer_train",
-    "d62_data_card",
-    "d63_dedup_keep_best",
-    # (3) KQL dialect k46-k48 (3)
-    "k46_kql_partition",
-    "k47_kql_top_nested_others",
-    "k48_kql_dcountif_stdev",
-    # (4) streaming head s34-s35 (2) — window full at 50; overflow
-    # (s36-s39, mm6-mm7, a20-a21) leads the round-8 queue above.
-    "s34_stream_value_histogram",
-    "s35_stream_approx_distinct",
+    # Round-8 window: the first 50 of the 55 never-driver-checked
+    # entries (as of CORRECTNESS_r07) in documented priority order.
+    # Verified against the union of CORRECTNESS_r01..r07 — none of
+    # these has a driver row in any round.
+    # (1) the 45-entry round-8 queue documented in round 7
+    "b80_merge_upsert_dsl",
+    "b81_exact_correlation",
+    "b82_expectations_audit",
+    "b83_mode_per_group",
+    "b84_scd2_dimension_merge",
+    "b85_bitmap_distinct_at_rest",
+    "b86_wilson_ranking",
+    "b87_last_touch_attribution",
+    "a20_schema_evolution_ingest",
+    "a21_malformed_envelope_dlq",
+    "k49_kql_shufflekey_hint",
+    "k50_kql_join_strategy_hint",
+    "k51_kql_conditional_agg_sweep",
+    "k52_kql_bag_unpack",
+    "k53_kql_series_stats",
+    "mm6_multimodal_retrieval",
+    "mm7_interleaved_packing",
+    "mm8_vit_patchify",
+    "d64_boilerplate_line_removal",
+    "d65_auc_quality_score",
+    "d66_dup_span_removal",
+    "d67_retrieval_eval_metrics",
+    "d68_luhn_pan_validation",
+    "d69_logreg_quality_train",
+    "d70_dsir_resample",
+    "d71_k_anonymity_audit",
+    "d72_hard_negative_mining",
+    "d73_dataset_fingerprint",
+    "s36_stream_partitioned_sink",
+    "s37_hybrid_backfill_union",
+    "s38_stream_window_topk",
+    "s39_stream_quantile_monitor",
+    "s40_stream_psi_drift",
+    "s41_stream_expectations_audit",
+    "s42_stream_bitmap_distinct",
+    "d74_bitext_margin_mining",
+    "d75_tokenizer_fertility",
+    "d76_curation_pipeline",
+    "d77_unimax_temperature_sample",
+    "b88_welch_ttest",
+    "b89_dynamic_partition_pruning",
+    "b90_funnel_stages",
+    "s43_stream_last_touch",
+    "s44_stream_ab_monitor",
+    "k54_kql_scan_funnel",
+    # (2) the first 5 of the 10 late round-7 additions — window full
+    # at 50; overflow (d81, k55-k57, s45) leads the round-9 queue
+    # above.
+    "b91_seasonal_decompose",
+    "b92_sole_fault_supplier",
+    "d78_jaro_winkler_linkage",
+    "d79_mmr_diversified_retrieval",
+    "d80_unicode_nfc_normalize",
 ]
 
 

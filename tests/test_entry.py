@@ -62,9 +62,39 @@ def test_coverage_freshness_table_not_stale():
     )
     assert m, "COVERAGE.md freshness header missing — run python tools/coverage_freshness.py"
     got = tuple(int(x) for x in m.groups())
+    # Registry-count drift is always builder-side (entries added without
+    # re-running the regen tool) — hard fail. ever/never drift can be a
+    # driver dropping a new CORRECTNESS file mid-round — loud skip.
+    assert got[0] == len(REGISTRY), (
+        f"COVERAGE.md freshness header says {got[0]} registry entries, "
+        f"registry has {len(REGISTRY)} — "
+        "run `python tools/coverage_freshness.py` and commit"
+    )
     if got != (len(REGISTRY), ever, never):
         pytest.skip(
             f"COVERAGE.md freshness table STALE: header says {got}, "
             f"disk says {(len(REGISTRY), ever, never)} — "
             "run `python tools/coverage_freshness.py` and commit"
         )
+
+
+def test_survey_declares_every_registry_entry():
+    """SURVEY.md §2 is the auditable operator contract; the r6 and r7
+    verdicts both caught registry entries that were implemented but
+    never declared there. Guard: every registry entry's short id (the
+    token before the first underscore, e.g. ``b91`` / ``d07v`` /
+    ``mm6``) must appear in SURVEY.md as a standalone word."""
+    import re
+
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+
+    doc = open("/root/repo/SURVEY.md").read()
+    missing = []
+    for name in REGISTRY:
+        short = name.split("_", 1)[0]
+        if name not in doc and not re.search(rf"\b{re.escape(short)}\b", doc):
+            missing.append(f"{short} ({name})")
+    assert not missing, (
+        "registry entries not declared in SURVEY.md §2 — add a table "
+        f"row for each: {sorted(set(missing))}"
+    )
