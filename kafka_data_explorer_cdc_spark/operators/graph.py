@@ -212,3 +212,80 @@ def connected_components_star(
     return members.unionByName(roots).groupBy("id").agg(
         F.min("comp").alias("comp")
     )
+
+
+def motif_find(
+    edges: DataFrame,
+    pattern: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """GraphFrames-style motif finding over a directed edge table.
+
+    ``pattern`` is a ``;``-separated list of edge terms in the
+    GraphFrames surface syntax, e.g.::
+
+        (a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)
+
+    Positive terms compile to a chain of hash equi-joins on the shared
+    vertex variables (each term must share at least one variable with
+    the already-bound set — a disconnected term would be a cross
+    join, which is an error, not a silent blow-up). Negated terms
+    (``!``) compile to LEFT ANTI joins on their two already-bound
+    variables — both endpoints of a negation must be bound by positive
+    terms, exactly GraphFrames' rule. Output columns are the vertex
+    variables.
+
+    Scale shape: a motif with k positive terms is k-1 equi-joins on
+    vertex keys plus one anti-join per negation — all shuffle-hash/
+    broadcast joinable, no cross join anywhere. Intermediate fan-out is
+    the wedge count of the partial motif; as with d55, the 100 TB
+    mitigation for hub skew is degree-oriented edges, applied to the
+    edge table BEFORE calling this (the motif algebra is unchanged).
+
+    No vertex-distinctness is implied (also the GraphFrames contract):
+    add ``WHERE a != c``-style filters on the result when the motif
+    semantics need them.
+    """
+    import re as _re
+
+    terms = [t.strip() for t in pattern.split(";") if t.strip()]
+    pos: list[tuple[str, str]] = []
+    neg: list[tuple[str, str]] = []
+    for t in terms:
+        m = _re.fullmatch(r"(!?)\s*\(\s*(\w+)\s*\)-\[\s*\]->\(\s*(\w+)\s*\)", t)
+        if not m:
+            raise ValueError(f"motif_find: unparsable term {t!r}")
+        (neg if m.group(1) else pos).append((m.group(2), m.group(3)))
+    if not pos:
+        raise ValueError("motif_find: need at least one positive term")
+
+    df: DataFrame | None = None
+    bound: set[str] = set()
+    for a, b in pos:
+        e = edges.select(F.col(src).alias(a), F.col(dst).alias(b))
+        if df is None:
+            df, bound = e, {a, b}
+            continue
+        on = [v for v in (a, b) if v in bound]
+        if not on:
+            raise ValueError(
+                f"motif_find: term ({a})->({b}) shares no variable with "
+                f"the bound set {sorted(bound)} — disconnected motifs "
+                "(cross joins) are not supported"
+            )
+        if a == b:
+            raise ValueError(f"motif_find: self-loop term ({a})->({b})")
+        df = df.join(e, on=on)
+        bound |= {a, b}
+    for a, b in neg:
+        missing = [v for v in (a, b) if v not in bound]
+        if missing:
+            raise ValueError(
+                f"motif_find: negated term !({a})->({b}) uses unbound "
+                f"variable(s) {missing} — negations may only constrain "
+                "vertices bound by positive terms"
+            )
+        e = edges.select(F.col(src).alias(a), F.col(dst).alias(b))
+        df = df.join(e, on=[a, b], how="left_anti")
+    return df.select(*sorted(bound))

@@ -6467,3 +6467,79 @@ def d81_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bin", "n", "mean_pred", "pos_rate", "gap")
     )
+
+
+@query(
+    "d82_motif_census",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 7 + k) % n.n AS dst
+  FROM documents, n, (SELECT unnest([1, 2, 3]) AS k)
+  WHERE (doc_id * 7 + k) % n.n <> doc_id
+),
+ffl AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+open_w AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+  WHERE e1.src <> e2.dst
+    AND NOT EXISTS (SELECT 1 FROM e e3
+                    WHERE e3.src = e1.src AND e3.dst = e2.dst)
+),
+recip AS (
+  SELECT e1.src AS a, e1.dst AS b
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst = e1.src
+  WHERE e1.src < e1.dst
+)
+SELECT CAST((SELECT COUNT(*) FROM ffl) AS BIGINT) AS n_ffl,
+       CAST((SELECT COUNT(*) FROM open_w) AS BIGINT) AS n_open,
+       CAST((SELECT COUNT(*) FROM recip) AS BIGINT) AS n_reciprocal,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+""",
+    tags=("llm", "graph", "motif"),
+)
+def d82_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-motif census (operators/graph.py:motif_find) — the
+    GraphFrames find() surface re-expressed as pure join algebra:
+    feed-forward loops a→b→c & a→c (the closure motif — in a citation
+    or link graph these are transitive endorsements), OPEN wedges
+    a→b→c with NO a→c edge (the negation compiles to a LEFT ANTI
+    join — these are the link-prediction candidates), and reciprocal
+    pairs a⇄b, all over d36's deterministic directed link graph.
+
+    Scale shape: every motif is a chain of hash equi-joins on vertex
+    keys plus at most one anti-join — no cross join exists in the
+    algebra (disconnected motifs are a compile ERROR). Wedge fan-out
+    is the d55 story: degree-orient the edge table first when the
+    graph has hubs; the motif compiler is unchanged by that choice."""
+    from ..operators.graph import motif_find
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select("src", ((F.col("src") * 7 + F.col("k")) % n).alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ffl = motif_find(e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+    open_w = motif_find(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)").filter(
+        F.col("a") != F.col("c")
+    )
+    recip = motif_find(e, "(a)-[]->(b); (b)-[]->(a)").filter(
+        F.col("a") < F.col("b")
+    )
+    return (
+        ffl.agg(F.count("*").alias("n_ffl"))
+        .crossJoin(open_w.agg(F.count("*").alias("n_open")))
+        .crossJoin(recip.agg(F.count("*").alias("n_reciprocal")))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+    )

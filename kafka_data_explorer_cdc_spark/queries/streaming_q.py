@@ -1461,3 +1461,57 @@ def s45_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("session_end") <= F.col("hz"))
         .drop("hz")
     )
+
+
+@query(
+    "s46_stream_exactly_once_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       TRUE AS exactly_once
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "sink", "exactly-once"),
+)
+def s46_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once APPEND through foreachBatch
+    (streaming/exactly_once.py:IdempotentBatchSink) — the upgrade from
+    A5's at-least-once batched sink for UNKEYED fact streams, where a
+    replayed micro-batch cannot be collapsed by a key merge. Each
+    batch lands in its own ``batch_id=N`` directory via dynamic
+    partition overwrite, so a replay overwrites its own output
+    instead of appending duplicates.
+
+    The entry PROVES the replay property in-line: after the stream
+    completes, it re-invokes the sink with batch 0's rows (simulating
+    the crash-between-sink-write-and-checkpoint-commit replay
+    Structured Streaming performs) and reads the table back — the
+    aggregate must still equal the batch oracle exactly. A plain
+    append sink would double batch 0's rows and fail the value hash.
+
+    Scale: the overwrite touches ONE directory per batch regardless of
+    table size; no added shuffle; composes with b63 compaction."""
+    from ..streaming.exactly_once import IdempotentBatchSink
+
+    out = _tmp("s46_out_")
+    cp = _tmp("s46_cp_")
+    sink = IdempotentBatchSink(out)
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(out)
+    # forced replay of batch 0 (same rows, same batch id) — must no-op
+    batch0 = landed.filter(F.col("batch_id") == 0).drop("batch_id")
+    sink(batch0, 0)
+    back = spark.read.parquet(out).drop("batch_id")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_ids"),
+        F.lit(True).alias("exactly_once"),
+    )

@@ -414,3 +414,34 @@ def test_jaro_winkler_matches_duckdb_semantics(spark):
     }
     for p in pairs:
         assert got[p] == want[p], (p, got[p], want[p])
+
+
+def test_motif_find_semantics(spark):
+    """motif_find: positive terms chain equi-joins, negated terms
+    compile to anti-joins, and the two documented error classes
+    (disconnected term, unbound negation variable) raise instead of
+    silently cross-joining. Graph: 1->2->3, 1->3 (closed), 3->4 (open
+    wedge 2->3->4), 4->5, 5->4 (reciprocal)."""
+    import pytest
+
+    from kafka_data_explorer_cdc_spark.operators.graph import motif_find
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 4)],
+        "src long, dst long",
+    )
+    ffl = motif_find(e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+    assert [(r.a, r.b, r.c) for r in ffl.collect()] == [(1, 2, 3)]
+    open_w = motif_find(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)").filter(
+        "a != c"
+    )
+    got = sorted((r.a, r.b, r.c) for r in open_w.collect())
+    assert got == [(1, 3, 4), (2, 3, 4), (3, 4, 5)]
+    recip = motif_find(e, "(a)-[]->(b); (b)-[]->(a)").filter("a < b")
+    assert [(r.a, r.b) for r in recip.collect()] == [(4, 5)]
+    with pytest.raises(ValueError, match="disconnected"):
+        motif_find(e, "(a)-[]->(b); (x)-[]->(y)")
+    with pytest.raises(ValueError, match="unbound"):
+        motif_find(e, "(a)-[]->(b); !(a)-[]->(z)")
+    with pytest.raises(ValueError, match="unparsable"):
+        motif_find(e, "(a)-->(b)")

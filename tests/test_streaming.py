@@ -1425,3 +1425,33 @@ def test_streaming_session_window_merges_across_microbatches(spark, tmp_path):
         (7, "2024-01-01 10:00:00", "2024-01-01 10:45:00"): 3,
         (7, "2024-01-01 12:00:00", "2024-01-01 12:20:00"): 1,
     }
+
+
+def test_exactly_once_sink_crash_replay(spark):
+    """IdempotentBatchSink's replay contract: a crash between the sink
+    write and the checkpoint commit makes Structured Streaming replay
+    the SAME batch id. Simulate the worst case — the first attempt
+    wrote only a PARTIAL batch (crash mid-write), the replay writes
+    the full batch — and assert the table holds exactly one full copy,
+    while a different batch id appends alongside untouched."""
+    import tempfile
+
+    from kafka_data_explorer_cdc_spark.streaming.exactly_once import (
+        IdempotentBatchSink,
+    )
+
+    out = tempfile.mkdtemp(prefix="xonce_", dir="/tmp")
+    sink = IdempotentBatchSink(out)
+    full = spark.range(100).withColumnRenamed("id", "k")
+
+    sink(full.limit(37), 7)  # crash mid-write: partial batch 7 landed
+    sink(full, 7)  # Structured Streaming replays batch 7 in full
+    sink(full.filter("k < 10"), 8)  # next batch appends normally
+
+    back = spark.read.parquet(out)
+    assert back.filter("batch_id = 7").count() == 100  # one full copy
+    assert back.filter("batch_id = 8").count() == 10
+    assert back.count() == 110
+    # replaying batch 8 with the SAME rows is also a no-op
+    sink(full.filter("k < 10"), 8)
+    assert spark.read.parquet(out).count() == 110
