@@ -210,3 +210,75 @@ def patchify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             out, columns=["doc_id", "n_patches", "first_patch_sum", "total_sum"]
         )
+
+
+#: Single-bin DFT (Goertzel) coefficients for tone detection: bin
+#: GOERTZEL_BIN cycles per AUDIO_WINDOW samples, cos/sin quantized to
+#: integers at 1e4 so the window power is EXACT int64 arithmetic on
+#: both engines (|dot| <= 255*1e4*64 ≈ 1.6e8; its square ≈ 2.7e16 —
+#: two of those fit int64 with 300x headroom; the d56-literals
+#: pattern: quantize once Python-side, inline the SAME integers into
+#: the Spark kernel and the DuckDB oracle so no engine ever evaluates
+#: trig).
+GOERTZEL_BIN = 5
+_2PI_K_OVER_N = 2.0 * 3.141592653589793 * GOERTZEL_BIN / AUDIO_WINDOW
+GOERTZEL_COS = tuple(
+    round(__import__("math").cos(_2PI_K_OVER_N * i) * 10_000)
+    for i in range(AUDIO_WINDOW)
+)
+GOERTZEL_SIN = tuple(
+    round(__import__("math").sin(_2PI_K_OVER_N * i) * 10_000)
+    for i in range(AUDIO_WINDOW)
+)
+
+GOERTZEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("power_q", T.LongType()),
+    ]
+)
+
+
+def goertzel_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per FULL 64-sample window, the quantized
+    single-bin DFT power — (Σ x·cos_q)² + (Σ x·sin_q)² — the Goertzel
+    tone-detection primitive (DTMF / pilot-tone / alias probes). Codec
+    stubbed as in audio_energy_batch (bytes = samples); the window dot
+    products are one int64 matmul per blob (numpy reshape → @), no
+    per-sample Python. Partial tail windows are dropped: the
+    coefficient table is aligned to full windows by construction."""
+    import numpy as np
+
+    cosq = np.asarray(GOERTZEL_COS, dtype=np.int64)
+    sinq = np.asarray(GOERTZEL_SIN, dtype=np.int64)
+    for pdf in batches:
+        ids, wins, pows = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n_win = len(samples) // AUDIO_WINDOW
+            if n_win == 0:
+                continue
+            mat = samples[: n_win * AUDIO_WINDOW].reshape(n_win, AUDIO_WINDOW)
+            dc = mat @ cosq
+            ds = mat @ sinq
+            ids.extend([doc_id] * n_win)
+            wins.extend(range(n_win))
+            pows.extend((dc * dc + ds * ds).tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "window_idx": pd.Series(wins, dtype="int64"),
+                "power_q": pd.Series(pows, dtype="int64"),
+            }
+        )
+
+
+def goertzel_power(df: DataFrame) -> DataFrame:
+    """Distributed single-bin tone power per full window — same
+    Arrow-batched plumbing as :func:`audio_energy`."""
+    from ..io import ensure_parallelism
+
+    return ensure_parallelism(to_binary_docs(df)).mapInPandas(
+        goertzel_batch, GOERTZEL_SCHEMA
+    )

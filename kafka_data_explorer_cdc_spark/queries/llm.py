@@ -6543,3 +6543,71 @@ def d82_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(recip.agg(F.count("*").alias("n_reciprocal")))
         .crossJoin(e.agg(F.count("*").alias("n_edges")))
     )
+
+
+def _mm9_oracle() -> str:
+    from ..operators.multimodal import (
+        AUDIO_WINDOW,
+        GOERTZEL_COS,
+        GOERTZEL_SIN,
+    )
+
+    cq = "[" + ", ".join(str(c) for c in GOERTZEL_COS) + "]"
+    sq = "[" + ", ".join(str(s) for s in GOERTZEL_SIN) + "]"
+    return f"""
+WITH lit AS (
+  SELECT CAST({cq} AS BIGINT[]) AS cq, CAST({sq} AS BIGINT[]) AS sq
+), s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS vs
+  FROM documents
+), w AS (
+  SELECT doc_id, vs, unnest(range(0, len(vs) // {AUDIO_WINDOW})) AS widx
+  FROM s WHERE len(vs) >= {AUDIO_WINDOW}
+), p AS (
+  SELECT doc_id, widx,
+         list_reduce(list_transform(range(0, {AUDIO_WINDOW}),
+           j -> vs[CAST(widx * {AUDIO_WINDOW} + j + 1 AS INT)]
+                * cq[CAST(j + 1 AS INT)]), (a, b) -> a + b) AS dc,
+         list_reduce(list_transform(range(0, {AUDIO_WINDOW}),
+           j -> vs[CAST(widx * {AUDIO_WINDOW} + j + 1 AS INT)]
+                * sq[CAST(j + 1 AS INT)]), (a, b) -> a + b) AS ds
+  FROM w CROSS JOIN lit
+), pw AS (
+  SELECT doc_id, widx, dc * dc + ds * ds AS power_q,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY dc * dc + ds * ds DESC, widx) AS rn
+  FROM p
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MAX(power_q) AS BIGINT) AS max_power_q,
+       CAST(MIN(CASE WHEN rn = 1 THEN widx END) AS BIGINT) AS peak_window
+FROM pw GROUP BY doc_id
+"""
+
+
+@query("mm9_goertzel_tone_power", oracle=_mm9_oracle(), tags=("llm", "multimodal", "dsp"))
+def mm9_goertzel_tone_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin DFT tone detection (operators/multimodal.py:
+    goertzel_power) — the Goertzel primitive behind DTMF / pilot-tone /
+    alias probes, over the stubbed-codec waveform column: per full
+    64-sample window, power at bin 5 as EXACT int64 arithmetic (cos/sin
+    quantized to 1e4 Python-side and inlined as the SAME literals into
+    the numpy kernel and this oracle — no engine evaluates trig, the
+    d56-literal pattern). Per doc: window count, max power, and the
+    earliest window achieving it.
+
+    Scale: one Arrow mapInPandas pass (one int64 matmul per blob), one
+    map-side-combining groupBy; the tie-safe argmax is a struct-max,
+    not a second window pass."""
+    from ..operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    p = MM.goertzel_power(docs)
+    best = F.max(F.struct(F.col("power_q"), (-F.col("window_idx")).alias("neg")))
+    return p.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.max("power_q").alias("max_power_q"),
+        (-best.getField("neg")).cast("long").alias("peak_window"),
+    )

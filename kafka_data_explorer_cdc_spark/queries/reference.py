@@ -560,3 +560,81 @@ def a21_malformed_envelope_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("amount").cast("bigint").alias("sum_amount"),
     )
+
+
+@query(
+    "a22_snapshot_log_cutover",
+    oracle=f"""{_OI}
+SELECT orderid, custid,
+       CAST(CASE WHEN orderid % 3 = 0 THEN amount + 100
+                 ELSE amount END AS BIGINT) AS amount,
+       city
+FROM orders_info WHERE orderid % 5 <> 0
+""",
+    tags=("reference", "cdc", "snapshot"),
+)
+def a22_snapshot_log_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot → log cutover — Debezium's `snapshot.mode`
+    semantics (`pg-source-config.json`: the connector first emits every
+    existing row as an op='r' read at a consistent point, then streams
+    the WAL; on restart the log REPLAYS events from before that point,
+    so the merge must make the overlap harmless). Synthesized here at
+    its trickiest: the snapshot is taken MID-LOG (even-keyed updates
+    are already inside it, carrying their update lsn), and the replayed
+    log re-delivers every insert and update. One lsn-ordered
+    latest_state window (cdc/apply.py — op tie-break u>r>c on equal
+    lsn, where the rows are identical by Debezium's contract) yields
+    the exact final table: no row doubled at the cutover boundary, no
+    post-snapshot change lost, deletes applied.
+
+    Scale: the snapshot is a one-time parallel scan, the merge is the
+    SAME one-key-shuffle window A12 uses — cutover adds no new shuffle
+    shape, which is the point: snapshot rows are just change events
+    with op='r'."""
+    from ..cdc.apply import latest_state
+    from ..cdc.envelope import (
+        orders_info,
+        parse_envelope,
+        to_change_envelopes,
+        unwrap,
+    )
+
+    info = orders_info(load(spark, sf_dir, "orders"))
+    base_lsn = F.lit(34220200) + F.col("orderid") * 10
+    snap_has_update = (F.col("orderid") % 3 == 0) & (F.col("orderid") % 2 == 0)
+    snapshot = info.select(
+        F.col("orderid").cast("long").alias("orderid"),
+        F.col("custid").cast("long").alias("custid"),
+        F.when(snap_has_update, F.col("amount") + 100)
+        .otherwise(F.col("amount"))
+        .cast("long")
+        .alias("amount"),
+        "city",
+        F.lit("r").alias("op"),
+        F.when(snap_has_update, base_lsn + 1)
+        .otherwise(base_lsn)
+        .cast("long")
+        .alias("lsn"),
+    )
+    updated = info.filter(F.col("orderid") % 3 == 0).withColumn(
+        "amount", F.col("amount") + 100
+    )
+    deleted = info.filter(F.col("orderid") % 5 == 0)
+    env = (
+        to_change_envelopes(info, "c", 0)
+        .unionByName(to_change_envelopes(updated, "u", 1))
+        .unionByName(to_change_envelopes(deleted, "d", 2))
+    )
+    flat = unwrap(parse_envelope(env))
+    log = flat.select(
+        F.coalesce(F.col("after.orderid"), F.col("before.orderid"))
+        .cast("long")
+        .alias("orderid"),
+        F.col("after.custid").cast("long").alias("custid"),
+        F.col("after.amount").cast("long").alias("amount"),
+        F.col("after.city").alias("city"),
+        "op",
+        F.col("lsn").cast("long").alias("lsn"),
+    )
+    state = latest_state(snapshot.unionByName(log), ["orderid"], seq_col="lsn")
+    return state.select("orderid", "custid", "amount", "city")

@@ -4925,3 +4925,30 @@ def b92_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
+
+
+@query(
+    "b93_distributed_row_ids",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS rid
+FROM orders
+""",
+    tags=("relational", "ids", "scale"),
+)
+def b93_distributed_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row ids WITHOUT a global sort
+    (operators/ids.py:distributed_row_ids — the zipWithIndex recipe as
+    DataFrame algebra). A bare ROW_NUMBER() OVER (ORDER BY key)
+    compiles to Exchange SinglePartition + one task sorting the whole
+    table — at 100 TB that one task IS the job. Here: one range
+    shuffle, local sorts, monotonically_increasing_id's
+    (partition, local-rank) bits, a partition-count prefix sum
+    (numPartitions rows, driver-side, bounded), and a broadcast join —
+    ids identical to the oracle's ROW_NUMBER because o_orderkey is
+    unique. Plan-pinned: range exchange present, NO single-partition
+    exchange, every Sort non-global (tests/test_plans.py)."""
+    from ..operators.ids import distributed_row_ids
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    return distributed_row_ids(o, "o_orderkey")

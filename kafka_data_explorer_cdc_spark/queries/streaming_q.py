@@ -1515,3 +1515,49 @@ def s46_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("sum_ids"),
         F.lit(True).alias("exactly_once"),
     )
+
+
+@query(
+    "s47_stream_dedup_within_watermark",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "dedup", "state"),
+)
+def s47_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — B23 upgraded to the API whose
+    state is PROVABLY bounded: plain `dropDuplicates` keeps every seen
+    key until the watermark passes the key's own event time (s23), but
+    redeliveries in real transports arrive within a bounded lag of the
+    first delivery, and this operator keys eviction on that DELIVERY
+    gap instead — state holds only the ids seen within the last
+    watermark window, a hard O(rate x horizon) bound independent of
+    stream lifetime. That difference is THE distinction between a
+    dedup that survives a year-long 100 TB stream and one whose state
+    store grows forever.
+
+    The events file is delivered twice (at-least-once simulation, both
+    copies inside one horizon); per-type counts and id sums must equal
+    the single-copy batch aggregate exactly."""
+    name = f"s47_{uuid.uuid4().hex[:8]}"
+    indir = _tmp("s47_in_")
+    src = f"{sf_dir}/events.parquet"
+    os.symlink(src, os.path.join(indir, "copy1.parquet"))
+    os.symlink(src, os.path.join(indir, "copy2.parquet"))
+    ev = read_events_stream(spark, indir)
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    run_to_memory(deduped, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+    )

@@ -831,3 +831,15 @@ def test_jaro_winkler_blocked_join_prefilters(spark, sf_dir):
     assert "ArrowEvalPython" in p, "JW kernel must be Arrow-batched"
     assert "BatchEvalPython" not in p
     assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_distributed_row_ids_no_global_sort(spark, sf_dir):
+    """b93: the whole point is NO single-task global sort — the plan
+    must contain no SinglePartition exchange and no global Sort; the
+    offset map joins back as a broadcast."""
+    p = plan_of(spark, sf_dir, "b93_distributed_row_ids")
+    assert "SinglePartition" not in p, "global-rank degenerated to one task"
+    import re as _re
+
+    assert not _re.search(r"Sort \[.*?\], true,", p), "no global sort"
+    assert "BroadcastHashJoin" in p
