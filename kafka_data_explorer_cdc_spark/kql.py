@@ -72,6 +72,9 @@ Supported (the reference's surface plus the obvious neighbors):
       | evaluate narrow()   (unpivot every column to Row/Column/Value
         string triples; Row = 0-based serialized index, so a prior
         'sort by' is required in a distributed engine)
+      | extend y = series_fir(x, dynamic([...]) [, normalize [,
+        center]])   (FIR filter over a make-series array; the last
+        coefficient applies to the current sample, zero-padded edges)
       | render charttype [with (...)]   (must be last; presentation hint)
 
     print / range / datatable tabular sources (range generates on
@@ -176,6 +179,42 @@ def _series_outliers(c: Column) -> Column:
             .otherwise(F.lit(0.0)),
         )
     )
+
+
+def _series_fir(
+    arr: Column, taps: list[float], normalize: bool, center: bool
+) -> Column:
+    """``series_fir(x, dynamic([...]) [, normalize [, center]])`` —
+    Kusto's finite-impulse-response filter over a make-series array
+    (moving averages, difference filters, smoothing kernels). Pinned
+    semantics, matching Kusto's documented behavior: the LAST
+    coefficient applies to the current sample —
+    ``y[i] = Σ_j f[j] · x[i - (K-1) + j + shift]`` with
+    ``shift = (K-1)//2`` when ``center`` — out-of-range samples count
+    as 0 (which yields Kusto's tapered edges), and ``normalize``
+    divides by Σf (an error when Σf = 0). One JVM ``transform`` with a
+    flat per-tap sum — series are observability-sized arrays, no
+    explode, no Python."""
+    k = len(taps)
+    shift = (k - 1) // 2 if center else 0
+    denom = float(sum(taps))
+    if normalize and denom == 0.0:
+        raise ValueError(
+            "KQL: series_fir(..., normalize=true) needs a nonzero "
+            "coefficient sum"
+        )
+
+    def one(_e: Column, i: Column) -> Column:
+        acc = None
+        for j, f in enumerate(taps):
+            idx = i + F.lit(j - (k - 1) + shift)
+            v = F.coalesce(
+                F.get(arr, idx).cast("double"), F.lit(0.0)
+            ) * F.lit(float(f))
+            acc = v if acc is None else acc + v
+        return acc / F.lit(denom) if normalize else acc
+
+    return F.transform(arr, one)
 
 
 @dataclass
@@ -617,6 +656,42 @@ class _Parser:
             e = self.expr()
             self.expect(")")
             return _DynamicJson(e)
+        if name == "series_fir":
+            # series_fir(x, dynamic([...]) [, normalize [, center]]) —
+            # the filter must be a compile-time dynamic literal (as in
+            # Kusto, where it is a constant of the query), so the whole
+            # filter unrolls into one flat JVM expression.
+            self.expect("(")
+            arr = self.expr()
+            self.expect(",")
+            if self.next().text.lower() != "dynamic":
+                raise ValueError(
+                    "KQL: series_fir filter must be a dynamic([...]) literal"
+                )
+            self.expect("(")
+            self.expect("[")
+            taps: list[float] = []
+            while True:
+                tok = self.next()
+                sign = 1.0
+                if tok.text == "-":
+                    sign, tok = -1.0, self.next()
+                if tok.kind != "num":
+                    raise ValueError(
+                        "KQL: series_fir filter must hold numeric literals"
+                    )
+                taps.append(sign * float(tok.text))
+                if not self.accept(","):
+                    break
+            self.expect("]")
+            self.expect(")")
+            normalize = center = False
+            if self.accept(","):
+                normalize = self.next().text.lower() == "true"
+                if self.accept(","):
+                    center = self.next().text.lower() == "true"
+            self.expect(")")
+            return _series_fir(arr, taps, normalize, center)
         if name == "split":
             # split(source, 'delimiter') — Kusto's delimiter is a plain
             # string, Spark's is a regex, so escape it

@@ -1505,3 +1505,58 @@ def k59_kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | evaluate narrow()",
         {"Events": ev},
     )
+
+
+@query(
+    "k60_kql_series_fir",
+    oracle="""
+WITH grid AS (
+  SELECT et.event_type, g.t,
+         ROW_NUMBER() OVER (PARTITION BY et.event_type ORDER BY g.t) - 1
+           AS i
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                  TIMESTAMP '2024-01-07 00:00:00',
+                                  INTERVAL '1 day')) AS t
+  ) g
+), binned AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS t,
+         COUNT(*) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+  GROUP BY 1, 2
+), series AS (
+  SELECT g.event_type, g.i, COALESCE(b.n, 0) AS n
+  FROM grid g LEFT JOIN binned b
+    ON g.event_type = b.event_type AND g.t = b.t
+)
+SELECT event_type, CAST(i AS BIGINT) AS i,
+       CAST(COALESCE(LAG(n, 2) OVER w, 0)
+            + 2 * COALESCE(LAG(n, 1) OVER w, 0)
+            + n AS DOUBLE) AS y
+FROM series
+WINDOW w AS (PARTITION BY event_type ORDER BY i)
+""",
+    tags=("kql", "timeseries", "dsp"),
+)
+def k60_kql_series_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_fir`` — Kusto's FIR filter over make-series arrays
+    (kql.py:_series_fir): the trailing [1,2,1] smoothing kernel over
+    the per-type daily count series, unpacked back to rows through the
+    typed mv-expand so the oracle (a LAG-weighted window sum over the
+    dense grid) can pin every element exactly — integer taps, integer
+    counts, zero-padded edges, no rounding anywhere. The whole
+    pipeline — dense grid, filter, unpack — is one Catalyst plan: bin
+    rollup shuffle, per-group array ops, one generator."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-08 00:00:00'"
+        " step 1d by event_type"
+        " | extend y = series_fir(n, dynamic([1, 2, 1]))"
+        " | mv-expand with_itemindex = i y to typeof(real)"
+        " | project event_type, i = tolong(i), y",
+        {"Events": events},
+    )

@@ -4952,3 +4952,51 @@ def b93_distributed_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders").select("o_orderkey")
     return distributed_row_ids(o, "o_orderkey")
+
+
+@query(
+    "b94_bucketized_interval_join",
+    oracle="""
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority,
+         o_orderdate AS ws,
+         o_orderdate + to_days(CAST(o_orderkey % 14 + 1 AS INT)) AS we
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT w.o_orderpriority,
+       CAST(COUNT(DISTINCT w.o_orderkey) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM w JOIN lineitem l ON l.l_shipdate BETWEEN w.ws AND w.we
+GROUP BY 1
+""",
+    tags=("relational", "join", "interval"),
+)
+def b94_bucketized_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi key (operators/interval.py:
+    interval_point_join): which shipments fall inside which
+    maintenance windows. b06's range join had user_id to carry the
+    shuffle; here nothing does, and the naive plan is a
+    BroadcastNestedLoopJoin — O(points x windows), the first join to
+    die at 100 TB. The operator turns the range predicate into an
+    equi key: windows explode into their day buckets (fan-out <= 15
+    here), points join on their ONE containing bucket, the exact
+    BETWEEN re-checks post-join. Plan-pinned: hash join on the bucket,
+    no nested-loop anywhere."""
+    from ..operators.interval import interval_point_join
+
+    o = load(spark, sf_dir, "orders")
+    wins = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("w_orderkey"),
+        "o_orderpriority",
+        F.col("o_orderdate").alias("ws"),
+        (
+            F.col("o_orderdate")
+            + F.make_dt_interval(days=(F.col("o_orderkey") % 14 + 1).cast("int"))
+        ).alias("we"),
+    )
+    pts = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = interval_point_join(pts, wins, "l_shipdate", "ws", "we")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count_distinct("w_orderkey").alias("n_windows"),
+        F.count("*").alias("n_hits"),
+    )

@@ -1230,3 +1230,30 @@ def test_kql_narrow_semantics(spark):
     ]
     with pytest.raises(ValueError, match="sort"):
         kql("T | evaluate narrow()", {"T": df})
+
+
+def test_kql_series_fir_semantics(spark):
+    """series_fir: the LAST coefficient applies to the current sample
+    (Kusto's documented alignment), edges zero-pad (tapered moving
+    average), normalize divides by the coefficient sum, center shifts
+    the window; a non-literal filter is an error."""
+    import pytest
+
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 10.0, 10.0, 10.0, 0.0])], "id int, x array<double>"
+    )
+    r = kql(
+        "T | extend y = series_fir(x, dynamic([1, 2, 1]))"
+        " | extend z = series_fir(x, dynamic([1, 1, 1]), true, true)",
+        {"T": df},
+    ).collect()[0]
+    assert r.y == [0.0, 0.0, 10.0, 30.0, 40.0, 30.0]
+    assert [round(v, 4) for v in r.z] == [
+        0.0, 3.3333, 6.6667, 10.0, 6.6667, 3.3333,
+    ]
+    with pytest.raises(ValueError, match="dynamic"):
+        kql("T | extend y = series_fir(x, x)", {"T": df})
+    with pytest.raises(ValueError, match="nonzero"):
+        kql("T | extend y = series_fir(x, dynamic([1, -1]), true)", {"T": df})

@@ -843,3 +843,14 @@ def test_distributed_row_ids_no_global_sort(spark, sf_dir):
 
     assert not _re.search(r"Sort \[.*?\], true,", p), "no global sort"
     assert "BroadcastHashJoin" in p
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    """b94: the bucketized interval join must compile to a hash
+    equi-join on the bucket — a nested-loop/cartesian plan means the
+    bucketization silently failed."""
+    p = plan_of(spark, sf_dir, "b94_bucketized_interval_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p
+    assert "Generate" in p, "interval bucket explode missing"
