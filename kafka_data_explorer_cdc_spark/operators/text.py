@@ -169,3 +169,63 @@ def duckdb_luhn_sql(col: str, length: int = 16) -> str:
         f"CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END "
         f"ELSE {d} END), (a, x) -> a + x) % 10 = 0"
     )
+
+
+#: Fixed BPE merge table (rank-ordered), the application-side twin of
+#: the d54 pair-stats learner: each rule merges two existing symbols
+#: into one; later rules may consume earlier rules' outputs (th+e,
+#: an+d), exercising the cascade.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("e", "n"),
+    ("o", "f"),
+    ("a", "t"),
+    ("e", "s"),
+    ("o", "r"),
+    ("t", "i"),
+    ("s", "t"),
+)
+
+
+def bpe_apply_expr(col: str, merges: tuple[tuple[str, str], ...] = BPE_MERGES) -> str:
+    """SQL fragment applying a BPE merge table to a text column with
+    ZERO Python in the row path — tokenization as whole-stage codegen.
+
+    Encoding trick: every letter is wrapped ``(c)`` (one
+    ``regexp_replace``), so symbol boundaries are explicit and a merge
+    rule is ONE plain left-to-right non-overlapping string replace:
+    ``(t)(h) -> (th)``. Non-letters stay unwrapped, so merges can never
+    cross a word boundary. Rules apply RULE-SEQUENTIALLY in rank order,
+    each exhausting before the next — the pinned, order-deterministic
+    variant of BPE application (the Sennrich/HF ``bpe()`` loop instead
+    re-scans for the lowest-rank pair after every merge; the two differ
+    only when a later rule's output recreates an earlier rule's pair,
+    and rule-sequential is the variant that stays a flat expression
+    chain — ``len(merges)`` nested ``replace`` calls, identical in
+    Spark and DuckDB, no UDF, no loop, no state).
+
+    At 100 TB this IS the shape you want tokenization in: a codegen
+    expression fused into the scan, trivially partitionable, no Python
+    workers, no broadcast vocabulary beyond the query plan itself."""
+    expr = f"regexp_replace(lower({col}), '([a-z])', '($1)')"
+    for a, b in merges:
+        expr = f"replace({expr}, '({a})({b})', '({a}{b})')"
+    return expr
+
+
+def duckdb_bpe_apply_sql(col: str, merges: tuple[tuple[str, str], ...] = BPE_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_apply_expr` — same wrap, same nested
+    replace chain, byte-identical output (DuckDB regexp_replace needs
+    the 'g' flag for all-occurrences; plain replace is already all-
+    occurrences in both engines)."""
+    expr = f"regexp_replace(lower({col}), '([a-z])', '(\\1)', 'g')"
+    for a, b in merges:
+        expr = f"replace({expr}, '({a})({b})', '({a}{b})')"
+    return expr

@@ -103,3 +103,56 @@ def welch_from_power_sums(df):
         ).alias("welch_df"),
         (F.abs(t) >= 1.96).alias("significant"),
     )
+
+
+#: The SCD2 merge-with-suppression scenario oracle, shared by the
+#: batch entry (b84) and its streaming twin (s48): the final dimension
+#: must be identical whether the observation feed arrives as one batch
+#: or as time-ordered micro-batches.
+SCD2_MERGE_ORACLE = """
+WITH seed AS (
+  SELECT c_custkey, c_mktsegment, TIMESTAMP '2023-01-01 00:00:00' AS ts,
+         0 AS src
+  FROM customer
+), obs AS (
+  SELECT c_custkey, 'S' || CAST(c_custkey % 3 AS VARCHAR),
+         TIMESTAMP '2024-02-01 00:00:00', 1
+  FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL
+  SELECT c_custkey, 'T' || CAST(c_custkey % 3 AS VARCHAR),
+         TIMESTAMP '2024-03-01 00:00:00', 1
+  FROM customer WHERE c_custkey % 8 = 5
+  UNION ALL
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '2024-02-01 00:00:00', 1
+  FROM customer WHERE c_custkey % 10 = 2
+  UNION ALL
+  SELECT -c_custkey, 'NEWSEG',
+         TIMESTAMP '2024-02-01 00:00:00', 1
+  FROM customer WHERE c_custkey % 10 = 3
+), tl AS (
+  SELECT * FROM seed UNION ALL SELECT * FROM obs
+), m AS (
+  SELECT *, LAG(c_mktsegment) OVER (
+    PARTITION BY c_custkey ORDER BY ts, src) AS prev
+  FROM tl
+), surv AS (
+  SELECT c_custkey, c_mktsegment, ts, src FROM m
+  WHERE NOT (src = 1 AND c_mktsegment IS NOT DISTINCT FROM prev)
+), fin AS (
+  SELECT c_custkey, c_mktsegment,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts, src)
+           AS valid_to,
+         LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts, src) IS NULL
+           AS is_current
+  FROM surv
+)
+SELECT * FROM fin
+UNION ALL
+SELECT c_custkey, 'ANCIENT' AS c_mktsegment,
+       TIMESTAMP '2022-01-01 00:00:00' AS valid_from,
+       TIMESTAMP '2023-01-01 00:00:00' AS valid_to,
+       FALSE AS is_current
+FROM customer WHERE c_custkey % 10 = 7
+"""

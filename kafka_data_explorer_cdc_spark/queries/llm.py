@@ -6611,3 +6611,54 @@ def mm9_goertzel_tone_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("power_q").alias("max_power_q"),
         (-best.getField("neg")).cast("long").alias("peak_window"),
     )
+
+
+def _d83_oracle() -> str:
+    from ..operators.text import duckdb_bpe_apply_sql
+
+    enc = duckdb_bpe_apply_sql("text")
+    return f"""
+WITH enc AS (
+  SELECT doc_id,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+           AS n_symbols,
+         {enc} AS encoded
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_symbols AS BIGINT) AS n_symbols,
+       CAST(length(encoded) - length(replace(encoded, '(', ''))
+            AS BIGINT) AS n_tokens,
+       CAST(n_symbols - (length(encoded) - length(replace(encoded, '(', '')))
+            AS BIGINT) AS n_merges,
+       substr(encoded, 1, 40) AS head
+FROM enc
+"""
+
+
+@query("d83_bpe_apply", oracle=_d83_oracle(), tags=("llm", "tokenizer"))
+def d83_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION — the inference half of the tokenizer
+    (d54 computes the training-side pair stats), with ZERO Python in
+    the row path (operators/text.py:bpe_apply_expr): letters wrap as
+    (c) symbols in one regexp_replace, then each rank-ordered merge
+    rule is ONE plain string replace — 15 nested replaces, a flat
+    codegen chain fused into the scan, byte-identical in DuckDB.
+    Rule-sequential application semantics pinned at the operator (the
+    re-scanning bpe() loop differs only when a later rule recreates an
+    earlier rule's pair). Per doc: symbol count in, token count out,
+    merges applied, and the encoded head pinning the actual merge
+    content — not just the counts."""
+    from ..operators.text import bpe_apply_expr
+
+    docs = load(spark, sf_dir, "documents")
+    enc = F.expr(bpe_apply_expr("text"))
+    n_sym = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    n_tok = F.length(enc) - F.length(F.replace(enc, F.lit("(")))
+    return docs.select(
+        "doc_id",
+        n_sym.cast("long").alias("n_symbols"),
+        n_tok.cast("long").alias("n_tokens"),
+        (n_sym - n_tok).cast("long").alias("n_merges"),
+        F.substring(enc, 1, 40).alias("head"),
+    )

@@ -17,6 +17,7 @@ from pyspark.sql.functions import broadcast
 from ..io import load
 from ..operators import layout as L
 from .helpers import (
+    SCD2_MERGE_ORACLE,
     SQL_CHARGE,
     SQL_DAVG,
     SQL_DISC_PRICE,
@@ -4212,53 +4213,7 @@ def b83_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b84_scd2_dimension_merge",
-    oracle="""
-WITH seed AS (
-  SELECT c_custkey, c_mktsegment, TIMESTAMP '2023-01-01 00:00:00' AS ts,
-         0 AS src
-  FROM customer
-), obs AS (
-  SELECT c_custkey, 'S' || CAST(c_custkey % 3 AS VARCHAR),
-         TIMESTAMP '2024-02-01 00:00:00', 1
-  FROM customer WHERE c_custkey % 4 = 1
-  UNION ALL
-  SELECT c_custkey, 'T' || CAST(c_custkey % 3 AS VARCHAR),
-         TIMESTAMP '2024-03-01 00:00:00', 1
-  FROM customer WHERE c_custkey % 8 = 5
-  UNION ALL
-  SELECT c_custkey, c_mktsegment,
-         TIMESTAMP '2024-02-01 00:00:00', 1
-  FROM customer WHERE c_custkey % 10 = 2
-  UNION ALL
-  SELECT -c_custkey, 'NEWSEG',
-         TIMESTAMP '2024-02-01 00:00:00', 1
-  FROM customer WHERE c_custkey % 10 = 3
-), tl AS (
-  SELECT * FROM seed UNION ALL SELECT * FROM obs
-), m AS (
-  SELECT *, LAG(c_mktsegment) OVER (
-    PARTITION BY c_custkey ORDER BY ts, src) AS prev
-  FROM tl
-), surv AS (
-  SELECT c_custkey, c_mktsegment, ts, src FROM m
-  WHERE NOT (src = 1 AND c_mktsegment IS NOT DISTINCT FROM prev)
-), fin AS (
-  SELECT c_custkey, c_mktsegment,
-         ts AS valid_from,
-         LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts, src)
-           AS valid_to,
-         LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts, src) IS NULL
-           AS is_current
-  FROM surv
-)
-SELECT * FROM fin
-UNION ALL
-SELECT c_custkey, 'ANCIENT' AS c_mktsegment,
-       TIMESTAMP '2022-01-01 00:00:00' AS valid_from,
-       TIMESTAMP '2023-01-01 00:00:00' AS valid_to,
-       FALSE AS is_current
-FROM customer WHERE c_custkey % 10 = 7
-""",
+    oracle=SCD2_MERGE_ORACLE,
     tags=("relational", "scd", "merge", "dimension"),
 )
 def b84_scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5000,3 +4955,64 @@ def b94_bucketized_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("w_orderkey").alias("n_windows"),
         F.count("*").alias("n_hits"),
     )
+
+
+@query(
+    "b95_runtime_bloom_filter_join",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+    tags=("relational", "join", "runtime-filter"),
+)
+def b95_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — b89's DPP sibling for
+    UN-partitioned join keys: when the filtered dim is too big to
+    broadcast (the 100 TB star-join reality this entry models by
+    pinning a shuffle join), Catalyst builds a Bloom filter from the
+    dim's join keys as a runtime subquery and plants
+    `might_contain(xxhash64(l_orderkey))` on the FACT SCAN — the
+    ~75% of lineitem rows whose order isn't URGENT are dropped before
+    the shuffle instead of after the join. Plan-pinned
+    (tests/test_plans.py: might_contain on the probe side, no
+    broadcast).
+
+    Conf discipline: the two knobs this needs (broadcast off to model
+    the big-dim case; the app-side scan threshold, whose 10 GiB
+    default is above any local fixture) are set, the tiny 3-row rollup
+    is materialized EAGERLY, and the confs restored — so no other
+    entry's pinned plan ever sees them. The returned frame is the
+    collected rollup (bounded: one row per linestatus)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    df = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rows = df.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.createDataFrame(rows, df.schema)

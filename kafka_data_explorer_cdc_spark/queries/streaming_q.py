@@ -20,6 +20,7 @@ from ..cdc.envelope import ORDERS_INFO_SQL, orders_info, to_envelope_json
 from ..io import load
 from ..streaming.pipeline import ParquetStateSink, start_cdc_pipeline
 from ..streaming.windows import read_events_stream, run_to_memory, streaming_dedup
+from .helpers import SCD2_MERGE_ORACLE
 from .registry import query
 
 
@@ -1561,3 +1562,121 @@ def s47_stream_dedup_within_watermark(
             F.sum("event_id").cast("bigint").alias("sum_ids"),
         )
     )
+
+
+@query(
+    "s48_stream_scd2_dimension",
+    oracle=SCD2_MERGE_ORACLE,
+    tags=("streaming", "scd", "dimension"),
+)
+def s48_stream_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance — b84's merge running live:
+    the observation feed arrives as TIME-ORDERED micro-batches
+    (maxFilesPerTrigger=1, file mtimes pinned so batch order is
+    deterministic), and each foreachBatch applies
+    operators/scd.py:scd2_apply against the versioned parquet dim
+    state. The contract this proves is batch/stream PARITY: applying
+    the merge incrementally batch-by-batch must produce the identical
+    dimension as b84's one-shot apply — same oracle string, to the
+    hash. That holds because suppression compares each observation to
+    the key's latest surviving version, which composes across batches
+    when batches respect time order (the scd2_apply caller contract).
+
+    Scale: per micro-batch cost is one key-shuffle window over
+    (open rows ∪ batch) — dimension-sized, not fact-sized; closed
+    history passes through untouched, exactly the batch plan."""
+    from ..operators.scd import scd2_apply
+
+    c = load(spark, sf_dir, "customer")
+    t0 = F.lit("2023-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    k = F.col("c_custkey")
+    current = c.select(
+        k.cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).unionByName(
+        c.filter(k % 10 == 7).select(
+            k.cast("long").alias("c_custkey"),
+            F.lit("ANCIENT").alias("c_mktsegment"),
+            F.lit("2022-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+            t0.alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    batch1 = (
+        c.filter(k % 4 == 1)
+        .select(
+            k.cast("long").alias("c_custkey"),
+            F.concat(F.lit("S"), (k % 3).cast("string")).alias("c_mktsegment"),
+            t1.alias("observed_at"),
+        )
+        .unionByName(
+            c.filter(k % 10 == 2).select(
+                k.cast("long").alias("c_custkey"),
+                F.col("c_mktsegment"),
+                t1.alias("observed_at"),
+            )
+        )
+        .unionByName(
+            c.filter(k % 10 == 3).select(
+                (-k).cast("long").alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                t1.alias("observed_at"),
+            )
+        )
+    )
+    batch2 = c.filter(k % 8 == 5).select(
+        k.cast("long").alias("c_custkey"),
+        F.concat(F.lit("T"), (k % 3).cast("string")).alias("c_mktsegment"),
+        t2.alias("observed_at"),
+    )
+
+    indir = _tmp("s48_in_")
+    state_root = _tmp("s48_state_")
+    cp = _tmp("s48_cp_")
+    for i, b in enumerate([batch1, batch2]):
+        # the file source does NOT recurse into directories: land each
+        # batch as one FLAT parquet file, with mtimes pinned (the
+        # source orders micro-batches by mtime and both writes can
+        # land in the same clock tick)
+        scratch = _tmp(f"s48_scratch_{i}_")
+        b.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            p for p in sorted(os.listdir(scratch))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dest = os.path.join(indir, f"obs_{i}.parquet")
+        os.rename(os.path.join(scratch, part), dest)
+        os.utime(dest, (1700000000 + i, 1700000000 + i))
+
+    current.write.mode("overwrite").parquet(os.path.join(state_root, "v0"))
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        versions = sorted(os.listdir(state_root))
+        state = s.read.parquet(os.path.join(state_root, versions[-1]))
+        new = scd2_apply(state, batch, ["c_custkey"], ["c_mktsegment"])
+        new.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id + 1}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "c_custkey long, c_mktsegment string, observed_at timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(os.listdir(state_root))
+    return spark.read.parquet(os.path.join(state_root, versions[-1]))

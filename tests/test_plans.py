@@ -854,3 +854,39 @@ def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "HashJoin" in p
     assert "Generate" in p, "interval bucket explode missing"
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """b95: with broadcast off and the app-side threshold floored, the
+    optimizer must plant might_contain(xxhash64(l_orderkey)) on the
+    fact scan — rows drop BEFORE the shuffle. (Confs scoped here
+    exactly as in the entry.)"""
+    from kafka_data_explorer_cdc_spark.io import load
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        p = (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy()
+            .agg(F.sum("l_quantity"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in p, "runtime bloom filter not injected"
+    assert "BroadcastHashJoin" not in p
