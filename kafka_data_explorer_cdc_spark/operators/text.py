@@ -229,3 +229,74 @@ def duckdb_bpe_apply_sql(col: str, merges: tuple[tuple[str, str], ...] = BPE_MER
     for a, b in merges:
         expr = f"replace({expr}, '({a})({b})', '({a}{b})')"
     return expr
+
+
+#: Content-defined chunking parameters: window, boundary divisor
+#: (expected chunk length ≈ CDC_DIV chars), and the portable modulus.
+CDC_WINDOW = 16
+CDC_DIV = 61
+
+
+def cdc_chunk_exprs(col: str = "text") -> dict[str, str]:
+    """SQL fragments for content-defined chunking (Spark dialect) —
+    the rsync/LBFS/dedup-storage primitive: chunk boundaries are
+    placed where the rolling hash of the trailing ``CDC_WINDOW`` chars
+    ≡ 0 (mod ``CDC_DIV``), so boundaries move WITH the content — an
+    insertion shifts at most one chunk instead of re-offsetting every
+    fixed-width block, which is what makes chunk-level dedup survive
+    edits. Returns ``cuts`` (boundary end positions), ``ends``
+    (boundaries ∪ text end), and ``chunk_fps`` (per-chunk polynomial
+    fingerprints, order-preserved).
+
+    All pure expression work over one pass of the text (O(window·n)
+    char ops); production knob not modeled here: a min/max chunk size
+    clamp (a sequential fold over cut candidates) that bounds the
+    chunk-length tail."""
+    w, mod, div = CDC_WINDOW, POLY_MOD, CDC_DIV
+    cuts = (
+        f"filter(transform(sequence(1, greatest(length({col}) - {w - 1}, 0)),"
+        f" i -> IF(aggregate(transform(split(substring({col}, i, {w}), ''),"
+        f" ch -> ascii(ch)), 0L, (acc, c) -> (acc * 31 + c) % {mod})"
+        f" % {div} = 0, i + {w - 1}, -1)), x -> x > 0)"
+    )
+    ends = (
+        f"CASE WHEN size({cuts}) > 0 AND element_at({cuts}, -1) = "
+        f"length({col}) THEN {cuts} ELSE concat({cuts}, "
+        f"array(length({col}))) END"
+    )
+    chunk_fps = (
+        f"zip_with(concat(array(0), slice({ends}, 1, size({ends}) - 1)), "
+        f"{ends}, (s, e) -> aggregate(transform(split(substring({col}, "
+        f"s + 1, e - s), ''), ch -> ascii(ch)), 0L, "
+        f"(acc, c) -> (acc * 31 + c) % {mod}))"
+    )
+    return {"cuts": cuts, "ends": ends, "chunk_fps": chunk_fps}
+
+
+def duckdb_cdc_chunk_sql(col: str = "text") -> dict[str, str]:
+    """DuckDB twins of :func:`cdc_chunk_exprs` — same window hash
+    (list_reduce's first-element seeding equals the 0-init first
+    step), same boundary rule, same fingerprints."""
+    w, mod, div = CDC_WINDOW, POLY_MOD, CDC_DIV
+    cuts = (
+        f"list_filter(list_transform(range(1, greatest(length({col}) - "
+        f"{w - 2}, 1)), i -> CASE WHEN list_reduce(list_transform("
+        f"range(1, {w} + 1), j -> CAST(unicode({col}[CAST(i + j - 1 AS "
+        f"INT):CAST(i + j - 1 AS INT)]) AS BIGINT)), (acc, c) -> "
+        f"(acc * 31 + c) % {mod}) % {div} = 0 THEN i + {w - 1} ELSE -1 "
+        f"END), x -> x > 0)"
+    )
+    ends = (
+        f"CASE WHEN len({cuts}) > 0 AND {cuts}[-1] = length({col}) "
+        f"THEN {cuts} ELSE list_concat({cuts}, [length({col})::BIGINT]) END"
+    )
+    chunk_fps = (
+        f"list_transform(list_zip(list_concat([0::BIGINT], "
+        f"{ends}[1:-2]), {ends}), p -> "
+        f"CASE WHEN length(substr({col}, CAST(p[1] + 1 AS INT), "
+        f"CAST(p[2] - p[1] AS INT))) = 0 THEN 0 ELSE "
+        f"list_reduce(list_transform(range(1, CAST(p[2] - p[1] AS INT) + 1), "
+        f"j -> CAST(unicode({col}[CAST(p[1] + j AS INT):CAST(p[1] + j AS "
+        f"INT)]) AS BIGINT)), (acc, c) -> (acc * 31 + c) % {mod}) END)"
+    )
+    return {"cuts": cuts, "ends": ends, "chunk_fps": chunk_fps}

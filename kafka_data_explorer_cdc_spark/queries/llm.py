@@ -6662,3 +6662,57 @@ def d83_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_sym - n_tok).cast("long").alias("n_merges"),
         F.substring(enc, 1, 40).alias("head"),
     )
+
+
+def _d84_oracle() -> str:
+    from ..operators.text import POLY_MOD, duckdb_cdc_chunk_sql
+
+    e = duckdb_cdc_chunk_sql("text")
+    return f"""
+SELECT doc_id,
+       CAST(len({e["ends"]}) AS BIGINT) AS n_chunks,
+       CAST(list_max(list_transform(
+           list_zip(list_concat([0::BIGINT], {e["ends"]}[1:-2]),
+                    {e["ends"]}),
+           p -> p[2] - p[1])) AS BIGINT) AS max_chunk_len,
+       CAST(list_reduce(list_concat([0::BIGINT], {e["chunk_fps"]}),
+           (a, x) -> (a * 37 + x) % {POLY_MOD}) AS BIGINT) AS chunks_fp
+FROM documents
+"""
+
+
+@query("d84_content_defined_chunking", oracle=_d84_oracle(), tags=("llm", "dedup", "chunking"))
+def d84_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text.py:cdc_chunk_exprs) —
+    the rsync/LBFS boundary rule that makes CHUNK-level dedup survive
+    edits: boundaries sit where the rolling 16-char hash ≡ 0 (mod 61),
+    so an insertion shifts ONE chunk, not every downstream block (the
+    fixed-stride alternative re-offsets everything — d43's spans would
+    all move). Per doc: chunk count, max chunk length, and an
+    order-sensitive fold of the per-chunk fingerprints — pinning the
+    exact cut POSITIONS and chunk CONTENT cross-engine, not just
+    counts. The corpus-level use is the module-docstring story: group
+    by chunk fingerprint across documents and near-identical docs
+    share all but their edited chunks.
+
+    Scale: one pass per doc, O(window·n) char ops, no shuffle at all —
+    the whole operator is a projection; the chunk-dedup groupBy it
+    feeds is one map-side-combining rollup."""
+    from ..operators.text import POLY_MOD, cdc_chunk_exprs
+
+    e = cdc_chunk_exprs("text")
+    docs = load(spark, sf_dir, "documents")
+    ends = F.expr(e["ends"])
+    lens = F.expr(
+        f"zip_with(concat(array(0), slice({e['ends']}, 1, "
+        f"size({e['ends']}) - 1)), {e['ends']}, (s, x) -> x - s)"
+    )
+    fp = F.expr(
+        f"aggregate({e['chunk_fps']}, 0L, (a, x) -> (a * 37 + x) % {POLY_MOD})"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ends).cast("long").alias("n_chunks"),
+        F.array_max(lens).cast("long").alias("max_chunk_len"),
+        fp.alias("chunks_fp"),
+    )

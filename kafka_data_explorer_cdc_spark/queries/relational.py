@@ -5016,3 +5016,76 @@ def b95_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame
         for k, v in saved.items():
             spark.conf.set(k, v)
     return spark.createDataFrame(rows, df.schema)
+
+
+@query(
+    "b96_aqe_skew_join",
+    oracle="""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 7 ELSE l_orderkey END AS k
+  FROM lineitem
+), dim AS (
+  SELECT t.i AS k, t.i % 97 AS attr
+  FROM (SELECT unnest(range(0, 800000)) AS i) t
+)
+SELECT CAST(d.attr % 7 AS BIGINT) AS attr_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN f.k = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY 1
+""",
+    tags=("relational", "join", "skew", "aqe"),
+)
+def b96_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join — the ADAPTIVE answer to the hot-key problem b37
+    solves manually with salting: 30% of fact rows share one join key,
+    so one reduce partition holds ~14x the median and would straggle
+    the whole stage; AQE's OptimizeSkewedJoin splits that partition
+    into mapper-range chunks and joins each against a replicated copy
+    of the dim's matching partition (SortMergeJoin(skew=true),
+    plan-pinned in tests/test_plans.py).
+
+    Two operational findings this entry pins, both invisible until you
+    hit them: (1) skew is split by MAPPER ranges, so a single-mapper
+    upstream (one local parquet file) makes the hot partition
+    UNSPLITTABLE and the rule silently declines — the repartition(16)
+    here models the thousands of mappers a real 100 TB scan has;
+    (2) coalescePartitions must not swallow the skew detection at toy
+    sizes (disabled in the scoped conf window; at real sizes the two
+    rules compose). Confs are scoped by eager materialization of the
+    7-row rollup, as in b95."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    l = load(spark, sf_dir, "lineitem").repartition(16)
+    fact = l.select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(7))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k")
+    )
+    dim = spark.range(0, 800000, 1, 16).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("attr")
+    )
+    df = (
+        fact.join(dim, "k")
+        .groupBy((F.col("attr") % 7).alias("attr_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("k") == 7, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hot"),
+        )
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rows = df.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.createDataFrame(rows, df.schema)

@@ -890,3 +890,41 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
             spark.conf.set(k, v)
     assert "might_contain" in p, "runtime bloom filter not injected"
     assert "BroadcastHashJoin" not in p
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """b96: with the scoped confs, the AQE final plan must show
+    SortMergeJoin(skew=true) — the hot partition split by mapper
+    ranges. Uses sf0.1-shaped synthetic skew at sf_dir scale; the pin
+    runs the same scoped-conf window as the entry."""
+    from kafka_data_explorer_cdc_spark.io import load
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load(spark, sf_dir, "lineitem").repartition(16)
+        fact = l.select(
+            F.when(F.col("l_orderkey") % 10 < 3, F.lit(7))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            F.md5(F.col("l_orderkey").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 800000, 1, 16).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("attr")
+        )
+        j = fact.join(dim, "k")
+        j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in p, "AQE did not split the skewed partition"
