@@ -75,6 +75,11 @@ Supported (the reference's surface plus the obvious neighbors):
       | extend y = series_fir(x, dynamic([...]) [, normalize [,
         center]])   (FIR filter over a make-series array; the last
         coefficient applies to the current sample, zero-padded edges)
+      | where x > toscalar( Sub | ... )   (scalar subquery: compiled,
+        evaluated once — must yield exactly one row, one column — and
+        substituted as a typed literal)
+      | extend a = extract_all('regex', col)   (all matches as a
+        dynamic array; one capture group returns the captures)
       | render charttype [with (...)]   (must be last; presentation hint)
 
     print / range / datatable tabular sources (range generates on
@@ -757,6 +762,27 @@ class _Parser:
                     f"KQL: unsupported datetime_part {part.text!r}"
                 )
             return F.date_part(F.lit(field), src).cast("long")
+        if name == "extract_all":
+            # extract_all('regex', source) — every match as a dynamic
+            # array; with ONE capture group the captures are returned,
+            # with none the whole matches (Kusto's multi-group form
+            # returns arrays-of-arrays — unsupported, explicit error).
+            # Compiles to regexp_extract_all, one JVM regex pass.
+            self.expect("(")
+            rxt = self.next()
+            if rxt.kind != "str":
+                raise ValueError("KQL: extract_all() needs a literal regex")
+            self.expect(",")
+            src = self.expr()
+            self.expect(")")
+            rx = rxt.text[1:-1]
+            ngroups = re.compile(rx).groups
+            if ngroups > 1:
+                raise ValueError(
+                    "KQL: extract_all() supports at most one capture group "
+                    "in this subset (multi-group returns nested arrays)"
+                )
+            return F.regexp_extract_all(src, F.lit(rx), ngroups)
         if name == "trim":
             # trim('regex', source): strip leading+trailing matches, as
             # in Kusto (the plain-whitespace form is trim('\\s', x))
@@ -1153,6 +1179,67 @@ def _parse_rhs_and_keys(
     if not keys:
         raise ValueError("KQL: join needs at least one key")
     return right, keys
+
+
+def _resolve_toscalar(
+    stage: str,
+    tables: dict[str, DataFrame],
+    now: str | None,
+    lets: dict[str, object],
+) -> str:
+    """Rewrite every ``toscalar(<sub-pipeline>)`` in a stage to a
+    literal — Kusto's scalar-subquery bridge (``T | where amount >
+    toscalar(T | summarize avg(amount))``). The sub-pipeline compiles
+    through the ordinary pipeline compiler and is evaluated ONCE at
+    compile time (a bounded collect: the contract is exactly one row,
+    one column — anything else is an explicit error, as in Kusto); the
+    value is substituted back as a typed literal, so the outer plan
+    sees a constant — the same plan shape Catalyst produces for an
+    uncorrelated scalar subquery, with the evaluation order made
+    explicit. String-literal text is masked before matching, so a
+    quoted 'toscalar(' never triggers."""
+    out = stage
+    while True:
+        masked = _mask(out)
+        m = re.search(r"\btoscalar\s*\(", masked)
+        if not m:
+            return out
+        start = m.end() - 1
+        depth, end = 0, -1
+        for i in range(start, len(masked)):
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise ValueError("KQL: unbalanced toscalar(")
+        inner = out[start + 1 : end].strip()
+        df = kql(inner, tables, now=now, _lets=lets)
+        rows = df.limit(2).collect()
+        if len(rows) != 1 or len(df.columns) != 1:
+            raise ValueError(
+                "KQL: toscalar() needs a subquery returning exactly one "
+                f"row and one column, got {len(df.columns)} column(s) / "
+                f"{'>1' if len(rows) > 1 else len(rows)} row(s)"
+            )
+        v = rows[0][0]
+        if v is None:
+            raise ValueError("KQL: toscalar() subquery returned null")
+        if isinstance(v, bool):
+            lit = "true" if v else "false"
+        elif isinstance(v, int):
+            lit = str(v)
+        elif isinstance(v, float):
+            lit = f"todouble('{v!r}')"
+        elif isinstance(v, str):
+            esc = v.replace("\\", "\\\\").replace("'", "\\'")
+            lit = f"'{esc}'"
+        else:  # datetime and friends
+            lit = f"todatetime('{v}')"
+        out = out[: m.start()] + lit + out[end + 1 :]
 
 
 def _compile_lookup(
@@ -1849,6 +1936,8 @@ def kql(
     for stage in stages[1:]:
         if render is not None:
             raise ValueError("KQL: 'render' must be the last operator")
+        if "toscalar" in stage:
+            stage = _resolve_toscalar(stage, tables, now, lets)
         head = re.match(r"[A-Za-z_][\w-]*", stage)
         if head and head.group().lower() == "join":
             # stage-level compile: the parenthesized right side is a

@@ -1560,3 +1560,60 @@ def k60_kql_series_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | project event_type, i = tolong(i), y",
         {"Events": events},
     )
+
+
+@query(
+    "k61_kql_toscalar",
+    oracle=f"""{_OI}
+SELECT city, CAST(COUNT(*) AS BIGINT) AS n_above
+FROM orders_info
+WHERE amount > (SELECT SUM(amount) / CAST(COUNT(*) AS DOUBLE)
+                FROM orders_info)
+GROUP BY city
+""",
+    tags=("kql", "subquery"),
+)
+def k61_kql_toscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``toscalar()`` — Kusto's scalar subquery (kql.py,
+    _resolve_toscalar): the inner pipeline compiles through the same
+    compiler, is evaluated once (bounded: its contract is exactly one
+    row, one column), and substitutes back as a typed literal — the
+    plan Catalyst itself builds for an uncorrelated scalar subquery,
+    with the evaluation made explicit. Orders strictly above the
+    average amount, counted per city; the integer amounts make the
+    average bit-identical in both engines (exact integer sum / exact
+    count)."""
+    return kql(
+        "Orders"
+        " | where amount > toscalar(Orders | summarize avg(amount))"
+        " | summarize n_above = count() by city",
+        _orders(spark, sf_dir),
+    )
+
+
+@query(
+    "k62_kql_extract_all",
+    oracle="""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '([a-z]{4,})', 1)))
+            AS BIGINT) AS n_long_words,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+""",
+    tags=("kql", "regex", "text"),
+)
+def k62_kql_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``extract_all`` — Kusto's multi-match regex extraction (kql.py,
+    extract_all): every >=4-letter word in each document as a dynamic
+    array (one capture group returns the captures), folded to per-lang
+    totals. One JVM regexp_extract_all pass fused into the scan; the
+    oracle is DuckDB's regexp_extract_all with the identical pattern
+    (the RE2 ∩ Java portable subset, the d21 contract)."""
+    docs = load(spark, sf_dir, "documents")
+    return kql(
+        "Docs"
+        " | extend words = extract_all('([a-z]{4,})', text)"
+        " | summarize n_long_words = sum(array_length(words)),"
+        "   n_docs = count() by lang",
+        {"Docs": docs},
+    )

@@ -5089,3 +5089,58 @@ def b96_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             spark.conf.set(k, v)
     return spark.createDataFrame(rows, df.schema)
+
+
+@query(
+    "b97_argmin_supplier_join",
+    oracle="""
+WITH costs AS (
+  SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal,
+         ((p.p_partkey * 31 + s.s_suppkey * 17) % 1000) / 10.0
+           AS supplycost
+  FROM part p JOIN supplier s ON s.s_suppkey = (p.p_partkey % 100) + 1
+                              OR s.s_suppkey = (p.p_partkey % 100) + 2
+)
+SELECT p_partkey, p_brand, s_name, CAST(supplycost AS DOUBLE) AS supplycost
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY p_partkey ORDER BY supplycost, s_suppkey) AS rn
+  FROM costs
+) WHERE rn = 1 AND p_partkey % 5 = 0
+""",
+    tags=("relational", "subquery", "argmin"),
+)
+def b97_argmin_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's signature shape — "the supplier with the MINIMUM
+    supplycost per part" — which the textbook SQL writes as a
+    correlated scalar subquery (`WHERE ps_supplycost = (SELECT
+    MIN(ps_supplycost) ... WHERE ps_partkey = p_partkey)`), i.e. a
+    second full scan + re-join of partsupp. The Spark-first form is
+    the ARGMIN window: ONE scan, one part-key shuffle, row_number
+    over (cost, suppkey) — the tie rule the subquery form gets wrong
+    (it returns BOTH suppliers on a cost tie; Q2 then needs an extra
+    dedup). A deterministic synthetic partsupp (testdata carries
+    none) gives each part two candidate suppliers with integer-grid
+    costs.
+
+    Plan: the candidate join builds fact-side rows, then one window
+    exchange on p_partkey; no second scan, no self-join,
+    tie-deterministic."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    cand = p.join(
+        broadcast(s),
+        (F.col("s_suppkey") == (F.col("p_partkey") % 100) + 1)
+        | (F.col("s_suppkey") == (F.col("p_partkey") % 100) + 2),
+    ).withColumn(
+        "supplycost",
+        ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 1000) / 10.0,
+    )
+    w = Window.partitionBy("p_partkey").orderBy("supplycost", "s_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("p_partkey") % 5 == 0))
+        .select("p_partkey", "p_brand", "s_name", "supplycost")
+    )

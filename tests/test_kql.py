@@ -1257,3 +1257,32 @@ def test_kql_series_fir_semantics(spark):
         kql("T | extend y = series_fir(x, x)", {"T": df})
     with pytest.raises(ValueError, match="nonzero"):
         kql("T | extend y = series_fir(x, dynamic([1, -1]), true)", {"T": df})
+
+
+def test_kql_toscalar_semantics(spark):
+    """toscalar(): exactly-one-row/one-column contract, string and
+    numeric literal substitution, and the explicit error otherwise."""
+    import pytest
+
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 50.0, "b")], "id int, v double, s string"
+    )
+    got = kql(
+        "T | where v > toscalar(T | summarize avg(v)) | project id",
+        {"T": df},
+    ).collect()
+    assert [r.id for r in got] == [2]
+    got2 = kql(
+        "T | where s == toscalar(T | summarize max(s)) | project id",
+        {"T": df},
+    ).collect()
+    assert [r.id for r in got2] == [2]
+    with pytest.raises(ValueError, match="one row"):
+        kql("T | where v > toscalar(T | project v) | project id", {"T": df})
+    with pytest.raises(ValueError, match="one row"):
+        kql(
+            "T | where v > toscalar(T | summarize avg(v) by s) | project id",
+            {"T": df},
+        )
