@@ -5144,3 +5144,81 @@ def b97_argmin_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("p_partkey") % 5 == 0))
         .select("p_partkey", "p_brand", "s_name", "supplycost")
     )
+
+
+@query(
+    "b98_top_session_paths",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM marked
+), paths AS (
+  SELECT user_id, sess_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+""",
+    tags=("relational", "sessionization", "paths"),
+)
+def b98_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths — the product-analytics staple built from
+    two primitives this engine already pins: b49's gaps-and-islands
+    sessionization (one user-key window) and b28's
+    sort_array(collect_list(struct)) ordered aggregation (an ORDER BY
+    inside an aggregate does not exist in Spark SQL — the struct sort
+    is the deterministic equivalent of DuckDB's
+    string_agg(... ORDER BY)). Path = '>'-joined event types per
+    session; top-20 by frequency with a path tie-break.
+
+    Plan: ONE user shuffle shared by the LAG mark and the running
+    session-id sum (same partitioning + sort), one (user, session)
+    rollup, one path rollup with map-side combine, and a
+    TakeOrderedAndProject — never a global sort."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        marked.groupBy("user_id", "sess_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform("evs", lambda e: e["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
