@@ -29,7 +29,7 @@ from ..operators import multimodal as MM
 from ..operators import similarity as S
 from ..operators.text import DUCKDB_POLY_HASH, LANG_STOPWORDS, POLY_MOD, poly_hash
 from .helpers import dsum
-from .registry import query
+from .registry import REGISTRY, query
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -6715,4 +6715,74 @@ def d84_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ends).cast("long").alias("n_chunks"),
         F.array_max(lens).cast("long").alias("max_chunk_len"),
         fp.alias("chunks_fp"),
+    )
+
+
+_D29_ORACLE = REGISTRY["d29_bigram_lm_perplexity"].oracle
+
+
+@query(
+    "d85_ccnet_quality_buckets",
+    oracle=f"""
+WITH scored AS ({_D29_ORACLE}
+), with_lang AS (
+  SELECT s.doc_id, d.lang, s.nll_bigram
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+), bucketed AS (
+  SELECT *, NTILE(3) OVER (
+    PARTITION BY lang ORDER BY nll_bigram, doc_id) AS tercile
+  FROM with_lang
+), kept AS (
+  SELECT *, CASE tercile
+    WHEN 1 THEN TRUE
+    WHEN 2 THEN ((doc_id * 2654435761) % 1000003) % 100 < 50
+    ELSE ((doc_id * 2654435761) % 1000003) % 100 < 10 END AS keep
+  FROM bucketed
+)
+SELECT lang,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM kept GROUP BY 1, 2
+""",
+    tags=("llm", "quality", "sampling", "ccnet"),
+)
+def d85_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing — the recipe behind
+    CCNet/RedPajama's quality tiers: score every document with the
+    corpus-trained LM (d29's bigram NLL, REUSED by calling the
+    registered entry — one pipeline, not a re-implementation), split
+    each language into NLL terciles (head = most fluent), then keep
+    head fully, middle at 50%, tail at 10% via the repo's standard
+    deterministic hash draw (d41's recipe — no RNG state, replayable).
+
+    Exactness: tercile assignment orders by (6-dp-rounded NLL, doc_id)
+    so NTILE is tie-deterministic cross-engine; keeps are integer hash
+    arithmetic. Scale: d29's plan + one lang-partition window over the
+    doc-level score table (tiny next to the corpus) + one rollup."""
+    scored = REGISTRY["d29_bigram_lm_perplexity"].fn(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    wl = scored.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("nll_bigram", "doc_id")
+    b = wl.withColumn("tercile", F.ntile(3).over(w))
+    draw = ((F.col("doc_id") * 2654435761) % 1000003) % 100
+    keep = (
+        F.when(F.col("tercile") == 1, F.lit(True))
+        .when(F.col("tercile") == 2, draw < 50)
+        .otherwise(draw < 10)
+    )
+    return (
+        b.withColumn("keep", keep)
+        .groupBy(
+            "lang",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        )
     )
