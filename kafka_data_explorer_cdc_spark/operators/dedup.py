@@ -536,3 +536,87 @@ def jaro_winkler_pandas(s1_col, s2_col):
         )
 
     return _jw(s1_col, s2_col)
+
+
+CDC_CHUNK_SCHEMA = (
+    "doc_id long, n_chunks long, max_chunk_len long, chunks_fp long"
+)
+
+
+def cdc_chunk_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Content-defined chunking stats as an Arrow-batched mapInPandas
+    kernel — the performance twin of ``text.cdc_chunk_exprs``.
+
+    The boundary rule and fingerprints are bit-identical to the
+    expression form (asserted by tests/test_dedup.py against both the
+    expressions and DuckDB), but the evaluation is numpy: the rolling
+    16-char hash is ONE sliding-window int64 matmul per document, and
+    each chunk fingerprint is one dot with a precomputed 31^k mod-power
+    table. The pure-expression form is semantically fine but Catalyst
+    evaluates HOF lambdas interpreted PER CHAR POSITION — measured
+    115 s at sf0.1 vs ~1 s for this kernel; that 100x is the d68
+    codegen lesson at O(n) scale, and why the kernel is the production
+    path while the expressions remain the readable spec.
+
+    ASCII-corpus contract (as mm5): code points == bytes; the hash is
+    defined over code points, so non-ASCII corpora must decode first
+    (d80's NFC pass precedes this in a real pipeline)."""
+    import numpy as np
+    import pandas as pd
+
+    from .text import CDC_DIV, CDC_WINDOW, POLY_MOD
+
+    w, mod, div = CDC_WINDOW, POLY_MOD, CDC_DIV
+    powvec = np.array(
+        [pow(31, w - 1 - j, mod) for j in range(w)], dtype=np.int64
+    )
+
+    def run(batches):
+        pow_table = [1]  # 31^k mod M, grown on demand
+
+        def powers(n: int) -> np.ndarray:
+            while len(pow_table) < n:
+                pow_table.append((pow_table[-1] * 31) % mod)
+            return np.asarray(pow_table[:n], dtype=np.int64)
+
+        for pdf in batches:
+            ids, ncs, mls, fps = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                c = np.frombuffer(
+                    text.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                n = len(c)
+                if n >= w:
+                    sw = np.lib.stride_tricks.sliding_window_view(c, w)
+                    h = (sw @ powvec) % mod
+                    ends = list(np.nonzero(h % div == 0)[0] + w)
+                else:
+                    ends = []
+                if not ends or ends[-1] != n:
+                    ends.append(n)
+                prev, fp_fold, max_len = 0, 0, 0
+                for e in ends:
+                    seg = c[prev:e]
+                    ln = int(e - prev)
+                    max_len = max(max_len, ln)
+                    seg_fp = int(seg @ powers(ln)[::-1] % mod) if ln else 0
+                    fp_fold = (fp_fold * 37 + seg_fp) % mod
+                    prev = e
+                ids.append(doc_id)
+                ncs.append(len(ends))
+                mls.append(max_len)
+                fps.append(fp_fold)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_chunks": pd.Series(ncs, dtype="int64"),
+                    "max_chunk_len": pd.Series(mls, dtype="int64"),
+                    "chunks_fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    from ..io import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        run, CDC_CHUNK_SCHEMA
+    )

@@ -6695,27 +6695,18 @@ def d84_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     by chunk fingerprint across documents and near-identical docs
     share all but their edited chunks.
 
-    Scale: one pass per doc, O(window·n) char ops, no shuffle at all —
-    the whole operator is a projection; the chunk-dedup groupBy it
-    feeds is one map-side-combining rollup."""
-    from ..operators.text import POLY_MOD, cdc_chunk_exprs
+    Scale: one Arrow mapInPandas pass per doc (operators/dedup.py:
+    cdc_chunk_stats — a sliding-window int64 matmul per document), no
+    shuffle at all; the chunk-dedup groupBy it feeds is one
+    map-side-combining rollup. The pure-expression twin
+    (operators/text.py:cdc_chunk_exprs) is the readable spec and the
+    oracle's source of truth, but Catalyst evaluates its HOF lambdas
+    interpreted PER CHAR POSITION — measured 115 s at sf0.1 vs ~1 s
+    for the kernel (the d68 codegen lesson at O(n) scale);
+    tests/test_dedup.py pins kernel == expressions == DuckDB."""
+    from ..operators.dedup import cdc_chunk_stats
 
-    e = cdc_chunk_exprs("text")
-    docs = load(spark, sf_dir, "documents")
-    ends = F.expr(e["ends"])
-    lens = F.expr(
-        f"zip_with(concat(array(0), slice({e['ends']}, 1, "
-        f"size({e['ends']}) - 1)), {e['ends']}, (s, x) -> x - s)"
-    )
-    fp = F.expr(
-        f"aggregate({e['chunk_fps']}, 0L, (a, x) -> (a * 37 + x) % {POLY_MOD})"
-    )
-    return docs.select(
-        "doc_id",
-        F.size(ends).cast("long").alias("n_chunks"),
-        F.array_max(lens).cast("long").alias("max_chunk_len"),
-        fp.alias("chunks_fp"),
-    )
+    return cdc_chunk_stats(load(spark, sf_dir, "documents"))
 
 
 _D29_ORACLE = REGISTRY["d29_bigram_lm_perplexity"].oracle

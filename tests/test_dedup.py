@@ -445,3 +445,40 @@ def test_motif_find_semantics(spark):
         motif_find(e, "(a)-[]->(b); !(a)-[]->(z)")
     with pytest.raises(ValueError, match="unparsable"):
         motif_find(e, "(a)-->(b)")
+
+
+def test_cdc_chunking_kernel_matches_expressions(spark, sf_dir):
+    """The vectorized CDC chunking kernel (d84's production path) must
+    be bit-identical to the pure-expression spec for every document:
+    same chunk counts, same max length, same folded fingerprint."""
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.operators.dedup import cdc_chunk_stats
+    from kafka_data_explorer_cdc_spark.operators.text import (
+        POLY_MOD,
+        cdc_chunk_exprs,
+    )
+
+    docs = load(spark, sf_dir, "documents").limit(80)
+    got = {
+        r.doc_id: (r.n_chunks, r.max_chunk_len, r.chunks_fp)
+        for r in cdc_chunk_stats(docs).collect()
+    }
+    e = cdc_chunk_exprs("text")
+    ends = F.expr(e["ends"])
+    lens = F.expr(
+        f"zip_with(concat(array(0), slice({e['ends']}, 1, "
+        f"size({e['ends']}) - 1)), {e['ends']}, (s, x) -> x - s)"
+    )
+    fp = F.expr(
+        f"aggregate({e['chunk_fps']}, 0L, (a, x) -> (a * 37 + x) % {POLY_MOD})"
+    )
+    want = {
+        r.doc_id: (r.n_chunks, r.max_chunk_len, r.chunks_fp)
+        for r in docs.select(
+            "doc_id",
+            F.size(ends).cast("long").alias("n_chunks"),
+            F.array_max(lens).cast("long").alias("max_chunk_len"),
+            fp.alias("chunks_fp"),
+        ).collect()
+    }
+    assert got == want
