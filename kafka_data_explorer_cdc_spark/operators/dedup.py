@@ -620,3 +620,74 @@ def cdc_chunk_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         run, CDC_CHUNK_SCHEMA
     )
+
+
+CDC_CHUNK_ROWS_SCHEMA = "doc_id long, chunk_idx long, chunk_len long, fp long"
+
+
+def cdc_chunks(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-chunk rows (doc, index, length, fingerprint) from the same
+    content-defined boundary rule as :func:`cdc_chunk_stats` — the
+    explode form that feeds CROSS-document chunk dedup: group by fp
+    and chunks shared between documents surface, which is the actual
+    point of content-defined boundaries (a one-line edit leaves every
+    other chunk's fp unchanged, so shared content still collides).
+    Same vectorized kernel, same ASCII contract."""
+    import numpy as np
+    import pandas as pd
+
+    from .text import CDC_DIV, CDC_WINDOW, POLY_MOD
+
+    w, mod, div = CDC_WINDOW, POLY_MOD, CDC_DIV
+    powvec = np.array(
+        [pow(31, w - 1 - j, mod) for j in range(w)], dtype=np.int64
+    )
+
+    def run(batches):
+        pow_table = [1]
+
+        def powers(n: int) -> np.ndarray:
+            while len(pow_table) < n:
+                pow_table.append((pow_table[-1] * 31) % mod)
+            return np.asarray(pow_table[:n], dtype=np.int64)
+
+        for pdf in batches:
+            ids, idxs, lens, fps = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                c = np.frombuffer(
+                    text.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                n = len(c)
+                if n >= w:
+                    sw = np.lib.stride_tricks.sliding_window_view(c, w)
+                    h = (sw @ powvec) % mod
+                    ends = list(np.nonzero(h % div == 0)[0] + w)
+                else:
+                    ends = []
+                if not ends or ends[-1] != n:
+                    ends.append(n)
+                prev = 0
+                for k, e in enumerate(ends):
+                    seg = c[prev:e]
+                    ln = int(e - prev)
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    lens.append(ln)
+                    fps.append(
+                        int(seg @ powers(ln)[::-1] % mod) if ln else 0
+                    )
+                    prev = e
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    from ..io import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        run, CDC_CHUNK_ROWS_SCHEMA
+    )

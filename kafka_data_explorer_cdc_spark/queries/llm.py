@@ -6777,3 +6777,68 @@ def d85_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def _d86_oracle() -> str:
+    from ..operators.text import duckdb_cdc_chunk_sql
+
+    e = duckdb_cdc_chunk_sql("text")
+    return f"""
+WITH chunks AS (
+  SELECT doc_id, u.fp
+  FROM (SELECT doc_id, unnest({e["chunk_fps"]}) AS fp FROM documents) u
+), shared AS (
+  SELECT fp,
+         COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY fp
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_chunks,
+       CAST(COALESCE(SUM(n_occurrences), 0) AS BIGINT) AS n_occurrences,
+       CAST(COALESCE(MAX(n_docs), 0) AS BIGINT) AS max_docs_sharing,
+       CAST((SELECT COUNT(*) FROM chunks) AS BIGINT) AS n_total_chunks
+FROM shared
+"""
+
+
+@query("d86_cross_doc_chunk_dedup", oracle=_d86_oracle(), tags=("llm", "dedup", "chunking"))
+def d86_cross_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk dedup — the payoff of d84's content-defined
+    boundaries (operators/dedup.py:cdc_chunks): explode every document
+    into its chunks, group by chunk fingerprint, and content shared
+    between documents surfaces as multi-doc fingerprints. Because the
+    boundaries are content-defined, a one-line edit leaves every OTHER
+    chunk's fp unchanged — fixed-width blocks would re-offset and miss
+    all of it. This is segment-granular dedup (d22) with edit-stable
+    segments, and the storage-dedup primitive (rsync/LBFS/venti) in
+    the same breath.
+
+    Scale: one Arrow pass to chunk, ONE fp rollup with map-side
+    combine (fp cardinality ≈ corpus/61 chars); the report is a
+    4-scalar corpus audit, no pair joins anywhere."""
+    from ..operators.dedup import cdc_chunks
+
+    ch = cdc_chunks(load(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    shared = (
+        ch.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        shared.agg(
+            F.count("*").alias("n_shared_chunks"),
+            F.coalesce(F.sum("n_occurrences"), F.lit(0))
+            .cast("bigint")
+            .alias("n_occurrences"),
+            F.coalesce(F.max("n_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("max_docs_sharing"),
+        )
+        .crossJoin(ch.agg(F.count("*").cast("bigint").alias("n_total_chunks")))
+    )
