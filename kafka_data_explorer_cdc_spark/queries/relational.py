@@ -5222,3 +5222,75 @@ def b98_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "b99_excess_stock_suppliers",
+    oracle="""
+WITH ps AS (
+  SELECT p.p_partkey, s.s_suppkey, s.s_name,
+         (p.p_partkey * 13 + s.s_suppkey * 7) % 1000 AS availqty
+  FROM part p JOIN supplier s
+    ON s.s_suppkey = (p.p_partkey % 100) + 1
+    OR s.s_suppkey = (p.p_partkey % 100) + 2
+), demand AS (
+  SELECT l_partkey, SUM(l_quantity) / 2.0 AS half_shipped
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY l_partkey
+)
+SELECT ps.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_excess_parts,
+       CAST(SUM(ps.availqty) AS BIGINT) AS total_avail
+FROM ps JOIN demand d ON ps.p_partkey = d.l_partkey
+WHERE ps.availqty > d.half_shipped
+GROUP BY ps.s_name
+ORDER BY n_excess_parts DESC, s_name LIMIT 25
+""",
+    tags=("relational", "subquery", "tpch"),
+)
+def b99_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's shape — suppliers holding EXCESS stock: availqty
+    greater than half of what actually shipped in a year. The textbook
+    SQL is a doubly-nested correlated IN chain (suppkey IN (... partkey
+    IN (...) AND availqty > (SELECT 0.5*SUM ...))) — per-row re-scans
+    of lineitem. Decorrelated Spark-first: lineitem reduces ONCE to a
+    per-part demand rollup (map-side combine, one shuffle, the year
+    filter pushed to the scan), the part×supplier stock table joins to
+    it, and the excess predicate becomes a plain column comparison.
+    Partsupp is synthesized deterministically (testdata ships none) on
+    b97's part→supplier mapping.
+
+    Plan: one fact rollup + broadcast dim joins + TakeOrderedAndProject
+    — lineitem scanned exactly once."""
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = p.join(
+        broadcast(s),
+        (F.col("s_suppkey") == (F.col("p_partkey") % 100) + 1)
+        | (F.col("s_suppkey") == (F.col("p_partkey") % 100) + 2),
+    ).withColumn(
+        "availqty",
+        (F.col("p_partkey") * 13 + F.col("s_suppkey") * 7) % 1000,
+    )
+    li = load(spark, sf_dir, "lineitem")
+    demand = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey")
+        .agg((F.sum("l_quantity") / 2.0).alias("half_shipped"))
+    )
+    return (
+        ps.join(demand, ps["p_partkey"] == demand["l_partkey"])
+        .filter(F.col("availqty") > F.col("half_shipped"))
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_excess_parts"),
+            F.sum("availqty").cast("bigint").alias("total_avail"),
+        )
+        .orderBy(F.col("n_excess_parts").desc(), "s_name")
+        .limit(25)
+    )
