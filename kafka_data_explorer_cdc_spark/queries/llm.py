@@ -6842,3 +6842,107 @@ def d86_cross_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(ch.agg(F.count("*").cast("bigint").alias("n_total_chunks")))
     )
+
+
+#: d87's deterministic per-language weight seeds: the hashing-trick
+#: classifier w[bucket, lang] = ((bucket * seed) % 97) - 48, inlined
+#: identically into both engines (stand-in for trained weights — the
+#: PLUMBING under test is hashed-feature inference, not the fit).
+_D87_LANGS = (("en", 31), ("de", 37), ("fr", 41), ("es", 43), ("zh", 47))
+_D87_BUCKETS = 4096
+
+
+def _d87_oracle() -> str:
+    score = ", ".join(
+        f"SUM((((b % {_D87_BUCKETS}) * {seed}) % 97) - 48) AS s_{lang}"
+        for lang, seed in _D87_LANGS
+    )
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang, _ in _D87_LANGS) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'"
+        for lang, _ in _D87_LANGS
+    ) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         list_transform(list_zip(arr, arr[2:]),
+                        p -> p[1] || ' ' || p[2]) AS pairs
+  FROM toks WHERE len(arr) >= 2
+), feats AS (
+  SELECT doc_id,
+         CASE WHEN unnest.p IS NULL THEN NULL ELSE
+           list_reduce(list_transform(range(1, length(unnest.p) + 1),
+             i -> CAST(unicode(unnest.p[CAST(i AS INT):CAST(i AS INT)])
+                       AS BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007) END AS b
+  FROM bg, UNNEST(list_transform(pairs, x -> x)) AS unnest(p)
+), scores AS (
+  SELECT doc_id, {score} FROM feats GROUP BY doc_id
+)
+SELECT {pick} AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM scores GROUP BY 1
+"""
+
+
+@query("d87_hashed_feature_classifier", oracle=_d87_oracle(), tags=("llm", "ml", "inference"))
+def d87_hashed_feature_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick classifier INFERENCE (the fastText recipe:
+    features = hashed word bigrams, score = per-class weight sums,
+    prediction = argmax) with ZERO Python — the inference sibling of
+    d69 (training) and b67 (dense scoring). Word bigrams explode
+    through ONE generator, each hashes to a bucket with the portable
+    polynomial hash, the 5 per-class scores are conditional SUMs in
+    ONE map-side-combining doc rollup, and argmax is a greatest()
+    CASE. Weights are a deterministic bucket formula inlined into both
+    engines (the plumbing under test is hashed-feature inference; swap
+    the formula for a broadcast weight table when the model is real —
+    the plan shape is identical, one broadcast join more).
+
+    Scale: generator → one doc-key rollup → 5-column argmax; weight
+    memory is O(buckets × classes) regardless of vocabulary — the
+    entire point of the hashing trick."""
+    docs = load(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    t = docs.select("doc_id", arr.alias("arr")).filter(F.size("arr") >= 2)
+    n = F.size(F.col("arr"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("arr"), 1, n - 1),
+                F.slice(F.col("arr"), 2, n - 1),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("p").getField("0"), F.col("p").getField("1")
+        ).alias("pair"),
+    )
+    from ..operators.text import poly_hash
+
+    feats = bg.select("doc_id", F.expr(poly_hash("pair")).alias("b"))
+    scores = feats.groupBy("doc_id").agg(
+        *[
+            F.sum(((F.col("b") % _D87_BUCKETS) * seed) % 97 - 48).alias(
+                f"s_{lang}"
+            )
+            for lang, seed in _D87_LANGS
+        ]
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang, _ in _D87_LANGS])
+    pick = None
+    for lang, _seed in _D87_LANGS:
+        cond = F.col(f"s_{lang}") == best
+        pick = F.when(cond, lang) if pick is None else pick.when(cond, lang)
+    return scores.select(pick.alias("pred_lang")).groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
