@@ -928,3 +928,26 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert "skew=true" in p, "AQE did not split the skewed partition"
+
+
+def test_bpe_apply_is_pure_codegen(spark, sf_dir):
+    """d83: tokenizer application must contain NO Python evaluation
+    node of any kind — the whole merge chain is expression work fused
+    into the scan."""
+    p = plan_of(spark, sf_dir, "d83_bpe_apply")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in p, f"unexpected Python node {node}"
+    assert "Scan parquet" in p
+
+
+def test_top_paths_single_user_exchange(spark, sf_dir):
+    """b98: the LAG mark, the running session-id sum, AND the
+    (user, session) rollup must all ride ONE user-key exchange —
+    HashPartitioning(user_id) satisfies the rollup's clustering, so a
+    second exchange means a regression."""
+    import re as _re
+
+    p = plan_of(spark, sf_dir, "b98_top_session_paths")
+    assert len(_re.findall(r"hashpartitioning\(user_id#\d+L, \d+\)", p)) == 1
+    assert "TakeOrderedAndProject" in p
