@@ -874,6 +874,28 @@ class _Parser:
                 return F.timestamp_seconds(bucket)
             size = float(t.text) if "." in t.text else int(t.text)
             return F.floor(e / F.lit(size)) * F.lit(size)
+        if name == "bin_at":
+            # bin_at(expr, size, fixedPoint): bin() with an ANCHORED
+            # grid — buckets align to fixedPoint instead of epoch/zero
+            # (fiscal weeks, shifted days, 15-minute marks offset from
+            # :07). Same pure arithmetic as bin(): fixed + floor((v -
+            # fixed)/size)*size, duration or numeric size.
+            self.expect("(")
+            e = self.expr()
+            self.expect(",")
+            t = self.next()
+            self.expect(",")
+            anchor = self.expr()
+            self.expect(")")
+            if t.kind == "dur":
+                secs = int(self._duration_seconds(t.text))
+                av = F.unix_timestamp(anchor)
+                bucket = av + F.floor(
+                    (F.unix_timestamp(e) - av) / F.lit(secs)
+                ) * F.lit(secs)
+                return F.timestamp_seconds(bucket.cast("long"))
+            size = float(t.text) if "." in t.text else int(t.text)
+            return anchor + F.floor((e - anchor) / F.lit(size)) * F.lit(size)
         if name == "case":
             # case(pred1, val1, pred2, val2, ..., default) — chained
             # when/otherwise, evaluated in order like Kusto
@@ -1031,6 +1053,29 @@ class _Parser:
             self.expect(")")
             p = float(ptok.text) / 100.0
             return F.percentile(col, p).alias(name or "percentile_")
+        if fn == "percentiles_array":
+            # percentiles_array(col, p1, p2, ...) — Kusto's multi-
+            # percentile form, returned as ONE dynamic array (exact
+            # linear interpolation; the single-pass sort is shared
+            # across all requested percentiles)
+            self.expect("(")
+            col = self.expr()
+            ps = []
+            while self.accept(","):
+                ptok = self.next()
+                if ptok.kind != "num":
+                    raise ValueError(
+                        "KQL: percentiles_array() needs literal percentiles"
+                    )
+                ps.append(float(ptok.text) / 100.0)
+            self.expect(")")
+            if not ps:
+                raise ValueError(
+                    "KQL: percentiles_array() needs at least one percentile"
+                )
+            return F.percentile(
+                col, F.array(*[F.lit(p) for p in ps])
+            ).alias(name or "percentiles_")
         if fn not in _AGGS:
             raise ValueError(f"KQL: unsupported aggregate {fn!r}")
         self.expect("(")

@@ -35,7 +35,7 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 #   1. the 5 round-8 overflow never-checked entries:
 #      d81_calibration_audit, k55_kql_series_outliers,
 #      k56_kql_basket, k57_kql_reduce_by, s45_stream_session_windows;
-#   2. the 25 round-8 additions (all never driver-checked, build
+#   2. the 26 round-8 additions (all never driver-checked, build
 #      order): k58_kql_mv_expand_typed, k59_kql_narrow,
 #      s46_stream_exactly_once_sink, d82_motif_census,
 #      b93_distributed_row_ids, mm9_goertzel_tone_power,
@@ -47,8 +47,9 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 #      k61_kql_toscalar, k62_kql_extract_all, b98_top_session_paths,
 #      a23_replication_lag_monitor, d85_ccnet_quality_buckets,
 #      d86_cross_doc_chunk_dedup, b99_excess_stock_suppliers,
-#      a24_dlq_repair_replay, d87_hashed_feature_classifier;
-#   3. (window now full at 50 with 1+2 = 30 entries + the first 20 of
+#      a24_dlq_repair_replay, d87_hashed_feature_classifier,
+#      k63_kql_bin_at_percentiles;
+#   3. (window now full at 50 with 1+2 = 31 entries + the first 19 of
 #      the stalest rotation cohort) — newest driver row r2: k13, k14,
 #      k15, k16, k17, k20, k21, k22, k23, d07, d16, d17, d18, d19
 #      (14 entries), then r3: d04x, d06x, k24-k34, b13a…, until the

@@ -1617,3 +1617,46 @@ def k62_kql_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   n_docs = count() by lang",
         {"Docs": docs},
     )
+
+
+@query(
+    "k63_kql_bin_at_percentiles",
+    oracle="""
+WITH binned AS (
+  SELECT TIMESTAMP '2024-01-01 06:00:00'
+           + to_seconds(CAST(FLOOR((epoch(ts)
+               - epoch(TIMESTAMP '2024-01-01 06:00:00')) / 86400)
+               * 86400 AS BIGINT)) AS day6,
+         value
+  FROM events
+), q AS (
+  SELECT day6, quantile_cont(value, [0.5, 0.9, 0.99]) AS p,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM binned GROUP BY day6
+)
+SELECT day6, CAST(t.i - 1 AS BIGINT) AS i,
+       p[CAST(t.i AS INT)] AS pv, n
+FROM q, UNNEST(range(1, 4)) AS t(i)
+""",
+    tags=("kql", "timeseries", "percentiles"),
+)
+def k63_kql_bin_at_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bin_at`` + ``percentiles_array`` — Kusto's anchored binning
+    (buckets aligned to an arbitrary fixed point: 06:00-based
+    operational days here, fiscal weeks in general) and the
+    multi-percentile aggregate returned as ONE dynamic array (the
+    single per-group sort is shared by all requested percentiles,
+    where N separate percentile() calls would each pay it). Unpacked
+    through the typed mv-expand so the oracle pins every percentile
+    of every bucket exactly."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | extend day6 = bin_at(ts, 1d,"
+        "     todatetime('2024-01-01 06:00:00'))"
+        " | summarize p = percentiles_array(value, 50, 90, 99),"
+        "     n = count() by day6"
+        " | mv-expand with_itemindex = i pv = p to typeof(real)"
+        " | project day6, i = tolong(i), pv, n",
+        {"Events": events},
+    )
