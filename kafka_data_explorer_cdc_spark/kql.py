@@ -80,6 +80,10 @@ Supported (the reference's surface plus the obvious neighbors):
         substituted as a typed literal)
       | extend a = extract_all('regex', col)   (all matches as a
         dynamic array; one capture group returns the captures)
+      | extend b = bin_at(x, size, fixedPoint)   (binning grid
+        anchored to fixedPoint; duration or numeric size)
+      | summarize p = percentiles_array(col, p1, p2, ...)   (multi-
+        percentile as ONE dynamic array; one shared per-group sort)
       | render charttype [with (...)]   (must be last; presentation hint)
 
     print / range / datatable tabular sources (range generates on

@@ -98,3 +98,23 @@ def test_survey_declares_every_registry_entry():
         "registry entries not declared in SURVEY.md §2 — add a table "
         f"row for each: {sorted(set(missing))}"
     )
+
+
+def test_rotation_queue_names_exist():
+    """The round-N+1 _FRONT is rebuilt by copying entry names out of
+    the rotation-queue comment in queries/__init__.py; a typo there
+    silently burns a driver-check slot next round. Every token that
+    looks like a registry id must BE one."""
+    import re
+
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+
+    src = open(
+        "/root/repo/kafka_data_explorer_cdc_spark/queries/__init__.py"
+    ).read()
+    comment = "\n".join(
+        ln for ln in src.splitlines() if ln.lstrip().startswith("#")
+    )
+    candidates = set(re.findall(r"\b[a-z]+\d+[a-z]?_[a-z0-9_]+\b", comment))
+    unknown = sorted(c for c in candidates if c not in REGISTRY)
+    assert not unknown, f"queue comment names not in registry: {unknown}"
