@@ -118,3 +118,30 @@ def test_rotation_queue_names_exist():
     candidates = set(re.findall(r"\b[a-z]+\d+[a-z]?_[a-z0-9_]+\b", comment))
     unknown = sorted(c for c in candidates if c not in REGISTRY)
     assert not unknown, f"queue comment names not in registry: {unknown}"
+
+
+def test_rotation_window_covers_never_checked():
+    """The driver checks only the first 50 registry entries per round.
+    The standing rotation policy says every entry with no driver row in
+    any CORRECTNESS_r*.json must be inside that window (when they fit);
+    a stale _FRONT burns a driver round re-checking greens. Mirrors
+    tools/rotation_check.py."""
+    import glob
+    import json
+
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+
+    checked: set[str] = set()
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        checked.update(json.load(open(p)).keys())
+    reg = list(REGISTRY)
+    never = [n for n in reg if n not in checked]
+    if len(never) > 50:
+        # More new entries than slots — build order decides; the
+        # rotation comment documents the overflow queue instead.
+        return
+    outside = [n for n in never if n not in reg[:50]]
+    assert not outside, (
+        f"never-driver-checked entries outside the 50-slot window: "
+        f"{outside} — rebuild _FRONT (see tools/rotation_check.py)"
+    )
