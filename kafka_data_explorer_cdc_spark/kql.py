@@ -84,6 +84,11 @@ Supported (the reference's surface plus the obvious neighbors):
         anchored to fixedPoint; duration or numeric size)
       | summarize p = percentiles_array(col, p1, p2, ...)   (multi-
         percentile as ONE dynamic array; one shared per-group sort)
+      | fork [name =] ( ops ) [name =] ( ops ) ...   (must be last;
+        the pre-fork pipeline is persisted ONCE and shared by every
+        branch. kql() renders the branches as one table — unionByName
+        with null-fill behind a leading `fork_` discriminator column;
+        kql_fork() returns the Kusto-faithful {branch: DataFrame} dict)
       | render charttype [with (...)]   (must be last; presentation hint)
 
     print / range / datatable tabular sources (range generates on
@@ -95,6 +100,10 @@ Supported (the reference's surface plus the obvious neighbors):
 
     let name = <scalar literal> ;  /  let name = T | ... ;   (named
     constants and tabular CTEs, visible to the query and join subqueries)
+
+    let name = materialize(T | ...) ;   (cache hint: the bound pipeline
+    is compiled once and persisted, so N references = N InMemoryTable
+    scans of one computation, not N recomputes — Kusto's semantics)
 
 Expressions: arithmetic (+ - * / %), comparisons (== != < <= > >=),
 ``and``/``or``/``not``, ``contains``/``startswith``/``endswith``/
@@ -694,11 +703,20 @@ class _Parser:
                     break
             self.expect("]")
             self.expect(")")
+            def _bool_arg(which: str) -> bool:
+                tok = self.next().text.lower()
+                if tok not in ("true", "false"):
+                    raise ValueError(
+                        f"KQL: series_fir {which} must be the literal "
+                        f"true or false, got {tok!r}"
+                    )
+                return tok == "true"
+
             normalize = center = False
             if self.accept(","):
-                normalize = self.next().text.lower() == "true"
+                normalize = _bool_arg("normalize")
                 if self.accept(","):
-                    center = self.next().text.lower() == "true"
+                    center = _bool_arg("center")
             self.expect(")")
             return _series_fir(arr, taps, normalize, center)
         if name == "split":
@@ -1916,11 +1934,91 @@ def _compile_find(
     return out
 
 
+def _compile_fork(
+    df: DataFrame,
+    stage: str,
+    tables: dict[str, DataFrame],
+    now: str | None,
+    lets: dict[str, object] | None,
+) -> dict[str, DataFrame]:
+    """Parse ``fork [name =] ( ops ) [name =] ( ops ) ...`` into
+    {branch name: DataFrame}. The fork input is persisted ONCE and
+    every branch compiles on top of the same materialization — exactly
+    Kusto's contract (the upstream pipeline executes once, not once
+    per branch); unnamed branches get Kusto's positional default."""
+    from pyspark.storagelevel import StorageLevel
+
+    rest = stage[stage.lower().index("fork") + 4:].strip()
+    masked = _mask(rest)
+    branches: list[tuple[str | None, str]] = []
+    i = 0
+    while i < len(masked):
+        if masked[i].isspace():
+            i += 1
+            continue
+        m = re.match(r"([A-Za-z_]\w*)\s*=\s*", masked[i:])
+        name = None
+        if m:
+            name = m.group(1)
+            i += m.end()
+        if i >= len(masked) or masked[i] != "(":
+            raise ValueError(
+                f"KQL: fork branch must be a parenthesized pipeline, "
+                f"got {rest[i:i + 40]!r}"
+            )
+        depth, j = 0, i
+        while j < len(masked):
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError("KQL: unbalanced parens in fork branch")
+        branches.append((name, rest[i + 1:j].strip()))
+        i = j + 1
+    if not branches:
+        raise ValueError("KQL: fork needs at least one branch")
+    base = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out: dict[str, DataFrame] = {}
+    for idx, (name, sub) in enumerate(branches):
+        bname = name or f"Results_{idx}" if name or idx else "Results"
+        t = dict(tables)
+        t["__fork_input"] = base
+        body = "__fork_input" + (" | " + sub if sub else "")
+        if bname in out:
+            raise ValueError(f"KQL: duplicate fork branch name {bname!r}")
+        out[bname] = kql(body, t, now=now, _lets=lets)
+    return out
+
+
+def kql_fork(
+    query_text: str,
+    tables: dict[str, DataFrame],
+    now: str | None = None,
+) -> dict[str, DataFrame]:
+    """Kusto-faithful ``fork``: compile a query whose LAST operator is
+    ``fork`` and return {branch name: DataFrame} — one entry per
+    branch, exactly Kusto's multiple result tables. The pre-fork
+    pipeline is persisted once and shared by all branches; let
+    bindings are visible inside branches. (``kql()`` accepts the same
+    query and returns the branches unioned by name behind a ``fork_``
+    discriminator column — the single-table rendering.)"""
+    out: dict[str, DataFrame] = {}
+    kql(query_text, tables, now=now, _fork_out=out)
+    if not out:
+        raise ValueError("KQL: kql_fork needs a query ending in 'fork'")
+    return out
+
+
 def kql(
     query_text: str,
     tables: dict[str, DataFrame],
     now: str | None = None,
     _lets: dict[str, object] | None = None,
+    _fork_out: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Compile and run a KQL pipeline against the given table bindings.
 
@@ -1951,6 +2049,24 @@ def kql(
             lets[name] = float(body) if "." in body else int(body)
         elif re.fullmatch(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", body):
             lets[name] = body[1:-1]
+        elif re.match(r"materialize\s*\(", body):
+            # let x = materialize(T | ...); — Kusto's cache hint:
+            # compile the inner pipeline once and persist it, so every
+            # later reference reuses the SAME computed rows (plan shows
+            # one InMemoryTableScan per reference, not a recompute).
+            # Semantically identical to the plain tabular let; the
+            # reuse is what changes at scale (Kusto docs: materialize
+            # exists exactly for multi-reference lets).
+            inner = body[body.index("(") + 1:].strip()
+            if not inner.endswith(")"):
+                raise ValueError(
+                    f"KQL: unbalanced parens in materialize: {body[:60]!r}"
+                )
+            from pyspark.storagelevel import StorageLevel
+
+            tables[name] = kql(
+                inner[:-1].strip(), tables, now=now, _lets=lets
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         else:
             tables[name] = kql(body, tables, now=now, _lets=lets)
     if not stmts:
@@ -2022,6 +2138,28 @@ def kql(
                         f"parenthesized subquery, got {item!r}"
                     )
                 df = df.unionByName(other, allowMissingColumns=True)
+            ser = None
+            continue
+        if head and head.group().lower() == "fork":
+            if stage is not stages[-1]:
+                raise ValueError("KQL: 'fork' must be the last operator")
+            branches = _compile_fork(df, stage, tables, now, lets)
+            if _fork_out is not None:
+                _fork_out.update(branches)
+            # Single-DataFrame rendering of Kusto's multi-table fork:
+            # branches union by name (null-filled), discriminated by a
+            # leading fork_ column. kql_fork() returns the faithful
+            # {branch name: DataFrame} dict instead.
+            df = None
+            for bname, bdf in branches.items():
+                tagged = bdf.select(
+                    F.lit(bname).alias("fork_"), "*"
+                )
+                df = (
+                    tagged
+                    if df is None
+                    else df.unionByName(tagged, allowMissingColumns=True)
+                )
             ser = None
             continue
         p = _Parser(_tokenize(stage), now=now, lets=lets, win=ser)

@@ -41,9 +41,12 @@ def distributed_row_ids(
         df.repartitionByRange(n_part, F.col(key))
         .sortWithinPartitions(key)
         .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn("__pid", (F.col("__mid") / F.lit(1 << 33)).cast("long"))
+        # Exact bit arithmetic, not float division: doubles carry a
+        # 53-bit mantissa, so (mid / 2^33) can truncate into the WRONG
+        # partition once the ordinal bits meet a full 33-bit counter.
+        .withColumn("__pid", F.shiftrightunsigned(F.col("__mid"), 33))
         .withColumn(
-            "__lrn", (F.col("__mid") % F.lit(1 << 33)).cast("long")
+            "__lrn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
         )
         # REQUIRED, not an optimization: the counts job below and the
         # final join are two executions, and repartitionByRange

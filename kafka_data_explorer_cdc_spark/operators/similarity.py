@@ -97,6 +97,66 @@ def hard_negative_topk(
     )
 
 
+def hard_negative_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-probed hard-negative mining — the 100 TB path the exact
+    kernel (:func:`hard_negative_topk`) documents: corpus vectors are
+    bucketed into ``n_cells`` centroid cells ONCE, each anchor probes
+    only its ``nprobe`` nearest cells, and the label-mismatch filter
+    runs on the cell-pruned candidate stream before the exact-cosine
+    re-rank. Scan fraction ~``nprobe/n_cells`` of the corpus per
+    anchor instead of all of it; with the corpus parquet clustered BY
+    cell the probe becomes partition pruning.
+
+    Exactness knob: ``nprobe == n_cells`` probes every cell, making
+    the candidate set the full cross-label block — output identical
+    to :func:`hard_negative_topk`. Below that, recall is
+    probabilistic and gated by measurement (d89), never hash-compared.
+    """
+    corpus = ensure_parallelism(corpus)
+    C = _centroids(corpus, n_cells, id_col, vec_col)
+
+    one_cell = _cell_assigner(C, 1)
+    cells = (
+        corpus.select(
+            F.col(id_col).alias("c_id"),
+            F.col(label_col).alias("c_label"),
+            F.col(vec_col).alias("c_vec"),
+        )
+        .withColumn("cell", one_cell(F.col("c_vec")).getItem(0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    probe = _cell_assigner(C, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("q_vec"),
+    ).withColumn("cell", F.explode(probe(F.col("q_vec"))))
+
+    cand = cells.join(broadcast(q), "cell").filter(
+        F.col("c_label") != F.col("q_label")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.sqrt(_norm_sq(F.col("q_vec"))) * F.sqrt(_norm_sq(F.col("c_vec")))),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "q_label", "c_id", "c_label", "cosine", "rank")
+    )
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1047,6 +1107,7 @@ def bitext_margin_pairs(
     threshold: float = 1.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ivf: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
     CCMatrix/LASER parallel-corpus miner): for every source-side
@@ -1072,7 +1133,16 @@ def bitext_margin_pairs(
     100 TB both "nearest" scans swap to the IVF probe (ivf_cosine_topk)
     per side — the margin formula and rank logic are unchanged, only
     the candidate generator narrows from the full bipartite block to
-    cell-pruned candidates."""
+    cell-pruned candidates.
+
+    ``ivf=(n_cells, nprobe)`` activates exactly that swap: the target
+    side is bucketed into ``n_cells`` centroid cells once, each source
+    vector probes its ``nprobe`` nearest cells, and the scored block —
+    and therefore the kNN means feeding the margin — is computed over
+    the cell-pruned candidates only. ``nprobe == n_cells`` probes
+    every cell, making the candidate block the full bipartite product:
+    output identical to the exact path (the d90 exactness knob).
+    Below that, recall is measured (d90 gate), never hash-compared."""
     q = with_norm(
         src.select(
             F.col(id_col).alias("src_id"), F.col(vec_col).alias("q_vec")
@@ -1085,9 +1155,23 @@ def bitext_margin_pairs(
         ),
         "c_vec",
     ).withColumnRenamed("norm", "c_norm")
+    if ivf is not None:
+        n_cells, nprobe = ivf
+        C = _centroids(c, n_cells, "tgt_id", "c_vec")
+        one_cell = _cell_assigner(C, 1)
+        probe = _cell_assigner(C, nprobe)
+        block = c.withColumn(
+            "cell", one_cell(F.col("c_vec")).getItem(0)
+        ).join(
+            broadcast(
+                q.withColumn("cell", F.explode(probe(F.col("q_vec"))))
+            ),
+            "cell",
+        )
+    else:
+        block = c.crossJoin(broadcast(q))
     scored = (
-        c.crossJoin(broadcast(q))
-        .withColumn(
+        block.withColumn(
             "cosine",
             _dot(F.col("q_vec"), F.col("c_vec"))
             / (F.col("q_norm") * F.col("c_norm")),

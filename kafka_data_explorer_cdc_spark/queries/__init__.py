@@ -32,16 +32,18 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 #
 # ROUND-9 WINDOW (this file's _FRONT, below): the 31 entries with NO
 # driver row in the union of CORRECTNESS_r01..r08 (verified by
-# tools/rotation_check.py against the artifacts on disk), in the
-# priority order documented at end-of-round-8, then the 19 stalest
-# entries: the full r2 cohort (14) and the head of the r3 cohort per
-# the standing comment order (d04x, d06x, k24, k25, k26). Result:
-# union driver coverage reaches 303/303 after this round's driver run.
+# tools/rotation_check.py against the artifacts on disk) in the
+# priority order documented at end-of-round-8, then the 5 round-9
+# additions (d88-d90, k64, k65 — also never checked), then the 14
+# stalest entries (the full r2 cohort). Result: union driver coverage
+# reaches 308/308 after this round's driver run.
 #
 # ROUND-10 QUEUE (in priority order; exact as of start-of-round-9 —
 # re-verify against the union of CORRECTNESS_r01..r09 before
 # committing): any round-9 additions never driver-checked first, then
-# the remaining r3-stale cohort: k27_kql_case_tiers, k28_kql_arg_max,
+# the remaining r3-stale cohort: d04x_minhash_lsh_portable,
+# d06x_simhash_portable, k24_kql_join, k25_kql_let,
+# k26_kql_parse_extract, k27_kql_case_tiers, k28_kql_arg_max,
 # k29_kql_make_set, k30_kql_percentile, k32_kql_top_nested,
 # k33_kql_lookup, k34_kql_mv_apply, k35_kql_pivot,
 # k36_kql_top_hitters, k37_kql_search, k38_kql_range_source,
@@ -101,6 +103,12 @@ _FRONT = [
     "a24_dlq_repair_replay",
     "d87_hashed_feature_classifier",
     "k63_kql_bin_at_percentiles",
+    # (2b) the 5 round-9 additions — never checked by construction
+    "d88_neardup_clusters_star",
+    "d89_hard_negative_ivf",
+    "d90_bitext_margin_ivf",
+    "k64_kql_materialize",
+    "k65_kql_fork",
     # (3) the 14-entry r2-stale cohort (newest driver row round 2)
     "k13_kql_recent_orders",
     "k14_kql_avg_sales",
@@ -116,13 +124,8 @@ _FRONT = [
     "d17_contamination_check",
     "d18_repetition_ratio",
     "d19_stratified_sample",
-    # (4) head of the r3-stale cohort — window full at 50; the rest
-    # of r3 leads the round-10 queue documented above.
-    "d04x_minhash_lsh_portable",
-    "d06x_simhash_portable",
-    "k24_kql_join",
-    "k25_kql_let",
-    "k26_kql_parse_extract",
+    # window full at 50; the r3-stale cohort (from d04x on) leads the
+    # round-10 queue documented above.
 ]
 
 

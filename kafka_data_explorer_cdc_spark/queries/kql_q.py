@@ -1660,3 +1660,68 @@ def k63_kql_bin_at_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | project day6, i = tolong(i), pv, n",
         {"Events": events},
     )
+
+
+@query(
+    "k64_kql_materialize",
+    oracle=f"""{_OI},
+m AS (
+  SELECT city, CAST(SUM(amount) AS BIGINT) AS total
+  FROM orders_info GROUP BY city
+)
+SELECT city, total FROM m
+UNION ALL
+SELECT 'ALL' AS city, CAST(SUM(total) AS BIGINT) AS total FROM m
+""",
+    tags=("kql", "cache"),
+)
+def k64_kql_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``let M = materialize(...)`` — Kusto's cache hint for
+    multi-reference lets (kql.py grammar header): the bound pipeline
+    is compiled once and PERSISTED, so the two references below (the
+    per-city rows and the re-aggregated ALL row) each read the same
+    in-memory materialization instead of recomputing the aggregate —
+    tests/test_plans.py pins the InMemoryTableScan reuse. At 100 TB
+    the difference is one shuffle over the fact table vs one per
+    reference. The oracle recomputes both references from a plain CTE
+    (semantics are identical; only the execution sharing differs)."""
+    return kql(
+        "let M = materialize("
+        "  Orders | summarize total = sum(amount) by city);"
+        " M | union ("
+        "  M | summarize total = sum(total) | extend city = 'ALL'"
+        "     | project city, total )",
+        _orders(spark, sf_dir),
+    )
+
+
+@query(
+    "k65_kql_fork",
+    oracle=f"""{_OI}
+SELECT 'by_city' AS fork_, city,
+       CAST(SUM(amount) AS BIGINT) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders_info WHERE amount > 0 GROUP BY city
+UNION ALL
+SELECT 'overall', NULL,
+       CAST(SUM(amount) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM orders_info WHERE amount > 0
+""",
+    tags=("kql", "fork"),
+)
+def k65_kql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fork`` — Kusto's branch operator: the pre-fork pipeline runs
+    ONCE (persisted; tests/test_plans.py pins the shared
+    InMemoryTableScan) and each parenthesized branch continues from
+    it. kql() renders the branches as one table unioned by name with
+    a ``fork_`` discriminator (the overall branch has no city —
+    null-filled, exactly unionByName(allowMissingColumns)); the
+    Kusto-faithful multi-table surface is kql_fork(). The oracle
+    recomputes both branches from the same filtered scan."""
+    return kql(
+        "Orders | where amount > 0 | fork"
+        "  by_city = ( summarize total = sum(amount), n = count()"
+        "              by city )"
+        "  overall = ( summarize total = sum(amount), n = count() )",
+        _orders(spark, sf_dir),
+    )

@@ -608,9 +608,8 @@ def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planted_ok.unionByName(lossless_ok)
 
 
-@query(
-    "d20_neardup_clusters",
-    oracle=_SH_DUCK.replace("WITH", "WITH RECURSIVE", 1)
+_D20_CC_ORACLE = (
+    _SH_DUCK.replace("WITH", "WITH RECURSIVE", 1)
     + _SH_CAPPED_DUCK
     + f""",
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
@@ -634,9 +633,11 @@ reach AS (
 )
 SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
 FROM reach GROUP BY id
-""",
-    tags=("llm", "dedup"),
+"""
 )
+
+
+@query("d20_neardup_clusters", oracle=_D20_CC_ORACLE, tags=("llm", "dedup"))
 def d20_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment (the step after pairs): connected
     components over the exact-Jaccard pair graph (d05), component =
@@ -6946,3 +6947,126 @@ def d87_hashed_feature_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
     return scores.select(pick.alias("pred_lang")).groupBy("pred_lang").agg(
         F.count("*").alias("n_docs")
     )
+
+
+@query("d88_neardup_clusters_star", oracle=_D20_CC_ORACLE, tags=("llm", "dedup", "graph"))
+def d88_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment via LARGE-STAR/SMALL-STAR
+    alternation (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") as a first-class entry — previously only d20's
+    round-cap fallback. Same contract as d20 (component = min
+    reachable doc_id over the exact-Jaccard pair graph), same
+    hash-exact oracle, different convergence story: O(log² n) rounds
+    on ANY graph shape, including the adversarial long chains where
+    min-label propagation needs O(diameter) rounds. At 100 TB this is
+    the variant you run when the dedup graph's shape is not known to
+    be shallow (e.g. chained paraphrase edits), at the same per-round
+    cost: one groupBy-min + one equi-join, lineage-checkpointed."""
+    from ..operators.graph import connected_components_star
+
+    pairs = d05_ngram_jaccard_pairs(spark, sf_dir).select("id1", "id2")
+    return connected_components_star(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+_D89_ORACLE = """
+SELECT CAST(-1 AS BIGINT) AS probe_id, TRUE AS ok
+UNION ALL SELECT CAST(-2 AS BIGINT), TRUE
+"""
+
+
+@query("d89_hard_negative_ivf", oracle=_D89_ORACLE, tags=("llm", "similarity", "approx", "training"))
+def d89_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed hard-negative mining — the registered scale path
+    d72 documents (operators/similarity.py:hard_negative_ivf_topk):
+    corpus bucketed into 16 centroid cells, each anchor probes its 8
+    nearest, label-mismatch filter on the cell-pruned candidate
+    stream, exact-cosine re-rank. Bounded-comparison gate (all-TRUE
+    oracle, the d07y pattern):
+
+    - probe -1: recall@3 vs the exact cross-label kernel (d72) at
+      nprobe=8 of 16 >= 0.5 — pruning half the corpus must keep at
+      least half the true hard negatives (measured, organically much
+      higher).
+    - probe -2: the exactness knob — nprobe == n_cells probes every
+      cell, so the (q_id, c_id) top-3 set must equal the exact
+      kernel's EXACTLY (pruning trades recall, never correctness).
+    """
+    em = load(spark, sf_dir, "embeddings")
+    anchors = em.filter(F.col("vec_id") % 25 == 0)
+    ann = S.hard_negative_ivf_topk(
+        em, anchors, k=3, n_cells=16, nprobe=8
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    exact = S.hard_negative_topk(em, anchors, k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    full = S.hard_negative_ivf_topk(em, anchors, k=3, n_cells=16, nprobe=16)
+    missing = exact.select("q_id", "c_id").join(
+        full.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+    )
+    extra = full.select("q_id", "c_id").join(
+        exact.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+    )
+    exact_knob = (
+        missing.unionByName(extra)
+        .agg((F.count("*") == 0).alias("ok"))
+        .select(F.lit(-2).cast("long").alias("probe_id"), "ok")
+    )
+    return _recall_row(ann, exact, 0.5, -1).unionByName(exact_knob)
+
+
+_D90_ORACLE = """
+SELECT CAST(-1 AS BIGINT) AS probe_id, TRUE AS ok
+UNION ALL SELECT CAST(-2 AS BIGINT), TRUE
+"""
+
+
+@query("d90_bitext_margin_ivf", oracle=_D90_ORACLE, tags=("llm", "similarity", "approx", "multilingual"))
+def d90_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed bitext margin mining — the registered scale path d74
+    documents: the scored bipartite block (and therefore the fwd/bwd
+    kNN means feeding the Artetxe-Schwenk ratio margin) narrows from
+    the full |src|x|tgt| product to centroid-cell-pruned candidates
+    (bitext_margin_pairs(ivf=(n_cells, nprobe))). Bounded-comparison
+    gate (all-TRUE oracle, the d07y pattern):
+
+    - probe -1: at nprobe=8 of 16 (scanning ~half the block), the
+      fraction of sources whose mined rank-1 target matches the exact
+      path's >= 0.5 (measured; organically much higher since rank-1
+      pairs are by construction the far-from-boundary ones).
+    - probe -2: the exactness knob — nprobe == n_cells makes the
+      candidate block the full product, so every output row
+      (src_id, tgt_id, cosine, margin, mined) must equal the exact
+      path's EXACTLY.
+    """
+    em = load(spark, sf_dir, "embeddings")
+    src = em.filter(F.col("label") == 0)
+    tgt = em.filter(F.col("label") == 1)
+    exact = S.bitext_margin_pairs(src, tgt, k=4, threshold=1.05).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    probed = S.bitext_margin_pairs(
+        src, tgt, k=4, threshold=1.05, ivf=(16, 8)
+    )
+    hits = probed.select("src_id", "tgt_id").join(
+        exact.select("src_id", "tgt_id"), ["src_id", "tgt_id"], "left_semi"
+    )
+    recall = (
+        hits.agg(F.count("*").alias("h"))
+        .crossJoin(exact.select(F.count("*").alias("n")))
+        .select(
+            F.lit(-1).cast("long").alias("probe_id"),
+            (F.col("h") >= F.col("n") * 0.5).alias("ok"),
+        )
+    )
+    full = S.bitext_margin_pairs(src, tgt, k=4, threshold=1.05, ivf=(16, 16))
+    cols = ["src_id", "tgt_id", "cosine", "margin", "mined"]
+    missing = exact.select(cols).join(full.select(cols), cols, "left_anti")
+    extra = full.select(cols).join(exact.select(cols), cols, "left_anti")
+    exact_knob = (
+        missing.unionByName(extra)
+        .agg((F.count("*") == 0).alias("ok"))
+        .select(F.lit(-2).cast("long").alias("probe_id"), "ok")
+    )
+    return recall.unionByName(exact_knob)

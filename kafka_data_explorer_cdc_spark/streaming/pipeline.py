@@ -64,19 +64,51 @@ class CdcStateSink(abc.ABC):
     def current(self) -> DataFrame | None: ...
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str = "myserver.inventory.orders_info",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The EXACT option dict the Kafka reader passes to
+    ``readStream.format("kafka")`` — factored out so the options
+    contract is testable in a broker-less container (the load() call
+    needs the spark-sql-kafka package; this dict does not).
+    ``max_offsets_per_trigger`` is the Kafka twin of the file source's
+    ``maxFilesPerTrigger`` — the reference's flush.size.bytes bound
+    (adx-sink-config.json:5) mapped onto micro-batch sizing."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka_envelopes(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str = "myserver.inventory.orders_info",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Kafka source — the production path (reference topic naming,
     ``README.md:259``). Requires the spark-sql-kafka package on the
-    cluster; not exercised in this container (no broker)."""
+    cluster; not exercised in this container (no broker). Options are
+    built by :func:`kafka_source_options` (contract-pinned in
+    tests/test_streaming.py)."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
+        .options(
+            **kafka_source_options(
+                bootstrap_servers,
+                topic,
+                starting_offsets,
+                max_offsets_per_trigger,
+            )
+        )
         .load()
     )
     return unwrap(parse_envelope(raw))

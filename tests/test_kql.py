@@ -1286,3 +1286,68 @@ def test_kql_toscalar_semantics(spark):
             "T | where v > toscalar(T | summarize avg(v) by s) | project id",
             {"T": df},
         )
+
+
+def test_kql_series_fir_rejects_malformed_bool_args(spark):
+    """normalize/center must be the literal true/false — a typo used to
+    silently disable normalization (round-8 advisor finding)."""
+    df = spark.createDataFrame([([1.0, 2.0],)], "x array<double>")
+    with pytest.raises(ValueError, match="normalize"):
+        kql("T | extend y = series_fir(x, dynamic([1, 1]), ture)", {"T": df})
+    with pytest.raises(ValueError, match="center"):
+        kql(
+            "T | extend y = series_fir(x, dynamic([1, 1]), false, 1)",
+            {"T": df},
+        )
+
+
+def test_kql_fork_semantics(spark):
+    """fork: branches continue from the shared pre-fork pipeline;
+    kql() renders a fork_-discriminated union with null-fill,
+    kql_fork() the faithful dict; fork must be last."""
+    from kafka_data_explorer_cdc_spark.kql import kql_fork
+
+    df = spark.createDataFrame(
+        [("NY", 10), ("NY", 20), ("LA", 5)], "city string, amount long"
+    )
+    q = (
+        "T | where amount > 0 | fork"
+        "  a = ( summarize t = sum(amount) by city )"
+        "  b = ( count )"
+    )
+    u = kql(q, {"T": df})
+    assert u.columns == ["fork_", "city", "t", "Count"]
+    rows = {(r["fork_"], r["city"], r["t"], r["Count"]) for r in u.collect()}
+    assert rows == {
+        ("a", "NY", 30, None), ("a", "LA", 5, None),
+        ("b", None, None, 3),
+    }
+    d = kql_fork(q, {"T": df})
+    assert sorted(d) == ["a", "b"]
+    assert d["b"].collect()[0]["Count"] == 3
+    with pytest.raises(ValueError, match="last"):
+        kql("T | fork a = ( count ) | take 1", {"T": df})
+    with pytest.raises(ValueError, match="at least one branch"):
+        kql("T | fork", {"T": df})
+    with pytest.raises(ValueError, match="duplicate"):
+        kql("T | fork a = ( count ) a = ( count )", {"T": df})
+
+
+def test_kql_materialize_binding(spark):
+    """let x = materialize(...): same rows as the plain tabular let,
+    persisted plan (InMemoryTableScan on re-reference)."""
+    df = spark.createDataFrame(
+        [("NY", 10), ("LA", 5)], "city string, amount long"
+    )
+    m = kql(
+        "let M = materialize(T | summarize t = sum(amount) by city);"
+        " M | join ( M ) on city | project city, t",
+        {"T": df},
+    )
+    assert {(r["city"], r["t"]) for r in m.collect()} == {
+        ("NY", 10), ("LA", 5)
+    }
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    with pytest.raises(ValueError, match="unbalanced"):
+        kql("let M = materialize(T | count) x; M | take 1", {"T": df})

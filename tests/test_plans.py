@@ -951,3 +951,49 @@ def test_top_paths_single_user_exchange(spark, sf_dir):
     p = plan_of(spark, sf_dir, "b98_top_session_paths")
     assert len(_re.findall(r"hashpartitioning\(user_id#\d+L, \d+\)", p)) == 1
     assert "TakeOrderedAndProject" in p
+
+
+def test_no_hof_per_character_in_text_family(spark, sf_dir):
+    """Standing rule from the d84 postmortem (BASELINE.md): Catalyst
+    evaluates HOF lambdas INTERPRETED per element, so a higher-order
+    function iterating per CHARACTER of a text column (sequence over
+    length(), or a split-to-chars array) is never the production path —
+    at sf0.1 the d84 expression form burned 115 s for what one Arrow
+    kernel does in 0.9 s. HOF-per-element over observability-sized
+    arrays (series_fir taps, embeddings) stays fine. This gate scans
+    every d-family physical plan for the per-character signatures so
+    the regression class can't return silently."""
+    import re
+
+    # Only the RAW text column counts: split-to-chars / length-sequence
+    # over a derived bounded string (a ~10-char shingle, a single word)
+    # is HOF-per-element at observability size and explicitly fine.
+    text_cols = r"(?:content|text|body|raw|line)"
+    # Plan rendering: split's separator prints VERBATIM between ", "
+    # and ", ", so the empty (per-char) separator is exactly ", , -1"
+    # while a space (word) separator is ",  , -1" — match literally.
+    per_char = re.compile(
+        rf"sequence\([01],\s*\(?length\({text_cols}#\d+"
+        rf"|split\({text_cols}#\d+, , -1\)"  # empty regex = per char
+    )
+    offenders = []
+    for name in REGISTRY:
+        if not name.startswith("d"):
+            continue
+        p = plan_of(spark, sf_dir, name)
+        if "lambdafunction" in p and per_char.search(p):
+            offenders.append(name)
+    assert not offenders, (
+        f"HOF-per-character plans (see BASELINE.md d84 postmortem — "
+        f"vectorize via mapInPandas): {offenders}"
+    )
+
+
+def test_kql_materialize_and_fork_reuse_cache(spark, sf_dir):
+    """k64/k65: materialize() and the pre-fork pipeline must persist
+    their input so every reference is an InMemoryTableScan of ONE
+    computation — the whole point of the operators (at 100 TB: one
+    shuffle over the fact table instead of one per reference)."""
+    for name in ("k64_kql_materialize", "k65_kql_fork"):
+        p = plan_of(spark, sf_dir, name)
+        assert "InMemoryTableScan" in p, name

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kafka_data_explorer_cdc_spark.queries import REGISTRY
 
 
@@ -152,3 +154,61 @@ def test_expectations_audit_semantics(spark):
         audit(df, [not_null("k"), not_null("k")])
     with pytest.raises(ValueError, match="at least one"):
         audit(df, [])
+
+
+def test_interval_join_non_day_bucket(spark):
+    """Round-8 advisor finding: with bucket='2 days' the old
+    date_trunc('DAY') point grid disagreed with the stepped interval
+    grid and dropped true matches. Both sides now bucket on the same
+    epoch-quotient grid, so every width gives identical results."""
+    from kafka_data_explorer_cdc_spark.operators.interval import (
+        interval_point_join,
+    )
+
+    pts = spark.createDataFrame(
+        [("p1", "2024-01-04 12:00:00"), ("p2", "2024-01-09 01:00:00"),
+         ("p3", "2023-12-31 23:59:59")],
+        "pid string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [("w1", "2024-01-03 06:00:00", "2024-01-05 06:00:00"),
+         ("w2", "2024-01-01 00:00:00", "2024-01-10 00:00:00")],
+        "wid string, s string, e string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn(
+        "e", F.to_timestamp("e")
+    )
+    expected = {("p1", "w1"), ("p1", "w2"), ("p2", "w2")}
+    for bucket in ["1 day", "2 days", "12 hours", "1 week", "90 minutes"]:
+        got = {
+            (r.pid, r.wid)
+            for r in interval_point_join(
+                pts, iv, "ts", "s", "e", bucket=bucket
+            ).collect()
+        }
+        assert got == expected, f"bucket={bucket}: {got}"
+    import pytest
+
+    with pytest.raises(ValueError, match="fixed-width"):
+        interval_point_join(pts, iv, "ts", "s", "e", bucket="1 month")
+
+
+def test_row_id_bit_extraction_exact_at_high_ordinals(spark):
+    """Round-8 advisor finding: float division (mid / 2^33) rounds in
+    the 53-bit double mantissa once the partition ordinal meets a full
+    33-bit counter, landing rows in the wrong partition offset. The
+    fixed extraction (shiftrightunsigned / bitwiseAND) must agree with
+    exact Python integer arithmetic at the hostile corners."""
+    corners = []
+    for pid in [0, 1, 2**19, 2**20 - 1, 2**20, 2**27]:
+        for lrn in [0, 1, 2**33 - 1, 2**33 - 2, 2**32 + 12345]:
+            corners.append(((pid << 33) | lrn, pid, lrn))
+    df = spark.createDataFrame(
+        [(m,) for m, _, _ in corners], "__mid long"
+    ).select(
+        "__mid",
+        F.shiftrightunsigned(F.col("__mid"), 33).alias("pid"),
+        F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("lrn"),
+    )
+    got = {r["__mid"]: (r["pid"], r["lrn"]) for r in df.collect()}
+    for mid, pid, lrn in corners:
+        assert got[mid] == (pid, lrn), (mid, got[mid], (pid, lrn))

@@ -1455,3 +1455,33 @@ def test_exactly_once_sink_crash_replay(spark):
     # replaying batch 8 with the SAME rows is also a no-op
     sink(full.filter("k < 10"), 8)
     assert spark.read.parquet(out).count() == 110
+
+
+def test_kafka_source_options_contract():
+    """Broker-less pin on the waived Kafka transport (COVERAGE.md §2A):
+    the exact option dict the production reader hands to
+    readStream.format('kafka') — bootstrap servers, subscribe topic,
+    startingOffsets, and the maxOffsetsPerTrigger batch bound mapping
+    the reference's flush.size.bytes (adx-sink-config.json:5). The
+    load() call needs the spark-sql-kafka package; this contract does
+    not, so it runs everywhere."""
+    from kafka_data_explorer_cdc_spark.streaming.pipeline import (
+        kafka_source_options,
+    )
+
+    assert kafka_source_options("broker1:9092,broker2:9092") == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "myserver.inventory.orders_info",
+        "startingOffsets": "earliest",
+    }
+    assert kafka_source_options(
+        "b:9092",
+        topic="t",
+        starting_offsets="latest",
+        max_offsets_per_trigger=10_000,
+    ) == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "10000",
+    }
