@@ -33,15 +33,20 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # ROUND-9 WINDOW (this file's _FRONT, below): the 31 entries with NO
 # driver row in the union of CORRECTNESS_r01..r08 (verified by
 # tools/rotation_check.py against the artifacts on disk) in the
-# priority order documented at end-of-round-8, then the 5 round-9
-# additions (d88-d90, k64, k65 — also never checked), then the 14
-# stalest entries (the full r2 cohort). Result: union driver coverage
-# reaches 308/308 after this round's driver run.
+# priority order documented at end-of-round-8, then the 10 round-9
+# additions (d88-d90, k64, k65, b100-b104 — also never checked), then
+# the 9 stalest r2 entries that still fit (k13-k23; never-checked
+# entries pre-empt rotation per the standing policy, so d07/d16-d19
+# slip to round 10). Result: union driver coverage reaches 313/313
+# after this round's driver run.
 #
 # ROUND-10 QUEUE (in priority order; exact as of start-of-round-9 —
 # re-verify against the union of CORRECTNESS_r01..r09 before
 # committing): any round-9 additions never driver-checked first, then
-# the remaining r3-stale cohort: d04x_minhash_lsh_portable,
+# the 5 displaced r2-stale entries: d07_embedding_cosine_topk,
+# d16_chunk_documents, d17_contamination_check, d18_repetition_ratio,
+# d19_stratified_sample; then the r3-stale cohort:
+# d04x_minhash_lsh_portable,
 # d06x_simhash_portable, k24_kql_join, k25_kql_let,
 # k26_kql_parse_extract, k27_kql_case_tiers, k28_kql_arg_max,
 # k29_kql_make_set, k30_kql_percentile, k32_kql_top_nested,
@@ -68,8 +73,8 @@ from . import relational  # noqa: F401,E402
 _FRONT = [
     # Round-9 window: the 31 never-driver-checked entries (union of
     # CORRECTNESS_r01..r08 verified via tools/rotation_check.py) in
-    # the documented end-of-round-8 priority order, then the 19
-    # stalest entries (r2 cohort, then head of r3).
+    # the documented end-of-round-8 priority order, then the 10
+    # round-9 additions, then the 9 stalest r2 entries that fit.
     # (1) the 5 round-8 overflow never-checked entries
     "d81_calibration_audit",
     "k55_kql_series_outliers",
@@ -103,13 +108,19 @@ _FRONT = [
     "a24_dlq_repair_replay",
     "d87_hashed_feature_classifier",
     "k63_kql_bin_at_percentiles",
-    # (2b) the 5 round-9 additions — never checked by construction
+    # (2b) the 10 round-9 additions — never checked by construction
     "d88_neardup_clusters_star",
     "d89_hard_negative_ivf",
     "d90_bitext_margin_ivf",
     "k64_kql_materialize",
     "k65_kql_fork",
-    # (3) the 14-entry r2-stale cohort (newest driver row round 2)
+    "b100_order_count_distribution",
+    "b101_supplier_part_counts",
+    "b102_disjunctive_predicate_join",
+    "b103_important_supplier_stock",
+    "b104_dormant_rich_customers",
+    # (3) the 9-entry head of the r2-stale cohort (newest driver row
+    # round 2; d07/d16-d19 displaced to round 10)
     "k13_kql_recent_orders",
     "k14_kql_avg_sales",
     "k15_kql_total_sales",
@@ -119,11 +130,6 @@ _FRONT = [
     "k21_kql_countif_sumif",
     "k22_kql_parse_json",
     "k23_kql_mv_expand",
-    "d07_embedding_cosine_topk",
-    "d16_chunk_documents",
-    "d17_contamination_check",
-    "d18_repetition_ratio",
-    "d19_stratified_sample",
     # window full at 50; the r3-stale cohort (from d04x on) leads the
     # round-10 queue documented above.
 ]

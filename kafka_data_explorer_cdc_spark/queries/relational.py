@@ -5294,3 +5294,279 @@ def b99_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_excess_parts").desc(), "s_name")
         .limit(25)
     )
+
+
+@query(
+    "b100_order_count_distribution",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(COALESCE(oc.n, 0) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS n FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_custkey
+  ) oc ON c.c_custkey = oc.o_custkey
+) GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("relational", "tpch", "analytics"),
+)
+def b100_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13's shape — the customer order-count distribution
+    (how many customers placed 0, 1, 2, ... qualifying orders),
+    INCLUDING the zero-order customers the left join exists for. The
+    textbook form left-joins raw orders onto customer and counts
+    post-join — carrying |orders| rows through the join shuffle.
+    Spark-first: orders pre-aggregate to one (custkey, n) row per
+    customer BEFORE the join (map-side combine, one shuffle keyed by
+    custkey), so the join moves |customers| rows per side, never
+    |orders|; zero-order customers appear via coalesce(n, 0) and the
+    final distribution rollup is a tiny second aggregate. At 100 TB
+    the difference is shuffling the fact table vs shuffling a rollup
+    1-2 orders of magnitude smaller."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    oc = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cust.join(oc, cust["c_custkey"] == oc["o_custkey"], "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "b101_supplier_part_counts",
+    oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#12'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+GROUP BY p.p_brand, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+LIMIT 30
+""",
+    tags=("relational", "tpch", "subquery"),
+)
+def b101_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's shape — how many DISTINCT suppliers can provide
+    each qualifying (brand, size) part class, excluding blacklisted
+    suppliers (the NOT IN subquery; complaint-comment suppliers in
+    TPC-H, negative-balance ones here — testdata has no comments).
+    The part-supplier catalog is derived from observed shipments
+    (DISTINCT l_partkey, l_suppkey — testdata ships no partsupp).
+
+    Spark-first shape: the catalog dedup is one map-side-combining
+    shuffle on (partkey, suppkey); the part side filters (brand/size
+    IN-list) push to the parquet scan before its BROADCAST to the
+    catalog; the NOT IN compiles to a broadcast LEFT ANTI join
+    (s_suppkey is non-null, so 3-valued-logic traps don't apply —
+    the b34 entry covers the nullable case); COUNT(DISTINCT) is the
+    standard two-phase expand. Fact table scanned once."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#12")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+        .limit(30)
+    )
+
+
+@query(
+    "b102_disjunctive_predicate_join",
+    oracle=f"""
+SELECT p.p_brand,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#31' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY p.p_brand
+ORDER BY p_brand
+""",
+    tags=("relational", "tpch", "pushdown"),
+)
+def b102_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's shape — revenue from a join whose filter is an OR
+    of per-branch conjunct groups mixing columns from BOTH sides (the
+    classic "disjunctive predicates" optimizer test). Declared as one
+    boolean expression so Catalyst does the work the shape exists to
+    test: the join stays a plain equi-join on partkey (the OR never
+    degrades it to a nested-loop theta join), and the single-side
+    implications of the disjunction — p_brand IN (...), p_size <= 15,
+    l_quantity <= 30 — are derived and pushed to the respective scans
+    (CNF conversion), so both inputs shrink before the join instead
+    of after. Money sums in exact decimal (helpers.disc_price_dec)
+    for engine-portable totals."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#31")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        j.filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(disc_price_dec()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "b103_important_supplier_stock",
+    oracle="""
+WITH sup_val AS (
+  SELECT l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, total_qty
+FROM sup_val
+WHERE total_qty > (SELECT SUM(total_qty) * 0.002 FROM sup_val)
+ORDER BY total_qty DESC, l_suppkey
+""",
+    tags=("relational", "tpch", "subquery"),
+)
+def b103_important_supplier_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape — groups whose value exceeds a FRACTION OF
+    THE GLOBAL TOTAL (the "important stock" HAVING-against-scalar
+    pattern). The naive plan recomputes the inner aggregate per group;
+    Spark-first: ONE per-supplier rollup (map-side combine), reused
+    for both sides — the global threshold is a second tiny aggregate
+    OVER THE ROLLUP (|suppliers| rows, not the fact table) broadcast
+    back as a 1-row cross join. The fact table is scanned once, and
+    the threshold comparison happens on |suppliers| rows. Quantities
+    are integral doubles, so the rollup is cast to BIGINT — the
+    threshold compare is exact in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .persist()
+    )
+    thr = sup.agg((F.sum("total_qty") * 0.002).alias("__thr"))
+    return (
+        sup.crossJoin(broadcast(thr))
+        .filter(F.col("total_qty") > F.col("__thr"))
+        .select("l_suppkey", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "l_suppkey")
+    )
+
+
+@query(
+    "b104_dormant_rich_customers",
+    oracle="""
+WITH pos AS (SELECT c_acctbal FROM customer WHERE c_acctbal > 0.0),
+thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS a
+  FROM pos
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (0, 3, 7, 11, 17, 21)
+  AND c.c_acctbal > (SELECT a FROM thr)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    tags=("relational", "tpch", "subquery"),
+)
+def b104_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape — "global sales opportunity": customers in
+    selected countries (nationkey IN-list standing in for the phone
+    country-code substring; testdata ships no phone column) with an
+    above-average positive balance who have never placed an URGENT
+    order (every testdata customer has ordered, so the dormancy
+    predicate filters the anti-join's right side — same plan shape,
+    non-degenerate result). Three
+    classic pieces in one plan: an uncorrelated scalar-average
+    subquery (computed once over the customer scan and broadcast back
+    as a 1-row cross join — exact decimal sum / count so both engines
+    compare the identical double), a NOT EXISTS anti-join (orders
+    pre-projected to its join key; LEFT ANTI shuffle keyed by
+    custkey), and the final per-country rollup. The customer scan's
+    IN-list filter pushes to parquet; orders is touched only as a
+    key projection."""
+    cust = load(spark, sf_dir, "customer")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("__a")
+        )
+    )
+    orders_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.filter(F.col("c_nationkey").isin(0, 3, 7, 11, 17, 21))
+        .crossJoin(broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .join(
+            orders_keys,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -997,3 +997,47 @@ def test_kql_materialize_and_fork_reuse_cache(spark, sf_dir):
     for name in ("k64_kql_materialize", "k65_kql_fork"):
         p = plan_of(spark, sf_dir, name)
         assert "InMemoryTableScan" in p, name
+
+
+def test_q13_distribution_preaggregates_orders(spark, sf_dir):
+    """b100: orders must pre-aggregate to (custkey, n) BEFORE the
+    customer join — the partial HashAggregate has to sit under the
+    join, so the join never moves raw order rows."""
+    p = plan_of(spark, sf_dir, "b100_order_count_distribution")
+    join_pos = p.index("HashJoin") if "HashJoin" in p else p.index("SortMergeJoin")
+    assert "HashAggregate" in p[join_pos:], "orders rollup must be below the join"
+    assert "CartesianProduct" not in p
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """b102: the per-side implications of the OR-of-conjuncts filter
+    must reach BOTH parquet scans (CNF derivation), and the join must
+    stay a hash equi-join — the whole point of the Q19 shape."""
+    p = plan_of(spark, sf_dir, "b102_disjunctive_predicate_join")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    scans = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    li_scan = [ln for ln in scans if "l_quantity" in ln]
+    part_scan = [ln for ln in scans if "p_brand" in ln]
+    assert li_scan and "Or(" in li_scan[0], "quantity disjunction not pushed"
+    assert part_scan and "Or(" in part_scan[0], "brand/size disjunction not pushed"
+
+
+def test_q11_threshold_is_single_fact_scan(spark, sf_dir):
+    """b103: the fact table must be scanned ONCE — the global
+    threshold aggregates over the per-supplier rollup (persisted),
+    broadcast back as a 1-row join, never a second lineitem scan.
+    In the plan: BOTH references are InMemoryTableScans of the same
+    cached rollup (the parquet path prints inside each cache
+    description, but the file is read once, populating the cache)."""
+    p = plan_of(spark, sf_dir, "b103_important_supplier_stock")
+    assert p.count("InMemoryTableScan") >= 2, "threshold must reuse the rollup"
+    assert p.count("InMemoryRelation") >= 2
+
+
+def test_q22_anti_join_and_inlist_pushdown(spark, sf_dir):
+    """b104: the NOT EXISTS compiles to a LeftAnti hash join, and the
+    nationkey IN-list reaches the customer scan's PushedFilters."""
+    p = plan_of(spark, sf_dir, "b104_dormant_rich_customers")
+    assert "LeftAnti" in p
+    assert "In(c_nationkey" in p
