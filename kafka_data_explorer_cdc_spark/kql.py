@@ -94,6 +94,10 @@ Supported (the reference's surface plus the obvious neighbors):
     print / range / datatable tabular sources (range generates on
     executors via spark.range — a parallel source, not a literal).
 
+    externaldata (name: type, ...) ['path', ...] with (format='parquet'
+    |'csv'|'json' [, header=true])   (external-file source on
+    spark.read; declared schema authoritative — no inference job)
+
     find [in (T1, T2, ...)] where <pred>   (cross-table search source:
     union of matching rows aligned by name, `source_` column names the
     table; tables lacking a referenced column contribute no rows).
@@ -1608,10 +1612,85 @@ def _compile_source(
       driver, so a billion-row range is a parallel source, not a
       literal.
     - ``datatable (name: type, ...) [v, v, ...]`` — inline literal
-      table (driver-side by definition; bounded by the query text)."""
+      table (driver-side by definition; bounded by the query text).
+    - ``externaldata (name: type, ...) ['path', ...] with
+      (format='parquet'|'csv'|'json' [, header=true])`` — Kusto's
+      external-file source mapped onto ``spark.read``: the declared
+      schema is authoritative (csv/json read WITH it — no inference
+      job; parquet projects/casts onto it), multiple paths union, and
+      the scan is a fully parallel distributed source with the usual
+      pushdown/pruning (Kusto reads blob URLs; any Hadoop-compatible
+      URI works here)."""
     spark = _session(tables)
     p = _Parser(_tokenize(stage), now=now, lets=lets)
     verb = p.next().text.lower()
+    if verb == "externaldata":
+        p.expect("(")
+        names: list[str] = []
+        types: list[str] = []
+        while True:
+            names.append(p.next().text)
+            p.expect(":")
+            ty = p.next().text.lower()
+            if ty not in _TYPEOF:
+                raise ValueError(f"KQL: unsupported externaldata type {ty!r}")
+            types.append(_TYPEOF[ty])
+            if not p.accept(","):
+                break
+        p.expect(")")
+        p.expect("[")
+        paths: list[str] = []
+        while not p.accept("]"):
+            t = p.next()
+            if t.kind != "str":
+                raise ValueError(
+                    f"KQL: externaldata path must be a string literal, "
+                    f"got {t.text!r}"
+                )
+            paths.append(t.text[1:-1])
+            p.accept(",")
+        if not paths:
+            raise ValueError("KQL: externaldata needs at least one path")
+        fmt, header = "csv", False
+        if p.peek() is not None and p.peek().text.lower() == "with":
+            p.next()
+            p.expect("(")
+            while True:
+                key = p.next().text.lower()
+                p.expect("=")
+                val = p.next()
+                sval = (
+                    val.text[1:-1] if val.kind == "str" else val.text.lower()
+                )
+                if key == "format":
+                    fmt = sval.lower()
+                elif key == "header":
+                    header = sval == "true"
+                else:
+                    raise ValueError(
+                        f"KQL: unsupported externaldata option {key!r}"
+                    )
+                if not p.accept(","):
+                    break
+            p.expect(")")
+        schema = ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
+        if fmt == "parquet":
+            raw = spark.read.parquet(*paths)
+            missing = [n for n in names if n not in raw.columns]
+            if missing:
+                raise ValueError(
+                    f"KQL: externaldata parquet lacks columns {missing}"
+                )
+            return raw.select(
+                *[F.col(n).cast(t).alias(n) for n, t in zip(names, types)]
+            )
+        if fmt == "csv":
+            return spark.read.schema(schema).option(
+                "header", str(header).lower()
+            ).csv(*paths)
+        if fmt == "json":
+            return spark.read.schema(schema).json(*paths)
+        raise ValueError(f"KQL: unsupported externaldata format {fmt!r}")
     if verb == "print":
         cols = []
         while True:
@@ -2085,7 +2164,8 @@ def kql(
     elif (
         table not in tables
         and src_head
-        and src_head.group().lower() in ("print", "range", "datatable")
+        and src_head.group().lower()
+        in ("print", "range", "datatable", "externaldata")
     ):
         df = _compile_source(table, tables, now, lets)
     elif table not in tables:

@@ -282,3 +282,63 @@ def goertzel_power(df: DataFrame) -> DataFrame:
     return ensure_parallelism(to_binary_docs(df)).mapInPandas(
         goertzel_batch, GOERTZEL_SCHEMA
     )
+
+
+#: Video keyframe-selection stub parameters: a "frame" is FRAME_BYTES
+#: consecutive payload bytes (codec seam — a real decoder yields per-
+#: frame luma instead), a scene cut is an absolute luma jump >=
+#: CUT_THRESHOLD between adjacent frames.
+FRAME_BYTES = 16
+CUT_THRESHOLD = 96
+
+KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("luma", T.LongType()),
+        T.StructField("delta", T.LongType()),  # |luma - prev|; 0 @ frame 0
+    ]
+)
+
+
+def keyframe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary clip → per-frame luma + adjacent-frame
+    delta. The per-frame "luma" is the exact int64 sum of that frame's
+    bytes (codec stub, same seam as audio_energy_batch); the delta is
+    numpy diff WITHIN the blob — frames of one clip are local to one
+    worker by construction, so no cross-row Spark dependency and no
+    window shuffle is ever needed for it. Partial tail frames are
+    dropped (aligned-frame contract, as goertzel_batch)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, fidx, lumas, deltas = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n_fr = len(v) // FRAME_BYTES
+            if n_fr == 0:
+                continue
+            luma = v[: n_fr * FRAME_BYTES].reshape(n_fr, FRAME_BYTES).sum(axis=1)
+            delta = np.abs(np.diff(luma, prepend=luma[:1]))
+            ids.extend([doc_id] * n_fr)
+            fidx.extend(range(n_fr))
+            lumas.extend(luma.tolist())
+            deltas.extend(delta.tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fidx, dtype="int64"),
+                "luma": pd.Series(lumas, dtype="int64"),
+                "delta": pd.Series(deltas, dtype="int64"),
+            }
+        )
+
+
+def keyframes(df: DataFrame) -> DataFrame:
+    """Distributed per-frame luma/delta — same Arrow-batched plumbing
+    as :func:`audio_energy` / :func:`goertzel_power`."""
+    from ..io import ensure_parallelism
+
+    return ensure_parallelism(to_binary_docs(df)).mapInPandas(
+        keyframe_batch, KEYFRAME_SCHEMA
+    )

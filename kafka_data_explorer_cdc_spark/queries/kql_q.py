@@ -1725,3 +1725,34 @@ def k65_kql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  overall = ( summarize total = sum(amount), n = count() )",
         _orders(spark, sf_dir),
     )
+
+
+@query(
+    "k66_kql_externaldata",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS keysum,
+       MAX(o_totalprice) AS maxp
+FROM orders
+""",
+    tags=("kql", "source"),
+)
+def k66_kql_externaldata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``externaldata`` — Kusto's external-file source (blob URLs with
+    a declared schema) mapped onto ``spark.read`` (kql.py grammar
+    header): the declared column list is authoritative (parquet
+    projects/casts onto it — column pruning still reaches the scan;
+    csv/json read WITH the schema, so there is never a driver-side
+    inference pass over 100 TB), multiple paths union, and the result
+    is an ordinary distributed scan with pushdown. Here it reads the
+    orders parquet by PATH — no table binding — and the oracle reads
+    the same file through its registered view; exact rollup (counts +
+    integer key sum + max) keeps the comparison engine-portable."""
+    path = f"{sf_dir.rstrip('/')}/orders.parquet"
+    return kql(
+        "externaldata (o_orderkey: long, o_totalprice: real)"
+        f" ['{path}'] with (format='parquet')"
+        " | summarize n = count(), keysum = sum(o_orderkey),"
+        "   maxp = max(o_totalprice)",
+        {},
+    )

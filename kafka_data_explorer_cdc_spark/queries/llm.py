@@ -7070,3 +7070,145 @@ def d90_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-2).cast("long").alias("probe_id"), "ok")
     )
     return recall.unionByName(exact_knob)
+
+
+_D91_ORACLE = """
+SELECT CAST(-3 AS BIGINT) AS probe_id, TRUE AS ok
+"""
+
+
+@query("d91_ivf_index_at_rest", oracle=_D91_ORACLE, tags=("llm", "similarity", "layout", "approx"))
+def d91_ivf_index_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index AT REST — the missing half of d07y's story made
+    literal: the corpus is WRITTEN partitioned by centroid cell
+    (``partitionBy("cell")`` — one directory per inverted list, the
+    parquet rendering of a FAISS IVF index), and the probe join on the
+    cell partition column prunes at LISTING time via dynamic partition
+    pruning (b89's machinery pointed at ANN): only the probed cells'
+    directories are read, the other ~n_cells-nprobe never open a
+    footer. At 100 TB this is the difference between "scan fraction
+    nprobe/n_cells of rows" (d07y, still lists every file) and "READ
+    fraction nprobe/n_cells of the index" — the probe cost is bounded
+    by the inverted lists it touches, exactly like a real vector DB.
+
+    Gate (all-TRUE oracle): the at-rest probe must return EXACTLY the
+    in-memory d07y candidate result at identical (n_cells, nprobe) —
+    the layout is a lossless rewrite (same deterministic centroids,
+    parquet float arrays round-trip exactly), so pruning changes WHERE
+    bytes live, never the answer. DPP presence is pinned in
+    tests/test_plans.py."""
+    import os as _os
+    import tempfile as _tmp
+
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = S._centroids(em, 16, "vec_id", "embedding")
+    one = S._cell_assigner(C, 1)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    out = _os.path.join(_tmp.gettempdir(), f"spark_graft_d91_{tag}")
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        em.withColumn(
+            "cell", one(F.col("embedding")).getItem(0)
+        ).write.mode("overwrite").partitionBy("cell").parquet(out)
+    idx = spark.read.parquet(out).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        "cell",
+    )
+    queries = em.filter(F.col("vec_id") < 20)
+    probe = S._cell_assigner(C, 4)
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).withColumn("cell", F.explode(probe(F.col("q_vec"))))
+    cand = idx.join(broadcast(q), "cell").filter(
+        F.col("c_id") != F.col("q_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        S._dot(F.col("q_vec"), F.col("c_vec"))
+        / (
+            F.sqrt(S._norm_sq(F.col("q_vec")))
+            * F.sqrt(S._norm_sq(F.col("c_vec")))
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    at_rest = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "rank")
+    )
+    mem = S.ivf_cosine_topk(
+        em, queries, k=5, n_cells=16, nprobe=4
+    ).select("q_id", "c_id", "rank")
+    cols = ["q_id", "c_id", "rank"]
+    missing = mem.join(at_rest, cols, "left_anti")
+    extra = at_rest.join(mem, cols, "left_anti")
+    return (
+        missing.unionByName(extra)
+        .agg((F.count("*") == 0).alias("ok"))
+        .select(F.lit(-3).cast("long").alias("probe_id"), "ok")
+    )
+
+
+def _mm10_oracle() -> str:
+    from ..operators.multimodal import CUT_THRESHOLD, FRAME_BYTES
+
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS vs
+  FROM documents
+), f AS (
+  SELECT doc_id, vs, unnest(range(0, len(vs) // {FRAME_BYTES})) AS fi
+  FROM s WHERE len(vs) >= {FRAME_BYTES}
+), luma AS (
+  SELECT doc_id, fi,
+         list_reduce(list_transform(range(0, {FRAME_BYTES}),
+           j -> vs[CAST(fi * {FRAME_BYTES} + j + 1 AS INT)]),
+           (a, b) -> a + b) AS luma
+  FROM f
+), d AS (
+  SELECT doc_id, fi,
+         ABS(luma - LAG(luma, 1, luma) OVER (
+           PARTITION BY doc_id ORDER BY fi)) AS delta
+  FROM luma
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(1 + COUNT(CASE WHEN delta >= {CUT_THRESHOLD} THEN 1 END)
+            AS BIGINT) AS n_keyframes,
+       CAST(COALESCE(MIN(CASE WHEN delta >= {CUT_THRESHOLD} THEN fi END),
+                     -1) AS BIGINT) AS first_cut,
+       CAST(MAX(delta) AS BIGINT) AS max_delta
+FROM d GROUP BY doc_id
+"""
+
+
+@query("mm10_keyframe_selection", oracle=_mm10_oracle(), tags=("llm", "multimodal", "video"))
+def mm10_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe selection plumbing (operators/multimodal.py:
+    keyframes) — the scene-cut recipe a video curation pipeline runs
+    before captioning/embedding: per-frame luma from the stubbed codec
+    (frame = FRAME_BYTES-byte block; swap the kernel's byte-sum for
+    a real decoder at the documented seam), scene cut = adjacent-frame
+    luma jump >= threshold, keyframes = frame 0 + every cut. Per clip:
+    frame count, keyframe count, first cut, max jump.
+
+    Scale: the adjacent-frame delta is numpy diff INSIDE the Arrow
+    kernel — a clip's frames are blob-local, so no lag-window shuffle
+    exists anywhere; the only exchange is the map-side-combining per-
+    doc rollup (plan shape shared with mm9). At 100 TB the decode is
+    embarrassingly parallel and the shuffle carries 4 longs per
+    frame, never pixels."""
+    from ..operators.multimodal import CUT_THRESHOLD, keyframes
+
+    docs = load(spark, sf_dir, "documents")
+    kf = keyframes(docs)
+    is_cut = (F.col("delta") >= CUT_THRESHOLD) & (F.col("frame_idx") > 0)
+    return kf.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        (1 + F.sum(is_cut.cast("long"))).alias("n_keyframes"),
+        F.coalesce(
+            F.min(F.when(is_cut, F.col("frame_idx"))), F.lit(-1)
+        ).alias("first_cut"),
+        F.max("delta").alias("max_delta"),
+    )

@@ -1351,3 +1351,27 @@ def test_kql_materialize_binding(spark):
     assert "InMemoryTableScan" in plan
     with pytest.raises(ValueError, match="unbalanced"):
         kql("let M = materialize(T | count) x; M | take 1", {"T": df})
+
+
+def test_kql_externaldata_csv_and_errors(spark, tmp_path):
+    """externaldata: declared schema is authoritative for csv (no
+    inference), header honored, unknown formats/options rejected."""
+    f = tmp_path / "t.csv"
+    f.write_text("city,amount\nNY,10\nLA,5\n")
+    df = kql(
+        f"externaldata (city: string, amount: long) ['{f}']"
+        " with (format='csv', header=true)",
+        {},
+    )
+    assert dict(df.dtypes) == {"city": "string", "amount": "bigint"}
+    assert {(r.city, r.amount) for r in df.collect()} == {
+        ("NY", 10), ("LA", 5)
+    }
+    with pytest.raises(ValueError, match="format"):
+        kql(
+            f"externaldata (c: string) ['{f}'] with (format='avro')", {}
+        )
+    with pytest.raises(ValueError, match="at least one path"):
+        kql("externaldata (c: string) [] with (format='csv')", {})
+    with pytest.raises(ValueError, match="unsupported externaldata type"):
+        kql(f"externaldata (c: decimal) ['{f}']", {})

@@ -1041,3 +1041,24 @@ def test_q22_anti_join_and_inlist_pushdown(spark, sf_dir):
     p = plan_of(spark, sf_dir, "b104_dormant_rich_customers")
     assert "LeftAnti" in p
     assert "In(c_nationkey" in p
+
+
+def test_ivf_index_at_rest_uses_dpp(spark, sf_dir):
+    """d91: the probe join on the cell partition column must carry a
+    dynamic-partition-pruning subquery — only probed inverted-list
+    directories are read. Without DPP the at-rest index degrades to a
+    full-index scan and the layout buys nothing."""
+    p = plan_of(spark, sf_dir, "d91_ivf_index_at_rest")
+    assert "dynamicpruning" in p.lower(), "cell probe must prune partitions"
+    assert "CartesianProduct" not in p
+
+
+def test_keyframe_pipeline_is_single_arrow_stage(spark, sf_dir):
+    """mm10: per-frame luma/delta must be ONE Arrow mapInPandas stage
+    (delta is blob-local numpy diff — no lag-window shuffle anywhere);
+    the only exchange is the per-doc rollup."""
+    p = plan_of(spark, sf_dir, "mm10_keyframe_selection")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "Window" not in p, "delta must not use a lag window"
+    assert p.count("Exchange hashpartitioning") <= 1
