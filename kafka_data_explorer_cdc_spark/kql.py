@@ -75,6 +75,12 @@ Supported (the reference's surface plus the obvious neighbors):
       | extend y = series_fir(x, dynamic([...]) [, normalize [,
         center]])   (FIR filter over a make-series array; the last
         coefficient applies to the current sample, zero-padded edges)
+      | extend (b, s, t, r) = series_decompose(x, period)   (STL-lite:
+        clamped centered-moving-average trend, per-phase seasonal,
+        residual; period is a positive literal — tuple-destructuring
+        extend binds the four output arrays)
+      | extend v = arr[i]   (computed 0-based index into an array
+        column — element_at; literal indexes also probe dynamic JSON)
       | where x > toscalar( Sub | ... )   (scalar subquery: compiled,
         evaluated once — must yield exactly one row, one column — and
         substituted as a typed literal)
@@ -237,6 +243,70 @@ def _series_fir(
         return acc / F.lit(denom) if normalize else acc
 
     return F.transform(arr, one)
+
+
+def _series_decompose(arr: Column, period: int) -> Column:
+    """``series_decompose(x, period)`` — STL-lite decomposition of a
+    make-series array into (baseline, seasonal, trend, residual),
+    pinned semantics (Kusto's auto-period detection is NOT implemented
+    — the period must be a positive literal; b91 is the row-form
+    sibling):
+
+    - ``trend[i]``  = clamped centered moving average, half-window
+      period//2 (edges average the in-range slice);
+    - ``seasonal[i]`` = mean of the detrended values at phase
+      ``i % period`` (no re-centering — documented, mirrored in the
+      oracle);
+    - ``residual`` = x - trend - seasonal; ``baseline`` = trend +
+      seasonal (Kusto's contract: baseline + residual = x).
+
+    All arithmetic is left-fold HOF over the observability-sized
+    series array — identical fold order to the DuckDB list_reduce
+    twin, so the doubles agree bit-for-bit."""
+    if period <= 0:
+        raise ValueError("KQL: series_decompose period must be positive")
+    a = F.transform(arr, lambda e: e.cast("double"))
+    n = F.size(a)
+    h = period // 2
+    idxs = F.sequence(F.lit(0), n - F.lit(1))
+
+    def mean_of(window: Column) -> Column:
+        return F.aggregate(
+            window, F.lit(0.0), lambda acc, x: acc + x
+        ) / F.size(window)
+
+    def trend_at(i: Column) -> Column:
+        lo = F.greatest(F.lit(0), i - F.lit(h))
+        hi = F.least(n - F.lit(1), i + F.lit(h))
+        return mean_of(F.slice(a, lo + F.lit(1), hi - lo + F.lit(1)))
+
+    trend = F.transform(idxs, trend_at)
+    detr = F.zip_with(a, trend, lambda x, t: x - t)
+    phase_means = [
+        mean_of(F.filter(detr, lambda _x, i: i % period == ph))
+        for ph in range(period)
+    ]
+
+    def seasonal_at(i: Column) -> Column:
+        out = None
+        for ph in range(period):
+            cond = i % period == ph
+            out = (
+                F.when(cond, phase_means[ph])
+                if out is None
+                else out.when(cond, phase_means[ph])
+            )
+        return out
+
+    seasonal = F.transform(idxs, seasonal_at)
+    baseline = F.zip_with(trend, seasonal, lambda t, s: t + s)
+    residual = F.zip_with(a, baseline, lambda x, b: x - b)
+    return F.struct(
+        baseline.alias("baseline"),
+        seasonal.alias("seasonal"),
+        trend.alias("trend"),
+        residual.alias("residual"),
+    )
 
 
 @dataclass
@@ -490,16 +560,26 @@ class _Parser:
         while self.peek() and self.peek().text in (".", "["):
             if self.peek().text == "[":
                 self.next()
-                t = self.next()
-                if t.kind != "num":
-                    raise ValueError(
-                        "KQL: array index must be a numeric literal"
-                    )
-                self.expect("]")
+                t = self.peek()
+                if t is not None and t.kind == "num":
+                    self.next()
+                    self.expect("]")
+                    if isinstance(e, _DynamicJson):
+                        e = F.get_json_object(e.raw, f"$[{int(t.text)}]")
+                    else:
+                        e = e.getItem(int(t.text))
+                    continue
+                # computed index (0-based, as in Kusto): arr[i] — only
+                # for real array columns; dynamic-JSON paths need the
+                # literal form above
                 if isinstance(e, _DynamicJson):
-                    e = F.get_json_object(e.raw, f"$[{int(t.text)}]")
-                else:
-                    e = e.getItem(int(t.text))
+                    raise ValueError(
+                        "KQL: dynamic-JSON array index must be a "
+                        "numeric literal"
+                    )
+                idx = self.expr()
+                self.expect("]")
+                e = F.element_at(e, idx.cast("int") + F.lit(1))
                 continue
             self.next()
             name = self.next().text
@@ -678,6 +758,19 @@ class _Parser:
             e = self.expr()
             self.expect(")")
             return _DynamicJson(e)
+        if name == "series_decompose":
+            # series_decompose(x, period) — period must be a positive
+            # integer literal (Kusto's auto-detection not implemented)
+            self.expect("(")
+            arr = self.expr()
+            self.expect(",")
+            t = self.next()
+            if t.kind != "num" or "." in t.text:
+                raise ValueError(
+                    "KQL: series_decompose period must be an integer literal"
+                )
+            self.expect(")")
+            return _series_decompose(arr, int(t.text))
         if name == "series_fir":
             # series_fir(x, dynamic([...]) [, normalize [, center]]) —
             # the filter must be a compile-time dynamic literal (as in
@@ -2714,9 +2807,41 @@ def kql(
                 df = df.withColumn(cname, F.regexp_extract(src, rx, gi))
         elif verb == "extend":
             while True:
-                name = p.next().text
-                p.expect("=")
-                df = df.withColumn(name, p.expr())
+                if p.peek() is not None and p.peek().text == "(":
+                    # tuple-destructuring extend — Kusto's multi-output
+                    # scalar functions: | extend (b, s, t, r) =
+                    # series_decompose(y, 12). The RHS must compile to
+                    # a STRUCT column; each listed name binds one field
+                    # positionally.
+                    p.expect("(")
+                    names = [p.next().text]
+                    while p.accept(","):
+                        names.append(p.next().text)
+                    p.expect(")")
+                    p.expect("=")
+                    st = p.expr()
+                    tmp = "__kql_tuple"
+                    df = df.withColumn(tmp, st)
+                    fields = df.schema[tmp].dataType
+                    from pyspark.sql.types import StructType as _St
+
+                    if not isinstance(fields, _St):
+                        raise ValueError(
+                            "KQL: tuple extend needs a multi-output "
+                            "function on the right-hand side"
+                        )
+                    if len(fields) != len(names):
+                        raise ValueError(
+                            f"KQL: tuple extend binds {len(names)} names "
+                            f"but the function returns {len(fields)} values"
+                        )
+                    for nm, fld in zip(names, fields.names):
+                        df = df.withColumn(nm, F.col(tmp).getField(fld))
+                    df = df.drop(tmp)
+                else:
+                    name = p.next().text
+                    p.expect("=")
+                    df = df.withColumn(name, p.expr())
                 if not p.accept(","):
                     break
         elif verb == "mv-expand":

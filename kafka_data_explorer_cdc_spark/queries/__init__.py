@@ -34,16 +34,18 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # driver row in the union of CORRECTNESS_r01..r08 (verified by
 # tools/rotation_check.py against the artifacts on disk) in the
 # priority order documented at end-of-round-8, then the 10 round-9
-# additions (d88-d91, k64-k66, b100-b104, mm10 — also never checked),
-# then the 6 stalest r2 entries that still fit (k13-k20;
+# additions (d88-d91, k64-k67, b100-b104, mm10, s49 — also never
+# checked), then the 4 stalest r2 entries that still fit (k13-k16;
 # never-checked entries pre-empt rotation per the standing policy, so
-# k21-k23 and d07/d16-d19 slip to round 10). Result: union driver
-# coverage reaches 316/316 after this round's driver run.
+# k17, k20-k23 and d07/d16-d19 slip to round 10). Result: union driver
+# coverage reaches 318/318 after this round's driver run.
 #
 # ROUND-10 QUEUE (in priority order; exact as of start-of-round-9 —
 # re-verify against the union of CORRECTNESS_r01..r09 before
 # committing): any round-9 additions never driver-checked first, then
-# the 8 displaced r2-stale entries: k21_kql_countif_sumif,
+# the 10 displaced r2-stale entries: k17_kql_filtered_pipeline,
+# k20_kql_between,
+# k21_kql_countif_sumif,
 # k22_kql_parse_json, k23_kql_mv_expand, d07_embedding_cosine_topk,
 # d16_chunk_documents, d17_contamination_check, d18_repetition_ratio,
 # d19_stratified_sample; then the r3-stale cohort:
@@ -123,14 +125,14 @@ _FRONT = [
     "d91_ivf_index_at_rest",
     "k66_kql_externaldata",
     "mm10_keyframe_selection",
-    # (3) the 6-entry head of the r2-stale cohort (newest driver row
-    # round 2; k21-k23 and d07/d16-d19 displaced to round 10)
+    "s49_stream_ivf_maintenance",
+    "k67_kql_series_decompose",
+    # (3) the 4-entry head of the r2-stale cohort (newest driver row
+    # round 2; k17, k20-k23 and d07/d16-d19 displaced to round 10)
     "k13_kql_recent_orders",
     "k14_kql_avg_sales",
     "k15_kql_total_sales",
     "k16_kql_order_counts",
-    "k17_kql_filtered_pipeline",
-    "k20_kql_between",
     # window full at 50; the r3-stale cohort (from d04x on) leads the
     # round-10 queue documented above.
 ]

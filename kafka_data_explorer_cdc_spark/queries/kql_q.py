@@ -1756,3 +1756,66 @@ def k66_kql_externaldata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   maxp = max(o_totalprice)",
         {},
     )
+
+
+@query(
+    "k67_kql_series_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-08 00:00:00'
+  GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT t.event_type, g.i,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (g.i * 6) HOUR AS d
+  FROM types t, unnest(generate_series(0, 27)) AS g(i)
+), dense AS (
+  SELECT g.event_type, g.i, CAST(COALESCE(daily.n, 0) AS DOUBLE) AS n
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.d = g.d
+), t AS (
+  SELECT event_type, i, n,
+         AVG(n) OVER (PARTITION BY event_type ORDER BY i
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS tv
+  FROM dense
+), ph AS (
+  SELECT event_type, i % 4 AS p, AVG(n - tv) AS sv
+  FROM t GROUP BY 1, 2
+)
+SELECT t.event_type, CAST(t.i AS BIGINT) AS i, t.n AS nv,
+       t.tv + ph.sv AS bv, ph.sv AS sv, t.tv,
+       t.n - t.tv - ph.sv AS rv
+FROM t JOIN ph ON ph.event_type = t.event_type AND ph.p = t.i % 4
+""",
+    tags=("kql", "timeseries", "dynamic"),
+)
+def k67_kql_series_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_decompose`` + tuple-destructuring extend — Kusto's
+    time-series decomposition verb over a make-series array (kql.py:
+    _series_decompose; b91 is the row-form sibling): dense 6-hour
+    event counts per type decompose into trend (clamped centered
+    moving average), seasonal (per-phase mean of the detrended
+    series, period 4 = one day of 6h bins), baseline and residual —
+    all as JVM HOF folds over the observability-sized arrays, no
+    explode until the final typed mv-expand + computed-index probe
+    (``s[i]`` — 0-based, compiled to element_at) unpacks every value
+    for the oracle. One shuffle total (make-series' per-bin rollup);
+    the decomposition itself is row-local expression work."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-08 00:00:00'"
+        " step 6h by event_type"
+        " | extend (b, s, tr, res) = series_decompose(n, 4)"
+        " | mv-expand with_itemindex = i bv = b to typeof(real)"
+        " | extend i = tolong(i), nv = todouble(n[i]),"
+        "   sv = todouble(s[i]), tv = todouble(tr[i]),"
+        "   rv = todouble(res[i])"
+        " | project event_type, i, nv, bv, sv, tv, rv",
+        {"Events": events},
+    )

@@ -1680,3 +1680,84 @@ def s48_stream_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     versions = sorted(os.listdir(state_root))
     return spark.read.parquet(os.path.join(state_root, versions[-1]))
+
+
+@query(
+    "s49_stream_ivf_maintenance",
+    oracle="""
+SELECT CAST(-1 AS BIGINT) AS probe_id, TRUE AS ok
+UNION ALL SELECT CAST(-2 AS BIGINT), TRUE
+""",
+    tags=("streaming", "similarity", "layout"),
+)
+def s49_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the d91 IVF index at rest — the
+    ingest half of a vector store: embedding rows arrive as a stream,
+    each micro-batch assigns cells against the SAME frozen coarse
+    quantizer (codebooks are trained offline and versioned; assignment
+    is embarrassingly parallel) and APPENDS to the partitioned index —
+    one directory write per touched inverted list, no read-modify-
+    write, no shuffle beyond the Arrow assigner. d91's DPP-pruned
+    probe then serves fresh vectors immediately.
+
+    Gate (all-TRUE oracle, non-SQL kernel so gate-style by design):
+    - probe -1: after the backlog drains, the streamed index holds
+      EXACTLY the batch-built assignment — same (vec_id, cell) set
+      (streaming ingest is a reorder of a deterministic map, so
+      equality is exact, not approximate).
+    - probe -2: no loss/duplication — index row count == corpus rows.
+
+    Scale: state is ZERO (the quantizer is a broadcast constant;
+    nothing stateful accumulates), so backpressure is pure sink
+    bandwidth; compaction of hot cells composes via b63 per
+    directory."""
+    from ..operators import similarity as S
+
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = S._centroids(em, 16, "vec_id", "embedding")
+    one = S._cell_assigner(C, 1)
+    out = _tmp("s49_idx_")
+    cp = _tmp("s49_cp_")
+
+    src_dir = tempfile.mkdtemp(prefix="s49_src_", dir="/tmp")
+    os.symlink(
+        f"{sf_dir}/embeddings.parquet",
+        os.path.join(src_dir, "embeddings.parquet"),
+    )
+    stream = spark.readStream.schema(em.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        batch.withColumn(
+            "cell", one(F.col("embedding")).getItem(0)
+        ).write.mode("append").partitionBy("cell").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(out).select("vec_id", "cell")
+    batch_idx = em.select(
+        "vec_id", one(F.col("embedding")).getItem(0).alias("cell")
+    )
+    missing = batch_idx.join(streamed, ["vec_id", "cell"], "left_anti")
+    extra = streamed.join(batch_idx, ["vec_id", "cell"], "left_anti")
+    same = (
+        missing.unionByName(extra)
+        .agg((F.count("*") == 0).alias("ok"))
+        .select(F.lit(-1).cast("long").alias("probe_id"), "ok")
+    )
+    counts = (
+        streamed.agg(F.count("*").alias("a"))
+        .crossJoin(em.agg(F.count("*").alias("b")))
+        .select(
+            F.lit(-2).cast("long").alias("probe_id"),
+            (F.col("a") == F.col("b")).alias("ok"),
+        )
+    )
+    return same.unionByName(counts)

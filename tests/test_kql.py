@@ -1375,3 +1375,41 @@ def test_kql_externaldata_csv_and_errors(spark, tmp_path):
         kql("externaldata (c: string) [] with (format='csv')", {})
     with pytest.raises(ValueError, match="unsupported externaldata type"):
         kql(f"externaldata (c: decimal) ['{f}']", {})
+
+
+def test_kql_series_decompose_semantics(spark):
+    """series_decompose: trend+seasonal+residual == x exactly; a pure
+    p-periodic signal lands (almost) entirely in seasonal away from
+    the clamped edges; error paths are loud."""
+    x = [1.0, 2.0, 3.0] * 3
+    df = spark.createDataFrame([(x,)], "x array<double>")
+    r = kql(
+        "T | extend (b, s, tr, res) = series_decompose(x, 3)", {"T": df}
+    ).collect()[0]
+    for i in range(9):
+        assert abs((r.tr[i] + r.s[i] + r.res[i]) - x[i]) < 1e-12
+        assert abs(r.b[i] - (r.tr[i] + r.s[i])) < 1e-12
+    # interior trend of a periodic signal is its mean; the residual is
+    # small but nonzero there — the phase means fold in edge-clamped
+    # positions (documented STL-lite approximation)
+    assert [round(v, 6) for v in r.tr[2:7]] == [2.0] * 5
+    assert all(abs(v) < 0.5 for v in r.res[2:7])
+    # seasonal dominates the signal: phase pattern repeats exactly
+    assert [round(v, 6) for v in r.s[:3]] == [round(v, 6) for v in r.s[3:6]]
+    with pytest.raises(ValueError, match="period must be positive"):
+        kql("T | extend (b, s, tr, res) = series_decompose(x, 0)", {"T": df})
+    with pytest.raises(ValueError, match="integer literal"):
+        kql("T | extend (b, s, tr, res) = series_decompose(x, 1.5)", {"T": df})
+    with pytest.raises(ValueError, match="binds 2 names"):
+        kql("T | extend (a, b) = series_decompose(x, 3)", {"T": df})
+    with pytest.raises(ValueError, match="multi-output"):
+        kql("T | extend (a, b) = strcat('x', 'y')", {"T": df})
+
+
+def test_kql_computed_array_index(spark):
+    """arr[i] with a computed index is 0-based element_at."""
+    df = spark.createDataFrame(
+        [([10, 20, 30], 2)], "arr array<int>, i int"
+    )
+    r = kql("T | extend v = arr[i], w = arr[0]", {"T": df}).collect()[0]
+    assert (r.v, r.w) == (30, 10)
