@@ -34,8 +34,9 @@ Supported (the reference's surface plus the obvious neighbors):
       | sample N  /  sample-distinct N of col   (deterministic
         pseudo-random — hash-ordered; Kusto promises no determinism,
         this engine promises replay-stable samples)
-      | parse Source with 'lit' Name 'lit' Name ...   (simple mode;
-        compiles to one anchored regex, non-greedy captures)
+      | parse [kind=simple|regex] Source with 'lit' Name 'lit' ...
+        (one anchored regex, non-greedy captures; kind=regex treats
+        the fragments as raw regex — capturing groups rejected there)
       | parse-where ...   (as parse, but non-matching rows are dropped)
       | extend name = expr, ...
       | serialize [name = expr, ...]   (requires a prior sort; enables
@@ -110,6 +111,9 @@ Supported (the reference's surface plus the obvious neighbors):
 
     let name = <scalar literal> ;  /  let name = T | ... ;   (named
     constants and tabular CTEs, visible to the query and join subqueries)
+
+    let f = (T:(*)) { T | ... } ;  then  T | invoke f()   (tabular
+    lambda: compile-time substitution — plans exactly as if inlined)
 
     let name = materialize(T | ...) ;   (cache hint: the bound pipeline
     is compiled once and persisted, so N references = N InMemoryTable
@@ -2217,7 +2221,20 @@ def kql(
                 f"KQL: only 'let' statements may precede the query, got {s[:40]!r}"
             )
         name, body = m.group(1), m.group(2).strip()
-        if re.fullmatch(r"\d+\.\d+|\d+", body):
+        lam = re.fullmatch(
+            r"\(\s*([A-Za-z_]\w*)\s*:\s*\(\s*\*\s*\)\s*\)\s*\{(.*)\}\s*",
+            body,
+            re.S,
+        )
+        if lam:
+            # let f = (T:(*)) { T | ... }; — Kusto's tabular lambda
+            # (one (*) tabular parameter in this subset). Stored as a
+            # template; `| invoke f()` binds the incoming pipeline to
+            # the parameter name and compiles the body in place — pure
+            # compile-time substitution, so the result plans exactly
+            # like the inlined query.
+            lets[name] = ("__kql_lambda", lam.group(1), lam.group(2).strip())
+        elif re.fullmatch(r"\d+\.\d+|\d+", body):
             lets[name] = float(body) if "." in body else int(body)
         elif re.fullmatch(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", body):
             lets[name] = body[1:-1]
@@ -2311,6 +2328,31 @@ def kql(
                         f"parenthesized subquery, got {item!r}"
                     )
                 df = df.unionByName(other, allowMissingColumns=True)
+            ser = None
+            continue
+        if head and head.group().lower() == "invoke":
+            # | invoke f() — apply a tabular lambda let to the pipeline
+            m = re.fullmatch(
+                r"invoke\s+([A-Za-z_]\w*)\s*\(\s*\)\s*", stage, re.IGNORECASE
+            )
+            if not m:
+                raise ValueError(
+                    "KQL: invoke expects 'invoke f()' with f a tabular "
+                    "lambda let (parameters beyond the tabular input "
+                    "are not supported in this subset)"
+                )
+            fn = (lets or {}).get(m.group(1))
+            if not (
+                isinstance(fn, tuple) and fn and fn[0] == "__kql_lambda"
+            ):
+                raise ValueError(
+                    f"KQL: invoke target {m.group(1)!r} is not a "
+                    "tabular lambda let"
+                )
+            _tag, param, fbody = fn
+            t = dict(tables)
+            t[param] = df
+            df = kql(fbody, t, now=now, _lets=lets)
             ser = None
             continue
         if head and head.group().lower() == "fork":
@@ -2772,6 +2814,19 @@ def kql(
             # regex with a non-greedy capture per name (last capture
             # takes the rest), applied via regexp_extract per column:
             # pure JVM expression work, no UDF.
+            mode = "simple"
+            if (
+                p.peek() is not None
+                and p.peek().text.lower() == "kind"
+            ):
+                p.next()
+                p.expect("=")
+                mode = p.next().text.lower()
+                if mode not in ("simple", "regex"):
+                    raise ValueError(
+                        f"KQL: parse kind must be simple or regex, "
+                        f"got {mode!r}"
+                    )
             src = p.expr()
             if p.next().text.lower() != "with":
                 raise ValueError("KQL: parse needs 'with' before the pattern")
@@ -2790,10 +2845,22 @@ def kql(
             names = [x for k, x in pieces if k == "name"]
             if not names:
                 raise ValueError("KQL: parse pattern extracts no columns")
-            rx = "^"  # Kusto simple mode matches from the start
+            rx = "^"  # Kusto matches from the start in both modes
             for i, (k, x) in enumerate(pieces):
                 if k == "lit":
-                    rx += re.escape(x)
+                    # kind=regex: the literals ARE regex fragments
+                    # (Kusto's regex mode); simple mode escapes them.
+                    # Capturing groups inside fragments would shift the
+                    # name→group mapping — require (?:...) instead.
+                    if mode == "regex" and re.search(
+                        r"(?<!\\)\((?!\?)", x
+                    ):
+                        raise ValueError(
+                            "KQL: parse kind=regex fragments must use "
+                            "non-capturing groups (?:...) — captures "
+                            "belong to the named placeholders"
+                        )
+                    rx += x if mode == "regex" else re.escape(x)
                 elif i == len(pieces) - 1:
                     rx += "(.*)"  # trailing capture takes the rest
                 else:

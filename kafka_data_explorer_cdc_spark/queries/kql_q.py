@@ -1819,3 +1819,58 @@ def k67_kql_series_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | project event_type, i, nv, bv, sv, tv, rv",
         {"Events": events},
     )
+
+
+@query(
+    "k68_kql_invoke_lambda",
+    oracle=f"""{_OI}
+SELECT city, CAST(SUM(amount) AS BIGINT) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders_info WHERE amount > 0 GROUP BY city
+ORDER BY total DESC LIMIT 3
+""",
+    tags=("kql", "lambda"),
+)
+def k68_kql_invoke_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``let f = (T:(*)) {{ ... }}; T | invoke f()`` — Kusto's tabular
+    lambda lets (kql.py grammar header): the function body is stored
+    as a template and ``invoke`` substitutes the incoming pipeline for
+    the tabular parameter at COMPILE time, so the result plans exactly
+    like the inlined query — reusable query logic with zero runtime
+    indirection (no view, no temp table, no extra shuffle). The
+    library pattern for shared KQL snippets across dashboards."""
+    return kql(
+        "let top_cities = (T:(*)) {"
+        "  T | summarize total = sum(amount), n = count() by city"
+        "    | top 3 by total };"
+        " Orders | where amount > 0 | invoke top_cities()",
+        _orders(spark, sf_dir),
+    )
+
+
+@query(
+    "k69_kql_parse_regex",
+    oracle=f"""{_OI}
+SELECT city AS c, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(orderid) AS BIGINT) AS keysum
+FROM orders_info GROUP BY city
+""",
+    tags=("kql", "parse"),
+)
+def k69_kql_parse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse kind=regex`` — Kusto's regex-mode extraction: the
+    pattern fragments between captured names are RAW regex (vs simple
+    mode's escaped literals), compiled into the same single anchored
+    regex with one non-greedy capture per name — still pure JVM
+    regexp_extract work, no UDF. Fragments containing capturing
+    groups are rejected (they would shift the name→group mapping —
+    tested); round-trips a synthesized log line back into its fields
+    over every order row."""
+    return kql(
+        "Orders"
+        " | extend line = strcat('order-', tostring(orderid),"
+        "     ' city=', city)"
+        " | parse kind=regex line with 'order-(?:id)?' oid ' +city=' c"
+        " | summarize n = count(), keysum = sum(tolong(oid)) by c",
+        _orders(spark, sf_dir),
+    )

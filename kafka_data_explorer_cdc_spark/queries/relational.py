@@ -5570,3 +5570,59 @@ def b104_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "b105_incremental_partition_processing",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events GROUP BY event_type
+""",
+    tags=("relational", "pruning", "incremental"),
+)
+def b105_incremental_partition_processing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental batch over a hive-partitioned table with a
+    HIGH-WATER MARK — the lakehouse pattern every scheduled 100 TB job
+    runs on: the fact table lives partitioned by day (b65's layout);
+    run N records the newest day it processed; run N+1 filters
+    ``event_date > hwm`` so partition pruning bounds its INPUT to the
+    new days only — listing-time metadata, zero data read for the
+    already-processed history. The entry simulates two runs (backfill
+    through 2024-01-03, then the incremental tail), merges the two
+    partial rollups — counts and sums are mergeable, the same algebra
+    as b41/b69's sketches-at-rest — and the result must equal a full
+    recompute EXACTLY (the oracle). The incremental scan's pruned
+    PartitionFilters are pinned in tests/test_plans.py."""
+    import os as _os
+    import tempfile as _tmp
+
+    ev = load(spark, sf_dir, "events")
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    out = _os.path.join(_tmp.gettempdir(), f"spark_graft_b105_{tag}")
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        ev.withColumn(
+            "event_date", F.date_format("ts", "yyyy-MM-dd")
+        ).write.mode("overwrite").partitionBy("event_date").parquet(out)
+    part = spark.read.parquet(out)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+
+    hwm = "2024-01-03"  # recorded by the simulated first run
+    first = rollup(part.filter(F.col("event_date") <= hwm))
+    incremental = rollup(part.filter(F.col("event_date") > hwm))
+    return (
+        first.unionByName(incremental)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_ids").alias("sum_ids"),
+        )
+    )

@@ -1413,3 +1413,44 @@ def test_kql_computed_array_index(spark):
     )
     r = kql("T | extend v = arr[i], w = arr[0]", {"T": df}).collect()[0]
     assert (r.v, r.w) == (30, 10)
+
+
+def test_kql_invoke_lambda(spark):
+    """invoke: tabular lambda lets substitute at compile time; only
+    lambda lets are invokable; errors are loud."""
+    df = spark.createDataFrame(
+        [("NY", 10), ("NY", 20), ("LA", 5)], "city string, amount long"
+    )
+    out = kql(
+        "let f = (T:(*)) { T | where amount >= 10"
+        " | summarize t = sum(amount) by city };"
+        " O | invoke f()",
+        {"O": df},
+    )
+    assert {(r.city, r.t) for r in out.collect()} == {("NY", 30)}
+    with pytest.raises(ValueError, match="not a tabular lambda"):
+        kql("O | invoke nope()", {"O": df})
+    with pytest.raises(ValueError, match="not a tabular lambda"):
+        kql("let x = 5; O | invoke x()", {"O": df})
+
+
+def test_kql_parse_regex_mode(spark):
+    """parse kind=regex: fragments are raw regex; capturing groups in
+    fragments are rejected; simple mode still escapes."""
+    df = spark.createDataFrame(
+        [("v=42;;tag=ab",), ("v=7;tag=cd",)], "line string"
+    )
+    out = kql(
+        "T | parse kind=regex line with 'v=' v ';+tag=' tag",
+        {"T": df},
+    ).collect()
+    assert {(r.v, r.tag) for r in out} == {("42", "ab"), ("7", "cd")}
+    with pytest.raises(ValueError, match="non-capturing"):
+        kql("T | parse kind=regex line with '(v=)' x", {"T": df})
+    with pytest.raises(ValueError, match="simple or regex"):
+        kql("T | parse kind=glob line with 'v=' x", {"T": df})
+    # simple mode: ';+' is literal, so nothing matches the ';;' row
+    simple = kql(
+        "T | parse line with 'v=' v ';+tag=' tag", {"T": df}
+    ).collect()
+    assert all(r.v == "" for r in simple)

@@ -1062,3 +1062,17 @@ def test_keyframe_pipeline_is_single_arrow_stage(spark, sf_dir):
     assert "BatchEvalPython" not in p
     assert "Window" not in p, "delta must not use a lag window"
     assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_incremental_run_prunes_history_partitions(spark, sf_dir):
+    """b105: the incremental scan must carry the high-water-mark
+    predicate in PartitionFilters — already-processed days are pruned
+    at LISTING time, never read."""
+    p = plan_of(spark, sf_dir, "b105_incremental_partition_processing")
+    assert "PartitionFilters" in p
+    assert "event_date" in p
+    import re
+    gt = re.search(r"PartitionFilters: \[[^\]]*> 2024-01-03\)", p)
+    le = re.search(r"PartitionFilters: \[[^\]]*<= 2024-01-03\)", p)
+    assert gt, "incremental scan must prune by event_date > hwm"
+    assert le, "backfill scan must prune by event_date <= hwm"
