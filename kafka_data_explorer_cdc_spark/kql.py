@@ -3355,3 +3355,78 @@ def render_spec(df: DataFrame) -> str | None:
     A17); this is the hint a presentation client consumes —
     ``df.toPandas()`` at the driver boundary is the hand-off."""
     return getattr(df, "_kql_render", None)
+
+
+#: Kusto chart type → Vega-Lite mark. Types without a sensible mark
+#: (table, card) intentionally absent — render_vegalite returns None.
+_VEGA_MARKS = {
+    "barchart": "bar",
+    "columnchart": "bar",
+    "linechart": "line",
+    "timechart": "line",
+    "areachart": "area",
+    "scatterchart": "point",
+    "piechart": "arc",
+}
+
+
+def render_vegalite(df: DataFrame, limit: int = 1000) -> dict | None:
+    """Materialize a trailing ``render`` hint as a self-contained
+    VEGA-LITE spec (plain JSON-able dict — feed it to any Vega
+    renderer; no plotting library is imported). This is the
+    presentation HAND-OFF, not a query operator: the relational
+    result is unchanged, and the collect is bounded by ``limit``
+    (charts are driver-sized by definition — render after the
+    aggregation, exactly as in ADX).
+
+    Encoding inference mirrors what ADX does with its result grid:
+    x = the first temporal else first non-numeric column, y = the
+    first numeric column, color = the next non-numeric column when
+    present (the series split). timechart/linechart sort x
+    ascending. Returns None when no render hint is attached or the
+    chart type has no mark form (``table``)."""
+    kind = render_spec(df)
+    if kind is None or kind not in _VEGA_MARKS:
+        return None
+    num_types = ("int", "bigint", "double", "float", "smallint", "decimal")
+    temporal = [c for c, t in df.dtypes if t.startswith(("timestamp", "date"))]
+    numeric = [c for c, t in df.dtypes if t.startswith(num_types)]
+    nominal = [
+        c for c, t in df.dtypes
+        if c not in temporal and not t.startswith(num_types)
+    ]
+    if not numeric:
+        raise ValueError("KQL render: no numeric column to plot")
+    x = temporal[0] if temporal else (nominal[0] if nominal else numeric[0])
+    y = numeric[0] if numeric[0] != x or len(numeric) == 1 else numeric[1]
+    color = next((c for c in nominal if c != x), None)
+    rows = [r.asDict() for r in df.limit(limit).collect()]
+    for r in rows:  # JSON-safe: timestamps → ISO strings
+        for k, v in r.items():
+            if hasattr(v, "isoformat"):
+                r[k] = v.isoformat()
+    mark = _VEGA_MARKS[kind]
+    xtype = "temporal" if x in temporal else (
+        "nominal" if x in nominal else "quantitative"
+    )
+    if mark == "arc":
+        encoding: dict = {
+            "theta": {"field": y, "type": "quantitative"},
+            "color": {"field": x, "type": xtype},
+        }
+    else:
+        encoding = {
+            "x": {"field": x, "type": xtype},
+            "y": {"field": y, "type": "quantitative"},
+        }
+        if kind in ("timechart", "linechart"):
+            encoding["x"]["sort"] = "ascending"
+        if color is not None:
+            encoding["color"] = {"field": color, "type": "nominal"}
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "description": f"KQL render {kind}",
+        "data": {"values": rows},
+        "mark": mark,
+        "encoding": encoding,
+    }

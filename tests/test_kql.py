@@ -1454,3 +1454,39 @@ def test_kql_parse_regex_mode(spark):
         "T | parse line with 'v=' v ';+tag=' tag", {"T": df}
     ).collect()
     assert all(r.v == "" for r in simple)
+
+
+def test_render_vegalite_handoff(spark):
+    """render_vegalite: the trailing render hint becomes a
+    self-contained Vega-Lite dict (bounded collect, inferred
+    encoding); None without a hint or for markless types."""
+    import json
+
+    from kafka_data_explorer_cdc_spark.kql import render_vegalite
+
+    df = spark.createDataFrame(
+        [("NY", 30), ("LA", 5)], "city string, total long"
+    )
+    out = kql(
+        "T | summarize total = sum(total) by city | render barchart"
+        " with (title = 'x')",
+        {"T": df},
+    )
+    spec = render_vegalite(out)
+    assert spec["mark"] == "bar"
+    assert spec["encoding"]["x"] == {"field": "city", "type": "nominal"}
+    assert spec["encoding"]["y"] == {"field": "total", "type": "quantitative"}
+    assert {v["city"] for v in spec["data"]["values"]} == {"NY", "LA"}
+    json.dumps(spec)  # JSON-serializable end to end
+    assert render_vegalite(kql("T | count", {"T": df})) is None
+    # timechart: temporal x, ascending sort, ISO timestamps
+    ts = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1.0)], "t string, v double"
+    ).withColumn("t", F.to_timestamp("t"))
+    spec2 = render_vegalite(kql("T | render timechart", {"T": ts}))
+    assert spec2["encoding"]["x"]["type"] == "temporal"
+    assert spec2["data"]["values"][0]["t"].startswith("2024-01-01T10:00:00")
+    json.dumps(spec2)
+    # piechart: theta/color form
+    spec3 = render_vegalite(kql("T | render piechart", {"T": df}))
+    assert spec3["mark"] == "arc" and "theta" in spec3["encoding"]
