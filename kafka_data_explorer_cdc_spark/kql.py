@@ -96,6 +96,10 @@ Supported (the reference's surface plus the obvious neighbors):
         branch. kql() renders the branches as one table — unionByName
         with null-fill behind a leading `fork_` discriminator column;
         kql_fork() returns the Kusto-faithful {branch: DataFrame} dict)
+      | make-graph Src --> Dst   (directed graph from two id columns)
+      | graph-match (a)-[]->(b)-[]->(c) [where <expr>] project n = x, ...
+        (vertex-chain pattern → chained hash equi-joins via motif_find;
+        repeated variables close cycles; vertex vars bind to ids)
       | render charttype [with (...)]   (must be last; presentation hint)
 
     print / range / datatable tabular sources (range generates on
@@ -2170,6 +2174,79 @@ def _compile_fork(
     return out
 
 
+def _compile_graph_match(
+    graph: tuple[DataFrame, str, str],
+    stage: str,
+    now: str | None,
+    lets: dict[str, object] | None,
+) -> DataFrame:
+    """``graph-match (a)-[]->(b)-[]->(c) [where <expr>] project
+    name = expr, ...`` over a preceding ``make-graph Src --> Dst``.
+
+    The vertex-chain pattern compiles to motif_find's chained hash
+    equi-joins on vertex variables (operators/graph.py — one edge-table
+    scan per hop, broadcast/shuffle joinable, never a cross join);
+    repeated variables close cycles via the shared-variable join keys.
+    Vertex variables bind to vertex IDS (this subset models the graph
+    from two id columns — Kusto's vertex property bags need a nodes
+    table, not modeled here); edge names inside ``[...]`` are accepted
+    and ignored (no edge properties to reference). ``where`` and
+    ``project`` see one column per vertex variable."""
+    edges, src, dst = graph
+    body = stage[len("graph-match"):].strip()
+    mproj = re.search(r"\bproject\b", body, re.IGNORECASE)
+    if not mproj:
+        raise ValueError("KQL: graph-match requires a project clause")
+    head, proj = body[: mproj.start()].strip(), body[mproj.end():].strip()
+    mwhere = re.search(r"\bwhere\b", head, re.IGNORECASE)
+    where_src = None
+    if mwhere:
+        head, where_src = (
+            head[: mwhere.start()].strip(),
+            head[mwhere.end():].strip(),
+        )
+    pat = re.fullmatch(
+        r"\(\s*(\w+)\s*\)(?:\s*-\s*\[\s*\w*\s*\]\s*->\s*\(\s*(\w+)\s*\))+",
+        head,
+    )
+    if not pat:
+        raise ValueError(
+            f"KQL: unparsable graph-match pattern {head!r} — expected "
+            "(a)-[]->(b)[-[]->(c) ...]"
+        )
+    vars_ = re.findall(r"\(\s*(\w+)\s*\)", head)
+    from .operators.graph import motif_find
+
+    terms = "; ".join(
+        f"({a})-[]->({b})" for a, b in zip(vars_, vars_[1:])
+    )
+    df = motif_find(edges, terms, src=src, dst=dst)
+    if where_src:
+        p = _Parser(_tokenize(where_src), now=now, lets=lets)
+        df = df.filter(p.expr())
+        if p.peek() is not None:
+            raise ValueError(
+                f"KQL: trailing tokens in graph-match where: "
+                f"{p.peek().text!r}"
+            )
+    p = _Parser(_tokenize(proj), now=now, lets=lets)
+    cols = []
+    while True:
+        name = p.next().text
+        if p.accept("="):
+            cols.append(p.expr().alias(name))
+        else:
+            cols.append(F.col(name))
+        if not p.accept(","):
+            break
+    if p.peek() is not None:
+        raise ValueError(
+            f"KQL: trailing tokens in graph-match project: "
+            f"{p.peek().text!r}"
+        )
+    return df.select(*cols)
+
+
 def kql_fork(
     query_text: str,
     tables: dict[str, DataFrame],
@@ -2287,10 +2364,18 @@ def kql(
     # serialized row order (sort-key Columns) for the window functions;
     # set by sort/top, preserved by row-local verbs, reset by the rest
     ser: list[Column] | None = None
+    # pending make-graph state: graph-match must follow immediately
+    _graph: tuple[DataFrame, str, str] | None = None
 
     for stage in stages[1:]:
         if render is not None:
             raise ValueError("KQL: 'render' must be the last operator")
+        if _graph is not None and not re.match(
+            r"graph-match\b", stage.strip(), re.IGNORECASE
+        ):
+            raise ValueError(
+                "KQL: make-graph must be followed by graph-match"
+            )
         if "toscalar" in stage:
             stage = _resolve_toscalar(stage, tables, now, lets)
         head = re.match(r"[A-Za-z_][\w-]*", stage)
@@ -2328,6 +2413,34 @@ def kql(
                         f"parenthesized subquery, got {item!r}"
                     )
                 df = df.unionByName(other, allowMissingColumns=True)
+            ser = None
+            continue
+        if head and head.group().lower() == "make-graph":
+            m = re.fullmatch(
+                r"make-graph\s+([A-Za-z_]\w*)\s*-->\s*([A-Za-z_]\w*)\s*",
+                stage,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(
+                    "KQL: make-graph expects 'make-graph Src --> Dst' "
+                    "(directed edges from two columns of the pipeline)"
+                )
+            for col in m.groups():
+                if col not in df.columns:
+                    raise ValueError(
+                        f"KQL: make-graph column {col!r} not found"
+                    )
+            _graph = (df, m.group(1), m.group(2))
+            ser = None
+            continue
+        if head and head.group().lower() == "graph-match":
+            if _graph is None:
+                raise ValueError(
+                    "KQL: graph-match requires a preceding make-graph"
+                )
+            df = _compile_graph_match(_graph, stage, now, lets)
+            _graph = None
             ser = None
             continue
         if head and head.group().lower() == "invoke":
@@ -3339,6 +3452,8 @@ def kql(
             raise ValueError(
                 f"KQL: trailing tokens in stage {stage!r}: {p.peek().text!r}"
             )
+    if _graph is not None:
+        raise ValueError("KQL: make-graph must be followed by graph-match")
     if render is not None:
         # break object identity before tagging: for `T | render x` the
         # pipeline may still BE the caller's table binding, and setting

@@ -34,16 +34,18 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # driver row in the union of CORRECTNESS_r01..r08 (verified by
 # tools/rotation_check.py against the artifacts on disk) in the
 # priority order documented at end-of-round-8, then the 10 round-9
-# additions (d88-d91, k64-k69, b100-b105, mm10, s49 — also never
-# checked), then the 1 stalest r2 entry that still fits (k13;
-# never-checked entries pre-empt rotation per the standing policy, so
-# k14-k17, k20-k23 and d07/d16-d19 slip to round 10). Result: union
-# driver coverage reaches 321/321 after this round's driver run.
+# additions (d88-d91, k64-k70, b100-b105, mm10, s49 — also never
+# checked): exactly 50, so the entire window is first-ever checks and
+# the full r2-stale cohort (k13-k17, k20-k23, d07, d16-d19) slips to
+# round 10 (never-checked entries pre-empt rotation per the standing
+# policy). Result: union driver coverage reaches 322/322 after this
+# round's driver run.
 #
 # ROUND-10 QUEUE (in priority order; exact as of start-of-round-9 —
 # re-verify against the union of CORRECTNESS_r01..r09 before
 # committing): any round-9 additions never driver-checked first, then
-# the 13 displaced r2-stale entries: k14_kql_avg_sales,
+# the 14 displaced r2-stale entries: k13_kql_recent_orders,
+# k14_kql_avg_sales,
 # k15_kql_total_sales, k16_kql_order_counts, k17_kql_filtered_pipeline,
 # k20_kql_between,
 # k21_kql_countif_sumif,
@@ -131,8 +133,9 @@ _FRONT = [
     "b105_incremental_partition_processing",
     "k68_kql_invoke_lambda",
     "k69_kql_parse_regex",
-    # (3) the head of the r2-stale cohort (newest driver row round 2;
-    # k14-k17, k20-k23 and d07/d16-d19 displaced to round 10)
+    "k70_kql_graph_match",
+    # window exactly full with never-checked entries; the whole
+    # r2-stale cohort leads the round-10 rotation tail (see queue).
     "k13_kql_recent_orders",
     # window full at 50; the r3-stale cohort (from d04x on) leads the
     # round-10 queue documented above.

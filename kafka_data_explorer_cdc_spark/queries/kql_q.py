@@ -10,7 +10,7 @@ snippets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cdc.envelope import ORDERS_INFO_SQL, orders_info
@@ -1873,4 +1873,60 @@ def k69_kql_parse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | parse kind=regex line with 'order-(?:id)?' oid ' +city=' c"
         " | summarize n = count(), keysum = sum(tolong(oid)) by c",
         _orders(spark, sf_dir),
+    )
+
+
+@query(
+    "k70_kql_graph_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), e AS (
+  SELECT DISTINCT event_type AS s, next_type AS d
+  FROM seq WHERE next_type IS NOT NULL
+)
+SELECT e1.s AS a, e1.d AS b, e2.d AS c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e e1 JOIN e e2 ON e1.d = e2.s
+WHERE e1.s <> e2.d
+GROUP BY 1, 2, 3
+""",
+    tags=("kql", "graph"),
+)
+def k70_kql_graph_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``make-graph`` + ``graph-match`` — Kusto's graph operators
+    (kql.py:_compile_graph_match) over the distinct event-type
+    transition graph (d39's edges, deduplicated): 2-hop open paths
+    (a)→(b)→(c) with a ≠ c, counted per triple. The vertex-chain
+    pattern compiles to motif_find's chained hash equi-joins
+    (operators/graph.py) — one edge-scan per hop, broadcast-joinable,
+    no cross join ever; repeated variables close cycles through the
+    shared-variable join keys (tested). The count(*) per triple is 1
+    on a deduplicated edge set unless parallel paths exist — kept as
+    an aggregate so the KQL continues through summarize after
+    graph-match like any pipeline stage.
+
+    Scale: hub-vertex fan-out is the wedge count, same story and same
+    mitigation as d55/d82 — degree-orient the edge table before
+    make-graph; the operator algebra is unchanged."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    edges = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("s"), F.col("next_type").alias("d")
+        )
+        .distinct()
+    )
+    return kql(
+        "E | make-graph s --> d"
+        " | graph-match (a)-[]->(b)-[]->(c) where a != c project a, b, c"
+        " | summarize n = count() by a, b, c",
+        {"E": edges},
     )

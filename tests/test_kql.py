@@ -1490,3 +1490,39 @@ def test_render_vegalite_handoff(spark):
     # piechart: theta/color form
     spec3 = render_vegalite(kql("T | render piechart", {"T": df}))
     assert spec3["mark"] == "arc" and "theta" in spec3["encoding"]
+
+
+def test_kql_graph_match(spark):
+    """make-graph + graph-match: chained-join compilation, cycle
+    closure via repeated variables, loud contract errors."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4)], "s long, d long"
+    )
+    out = kql(
+        "E | make-graph s --> d"
+        " | graph-match (a)-[]->(b)-[]->(c) where a != c project a, b, c",
+        {"E": e},
+    )
+    got = {(r.a, r.b, r.c) for r in out.collect()}
+    assert got == {(3, 1, 2), (1, 2, 3), (1, 2, 4), (2, 3, 1)}
+    tri = kql(
+        "E | make-graph s --> d"
+        " | graph-match (a)-[]->(b)-[]->(c)-[]->(a) project a, b, c",
+        {"E": e},
+    )
+    assert {(r.a, r.b, r.c) for r in tri.collect()} == {
+        (1, 2, 3), (2, 3, 1), (3, 1, 2)
+    }
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError, match="followed by graph-match"):
+        kql("E | make-graph s --> d | take 1", {"E": e})
+    with pytest.raises(ValueError, match="followed by graph-match"):
+        kql("E | make-graph s --> d", {"E": e})
+    with pytest.raises(ValueError, match="preceding make-graph"):
+        kql("E | graph-match (a)-[]->(b) project a", {"E": e})
+    with pytest.raises(ValueError, match="project clause"):
+        kql("E | make-graph s --> d | graph-match (a)-[]->(b)", {"E": e})
+    with pytest.raises(ValueError, match="column 'x' not found"):
+        kql("E | make-graph x --> d | graph-match (a)-[]->(b) project a",
+            {"E": e})

@@ -78,6 +78,16 @@ def test_lsh_pipelines_have_no_cross_join(spark, sf_dir):
         "embedding_near_dup": S.embedding_near_dup_pairs(em, threshold=0.95),
         "ivf_topk": S.ivf_cosine_topk(em, queries, k=5, n_cells=16, nprobe=8),
         "lsh_topk": S.lsh_cosine_topk(em, queries, k=5, bits=6, tables=8),
+        "hard_negative_ivf": S.hard_negative_ivf_topk(
+            load(spark, sf_dir, "embeddings"),
+            load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0),
+            k=3, n_cells=16, nprobe=8,
+        ),
+        "bitext_ivf": S.bitext_margin_pairs(
+            load(spark, sf_dir, "embeddings").filter(F.col("label") == 0),
+            load(spark, sf_dir, "embeddings").filter(F.col("label") == 1),
+            k=4, ivf=(16, 8),
+        ),
     }
     for name, df in plans.items():
         p = df._jdf.queryExecution().executedPlan().toString()
