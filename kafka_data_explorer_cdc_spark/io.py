@@ -328,3 +328,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql paths."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def derived_cache_dir(name: str, src_path: str) -> str:
+    """A /tmp directory for a DERIVED layout of ``src_path`` (hive
+    repartition, IVF index, ...), keyed by the source file's identity
+    (size + mtime) as well as its name — so a regenerated testdata
+    file can never be served from a stale cached derivation (the
+    write-once `_SUCCESS` marker pattern is only sound while the
+    source bytes are the same bytes). Callers still own the marker
+    check and the write."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = src_path
+    if os.path.isdir(p):
+        files = sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        if files:
+            p = files[0]
+    try:
+        st = os.stat(p)
+        fp = hashlib.sha256(
+            f"{st.st_size}:{int(st.st_mtime)}".encode()
+        ).hexdigest()[:12]
+    except OSError:
+        fp = "nostat"
+    tag = os.path.basename(os.path.dirname(p.rstrip("/"))) or "root"
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{name}_{tag}_{fp}"
+    )

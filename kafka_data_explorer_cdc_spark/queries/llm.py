@@ -7103,8 +7103,9 @@ def d91_ivf_index_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     C = S._centroids(em, 16, "vec_id", "embedding")
     one = S._cell_assigner(C, 1)
-    tag = _os.path.basename(sf_dir.rstrip("/"))
-    out = _os.path.join(_tmp.gettempdir(), f"spark_graft_d91_{tag}")
+    from ..io import derived_cache_dir
+
+    out = derived_cache_dir("d91", f"{sf_dir}/embeddings.parquet")
     if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
         em.withColumn(
             "cell", one(F.col("embedding")).getItem(0)

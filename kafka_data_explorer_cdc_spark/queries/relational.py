@@ -1928,8 +1928,9 @@ def b48_multiformat_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile as _tmp
 
-    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = _os.path.join(_tmp.gettempdir(), f"spark_graft_b48_{tag}")
+    from ..io import derived_cache_dir
+
+    base = derived_cache_dir("b48", f"{sf_dir}/orders.parquet")
     proj = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     csv_p, json_p = _os.path.join(base, "csv"), _os.path.join(base, "json")
     if not _os.path.isdir(csv_p):
@@ -2964,11 +2965,11 @@ def b65_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoid is over-partitioning (small files per partition) — which is
     exactly what b63's compaction fixes, run per-partition."""
     import os as _os
-    import tempfile as _tmp
+
+    from ..io import derived_cache_dir
 
     ev = load(spark, sf_dir, "events")
-    tag = _os.path.basename(sf_dir.rstrip("/"))
-    out = _os.path.join(_tmp.gettempdir(), f"spark_graft_b65_{tag}")
+    out = derived_cache_dir("b65", f"{sf_dir}/events.parquet")
     marker = _os.path.join(out, "_SUCCESS")
     if not _os.path.exists(marker):
         ev.withColumn(
@@ -4586,14 +4587,16 @@ def b89_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     import os as _os
     import tempfile as _tmp
 
+    from ..io import derived_cache_dir
+
     ev = load(spark, sf_dir, "events")
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    out = _os.path.join(_tmp.gettempdir(), f"spark_graft_b65_{tag}")
+    out = derived_cache_dir("b65", f"{sf_dir}/events.parquet")
     if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
         ev.withColumn(
             "event_date", F.date_format("ts", "yyyy-MM-dd")
         ).write.mode("overwrite").partitionBy("event_date").parquet(out)
-    dim_dir = _os.path.join(_tmp.gettempdir(), f"spark_graft_b89dim_{tag}")
+    dim_dir = derived_cache_dir("b89dim", f"{sf_dir}/events.parquet")
     if not _os.path.exists(_os.path.join(dim_dir, "_SUCCESS")):
         ev.select(
             F.date_format("ts", "yyyy-MM-dd").alias("d")
@@ -5598,11 +5601,11 @@ def b105_incremental_partition_processing(
     recompute EXACTLY (the oracle). The incremental scan's pruned
     PartitionFilters are pinned in tests/test_plans.py."""
     import os as _os
-    import tempfile as _tmp
+
+    from ..io import derived_cache_dir
 
     ev = load(spark, sf_dir, "events")
-    tag = _os.path.basename(sf_dir.rstrip("/"))
-    out = _os.path.join(_tmp.gettempdir(), f"spark_graft_b105_{tag}")
+    out = derived_cache_dir("b105", f"{sf_dir}/events.parquet")
     if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
         ev.withColumn(
             "event_date", F.date_format("ts", "yyyy-MM-dd")
