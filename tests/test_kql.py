@@ -1526,3 +1526,25 @@ def test_kql_graph_match(spark):
     with pytest.raises(ValueError, match="column 'x' not found"):
         kql("E | make-graph x --> d | graph-match (a)-[]->(b) project a",
             {"E": e})
+
+
+def test_kql_let_forms_compose(spark):
+    """materialize + tabular lambda + fork in one query: lambda lets
+    stay visible inside fork branches, and the materialized binding is
+    shared by both branches."""
+    df = spark.createDataFrame(
+        [("NY", 10), ("NY", 20), ("LA", 5)], "city string, amount long"
+    )
+    out = kql(
+        "let by_city = (T:(*)) { T | summarize t = sum(amount) by city };"
+        " let M = materialize(O | where amount > 0);"
+        " M | fork"
+        "   a = ( invoke by_city() )"
+        "   b = ( count )",
+        {"O": df},
+    )
+    rows = {(r["fork_"], r["city"], r["t"], r["Count"])
+            for r in out.collect()}
+    assert rows == {
+        ("a", "NY", 30, None), ("a", "LA", 5, None), ("b", None, None, 3),
+    }
