@@ -133,7 +133,9 @@ string / numeric / duration
 ``get_json_object`` probe), ``iff``/``case``/``strcat``/
 ``strcat_array``/``extract``/``substring``/``coalesce``/``isnull``/
 ``isempty`` scalars. Aggregates: ``count()``, ``sum``/``avg``/``min``/
-``max``/``dcount``, ``countif(pred)``, ``sumif(col, pred)``,
+``max``/``dcount``, ``hll``/``hll_merge`` (mergeable Datasketches HLL
+at rest; scalar ``dcount_hll()`` estimates), ``countif(pred)``,
+``sumif(col, pred)``,
 ``arg_max``/``arg_min`` (max_by/min_by — one mergeable struct-max, no
 window), ``make_list``/``make_set`` (set form sorted for determinism),
 ``percentile(col, P)`` (exact; swap percentile_approx at scale).
@@ -178,6 +180,11 @@ _AGGS = {
     # sample forms, matching Kusto (stdev == stdevs, variance sample-based)
     "stdev": lambda c: F.stddev_samp(c),
     "variance": lambda c: F.var_samp(c),
+    # Kusto's HLL sketch algebra on Spark's Datasketches built-ins:
+    # hll() produces the mergeable binary sketch, hll_merge() unions
+    # sketches at rest (the b41 pattern), scalar dcount_hll() estimates
+    "hll": lambda c: F.hll_sketch_agg(c),
+    "hll_merge": lambda c: F.hll_union_agg(c),
 }
 
 
@@ -766,6 +773,12 @@ class _Parser:
             e = self.expr()
             self.expect(")")
             return _DynamicJson(e)
+        if name == "dcount_hll":
+            # scalar estimate over an hll()/hll_merge() sketch column
+            self.expect("(")
+            e = self.expr()
+            self.expect(")")
+            return F.hll_sketch_estimate(e)
         if name == "series_decompose":
             # series_decompose(x, period) — period must be a positive
             # integer literal (Kusto's auto-detection not implemented)

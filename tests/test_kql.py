@@ -1548,3 +1548,25 @@ def test_kql_let_forms_compose(spark):
     assert rows == {
         ("a", "NY", 30, None), ("a", "LA", 5, None), ("b", None, None, 3),
     }
+
+
+def test_kql_hll_sketch_algebra(spark):
+    """hll()/hll_merge() aggregates + scalar dcount_hll(): mergeable
+    Datasketches HLL — per-group sketches union at rest to the same
+    estimate as a direct sketch of the whole column (the b41 at-rest
+    contract, surfaced in KQL)."""
+    df = spark.createDataFrame(
+        [(i % 7, i % 1000) for i in range(20000)], "g int, v int"
+    )
+    merged = kql(
+        "T | summarize h = hll(v) by g"
+        " | summarize m = hll_merge(h)"
+        " | extend n = dcount_hll(m) | project n",
+        {"T": df},
+    ).collect()[0]["n"]
+    direct = kql(
+        "T | summarize h = hll(v) | extend n = dcount_hll(h) | project n",
+        {"T": df},
+    ).collect()[0]["n"]
+    assert merged == direct  # union of partial sketches is lossless
+    assert abs(merged - 1000) / 1000 < 0.05  # HLL error bound
