@@ -132,7 +132,7 @@ string / numeric / duration
 ``parse_json(col).field`` dynamic access (compiles to a single
 ``get_json_object`` probe), ``iff``/``case``/``strcat``/
 ``strcat_array``/``extract``/``substring``/``coalesce``/``isnull``/
-``isempty`` scalars. Aggregates: ``count()``, ``sum``/``avg``/``min``/
+``isempty``/``isnotnull``/``isnotempty``/``isnan``/``isfinite``, ``hash(v[, mod])``/``tohex``, ``array_index_of``/``array_slice``/``array_reverse``/``array_sort_asc|desc``, ``max_of``/``min_of``, ``base64_encode_tostring``/``base64_decode_tostring``, ``url_encode_component``/``url_decode``, ``trim``/``trim_start``/``trim_end`` (regex), ``strcat_delim``, ``translate`` (Kusto arg order), and ``datetime_add`` (calendar units) scalars. Aggregates: ``count()``, ``sum``/``avg``/``min``/
 ``max``/``dcount``, ``hll``/``hll_merge`` (mergeable Datasketches HLL
 at rest; scalar ``dcount_hll()`` estimates), ``countif(pred)``,
 ``sumif(col, pred)``,
@@ -662,6 +662,33 @@ class _Parser:
         "array_length": F.size,
         "array_min": F.array_min,
         "array_max": F.array_max,
+        # hash(v [, mod]) — deterministic 64-bit engine hash (this
+        # engine: xxhash64, the same family Kusto documents); with mod,
+        # the non-negative remainder as in Kusto
+        "hash": lambda c, *m: (
+            F.pmod(F.xxhash64(c), m[0]) if m else F.xxhash64(c)
+        ),
+        "tohex": F.hex,
+        # Kusto: -1 when absent — array_position's 0-if-absent shifts
+        # to exactly that
+        "array_index_of": lambda a, v: (F.array_position(a, v) - 1),
+        # Kusto inclusive 0-based [start, end]
+        "array_slice": lambda a, st, en: F.slice(
+            a, st.cast("int") + 1, (en - st).cast("int") + 1
+        ),
+        "array_reverse": F.reverse,
+        "array_sort_asc": F.array_sort,
+        "array_sort_desc": lambda c: F.reverse(F.array_sort(c)),
+        "max_of": lambda *cs: F.greatest(*cs),
+        "min_of": lambda *cs: F.least(*cs),
+        "isnan": F.isnan,
+        "isfinite": lambda c: ~(
+            F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+        ),
+        "base64_encode_tostring": lambda c: F.base64(F.encode(c, "UTF-8")),
+        "base64_decode_tostring": lambda c: F.decode(F.unbase64(c), "UTF-8"),
+        "url_encode_component": F.url_encode,
+        "url_decode": F.url_decode,
         "array_concat": lambda *cs: F.concat(*cs),
         # JVM fold — sums element-wise without exploding (double result;
         # Kusto's dynamic arithmetic is double-typed for reals anyway)
@@ -923,18 +950,90 @@ class _Parser:
                     "in this subset (multi-group returns nested arrays)"
                 )
             return F.regexp_extract_all(src, F.lit(rx), ngroups)
-        if name == "trim":
-            # trim('regex', source): strip leading+trailing matches, as
-            # in Kusto (the plain-whitespace form is trim('\\s', x))
+        if name in ("trim", "trim_start", "trim_end"):
+            # trim[_start|_end]('regex', source): strip leading and/or
+            # trailing matches, as in Kusto (whitespace = trim('\\s', x))
             self.expect("(")
             rxt = self.next()
             if rxt.kind != "str":
-                raise ValueError("KQL: trim() needs a string-literal regex")
+                raise ValueError(f"KQL: {name}() needs a string-literal regex")
             self.expect(",")
             src = self.expr()
             self.expect(")")
             rx = rxt.text[1:-1]
-            return F.regexp_replace(src, f"^(?:{rx})+|(?:{rx})+$", "")
+            pat = {
+                "trim": f"^(?:{rx})+|(?:{rx})+$",
+                "trim_start": f"^(?:{rx})+",
+                "trim_end": f"(?:{rx})+$",
+            }[name]
+            return F.regexp_replace(src, pat, "")
+        if name == "strcat_delim":
+            # strcat_delim('sep', a, b, ...) — separator must be a
+            # string literal (concat_ws takes it at compile time)
+            self.expect("(")
+            sep = self.next()
+            if sep.kind != "str":
+                raise ValueError(
+                    "KQL: strcat_delim() needs a string-literal separator"
+                )
+            parts = []
+            while self.accept(","):
+                parts.append(self.expr().cast("string"))
+            self.expect(")")
+            if not parts:
+                raise ValueError("KQL: strcat_delim() needs arguments")
+            return F.concat_ws(sep.text[1:-1], *parts)
+        if name == "translate":
+            # translate('from', 'to', source) — Kusto argument order;
+            # character maps are compile-time literals
+            self.expect("(")
+            frm = self.next()
+            self.expect(",")
+            to = self.next()
+            self.expect(",")
+            src = self.expr()
+            self.expect(")")
+            if frm.kind != "str" or to.kind != "str":
+                raise ValueError(
+                    "KQL: translate() needs string-literal character maps"
+                )
+            return F.translate(src, frm.text[1:-1], to.text[1:-1])
+        if name == "datetime_add":
+            # datetime_add('part', amount, dt) — calendar-unit add
+            self.expect("(")
+            part = self.next()
+            ptext = part.text[1:-1] if part.kind == "str" else part.text
+            ptext = ptext.lower()
+            units = {
+                "year": "YEAR", "quarter": "QUARTER", "month": "MONTH",
+                "week": "WEEK", "day": "DAY", "hour": "HOUR",
+                "minute": "MINUTE", "second": "SECOND",
+            }
+            if ptext not in units:
+                raise ValueError(
+                    f"KQL: datetime_add part must be one of "
+                    f"{sorted(units)}, got {ptext!r}"
+                )
+            self.expect(",")
+            amount = self.expr()
+            self.expect(",")
+            dt = self.expr()
+            self.expect(")")
+            z = F.lit(0)
+            kw = {
+                "year": dict(years=amount),
+                "quarter": dict(months=amount * 3),
+                "month": dict(months=amount),
+                "week": dict(weeks=amount),
+                "day": dict(days=amount),
+                "hour": dict(hours=amount),
+                "minute": dict(mins=amount),
+                "second": dict(secs=amount.cast("double")),
+            }[ptext]
+            base = dict(years=z, months=z, weeks=z, days=z, hours=z,
+                        mins=z, secs=F.lit(0.0))
+            base.update(kw)
+            return dt + F.make_interval(**base)
         if name in ("row_number", "prev", "next", "row_cumsum"):
             # Kusto's serialized window functions. They are only legal
             # over a serialized (row-ordered) input — in this subset

@@ -1570,3 +1570,47 @@ def test_kql_hll_sketch_algebra(spark):
     ).collect()[0]["n"]
     assert merged == direct  # union of partial sketches is lossless
     assert abs(merged - 1000) / 1000 < 0.05  # HLL error bound
+
+
+def test_kql_scalar_function_batch_round9(spark):
+    """Round-9 scalar additions: hash/tohex, array_index_of/slice/
+    reverse/sort, max_of/min_of, base64 + url round-trips,
+    trim_start/trim_end, strcat_delim, translate (Kusto arg order),
+    datetime_add calendar semantics, isnan/isfinite."""
+    df = spark.createDataFrame(
+        [("ab cd", 7, [3, 1, 2], "2024-01-31 01:00:00")],
+        "s string, n long, arr array<int>, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = kql(
+        "T | extend hm = hash(s, 100), hx = tohex(n),"
+        " i0 = array_index_of(arr, 1), im = array_index_of(arr, 99),"
+        " sl = array_slice(arr, 0, 1), rv = array_reverse(arr),"
+        " sa = array_sort_asc(arr), sd = array_sort_desc(arr),"
+        " mx = max_of(n, 100), mn = min_of(n, 100),"
+        " d = base64_decode_tostring(base64_encode_tostring(s)),"
+        " ud = url_decode(url_encode_component(s)),"
+        " t1 = trim_start('a', s), t2 = trim_end('d', s),"
+        " j = strcat_delim('-', s, n), tr = translate('abc', 'xyz', s),"
+        " nf = isfinite(todouble(n)), na = isnan(todouble(n)),"
+        " am = datetime_add('month', 1, ts),"
+        " aq = datetime_add('quarter', 2, ts)",
+        {"T": df},
+    ).collect()[0]
+    assert 0 <= r["hm"] < 100
+    assert r["hx"] == "7"
+    assert r["i0"] == 1 and r["im"] == -1  # Kusto: -1 when absent
+    assert r["sl"] == [3, 1] and r["rv"] == [2, 1, 3]
+    assert r["sa"] == [1, 2, 3] and r["sd"] == [3, 2, 1]
+    assert (r["mx"], r["mn"]) == (100, 7)
+    assert r["d"] == "ab cd" and r["ud"] == "ab cd"
+    assert r["t1"] == "b cd" and r["t2"] == "ab c"
+    assert r["j"] == "ab cd-7" and r["tr"] == "xy zd"
+    assert r["nf"] is True and r["na"] is False
+    assert str(r["am"]).startswith("2024-02-29")  # calendar month add
+    assert str(r["aq"]).startswith("2024-07-31")
+    with pytest.raises(ValueError, match="datetime_add part"):
+        kql("T | extend x = datetime_add('fortnight', 1, ts)", {"T": df})
+    with pytest.raises(ValueError, match="string-literal separator"):
+        kql("T | extend x = strcat_delim(n, s)", {"T": df})
+    with pytest.raises(ValueError, match="character maps"):
+        kql("T | extend x = translate(s, s, s)", {"T": df})
