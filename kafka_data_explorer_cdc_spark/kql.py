@@ -594,7 +594,15 @@ class _Parser:
                     )
                 idx = self.expr()
                 self.expect("]")
-                e = F.element_at(e, idx.cast("int") + F.lit(1))
+                # Kusto: any invalid index (negative OR past the end)
+                # yields null. Spark's element_at indexes from the END
+                # for negatives and (under ANSI) throws out-of-range —
+                # gate negatives with a lazy CASE branch and use
+                # try_element_at for the too-large side.
+                e = F.when(
+                    idx >= 0,
+                    F.try_element_at(e, idx.cast("int") + F.lit(1)),
+                )
                 continue
             self.next()
             name = self.next().text
@@ -2274,6 +2282,7 @@ def _compile_fork(
     if not branches:
         raise ValueError("KQL: fork needs at least one branch")
     base = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _KQL_PERSISTED.append(base)
     out: dict[str, DataFrame] = {}
     for idx, (name, sub) in enumerate(branches):
         bname = name or f"Results_{idx}" if name or idx else "Results"
@@ -2357,6 +2366,31 @@ def _compile_graph_match(
             f"{p.peek().text!r}"
         )
     return df.select(*cols)
+
+
+# Every DataFrame the compiler persists (materialize() bindings, fork
+# bases) — persist outlives the compile because the returned branches
+# are lazy, so long-lived sessions running many such queries would
+# otherwise accumulate MEMORY_AND_DISK entries. Callers that loop
+# (bench harnesses, notebook sessions) should call
+# kql_unpersist_caches() once the round's results are materialized.
+_KQL_PERSISTED: list[DataFrame] = []
+
+
+def kql_unpersist_caches() -> int:
+    """Unpersist every DataFrame the KQL compiler has persisted since
+    the last call (``materialize()`` bindings and ``fork`` bases) and
+    return how many were released. Safe to call at any time — already
+    -collected results are unaffected; un-collected branch DataFrames
+    simply recompute their pre-fork input."""
+    n = 0
+    while _KQL_PERSISTED:
+        try:
+            _KQL_PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
 
 
 def kql_fork(
@@ -2445,6 +2479,7 @@ def kql(
             tables[name] = kql(
                 inner[:-1].strip(), tables, now=now, _lets=lets
             ).persist(StorageLevel.MEMORY_AND_DISK)
+            _KQL_PERSISTED.append(tables[name])
         else:
             tables[name] = kql(body, tables, now=now, _lets=lets)
     if not stmts:
@@ -2479,7 +2514,7 @@ def kql(
     # pending make-graph state: graph-match must follow immediately
     _graph: tuple[DataFrame, str, str] | None = None
 
-    for stage in stages[1:]:
+    for _si, stage in enumerate(stages[1:], start=1):
         if render is not None:
             raise ValueError("KQL: 'render' must be the last operator")
         if _graph is not None and not re.match(
@@ -2581,7 +2616,10 @@ def kql(
             ser = None
             continue
         if head and head.group().lower() == "fork":
-            if stage is not stages[-1]:
+            # positional check — the toscalar rewrite above rebinds
+            # `stage` to a new string, so identity vs stages[-1] would
+            # spuriously reject a final fork containing toscalar
+            if _si != len(stages) - 1:
                 raise ValueError("KQL: 'fork' must be the last operator")
             branches = _compile_fork(df, stage, tables, now, lets)
             if _fork_out is not None:
@@ -3077,8 +3115,11 @@ def kql(
                     # (Kusto's regex mode); simple mode escapes them.
                     # Capturing groups inside fragments would shift the
                     # name→group mapping — require (?:...) instead.
+                    # '(?<name>...)' (Java named capture) is STILL a
+                    # capturing group, so only '(?<=' / '(?<!'
+                    # lookbehinds pass the '(?<' spelling.
                     if mode == "regex" and re.search(
-                        r"(?<!\\)\((?!\?)", x
+                        r"(?<!\\)\((?!\?(?::|=|!|<=|<!))", x
                     ):
                         raise ValueError(
                             "KQL: parse kind=regex fragments must use "

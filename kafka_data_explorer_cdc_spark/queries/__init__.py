@@ -84,68 +84,69 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 _FRONT = [
-    # Round-9 window: the 31 never-driver-checked entries (union of
-    # CORRECTNESS_r01..r08 verified via tools/rotation_check.py) in
-    # the documented end-of-round-8 priority order, then the 10
-    # round-9 additions, then the 9 stalest r2 entries that fit.
-    # (1) the 5 round-8 overflow never-checked entries
-    "d81_calibration_audit",
-    "k55_kql_series_outliers",
-    "k56_kql_basket",
-    "k57_kql_reduce_by",
-    "s45_stream_session_windows",
-    # (2) the 26 round-8 additions, build order
-    "k58_kql_mv_expand_typed",
-    "k59_kql_narrow",
-    "s46_stream_exactly_once_sink",
-    "d82_motif_census",
-    "b93_distributed_row_ids",
-    "mm9_goertzel_tone_power",
-    "a22_snapshot_log_cutover",
-    "s47_stream_dedup_within_watermark",
-    "d83_bpe_apply",
-    "b95_runtime_bloom_filter_join",
-    "s48_stream_scd2_dimension",
-    "b94_bucketized_interval_join",
-    "k60_kql_series_fir",
-    "b96_aqe_skew_join",
-    "d84_content_defined_chunking",
-    "b97_argmin_supplier_join",
-    "k61_kql_toscalar",
-    "k62_kql_extract_all",
-    "b98_top_session_paths",
-    "a23_replication_lag_monitor",
-    "d85_ccnet_quality_buckets",
-    "d86_cross_doc_chunk_dedup",
-    "b99_excess_stock_suppliers",
-    "a24_dlq_repair_replay",
-    "d87_hashed_feature_classifier",
-    "k63_kql_bin_at_percentiles",
-    # (2b) the 10 round-9 additions — never checked by construction
-    "d88_neardup_clusters_star",
-    "d89_hard_negative_ivf",
-    "d90_bitext_margin_ivf",
-    "k64_kql_materialize",
-    "k65_kql_fork",
-    "b100_order_count_distribution",
-    "b101_supplier_part_counts",
-    "b102_disjunctive_predicate_join",
-    "b103_important_supplier_stock",
-    "b104_dormant_rich_customers",
-    "d91_ivf_index_at_rest",
-    "k66_kql_externaldata",
-    "mm10_keyframe_selection",
-    "s49_stream_ivf_maintenance",
-    "k67_kql_series_decompose",
-    "b105_incremental_partition_processing",
-    "k68_kql_invoke_lambda",
-    "k69_kql_parse_regex",
-    "k70_kql_graph_match",
-    # window exactly full with never-checked entries; the whole
-    # r2-stale cohort leads the round-10 rotation tail (see queue).
+    # ROUND-10 WINDOW (verified against the union of
+    # CORRECTNESS_r01..r09 via tools/rotation_check.py — r9 checked all
+    # 50 of the round-9 window, so nothing is never-checked and pure
+    # staleness rotation applies): round-10 additions first (prepended
+    # as they land, tail trimmed to keep the window at 50), then the
+    # r2-stale cohort (14, 7 driver-rounds old), then the r3-stale
+    # cohort (25), then the head of the r4 cohort to fill 50.
+    # (0) round-10 additions — never driver-checked by construction
+    "s50_stream_late_data_watermark",
+    "d92_colbert_maxsim",
+    "d93_ivf_index_optimize",
+    "k71_kql_funnel_sequence",
+    "k72_kql_sequence_detect",
+    "b106_theta_sketch_set_algebra",
+    # (1) the r2-stale cohort (14)
     "k13_kql_recent_orders",
-    # window full at 50; the r3-stale cohort (from d04x on) leads the
-    # round-10 queue documented above.
+    "k14_kql_avg_sales",
+    "k15_kql_total_sales",
+    "k16_kql_order_counts",
+    "k17_kql_filtered_pipeline",
+    "k20_kql_between",
+    "k21_kql_countif_sumif",
+    "k22_kql_parse_json",
+    "k23_kql_mv_expand",
+    "d07_embedding_cosine_topk",
+    "d16_chunk_documents",
+    "d17_contamination_check",
+    "d18_repetition_ratio",
+    "d19_stratified_sample",
+    # (2) the r3-stale cohort (25)
+    "b13c_except",
+    "b14_scalar_functions",
+    "b14b_date_functions",
+    "b15a_json_extract",
+    "b15b_array_functions",
+    "k24_kql_join",
+    "k25_kql_let",
+    "k26_kql_parse_extract",
+    "k27_kql_case_tiers",
+    "k28_kql_arg_max",
+    "k29_kql_make_set",
+    "k30_kql_percentile",
+    "k32_kql_top_nested",
+    "k33_kql_lookup",
+    "k34_kql_mv_apply",
+    "k35_kql_pivot",
+    "k36_kql_top_hitters",
+    "k37_kql_search",
+    "k38_kql_range_source",
+    "k39_kql_scalar_strings",
+    "k41_kql_serialized_windows",
+    "k42_kql_parse_where",
+    "d04x_minhash_lsh_portable",
+    "d06x_simhash_portable",
+    "d07w_lsh_cosine_portable",
+    # (3) the head of the r4 cohort (build order) — fills to 50; the
+    # rest of r4 (b10, b11, b12, b13a, b13b, b26, b27, b25, b21, b21b,
+    # ...) rotates in round 11.
+    "b09x_cube_priority_status",
+    "b10_window_topk_per_group",
+    "b11_window_running_revenue",
+    "b12_global_topk",
+    "b13a_union_all_counts",
 ]
 
 

@@ -36,17 +36,16 @@ def test_queries_and_oracles_are_consistent(spark):
 
 
 def test_coverage_freshness_table_not_stale():
-    """COVERAGE.md's generated freshness header must agree with the
-    CORRECTNESS_r*.json files on disk (tracked or not). Round 6 shipped
-    a stale table because the regen tool was never re-run after the
-    driver dropped CORRECTNESS_r06.json; this guard skips LOUDLY (not
-    fails — a new driver drop mid-round must not break green) with the
-    exact command to run."""
+    """COVERAGE.md's generated freshness header must EQUAL the union
+    computed from the CORRECTNESS_r*.json files on disk. Rounds 6, 8
+    AND 9 all shipped a one-round-stale header (the driver drops its
+    artifact after the builder's last commit), so per the round-9
+    verdict this is now a hard FAIL, not a skip: the first pytest run
+    of a new round fails with the exact regen command until the header
+    is regenerated against the newest driver artifact."""
     import glob
     import json
     import re
-
-    import pytest
 
     checked: set[str] = set()
     for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
@@ -62,20 +61,11 @@ def test_coverage_freshness_table_not_stale():
     )
     assert m, "COVERAGE.md freshness header missing — run python tools/coverage_freshness.py"
     got = tuple(int(x) for x in m.groups())
-    # Registry-count drift is always builder-side (entries added without
-    # re-running the regen tool) — hard fail. ever/never drift can be a
-    # driver dropping a new CORRECTNESS file mid-round — loud skip.
-    assert got[0] == len(REGISTRY), (
-        f"COVERAGE.md freshness header says {got[0]} registry entries, "
-        f"registry has {len(REGISTRY)} — "
+    assert got == (len(REGISTRY), ever, never), (
+        f"COVERAGE.md freshness header STALE: header says {got}, "
+        f"disk says {(len(REGISTRY), ever, never)} — "
         "run `python tools/coverage_freshness.py` and commit"
     )
-    if got != (len(REGISTRY), ever, never):
-        pytest.skip(
-            f"COVERAGE.md freshness table STALE: header says {got}, "
-            f"disk says {(len(REGISTRY), ever, never)} — "
-            "run `python tools/coverage_freshness.py` and commit"
-        )
 
 
 def test_survey_declares_every_registry_entry():
@@ -145,3 +135,31 @@ def test_rotation_window_covers_never_checked():
         f"never-driver-checked entries outside the 50-slot window: "
         f"{outside} — rebuild _FRONT (see tools/rotation_check.py)"
     )
+
+
+def test_rotation_check_parses_two_digit_rounds(tmp_path):
+    """Round-9 ADVICE: the old glob 'CORRECTNESS_r0*.json' silently
+    dropped rounds >= 10, so entries checked only in r10+ would read as
+    never-checked exactly when the window math matters. The checker
+    must parse any round number."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_check", "/root/repo/tools/rotation_check.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    row = {"rows_match": True, "schema_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"old_entry": row, "both": row})
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"new_entry": row, "both": row})
+    )
+    (tmp_path / "CORRECTNESS_r12.json").write_text(
+        json.dumps({"newest": row})
+    )
+    latest = mod.latest_driver_round(repo=str(tmp_path))
+    assert latest == {"old_entry": 9, "both": 10, "new_entry": 10, "newest": 12}

@@ -1614,3 +1614,70 @@ def test_kql_scalar_function_batch_round9(spark):
         kql("T | extend x = strcat_delim(n, s)", {"T": df})
     with pytest.raises(ValueError, match="character maps"):
         kql("T | extend x = translate(s, s, s)", {"T": df})
+
+
+def test_kql_computed_array_index_invalid_is_null(spark):
+    """Round-9 ADVICE: Kusto yields null for ANY invalid computed
+    index — negative must NOT index from the end (Spark element_at
+    semantics) and past-the-end must not throw under ANSI."""
+    df = spark.createDataFrame(
+        [([10, 20, 30], -1), ([10, 20, 30], 9), ([10, 20, 30], 1)],
+        "arr array<int>, i int",
+    )
+    out = {r["i"]: r["v"] for r in kql("T | extend v = arr[i]", {"T": df}).collect()}
+    assert out == {-1: None, 9: None, 1: 20}
+
+
+def test_kql_parse_regex_rejects_named_capture_groups(spark):
+    """Round-9 ADVICE: '(?<name>...)' is a CAPTURING group (Java named
+    capture) and must be rejected like '(...)' — it shifts the
+    name-to-group mapping. Lookbehinds '(?<=' / '(?<!' still pass."""
+    df = spark.createDataFrame([("v=42;",)], "line string")
+    with pytest.raises(ValueError, match="non-capturing"):
+        kql("T | parse kind=regex line with '(?<k>v)=' x ';'", {"T": df})
+    # lookbehind is not a capture — guard must let it through
+    out = kql(
+        "T | parse kind=regex line with 'v(?<=v)=' v ';'", {"T": df}
+    ).collect()
+    assert out[0]["v"] == "42"
+
+
+def test_kql_fork_last_stage_with_toscalar(spark):
+    """Round-9 ADVICE: the toscalar rewrite rebinds the stage string,
+    so the 'fork must be last' check must be positional, not identity —
+    a final fork containing toscalar in a branch is legal."""
+    from kafka_data_explorer_cdc_spark.kql import kql_fork
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "id int, amount int"
+    )
+    d = kql_fork(
+        "T | fork big = ( where amount > toscalar( T | summarize "
+        "avg(amount) ) | count )",
+        {"T": df},
+    )
+    assert d["big"].collect()[0][0] == 1
+
+
+def test_kql_unpersist_caches_releases_fork_and_materialize(spark):
+    """Round-9 ADVICE: fork bases and materialize() bindings persist
+    MEMORY_AND_DISK and outlive the compile; the documented hook must
+    release them all and leave the tracking list empty."""
+    from kafka_data_explorer_cdc_spark.kql import (
+        _KQL_PERSISTED,
+        kql,
+        kql_fork,
+        kql_unpersist_caches,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    kql_unpersist_caches()  # drain leftovers from other tests
+    forked = kql_fork("T | fork a = ( count )", {"T": df})
+    forked["a"].collect()
+    kql(
+        "let m = materialize( T | summarize n = count() ); m | project n",
+        {"T": df},
+    ).collect()
+    assert len(_KQL_PERSISTED) == 2
+    assert kql_unpersist_caches() == 2
+    assert not _KQL_PERSISTED

@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -25,11 +26,19 @@ sys.path.insert(0, REPO)
 WINDOW = 50
 
 
-def latest_driver_round() -> dict[str, int]:
-    """entry name -> newest round with a driver CORRECTNESS row."""
+def latest_driver_round(repo: str = REPO) -> dict[str, int]:
+    """entry name -> newest round with a driver CORRECTNESS row.
+
+    The glob must be ``r*`` (not ``r0*``) with regex round parsing so
+    rounds >= 10 are counted — otherwise entries checked only in r10+
+    read as never-checked exactly when the window math matters.
+    """
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
-        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
         data = json.load(open(path))
         rows = data.get("queries", data)
         if isinstance(rows, dict):
