@@ -2068,11 +2068,17 @@ def _compile_scan(
     Matched rows are emitted with the step name and a per-key sequence
     ordinal.
 
-    Scale shape: one hash shuffle on the partition key; every key's
-    walk is independent and Arrow-batched; per-row Python work is a few
-    list appends. State is O(1) per key during the walk. The sequential
-    dependency is intrinsic to scan's semantics (Kusto serializes it
-    too) — the partition wrapper is what makes it parallel."""
+    Scale shape: one hash shuffle on the partition key, then ONE
+    Arrow pass per task (mapInPandas over key-sorted partitions), not
+    one pandas group per key: a groupBy().applyInPandas walk pays
+    per-group pandas materialization (~0.2 ms x n_keys — measured
+    ~2x the whole entry's runtime at 30k keys/600k rows, the round-9
+    k54 bench regression), while the per-partition automaton carries
+    (key, state, ordinal) across Arrow batches and does a few list
+    appends per row. State is O(1) per key during the walk. The
+    sequential dependency is intrinsic to scan's semantics (Kusto
+    serializes it too) — the partition wrapper is what makes it
+    parallel across keys."""
     import pandas as pd  # noqa: F401 — executor-side
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -2089,29 +2095,46 @@ def _compile_scan(
         + [StructField("step", StringType()), StructField(match_col, LongType())]
     )
 
-    def walk(pdf):
-        pdf = pdf.sort_values(
-            sort_names, ascending=sort_asc, kind="mergesort"
-        ).reset_index(drop=True)
-        preds = [pdf[c].to_numpy() for c in pred_cols]
+    def walk(batches):
+        # one automaton per task: partitions arrive key-grouped and
+        # (key, sort...) ordered, so a key change resets the state and
+        # the (key, state, ordinal) triple carries across Arrow batch
+        # boundaries — no per-key pandas objects are ever built.
+        prev_key, prev_na = object(), False  # sentinel: != any real key
         cur, seq = 0, 0
-        idx, names, mids = [], [], []
-        for i in range(len(pdf)):
-            if cur < n_steps and bool(preds[cur][i]):
-                if cur == 0:
-                    seq += 1
-                idx.append(i)
-                names.append(step_names[cur])
-                mids.append(seq)
-                cur += 1
-                if cur == n_steps:
-                    cur = 0
-        out = pdf.iloc[idx][out_cols].copy()
-        out["step"] = names
-        out[match_col] = mids
-        return out
+        for pdf in batches:
+            keys = pdf[keycol].to_numpy()
+            nas = pdf[keycol].isna().to_numpy()
+            preds = [pdf[c].to_numpy() for c in pred_cols]
+            idx, names, mids = [], [], []
+            for i in range(len(pdf)):
+                k, na = keys[i], bool(nas[i])
+                if not (na and prev_na) and (na != prev_na or k != prev_key):
+                    prev_key, prev_na = k, na
+                    cur, seq = 0, 0
+                if cur < n_steps and bool(preds[cur][i]):
+                    if cur == 0:
+                        seq += 1
+                    idx.append(i)
+                    names.append(step_names[cur])
+                    mids.append(seq)
+                    cur += 1
+                    if cur == n_steps:
+                        cur = 0
+            out = pdf.iloc[idx][out_cols].copy()
+            out["step"] = names
+            out[match_col] = mids
+            yield out
 
-    return aug.groupBy(keycol).applyInPandas(walk, schema)
+    sort_cols = [F.col(keycol).asc()] + [
+        F.col(n).asc() if a else F.col(n).desc()
+        for n, a in zip(sort_names, sort_asc)
+    ]
+    return (
+        aug.repartition(keycol)
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(walk, schema)
+    )
 
 
 def _compile_basket(df: DataFrame, threshold: float) -> DataFrame:

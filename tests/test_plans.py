@@ -1086,3 +1086,17 @@ def test_incremental_run_prunes_history_partitions(spark, sf_dir):
     le = re.search(r"PartitionFilters: \[[^\]]*<= 2024-01-03\)", p)
     assert gt, "incremental scan must prune by event_date > hwm"
     assert le, "backfill scan must prune by event_date <= hwm"
+
+
+def test_kql_scan_single_arrow_pass_no_per_key_groups(spark, sf_dir):
+    """k54 (KQL scan in partition by): the automaton walk must be ONE
+    mapInPandas pass per task over key-sorted partitions, never a
+    groupBy().applyInPandas — per-key pandas group materialization was
+    the round-9 bench regression (6.18 s -> 0.69 s at sf0.1 after the
+    rewrite; BASELINE.md round-10 adjudication). The step predicates
+    stay JVM-side: exactly one Python boundary, one key shuffle."""
+    p = plan_of(spark, sf_dir, "k54_kql_scan_funnel")
+    assert p.count("MapInPandas") == 1, p
+    assert "FlatMapGroupsInPandas" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p  # key walk + rollup
