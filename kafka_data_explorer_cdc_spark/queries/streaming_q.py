@@ -1761,3 +1761,145 @@ def s49_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return same.unionByName(counts)
+
+
+def _late_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Four-file replay directory for s50's watermark gate, generated
+    once per (sf, source fingerprint) and shared read-only:
+
+    - ``a_base``     — every event, delivered on time;
+    - ``b_heartbeat``— one marker row at max(ts): the batch that
+      ADVANCES the watermark before any late row arrives (Spark >= 3.4
+      filters late input against the watermark lagged one batch behind
+      eviction — SPARK-42376's two-watermark split, verified by probe —
+      so without this batch nothing would ever be dropped);
+    - ``c_late``     — the late traffic: redeliveries of every
+      ``event_id % 100 == 0`` row (too late iff its hour window closed
+      under max(ts) - 10 min) plus ``event_id % 97 == 0`` copies
+      re-stamped at max(ts) - 5 min (late but inside the watermark —
+      must ALL be kept);
+    - ``d_sentinel`` — one far-future row whose only job is to push
+      the final watermark past every real window so append mode emits
+      them; its own window never closes, so it self-excludes.
+
+    Files are Spark-written (uniform normalized timestamps), mtime-
+    spaced so the file source replays them in exactly this order one
+    file per micro-batch."""
+    import glob
+    import shutil
+    import time as _time
+
+    from ..io import derived_cache_dir
+
+    indir = derived_cache_dir("s50_late", f"{sf_dir}/events.parquet")
+    done = os.path.join(indir, "_DONE")
+    if os.path.exists(done):
+        return indir
+    os.makedirs(indir, exist_ok=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]  # bounded: one scalar
+    heartbeat = spark.createDataFrame(
+        [(-1, mx, -1, "heartbeat", 0.0)], ev.schema
+    )
+    sentinel = spark.createDataFrame(
+        [(-2, mx + __import__("datetime").timedelta(days=2), -2,
+          "sentinel", 0.0)], ev.schema
+    )
+    late = ev.filter(F.col("event_id") % 100 == 0).unionByName(
+        ev.filter(F.col("event_id") % 97 == 0).withColumn(
+            "ts", F.lit(mx) - F.expr("INTERVAL 5 MINUTES")
+        )
+    )
+    for fname, df in [
+        ("a_base.parquet", ev),
+        ("b_heartbeat.parquet", heartbeat),
+        ("c_late.parquet", late),
+        ("d_sentinel.parquet", sentinel),
+    ]:
+        scratch = _tmp("s50_scratch_")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        shutil.move(
+            glob.glob(os.path.join(scratch, "part-*.parquet"))[0],
+            os.path.join(indir, fname),
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+    now = _time.time()
+    for i, f in enumerate(sorted(os.listdir(indir))):
+        os.utime(os.path.join(indir, f), (now + 10 * i, now + 10 * i))
+    open(done, "w").close()
+    return indir
+
+
+@query(
+    "s50_stream_late_data_watermark",
+    oracle="""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+inp AS (
+  SELECT ts, event_type, value FROM events
+  UNION ALL
+  SELECT mx, 'heartbeat', 0.0 FROM m
+  UNION ALL
+  SELECT ts, event_type, value FROM events, m
+  WHERE event_id % 100 = 0
+    AND time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+        > mx - INTERVAL '10 minutes'
+  UNION ALL
+  SELECT mx - INTERVAL '5 minutes' AS ts, event_type, value
+  FROM events, m WHERE event_id % 97 = 0
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value) AS DOUBLE) AS sum_value
+FROM inp GROUP BY 1, 2
+""",
+    tags=("streaming", "watermark", "late-data"),
+)
+def s50_stream_late_data_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B22 watermark + late data, ORACLE-CHECKED (the last §2B row
+    that had only semantic coverage): a windowed append-mode
+    aggregation over a replay with PLANTED late arrivals, compared to
+    the closed-form batch answer that keeps exactly the late rows the
+    watermark admits. The replay (``_late_events_dir``) delivers
+    on-time data, a watermark-advancing heartbeat, then the late
+    batch; after the heartbeat the effective late-event watermark is
+    max(ts) - 10 min, so a late row survives iff its hour window is
+    still open (window end > watermark) — redelivered old rows drop,
+    the re-stamped near-max rows all survive. The oracle states that
+    admission rule in SQL; rows_match + hash_match therefore verify
+    Spark's actual drop/keep behavior, not just that a stream ran.
+
+    Scale: this is THE mechanism that bounds streaming-agg state at
+    100 TB/day — windows older than the watermark are finalized,
+    emitted once, and evicted, so state is O(open windows x types),
+    independent of stream length; the late filter is a comparison
+    against a broadcast scalar, not a lookup."""
+    name = f"s50_{uuid.uuid4().hex[:8]}"
+    indir = _late_events_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    run_to_memory(agg, name, output_mode="append")
+    return spark.table(name)

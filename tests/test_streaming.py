@@ -1485,3 +1485,34 @@ def test_kafka_source_options_contract():
         "startingOffsets": "latest",
         "maxOffsetsPerTrigger": "10000",
     }
+
+
+def test_s50_watermark_actually_drops_late_rows(spark, sf_dir):
+    """The s50 oracle would also pass if the watermark never dropped
+    anything AND the oracle mirrored that bug — pin the semantics
+    independently: rows kept must be strictly fewer than rows
+    delivered (base + heartbeat + redeliveries + restamped copies),
+    and the shortfall must be exactly the redelivered rows whose hour
+    window closed under max(ts) - 10 min."""
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+
+    out = REGISTRY["s50_stream_late_data_watermark"].fn(spark, sf_dir)
+    kept = out.agg(F.sum("n_events")).collect()[0][0]
+
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    n_base = ev.count()
+    n_dupes = ev.filter(F.col("event_id") % 100 == 0).count()
+    n_restamped = ev.filter(F.col("event_id") % 97 == 0).count()
+    delivered = n_base + 1 + n_dupes + n_restamped  # + heartbeat
+    dropped_expected = (
+        ev.filter(F.col("event_id") % 100 == 0)
+        .filter(
+            F.window("ts", "1 hour").getField("end")
+            <= F.lit(mx) - F.expr("INTERVAL 10 MINUTES")
+        )
+        .count()
+    )
+    assert dropped_expected > 0, "fixture must plant droppable rows"
+    assert kept == delivered - dropped_expected
