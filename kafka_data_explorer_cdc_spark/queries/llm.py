@@ -7213,3 +7213,139 @@ def mm10_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_cut"),
         F.max("delta").alias("max_delta"),
     )
+
+
+_D92_Q, _D92_TOKS, _D92_TOKDIM, _D92_CAND = 8, 4, 16, 20
+
+_D92_ORACLE = f"""
+WITH qn AS (
+  SELECT vec_id, embedding, sqrt({_NORMSQ.format(a="embedding")}) AS nrm
+  FROM embeddings
+), cand AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             {_DOT.format(a="q.embedding", b="c.embedding")} / (q.nrm * c.nrm)
+             DESC, c.vec_id) AS rn
+    FROM qn q JOIN qn c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {_D92_Q}
+  ) WHERE rn <= {_D92_CAND}
+), toks AS (SELECT unnest([0, 1, 2, 3]) AS t),
+qt AS (
+  SELECT e.vec_id AS q_id, toks.t AS q_tok,
+         e.embedding[1 + {_D92_TOKDIM} * toks.t : {_D92_TOKDIM} * (toks.t + 1)] AS q_vec
+  FROM embeddings e, toks WHERE e.vec_id < {_D92_Q}
+), ct AS (
+  SELECT cand.q_id, cand.c_id, toks.t AS c_tok,
+         e.embedding[1 + {_D92_TOKDIM} * toks.t : {_D92_TOKDIM} * (toks.t + 1)] AS c_vec
+  FROM cand JOIN embeddings e ON e.vec_id = cand.c_id, toks
+), best AS (
+  SELECT qt.q_id, ct.c_id, qt.q_tok,
+         MAX({_DOT.format(a="qt.q_vec", b="ct.c_vec")} /
+             (sqrt({_NORMSQ.format(a="qt.q_vec")}) *
+              sqrt({_NORMSQ.format(a="ct.c_vec")}))) AS m
+  FROM qt JOIN ct ON ct.q_id = qt.q_id
+  GROUP BY qt.q_id, ct.c_id, qt.q_tok
+), scored AS (
+  SELECT q_id, c_id, SUM(m) AS maxsim FROM best GROUP BY q_id, c_id
+)
+SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, maxsim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY maxsim DESC, c_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@query("d92_colbert_maxsim", oracle=_D92_ORACLE, tags=("llm", "similarity", "retrieval"))
+def d92_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) retrieval — the
+    multi-vector reranker serving real RAG stacks: each query/document
+    is a BAG of token vectors and score(q, d) = sum over query tokens
+    of the max cosine against any document token. The token views here
+    are four 16-dim slices of the 64-dim embedding (deterministic, so
+    the oracle replays them with DuckDB list slicing); a real stack
+    stores per-token vectors as `array<array<float>>` and every plan
+    below is unchanged.
+
+    Two-stage serving shape, all JVM expressions (zip_with/aggregate
+    dot products — no Python anywhere): (1) candidate generation =
+    exact top-20 by single-vector cosine via the d37 broadcast-query
+    kernel (swapping in d91's DPP-pruned IVF probe is one call, the
+    documented scale path); (2) MaxSim rerank over candidates only —
+    explode both sides to token granularity (|q| x 20 x 4 x 4 rows,
+    bounded by the candidate list, NEVER a corpus cartesian), one
+    per-(q, c, q_tok) MAX, one per-(q, c) SUM, window top-3.
+
+    At 100 TB the corpus-sized work is stage 1 (index-pruned); the
+    rerank touches k candidates per query regardless of corpus size —
+    the property that makes late interaction deployable."""
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = em.filter(F.col("vec_id") < _D92_Q)
+    cand = S.brute_force_cosine_topk(em, queries, k=_D92_CAND).select(
+        "q_id", "c_id"
+    )
+
+    def token_view(df: DataFrame, id_in: str, id_out: str, pfx: str) -> DataFrame:
+        slices = F.array(
+            *[
+                F.slice("embedding", 1 + _D92_TOKDIM * t, _D92_TOKDIM)
+                for t in range(_D92_TOKS)
+            ]
+        )
+        out = df.select(
+            F.col(id_in).alias(id_out),
+            F.posexplode(slices).alias(f"{pfx}_tok", f"{pfx}_vec"),
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                f"{pfx}_vec",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+        )
+        return out.withColumn(f"{pfx}_nrm", nrm)
+
+    qt = token_view(queries, "vec_id", "q_id", "q")
+    # candidate tokens carry BOTH ids (a candidate list is per query)
+    ct = (
+        cand.join(em.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("embedding", 1 + _D92_TOKDIM * t, _D92_TOKDIM)
+                        for t in range(_D92_TOKS)
+                    ]
+                )
+            ).alias("c_tok", "c_vec"),
+        )
+        .withColumn(
+            "c_nrm",
+            F.sqrt(
+                F.aggregate(
+                    "c_vec",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    pairs = ct.join(broadcast(qt), "q_id").withColumn(
+        "cos", dot / (F.col("q_nrm") * F.col("c_nrm"))
+    )
+    best = pairs.groupBy("q_id", "c_id", "q_tok").agg(F.max("cos").alias("m"))
+    scored = best.groupBy("q_id", "c_id").agg(F.sum("m").alias("maxsim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "rank", "c_id", "maxsim")
+    )

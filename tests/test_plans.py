@@ -1100,3 +1100,15 @@ def test_kql_scan_single_arrow_pass_no_per_key_groups(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in p, p
     assert "BatchEvalPython" not in p, p
     assert p.count("Exchange hashpartitioning") <= 2, p  # key walk + rollup
+
+
+def test_d92_maxsim_no_cartesian_no_python(spark, sf_dir):
+    """d92 (ColBERT MaxSim): the only corpus-wide product is the
+    broadcast query side of the stage-1 scorer; the token-granularity
+    rerank joins on q_id (hash/broadcast equi-join over the bounded
+    candidate list) and every dot product is a JVM higher-order
+    function — no CartesianProduct, no Python boundary anywhere."""
+    p = plan_of(spark, sf_dir, "d92_colbert_maxsim")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # stage-1 broadcast scorer
