@@ -1344,3 +1344,86 @@ def mmr_rerank(
         .cogroup(sims.groupBy("q_id"))
         .applyInPandas(walk, schema)
     )
+
+
+def ivf_leaf_parent(cell, split_base: int = 100, sub_cells: int = 2):
+    """Column expr: the coarse (parent) cell a leaf cell belongs to —
+    identity for unsplit cells, the decoded parent for child ids
+    minted by :func:`optimize_ivf_index` (pass the SAME ``sub_cells``
+    used at split time — the child-id arithmetic depends on it)."""
+    return F.when(
+        cell >= split_base,
+        ((cell - split_base) / sub_cells).cast("int"),
+    ).otherwise(cell.cast("int"))
+
+
+def optimize_ivf_index(
+    spark,
+    index_dir: str,
+    out_dir: str,
+    hot_factor: float = 1.5,
+    sub_cells: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    split_base: int = 100,
+) -> DataFrame:
+    """Hot-cell maintenance for an at-rest IVF index (the d91 layout):
+    real vector-store indexes degrade by CELL SKEW — a hot inverted
+    list grows unbounded, so probing it scans ever more vectors and
+    its directory accumulates small append files (s49's ingest path).
+    This is b68's skew diagnosis + b63's compaction pointed at ANN:
+
+    1. audit per-cell row counts (bounded collect: one row per cell);
+    2. every cell above ``hot_factor`` x mean — plus the single
+       hottest cell, so maintenance is never a no-op — is SPLIT by
+       training ``sub_cells`` sub-centroids on the hot cell's vectors
+       ONLY (the FAISS re-train-locally recipe; cold lists are never
+       read for training);
+    3. the whole index is rewritten ``repartition(cell)`` +
+       ``partitionBy(cell)`` — exactly one file per inverted list
+       (compaction), child lists under minted leaf ids
+       ``split_base + sub_cells*parent + j``.
+
+    Returns the (parent, leaf) map the probe side joins through:
+    a probe that would have read a split parent reads ALL its children
+    — the children partition the parent's rows, so candidate sets (and
+    therefore results) are IDENTICAL pre/post: maintenance is lossless
+    by construction, and the d93 gate verifies it. Steering the probe
+    to the single nearest CHILD instead is the documented recall knob,
+    same contract as nprobe.
+
+    Scale: training reads only hot cells; the rewrite is one shuffle
+    of the index (in production: rewrite only split parents' dirs);
+    the leaf map is O(n_cells) and broadcasts."""
+    idx = spark.read.parquet(index_dir)
+    counts = idx.groupBy(cell_col).count().collect()
+    if not counts:
+        raise ValueError("optimize_ivf_index: empty index")
+    mean = sum(r["count"] for r in counts) / len(counts)
+    hot = {r[cell_col] for r in counts if r["count"] > hot_factor * mean}
+    hot.add(max(counts, key=lambda r: (r["count"], -r[cell_col]))[cell_col])
+    leaf_rows = [
+        (int(r[cell_col]), int(r[cell_col]))
+        for r in counts
+        if r[cell_col] not in hot
+    ]
+    out = idx.filter(~F.col(cell_col).isin([int(c) for c in hot]))
+    for c in sorted(int(x) for x in hot):
+        sub = idx.filter(F.col(cell_col) == c)
+        C_sub = _centroids(sub, sub_cells, id_col, vec_col)
+        assign = _cell_assigner(C_sub, 1)
+        child0 = split_base + sub_cells * c
+        recoded = sub.withColumn(
+            cell_col,
+            (F.lit(child0) + assign(F.col(vec_col)).getItem(0)).cast("int"),
+        )
+        out = out.unionByName(recoded)
+        leaf_rows += [(c, child0 + j) for j in range(len(C_sub))]
+    (
+        out.repartition(F.col(cell_col))
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(out_dir)
+    )
+    return spark.createDataFrame(leaf_rows, "parent int, leaf int")

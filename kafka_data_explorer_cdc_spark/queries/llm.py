@@ -7349,3 +7349,156 @@ def d92_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_id", "rank", "c_id", "maxsim")
     )
+
+
+_D93_ORACLE = """
+SELECT CAST(-1 AS BIGINT) AS probe_id, TRUE AS ok
+UNION ALL SELECT CAST(-2 AS BIGINT), TRUE
+UNION ALL SELECT CAST(-3 AS BIGINT), TRUE
+UNION ALL SELECT CAST(-4 AS BIGINT), TRUE
+"""
+
+
+@query("d93_ivf_index_optimize", oracle=_D93_ORACLE, tags=("llm", "similarity", "layout", "maintenance"))
+def d93_ivf_index_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell maintenance for the d91 IVF index at rest
+    (operators/similarity.py:optimize_ivf_index) — b68's skew audit +
+    b63's compaction pointed at ANN: cells past 1.5x the mean row
+    count (plus the hottest cell, so the pass is never a no-op) are
+    split by sub-centroids trained on the hot cell ONLY; the rewrite
+    lands exactly one file per inverted list. Gate (all-TRUE oracle,
+    the b63/b44 pattern):
+
+    - probe -1 LOSSLESS: the nprobe=4 top-5 over the optimized index
+      (probing every child of a probed parent via the leaf map) is
+      IDENTICAL to the probe over the original index — children
+      partition the parent's rows, so maintenance can never change an
+      answer.
+    - probe -2 CONSERVATION: per-parent row counts are unchanged
+      (no loss, no duplication) — leaf rows decode back to exactly
+      the original per-cell histogram.
+    - probe -3 SKEW REDUCED: every split parent's largest child list
+      is strictly smaller than the parent was.
+    - probe -4 COMPACTED: every leaf directory holds exactly one
+      parquet file (the s49 ingest path accumulates appends; the
+      optimize pass is what folds them)."""
+    import glob as _glob
+    import os as _os
+
+    from ..io import derived_cache_dir
+
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = S._centroids(em, 16, "vec_id", "embedding")
+    one = S._cell_assigner(C, 1)
+
+    base = derived_cache_dir("d91", f"{sf_dir}/embeddings.parquet")
+    if not _os.path.exists(_os.path.join(base, "_SUCCESS")):
+        em.withColumn(
+            "cell", one(F.col("embedding")).getItem(0)
+        ).write.mode("overwrite").partitionBy("cell").parquet(base)
+
+    opt = derived_cache_dir("d93_opt", f"{sf_dir}/embeddings.parquet")
+    map_path = _os.path.join(opt, "_leafmap")
+    if not _os.path.exists(_os.path.join(opt, "_ALL_DONE")):
+        leafmap = S.optimize_ivf_index(spark, base, opt, sub_cells=2)
+        leafmap.coalesce(1).write.mode("overwrite").parquet(map_path)
+        open(_os.path.join(opt, "_ALL_DONE"), "w").close()
+    leafmap = spark.read.parquet(map_path)
+
+    base_idx = spark.read.parquet(base).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "cell"
+    )
+    opt_idx = spark.read.parquet(opt).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "cell"
+    )
+    queries = em.filter(F.col("vec_id") < 20)
+    probe = S._cell_assigner(C, 4)
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).withColumn("parent", F.explode(probe(F.col("q_vec"))))
+
+    def topk(idx: DataFrame, qside: DataFrame) -> DataFrame:
+        cand = idx.join(broadcast(qside), "cell").filter(
+            F.col("c_id") != F.col("q_id")
+        )
+        scored = cand.withColumn(
+            "cosine",
+            S._dot(F.col("q_vec"), F.col("c_vec"))
+            / (
+                F.sqrt(S._norm_sq(F.col("q_vec")))
+                * F.sqrt(S._norm_sq(F.col("c_vec")))
+            ),
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", "c_id", "rank")
+        )
+
+    before = topk(base_idx, q.withColumnRenamed("parent", "cell"))
+    after = topk(
+        opt_idx,
+        q.join(broadcast(leafmap), "parent").select(
+            "q_id", "q_vec", F.col("leaf").alias("cell")
+        ),
+    )
+    cols = ["q_id", "c_id", "rank"]
+    diff = before.join(after, cols, "left_anti").unionByName(
+        after.join(before, cols, "left_anti")
+    )
+    lossless = diff.agg((F.count("*") == 0).alias("ok")).select(
+        F.lit(-1).cast("long").alias("probe_id"), "ok"
+    )
+
+    base_hist = base_idx.groupBy(F.col("cell").alias("parent")).agg(
+        F.count("*").alias("n_before")
+    )
+    opt_hist = opt_idx.groupBy(
+        S.ivf_leaf_parent(F.col("cell"), sub_cells=2).alias("parent")
+    ).agg(F.count("*").alias("n_after"))
+    conserved = (
+        base_hist.join(opt_hist, "parent", "full")
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.coalesce("n_before", F.lit(-1))
+                        != F.coalesce("n_after", F.lit(-2))
+                    ).cast("long")
+                )
+                == 0
+            ).alias("ok")
+        )
+        .select(F.lit(-2).cast("long").alias("probe_id"), "ok")
+    )
+
+    child_sizes = (
+        opt_idx.filter(F.col("cell") >= 100)
+        .groupBy(
+            S.ivf_leaf_parent(F.col("cell"), sub_cells=2).alias("parent"),
+            "cell",
+        )
+        .agg(F.count("*").alias("n_child"))
+        .groupBy("parent")
+        .agg(F.max("n_child").alias("max_child"))
+    )
+    shrunk = (
+        child_sizes.join(base_hist, "parent")
+        .agg(
+            (F.sum((F.col("max_child") >= F.col("n_before")).cast("long")) == 0)
+            .alias("ok")
+        )
+        .select(F.lit(-3).cast("long").alias("probe_id"), "ok")
+    )
+
+    leaf_dirs = _glob.glob(_os.path.join(opt, "cell=*"))
+    one_file = all(
+        len(_glob.glob(_os.path.join(d, "*.parquet"))) == 1 for d in leaf_dirs
+    ) and len(leaf_dirs) > 0
+    compacted = spark.createDataFrame(
+        [(-4, bool(one_file))], "probe_id long, ok boolean"
+    )
+    return lossless.unionByName(conserved).unionByName(shrunk).unionByName(
+        compacted
+    )

@@ -1112,3 +1112,14 @@ def test_d92_maxsim_no_cartesian_no_python(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p  # stage-1 broadcast scorer
+
+
+def test_d93_optimized_probe_keeps_dpp(spark, sf_dir):
+    """d93: maintenance must not cost the index its probe economics —
+    the joins against BOTH the original and the optimized at-rest
+    index still carry dynamic partition pruning on the cell column,
+    so only probed inverted-list directories are read after a split,
+    exactly as before (d91's pin, preserved through optimize)."""
+    p = plan_of(spark, sf_dir, "d93_ivf_index_optimize")
+    assert p.lower().count("dynamicpruning") >= 2, p
+    assert "CartesianProduct" not in p, p
