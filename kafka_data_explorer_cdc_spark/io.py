@@ -245,7 +245,10 @@ def _assert_native_timestamps(path: str, schema: T.StructType, table: str) -> No
         return
     import pyarrow.parquet as pq
 
-    arrow = pq.ParquetFile(path).schema_arrow
+    # a table may be a DIRECTORY of part files (any multi-file dataset —
+    # the normal shape outside single-file testdata); one writer means
+    # one physical schema, so probing the first member is sufficient
+    arrow = pq.ParquetFile(_resolve_parquet_file(path)).schema_arrow
     for c in ts_cols:
         t = arrow.field(c).type
         if not (pa.types.is_timestamp(t) and t.unit in ("s", "ms", "us")):
