@@ -2137,6 +2137,145 @@ def _compile_scan(
     )
 
 
+def _compile_sequence_detect(
+    df: DataFrame,
+    ts_col: str,
+    step_win_s: float,
+    span_win_s: float,
+    flags: list[str],
+    keys: list[str],
+) -> DataFrame:
+    """``evaluate sequence_detect(ts, stepWin, spanWin, f1, .., key)``
+    — Kusto's sequence-detection plugin over pre-computed boolean flag
+    columns (extend them first, Kusto's own usage shape): per key,
+    events sorted by time, a greedy non-overlapping automaton matches
+    f1 then f2 ... where each step arrives within ``stepWin`` of the
+    previous matched step and within ``spanWin`` of the first; one
+    output row per completed sequence carrying the per-step
+    timestamps (``<flag>_ts`` columns, Kusto's output shape).
+
+    Pinned subset (documented divergences): flags are boolean COLUMNS
+    (Kusto also allows inline exprs — extend first); a row matching
+    the next flag OUTSIDE a window aborts the in-progress sequence and
+    is immediately reconsidered as a fresh first step.
+
+    Scale shape: same as scan (k54's rewrite) — flags are Catalyst
+    expressions evaluated JVM-side before the boundary; ONE hash
+    shuffle on the key, ONE mapInPandas pass per task carrying
+    (key, state, stamps) across Arrow batches; per-row Python is a
+    few comparisons. Window arithmetic is numpy datetime64."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — executor-side
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    n = len(flags)
+    out_fields = [df.schema[k] for k in keys] + [
+        StructField(f"{f}_ts", TimestampType()) for f in flags
+    ]
+    schema = StructType(out_fields)
+    step_td = np.timedelta64(int(step_win_s * 1_000_000), "us")
+    span_td = np.timedelta64(int(span_win_s * 1_000_000), "us")
+
+    def walk(batches):
+        prev_key = object()
+        cur, t1, tprev, stamps = 0, None, None, []
+        for pdf in batches:
+            karr = [pdf[k].to_numpy() for k in keys]
+            tarr = pdf[ts_col].to_numpy().astype("datetime64[us]")
+            farr = [pdf[f].to_numpy() for f in flags]
+            rows = []
+            for i in range(len(pdf)):
+                kt = tuple(x[i] for x in karr)
+                if kt != prev_key:
+                    prev_key = kt
+                    cur, t1, tprev, stamps = 0, None, None, []
+                t = tarr[i]
+                for _retry in (0, 1):
+                    if not bool(farr[cur][i]):
+                        break
+                    if cur > 0 and (
+                        t - tprev > step_td or t - t1 > span_td
+                    ):
+                        # window blown: abort, retest this row as f1
+                        cur, t1, tprev, stamps = 0, None, None, []
+                        continue
+                    stamps.append(t)
+                    if cur == 0:
+                        t1 = t
+                    tprev = t
+                    cur += 1
+                    if cur == n:
+                        rows.append(kt + tuple(stamps))
+                        cur, t1, tprev, stamps = 0, None, None, []
+                    break
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in out_fields]
+            )
+            if not rows:  # keep Arrow types stable on empty batches
+                out = out.astype(
+                    {f"{f}_ts": "datetime64[us]" for f in flags}
+                )
+            yield out
+
+    sort_cols = [F.col(k).asc() for k in keys] + [F.col(ts_col).asc()]
+    return (
+        df.repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(walk, schema)
+    )
+
+
+def _compile_funnel_sequence(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    bin_s: float,
+    state_col: str,
+    states: list[str],
+) -> DataFrame:
+    """``evaluate funnel_sequence(id, ts, bin, state, ('s1', ...))`` —
+    Kusto's funnel plugin, pinned to its core question: how many
+    distinct ids executed the state sequence IN ORDER (not necessarily
+    adjacent), bucketed by the period of each id's earliest completed
+    start. Matching is earliest-completion greedy: t1 = min ts with
+    state s1; t_j = min ts > t_{j-1} with state s_j. Output
+    (period, ids), Kusto's headline table (the prev/next-state
+    distribution tables are out of this subset).
+
+    Scale shape: pure Catalyst — one conditional MIN aggregate per
+    step over the id key (k co-partitioned shuffles, no Python, no
+    window over the full stream); each step's join input shrinks to
+    the survivors of the previous step."""
+    cur = (
+        df.filter(F.col(state_col) == states[0])
+        .groupBy(id_col)
+        .agg(F.min(ts_col).alias("__t1"))
+    )
+    prev_t = "__t1"
+    for j, s in enumerate(states[1:], start=2):
+        step = df.filter(F.col(state_col) == s).select(
+            id_col, F.col(ts_col).alias("__ts")
+        )
+        cur = (
+            step.join(cur, id_col)
+            .filter(F.col("__ts") > F.col(prev_t))
+            .groupBy(id_col, "__t1")
+            .agg(F.min("__ts").alias(f"__t{j}"))
+        )
+        prev_t = f"__t{j}"
+    period = F.timestamp_seconds(
+        (F.unix_timestamp("__t1") / F.lit(int(bin_s))).cast("bigint")
+        * F.lit(int(bin_s))
+    )
+    return (
+        cur.select(period.alias("period"))
+        .groupBy("period")
+        .agg(F.count("*").cast("long").alias("ids"))
+        .orderBy("period")
+    )
+
+
 def _compile_basket(df: DataFrame, threshold: float) -> DataFrame:
     """``evaluate basket(threshold)`` — frequent attribute-combination
     mining over the piped table's (string) columns, Kusto's
@@ -3426,11 +3565,107 @@ def kql(
                     )
                 df = _compile_basket(df, thr)
                 continue
+            if ev_fn == "sequence_detect":
+                # evaluate sequence_detect(ts, stepWin, spanWin,
+                #   f1, f2, .., key1, ..) — flags are BOOLEAN columns
+                # (extend them first), keys everything after; see
+                # _compile_sequence_detect for the pinned automaton.
+                p.expect("(")
+                sd_ts = p.next().text
+                p.expect(",")
+                sd_step = p._duration_seconds(p.next().text)
+                p.expect(",")
+                sd_span = p._duration_seconds(p.next().text)
+                dtypes = dict(df.dtypes)
+                sd_flags: list[str] = []
+                sd_keys: list[str] = []
+                while p.accept(","):
+                    c = p.next().text
+                    if c not in dtypes:
+                        raise ValueError(
+                            f"KQL: sequence_detect column {c!r} not found"
+                        )
+                    if dtypes[c] == "boolean":
+                        if sd_keys:
+                            raise ValueError(
+                                "KQL: sequence_detect flag columns must "
+                                "precede the key columns"
+                            )
+                        sd_flags.append(c)
+                    else:
+                        sd_keys.append(c)
+                p.expect(")")
+                if sd_ts not in dtypes:
+                    raise ValueError(
+                        f"KQL: sequence_detect timeline {sd_ts!r} not found"
+                    )
+                if len(sd_flags) < 2 or not sd_keys:
+                    raise ValueError(
+                        "KQL: sequence_detect needs >= 2 boolean flag "
+                        "columns and >= 1 (non-boolean) key column"
+                    )
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                df = _compile_sequence_detect(
+                    df, sd_ts, sd_step, sd_span, sd_flags, sd_keys
+                )
+                ser = None
+                continue
+            if ev_fn == "funnel_sequence":
+                # evaluate funnel_sequence(id, ts, bin, state,
+                #   ('s1', 's2', ...)) — see _compile_funnel_sequence.
+                p.expect("(")
+                fs_id = p.next().text
+                p.expect(",")
+                fs_ts = p.next().text
+                p.expect(",")
+                fs_bin = p._duration_seconds(p.next().text)
+                p.expect(",")
+                fs_state = p.next().text
+                p.expect(",")
+                p.expect("(")
+                fs_states = []
+                while True:
+                    t = p.next()
+                    if t.kind != "str":
+                        raise ValueError(
+                            "KQL: funnel_sequence states must be string "
+                            "literals"
+                        )
+                    fs_states.append(t.text[1:-1])
+                    if not p.accept(","):
+                        break
+                p.expect(")")
+                p.expect(")")
+                for c in (fs_id, fs_ts, fs_state):
+                    if c not in df.columns:
+                        raise ValueError(
+                            f"KQL: funnel_sequence column {c!r} not found"
+                        )
+                if len(fs_states) < 2:
+                    raise ValueError(
+                        "KQL: funnel_sequence needs a sequence of >= 2 "
+                        "states"
+                    )
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                df = _compile_funnel_sequence(
+                    df, fs_id, fs_ts, fs_bin, fs_state, fs_states
+                )
+                ser = None
+                continue
             if ev_fn != "pivot":
                 raise ValueError(
                     "KQL: only 'evaluate pivot(...)', 'evaluate "
-                    "bag_unpack(...)' and 'evaluate basket(...)' are "
-                    "supported"
+                    "bag_unpack(...)', 'evaluate basket(...)', 'evaluate "
+                    "narrow()', 'evaluate sequence_detect(...)' and "
+                    "'evaluate funnel_sequence(...)' are supported"
                 )
             p.expect("(")
             pcol = p.next().text

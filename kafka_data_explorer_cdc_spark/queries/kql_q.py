@@ -1930,3 +1930,137 @@ def k70_kql_graph_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | summarize n = count() by a, b, c",
         {"E": edges},
     )
+
+
+@query(
+    "k71_kql_funnel_sequence",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.t1, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id, s1.t1
+), s3 AS (
+  SELECT e.user_id, s2.t1, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id, s2.t1
+)
+SELECT time_bucket(INTERVAL '1 day', t1) AS period,
+       CAST(COUNT(*) AS BIGINT) AS ids
+FROM s3 GROUP BY 1
+""",
+    tags=("kql", "funnel", "analytics"),
+)
+def k71_kql_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL ``evaluate funnel_sequence(...)`` — Kusto's funnel plugin
+    (kql.py:_compile_funnel_sequence), pinned to its headline table:
+    distinct users who executed view -> click -> purchase IN ORDER
+    (not necessarily adjacent; earliest-completion greedy matching:
+    t1 = first view, t2 = first click after t1, t3 = first purchase
+    after t2), bucketed by the day of each user's t1. The oracle
+    replays the identical min-chain as k cascaded conditional-MIN
+    CTEs.
+
+    Scale shape: pure Catalyst — one conditional MIN aggregate per
+    funnel step keyed on user_id (co-partitioned shuffles, each step's
+    input shrunk to the previous step's survivors), no window over the
+    raw stream, no Python. The b90 staged-funnel shape behind a Kusto
+    spelling."""
+    ev = load(spark, sf_dir, "events")
+    return kql(
+        "Events | evaluate funnel_sequence(user_id, ts, 1d, event_type,"
+        " ('view', 'click', 'purchase'))",
+        {"Events": ev},
+    )
+
+
+@query(
+    "k72_kql_sequence_detect",
+    oracle="""
+WITH RECURSIVE coded AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         event_type = 'view' AS f1,
+         event_type = 'click' AS f2,
+         event_type = 'purchase' AS f3
+  FROM events
+), walk AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS cur,
+         CAST(NULL AS TIMESTAMP) AS t1, CAST(NULL AS TIMESTAMP) AS tprev,
+         CAST(NULL AS TIMESTAMP) AS s2, CAST(NULL AS TIMESTAMP) AS e1,
+         CAST(NULL AS TIMESTAMP) AS e2, CAST(NULL AS TIMESTAMP) AS e3,
+         FALSE AS emit
+  FROM (SELECT DISTINCT user_id FROM coded)
+  UNION ALL
+  SELECT c.user_id, c.rn,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN 0
+              WHEN nd AND wok THEN w.cur + 1
+              WHEN nd AND NOT wok AND c.f1 THEN 1
+              WHEN nd AND NOT wok THEN 0
+              ELSE w.cur END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN NULL
+              WHEN nd AND wok AND w.cur = 0 THEN c.ts
+              WHEN nd AND wok THEN w.t1
+              WHEN nd AND NOT wok AND c.f1 THEN c.ts
+              WHEN nd AND NOT wok THEN NULL
+              ELSE w.t1 END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN NULL
+              WHEN nd AND wok THEN c.ts
+              WHEN nd AND NOT wok AND c.f1 THEN c.ts
+              WHEN nd AND NOT wok THEN NULL
+              ELSE w.tprev END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN NULL
+              WHEN nd AND wok AND w.cur = 1 THEN c.ts
+              WHEN nd AND wok THEN w.s2
+              WHEN nd AND NOT wok THEN NULL
+              ELSE w.s2 END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN w.t1 END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN w.s2 END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN c.ts END,
+         COALESCE(nd AND wok AND w.cur = 2, FALSE)
+  FROM walk w
+  JOIN coded c ON c.user_id = w.user_id AND c.rn = w.rn + 1
+  CROSS JOIN LATERAL (SELECT
+      CASE w.cur WHEN 0 THEN c.f1 WHEN 1 THEN c.f2 ELSE c.f3 END AS nd,
+      (w.cur = 0 OR (c.ts <= w.tprev + INTERVAL 24 HOUR
+                     AND c.ts <= w.t1 + INTERVAL 96 HOUR)) AS wok) x
+)
+SELECT user_id, e1 AS f1_ts, e2 AS f2_ts, e3 AS f3_ts
+FROM walk WHERE emit
+""",
+    tags=("kql", "scan", "stateful"),
+)
+def k72_kql_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL ``evaluate sequence_detect(...)`` — Kusto's sequence-
+    detection plugin (kql.py:_compile_sequence_detect): per user,
+    events time-ordered, greedy non-overlapping matching of
+    view -> click -> purchase where each step arrives within 24h of the
+    previous matched step AND within 96h of the first (binding at this
+    data's event density: the windowed match count is ~1/6 of the
+    unconstrained one, so the constraint is genuinely exercised); one row per
+    completed sequence with the per-step timestamps. A step candidate
+    outside its window aborts the in-progress sequence and is
+    immediately reconsidered as a fresh first step (pinned subset,
+    documented at the compiler).
+
+    The oracle replays the identical automaton as a DuckDB recursive
+    CTE stepping one event per iteration and carrying
+    (state, t1, tprev, s2) — the k54 two-independent-implementations
+    pattern, now with window constraints in the transition relation.
+
+    Scale shape: k54's exactly — flags lower to Catalyst booleans
+    before the boundary, ONE user_id shuffle, ONE mapInPandas pass per
+    task (plan-pinned); the window arithmetic is numpy datetime64
+    inside the walk."""
+    ev = load(spark, sf_dir, "events")
+    return kql(
+        "Events | extend f1 = event_type == 'view',"
+        " f2 = event_type == 'click', f3 = event_type == 'purchase'"
+        " | evaluate sequence_detect(ts, 24h, 96h, f1, f2, f3, user_id)",
+        {"Events": ev},
+    )

@@ -1681,3 +1681,83 @@ def test_kql_unpersist_caches_releases_fork_and_materialize(spark):
     assert len(_KQL_PERSISTED) == 2
     assert kql_unpersist_caches() == 2
     assert not _KQL_PERSISTED
+
+
+def test_kql_sequence_detect_semantics(spark):
+    """sequence_detect: greedy non-overlapping per-key automaton with
+    step/span windows; a candidate outside its window aborts and is
+    retested as a fresh first step; output = per-step timestamps."""
+    import datetime as dt
+
+    T = lambda d, h, m: dt.datetime(2024, 1, d, h, m)  # noqa: E731
+    rows = [
+        (1, 1, T(1, 10, 0), "view"), (1, 2, T(1, 10, 30), "click"),
+        (1, 3, T(1, 11, 0), "purchase"),
+        # click 3h after view violates the 2h step window -> abort
+        (1, 4, T(1, 12, 0), "view"), (1, 5, T(1, 15, 30), "click"),
+        (1, 6, T(1, 16, 0), "view"), (1, 7, T(1, 16, 30), "click"),
+        (1, 8, T(1, 17, 0), "purchase"),
+        # span 8h > 6h window -> purchase aborts the sequence
+        (2, 9, T(2, 1, 0), "view"), (2, 10, T(2, 2, 30), "click"),
+        (2, 11, T(2, 9, 0), "purchase"),
+        (3, 12, T(3, 1, 0), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, event_type string"
+    )
+    out = kql(
+        "T | extend f1 = event_type == 'view', f2 = event_type == 'click',"
+        " f3 = event_type == 'purchase'"
+        " | evaluate sequence_detect(ts, 2h, 6h, f1, f2, f3, user_id)",
+        {"T": df},
+    )
+    assert out.columns == ["user_id", "f1_ts", "f2_ts", "f3_ts"]
+    import datetime as dt2
+    got = sorted((r.user_id, r.f1_ts, r.f3_ts) for r in out.collect())
+    assert got == [
+        (1, T(1, 10, 0), T(1, 11, 0)),
+        (1, T(1, 16, 0), T(1, 17, 0)),
+    ]
+    with pytest.raises(ValueError, match="boolean flag"):
+        kql(
+            "T | evaluate sequence_detect(ts, 2h, 6h, event_type, user_id)",
+            {"T": df},
+        )
+    with pytest.raises(ValueError, match="precede the key"):
+        kql(
+            "T | extend f1 = event_type == 'view', f2 = true"
+            " | evaluate sequence_detect(ts, 2h, 6h, f1, user_id, f2)",
+            {"T": df},
+        )
+
+
+def test_kql_funnel_sequence_semantics(spark):
+    """funnel_sequence: earliest-completion ordered (non-adjacent)
+    matching, distinct ids bucketed by the period of t1."""
+    import datetime as dt
+
+    T = lambda d, h, m: dt.datetime(2024, 1, d, h, m)  # noqa: E731
+    rows = [
+        (1, T(1, 10, 0), "view"), (1, T(1, 12, 0), "click"),
+        (1, T(1, 13, 0), "purchase"),
+        # user 2: out of order (purchase before click) -> no funnel
+        (2, T(2, 1, 0), "view"), (2, T(2, 2, 0), "purchase"),
+        (2, T(2, 3, 0), "click"),
+        # user 3: completes across days; period = day of FIRST view
+        (3, T(2, 23, 0), "view"), (3, T(3, 1, 0), "click"),
+        (3, T(4, 5, 0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = kql(
+        "T | evaluate funnel_sequence(user_id, ts, 1d, event_type,"
+        " ('view', 'click', 'purchase'))",
+        {"T": df},
+    )
+    got = sorted((r.period, r.ids) for r in out.collect())
+    assert got == [(T(1, 0, 0), 1), (T(2, 0, 0), 1)]
+    with pytest.raises(ValueError, match="string literals"):
+        kql(
+            "T | evaluate funnel_sequence(user_id, ts, 1d, event_type,"
+            " (view, click))",
+            {"T": df},
+        )

@@ -1123,3 +1123,24 @@ def test_d93_optimized_probe_keeps_dpp(spark, sf_dir):
     p = plan_of(spark, sf_dir, "d93_ivf_index_optimize")
     assert p.lower().count("dynamicpruning") >= 2, p
     assert "CartesianProduct" not in p, p
+
+
+def test_k72_sequence_detect_single_arrow_pass(spark, sf_dir):
+    """k72 (KQL sequence_detect): same discipline as the k54 scan
+    rewrite — flag predicates lower to Catalyst booleans before the
+    boundary, then ONE mapInPandas automaton pass over key-sorted
+    partitions; never per-key pandas groups, never row-Python."""
+    p = plan_of(spark, sf_dir, "k72_kql_sequence_detect")
+    assert p.count("MapInPandas") == 1, p
+    assert "FlatMapGroupsInPandas" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_k71_funnel_sequence_pure_catalyst(spark, sf_dir):
+    """k71 (KQL funnel_sequence): the min-chain must stay whole-stage
+    JVM — conditional MIN aggregates joined per step, no Python
+    boundary, no window over the raw event stream, no cartesian."""
+    p = plan_of(spark, sf_dir, "k71_kql_funnel_sequence")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, "funnel must not window the raw stream"
