@@ -97,7 +97,7 @@ _FRONT = [
     "d93_ivf_index_optimize",
     "k71_kql_funnel_sequence",
     "k72_kql_sequence_detect",
-    "b106_theta_sketch_set_algebra",
+    "b106_product_profit_q9",
     # (1) the r2-stale cohort (14)
     "k13_kql_recent_orders",
     "k14_kql_avg_sales",

@@ -5629,3 +5629,63 @@ def b105_incremental_partition_processing(
             F.sum("sum_ids").alias("sum_ids"),
         )
     )
+
+
+@query(
+    "b106_product_profit_q9",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(l.l_extendedprice * (1 - l.l_discount)
+                - 0.6 * p.p_retailprice * l.l_quantity) AS DOUBLE)
+         AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    tags=("relational", "join", "tpch"),
+)
+def b106_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit measure): the canonical
+    five-table join-aggregate — lineitem against a name-filtered part
+    list, supplier -> nation for the selling country, orders for the
+    fiscal year; profit = revenue minus cost (supply cost modeled as
+    60% of p_retailprice — this corpus carries no partsupp table),
+    rolled up per (nation, year).
+
+    Scale shape: the fact table joins three DIMENSION sides that all
+    broadcast (filtered part, supplier, nation — none grows with the
+    fact) and one fact-sized side (orders) that shuffles on the order
+    key; Catalyst/AQE picks broadcast for every dim (plan-pinned >= 3
+    broadcasts, no cartesian), the p_name filter prunes part BEFORE
+    its join (pushed to the scan), and the rollup is one
+    partial+final hash aggregate over ~|nations| x |years| groups —
+    the plan a 100 TB star query must compile to."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )

@@ -1144,3 +1144,14 @@ def test_k71_funnel_sequence_pure_catalyst(spark, sf_dir):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
     assert "CartesianProduct" not in p, p
     assert "Window" not in p, "funnel must not window the raw stream"
+
+
+def test_b106_q9_broadcasts_every_dim(spark, sf_dir):
+    """b106 (Q9 shape): the three dimension sides (filtered part,
+    supplier, nation) must all broadcast - none grows with the fact -
+    the p_name filter must reach the part scan, and there must be no
+    cartesian anywhere."""
+    p = plan_of(spark, sf_dir, "b106_product_profit_q9")
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p, p
+    assert "widget" in p, "p_name filter must push toward the part scan"
