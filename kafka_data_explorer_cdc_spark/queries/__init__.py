@@ -98,6 +98,11 @@ _FRONT = [
     "k71_kql_funnel_sequence",
     "k72_kql_sequence_detect",
     "b106_product_profit_q9",
+    "b107_local_supplier_volume_q5",
+    "b108_volume_shipping_q7",
+    "b109_market_share_q8",
+    "b110_returned_items_q10",
+    "b111_promo_revenue_q14",
     # (1) the r2-stale cohort (14)
     "k13_kql_recent_orders",
     "k14_kql_avg_sales",
@@ -139,14 +144,9 @@ _FRONT = [
     "d04x_minhash_lsh_portable",
     "d06x_simhash_portable",
     "d07w_lsh_cosine_portable",
-    # (3) the head of the r4 cohort (build order) — fills to 50; the
-    # rest of r4 (b10, b11, b12, b13a, b13b, b26, b27, b25, b21, b21b,
-    # ...) rotates in round 11.
-    "b09x_cube_priority_status",
-    "b10_window_topk_per_group",
-    "b11_window_running_revenue",
-    "b12_global_topk",
-    "b13a_union_all_counts",
+    # window exactly full at 50 (11 additions + 14 r2 + 25 r3); the r4
+    # cohort (b09x, b10, b11, b12, b13a, b13b, b26, b27, b25, b21,
+    # b21b, ...) leads the round-11 rotation queue.
 ]
 
 

@@ -5689,3 +5689,311 @@ def b106_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
     )
+
+
+@query(
+    "b107_local_supplier_volume_q5",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+    tags=("relational", "join", "tpch"),
+)
+def b107_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    orders where the CUSTOMER and the SUPPLIER share a nation inside
+    one region — the classic star query whose distinguishing feature
+    is the non-hierarchical ``s_nationkey = c_nationkey`` correlation
+    BETWEEN two dimension arms, which forces the optimizer to carry
+    the customer's nation through the fact join rather than treat the
+    arms independently.
+
+    Scale shape: region -> nation prunes to a ~5-nation broadcast
+    before anything fact-sized runs; orders carries its date filter to
+    the scan; the only fact-fact shuffle is lineitem x orders on the
+    order key; supplier broadcasts with the two-column join condition.
+    Group count is bounded by |nations|."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_nations = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(asian_nations),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "b108_volume_shipping_q7",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)
+         AS revenue
+FROM supplier s
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+       OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+    tags=("relational", "join", "tpch"),
+)
+def b108_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): trade volume BETWEEN two
+    named nations, per direction per ship year — the query whose
+    defining feature is a DISJUNCTIVE predicate over a PAIR of
+    dimension arms ((supp, cust) = (A, B) or (B, A)), which no single
+    arm can satisfy alone: the pair filter must run after both nation
+    joins, while each arm's name filter still prunes its own tiny
+    broadcast side.
+
+    Scale shape: the same nation table joins twice under different
+    roles (n1/n2 — alias-robustness the b04 chain never exercises);
+    both broadcast; the ship-date window pushes to the lineitem scan;
+    output is bounded by 2 directions x years."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_13", "NATION_19"))
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_13", "NATION_19"))
+    pair = (
+        (F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_19")
+    ) | (
+        (F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_13")
+    )
+    return (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "b109_market_share_q8",
+    oracle="""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                     THEN l.l_extendedprice * (1 - l.l_discount)
+                     ELSE 0 END)
+            / SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)
+         AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n2.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+GROUP BY 1
+""",
+    tags=("relational", "join", "tpch"),
+)
+def b109_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of all PROMO-part
+    revenue sold INTO one region, the fraction supplied by one nation,
+    per order year — the canonical conditional-aggregate RATIO (a
+    share-of-total needs both sums in ONE pass; two scans would race
+    the data twice and can disagree under updates).
+
+    Scale shape: seven-table star with every dimension broadcast
+    (part filtered by type, customer->nation->region hierarchy pruning
+    the market, supplier->nation tagging the origin); the numerator is
+    a CASE inside the same partial+final aggregate as the denominator
+    — one shuffle of |years| groups, never two jobs."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    market = (
+        nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("mkt_key"))
+    )
+    origin = nat.select(
+        F.col("n_nationkey").alias("orig_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(market), F.col("mkt_key") == F.col("c_nationkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(origin), F.col("orig_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol)
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "b110_returned_items_q10",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("relational", "join", "tpch", "topk"),
+)
+def b110_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the 20 customers who
+    returned the most revenue in one quarter — the support-desk
+    escalation list. Distinguishing features: the selective flag
+    filter lives on the FACT side (l_returnflag = 'R' pushes to the
+    lineitem scan), the quarter window on orders, and a global top-20
+    over a group-by whose key includes hydrated customer attributes.
+
+    Scale shape: both filters reach their scans; customer and nation
+    broadcast; the top-20 compiles to TakeOrderedAndProject (pinned) —
+    never a global sort of every customer's revenue."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "b111_promo_revenue_q14",
+    oracle="""
+SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END)
+            / SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)
+         AS promo_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01'
+""",
+    tags=("relational", "join", "tpch"),
+)
+def b111_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the percentage of one
+    month's revenue attributable to promotional parts — the simplest
+    honest conditional-ratio query: one month of lineitem joined to
+    part, numerator CASE and denominator in the SAME global aggregate
+    (one job, one row out).
+
+    Scale shape: the ship-month window prunes the fact scan; part
+    broadcasts; the whole query is scan -> broadcast join -> one
+    partial+final aggregate with no grouping key — the minimal plan
+    for a global ratio at any corpus size."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol)
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )

@@ -1155,3 +1155,21 @@ def test_b106_q9_broadcasts_every_dim(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "CartesianProduct" not in p, p
     assert "widget" in p, "p_name filter must push toward the part scan"
+
+
+def test_q5_q7_q8_q10_q14_star_plans(spark, sf_dir):
+    """The round-10 TPC-H star shapes: every dimension side broadcasts,
+    fact-side filters reach their scans, no cartesian; Q10's top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    p5 = plan_of(spark, sf_dir, "b107_local_supplier_volume_q5")
+    assert p5.count("BroadcastHashJoin") >= 3 and "CartesianProduct" not in p5, p5
+    p7 = plan_of(spark, sf_dir, "b108_volume_shipping_q7")
+    assert p7.count("BroadcastHashJoin") >= 3 and "CartesianProduct" not in p7, p7
+    assert "NATION_13" in p7, "nation-name filters must prune the broadcast arms"
+    p8 = plan_of(spark, sf_dir, "b109_market_share_q8")
+    assert p8.count("BroadcastHashJoin") >= 4 and "CartesianProduct" not in p8, p8
+    p10 = plan_of(spark, sf_dir, "b110_returned_items_q10")
+    assert "TakeOrderedAndProject" in p10, p10
+    assert "EqualTo(l_returnflag,R)" in p10, "fact flag filter must push to the lineitem scan"
+    p14 = plan_of(spark, sf_dir, "b111_promo_revenue_q14")
+    assert "BroadcastHashJoin" in p14 and "CartesianProduct" not in p14, p14
