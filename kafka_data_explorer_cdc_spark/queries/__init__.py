@@ -41,42 +41,41 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # policy). Result: union driver coverage reaches 322/322 after this
 # round's driver run.
 #
-# ROUND-10 WINDOW (exact, computed end-of-round-9 under the assumption
-# that the round-9 driver run checks the current 50-slot window of
-# never-checked entries; re-verify with tools/rotation_check.py against
-# CORRECTNESS_r09 before committing — any round-9 window entry that did
-# NOT get a driver row stays never-checked and pre-empts this list):
-#   1. any round-10 additions (never-checked) first, then
-#   2. the r2-stale cohort (14): k13_kql_recent_orders,
-#      k14_kql_avg_sales, k15_kql_total_sales, k16_kql_order_counts,
-#      k17_kql_filtered_pipeline, k20_kql_between,
-#      k21_kql_countif_sumif, k22_kql_parse_json, k23_kql_mv_expand,
-#      d07_embedding_cosine_topk, d16_chunk_documents,
-#      d17_contamination_check, d18_repetition_ratio,
-#      d19_stratified_sample;
-#   3. the r3-stale cohort (25): b13c_except, b14_scalar_functions,
-#      b14b_date_functions, b15a_json_extract, b15b_array_functions,
-#      k24_kql_join, k25_kql_let, k26_kql_parse_extract,
-#      k27_kql_case_tiers, k28_kql_arg_max, k29_kql_make_set,
-#      k30_kql_percentile, k32_kql_top_nested, k33_kql_lookup,
-#      k34_kql_mv_apply, k35_kql_pivot, k36_kql_top_hitters,
-#      k37_kql_search, k38_kql_range_source, k39_kql_scalar_strings,
-#      k41_kql_serialized_windows, k42_kql_parse_where,
-#      d04x_minhash_lsh_portable, d06x_simhash_portable,
-#      d07w_lsh_cosine_portable;
-#   4. the head of the r4 cohort (11, build order):
-#      b09x_cube_priority_status, b10_window_topk_per_group,
-#      b11_window_running_revenue, b12_global_topk,
-#      b13a_union_all_counts, b13b_intersect, b26_salted_skew_agg,
-#      b27_percentiles, b25_session_window, b21_tumbling_window_agg,
-#      b21b_sliding_window_agg — window full at 50; the rest of r4
-#      rotates in round 11.
-# NOTE on the staleness ceiling: the policy aimed for "no entry's
-# newest driver row more than ~3 rounds old", but with a 300+-entry
-# registry and a 50-slot window the arithmetic floor is ~6 rounds;
-# never-checked entries rightly pre-empt rotation. The r3 cohort above
-# will be ~7 rounds stale when it rotates in during round 10 —
-# accepted trade, documented here so the number isn't a surprise.
+# ROUND-11 WINDOW (exact, computed end-of-round-10 from the union of
+# CORRECTNESS_r01..r09 + the executed round-10 _FRONT below; re-verify
+# with tools/rotation_check.py against CORRECTNESS_r10 before
+# committing — any round-10 window entry that did NOT get a driver row
+# stays never-checked and pre-empts this list):
+#   1. any round-11 additions (never-checked) first, then
+#   2. the r4-stale cohort (33, build order): b09x_cube_priority_status,
+#      b10_window_topk_per_group, b11_window_running_revenue,
+#      b12_global_topk, b13a_union_all_counts, b13b_intersect,
+#      b26_salted_skew_agg, b27_percentiles, b25_session_window,
+#      b21_tumbling_window_agg, b21b_sliding_window_agg,
+#      b14c_edit_distance, b30_window_distribution,
+#      a12_cdc_latest_state, a16_order_count_by_city,
+#      a17_cdc_scd2_history, k19_kql_ago_filter, k31_kql_make_series,
+#      k18_kql_time_binning, k40_kql_datetime_scalars,
+#      d20_neardup_clusters, d21_pii_redaction, d22_segment_dedup,
+#      d23_char_entropy, d24_tfidf_cosine_pairs,
+#      d25_url_canonical_dedup, s21_stream_tumbling_counts,
+#      s22_stream_sliding_counts, s23_stream_dedup,
+#      s24_stream_cdc_apply, s25_stream_sessionization,
+#      s26_stream_stateful_funnel, s27_stream_stream_join;
+#   3. the head of the r5 cohort (50 total, build order — take as many
+#      as fill the window): b01_scan_region, b02_filter_projection,
+#      b03_join_broadcast, b04_q3_shipping_priority,
+#      b05a_left_join_counts, b05b_semi_join, b05c_anti_join,
+#      b05d_full_outer_join, b28_collect_sorted_list,
+#      b06_range_join_funnel, b29_asof_join, b07_q1_pricing_summary,
+#      b08_count_distinct, b08x_approx_count_distinct,
+#      b09_rollup_revenue, b27x_percentiles_approx, a08_order_generator
+#      — the rest of r5 rotates in round 12.
+# NOTE on the staleness ceiling: with a 333-entry registry and a
+# 50-slot window the arithmetic floor is ~7 rounds; never-checked
+# entries rightly pre-empt rotation. The r4 cohort above will be ~7
+# driver-rounds stale when it rotates in during round 11 — accepted
+# trade, documented here so the number isn't a surprise.
 from . import kql_q  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
