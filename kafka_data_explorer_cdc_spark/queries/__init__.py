@@ -47,6 +47,8 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # committing — any round-10 window entry that did NOT get a driver row
 # stays never-checked and pre-empts this list):
 #   1. any round-11 additions (never-checked) first, then
+#   1b. d07w_lsh_cosine_portable (r3-stale, displaced from the
+#      round-10 window by the mm11 addition), then
 #   2. the r4-stale cohort (33, build order): b09x_cube_priority_status,
 #      b10_window_topk_per_group, b11_window_running_revenue,
 #      b12_global_topk, b13a_union_all_counts, b13b_intersect,
@@ -102,6 +104,7 @@ _FRONT = [
     "b109_market_share_q8",
     "b110_returned_items_q10",
     "b111_promo_revenue_q14",
+    "mm11_audio_vad_segments",
     # (1) the r2-stale cohort (14)
     "k13_kql_recent_orders",
     "k14_kql_avg_sales",
@@ -142,10 +145,10 @@ _FRONT = [
     "k42_kql_parse_where",
     "d04x_minhash_lsh_portable",
     "d06x_simhash_portable",
-    "d07w_lsh_cosine_portable",
-    # window exactly full at 50 (11 additions + 14 r2 + 25 r3); the r4
-    # cohort (b09x, b10, b11, b12, b13a, b13b, b26, b27, b25, b21,
-    # b21b, ...) leads the round-11 rotation queue.
+    # window exactly full at 50 (12 additions + 14 r2 + 24 of the 25
+    # r3 entries — d07w_lsh_cosine_portable, displaced by the mm11
+    # addition per never-checked-pre-empts-stale, leads the round-11
+    # queue ahead of the r4 cohort).
 ]
 
 

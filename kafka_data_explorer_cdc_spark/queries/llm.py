@@ -7502,3 +7502,72 @@ def d93_ivf_index_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lossless.unionByName(conserved).unionByName(shrunk).unionByName(
         compacted
     )
+
+
+_MM11_VAD_THRESHOLD = 628_000
+
+_MM11_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS vs
+  FROM documents
+), pos AS (
+  SELECT doc_id, vs, unnest(range(0, len(vs))) AS i FROM s
+), w AS (
+  SELECT doc_id, i // 64 AS widx,
+         SUM(vs[i + 1] * vs[i + 1]) AS e
+  FROM pos GROUP BY 1, 2
+), act AS (
+  SELECT doc_id, widx,
+         widx - row_number() OVER (PARTITION BY doc_id ORDER BY widx)
+           AS seg_key
+  FROM w WHERE e >= {_MM11_VAD_THRESHOLD}
+), seg AS (
+  SELECT doc_id, seg_key, MIN(widx) AS s0, COUNT(*) AS len
+  FROM act GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(len) AS BIGINT) AS active_windows,
+       CAST(MAX(len) AS BIGINT) AS longest_segment,
+       CAST(MIN(s0) AS BIGINT) AS first_active_window
+FROM seg GROUP BY doc_id
+"""
+
+
+@query("mm11_audio_vad_segments", oracle=_MM11_ORACLE, tags=("llm", "multimodal", "audio"))
+def mm11_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection (VAD) segmentation plumbing — the
+    step an audio curation pipeline runs before transcription: window
+    the waveform, mark windows whose energy clears a threshold as
+    speech, merge CONSECUTIVE active windows into segments
+    (gaps-and-islands), and report per clip the segment census
+    (count, total active windows, longest run, first onset). The
+    energy front-end is mm5's Arrow kernel verbatim (codec stubbed to
+    raw bytes at the documented seam — swap in a real decoder + a
+    trained VAD without touching the plan); the threshold is pinned at
+    the corpus median full-window energy so both states actually
+    occur.
+
+    Scale shape: ONE Arrow mapInPandas stage (the energy kernel),
+    then the islands trick — seg_key = window_idx - row_number() per
+    doc — entirely in JVM window + aggregate operators over the
+    doc_id key; shuffle carries (doc, window, energy) longs, never
+    samples. Segmentation of a 100 TB audio lake is this exact plan
+    with a real codec."""
+    docs = load(spark, sf_dir, "documents")
+    en = MM.audio_energy(docs)
+    w = Window.partitionBy("doc_id").orderBy("window_idx")
+    active = en.filter(F.col("energy") >= _MM11_VAD_THRESHOLD)
+    seg = active.withColumn(
+        "seg_key", F.col("window_idx") - F.row_number().over(w)
+    )
+    per_seg = seg.groupBy("doc_id", "seg_key").agg(
+        F.min("window_idx").alias("s0"), F.count("*").alias("len")
+    )
+    return per_seg.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("len").cast("long").alias("active_windows"),
+        F.max("len").cast("long").alias("longest_segment"),
+        F.min("s0").cast("long").alias("first_active_window"),
+    )

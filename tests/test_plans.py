@@ -1173,3 +1173,14 @@ def test_q5_q7_q8_q10_q14_star_plans(spark, sf_dir):
     assert "EqualTo(l_returnflag,R)" in p10, "fact flag filter must push to the lineitem scan"
     p14 = plan_of(spark, sf_dir, "b111_promo_revenue_q14")
     assert "BroadcastHashJoin" in p14 and "CartesianProduct" not in p14, p14
+
+
+def test_mm11_vad_single_arrow_stage_jvm_islands(spark, sf_dir):
+    """mm11 (audio VAD): exactly ONE Python boundary (mm5's energy
+    kernel); the gaps-and-islands segmentation is pure JVM window +
+    aggregate operators — the shuffle carries (doc, window, energy)
+    longs, never samples."""
+    p = plan_of(spark, sf_dir, "mm11_audio_vad_segments")
+    assert p.count("MapInPandas") == 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "Window" in p, "islands trick must use a window function"
