@@ -47,8 +47,9 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # committing — any round-10 window entry that did NOT get a driver row
 # stays never-checked and pre-empts this list):
 #   1. any round-11 additions (never-checked) first, then
-#   1b. d07w_lsh_cosine_portable (r3-stale, displaced from the
-#      round-10 window by the mm11 addition), then
+#   1b. d06x_simhash_portable and d07w_lsh_cosine_portable (r3-stale,
+#      displaced from the round-10 window by the mm11/d92x
+#      additions), then
 #   2. the r4-stale cohort (33, build order): b09x_cube_priority_status,
 #      b10_window_topk_per_group, b11_window_running_revenue,
 #      b12_global_topk, b13a_union_all_counts, b13b_intersect,
@@ -95,6 +96,7 @@ _FRONT = [
     # (0) round-10 additions — never driver-checked by construction
     "s50_stream_late_data_watermark",
     "d92_colbert_maxsim",
+    "d92x_colbert_maxsim_ivf",
     "d93_ivf_index_optimize",
     "k71_kql_funnel_sequence",
     "k72_kql_sequence_detect",
@@ -144,11 +146,11 @@ _FRONT = [
     "k41_kql_serialized_windows",
     "k42_kql_parse_where",
     "d04x_minhash_lsh_portable",
-    "d06x_simhash_portable",
-    # window exactly full at 50 (12 additions + 14 r2 + 24 of the 25
-    # r3 entries — d07w_lsh_cosine_portable, displaced by the mm11
-    # addition per never-checked-pre-empts-stale, leads the round-11
-    # queue ahead of the r4 cohort).
+    # window exactly full at 50 (13 additions + 14 r2 + 23 of the 25
+    # r3 entries — d06x_simhash_portable and d07w_lsh_cosine_portable,
+    # displaced by the mm11/d92x additions per
+    # never-checked-pre-empts-stale, lead the round-11 queue ahead of
+    # the r4 cohort).
 ]
 
 

@@ -7285,8 +7285,17 @@ def d92_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = S.brute_force_cosine_topk(em, queries, k=_D92_CAND).select(
         "q_id", "c_id"
     )
+    return _maxsim_rerank(em, queries, cand)
 
-    def token_view(df: DataFrame, id_in: str, id_out: str, pfx: str) -> DataFrame:
+
+def _maxsim_rerank(em: DataFrame, queries: DataFrame, cand: DataFrame) -> DataFrame:
+    """MaxSim late-interaction rerank over a per-query candidate list
+    (d92's stage 2, shared with the IVF-probed variant d92x): explode
+    query and candidate sides to token granularity, per-(q, c, q_tok)
+    MAX cosine, per-(q, c) SUM, window top-3. All JVM higher-order
+    functions; the fan-out is bounded by |cand| x tokens^2."""
+
+    def q_token_view(df: DataFrame) -> DataFrame:
         slices = F.array(
             *[
                 F.slice("embedding", 1 + _D92_TOKDIM * t, _D92_TOKDIM)
@@ -7294,19 +7303,19 @@ def d92_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         out = df.select(
-            F.col(id_in).alias(id_out),
-            F.posexplode(slices).alias(f"{pfx}_tok", f"{pfx}_vec"),
+            F.col("vec_id").alias("q_id"),
+            F.posexplode(slices).alias("q_tok", "q_vec"),
         )
         nrm = F.sqrt(
             F.aggregate(
-                f"{pfx}_vec",
+                "q_vec",
                 F.lit(0.0),
                 lambda a, x: a + x.cast("double") * x.cast("double"),
             )
         )
-        return out.withColumn(f"{pfx}_nrm", nrm)
+        return out.withColumn("q_nrm", nrm)
 
-    qt = token_view(queries, "vec_id", "q_id", "q")
+    qt = q_token_view(queries)
     # candidate tokens carry BOTH ids (a candidate list is per query)
     ct = (
         cand.join(em.withColumnRenamed("vec_id", "c_id"), "c_id")
@@ -7571,3 +7580,70 @@ def mm11_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_segment"),
         F.min("s0").cast("long").alias("first_active_window"),
     )
+
+
+_D92X_ORACLE = """
+SELECT CAST(-1 AS BIGINT) AS probe_id, TRUE AS ok
+UNION ALL SELECT CAST(-2 AS BIGINT), TRUE
+"""
+
+
+@query("d92x_colbert_maxsim_ivf", oracle=_D92X_ORACLE, tags=("llm", "similarity", "retrieval", "approx"))
+def d92x_colbert_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d92's registered SCALE PATH: candidate generation swapped from
+    the exact broadcast scorer to the IVF probe (nprobe=10 of 16 —
+    ~60% of the corpus scanned; wider than d89's 8 because MaxSim
+    winners are chosen by TOKEN-level similarity, which correlates
+    only loosely with the full-vector cells at tiny corpus sizes —
+    measured recall 0.62/0.83 at sf0.001/sf0.01 vs 0.29 at nprobe=8
+    on the 50-vector corpus), MaxSim rerank identical
+    (_maxsim_rerank). Bounded-comparison gate (all-TRUE oracle, the
+    d89/d90 pattern):
+
+    - probe -1: recall@3 vs the exact-candidate d92 result >= 0.5 at
+      nprobe=10.
+    - probe -2: the exactness knob — nprobe == n_cells probes every
+      cell, the candidate top-20 equals the exact one (same
+      tie-breaks), so the reranked output must equal d92's EXACTLY:
+      pruning trades recall, never correctness."""
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = em.filter(F.col("vec_id") < _D92_Q)
+    exact = _maxsim_rerank(
+        em,
+        queries,
+        S.brute_force_cosine_topk(em, queries, k=_D92_CAND).select("q_id", "c_id"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    probed = _maxsim_rerank(
+        em,
+        queries,
+        S.ivf_cosine_topk(
+            em, queries, k=_D92_CAND, n_cells=16, nprobe=10
+        ).select("q_id", "c_id"),
+    )
+    hits = probed.select("q_id", "c_id").join(
+        exact.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi"
+    )
+    recall = (
+        hits.agg(F.count("*").alias("h"))
+        .crossJoin(exact.agg(F.count("*").alias("n")))
+        .select(
+            F.lit(-1).cast("long").alias("probe_id"),
+            (F.col("h") >= F.col("n") * 0.5).alias("ok"),
+        )
+    )
+    full = _maxsim_rerank(
+        em,
+        queries,
+        S.ivf_cosine_topk(
+            em, queries, k=_D92_CAND, n_cells=16, nprobe=16
+        ).select("q_id", "c_id"),
+    )
+    cols = ["q_id", "rank", "c_id"]
+    missing = exact.select(cols).join(full.select(cols), cols, "left_anti")
+    extra = full.select(cols).join(exact.select(cols), cols, "left_anti")
+    exact_knob = (
+        missing.unionByName(extra)
+        .agg((F.count("*") == 0).alias("ok"))
+        .select(F.lit(-2).cast("long").alias("probe_id"), "ok")
+    )
+    return recall.unionByName(exact_knob)
