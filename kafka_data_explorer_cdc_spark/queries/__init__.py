@@ -47,9 +47,9 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # committing — any round-10 window entry that did NOT get a driver row
 # stays never-checked and pre-empts this list):
 #   1. any round-11 additions (never-checked) first, then
-#   1b. d06x_simhash_portable and d07w_lsh_cosine_portable (r3-stale,
-#      displaced from the round-10 window by the mm11/d92x
-#      additions), then
+#   1b. d04x_minhash_lsh_portable, d06x_simhash_portable and
+#      d07w_lsh_cosine_portable (r3-stale, displaced from the round-10
+#      window by the mm11/d92x/s51 additions), then
 #   2. the r4-stale cohort (33, build order): b09x_cube_priority_status,
 #      b10_window_topk_per_group, b11_window_running_revenue,
 #      b12_global_topk, b13a_union_all_counts, b13b_intersect,
@@ -107,6 +107,7 @@ _FRONT = [
     "b110_returned_items_q10",
     "b111_promo_revenue_q14",
     "mm11_audio_vad_segments",
+    "s51_stream_sequence_detect",
     # (1) the r2-stale cohort (14)
     "k13_kql_recent_orders",
     "k14_kql_avg_sales",
@@ -145,12 +146,11 @@ _FRONT = [
     "k39_kql_scalar_strings",
     "k41_kql_serialized_windows",
     "k42_kql_parse_where",
-    "d04x_minhash_lsh_portable",
-    # window exactly full at 50 (13 additions + 14 r2 + 23 of the 25
-    # r3 entries — d06x_simhash_portable and d07w_lsh_cosine_portable,
-    # displaced by the mm11/d92x additions per
-    # never-checked-pre-empts-stale, lead the round-11 queue ahead of
-    # the r4 cohort).
+    # window exactly full at 50 (14 additions + 14 r2 + 22 of the 25
+    # r3 entries — d04x_minhash_lsh_portable, d06x_simhash_portable
+    # and d07w_lsh_cosine_portable, displaced by the mm11/d92x/s51
+    # additions per never-checked-pre-empts-stale, lead the round-11
+    # queue ahead of the r4 cohort).
 ]
 
 

@@ -1903,3 +1903,139 @@ def s50_stream_late_data_watermark(
     )
     run_to_memory(agg, name, output_mode="append")
     return spark.table(name)
+
+
+def _time_sliced_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three-file replay of the events table sliced by event time
+    (thirds of the [min, max] span), mtime-spaced so the file source
+    delivers one slice per micro-batch in time order — the arrangement
+    under which per-key event-time-ordered arrival holds ACROSS
+    micro-batches by construction (the ordering contract of the
+    custom stateful operators; a Kafka topic partitioned by user with
+    in-order producers gives the same guarantee)."""
+    import glob
+    import shutil
+    import time as _time
+
+    from ..io import derived_cache_dir
+
+    indir = derived_cache_dir("s51_slices", f"{sf_dir}/events.parquet")
+    done = os.path.join(indir, "_DONE")
+    if os.path.exists(done):
+        return indir
+    os.makedirs(indir, exist_ok=True)
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    slices = [
+        ("a_slice.parquet", ev.filter(F.col("ts") < F.lit(cut1))),
+        (
+            "b_slice.parquet",
+            ev.filter((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
+        ),
+        ("c_slice.parquet", ev.filter(F.col("ts") >= F.lit(cut2))),
+    ]
+    for fname, df in slices:
+        scratch = _tmp("s51_scratch_")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        shutil.move(
+            glob.glob(os.path.join(scratch, "part-*.parquet"))[0],
+            os.path.join(indir, fname),
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+    now = _time.time()
+    for i, f in enumerate(sorted(os.listdir(indir))):
+        os.utime(os.path.join(indir, f), (now + 10 * i, now + 10 * i))
+    open(done, "w").close()
+    return indir
+
+
+@query(
+    "s51_stream_sequence_detect",
+    oracle="""
+WITH RECURSIVE coded AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         event_type = 'view' AS f1,
+         event_type = 'click' AS f2,
+         event_type = 'purchase' AS f3
+  FROM events
+), walk AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS cur,
+         CAST(NULL AS TIMESTAMP) AS t1, CAST(NULL AS TIMESTAMP) AS tprev,
+         CAST(NULL AS TIMESTAMP) AS s2, CAST(NULL AS TIMESTAMP) AS e1,
+         CAST(NULL AS TIMESTAMP) AS e2, CAST(NULL AS TIMESTAMP) AS e3,
+         FALSE AS emit
+  FROM (SELECT DISTINCT user_id FROM coded)
+  UNION ALL
+  SELECT c.user_id, c.rn,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN 0
+              WHEN nd AND wok THEN w.cur + 1
+              WHEN nd AND NOT wok AND c.f1 THEN 1
+              WHEN nd AND NOT wok THEN 0
+              ELSE w.cur END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN NULL
+              WHEN nd AND wok AND w.cur = 0 THEN c.ts
+              WHEN nd AND wok THEN w.t1
+              WHEN nd AND NOT wok AND c.f1 THEN c.ts
+              WHEN nd AND NOT wok THEN NULL
+              ELSE w.t1 END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN NULL
+              WHEN nd AND wok THEN c.ts
+              WHEN nd AND NOT wok AND c.f1 THEN c.ts
+              WHEN nd AND NOT wok THEN NULL
+              ELSE w.tprev END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN NULL
+              WHEN nd AND wok AND w.cur = 1 THEN c.ts
+              WHEN nd AND wok THEN w.s2
+              WHEN nd AND NOT wok THEN NULL
+              ELSE w.s2 END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN w.t1 END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN w.s2 END,
+         CASE WHEN nd AND wok AND w.cur = 2 THEN c.ts END,
+         COALESCE(nd AND wok AND w.cur = 2, FALSE)
+  FROM walk w
+  JOIN coded c ON c.user_id = w.user_id AND c.rn = w.rn + 1
+  CROSS JOIN LATERAL (SELECT
+      CASE w.cur WHEN 0 THEN c.f1 WHEN 1 THEN c.f2 ELSE c.f3 END AS nd,
+      (w.cur = 0 OR (c.ts <= w.tprev + INTERVAL 24 HOUR
+                     AND c.ts <= w.t1 + INTERVAL 96 HOUR)) AS wok) x
+)
+SELECT user_id, e1 AS f1_ts, e2 AS f2_ts, e3 AS f3_ts
+FROM walk WHERE emit
+""",
+    tags=("streaming", "stateful", "scan"),
+)
+def s51_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k72's windowed sequence automaton as a REAL incremental stream
+    (streaming/stateful.py:streaming_sequence_detect): the events
+    table replays as three time-sliced micro-batches through
+    ``applyInPandasWithState``, the per-user automaton carry —
+    (step, first ts, previous ts, stamps), a FIXED-width tuple —
+    lives in the checkpointed state store and crosses batch
+    boundaries, and each completed view->click->purchase sequence
+    (24h step / 96h span windows) emits its per-step timestamps in
+    the batch that completes it.
+
+    The oracle is k72's recursive-CTE automaton VERBATIM — the same
+    closed-form answer verifies the batch compiler and the streaming
+    state machine, which is the unified-engine contract stated as
+    strongly as it can be: a custom stateful streaming operator with a
+    value-exact SQL oracle, not just a gate. State is O(1) per user
+    regardless of stream length — the property that distinguishes a
+    deployable pattern matcher from one whose state store grows with
+    the stream."""
+    from ..streaming.stateful import streaming_sequence_detect
+
+    name = f"s51_{uuid.uuid4().hex[:8]}"
+    indir = _time_sliced_events_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    run_to_memory(streaming_sequence_detect(ev), name, output_mode="append")
+    return spark.table(name)

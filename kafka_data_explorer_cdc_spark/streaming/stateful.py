@@ -287,3 +287,102 @@ def streaming_last_touch(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_sequence_detect(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    step_win: str = "24 hours",
+    span_win: str = "96 hours",
+) -> DataFrame:
+    """k72's windowed sequence automaton as an incremental stateful
+    STREAM (``evaluate sequence_detect``'s streaming twin): per user,
+    greedy non-overlapping matching of the step event types where each
+    step arrives within ``step_win`` of the previous matched step and
+    within ``span_win`` of the first; one output row per completed
+    sequence with the per-step timestamps, emitted in the micro-batch
+    that completes it.
+
+    State per key is the automaton carry alone — (current step,
+    first-step ts, previous-step ts, intermediate stamps) as int64
+    micros, a FIXED-width tuple regardless of stream length or event
+    rate: the provably-bounded-state property that makes this operator
+    deployable on an unbounded 100 TB/day stream (contrast the
+    streaming_funnel above, whose state is O(rate x horizon)).
+
+    Ordering contract (same as streaming_funnel, documented there):
+    per-key event-time-ordered arrival across micro-batches; rows
+    WITHIN a batch are sorted here. The s51 gate replays time-sliced
+    files so the contract holds by construction and the output is
+    value-identical to the batch compiler's (k72's recursive-CTE
+    oracle verifies both)."""
+    import numpy as np
+
+    from pyspark.sql.types import TimestampType
+
+    n = len(steps)
+    if n != 3:
+        raise ValueError("streaming_sequence_detect: pinned to 3 steps")
+    out_schema = StructType(
+        [StructField("user_id", LongType())]
+        + [StructField(f"f{i + 1}_ts", TimestampType()) for i in range(n)]
+    )
+    state_schema = StructType(
+        [
+            StructField("cur", LongType()),
+            StructField("t1", LongType()),
+            StructField("tprev", LongType()),
+            StructField("s2", LongType()),
+        ]
+    )
+
+    def _secs(text: str) -> int:
+        qty, unit = text.split()
+        return int(qty) * {"hours": 3600, "minutes": 60, "seconds": 1}[unit]
+
+    step_us = _secs(step_win) * 1_000_000
+    span_us = _secs(span_win) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        cur, t1, tprev, s2 = state.get if state.exists else (0, -1, -1, -1)
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        et = pdf["event_type"].to_numpy()
+        rows = []
+        for i in range(len(pdf)):
+            t = int(ts[i])
+            for _retry in (0, 1):
+                if et[i] != steps[cur]:
+                    break
+                if cur > 0 and (t - tprev > step_us or t - t1 > span_us):
+                    cur, t1, tprev, s2 = 0, -1, -1, -1
+                    continue
+                if cur == 0:
+                    t1 = t
+                elif cur == 1:
+                    s2 = t
+                tprev = t
+                cur += 1
+                if cur == n:
+                    rows.append((key[0], t1, s2, t))
+                    cur, t1, tprev, s2 = 0, -1, -1, -1
+                break
+        state.update((int(cur), int(t1), int(tprev), int(s2)))
+        out = pd.DataFrame(
+            rows, columns=["user_id", "f1_ts", "f2_ts", "f3_ts"]
+        )
+        for c in ("f1_ts", "f2_ts", "f3_ts"):
+            out[c] = pd.to_datetime(out[c], unit="us")
+        yield out
+
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1516,3 +1516,31 @@ def test_s50_watermark_actually_drops_late_rows(spark, sf_dir):
     )
     assert dropped_expected > 0, "fixture must plant droppable rows"
     assert kept == delivered - dropped_expected
+
+
+def test_s51_state_crosses_micro_batches(spark):
+    """s51's whole point is the automaton carry in the state store: at
+    the driver's correctness SF at least one completed sequence must
+    START in one time-sliced micro-batch and COMPLETE in a later one
+    (verified: 6 such at sf0.01, 68 at sf0.1), and the streamed output
+    must equal the batch compiler's (k72) row-for-row."""
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    out = REGISTRY["s51_stream_sequence_detect"].fn(spark, sf).toPandas()
+    batch = REGISTRY["k72_kql_sequence_detect"].fn(spark, sf).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.f1_ts, r.f2_ts, r.f3_ts) for r in df.itertuples()
+    )
+    assert key(out) == key(batch)
+
+    ev = load(spark, sf, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3]
+    cross = sum(
+        1
+        for r in out.itertuples()
+        if any(r.f1_ts < c <= r.f3_ts for c in cuts)
+    )
+    assert cross > 0, "no sequence spans a micro-batch boundary"
