@@ -188,6 +188,63 @@ _AGGS = {
 }
 
 
+def _series_fill_forward(c: Column) -> Column:
+    """``series_fill_forward(arr)`` — replace each null with the
+    nearest PRECEDING non-null (leading nulls stay null, Kusto's
+    contract). One JVM fold building the filled array — O(n) per row,
+    no explode, composes with every other series function."""
+    return F.aggregate(
+        c,
+        F.expr("cast(array() as array<double>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(
+                    x.cast("double"),
+                    F.when(F.size(acc) > 0, F.element_at(acc, F.size(acc))),
+                )
+            ),
+        ),
+    )
+
+
+def _series_fill_linear(c: Column) -> Column:
+    """``series_fill_linear(arr)`` — interior nulls linearly
+    interpolated between the surrounding non-nulls; leading/trailing
+    nulls take the nearest non-null (Kusto's edge rule). Pure JVM
+    higher-order functions over index arrays: the non-null index list
+    is computed once, each element's bracketing indices by two
+    filtered lookups — O(n²) array ops per ROW on the (short)
+    make-series grid, zero shuffles, zero Python."""
+    n = F.size(c)
+
+    def val(i):
+        idxs = F.sequence(F.lit(0), n - F.lit(1))
+        nn = F.filter(idxs, lambda j: F.get(c, j).isNotNull())
+        prevs = F.filter(nn, lambda j: j <= i)
+        nexts = F.filter(nn, lambda j: j >= i)
+        ip = F.when(F.size(prevs) > 0, F.element_at(prevs, -1))
+        iq = F.when(F.size(nexts) > 0, F.element_at(nexts, 1))
+        vp = F.get(c, ip).cast("double")
+        vq = F.get(c, iq).cast("double")
+        x = F.get(c, i).cast("double")
+        return (
+            F.when(x.isNotNull(), x)
+            .when(ip.isNull(), vq)
+            .when(iq.isNull(), vp)
+            .otherwise(
+                vp
+                + (vq - vp)
+                * (i.cast("double") - ip.cast("double"))
+                / (iq.cast("double") - ip.cast("double"))
+            )
+        )
+
+    return F.when(
+        n > 0, F.transform(F.sequence(F.lit(0), n - F.lit(1)), val)
+    ).otherwise(F.expr("cast(array() as array<double>)"))
+
+
 def _series_outliers(c: Column) -> Column:
     """``series_outliers(arr)`` — per-element anomaly scores for a
     make-series array, this engine's deterministic Tukey-fence
@@ -753,6 +810,18 @@ class _Parser:
         # definition and the divergence note vs Kusto's sketch-based
         # percentiles)
         "series_outliers": _series_outliers,
+        # series gap-filling (the make-series default=null companions):
+        # const is one transform; forward is one fold; backward is
+        # forward on the reversed array; linear interpolates interior
+        # runs and takes the nearest value at the edges (Kusto's rule)
+        "series_fill_const": lambda c, v: F.transform(
+            c, lambda x: F.coalesce(x.cast("double"), v.cast("double"))
+        ),
+        "series_fill_forward": _series_fill_forward,
+        "series_fill_backward": lambda c: F.reverse(
+            _series_fill_forward(F.reverse(c))
+        ),
+        "series_fill_linear": _series_fill_linear,
         "dayofmonth": F.dayofmonth,
         "monthofyear": F.month,
         "getyear": F.year,
@@ -3109,7 +3178,22 @@ def kql(
             fill = 0
             if p.accept("default"):
                 p.expect("=")
-                fill = p._literal_value()
+                # `default = null` / `default = double(null)` — the
+                # spelling that makes gaps visible to series_fill_*
+                nxt = p.peek()
+                if nxt is not None and nxt.text.lower() in ("null", "double"):
+                    t = p.next()
+                    if t.text.lower() == "double":
+                        p.expect("(")
+                        if p.next().text.lower() != "null":
+                            raise ValueError(
+                                "KQL: make-series default double(...) "
+                                "supports only double(null)"
+                            )
+                        p.expect(")")
+                    fill = None
+                else:
+                    fill = p._literal_value()
             if p.next().text.lower() != "on":
                 raise ValueError("KQL: make-series needs 'on <timecol>'")
             ts_col = p.next().text

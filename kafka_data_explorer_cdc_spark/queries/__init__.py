@@ -47,9 +47,10 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # committing — any round-10 window entry that did NOT get a driver row
 # stays never-checked and pre-empts this list):
 #   1. any round-11 additions (never-checked) first, then
-#   1b. d04x_minhash_lsh_portable, d06x_simhash_portable and
-#      d07w_lsh_cosine_portable (r3-stale, displaced from the round-10
-#      window by the mm11/d92x/s51 additions), then
+#   1b. k42_kql_parse_where, d04x_minhash_lsh_portable,
+#      d06x_simhash_portable and d07w_lsh_cosine_portable (r3-stale,
+#      displaced from the round-10 window by the mm11/d92x/s51/k73
+#      additions), then
 #   2. the r4-stale cohort (33, build order): b09x_cube_priority_status,
 #      b10_window_topk_per_group, b11_window_running_revenue,
 #      b12_global_topk, b13a_union_all_counts, b13b_intersect,
@@ -108,6 +109,7 @@ _FRONT = [
     "b111_promo_revenue_q14",
     "mm11_audio_vad_segments",
     "s51_stream_sequence_detect",
+    "k73_kql_series_fill",
     # (1) the r2-stale cohort (14)
     "k13_kql_recent_orders",
     "k14_kql_avg_sales",
@@ -145,12 +147,12 @@ _FRONT = [
     "k38_kql_range_source",
     "k39_kql_scalar_strings",
     "k41_kql_serialized_windows",
-    "k42_kql_parse_where",
-    # window exactly full at 50 (14 additions + 14 r2 + 22 of the 25
-    # r3 entries — d04x_minhash_lsh_portable, d06x_simhash_portable
-    # and d07w_lsh_cosine_portable, displaced by the mm11/d92x/s51
-    # additions per never-checked-pre-empts-stale, lead the round-11
-    # queue ahead of the r4 cohort).
+    # window exactly full at 50 (15 additions + 14 r2 + 21 of the 25
+    # r3 entries — k42_kql_parse_where, d04x_minhash_lsh_portable,
+    # d06x_simhash_portable and d07w_lsh_cosine_portable, displaced by
+    # the mm11/d92x/s51/k73 additions per
+    # never-checked-pre-empts-stale, lead the round-11 queue ahead of
+    # the r4 cohort).
 ]
 
 

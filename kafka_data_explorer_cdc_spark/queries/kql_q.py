@@ -2064,3 +2064,96 @@ def k72_kql_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | evaluate sequence_detect(ts, 24h, 96h, f1, f2, f3, user_id)",
         {"Events": ev},
     )
+
+
+@query(
+    "k73_kql_series_fill",
+    oracle="""
+WITH ev AS (
+  SELECT * FROM events WHERE user_id = 7
+), grid AS (
+  SELECT et.event_type, g.t
+  FROM (SELECT DISTINCT event_type FROM ev) et
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                  TIMESTAMP '2024-01-24 00:00:00',
+                                  INTERVAL 1 DAY)) AS t) g
+), daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS t,
+         AVG(value) AS v
+  FROM ev
+  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+  GROUP BY 1, 2
+), s AS (
+  SELECT grid.event_type, grid.t, daily.v,
+         CAST(date_diff('day', TIMESTAMP '2024-01-05', grid.t) AS BIGINT)
+           AS idx
+  FROM grid LEFT JOIN daily
+    ON daily.event_type = grid.event_type AND daily.t = grid.t
+), w AS (
+  SELECT event_type, idx, v,
+         last_value(v IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd,
+         first_value(v IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY idx
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bwd,
+         last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+         first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM s
+)
+SELECT event_type, idx,
+       CAST(COALESCE(v, -1.0) AS DOUBLE) AS v_const,
+       CAST(fwd AS DOUBLE) AS v_fwd,
+       CAST(bwd AS DOUBLE) AS v_bwd,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+                 WHEN pi IS NULL THEN bwd
+                 WHEN ni IS NULL THEN fwd
+                 ELSE fwd + (bwd - fwd) * (idx - pi) / (ni - pi)
+            END AS DOUBLE) AS v_linear
+FROM w
+""",
+    tags=("kql", "timeseries"),
+)
+def k73_kql_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL ``series_fill_const`` / ``_forward`` / ``_backward`` /
+    ``_linear`` — the gap-filling quartet every real make-series
+    pipeline runs before series_decompose/series_outliers (which need
+    dense numeric arrays): one sparse user's daily average value per
+    event type, ``default = null`` making the gaps explicit, then all
+    four fills side by side. Linear interpolates interior runs and
+    takes the nearest value at the edges; forward/backward leave
+    leading/trailing nulls null — each a documented Kusto contract,
+    all pinned against a DuckDB twin that computes the same fills with
+    IGNORE NULLS window functions over the exploded grid (two
+    independent formulations: array folds vs window frames).
+
+    Scale shape: the fills are JVM higher-order functions over the
+    per-group array — zero shuffles beyond make-series' own two
+    exchanges, no explode in the engine (the entry explodes only to
+    hand row-wise values to the driver's comparator)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    arr = kql(
+        "Events | make-series v = avg(value) default = null on ts"
+        " from '2024-01-05 00:00:00' to '2024-01-25 00:00:00' step 1d"
+        " by event_type"
+        " | extend c = series_fill_const(v, -1.0),"
+        " f = series_fill_forward(v), b = series_fill_backward(v),"
+        " l = series_fill_linear(v)",
+        {"Events": ev},
+    )
+    return arr.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("c", "f", "b", "l")).alias("idx", "z"),
+    ).select(
+        "event_type",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("z.c").alias("v_const"),
+        F.col("z.f").alias("v_fwd"),
+        F.col("z.b").alias("v_bwd"),
+        F.col("z.l").alias("v_linear"),
+    )

@@ -1761,3 +1761,50 @@ def test_kql_funnel_sequence_semantics(spark):
             " (view, click))",
             {"T": df},
         )
+
+
+def test_kql_series_fill_semantics(spark):
+    """series_fill quartet: const replaces every null; forward leaves
+    leading nulls, backward trailing; linear interpolates interior
+    runs and takes the nearest value at the edges (Kusto contracts)."""
+    df = spark.createDataFrame(
+        [([None, 2.0, None, None, 8.0, None],)], "v array<double>"
+    )
+    r = kql(
+        "T | extend c = series_fill_const(v, -1.0),"
+        " f = series_fill_forward(v), b = series_fill_backward(v),"
+        " l = series_fill_linear(v)",
+        {"T": df},
+    ).collect()[0]
+    assert r["c"] == [-1.0, 2.0, -1.0, -1.0, 8.0, -1.0]
+    assert r["f"] == [None, 2.0, 2.0, 2.0, 8.0, 8.0]
+    assert r["b"] == [2.0, 2.0, 8.0, 8.0, 8.0, None]
+    assert r["l"] == [2.0, 2.0, 4.0, 6.0, 8.0, 8.0]
+    # all-null and empty arrays survive every fill
+    edge = spark.createDataFrame(
+        [([None, None],), ([],)], "v array<double>"
+    )
+    rows = kql(
+        "T | extend f = series_fill_forward(v), l = series_fill_linear(v)",
+        {"T": edge},
+    ).collect()
+    got = sorted((list(r["f"]), list(r["l"])) for r in rows)
+    assert got == [([], []), ([None, None], [None, None])]
+
+
+def test_kql_make_series_default_null(spark):
+    """make-series default = null / double(null): empty bins surface
+    as nulls (the shape series_fill_* consumes)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5), 10.0), (dt.datetime(2024, 1, 3, 5), 30.0)],
+        "ts timestamp, value double",
+    )
+    for spelling in ("null", "double(null)"):
+        r = kql(
+            f"T | make-series v = avg(value) default = {spelling} on ts"
+            " from '2024-01-01 00:00:00' to '2024-01-04 00:00:00' step 1d",
+            {"T": df},
+        ).collect()[0]
+        assert r["v"] == [10.0, None, 30.0]
