@@ -47,10 +47,11 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # committing — any round-10 window entry that did NOT get a driver row
 # stays never-checked and pre-empts this list):
 #   1. any round-11 additions (never-checked) first, then
-#   1b. k42_kql_parse_where, d04x_minhash_lsh_portable,
+#   1b. k39_kql_scalar_strings, k41_kql_serialized_windows,
+#      k42_kql_parse_where, d04x_minhash_lsh_portable,
 #      d06x_simhash_portable and d07w_lsh_cosine_portable (r3-stale,
-#      displaced from the round-10 window by the mm11/d92x/s51/k73
-#      additions), then
+#      displaced from the round-10 window by the
+#      mm11/d92x/s51/k73/b112/b113 additions), then
 #   2. the r4-stale cohort (33, build order): b09x_cube_priority_status,
 #      b10_window_topk_per_group, b11_window_running_revenue,
 #      b12_global_topk, b13a_union_all_counts, b13b_intersect,
@@ -107,6 +108,8 @@ _FRONT = [
     "b109_market_share_q8",
     "b110_returned_items_q10",
     "b111_promo_revenue_q14",
+    "b112_forecast_revenue_q6",
+    "b113_large_volume_customer_q18",
     "mm11_audio_vad_segments",
     "s51_stream_sequence_detect",
     "k73_kql_series_fill",
@@ -145,12 +148,11 @@ _FRONT = [
     "k36_kql_top_hitters",
     "k37_kql_search",
     "k38_kql_range_source",
-    "k39_kql_scalar_strings",
-    "k41_kql_serialized_windows",
-    # window exactly full at 50 (15 additions + 14 r2 + 21 of the 25
-    # r3 entries — k42_kql_parse_where, d04x_minhash_lsh_portable,
+    # window exactly full at 50 (17 additions + 14 r2 + 19 of the 25
+    # r3 entries — k39_kql_scalar_strings, k41_kql_serialized_windows,
+    # k42_kql_parse_where, d04x_minhash_lsh_portable,
     # d06x_simhash_portable and d07w_lsh_cosine_portable, displaced by
-    # the mm11/d92x/s51/k73 additions per
+    # the mm11/d92x/s51/k73/b112/b113 additions per
     # never-checked-pre-empts-stale, lead the round-11 queue ahead of
     # the r4 cohort).
 ]

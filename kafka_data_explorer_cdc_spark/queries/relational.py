@@ -5997,3 +5997,109 @@ def b111_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("promo_revenue")
         )
     )
+
+
+@query(
+    "b112_forecast_revenue_q6",
+    oracle="""
+SELECT CAST(SUM(l_extendedprice * l_discount) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("relational", "tpch"),
+)
+def b112_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical pure
+    scan-filter-aggregate — the revenue that WOULD have been earned
+    had a discount band been eliminated for one ship year. No join,
+    no grouping: the whole query is a conjunctive band predicate and
+    one global SUM, which makes it the cleanest pushdown probe in the
+    suite — every one of the three predicates must reach PushedFilters
+    and the scan must read exactly four columns (plan-pinned).
+
+    At 100 TB this query IS its scan: with the filters at the reader
+    and the projection pruned, cost is bytes-scanned of four columns
+    of the qualifying row groups, nothing else."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "b113_large_volume_customer_q18",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+    tags=("relational", "join", "tpch", "topk"),
+)
+def b113_large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): the top-100 orders whose
+    total line quantity clears a threshold, hydrated with the buying
+    customer — the classic "whale report". Distinguishing shape: the
+    qualifying set comes from an aggregate-HAVING over the SAME fact
+    table the outer query re-joins (lineitem appears twice — once
+    grouped for the filter, once for the display sum), so the
+    qualifier compiles to a semi join from a grouped subquery, not a
+    row filter; the final top-100 is TakeOrderedAndProject.
+
+    Scale shape: the HAVING pass is one map-side-combinable groupBy on
+    the order key; its output (rare whales) broadcasts into the outer
+    join, so the expensive fact re-scan is pruned by a tiny in-list —
+    at 100 TB the second lineitem pass joins against thousands of
+    keys, not billions."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        li.join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "__bk")),
+            F.col("__bk") == F.col("l_orderkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )

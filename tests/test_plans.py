@@ -1184,3 +1184,29 @@ def test_mm11_vad_single_arrow_stage_jvm_islands(spark, sf_dir):
     assert p.count("MapInPandas") == 1, p
     assert "BatchEvalPython" not in p, p
     assert "Window" in p, "islands trick must use a window function"
+
+
+def test_b112_q6_full_pushdown_four_columns(spark, sf_dir):
+    """b112 (Q6): the purest pushdown probe — all three band
+    predicates must reach PushedFilters and the scan must read exactly
+    the four referenced columns."""
+    p = plan_of(spark, sf_dir, "b112_forecast_revenue_q6")
+    assert "PushedFilters" in p, p
+    for tok in ("l_shipdate", "l_discount", "l_quantity"):
+        import re
+        assert re.search(rf"PushedFilters: \[[^\]]*{tok}", p), (tok, p)
+    m = __import__("re").search(r"ReadSchema: [^\n]*", p)
+    assert m and all(
+        c in m.group() for c in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+    ), p
+    assert m.group().count("l_") == 4, "scan must read exactly 4 columns: " + m.group()
+
+
+def test_b113_q18_semi_filter_and_takeordered(spark, sf_dir):
+    """b113 (Q18): the grouped-HAVING whale list must broadcast into
+    the fact re-scan (tiny in-list pruning the second lineitem pass)
+    and the top-100 must be TakeOrderedAndProject."""
+    p = plan_of(spark, sf_dir, "b113_large_volume_customer_q18")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
