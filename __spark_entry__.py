@@ -37,6 +37,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def make(f):
             def run(spark: SparkSession, sf_dir: str) -> DataFrame:
                 configure_runtime(spark)
+                # release the PREVIOUS query's compiler caches (KQL
+                # materialize()/fork persists outlive their compile by
+                # design) so a full-registry driver sweep doesn't
+                # accumulate MEMORY_AND_DISK entries across hundreds
+                # of queries; the current query's caches stay live
+                # until the next call.
+                from kafka_data_explorer_cdc_spark.kql import (
+                    kql_unpersist_caches,
+                )
+
+                kql_unpersist_caches()
                 return f(spark, sf_dir)
 
             return run

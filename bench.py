@@ -23,6 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kafka_data_explorer_cdc_spark.kql import kql_unpersist_caches
 from kafka_data_explorer_cdc_spark.queries import REGISTRY
 from kafka_data_explorer_cdc_spark.session import get_spark
 
@@ -75,6 +76,10 @@ def main() -> None:
             force(REGISTRY[name].fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+            # also empty the KQL compiler's persisted-DataFrame list
+            # (fork/materialize bases) so refs don't accumulate over a
+            # 339-entry x reps session (round-10 verdict #3)
+            kql_unpersist_caches()
         timings[name] = round(statistics.median(samples), 2)
 
     total = round(sum(timings.values()), 2)

@@ -639,7 +639,11 @@ class _Parser:
                     if isinstance(e, _DynamicJson):
                         e = F.get_json_object(e.raw, f"$[{int(t.text)}]")
                     else:
-                        e = e.getItem(int(t.text))
+                        # same try_element_at path as the computed form
+                        # below: out-of-range → null (not an ANSI
+                        # throw), negative → from the end.
+                        i = int(t.text)
+                        e = F.try_element_at(e, F.lit(i + 1 if i >= 0 else i))
                     continue
                 # computed index (0-based, as in Kusto): arr[i] — only
                 # for real array columns; dynamic-JSON paths need the
@@ -651,14 +655,16 @@ class _Parser:
                     )
                 idx = self.expr()
                 self.expect("]")
-                # Kusto: any invalid index (negative OR past the end)
-                # yields null. Spark's element_at indexes from the END
-                # for negatives and (under ANSI) throws out-of-range —
-                # gate negatives with a lazy CASE branch and use
-                # try_element_at for the too-large side.
-                e = F.when(
-                    idx >= 0,
-                    F.try_element_at(e, idx.cast("int") + F.lit(1)),
+                # Kusto array indexing: 0-based from the front,
+                # NEGATIVE indices count from the end (arr[-1] = last
+                # element), out-of-range yields null. Spark's
+                # try_element_at is 1-based from the front, negative
+                # from the end, null when out of range — shift only
+                # the non-negative side.
+                e = F.try_element_at(
+                    e,
+                    F.when(idx >= 0, idx.cast("int") + F.lit(1))
+                    .otherwise(idx.cast("int")),
                 )
                 continue
             self.next()
@@ -2287,7 +2293,19 @@ def _compile_sequence_detect(
                 )
             yield out
 
-    sort_cols = [F.col(k).asc() for k in keys] + [F.col(ts_col).asc()]
+    # Deterministic tie-break for per-key duplicate timestamps: the
+    # automaton's matches depend on row order, so (keys, ts) alone is
+    # nondeterministic when two events share a stamp. Break ties on
+    # event_id when present (matching the k72/s51 oracles' ORDER BY
+    # ts, event_id), then on every remaining column by name — fully
+    # deterministic on any fixture.
+    tie = [c for c in df.columns if c not in keys and c != ts_col]
+    tie.sort(key=lambda c: (c != "event_id", c))
+    sort_cols = (
+        [F.col(k).asc() for k in keys]
+        + [F.col(ts_col).asc()]
+        + [F.col(c).asc() for c in tie]
+    )
     return (
         df.repartition(*[F.col(k) for k in keys])
         .sortWithinPartitions(*sort_cols)
@@ -2316,6 +2334,14 @@ def _compile_funnel_sequence(
     step over the id key (k co-partitioned shuffles, no Python, no
     window over the full stream); each step's join input shrinks to
     the survivors of the previous step."""
+    if bin_s < 1:
+        # int(bin_s) would truncate to 0 and the period division
+        # silently yields null (non-ANSI) — sub-second bins are
+        # outside this integer-seconds period arithmetic.
+        raise ValueError(
+            "KQL funnel_sequence: bin must be >= 1 second "
+            f"(got {bin_s!r}); sub-second bins are not supported"
+        )
     cur = (
         df.filter(F.col(state_col) == states[0])
         .groupBy(id_col)

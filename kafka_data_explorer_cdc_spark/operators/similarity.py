@@ -1400,6 +1400,24 @@ def optimize_ivf_index(
     counts = idx.groupBy(cell_col).count().collect()
     if not counts:
         raise ValueError("optimize_ivf_index: empty index")
+    # Single-pass contract: the child-id minting
+    # (split_base + sub_cells*parent + j) and ivf_leaf_parent's
+    # one-level decode are only injective over COARSE cell ids
+    # < split_base. Re-running the pass on an already-optimized index
+    # (or an index whose coarse ids overflow split_base) would decode
+    # a hot child to the wrong parent and can collide minted ids —
+    # refuse loudly instead of silently corrupting the leaf map.
+    over = sorted(
+        int(r[cell_col]) for r in counts if int(r[cell_col]) >= split_base
+    )
+    if over:
+        raise ValueError(
+            "optimize_ivf_index: input contains cell ids >= split_base "
+            f"({over[:5]}{'...' if len(over) > 5 else ''} >= {split_base}); "
+            "the pass is single-level — it cannot be re-run on an "
+            "already-optimized index (raise split_base or re-train the "
+            "coarse quantizer instead)"
+        )
     mean = sum(r["count"] for r in counts) / len(counts)
     hot = {r[cell_col] for r in counts if r["count"] > hot_factor * mean}
     hot.add(max(counts, key=lambda r: (r["count"], -r[cell_col]))[cell_col])

@@ -7013,7 +7013,14 @@ def d89_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("*") == 0).alias("ok"))
         .select(F.lit(-2).cast("long").alias("probe_id"), "ok")
     )
-    return _recall_row(ann, exact, 0.5, -1).unionByName(exact_knob)
+    out = _recall_row(ann, exact, 0.5, -1).unionByName(exact_knob)
+    # bounded 2-row collect, then release the gate caches (round-10
+    # ADVICE d92x pattern: repeated bench/driver invocations must not
+    # accumulate session-lifetime MEMORY_AND_DISK entries)
+    rows = out.collect()
+    ann.unpersist()
+    exact.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 _D90_ORACLE = """
@@ -7069,7 +7076,11 @@ def d90_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("*") == 0).alias("ok"))
         .select(F.lit(-2).cast("long").alias("probe_id"), "ok")
     )
-    return recall.unionByName(exact_knob)
+    out = recall.unionByName(exact_knob)
+    # bounded 2-row collect + cache release (round-10 ADVICE pattern)
+    rows = out.collect()
+    exact.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 _D91_ORACLE = """
@@ -7646,4 +7657,11 @@ def d92x_colbert_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("*") == 0).alias("ok"))
         .select(F.lit(-2).cast("long").alias("probe_id"), "ok")
     )
-    return recall.unionByName(exact_knob)
+    out = recall.unionByName(exact_knob)
+    # Materialize the two gate rows (bounded collect), then release
+    # the MEMORY_AND_DISK rerank cache so repeated bench/driver
+    # invocations don't accumulate session-lifetime cache entries
+    # (round-10 ADVICE).
+    rows = out.collect()
+    exact.unpersist()
+    return spark.createDataFrame(rows, out.schema)

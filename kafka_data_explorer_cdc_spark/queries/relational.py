@@ -5657,14 +5657,16 @@ def b106_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     60% of p_retailprice — this corpus carries no partsupp table),
     rolled up per (nation, year).
 
-    Scale shape: the fact table joins three DIMENSION sides that all
-    broadcast (filtered part, supplier, nation — none grows with the
-    fact) and one fact-sized side (orders) that shuffles on the order
-    key; Catalyst/AQE picks broadcast for every dim (plan-pinned >= 3
-    broadcasts, no cartesian), the p_name filter prunes part BEFORE
-    its join (pushed to the scan), and the rollup is one
-    partial+final hash aggregate over ~|nations| x |years| groups —
-    the plan a 100 TB star query must compile to."""
+    Scale shape: only the BOUNDED dims are broadcast-hinted (the
+    name-filtered part list and the fixed ~25-row nation table);
+    supplier grows linearly with the corpus SF, so its join carries
+    NO hint — AQE broadcasts it while it fits and falls back to a
+    key shuffle at the 100 TB north star where a forced hint would be
+    an executor OOM. Orders shuffles on the order key; the p_name
+    filter prunes part BEFORE its join (pushed to the scan); the
+    rollup is one partial+final hash aggregate over
+    ~|nations| x |years| groups — the plan a 100 TB star must
+    compile to."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(
         F.col("p_name").like("%widget%")
@@ -5678,7 +5680,7 @@ def b106_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
         )
@@ -5722,9 +5724,12 @@ def b107_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: region -> nation prunes to a ~5-nation broadcast
     before anything fact-sized runs; orders carries its date filter to
-    the scan; the only fact-fact shuffle is lineitem x orders on the
-    order key; supplier broadcasts with the two-column join condition.
-    Group count is bounded by |nations|."""
+    the scan. Customer and supplier scale with the corpus SF, so
+    their joins carry NO broadcast hint — AQE broadcasts them while
+    they fit and shuffle-joins at the 100 TB north star (the
+    canonical Q5 plan shuffle-joins orders x customer); the
+    two-column supplier condition rides whichever strategy AQE
+    picks. Group count is bounded by |nations|."""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")
@@ -5738,10 +5743,10 @@ def b107_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame
         F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
     ).select("n_nationkey", "n_name")
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(sup),
+            sup,
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -5790,8 +5795,11 @@ def b108_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the same nation table joins twice under different
     roles (n1/n2 — alias-robustness the b04 chain never exercises);
-    both broadcast; the ship-date window pushes to the lineitem scan;
-    output is bounded by 2 directions x years."""
+    both nation arms broadcast (bounded); supplier and customer are
+    SF-scaling, so their joins are unhinted — AQE broadcasts at test
+    SFs, shuffle-joins at the 100 TB north star. The ship-date window
+    pushes to the lineitem scan; output is bounded by
+    2 directions x years."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1998-01-01")
@@ -5812,10 +5820,10 @@ def b108_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_13")
     )
     return (
-        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
         .filter(pair)
         .groupBy(
@@ -5860,11 +5868,13 @@ def b109_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     share-of-total needs both sums in ONE pass; two scans would race
     the data twice and can disagree under updates).
 
-    Scale shape: seven-table star with every dimension broadcast
-    (part filtered by type, customer->nation->region hierarchy pruning
-    the market, supplier->nation tagging the origin); the numerator is
-    a CASE inside the same partial+final aggregate as the denominator
-    — one shuffle of |years| groups, never two jobs."""
+    Scale shape: seven-table star. The BOUNDED dims broadcast by
+    hint (type-filtered part, the region-pruned market nation list,
+    the origin nation list); customer and supplier scale with SF and
+    are unhinted — AQE broadcasts while they fit, shuffle-joins at
+    100 TB. The numerator is a CASE inside the same partial+final
+    aggregate as the denominator — one shuffle of |years| groups,
+    never two jobs."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
@@ -5883,9 +5893,9 @@ def b109_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(market), F.col("mkt_key") == F.col("c_nationkey"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(origin), F.col("orig_key") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
@@ -5926,9 +5936,11 @@ def b110_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem scan), the quarter window on orders, and a global top-20
     over a group-by whose key includes hydrated customer attributes.
 
-    Scale shape: both filters reach their scans; customer and nation
-    broadcast; the top-20 compiles to TakeOrderedAndProject (pinned) —
-    never a global sort of every customer's revenue."""
+    Scale shape: both filters reach their scans; nation (bounded)
+    broadcasts by hint, customer (SF-scaling) is unhinted — AQE
+    broadcasts it locally, shuffle-joins at 100 TB, which is the
+    canonical Q10 plan. The top-20 compiles to TakeOrderedAndProject
+    (pinned) — never a global sort of every customer's revenue."""
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
@@ -5940,7 +5952,7 @@ def b110_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load(spark, sf_dir, "nation")
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
@@ -6069,9 +6081,11 @@ def b113_large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale shape: the HAVING pass is one map-side-combinable groupBy on
     the order key; its output (rare whales) broadcasts into the outer
-    join, so the expensive fact re-scan is pruned by a tiny in-list —
-    at 100 TB the second lineitem pass joins against thousands of
-    keys, not billions."""
+    join BY HINT (selectivity-bounded, not SF-bounded), so the
+    expensive fact re-scan is pruned by a tiny in-list — at 100 TB
+    the second lineitem pass joins against thousands of keys, not
+    billions. Customer is SF-scaling and unhinted (AQE decides);
+    the canonical Q18 plan shuffle-joins orders x customer."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -6089,7 +6103,7 @@ def b113_large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("__bk") == F.col("l_orderkey"),
         )
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy(
             "c_name",
             "c_custkey",

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from ..cdc.envelope import ORDERS_INFO_SQL, orders_info, to_envelope_json
 from ..io import load
 from ..streaming.pipeline import ParquetStateSink, start_cdc_pipeline
-from ..streaming.windows import read_events_stream, run_to_memory, streaming_dedup
+from ..streaming.windows import (
+    REPLAY_STATE_PARTITIONS,
+    read_events_stream,
+    run_to_memory,
+    streaming_dedup,
+)
 from .helpers import SCD2_MERGE_ORACLE
 from .registry import query
 
@@ -95,7 +100,7 @@ def s21_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table(name)
 
 
@@ -130,7 +135,7 @@ def s22_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table(name)
 
 
@@ -153,7 +158,7 @@ def s23_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(src, os.path.join(indir, "copy1.parquet"))
     os.symlink(src, os.path.join(indir, "copy2.parquet"))
     ev = read_events_stream(spark, indir)
-    run_to_memory(streaming_dedup(ev), name, output_mode="append")
+    run_to_memory(streaming_dedup(ev), name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -239,7 +244,7 @@ def s25_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table(name)
 
 
@@ -271,7 +276,7 @@ def s26_stream_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"s26_{uuid.uuid4().hex[:8]}"
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    run_to_memory(streaming_funnel(ev), name, output_mode="append")
+    run_to_memory(streaming_funnel(ev), name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -323,7 +328,7 @@ def s27_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND p_ts <= c_ts + INTERVAL 10 MINUTES"
         ),
     )
-    run_to_memory(joined, name, output_mode="append")
+    run_to_memory(joined, name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     return (
         spark.table(name)
         .groupBy(F.col("c_user").alias("user_id"))
@@ -363,7 +368,7 @@ def s28_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"), dsum("value", "total_value")
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table(name)
 
 
@@ -578,7 +583,7 @@ def s32_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     kept = sig.dropDuplicates(["lang", "s0", "s1", "s2", "s3"])
-    run_to_memory(kept, name, output_mode="append")
+    run_to_memory(kept, name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     return (
         spark.table(name)
         .groupBy("lang")
@@ -641,7 +646,7 @@ def s33_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    run_to_memory(joined, name, output_mode="append")
+    run_to_memory(joined, name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     evb = load(spark, sf_dir, "events")
     horizon = evb.agg(
         (
@@ -698,7 +703,7 @@ def s34_stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("win_start"), "bucket", "n_events"
         )
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table(name)
 
 
@@ -738,7 +743,7 @@ def s35_stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("win_start"), "event_type", "n_approx"
         )
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     approx = spark.table(name)
     exact = (
         load(spark, sf_dir, "events")
@@ -850,7 +855,7 @@ def s37_hybrid_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
         F.col("ts") >= F.lit(cutoff).cast("timestamp")
     )
-    run_to_memory(live, name, output_mode="append")
+    run_to_memory(live, name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     live_tbl = spark.table(name).withColumn("side", F.lit("live"))
     hist = (
         load(spark, sf_dir, "events")
@@ -907,7 +912,7 @@ def s38_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("window.start").alias("win_start"), "user_id", "n_events")
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     counts = spark.table(name)
     w = Window.partitionBy("win_start").orderBy(
         F.col("n_events").desc(), F.col("user_id").asc()
@@ -952,7 +957,7 @@ def s39_stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("win_start"), "n_events", "a50", "a95"
         )
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     sk = spark.table(name)
     batch = load(spark, sf_dir, "events").select(
         F.window("ts", "1 day").start.alias("win_start"), "value"
@@ -1058,7 +1063,7 @@ def s40_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("win_start"), "bucket", "n")
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     tbl = spark.table(name)
 
     # serve-time read: dense 8-bucket grid per observed window. The
@@ -1186,7 +1191,7 @@ def s41_stream_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             "v_kv",
         )
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     tbl = spark.table(name)
     return tbl.select(
         "win_start",
@@ -1248,7 +1253,7 @@ def s42_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("win_start"), "event_type", "word"
         )
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return (
         spark.table(name)
         .groupBy("win_start", "event_type")
@@ -1303,7 +1308,7 @@ def s43_stream_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"s43_{uuid.uuid4().hex[:8]}"
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    run_to_memory(streaming_last_touch(ev), name, output_mode="append")
+    run_to_memory(streaming_last_touch(ev), name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     return (
         spark.table(name)
         .groupBy("channel")
@@ -1373,7 +1378,7 @@ def s44_stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(g == 0, x * x)).alias("sxxa_dec"),
         F.sum(F.when(g == 1, x * x)).alias("sxxb_dec"),
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=REPLAY_STATE_PARTITIONS)
     s = spark.table(name).select(
         "event_type",
         "na",
@@ -1452,7 +1457,7 @@ def s45_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    run_to_memory(sess, name, output_mode="append")
+    run_to_memory(sess, name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     hz = load(spark, sf_dir, "events").agg(
         (F.max("ts") - F.expr("INTERVAL 51 MINUTES")).alias("hz")
     )
@@ -1553,7 +1558,7 @@ def s47_stream_dedup_within_watermark(
     deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    run_to_memory(deduped, name, output_mode="append")
+    run_to_memory(deduped, name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -1901,7 +1906,7 @@ def s50_stream_late_data_watermark(
             "sum_value",
         )
     )
-    run_to_memory(agg, name, output_mode="append")
+    run_to_memory(agg, name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table(name)
 
 
@@ -2037,5 +2042,5 @@ def s51_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(indir)
     )
-    run_to_memory(streaming_sequence_detect(ev), name, output_mode="append")
+    run_to_memory(streaming_sequence_detect(ev), name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table(name)

@@ -345,7 +345,13 @@ def streaming_sequence_detect(
 
     def fn(key, pdfs, state: GroupState):
         cur, t1, tprev, s2 = state.get if state.exists else (0, -1, -1, -1)
-        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        # stable mergesort + event_id tie-break: duplicate per-key
+        # timestamps would otherwise make the automaton's matches
+        # nondeterministic (the k72 batch twin and the s51 oracle both
+        # order by ts, event_id).
+        pdf = pd.concat(list(pdfs)).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
         ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         et = pdf["event_type"].to_numpy()
         rows = []
@@ -376,7 +382,7 @@ def streaming_sequence_detect(
         yield out
 
     return (
-        events.select("user_id", "ts", "event_type")
+        events.select("user_id", "ts", "event_type", "event_id")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

@@ -87,26 +87,39 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+#: Bounded-replay state sizing for the registry/test path: a stateful
+#: operator opens one state-store instance PER shuffle partition per
+#: operator — a per-partition open/commit cost that dominates
+#: wall-clock on a small bounded replay (measured on the stream-stream
+#: join at sf0.1: 16 s at 32 partitions → 3 s at 8, identical
+#: results). Registry entries pass this EXPLICITLY; the function
+#: default is cluster parallelism so the scale path is the default
+#: path (round-10 verdict: s51's automaton at 20× volume was bound by
+#: the old pinned 8-way state parallelism).
+REPLAY_STATE_PARTITIONS = 8
+
+
 def run_to_memory(
     df: DataFrame,
     table_name: str,
     output_mode: str = "append",
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain a bounded stream into an in-memory table (test/oracle path):
     trigger availableNow processes the whole backlog then stops.
 
     ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
-    query's lifetime (restored after) because a stateful operator opens
-    one state-store instance PER shuffle partition per operator — a
-    per-partition open/commit cost that dominates wall-clock on a
-    bounded replay (measured on the stream-stream join at sf0.1: 16 s at
-    32 partitions → 3 s at 8, identical results). State partitioning is
-    fixed by the first checkpoint, so this is a per-query sizing
-    decision, not a tuning afterthought: size it to state volume and
-    executor count (thousands on a real cluster), not to the batch
-    shuffle default."""
+    query's lifetime (restored after). State partitioning is fixed by
+    the first checkpoint, so this is a per-query sizing decision, not
+    a tuning afterthought: size it to state volume and executor count.
+    Default (None) = ``sparkContext.defaultParallelism`` — every core
+    runs a state store, the sizing a real cluster wants. Small bounded
+    replays (this repo's registry/tests) pass
+    :data:`REPLAY_STATE_PARTITIONS` explicitly because per-partition
+    store open/commit overhead dominates their tiny state volumes."""
     spark = df.sparkSession
+    if state_partitions is None:
+        state_partitions = spark.sparkContext.defaultParallelism
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:

@@ -1616,16 +1616,27 @@ def test_kql_scalar_function_batch_round9(spark):
         kql("T | extend x = translate(s, s, s)", {"T": df})
 
 
-def test_kql_computed_array_index_invalid_is_null(spark):
-    """Round-9 ADVICE: Kusto yields null for ANY invalid computed
-    index — negative must NOT index from the end (Spark element_at
-    semantics) and past-the-end must not throw under ANSI."""
+def test_kql_computed_array_index_negative_from_end(spark):
+    """Round-10 ADVICE: current Kusto documents NEGATIVE array indices
+    as counting from the end (arr[-1] = last element); out-of-range in
+    either direction yields null (never an ANSI throw), and the
+    literal and computed spellings must agree."""
     df = spark.createDataFrame(
-        [([10, 20, 30], -1), ([10, 20, 30], 9), ([10, 20, 30], 1)],
+        [
+            ([10, 20, 30], -1),
+            ([10, 20, 30], -4),
+            ([10, 20, 30], 9),
+            ([10, 20, 30], 1),
+        ],
         "arr array<int>, i int",
     )
     out = {r["i"]: r["v"] for r in kql("T | extend v = arr[i]", {"T": df}).collect()}
-    assert out == {-1: None, 9: None, 1: 20}
+    assert out == {-1: 30, -4: None, 9: None, 1: 20}
+    # literal spelling routes through the same try_element_at path
+    lit = kql(
+        "T | extend a = arr[-1], b = arr[0], c = arr[9]", {"T": df}
+    ).collect()[0]
+    assert (lit.a, lit.b, lit.c) == (30, 10, None)
 
 
 def test_kql_parse_regex_rejects_named_capture_groups(spark):
@@ -1761,6 +1772,42 @@ def test_kql_funnel_sequence_semantics(spark):
             " (view, click))",
             {"T": df},
         )
+    # Round-10 ADVICE: a sub-second bin would truncate int(bin_s) to 0
+    # and the period division silently yields null — reject loudly.
+    with pytest.raises(ValueError, match="bin must be >= 1 second"):
+        kql(
+            "T | evaluate funnel_sequence(user_id, ts, 500ms, event_type,"
+            " ('view', 'click'))",
+            {"T": df},
+        )
+
+
+def test_kql_sequence_detect_duplicate_ts_deterministic(spark):
+    """Round-10 ADVICE: per-key duplicate timestamps must not make
+    sequence_detect's matches nondeterministic — ties break on
+    event_id (matching the k72/s51 oracles' ORDER BY ts, event_id).
+    With (click@t0 id=1, view@t0 id=2) the event_id order processes
+    click BEFORE view, so the sequence view->click cannot complete at
+    t0 and must wait for the later click."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    t1 = dt.datetime(2024, 1, 1, 10, 5)
+    rows = [
+        (7, 1, t0, "click"),
+        (7, 2, t0, "view"),
+        (7, 3, t1, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id long, ts timestamp, event_type string"
+    )
+    out = kql(
+        "T | extend f1 = event_type == 'view', f2 = event_type == 'click'"
+        " | evaluate sequence_detect(ts, 1d, 1d, f1, f2, user_id)",
+        {"T": df},
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["f1_ts"], out[0]["f2_ts"]) == (t0, t1)
 
 
 def test_kql_series_fill_semantics(spark):

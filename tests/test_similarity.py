@@ -362,3 +362,23 @@ def test_mmr_prefers_diversity_over_redundancy(spark):
     assert picks[0] == 1
     assert picks[1] == 3, picks  # diversity beats the near-duplicate
     assert picks[2] == 2
+
+
+def test_optimize_ivf_index_rejects_already_optimized(spark, tmp_path):
+    """Round-10 ADVICE: the child-id minting
+    (split_base + sub_cells*parent + j) is injective only over COARSE
+    cell ids < split_base — re-running the pass on an already-optimized
+    index would decode hot children to the wrong parent and can collide
+    minted ids, so it must refuse loudly."""
+    from kafka_data_explorer_cdc_spark.operators.similarity import (
+        optimize_ivf_index,
+    )
+
+    rows = [(i, [float(i), 1.0], 100 + (i % 2)) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, cell int")
+    idx_dir = str(tmp_path / "idx")
+    df.write.partitionBy("cell").parquet(idx_dir)
+    with pytest.raises(ValueError, match="cell ids >= split_base"):
+        optimize_ivf_index(
+            spark, idx_dir, str(tmp_path / "out"), split_base=100
+        )

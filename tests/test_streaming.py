@@ -118,7 +118,10 @@ def test_streaming_dedup_collapses_duplicates(spark):
     df.coalesce(1).write.parquet(os.path.join(indir, "b"))
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(indir + "/*")
     name = f"dd_{uuid.uuid4().hex[:8]}"
-    run_to_memory(streaming_dedup(stream, watermark="10 minutes"), name)
+    run_to_memory(
+        streaming_dedup(stream, watermark="10 minutes"), name,
+        state_partitions=8,
+    )
     out = spark.table(name)
     assert out.count() == 25
     assert out.select("event_id").distinct().count() == 25
@@ -815,7 +818,10 @@ def test_transform_with_state_totals_matches_batch(spark, tmp_path):
     sf_dir = "/root/testdata/sf0.001"
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     name = f"tws_{uuid.uuid4().hex[:8]}"
-    run_to_memory(transform_with_state_totals(ev), name, output_mode="update")
+    run_to_memory(
+        transform_with_state_totals(ev), name, output_mode="update",
+        state_partitions=8,
+    )
     got = {
         r["user_id"]: (r["n_events"], round(r["total_value"], 6))
         for r in spark.table(name)
@@ -1241,7 +1247,9 @@ def test_left_outer_stream_join_flushes_unmatched_on_final_batch(spark, tmp_path
         ),
         "leftOuter",
     )
-    run_to_memory(joined, "t_s33_flush", output_mode="append")
+    run_to_memory(
+        joined, "t_s33_flush", output_mode="append", state_partitions=8
+    )
     out = {
         (r["c_user"], r["p_ts"] is not None)
         for r in spark.table("t_s33_flush").collect()
