@@ -381,6 +381,99 @@ def _series_decompose(arr: Column, period: int) -> Column:
     )
 
 
+def _series_decompose_anomalies(
+    arr: Column, period: int, threshold: float
+) -> Column:
+    """``series_decompose_anomalies(x, period [, threshold])`` —
+    Kusto's one-call anomaly detector over a make-series array,
+    composed from this engine's pinned primitives (no new numerics to
+    diverge on): decompose with :func:`_series_decompose`, score the
+    RESIDUAL with :func:`_series_outliers` (deterministic Tukey
+    fences), then flag = +1 where score > threshold, -1 where score <
+    -threshold, else 0 (Kusto's default threshold 1.5). Returns the
+    struct (ad_flag, ad_score, baseline) — Kusto's output triple —
+    for the tuple-destructuring extend. All JVM array HOFs; zero
+    shuffles beyond make-series' own."""
+    dec = _series_decompose(arr, period)
+    score = _series_outliers(dec.getField("residual"))
+    thr = F.lit(float(threshold))
+    flag = F.transform(
+        score,
+        lambda sc: F.when(sc.isNull(), F.lit(None).cast("long"))
+        .when(sc > thr, F.lit(1).cast("long"))
+        .when(sc < -thr, F.lit(-1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    return F.struct(
+        flag.alias("ad_flag"),
+        score.alias("ad_score"),
+        dec.getField("baseline").alias("baseline"),
+    )
+
+
+def _series_periods_detect(
+    arr: Column, min_period: int, max_period: int, num_periods: int
+) -> Column:
+    """``series_periods_detect(x, min_period, max_period, num)`` —
+    dominant-period detection over a make-series array. Kusto's
+    implementation is periodogram-based; this engine's pinned
+    deterministic definition scores each CANDIDATE lag L in
+    [min_period, max_period] by the normalized sample
+    autocorrelation acf(L) = sum_i (x[i]-m)(x[i+L]-m) / sum_i
+    (x[i]-m)^2 (i ascending — the fold order the DuckDB oracle
+    replays), where m is the series mean; a constant series (zero
+    variance) scores 0 at every lag. Returns the struct (periods,
+    scores): the top ``num`` lags by score desc (ties: smaller lag
+    first), as double arrays — Kusto's output shape. Candidate lags
+    are compile-time literals, so the whole detector unrolls into one
+    flat JVM expression per lag — no explode, no Python, no shuffle."""
+    if not (0 < min_period <= max_period):
+        raise ValueError(
+            "KQL: series_periods_detect needs 0 < min_period <= max_period"
+        )
+    if max_period - min_period + 1 > 128:
+        raise ValueError(
+            "KQL: series_periods_detect candidate range capped at 128 lags"
+        )
+    if num_periods <= 0:
+        raise ValueError("KQL: series_periods_detect num_periods must be > 0")
+    a = F.transform(arr, lambda e: e.cast("double"))
+    n = F.size(a)
+    mean = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x) / n.cast(
+        "double"
+    )
+    var = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + (x - mean) * (x - mean)
+    )
+
+    def acf(lag: int) -> Column:
+        idxs = F.sequence(F.lit(1), F.greatest(n - F.lit(lag), F.lit(0)))
+        num = F.aggregate(
+            idxs,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(a, i) - mean)
+            * (F.element_at(a, i + F.lit(lag)) - mean),
+        )
+        return F.when(var == 0, F.lit(0.0)).otherwise(num / var)
+
+    cands = F.array(
+        *[
+            F.struct(
+                (-acf(lag)).alias("neg"),
+                F.lit(float(lag)).alias("lag"),
+                acf(lag).alias("score"),
+            )
+            for lag in range(min_period, max_period + 1)
+        ]
+    )
+    top = F.slice(F.array_sort(cands), 1, num_periods)
+    return F.struct(
+        F.transform(top, lambda t: t.getField("lag")).alias("periods"),
+        F.transform(top, lambda t: t.getField("score")).alias("scores"),
+    )
+
+
 @dataclass
 class _Tok:
     kind: str
@@ -902,6 +995,48 @@ class _Parser:
                 )
             self.expect(")")
             return _series_decompose(arr, int(t.text))
+        if name == "series_decompose_anomalies":
+            # series_decompose_anomalies(x, period [, threshold]) —
+            # period an integer literal, threshold a numeric literal
+            # (Kusto default 1.5); binds (ad_flag, ad_score, baseline)
+            self.expect("(")
+            arr = self.expr()
+            self.expect(",")
+            t = self.next()
+            if t.kind != "num" or "." in t.text:
+                raise ValueError(
+                    "KQL: series_decompose_anomalies period must be an "
+                    "integer literal"
+                )
+            thr = 1.5
+            if self.accept(","):
+                tt = self.next()
+                if tt.kind != "num":
+                    raise ValueError(
+                        "KQL: series_decompose_anomalies threshold must "
+                        "be a numeric literal"
+                    )
+                thr = float(tt.text)
+            self.expect(")")
+            return _series_decompose_anomalies(arr, int(t.text), thr)
+        if name == "series_periods_detect":
+            # series_periods_detect(x, min_period, max_period, num) —
+            # all three bounds integer literals (compile-time lag
+            # unroll); binds (periods, scores)
+            self.expect("(")
+            arr = self.expr()
+            bounds = []
+            for which in ("min_period", "max_period", "num_periods"):
+                self.expect(",")
+                t = self.next()
+                if t.kind != "num" or "." in t.text:
+                    raise ValueError(
+                        f"KQL: series_periods_detect {which} must be an "
+                        "integer literal"
+                    )
+                bounds.append(int(t.text))
+            self.expect(")")
+            return _series_periods_detect(arr, *bounds)
         if name == "series_fir":
             # series_fir(x, dynamic([...]) [, normalize [, center]]) —
             # the filter must be a compile-time dynamic literal (as in
@@ -2437,6 +2572,127 @@ def _compile_basket(df: DataFrame, threshold: float) -> DataFrame:
     return out.orderBy(F.desc("Count"), *cols)
 
 
+def _compile_autocluster(df: DataFrame, size_weight: float) -> DataFrame:
+    """``evaluate autocluster([size_weight])`` — Kusto's segmentation
+    plugin: attribute-subset patterns ("segments") that cover a large
+    share of the piped rows, trading segment SIZE against
+    INFORMATIVENESS (number of set attributes). Kusto's implementation
+    is a seeded heuristic search; this engine's pinned deterministic
+    contract (same spirit as basket's depth-2-exact pin):
+
+    - candidate segments = all size-1 and size-2 attribute-value
+      itemsets over the (string) columns, EXACT counts, null values
+      never form segments;
+    - support floor: Percent >= 10 (segments below 10% coverage are
+      noise under any size_weight);
+    - DOMINANCE prune: a size-2 segment whose Count equals either
+      parent's is dropped (the extra attribute narrows nothing — the
+      parent says the same with fewer terms, Kusto's redundancy rule);
+    - Score = size_weight * Count/total + (1 - size_weight) * k/ncols
+      (k = set attributes) — higher size_weight favors fewer, larger
+      segments, Kusto's documented knob direction;
+    - output: top 16 by (Score desc, attribute values asc nulls last),
+      with SegmentId (0-based rank), Count, Percent, Score, then the
+      attribute columns (null = wildcard, Kusto's shape).
+
+    Scale shape: identical to basket — each row emits k + C(k,2)
+    masked copies (bounded by attribute count), ONE map-side-combined
+    groupBy over all candidates, a bounded COUNT(*) for the
+    denominator; the dominance prune is a self-join on the BOUNDED
+    candidate table (post-aggregate, metadata-sized), never on rows;
+    the top-16 is TakeOrderedAndProject."""
+    import math  # noqa: F401
+
+    if not 0 < size_weight < 1:
+        raise ValueError("KQL: autocluster size_weight must be in (0, 1)")
+    cols = df.columns
+    non_str = [c for c, t in df.dtypes if t != "string"]
+    if non_str:
+        raise ValueError(
+            f"KQL: autocluster needs string attribute columns; project/"
+            f"tostring first (non-string: {non_str})"
+        )
+    if len(cols) < 2:
+        raise ValueError("KQL: autocluster needs at least two columns")
+    total = df.count()  # bounded: one scalar, the coverage denominator
+    k = len(cols)
+    subsets = [(i,) for i in range(k)] + [
+        (i, j) for i in range(k) for j in range(i + 1, k)
+    ]
+
+    def masked(sub: tuple) -> Column:
+        struct = F.struct(
+            *[
+                (F.col(c) if i in sub else F.lit(None).cast("string")).alias(c)
+                for i, c in enumerate(cols)
+            ]
+        )
+        nonnull = None
+        for i in sub:
+            cond = F.col(cols[i]).isNotNull()
+            nonnull = cond if nonnull is None else (nonnull & cond)
+        return F.when(nonnull, struct)
+
+    cand = (
+        df.select(F.explode(F.array(*[masked(s) for s in subsets])).alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select("b.*")
+        .groupBy(*cols)
+        .agg(F.count("*").alias("Count"))
+        .withColumn(
+            "Percent", F.col("Count") / F.lit(float(total)) * 100
+        )
+        .filter(F.col("Percent") >= 10.0)
+    )
+    nset = None
+    for c in cols:
+        term = F.when(F.col(c).isNotNull(), 1).otherwise(0)
+        nset = term if nset is None else nset + term
+    cand = cand.withColumn("__k", nset).withColumn(
+        "Score",
+        F.lit(float(size_weight)) * F.col("Count") / F.lit(float(total))
+        + F.lit(1.0 - float(size_weight)) * F.col("__k") / F.lit(float(k)),
+    )
+    # dominance prune on the bounded candidate table: a size-2 child is
+    # dominated when a size-1 parent (same value on the parent's one
+    # set attribute) has the same Count.
+    parents = cand.filter(F.col("__k") == 1).select(
+        *[F.col(c).alias(f"__p_{c}") for c in cols],
+        F.col("Count").alias("__p_count"),
+    )
+    dom = None
+    for c in cols:
+        cond = (
+            F.col(f"__p_{c}").isNotNull()
+            & (F.col(f"__p_{c}") == F.col(c))
+            & (F.col("__p_count") == F.col("Count"))
+        )
+        dom = cond if dom is None else dom | cond
+    pruned = cand.filter(F.col("__k") == 2).join(
+        F.broadcast(parents), on=dom, how="left_anti"
+    )
+    keep = cand.filter(F.col("__k") == 1).unionByName(pruned)
+    # rank + id on the RAW score (rounding only the displayed values)
+    # so the limit and the SegmentId window can never disagree on ties
+    w = Window.orderBy(
+        F.desc("Score"), *[F.asc_nulls_last(c) for c in cols]
+    )
+    return (
+        keep.withColumn(
+            "SegmentId", (F.row_number().over(w) - 1).cast("long")
+        )
+        .filter(F.col("SegmentId") < 16)
+        .select(
+            "SegmentId",
+            "Count",
+            F.round("Percent", 4).alias("Percent"),
+            F.round("Score", 6).alias("Score"),
+            *cols,
+        )
+        .orderBy("SegmentId")
+    )
+
+
 def _compile_find(
     stage: str,
     tables: dict[str, DataFrame],
@@ -3424,9 +3680,69 @@ def kql(
                         names.append(p.next().text)
                     p.expect(")")
                     p.expect("=")
-                    st = p.expr()
                     tmp = "__kql_tuple"
-                    df = df.withColumn(tmp, st)
+                    if (
+                        p.peek() is not None
+                        and p.peek().text == "series_decompose_anomalies"
+                    ):
+                        # STAGED compile: composing decompose +
+                        # outlier-scoring as ONE expression tree
+                        # duplicates the decomposition inside every
+                        # percentile reference (measured 190 s of
+                        # analysis/codegen at sf0.001) — materialize
+                        # the struct as a named column first, then
+                        # score the residual ATTRIBUTE, so each stage
+                        # references cheap attributes, never trees.
+                        p.next()
+                        p.expect("(")
+                        sda_arr = p.expr()
+                        p.expect(",")
+                        t = p.next()
+                        if t.kind != "num" or "." in t.text:
+                            raise ValueError(
+                                "KQL: series_decompose_anomalies period "
+                                "must be an integer literal"
+                            )
+                        sda_thr = 1.5
+                        if p.accept(","):
+                            tt = p.next()
+                            if tt.kind != "num":
+                                raise ValueError(
+                                    "KQL: series_decompose_anomalies "
+                                    "threshold must be a numeric literal"
+                                )
+                            sda_thr = float(tt.text)
+                        p.expect(")")
+                        df = df.withColumn(
+                            "__kql_sda", _series_decompose(sda_arr, int(t.text))
+                        ).withColumn(
+                            "__kql_sda_sc",
+                            _series_outliers(
+                                F.col("__kql_sda").getField("residual")
+                            ),
+                        )
+                        thrc = F.lit(float(sda_thr))
+                        df = df.withColumn(
+                            tmp,
+                            F.struct(
+                                F.transform(
+                                    F.col("__kql_sda_sc"),
+                                    lambda sc: F.when(
+                                        sc.isNull(), F.lit(None).cast("long")
+                                    )
+                                    .when(sc > thrc, F.lit(1).cast("long"))
+                                    .when(sc < -thrc, F.lit(-1).cast("long"))
+                                    .otherwise(F.lit(0).cast("long")),
+                                ).alias("ad_flag"),
+                                F.col("__kql_sda_sc").alias("ad_score"),
+                                F.col("__kql_sda")
+                                .getField("baseline")
+                                .alias("baseline"),
+                            ),
+                        ).drop("__kql_sda", "__kql_sda_sc")
+                    else:
+                        st = p.expr()
+                        df = df.withColumn(tmp, st)
                     fields = df.schema[tmp].dataType
                     from pyspark.sql.types import StructType as _St
 
@@ -3674,6 +3990,21 @@ def kql(
                         f"{p.peek().text!r}"
                     )
                 df = _compile_basket(df, thr)
+                continue
+            if ev_fn == "autocluster":
+                # evaluate autocluster([size_weight]) — see
+                # _compile_autocluster for the pinned contract.
+                p.expect("(")
+                sw = 0.5
+                if not p.accept(")"):
+                    sw = float(p.next().text)
+                    p.expect(")")
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                df = _compile_autocluster(df, sw)
                 continue
             if ev_fn == "sequence_detect":
                 # evaluate sequence_detect(ts, stepWin, spanWin,

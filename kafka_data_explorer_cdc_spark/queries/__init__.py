@@ -88,14 +88,23 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 _FRONT = [
-    # ROUND-10 WINDOW (verified against the union of
-    # CORRECTNESS_r01..r09 via tools/rotation_check.py — r9 checked all
-    # 50 of the round-9 window, so nothing is never-checked and pure
-    # staleness rotation applies): round-10 additions first (prepended
-    # as they land, tail trimmed to keep the window at 50), then the
-    # r2-stale cohort (14, 7 driver-rounds old), then the r3-stale
-    # cohort (25), then the head of the r4 cohort to fill 50.
-    # (0) round-10 additions — never driver-checked by construction
+    # ROUND-11 WINDOW. The driver did NOT run a round-10 correctness
+    # check (no CORRECTNESS_r10.json landed — only bench + verdict), so
+    # the 17 round-10 additions are STILL never-checked and stay at the
+    # head, behind this round's own additions (never-checked pre-empts
+    # stale, standing policy). Layout: round-11 additions first
+    # (prepended as they land, tail trimmed to keep 50), then the 17
+    # round-10 additions, then the r2-stale cohort (14), then as much
+    # of the r3-stale cohort as fits.
+    # (0) round-11 additions — never driver-checked by construction
+    "b114_shipmode_priority_q12",
+    "b115_order_priority_q4",
+    "b116_suppliers_kept_waiting_q21",
+    "b117_small_qty_revenue_q17",
+    "k74_kql_series_decompose_anomalies",
+    "k75_kql_autocluster",
+    "k76_kql_series_periods_detect",
+    # (1) round-10 additions — never driver-checked (no r10 artifact)
     "s50_stream_late_data_watermark",
     "d92_colbert_maxsim",
     "d92x_colbert_maxsim_ivf",
@@ -113,7 +122,7 @@ _FRONT = [
     "mm11_audio_vad_segments",
     "s51_stream_sequence_detect",
     "k73_kql_series_fill",
-    # (1) the r2-stale cohort (14)
+    # (2) the r2-stale cohort (14)
     "k13_kql_recent_orders",
     "k14_kql_avg_sales",
     "k15_kql_total_sales",
@@ -128,7 +137,7 @@ _FRONT = [
     "d17_contamination_check",
     "d18_repetition_ratio",
     "d19_stratified_sample",
-    # (2) the r3-stale cohort (25)
+    # (3) the r3-stale cohort — as much as fits in the 50 window
     "b13c_except",
     "b14_scalar_functions",
     "b14b_date_functions",
@@ -141,20 +150,15 @@ _FRONT = [
     "k28_kql_arg_max",
     "k29_kql_make_set",
     "k30_kql_percentile",
-    "k32_kql_top_nested",
-    "k33_kql_lookup",
-    "k34_kql_mv_apply",
-    "k35_kql_pivot",
-    "k36_kql_top_hitters",
-    "k37_kql_search",
-    "k38_kql_range_source",
-    # window exactly full at 50 (17 additions + 14 r2 + 19 of the 25
-    # r3 entries — k39_kql_scalar_strings, k41_kql_serialized_windows,
-    # k42_kql_parse_where, d04x_minhash_lsh_portable,
-    # d06x_simhash_portable and d07w_lsh_cosine_portable, displaced by
-    # the mm11/d92x/s51/k73/b112/b113 additions per
-    # never-checked-pre-empts-stale, lead the round-11 queue ahead of
-    # the r4 cohort).
+    # window exactly full at 50 (7 round-11 additions + 17 round-10
+    # additions + 14 r2 + 12 of the 25 r3 entries). Displaced r3
+    # entries — k32_kql_top_nested, k33_kql_lookup, k34_kql_mv_apply,
+    # k35_kql_pivot, k36_kql_top_hitters, k37_kql_search,
+    # k38_kql_range_source (this round) plus k39_kql_scalar_strings,
+    # k41_kql_serialized_windows, k42_kql_parse_where,
+    # d04x_minhash_lsh_portable, d06x_simhash_portable and
+    # d07w_lsh_cosine_portable (round 10) — lead the round-12 queue
+    # ahead of the r4 cohort, per never-checked-pre-empts-stale.
 ]
 
 

@@ -2157,3 +2157,276 @@ def k73_kql_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.b").alias("v_bwd"),
         F.col("z.l").alias("v_linear"),
     )
+
+
+@query(
+    "k74_kql_series_decompose_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-08 00:00:00'
+  GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT t.event_type, g.i,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (g.i * 6) HOUR AS d
+  FROM types t, unnest(generate_series(0, 27)) AS g(i)
+), dense AS (
+  SELECT g.event_type, g.i, CAST(COALESCE(daily.n, 0) AS DOUBLE) AS n
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.d = g.d
+), t AS (
+  SELECT event_type, i, n,
+         AVG(n) OVER (PARTITION BY event_type ORDER BY i
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS tv
+  FROM dense
+), ph AS (
+  SELECT event_type, i % 4 AS p, AVG(n - tv) AS sv
+  FROM t GROUP BY 1, 2
+), dec AS (
+  SELECT t.event_type, t.i, t.tv + ph.sv AS bv,
+         t.n - t.tv - ph.sv AS rv
+  FROM t JOIN ph ON ph.event_type = t.event_type AND ph.p = t.i % 4
+), ser AS (
+  SELECT event_type,
+         list(rv ORDER BY i) AS xs,
+         list(bv ORDER BY i) AS bs
+  FROM dec GROUP BY event_type
+), qq AS (
+  SELECT event_type, xs, bs, list_sort(xs) AS s, len(xs) AS n FROM ser
+), qv AS (
+  SELECT event_type, xs, bs,
+    s[CAST(FLOOR((n-1)*0.1) AS INT)+1] * (1 - ((n-1)*0.1 - FLOOR((n-1)*0.1)))
+      + s[LEAST(CAST(FLOOR((n-1)*0.1) AS INT)+2, n)]
+        * ((n-1)*0.1 - FLOOR((n-1)*0.1)) AS q10,
+    s[CAST(FLOOR((n-1)*0.5) AS INT)+1] * (1 - ((n-1)*0.5 - FLOOR((n-1)*0.5)))
+      + s[LEAST(CAST(FLOOR((n-1)*0.5) AS INT)+2, n)]
+        * ((n-1)*0.5 - FLOOR((n-1)*0.5)) AS q50,
+    s[CAST(FLOOR((n-1)*0.9) AS INT)+1] * (1 - ((n-1)*0.9 - FLOOR((n-1)*0.9)))
+      + s[LEAST(CAST(FLOOR((n-1)*0.9) AS INT)+2, n)]
+        * ((n-1)*0.9 - FLOOR((n-1)*0.9)) AS q90
+  FROM qq
+), sc AS (
+  SELECT event_type, bs,
+    list_transform(xs, x ->
+      CASE WHEN q90 = q10 THEN 0.0
+           WHEN x > q90 OR x < q10 THEN (x - q50) / (q90 - q10)
+           ELSE 0.0 END) AS scores
+  FROM qv
+)
+SELECT event_type,
+  array_to_string(list_transform(scores, x ->
+    CAST(CASE WHEN x > 1.5 THEN 1 WHEN x < -1.5 THEN -1 ELSE 0 END
+         AS VARCHAR)), ',') AS flags,
+  array_to_string(list_transform(scores, x ->
+    CAST(CAST(FLOOR(x * 1e6) AS BIGINT) AS VARCHAR)), ',') AS scores,
+  array_to_string(list_transform(bs, x ->
+    CAST(CAST(FLOOR(x * 1e6) AS BIGINT) AS VARCHAR)), ',') AS baseline
+FROM sc
+""",
+    tags=("kql", "timeseries", "anomaly"),
+)
+def k74_kql_series_decompose_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``series_decompose_anomalies`` — Kusto's one-call series anomaly
+    detector (kql.py:_series_decompose_anomalies), the last gap in the
+    series_* family: decompose (k67's STL-lite, period 4 over 6-hour
+    bins), Tukey-score the residual (k55's fences), flag at the
+    default ±1.5 threshold; output triple (ad_flag, ad_score,
+    baseline) destructured by the tuple extend.
+
+    All JVM HOF folds over make-series arrays — one shuffle total
+    (the per-bin rollup), no explode, no Python (plan-pinned via the
+    k67 shape). The oracle composes k67's relational decomposition
+    with k55's interpolated-percentile scoring; scores/baseline are
+    floor-quantized to micro units (b28 hashability contract)."""
+    events = load(spark, sf_dir, "events")
+    out = kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-08 00:00:00'"
+        " step 6h by event_type"
+        " | extend (f, sc, b) = series_decompose_anomalies(n, 4)",
+        {"Events": events},
+    )
+    return out.select(
+        "event_type",
+        F.array_join(
+            F.transform("f", lambda x: x.cast("string")), ","
+        ).alias("flags"),
+        F.array_join(
+            F.transform(
+                "sc",
+                lambda x: F.floor(x * F.lit(1e6)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("scores"),
+        F.array_join(
+            F.transform(
+                "b",
+                lambda x: F.floor(x * F.lit(1e6)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("baseline"),
+    )
+
+
+@query(
+    "k75_kql_autocluster",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS pr, o_orderstatus AS st FROM orders
+), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+cand AS (
+  SELECT pr, CAST(NULL AS VARCHAR) AS st, COUNT(*) AS cnt, 1 AS k
+  FROM base WHERE pr IS NOT NULL GROUP BY 1
+  UNION ALL
+  SELECT CAST(NULL AS VARCHAR), st, COUNT(*), 1
+  FROM base WHERE st IS NOT NULL GROUP BY 2
+  UNION ALL
+  SELECT pr, st, COUNT(*), 2
+  FROM base WHERE pr IS NOT NULL AND st IS NOT NULL GROUP BY 1, 2
+), scored AS (
+  SELECT pr, st, cnt, k,
+         100.0 * cnt / (SELECT n FROM tot) AS pct_raw,
+         0.5 * cnt / (SELECT n FROM tot) + 0.5 * k / 2.0 AS score_raw
+  FROM cand
+  WHERE 100.0 * cnt / (SELECT n FROM tot) >= 10
+), pruned AS (
+  SELECT * FROM scored s
+  WHERE k = 1 OR NOT EXISTS (
+    SELECT 1 FROM scored p
+    WHERE p.k = 1 AND p.cnt = s.cnt
+      AND ((p.pr IS NOT NULL AND p.pr = s.pr)
+           OR (p.st IS NOT NULL AND p.st = s.st)))
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY score_raw DESC,
+                            pr ASC NULLS LAST, st ASC NULLS LAST) - 1
+           AS SegmentId,
+         cnt, pct_raw, score_raw, pr, st
+  FROM pruned
+)
+SELECT CAST(SegmentId AS BIGINT) AS SegmentId,
+       CAST(cnt AS BIGINT) AS Count,
+       CAST(ROUND(pct_raw, 4) AS DOUBLE) AS Percent,
+       CAST(ROUND(score_raw, 6) AS DOUBLE) AS Score,
+       pr, st
+FROM ranked WHERE SegmentId < 16 ORDER BY SegmentId
+""",
+    tags=("kql", "segmentation", "analytics"),
+)
+def k75_kql_autocluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate autocluster()`` — Kusto's segmentation plugin under
+    this engine's pinned deterministic contract
+    (kql.py:_compile_autocluster: exhaustive size<=2 segments, exact
+    counts, 10% support floor, parent-dominance prune, score =
+    size_weight*coverage + (1-size_weight)*informativeness, top 16):
+    which (priority, status) attribute patterns cover the order book.
+
+    Scale shape: basket's masked-copy expansion (bounded by attribute
+    count, never cardinality) + ONE map-side-combined groupBy; the
+    dominance prune self-joins the BOUNDED post-aggregate candidate
+    table (broadcast); the single-partition rank window orders
+    metadata-sized rows only."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders | project pr = o_orderpriority, st = o_orderstatus"
+        " | evaluate autocluster(0.5)",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k76_kql_series_periods_detect",
+    oracle="""
+WITH grid AS (
+  SELECT et.event_type, g.t
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                  TIMESTAMP '2024-01-28 00:00:00',
+                                  INTERVAL '1 day')) AS t
+  ) g
+), binned AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+  GROUP BY 1, 2
+), ser AS (
+  SELECT g.event_type,
+         list(CAST(COALESCE(b.n, 0) AS DOUBLE) ORDER BY g.t) AS xs
+  FROM grid g LEFT JOIN binned b
+    ON g.event_type = b.event_type AND g.t = b.t
+  GROUP BY g.event_type
+), stats AS (
+  SELECT event_type, xs, len(xs) AS n,
+         list_sum(xs) / len(xs) AS m
+  FROM ser
+), v AS (
+  SELECT event_type, xs, n, m,
+         list_sum(list_transform(xs, x -> (x - m) * (x - m))) AS var
+  FROM stats
+), lags AS (
+  SELECT v.event_type, l.lag,
+    CASE WHEN v.var = 0 THEN 0.0 ELSE
+      list_sum(list_transform(generate_series(1, CAST(v.n - l.lag AS INT)),
+        i -> (v.xs[i] - v.m) * (v.xs[i + l.lag] - v.m))) / v.var
+    END AS score
+  FROM v CROSS JOIN (SELECT unnest(generate_series(2, 10)) AS lag) l
+), ranked AS (
+  SELECT event_type, lag, score,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY score DESC, lag ASC) AS r
+  FROM lags
+)
+SELECT event_type,
+  array_to_string(list_transform(list(CAST(lag AS DOUBLE) ORDER BY r),
+    x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS periods,
+  array_to_string(list_transform(list(score ORDER BY r),
+    x -> CAST(CAST(FLOOR(x * 1e6) AS BIGINT) AS VARCHAR)), ',') AS scores
+FROM ranked WHERE r <= 3 GROUP BY event_type
+""",
+    tags=("kql", "timeseries"),
+)
+def k76_kql_series_periods_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``series_periods_detect`` — dominant-period detection over a
+    make-series array (kql.py:_series_periods_detect): per event
+    type, the top-3 candidate lags in [2, 10] days by normalized
+    sample autocorrelation over 28 daily counts. Kusto's detector is
+    periodogram-based; this engine pins the deterministic ACF
+    definition (documented divergence — same output shape (periods,
+    scores), oracle-replayable math).
+
+    Candidate lags are compile-time literals, so the detector unrolls
+    into flat JVM folds over the series array — one shuffle total
+    (make-series' rollup), no explode, no Python. Scores are
+    floor-quantized to micro units for the hash compare."""
+    events = load(spark, sf_dir, "events")
+    out = kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-29 00:00:00'"
+        " step 1d by event_type"
+        " | extend (p, s) = series_periods_detect(n, 2, 10, 3)",
+        {"Events": events},
+    )
+    return out.select(
+        "event_type",
+        F.array_join(
+            F.transform("p", lambda x: x.cast("bigint").cast("string")), ","
+        ).alias("periods"),
+        F.array_join(
+            F.transform(
+                "s",
+                lambda x: F.floor(x * F.lit(1e6)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("scores"),
+    )

@@ -6117,3 +6117,303 @@ def b113_large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .limit(100)
     )
+
+
+# --- Derived shipping columns (Q12/Q4/Q21 family) -------------------
+#
+# The driver corpus carries no l_shipmode / l_commitdate /
+# l_receiptdate (TESTDATA.md); the round-10 verdict's closure plan is
+# to DERIVE them as pure functions of existing keys so the DuckDB
+# oracle replays them bit-for-bit (same query SHAPE as TPC-H, synthetic
+# values — documented divergence). h = l_orderkey*31 + l_linenumber is
+# a per-line deterministic mixer; commit is ship ± 30 days, receipt is
+# ship + 1..30 days, mode is one of the seven TPC-H modes.
+
+SHIP_MODES = ("MAIL", "SHIP", "AIR", "RAIL", "TRUCK", "FOB", "REG AIR")
+
+#: DuckDB CTE defining lineitem_s — prepend to any oracle that needs
+#: the derived columns. Kept textually parallel to
+#: with_shipping_columns below; the differential gate enforces parity.
+SHIPPING_CTE = """
+WITH __h AS (
+  SELECT *, (l_orderkey * 31 + l_linenumber) AS h FROM lineitem
+), lineitem_s AS (
+  SELECT *,
+    CASE (h % 7) WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+      WHEN 3 THEN 'RAIL' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'FOB'
+      ELSE 'REG AIR' END AS l_shipmode,
+    l_shipdate + ((h % 61) - 30) * INTERVAL 1 DAY AS l_commitdate,
+    l_shipdate + ((h * 7 % 30) + 1) * INTERVAL 1 DAY AS l_receiptdate
+  FROM __h
+)
+"""
+
+
+def with_shipping_columns(li: DataFrame) -> DataFrame:
+    """Extend lineitem with deterministic l_shipmode / l_commitdate /
+    l_receiptdate (pure column expressions — whole-stage codegen, no
+    shuffle, no Python; at 100 TB this is free relative to the scan)."""
+    h = F.col("l_orderkey") * 31 + F.col("l_linenumber")
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in SHIP_MODES]), (h % 7 + 1).cast("int")
+    )
+    commit = F.col("l_shipdate") + F.make_interval(
+        days=((h % 61) - 30).cast("int")
+    )
+    receipt = F.col("l_shipdate") + F.make_interval(
+        days=((h * 7) % 30 + 1).cast("int")
+    )
+    return (
+        li.withColumn("l_shipmode", mode)
+        .withColumn("l_commitdate", commit)
+        .withColumn("l_receiptdate", receipt)
+    )
+
+
+@query(
+    "b114_shipmode_priority_q12",
+    oracle=SHIPPING_CTE
+    + """
+SELECT l.l_shipmode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem_s l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipmode IN ('MAIL', 'SHIP')
+  AND l.l_commitdate < l.l_receiptdate
+  AND l.l_shipdate < l.l_commitdate
+  AND l.l_receiptdate >= TIMESTAMP '1996-01-01'
+  AND l.l_receiptdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+    tags=("relational", "join", "tpch"),
+)
+def b114_shipmode_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): for two chosen
+    ship modes, how many LATE lines (received after commitment,
+    shipped before commitment) belonged to high- vs low-priority
+    orders — the query whose defining feature is the three-way date
+    ORDERING predicate between columns of the same row plus a
+    conditional split on the joined dimension's attribute. The last
+    TPC-H shape the registry was missing (round-10 verdict gap #2);
+    the date/mode columns are derived (SHIPPING_CTE, documented
+    divergence: synthetic values, canonical shape).
+
+    Scale shape: every predicate is row-local on lineitem and
+    evaluates in the scan's whole-stage-codegen filter BEFORE the
+    join (none can reach PushedFilters — the columns are derived
+    expressions, not parquet columns; on a corpus that materializes
+    them, mode + receipt-window would push); the orders join is
+    key-vs-key with no hint (AQE picks; at 100 TB both sides are
+    facts and shuffle); the aggregate is a 2-group
+    conditional-count pair."""
+    li = with_shipping_columns(load(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= "1996-01-01")
+        & (F.col("l_receiptdate") < "1998-01-01")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "b115_order_priority_q4",
+    oracle=SHIPPING_CTE
+    + """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem_s l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_commitdate < l.l_receiptdate)
+GROUP BY 1
+""",
+    tags=("relational", "join", "tpch"),
+)
+def b115_order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): per priority class, how
+    many of one quarter's orders had at least one line received after
+    its commitment date — the canonical EXISTS-against-the-fact query
+    (a semi join whose probe side is an aggregate-free row predicate).
+
+    Scale shape: the quarter window prunes the orders scan; the
+    EXISTS compiles to a LEFT SEMI join on the order key against
+    late lines (predicate evaluated scan-side on lineitem, row-local),
+    so lineitem is filtered then semi-joined — never materialized per
+    order; the final aggregate is |priorities| groups. No hint
+    anywhere: both sides are facts at 100 TB and AQE picks the
+    strategy."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    late = (
+        with_shipping_columns(load(spark, sf_dir, "lineitem"))
+        .filter(F.col("l_commitdate") < F.col("l_receiptdate"))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            late, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "b116_suppliers_kept_waiting_q21",
+    oracle=SHIPPING_CTE
+    + """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem_s l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND EXISTS (SELECT 1 FROM lineitem_s l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem_s l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_receiptdate > l3.l_commitdate)
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    tags=("relational", "join", "tpch", "topk"),
+)
+def b116_suppliers_kept_waiting_q21(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): suppliers whose
+    line was the ONLY late one on a multi-supplier finished order —
+    the suite's hardest join shape (EXISTS + NOT EXISTS against the
+    same fact table the outer query scans, three logical passes over
+    lineitem). The reference corpus carries no nation filter column
+    need — the canonical query's single-nation restriction is dropped
+    (documented divergence; supplier count already bounds output).
+
+    Scale shape: instead of translating the two correlated EXISTS
+    into two more self-joins (three scans and three shuffles of the
+    full fact), everything collapses into ONE per-order aggregate
+    over a SINGLE lineitem scan: n_supp = countDistinct(supplier),
+    n_late = countDistinct(supplier WHERE late), plus — because a
+    qualifying order has EXACTLY ONE late supplier — that supplier's
+    key (max over late lines) and its late-line count ride the same
+    aggregate. EXISTS(other supplier) == n_supp > 1; NOT EXISTS(other
+    late supplier) == n_late = 1; the outer per-line COUNT(*) by
+    supplier == sum of qualifying orders' late-line counts. Plan:
+    lineitem scanned ONCE (pinned <= 3 parquet scans incl. orders +
+    supplier), shuffled once on the order key; the DuckDB oracle
+    keeps the textbook double-EXISTS form so the differential proves
+    the rewrite. Supplier hydration happens AFTER the aggregate
+    (bounded rows); the top-100 is TakeOrderedAndProject."""
+    li = with_shipping_columns(load(spark, sf_dir, "lineitem")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_receiptdate") > F.col("l_commitdate")).alias("__late"),
+    )
+    orders_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    per_order = (
+        li.join(orders_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+            F.countDistinct(
+                F.when(F.col("__late"), F.col("l_suppkey"))
+            ).alias("__n_late"),
+            F.max(
+                F.when(F.col("__late"), F.col("l_suppkey"))
+            ).alias("__late_supp"),
+            F.sum(
+                F.when(F.col("__late"), 1).otherwise(0)
+            ).alias("__late_lines"),
+        )
+    )
+    waiting = (
+        per_order.filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+        .groupBy(F.col("__late_supp").alias("l_suppkey"))
+        .agg(F.sum("__late_lines").cast("long").alias("numwait"))
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(
+            F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "b117_small_qty_revenue_q17",
+    oracle="""
+SELECT CAST(SUM(l.l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND p.p_size < 15
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)
+""",
+    tags=("relational", "join", "tpch", "subquery"),
+)
+def b117_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost
+    if small orders (below 20% of a part's average order quantity)
+    were no longer filled, for one brand/size band — the canonical
+    correlated-aggregate-threshold query (the subquery's AVG is per
+    OUTER part). The corpus has no p_container; p_size < 15 stands in
+    (documented divergence, same shape).
+
+    Scale shape: the brand/size filter broadcasts the surviving part
+    keys, which SEMI-prunes lineitem before anything aggregates —
+    and because the correlated AVG is keyed on p_partkey alone, it
+    only needs the lines of FILTERED parts (every line of a filtered
+    part survives the key prune), so the per-part threshold aggregate
+    runs over the pruned fact, not the full one. One shuffle on the
+    part key shared by threshold + join; the final SUM is global.
+    The DuckDB oracle keeps the textbook correlated form to prove the
+    decorrelation."""
+    part_keys = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    lines = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_keys), F.col("p_partkey") == F.col("l_partkey")
+    )
+    thresholds = lines.groupBy(F.col("l_partkey").alias("__tk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("__thresh")
+    )
+    return (
+        lines.join(thresholds, F.col("__tk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("__thresh"))
+        .agg((F.sum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
+    )

@@ -1244,3 +1244,39 @@ def test_b113_q18_semi_filter_and_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_q12_q4_q21_q17_star_plans(spark, sf_dir):
+    """The round-11 TPC-H closures. Q12: the derived-column predicates
+    evaluate in a Filter BELOW the orders join (fact pruned before the
+    shuffle), no Python, no cartesian. Q4: the EXISTS compiles to a
+    LEFT SEMI join, quarter window pushed to the orders scan. Q21: the
+    double-EXISTS collapses to per-order aggregates — no third scan of
+    lineitem, supplier hydration broadcast AFTER the rank, top-100 is
+    TakeOrderedAndProject. Q17: brand/size filter pushed to the part
+    scan, the correlated AVG decorrelates to one aggregate over the
+    key-pruned fact."""
+    p12 = plan_of(spark, sf_dir, "b114_shipmode_priority_q12")
+    assert "CartesianProduct" not in p12 and "BatchEvalPython" not in p12, p12
+    assert p12.index("Filter") > p12.index("AdaptiveSparkPlan"), p12
+    p4 = plan_of(spark, sf_dir, "b115_order_priority_q4")
+    assert "LeftSemi" in p4, p4
+    assert "GreaterThanOrEqual(o_orderdate,1996-07-01" in p4, \
+        "quarter window must push to the orders scan"
+    p21 = plan_of(spark, sf_dir, "b116_suppliers_kept_waiting_q21")
+    assert "TakeOrderedAndProject" in p21, p21
+    assert "CartesianProduct" not in p21, p21
+    assert p21.count("Scan parquet") <= 3, \
+        "Q21 must not translate EXISTS/NOT EXISTS into extra fact scans"
+    assert forced_broadcast_hints(
+        spark, sf_dir, "b116_suppliers_kept_waiting_q21"
+    ) == 1  # supplier name hydration only (bounded by distinct suppliers)
+    p17 = plan_of(spark, sf_dir, "b117_small_qty_revenue_q17")
+    assert "EqualTo(p_brand,Brand#1)" in p17, \
+        "brand filter must push to the part scan"
+    assert "CartesianProduct" not in p17, p17
+    assert forced_broadcast_hints(
+        spark, sf_dir, "b117_small_qty_revenue_q17"
+    ) == 2  # the filtered part-key prune list (the pruned-lines
+    # subtree is referenced twice: threshold build + final join, so
+    # the same bounded hint prints once per reference)
