@@ -300,3 +300,85 @@ def duckdb_cdc_chunk_sql(col: str = "text") -> dict[str, str]:
         f"INT)]) AS BIGINT)), (acc, c) -> (acc * 31 + c) % {mod}) END)"
     )
     return {"cuts": cuts, "ends": ends, "chunk_fps": chunk_fps}
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    k-gram of the normalized text, slide a w-gram window, and record
+    the MINIMUM hash of each window (rightmost on ties — the paper's
+    rule, which guarantees fingerprint density 2/(w+1) while matching
+    any shared substring of length >= k + w - 1). Output one row per
+    document: (id, fingerprints) with fingerprints the sorted distinct
+    "pos:hash" strings — position-carrying, so overlap LOCATIONS are
+    comparable downstream (the property plain MinHash loses).
+
+    Scale shape: a pure row-local projection pipeline — codepoints,
+    gram hashes, and window minima are staged ARRAY columns (named
+    columns, not one nested tree: the k74 lesson), all JVM HOFs over
+    document-sized arrays; NO shuffle anywhere, no Python. The hash is
+    the engine-portable polynomial (poly_hash) so the DuckDB oracle
+    replays it bit-for-bit. Documents shorter than k + w - 1 chars
+    have no full window and are dropped (both engines)."""
+    mod = POLY_MOD
+    norm = F.lower(F.trim(F.col(text_col)))
+    out = (
+        df.select(F.col(id_col), norm.alias("__wn_t"))
+        .withColumn(
+            "__wn_cp",
+            F.transform(
+                F.split(F.col("__wn_t"), ""),
+                lambda c: F.ascii(c).cast("long"),
+            ),
+        )
+        .filter(F.size("__wn_cp") >= k + w - 1)
+        .withColumn(
+            "__wn_g",
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size("__wn_cp") - F.lit(k - 1)
+                ),
+                lambda i: F.aggregate(
+                    F.slice("__wn_cp", i, k),
+                    F.lit(0).cast("long"),
+                    lambda acc, c: (acc * 31 + c) % mod,
+                ),
+            ),
+        )
+        .withColumn(
+            "__wn_sel",
+            F.transform(
+                F.sequence(F.lit(1), F.size("__wn_g") - F.lit(w - 1)),
+                lambda j: F.aggregate(
+                    F.sequence(j + F.lit(1), j + F.lit(w - 1)),
+                    j,
+                    lambda acc, i: F.when(
+                        F.element_at("__wn_g", i)
+                        <= F.element_at("__wn_g", acc),
+                        i,
+                    ).otherwise(acc),
+                ),
+            ),
+        )
+    )
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.col("__wn_sel"),
+                lambda p: F.concat_ws(
+                    ":",
+                    p.cast("string"),
+                    F.element_at("__wn_g", p).cast("string"),
+                ),
+            )
+        )
+    )
+    return out.select(
+        F.col(id_col), F.array_join(fps, ",").alias("fingerprints")
+    )

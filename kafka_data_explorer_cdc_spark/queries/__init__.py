@@ -97,6 +97,10 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "d94_winnowing_fingerprints",
+    "d95_cross_source_dup_matrix",
+    "mm12_video_shot_segments",
+    "s52_stream_late_shipment_monitor",
     "b114_shipmode_priority_q12",
     "b115_order_priority_q4",
     "b116_suppliers_kept_waiting_q21",
@@ -146,15 +150,13 @@ _FRONT = [
     "k24_kql_join",
     "k25_kql_let",
     "k26_kql_parse_extract",
-    "k27_kql_case_tiers",
-    "k28_kql_arg_max",
-    "k29_kql_make_set",
-    "k30_kql_percentile",
-    # window exactly full at 50 (7 round-11 additions + 17 round-10
-    # additions + 14 r2 + 12 of the 25 r3 entries). Displaced r3
-    # entries — k32_kql_top_nested, k33_kql_lookup, k34_kql_mv_apply,
-    # k35_kql_pivot, k36_kql_top_hitters, k37_kql_search,
-    # k38_kql_range_source (this round) plus k39_kql_scalar_strings,
+    # window exactly full at 50 (11 round-11 additions + 17 round-10
+    # additions + 14 r2 + 8 of the 25 r3 entries). Displaced r3
+    # entries — k27_kql_case_tiers, k28_kql_arg_max, k29_kql_make_set,
+    # k30_kql_percentile, k32_kql_top_nested, k33_kql_lookup,
+    # k34_kql_mv_apply, k35_kql_pivot, k36_kql_top_hitters,
+    # k37_kql_search, k38_kql_range_source (this round) plus
+    # k39_kql_scalar_strings,
     # k41_kql_serialized_windows, k42_kql_parse_where,
     # d04x_minhash_lsh_portable, d06x_simhash_portable and
     # d07w_lsh_cosine_portable (round 10) — lead the round-12 queue

@@ -7665,3 +7665,235 @@ def d92x_colbert_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     exact.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+_D94_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), cp AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(t)),
+           i -> CAST(unicode(t[i:i]) AS BIGINT)) AS cps
+  FROM s
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(cps) - 4),
+           i -> list_reduce(cps[i:i+4],
+                  (acc, c) -> (acc * 31 + c) % {POLY_MOD})) AS gs
+  FROM cp WHERE len(cps) >= 8
+), sel AS (
+  SELECT doc_id, gs,
+         list_transform(generate_series(1, len(gs) - 3),
+           j -> list_reduce(generate_series(j, j + 3),
+                  (acc, i) -> CASE WHEN gs[i] <= gs[acc]
+                              THEN i ELSE acc END)) AS ps
+  FROM g
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(list_transform(ps,
+         p -> CAST(p AS VARCHAR) || ':' || CAST(gs[p] AS VARCHAR)))),
+         ',') AS fingerprints
+FROM sel
+"""
+
+
+@query(
+    "d94_winnowing_fingerprints",
+    oracle=_D94_ORACLE,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def d94_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (operators/text.py:
+    winnow_fingerprints — Schleimer et al. 2003, the MOSS algorithm):
+    k=5 char-gram portable hashes, w=4 windows, rightmost-minimum
+    selection; per document the sorted distinct "pos:hash" set. The
+    position-carrying complement to d09's whole-document fingerprint
+    and d03's MinHash: winnowing GUARANTEES any shared substring of
+    length >= k+w-1 = 8 yields a shared fingerprint (density bound
+    2/(w+1)), which is what plagiarism/overlap LOCALIZATION needs.
+
+    Scale shape: zero-shuffle row-local projection — staged array
+    columns, JVM HOFs only; the oracle replays the identical poly
+    hash, window fold, and tie rule over DuckDB lists."""
+    from ..operators.text import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+_D95_CHUNK_HASH = DUCKDB_POLY_HASH.format(expr="chunk")
+
+_D95_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, text FROM documents WHERE length(text) >= 64
+), ch AS (
+  SELECT source, text[(i-1)*64+1 : i*64] AS chunk
+  FROM d, unnest(generate_series(1, CAST(length(text) // 64 AS INT))) AS g(i)
+), h AS (
+  SELECT source, {_D95_CHUNK_HASH} AS h FROM ch
+), c AS (
+  SELECT h, source, COUNT(*) AS cnt FROM h GROUP BY 1, 2
+), p AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CASE WHEN a.source = b.source
+              THEN a.cnt * (a.cnt - 1) / 2
+              ELSE a.cnt * b.cnt END AS pairs
+  FROM c a JOIN c b ON a.h = b.h AND a.source <= b.source
+  WHERE a.source < b.source OR (a.source = b.source AND a.cnt > 1)
+)
+SELECT src_a, src_b, CAST(SUM(pairs) AS BIGINT) AS dup_pairs
+FROM p GROUP BY 1, 2
+"""
+
+
+@query(
+    "d95_cross_source_dup_matrix",
+    oracle=_D95_ORACLE,
+    tags=("llm", "dedup", "reporting"),
+)
+def d95_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the data-card-grade
+    contamination report a multi-source corpus needs before mixing:
+    for every (source_a, source_b) pair (a <= b), how many pairs of
+    identical 64-char chunks the two sources share (within-source
+    pairs = C(cnt,2), cross = cnt_a * cnt_b). Chunk identity is the
+    portable polynomial hash, so the DuckDB oracle replays it.
+
+    Scale shape: text leaves the scan ONLY to be chunk-hashed in the
+    same projection (the shuffle carries (hash, source) longs+strings,
+    never text — d22's discipline); per-(hash, source) counts are ONE
+    map-side-combined groupBy; the pair expansion joins the
+    POST-AGGREGATE count table with itself per hash (bounded by
+    sources-per-hash, never rows) and sums into a |sources|^2-bounded
+    matrix."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= 64
+    )
+    chunks = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.length("text") / 64).cast("int")),
+                lambda i: F.col("text").substr(
+                    (i - 1) * 64 + 1, F.lit(64)
+                ),
+            )
+        ).alias("chunk"),
+    )
+    hashed = chunks.select(
+        "source", F.expr(poly_hash("chunk")).alias("h")
+    )
+    c = hashed.groupBy("h", "source").agg(F.count("*").alias("cnt"))
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") <= F.col("b.source")),
+        )
+        .filter(
+            (F.col("a.source") < F.col("b.source"))
+            | ((F.col("a.source") == F.col("b.source")) & (F.col("a.cnt") > 1))
+        )
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.when(
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.cnt") * (F.col("a.cnt") - 1) / 2,
+            )
+            .otherwise(F.col("a.cnt") * F.col("b.cnt"))
+            .alias("pairs"),
+        )
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.sum("pairs").cast("long").alias("dup_pairs"))
+    )
+
+
+def _mm12_oracle() -> str:
+    from ..operators.multimodal import CUT_THRESHOLD, FRAME_BYTES
+
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS vs
+  FROM documents
+), f AS (
+  SELECT doc_id, vs, unnest(range(0, len(vs) // {FRAME_BYTES})) AS fi
+  FROM s WHERE len(vs) >= {FRAME_BYTES}
+), luma AS (
+  SELECT doc_id, fi,
+         list_reduce(list_transform(range(0, {FRAME_BYTES}),
+           j -> vs[CAST(fi * {FRAME_BYTES} + j + 1 AS INT)]),
+           (a, b) -> a + b) AS luma
+  FROM f
+), d AS (
+  SELECT doc_id, fi, luma,
+         ABS(luma - LAG(luma, 1, luma) OVER (
+           PARTITION BY doc_id ORDER BY fi)) AS delta
+  FROM luma
+), shots AS (
+  SELECT doc_id, fi, luma,
+         SUM(CASE WHEN delta >= {CUT_THRESHOLD} AND fi > 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY fi
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS shot_id
+  FROM d
+)
+SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+       CAST(MIN(fi) AS BIGINT) AS start_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(luma) AS BIGINT) AS total_luma,
+       CAST(MAX(luma * 1000000 + (999999 - fi)) % 1000000 AS BIGINT)
+         AS rep_key,
+       CAST(999999 - (MAX(luma * 1000000 + (999999 - fi)) % 1000000)
+            AS BIGINT) AS rep_frame
+FROM shots GROUP BY 1, 2
+"""
+
+
+@query(
+    "mm12_video_shot_segments",
+    oracle=_mm12_oracle(),
+    tags=("llm", "multimodal", "video"),
+)
+def mm12_video_shot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary segmentation — mm10's scene cuts promoted
+    to SEGMENTS (the video sibling of mm11's audio VAD islands): per
+    clip, frames partition into shots at every adjacent-luma jump >=
+    CUT_THRESHOLD (cumulative-cut-count islands), and each shot
+    reports its start frame, length, total luma, and REPRESENTATIVE
+    frame (brightest; earliest on ties — the frame a thumbnail/
+    captioning stage would decode). The argmax rides the same
+    aggregate as everything else via the luma*1e6 + (999999 - fi)
+    integer key (exact, replayed by the oracle; frame counts are
+    corpus-bounded far below 1e6).
+
+    Scale shape: per-frame luma/delta come from mm10's single Arrow
+    kernel (deltas are blob-local numpy diff — no lag shuffle); ONE
+    hash shuffle on doc_id drives both the islands window and the
+    per-shot rollup; the shuffle carries 4 longs per frame, never
+    pixels."""
+    from ..operators.multimodal import CUT_THRESHOLD, keyframes
+
+    kf = keyframes(load(spark, sf_dir, "documents"))
+    is_cut = (
+        (F.col("delta") >= CUT_THRESHOLD) & (F.col("frame_idx") > 0)
+    ).cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shots = kf.withColumn("shot_id", F.sum(is_cut).over(w))
+    rep_key = F.col("luma") * 1000000 + (999999 - F.col("frame_idx"))
+    return shots.groupBy("doc_id", "shot_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.count("*").alias("n_frames"),
+        F.sum("luma").alias("total_luma"),
+        (F.max(rep_key) % 1000000).alias("rep_key"),
+        (F.lit(999999) - F.max(rep_key) % 1000000).alias("rep_frame"),
+    )

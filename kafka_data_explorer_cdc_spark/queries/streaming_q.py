@@ -2044,3 +2044,78 @@ def s51_stream_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(streaming_sequence_detect(ev), name, output_mode="append", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table(name)
+
+
+@query(
+    "s52_stream_late_shipment_monitor",
+    oracle="""
+WITH __h AS (
+  SELECT *, (l_orderkey * 31 + l_linenumber) AS h FROM lineitem
+), lineitem_s AS (
+  SELECT *,
+    CASE (h % 7) WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+      WHEN 3 THEN 'RAIL' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'FOB'
+      ELSE 'REG AIR' END AS l_shipmode,
+    l_shipdate + ((h % 61) - 30) * INTERVAL 1 DAY AS l_commitdate,
+    l_shipdate + ((h * 7 % 30) + 1) * INTERVAL 1 DAY AS l_receiptdate
+  FROM __h
+)
+SELECT time_bucket(INTERVAL '30 days', l_receiptdate,
+                   TIMESTAMP '1995-01-01 00:00:00') AS win_start,
+       l_shipmode,
+       CAST(COUNT(*) AS BIGINT) AS late_lines
+FROM lineitem_s
+WHERE l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+GROUP BY 1, 2
+""",
+    tags=("streaming", "tpch"),
+)
+def s52_stream_late_shipment_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b114's (Q12) streaming twin — the late-shipment operations
+    monitor: lineitem replayed through a file stream, shipping columns
+    DERIVED in-stream (with_shipping_columns is pure projection —
+    stream-safe by construction), late lines (ship < commit < receipt)
+    counted per (30-day receipt window, ship mode) in the state store,
+    complete-mode memory sink; must equal the batch/DuckDB derivation
+    exactly (the unified-batch/streaming contract, s21's discipline).
+
+    Scale shape: the derivation adds zero state — only the windowed
+    count aggregation holds state, keyed (window, mode): bounded by
+    horizon x 7 modes. One shuffle; filters evaluate before it."""
+    import tempfile
+
+    from ..queries.relational import with_shipping_columns
+
+    name = f"s52_{uuid.uuid4().hex[:8]}"
+    src = f"{sf_dir}/lineitem.parquet"
+    schema = load(spark, sf_dir, "lineitem").schema
+    d = tempfile.mkdtemp(prefix="s52_lineitem_", dir="/tmp")
+    os.symlink(src, os.path.join(d, "lineitem.parquet"))
+    li = with_shipping_columns(
+        spark.readStream.schema(schema).parquet(d)
+    ).filter(
+        (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+    )
+    agg = (
+        li.groupBy(
+            # startTime aligns Spark's epoch-anchored windows to the
+            # oracle's 1995-01-01 origin: 1995-01-01 is epoch day
+            # 9131, 9131 % 30 = 11
+            F.window("l_receiptdate", "30 days", startTime="11 days"),
+            "l_shipmode",
+        )
+        .agg(F.count("*").alias("late_lines"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "l_shipmode",
+            "late_lines",
+        )
+    )
+    run_to_memory(
+        agg, name, output_mode="complete",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    return spark.table(name)

@@ -1280,3 +1280,40 @@ def test_q12_q4_q21_q17_star_plans(spark, sf_dir):
     ) == 2  # the filtered part-key prune list (the pruned-lines
     # subtree is referenced twice: threshold build + final join, so
     # the same bounded hint prints once per reference)
+
+
+def test_d94_winnowing_zero_shuffle_no_python(spark, sf_dir):
+    """d94 (winnowing): a pure row-local projection pipeline — no
+    Exchange anywhere (fingerprinting must not shuffle 100 TB of
+    text), no Python boundary; gram hashing and window minima are JVM
+    HOFs over staged array columns."""
+    p = plan_of(spark, sf_dir, "d94_winnowing_fingerprints")
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_d95_dup_matrix_text_stays_scan_side(spark, sf_dir):
+    """d95 (cross-source dup matrix): text is chunk-hashed in the scan
+    stage's projection — every Exchange carries (hash, source), never
+    text; the pair expansion joins post-aggregate counts (no
+    cartesian, no Python)."""
+    p = plan_of(spark, sf_dir, "d95_cross_source_dup_matrix")
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "chunk" not in m.group(1) and "text" not in m.group(1), (
+            "a shuffle carries raw text: " + m.group(0)
+        )
+
+
+def test_mm12_shot_segments_one_kernel_one_shuffle(spark, sf_dir):
+    """mm12 (shot segmentation): exactly ONE Arrow kernel (mm10's
+    luma/delta codec stub) and the islands window + per-shot rollup
+    share the doc_id partitioning — frames shuffle as 4 longs, never
+    pixels."""
+    p = plan_of(spark, sf_dir, "mm12_video_shot_segments")
+    assert p.count("MapInPandas") == 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "Window" in p, "islands trick must use a window function"
