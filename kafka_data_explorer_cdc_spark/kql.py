@@ -2693,6 +2693,112 @@ def _compile_autocluster(df: DataFrame, size_weight: float) -> DataFrame:
     )
 
 
+def _compile_diffpatterns(
+    df: DataFrame, split_col: str, val_a: str, val_b: str
+) -> DataFrame:
+    """``evaluate diffpatterns(SplitCol, 'A', 'B')`` — Kusto's
+    cohort-comparison plugin: attribute patterns whose prevalence
+    DIFFERS most between two row cohorts (the failure-investigation
+    verb: "what changed between yesterday and today?"). Kusto's
+    implementation shares autocluster's seeded heuristic; this
+    engine's pinned deterministic contract mirrors
+    :func:`_compile_autocluster`:
+
+    - cohorts: rows with SplitCol == A vs == B (other rows ignored);
+    - candidates: all size-1/size-2 value itemsets over the remaining
+      string columns, exact per-cohort counts, nulls never match;
+    - support floor: max(PercentA, PercentB) >= 5;
+    - output: top 16 by abs(PercentDiffAB) desc (ties: attribute
+      values asc nulls last) with SegmentId, CountA, CountB,
+      PercentA, PercentB, PercentDiffAB, then the attribute columns
+      (null = wildcard) — Kusto's output shape.
+
+    Scale shape: ONE masked-copy expansion + ONE map-side-combined
+    groupBy over (pattern, cohort) — the cohort is a pivot INSIDE the
+    aggregate (two conditional sums), so both cohorts ride one
+    shuffle; denominators are one bounded 2-row count job; the rank
+    window orders the bounded candidate table only."""
+    cols = [c for c in df.columns if c != split_col]
+    if split_col not in df.columns:
+        raise ValueError(f"KQL: diffpatterns split column {split_col!r} not found")
+    non_str = [c for c, t in df.dtypes if t != "string"]
+    if non_str:
+        raise ValueError(
+            f"KQL: diffpatterns needs string attribute columns; project/"
+            f"tostring first (non-string: {non_str})"
+        )
+    if not cols:
+        raise ValueError("KQL: diffpatterns needs attribute columns")
+    both = df.filter(F.col(split_col).isin(val_a, val_b))
+    totals = {
+        r[split_col]: r["n"]
+        for r in both.groupBy(split_col).agg(F.count("*").alias("n")).collect()
+    }  # bounded: 2 rows
+    tot_a, tot_b = totals.get(val_a, 0), totals.get(val_b, 0)
+    if tot_a == 0 or tot_b == 0:
+        raise ValueError(
+            f"KQL: diffpatterns cohort empty (A={tot_a} rows, B={tot_b})"
+        )
+    k = len(cols)
+    subsets = [(i,) for i in range(k)] + [
+        (i, j) for i in range(k) for j in range(i + 1, k)
+    ]
+
+    def masked(sub: tuple) -> Column:
+        struct = F.struct(
+            *[
+                (F.col(c) if i in sub else F.lit(None).cast("string")).alias(c)
+                for i, c in enumerate(cols)
+            ],
+            F.col(split_col).alias("__side"),
+        )
+        nonnull = None
+        for i in sub:
+            cond = F.col(cols[i]).isNotNull()
+            nonnull = cond if nonnull is None else (nonnull & cond)
+        return F.when(nonnull, struct)
+
+    cand = (
+        both.select(
+            F.explode(F.array(*[masked(s) for s in subsets])).alias("b")
+        )
+        .filter(F.col("b").isNotNull())
+        .select("b.*")
+        .groupBy(*cols)
+        .agg(
+            F.sum(F.when(F.col("__side") == val_a, 1).otherwise(0)).alias(
+                "CountA"
+            ),
+            F.sum(F.when(F.col("__side") == val_b, 1).otherwise(0)).alias(
+                "CountB"
+            ),
+        )
+        .withColumn("PercentA", F.col("CountA") * 100.0 / F.lit(float(tot_a)))
+        .withColumn("PercentB", F.col("CountB") * 100.0 / F.lit(float(tot_b)))
+        .filter(F.greatest("PercentA", "PercentB") >= 5.0)
+        .withColumn("__diff", F.col("PercentA") - F.col("PercentB"))
+    )
+    w = Window.orderBy(
+        F.abs(F.col("__diff")).desc(), *[F.asc_nulls_last(c) for c in cols]
+    )
+    return (
+        cand.withColumn(
+            "SegmentId", (F.row_number().over(w) - 1).cast("long")
+        )
+        .filter(F.col("SegmentId") < 16)
+        .select(
+            "SegmentId",
+            "CountA",
+            "CountB",
+            F.round("PercentA", 4).alias("PercentA"),
+            F.round("PercentB", 4).alias("PercentB"),
+            F.round("__diff", 4).alias("PercentDiffAB"),
+            *cols,
+        )
+        .orderBy("SegmentId")
+    )
+
+
 def _compile_find(
     stage: str,
     tables: dict[str, DataFrame],
@@ -3990,6 +4096,30 @@ def kql(
                         f"{p.peek().text!r}"
                     )
                 df = _compile_basket(df, thr)
+                continue
+            if ev_fn == "diffpatterns":
+                # evaluate diffpatterns(SplitCol, 'A', 'B') — see
+                # _compile_diffpatterns for the pinned contract.
+                p.expect("(")
+                dp_col = p.next().text
+                p.expect(",")
+                ta = p.next()
+                p.expect(",")
+                tb = p.next()
+                p.expect(")")
+                if ta.kind != "str" or tb.kind != "str":
+                    raise ValueError(
+                        "KQL: diffpatterns split values must be string "
+                        "literals"
+                    )
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                df = _compile_diffpatterns(
+                    df, dp_col, ta.text[1:-1], tb.text[1:-1]
+                )
                 continue
             if ev_fn == "autocluster":
                 # evaluate autocluster([size_weight]) — see

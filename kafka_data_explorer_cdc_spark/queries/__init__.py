@@ -97,6 +97,9 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "k77_kql_diffpatterns",
+    "d96_kmv_vocab_overlap",
+    "mm13_image_dhash_neardup",
     "d94_winnowing_fingerprints",
     "d95_cross_source_dup_matrix",
     "mm12_video_shot_segments",
@@ -147,12 +150,10 @@ _FRONT = [
     "b14b_date_functions",
     "b15a_json_extract",
     "b15b_array_functions",
-    "k24_kql_join",
-    "k25_kql_let",
-    "k26_kql_parse_extract",
-    # window exactly full at 50 (11 round-11 additions + 17 round-10
-    # additions + 14 r2 + 8 of the 25 r3 entries). Displaced r3
-    # entries — k27_kql_case_tiers, k28_kql_arg_max, k29_kql_make_set,
+    # window exactly full at 50 (14 round-11 additions + 17 round-10
+    # additions + 14 r2 + 5 of the 25 r3 entries). Displaced r3
+    # entries — k24_kql_join, k25_kql_let, k26_kql_parse_extract,
+    # k27_kql_case_tiers, k28_kql_arg_max, k29_kql_make_set,
     # k30_kql_percentile, k32_kql_top_nested, k33_kql_lookup,
     # k34_kql_mv_apply, k35_kql_pivot, k36_kql_top_hitters,
     # k37_kql_search, k38_kql_range_source (this round) plus

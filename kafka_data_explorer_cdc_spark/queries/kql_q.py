@@ -2430,3 +2430,79 @@ def k76_kql_series_periods_detect(
             ",",
         ).alias("scores"),
     )
+
+
+@query(
+    "k77_kql_diffpatterns",
+    oracle="""
+WITH base AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+         CASE WHEN o_totalprice >= 300000 THEN 'high'
+              WHEN o_totalprice >= 150000 THEN 'mid'
+              ELSE 'low' END AS tier
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+), tots AS (
+  SELECT CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS ta,
+         CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS tb
+  FROM base
+), cand AS (
+  SELECT pr, CAST(NULL AS VARCHAR) AS tier,
+         SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS cb
+  FROM base WHERE pr IS NOT NULL GROUP BY 1
+  UNION ALL
+  SELECT CAST(NULL AS VARCHAR), tier,
+         SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END),
+         SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END)
+  FROM base WHERE tier IS NOT NULL GROUP BY 2
+  UNION ALL
+  SELECT pr, tier,
+         SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END),
+         SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END)
+  FROM base WHERE pr IS NOT NULL AND tier IS NOT NULL GROUP BY 1, 2
+), sc AS (
+  SELECT pr, tier, ca, cb,
+         100.0 * ca / (SELECT ta FROM tots) AS pa,
+         100.0 * cb / (SELECT tb FROM tots) AS pb
+  FROM cand
+  WHERE GREATEST(100.0 * ca / (SELECT ta FROM tots),
+                 100.0 * cb / (SELECT tb FROM tots)) >= 5
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY ABS(pa - pb) DESC,
+                            pr ASC NULLS LAST, tier ASC NULLS LAST) - 1
+           AS SegmentId,
+         ca, cb, pa, pb, pr, tier
+  FROM sc
+)
+SELECT CAST(SegmentId AS BIGINT) AS SegmentId,
+       CAST(ca AS BIGINT) AS CountA, CAST(cb AS BIGINT) AS CountB,
+       CAST(ROUND(pa, 4) AS DOUBLE) AS PercentA,
+       CAST(ROUND(pb, 4) AS DOUBLE) AS PercentB,
+       CAST(ROUND(pa - pb, 4) AS DOUBLE) AS PercentDiffAB,
+       pr, tier
+FROM ranked WHERE SegmentId < 16 ORDER BY SegmentId
+""",
+    tags=("kql", "segmentation", "analytics"),
+)
+def k77_kql_diffpatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate diffpatterns()`` — Kusto's cohort-comparison plugin
+    under this engine's pinned deterministic contract
+    (kql.py:_compile_diffpatterns: exhaustive size<=2 patterns, 5%
+    support floor on either cohort, rank by abs percent difference,
+    top 16): which (priority, price-tier) patterns differ between the
+    open ('O') and finalized ('F') order cohorts.
+
+    Scale shape: both cohorts ride ONE masked-copy expansion and ONE
+    map-side-combined groupBy (the cohort split is two conditional
+    sums inside the same aggregate — never two scans); denominators
+    are one bounded 2-row job; the rank window orders the bounded
+    candidate table only."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders | project st = o_orderstatus,"
+        " pr = o_orderpriority,"
+        " tier = case(o_totalprice >= 300000, 'high',"
+        "             o_totalprice >= 150000, 'mid', 'low')"
+        " | evaluate diffpatterns(st, 'O', 'F')",
+        {"Orders": orders},
+    )

@@ -7897,3 +7897,216 @@ def mm12_video_shot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max(rep_key) % 1000000).alias("rep_key"),
         (F.lit(999999) - F.max(rep_key) % 1000000).alias("rep_frame"),
     )
+
+
+_D96_K = 64
+_D96_TOKEN_HASH = DUCKDB_POLY_HASH.format(expr="tok")
+
+_D96_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), h AS (
+  SELECT DISTINCT source, {_D96_TOKEN_HASH} AS h
+  FROM toks WHERE tok <> ''
+), sk AS (
+  SELECT source, list_sort(list(h))[1:{_D96_K}] AS sk
+  FROM (SELECT DISTINCT source, h FROM h) GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska, b.sk AS skb,
+         list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:{_D96_K}]
+           AS sku
+  FROM sk a JOIN sk b ON a.source < b.source
+)
+SELECT src_a, src_b,
+  CAST(len(list_intersect(list_intersect(sku, ska), skb)) AS BIGINT)
+    AS inter_cnt,
+  CAST(len(sku) AS BIGINT) AS sketch_k,
+  CAST(FLOOR(CASE WHEN len(sku) < {_D96_K} THEN len(sku)
+       ELSE ({_D96_K} - 1) * 1000000007.0 / sku[{_D96_K}] END) AS BIGINT)
+    AS union_est
+FROM pairs
+"""
+
+
+@query(
+    "d96_kmv_vocab_overlap",
+    oracle=_D96_ORACLE,
+    tags=("llm", "sketch", "reporting"),
+)
+def d96_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source VOCABULARY overlap via KMV (k-minimum-values)
+    sketch intersection (Beyer et al. 2007 — the sketch algebra b45's
+    single-set estimator doesn't exercise): per source the k=64
+    smallest distinct portable token hashes; per source pair the
+    union sketch is the k smallest of the merged sketches,
+    inter_cnt = |sketch(A∪B) ∩ sk(A) ∩ sk(B)| (the Jaccard numerator
+    — estimate = inter_cnt / sketch_k), and union_est the KMV
+    cardinality estimate (k-1)*MOD/kth-min (exact size when the union
+    sketch is short). Everything is DETERMINISTIC given the portable
+    hash, so the oracle replays the sketch math bit-for-bit — the
+    approximation gates nothing.
+
+    Scale shape: tokens hash in the scan projection; ONE distinct
+    shuffle on (source, hash); per-source k-min is a bounded sort of
+    DISTINCT hashes per source (at 100 TB: swap for a per-partition
+    partial k-min + merge — the sketch property that makes KMV
+    mergeable; documented seam). The pair lattice joins |sources|^2
+    BOUNDED sketch rows driver-free."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(
+        "source", F.expr(poly_hash("tok")).alias("h")
+    ).distinct()
+    sk = hashed.groupBy("source").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, _D96_K).alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.sk").alias("ska"),
+        F.col("b.sk").alias("skb"),
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.concat(F.col("a.sk"), F.col("b.sk")))
+            ),
+            1,
+            _D96_K,
+        ).alias("sku"),
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.size(
+            F.array_intersect(
+                F.array_intersect("sku", "ska"), F.col("skb")
+            )
+        )
+        .cast("long")
+        .alias("inter_cnt"),
+        F.size("sku").cast("long").alias("sketch_k"),
+        F.floor(
+            F.when(
+                F.size("sku") < _D96_K, F.size("sku").cast("double")
+            ).otherwise(
+                F.lit((_D96_K - 1) * 1000000007.0)
+                / F.element_at("sku", _D96_K)
+            )
+        )
+        .cast("long")
+        .alias("union_est"),
+    )
+
+
+def _mm13_oracle() -> str:
+    return """
+WITH s AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c))
+           AS vs
+  FROM documents WHERE length(text) >= 72
+), dh AS (
+  SELECT doc_id,
+    list_reduce(list_transform(generate_series(0, 62), b ->
+      CASE WHEN vs[CAST((b // 8) * 9 + (b % 8) + 1 AS INT)] >
+                vs[CAST((b // 8) * 9 + (b % 8) + 2 AS INT)]
+           THEN 1::BIGINT << (b % 63) ELSE 0 END),
+      (a, x) -> a + x) AS dhash
+  FROM s
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 8
+"""
+
+
+@query(
+    "mm13_image_dhash_neardup",
+    oracle=_mm13_oracle(),
+    tags=("llm", "multimodal", "dedup", "image"),
+)
+def mm13_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection via difference hash (dHash — the
+    perceptual-hash staple of image dedup pipelines): the decoded 8x9
+    luma grid (codec stub: the payload's first 72 bytes, one byte per
+    pixel — swap a real decode+resize at the documented mm2 seam)
+    hashes to 63 bits (bit b set iff px[row,col] > px[row,col+1];
+    bit 63 unused so the hash lives in a signed 64-bit lane portable
+    to engines without unsigned); near-dups are pairs at hamming <= 8.
+
+    Scale shape: the hash is a pure JVM projection (no Python — the
+    fold is an aggregate over a 63-literal sequence); candidate pairs
+    come from a 9-band x 7-bit BANDED equi-join (pigeonhole: <= 8
+    differing bits cannot touch all 9 bands, so banding is LOSSLESS
+    for this threshold — the d06 SimHash discipline), then exact
+    bit_count verify. The oracle runs the textbook all-pairs form;
+    the differential proves the banding drops nothing."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 72)
+    cp = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long")
+        ).alias("__cp"),
+    )
+
+    def px(b):
+        return F.element_at("__cp", (b / 8).cast("int") * 9 + (b % 8) + 1)
+
+    dh = cp.select(
+        "doc_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(62)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(
+                px(b) > F.element_at(
+                    "__cp", (b / 8).cast("int") * 9 + (b % 8) + 2
+                ),
+                F.pow(F.lit(2.0), b.cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ).alias("dhash"),
+    )
+    bands = dh.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        (
+                            F.shiftright(F.col("dhash"), 7 * k)
+                            .bitwiseAND(F.lit(127))
+                        ).alias("val"),
+                    )
+                    for k in range(9)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band", "b.val")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.dhash").alias("ha"),
+            F.col("r.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        .cast("long")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= 8)

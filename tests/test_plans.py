@@ -1317,3 +1317,24 @@ def test_mm12_shot_segments_one_kernel_one_shuffle(spark, sf_dir):
     assert p.count("MapInPandas") == 1, p
     assert "BatchEvalPython" not in p, p
     assert "Window" in p, "islands trick must use a window function"
+
+
+def test_mm13_dhash_banded_no_python_no_cartesian(spark, sf_dir):
+    """mm13 (image dHash near-dup): the hash is a JVM projection and
+    candidates come from the 9-band equi-join — no Python boundary, no
+    CartesianProduct (the oracle's all-pairs form must never be the
+    Spark plan)."""
+    p = plan_of(spark, sf_dir, "mm13_image_dhash_neardup")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_k77_diffpatterns_single_expansion(spark, sf_dir):
+    """k77 (diffpatterns): both cohorts ride one masked-copy expansion
+    and one aggregate (cohort split = conditional sums) — exactly one
+    Generate (explode), no Python, no cartesian."""
+    p = plan_of(spark, sf_dir, "k77_kql_diffpatterns")
+    assert p.count("Generate explode") == 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
