@@ -41,18 +41,22 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 # policy). Result: union driver coverage reaches 322/322 after this
 # round's driver run.
 #
-# ROUND-11 WINDOW (exact, computed end-of-round-10 from the union of
-# CORRECTNESS_r01..r09 + the executed round-10 _FRONT below; re-verify
-# with tools/rotation_check.py against CORRECTNESS_r10 before
-# committing — any round-10 window entry that did NOT get a driver row
-# stays never-checked and pre-empts this list):
-#   1. any round-11 additions (never-checked) first, then
-#   1b. k39_kql_scalar_strings, k41_kql_serialized_windows,
-#      k42_kql_parse_where, d04x_minhash_lsh_portable,
-#      d06x_simhash_portable and d07w_lsh_cosine_portable (r3-stale,
-#      displaced from the round-10 window by the
-#      mm11/d92x/s51/k73/b112/b113 additions), then
-#   2. the r4-stale cohort (33, build order): b09x_cube_priority_status,
+# ROUND-12 WINDOW (computed end-of-round-11; re-verify with
+# tools/rotation_check.py against CORRECTNESS_r11 when it lands — the
+# round-10 driver ran NO correctness check, so if round 11's driver
+# also skips it, everything below shifts by one round and the current
+# _FRONT stays correct as-is):
+#   1. any round-12 additions (never-checked) first, then
+#   1b. any entry of the current 50-slot window that did NOT get a
+#      CORRECTNESS_r11 row (never-checked pre-empts stale), then
+#   2. the displaced r3-stale cohort (15, build order):
+#      b15b_array_functions, k24_kql_join, k25_kql_let,
+#      k26_kql_parse_extract,
+#      k27_kql_case_tiers, k28_kql_arg_max, k29_kql_make_set,
+#      k30_kql_percentile, k32_kql_top_nested, k33_kql_lookup,
+#      k34_kql_mv_apply, k35_kql_pivot, k36_kql_top_hitters,
+#      k37_kql_search, k38_kql_range_source; then
+#   3. the r4-stale cohort (33, build order): b09x_cube_priority_status,
 #      b10_window_topk_per_group, b11_window_running_revenue,
 #      b12_global_topk, b13a_union_all_counts, b13b_intersect,
 #      b26_salted_skew_agg, b27_percentiles, b25_session_window,
@@ -66,21 +70,13 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 #      d25_url_canonical_dedup, s21_stream_tumbling_counts,
 #      s22_stream_sliding_counts, s23_stream_dedup,
 #      s24_stream_cdc_apply, s25_stream_sessionization,
-#      s26_stream_stateful_funnel, s27_stream_stream_join;
-#   3. the head of the r5 cohort (50 total, build order — take as many
-#      as fill the window): b01_scan_region, b02_filter_projection,
-#      b03_join_broadcast, b04_q3_shipping_priority,
-#      b05a_left_join_counts, b05b_semi_join, b05c_anti_join,
-#      b05d_full_outer_join, b28_collect_sorted_list,
-#      b06_range_join_funnel, b29_asof_join, b07_q1_pricing_summary,
-#      b08_count_distinct, b08x_approx_count_distinct,
-#      b09_rollup_revenue, b27x_percentiles_approx, a08_order_generator
-#      — the rest of r5 rotates in round 12.
-# NOTE on the staleness ceiling: with a 333-entry registry and a
+#      s26_stream_stateful_funnel, s27_stream_stream_join — take as
+#      many as fill 50; the rest (plus the r5 cohort, build order as
+#      documented in round 10's queue) rotates in round 13.
+# NOTE on the staleness ceiling: with a 353-entry registry and a
 # 50-slot window the arithmetic floor is ~7 rounds; never-checked
-# entries rightly pre-empt rotation. The r4 cohort above will be ~7
-# driver-rounds stale when it rotates in during round 11 — accepted
-# trade, documented here so the number isn't a surprise.
+# entries rightly pre-empt rotation — accepted trade, documented here
+# so the number isn't a surprise.
 from . import kql_q  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
@@ -97,6 +93,7 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "d97_gopher_rules_audit",
     "k77_kql_diffpatterns",
     "d96_kmv_vocab_overlap",
     "mm13_image_dhash_neardup",
@@ -149,10 +146,10 @@ _FRONT = [
     "b14_scalar_functions",
     "b14b_date_functions",
     "b15a_json_extract",
-    "b15b_array_functions",
-    # window exactly full at 50 (14 round-11 additions + 17 round-10
-    # additions + 14 r2 + 5 of the 25 r3 entries). Displaced r3
-    # entries — k24_kql_join, k25_kql_let, k26_kql_parse_extract,
+    # window exactly full at 50 (15 round-11 additions + 17 round-10
+    # additions + 14 r2 + 4 of the 25 r3 entries). Displaced r3
+    # entries — b15b_array_functions, k24_kql_join, k25_kql_let,
+    # k26_kql_parse_extract,
     # k27_kql_case_tiers, k28_kql_arg_max, k29_kql_make_set,
     # k30_kql_percentile, k32_kql_top_nested, k33_kql_lookup,
     # k34_kql_mv_apply, k35_kql_pivot, k36_kql_top_hitters,

@@ -8110,3 +8110,95 @@ def mm13_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hamming"),
     ).filter(F.col("hamming") <= 8)
+
+
+_D97_STOPWORDS = ("the", "of", "and", "to", "in", "a", "is")
+
+_D97_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id, len(ws) AS n_words,
+    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+      / len(ws) AS mwl,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$')))
+      AS DOUBLE) / len(ws) AS digit_frac,
+    CAST(len(list_filter(ws, w -> w IN {_D97_STOPWORDS!r}))
+      AS DOUBLE) / len(ws) AS stop_frac,
+    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_frac
+  FROM d WHERE len(ws) > 0
+)
+SELECT doc_id,
+  n_words >= 15 AS r_min_words,
+  mwl BETWEEN 3.5 AND 6.5 AS r_mean_word_len,
+  digit_frac <= 0.05 AS r_digit_frac,
+  stop_frac >= 0.05 AS r_stopword_frac,
+  uniq_frac >= 0.5 AS r_unique_frac,
+  (n_words >= 15 AND mwl BETWEEN 3.5 AND 6.5 AND digit_frac <= 0.05
+   AND stop_frac >= 0.05 AND uniq_frac >= 0.5) AS pass_all
+FROM m
+"""
+
+
+@query(
+    "d97_gopher_rules_audit",
+    oracle=_D97_ORACLE,
+    tags=("llm", "quality", "curation"),
+)
+def d97_gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-RULE battery (Rae et al. 2021, §A1.1 —
+    the rule-based pre-filter every large text corpus runs before
+    model-based scoring; d11 is the SCORE sibling, this is the named
+    per-rule verdict a curation audit wants): per document the five
+    rule booleans (word count >= 15, mean word length in [3.5, 6.5],
+    digit-token fraction <= 5%, stopword fraction >= 5% — Gopher's
+    "contains common English words" proxy, unique-word fraction >=
+    50% — the repetition guard) and the conjunction. Thresholds
+    probed non-vacuous on this corpus (481/312/219 of 500 pass the
+    discriminating rules at sf0.01).
+
+    Scale shape: one scan, zero shuffles — every rule is a JVM HOF
+    fold over the token array of its own row; the audit is
+    embarrassingly parallel and column-pruned to (doc_id, text)."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    m = docs.select("doc_id", ws.alias("__ws")).filter(F.size("__ws") > 0)
+    n = F.size("__ws")
+    mwl = (
+        F.aggregate(
+            F.transform("__ws", F.length), F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / n
+    )
+    digit_frac = (
+        F.size(F.filter("__ws", lambda w: w.rlike("^[0-9]+$"))).cast(
+            "double"
+        )
+        / n
+    )
+    stop_frac = (
+        F.size(
+            F.filter("__ws", lambda w: w.isin(*_D97_STOPWORDS))
+        ).cast("double")
+        / n
+    )
+    uniq_frac = F.size(F.array_distinct("__ws")).cast("double") / n
+    rules = {
+        "r_min_words": n >= 15,
+        "r_mean_word_len": (mwl >= 3.5) & (mwl <= 6.5),
+        "r_digit_frac": digit_frac <= 0.05,
+        "r_stopword_frac": stop_frac >= 0.05,
+        "r_unique_frac": uniq_frac >= 0.5,
+    }
+    out = m.select(
+        "doc_id", *[c.alias(name) for name, c in rules.items()]
+    )
+    pass_all = None
+    for name in rules:
+        pass_all = (
+            F.col(name) if pass_all is None else pass_all & F.col(name)
+        )
+    return out.withColumn("pass_all", pass_all)
