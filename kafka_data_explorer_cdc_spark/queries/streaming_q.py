@@ -2092,7 +2092,17 @@ def s52_stream_late_shipment_monitor(
     src = f"{sf_dir}/lineitem.parquet"
     schema = load(spark, sf_dir, "lineitem").schema
     d = tempfile.mkdtemp(prefix="s52_lineitem_", dir="/tmp")
-    os.symlink(src, os.path.join(d, "lineitem.parquet"))
+    if os.path.isdir(src):
+        # directory-shaped table (multi-file corpora): the file source
+        # does not follow a nested directory symlink — link each part
+        import glob as _glob
+
+        for i, f in enumerate(
+            sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        ):
+            os.symlink(f, os.path.join(d, f"part_{i:05d}.parquet"))
+    else:
+        os.symlink(src, os.path.join(d, "lineitem.parquet"))
     li = with_shipping_columns(
         spark.readStream.schema(schema).parquet(d)
     ).filter(
