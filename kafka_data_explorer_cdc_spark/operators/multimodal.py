@@ -342,3 +342,53 @@ def keyframes(df: DataFrame) -> DataFrame:
     return ensure_parallelism(to_binary_docs(df)).mapInPandas(
         keyframe_batch, KEYFRAME_SCHEMA
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def dhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary image → 63-bit difference hash. The
+    decoded "luma grid" is the payload's first 72 bytes as 8 rows x 9
+    columns (codec stub — swap a real decode+resize at this seam); bit
+    b (row = b//8, col = b%8) is set iff grid[row, col] >
+    grid[row, col+1]. Bit 63 stays unused so the hash lives in a
+    signed 64-bit lane portable to engines without unsigned ints.
+    Vectorized numpy per Arrow batch — an earlier pure-expression form
+    (126 element_at references over the codepoint array) was re-inlined
+    by CollapseProject and cost 51 s at sf0.1; this kernel is the
+    multimodal family's standard one-Arrow-boundary shape (mm9/mm10)."""
+    import numpy as np
+
+    weights = (1 << np.arange(63, dtype=np.int64))
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            v = np.frombuffer(payload, dtype=np.uint8)
+            if len(v) < 72:
+                continue
+            grid = v[:72].astype(np.int64).reshape(8, 9)
+            bits = (grid[:, :8] > grid[:, 1:]).reshape(-1)[:63]
+            ids.append(doc_id)
+            hashes.append(int((bits * weights).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "dhash": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+def image_dhashes(df: DataFrame) -> DataFrame:
+    """Distributed per-image dHash — same Arrow-batched plumbing as
+    :func:`keyframes` / :func:`audio_energy`."""
+    from ..io import ensure_parallelism
+
+    return ensure_parallelism(to_binary_docs(df)).mapInPandas(
+        dhash_batch, DHASH_SCHEMA
+    )

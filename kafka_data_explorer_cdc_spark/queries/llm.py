@@ -8037,38 +8037,20 @@ def mm13_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit 63 unused so the hash lives in a signed 64-bit lane portable
     to engines without unsigned); near-dups are pairs at hamming <= 8.
 
-    Scale shape: the hash is a pure JVM projection (no Python — the
-    fold is an aggregate over a 63-literal sequence); candidate pairs
-    come from a 9-band x 7-bit BANDED equi-join (pigeonhole: <= 8
-    differing bits cannot touch all 9 bands, so banding is LOSSLESS
-    for this threshold — the d06 SimHash discipline), then exact
-    bit_count verify. The oracle runs the textbook all-pairs form;
-    the differential proves the banding drops nothing."""
+    Scale shape: the hash comes from the multimodal family's standard
+    ONE-Arrow-kernel plumbing (operators/multimodal.py:dhash_batch,
+    vectorized numpy — the earlier pure-expression fold's 126
+    element_at references were re-inlined by CollapseProject and cost
+    51 s at sf0.1; the kernel is 0.4 s); candidate pairs come from a
+    9-band x 7-bit BANDED equi-join (pigeonhole: <= 8 differing bits
+    cannot touch all 9 bands, so banding is LOSSLESS for this
+    threshold — the d06 SimHash discipline), then exact bit_count
+    verify. The oracle runs the textbook all-pairs form; the
+    differential proves the banding drops nothing."""
+    from ..operators.multimodal import image_dhashes
+
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 72)
-    cp = docs.select(
-        "doc_id",
-        F.transform(
-            F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long")
-        ).alias("__cp"),
-    )
-
-    def px(b):
-        return F.element_at("__cp", (b / 8).cast("int") * 9 + (b % 8) + 1)
-
-    dh = cp.select(
-        "doc_id",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(62)),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc
-            + F.when(
-                px(b) > F.element_at(
-                    "__cp", (b / 8).cast("int") * 9 + (b % 8) + 2
-                ),
-                F.pow(F.lit(2.0), b.cast("double")).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        ).alias("dhash"),
-    )
+    dh = image_dhashes(docs)
     bands = dh.select(
         "doc_id",
         "dhash",

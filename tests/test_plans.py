@@ -1319,13 +1319,15 @@ def test_mm12_shot_segments_one_kernel_one_shuffle(spark, sf_dir):
     assert "Window" in p, "islands trick must use a window function"
 
 
-def test_mm13_dhash_banded_no_python_no_cartesian(spark, sf_dir):
-    """mm13 (image dHash near-dup): the hash is a JVM projection and
-    candidates come from the 9-band equi-join — no Python boundary, no
-    CartesianProduct (the oracle's all-pairs form must never be the
-    Spark plan)."""
+def test_mm13_dhash_banded_one_kernel_no_cartesian(spark, sf_dir):
+    """mm13 (image dHash near-dup): exactly ONE Arrow kernel (the
+    dhash codec stub — the pure-expression fold was re-inlined by
+    CollapseProject and cost 51 s at sf0.1) and candidates come from
+    the 9-band equi-join — no row-Python, no CartesianProduct (the
+    oracle's all-pairs form must never be the Spark plan)."""
     p = plan_of(spark, sf_dir, "mm13_image_dhash_neardup")
-    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert p.count("MapInPandas") <= 2, p  # self-joined kernel subtree
+    assert "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
