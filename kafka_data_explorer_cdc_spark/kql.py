@@ -2693,6 +2693,148 @@ def _compile_autocluster(df: DataFrame, size_weight: float) -> DataFrame:
     )
 
 
+def _fan_to_bins(
+    df: DataFrame,
+    ts_col: str,
+    start: str,
+    end: str,
+    look_s: float,
+    bin_s: float,
+) -> tuple[DataFrame, int]:
+    """Shared fan-out for the rolling-window activity plugins: each
+    event contributes to every report bin t_k = start + k*bin with
+    ts in the window (t_k - lookback, t_k] — i.e. k from
+    ceil((ts-start)/bin) to floor((ts-start+lookback-1us)/bin),
+    clamped to [0, K]. Adds ``__k`` (the bin ordinal, exploded).
+    Fan factor = lookback/bin copies per event — the exact audit form
+    (b73's discipline); the 100 TB swap is one sketch per bin merged
+    over the window, same report schema."""
+    bin_us = int(bin_s * 1_000_000)
+    look_us = int(look_s * 1_000_000)
+    start_c = F.lit(start).cast("timestamp")
+    end_c = F.lit(end).cast("timestamp")
+    import datetime as _dt
+
+    t0 = _dt.datetime.fromisoformat(start)
+    t1 = _dt.datetime.fromisoformat(end)
+    K = int((t1 - t0).total_seconds() * 1_000_000) // bin_us
+    d_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(start_c)
+    k_first = F.greatest(
+        F.lit(0).cast("long"), -F.floor(-d_us / F.lit(bin_us))
+    )
+    k_last = F.least(
+        F.lit(K).cast("long"),
+        F.floor((d_us + F.lit(look_us - 1)) / F.lit(bin_us)),
+    )
+    fan = (
+        df.filter(
+            (F.col(ts_col) > start_c - F.expr(f"INTERVAL {int(look_s)} SECOND"))
+            & (F.col(ts_col) <= end_c)
+        )
+        .filter(k_first <= k_last)
+        .withColumn("__k", F.explode(F.sequence(k_first, k_last)))
+    )
+    return fan, K
+
+
+def _bin_grid(df: DataFrame, start: str, bin_s: float, K: int) -> DataFrame:
+    """Dense report-bin grid 0..K with the bin-start timestamp."""
+    spark = df.sparkSession
+    bin_us = int(bin_s * 1_000_000)
+    return spark.range(K + 1).select(
+        F.col("id").alias("__k"),
+        F.timestamp_micros(
+            F.unix_micros(F.lit(start).cast("timestamp"))
+            + F.col("id") * F.lit(bin_us)
+        ).alias("Timeline"),
+    )
+
+
+def _compile_sliding_window_counts(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    look_s: float,
+    bin_s: float,
+) -> DataFrame:
+    """``evaluate sliding_window_counts(Id, Ts, Start, End, Lookback,
+    Bin)`` — Kusto's rolling-window activity plugin: per report bin,
+    the event count and DISTINCT id count over the trailing lookback
+    window (t - lookback, t]. Dense timeline (empty bins emit zeros),
+    Kusto's output shape (Timeline, Count, Dcount).
+
+    Scale shape: one explode fan of lookback/bin copies per event
+    (the b73 exact-audit discipline — DISTINCT does not sum, so no
+    window-aggregate shortcut exists), ONE map-side-combined groupBy
+    per bin, dense grid via a bounded range join."""
+    fan, K = _fan_to_bins(df, ts_col, start, end, look_s, bin_s)
+    counts = fan.groupBy("__k").agg(
+        F.count("*").cast("long").alias("Count"),
+        F.countDistinct(id_col).cast("long").alias("Dcount"),
+    )
+    grid = _bin_grid(df, start, bin_s, K)
+    return (
+        grid.join(counts, "__k", "left")
+        .select(
+            "Timeline",
+            F.coalesce("Count", F.lit(0)).cast("long").alias("Count"),
+            F.coalesce("Dcount", F.lit(0)).cast("long").alias("Dcount"),
+        )
+        .orderBy("Timeline")
+    )
+
+
+def _compile_activity_engagement(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    inner_s: float,
+    outer_s: float,
+) -> DataFrame:
+    """``evaluate activity_engagement(Id, Ts, Start, End, Inner,
+    Outer)`` — Kusto's engagement-ratio plugin (the DAU/MAU
+    stickiness metric): per report bin (granularity = the inner
+    window, Kusto's contract), activity_ratio = dcount over the
+    trailing inner window / dcount over the trailing outer window;
+    null where the outer window is empty. Dense timeline.
+
+    Scale shape: TWO fans of the deduped (id, bin) stream (factor
+    inner/bin = 1 and outer/bin), joined on the bin ordinal — both
+    distinct aggregates map-side combine; same sketch swap as
+    sliding_window_counts at 100 TB."""
+    if not inner_s <= outer_s:
+        raise ValueError(
+            "KQL: activity_engagement needs InnerActivityWindow <= "
+            "OuterActivityWindow"
+        )
+    fan_in, K = _fan_to_bins(df, ts_col, start, end, inner_s, inner_s)
+    fan_out, _ = _fan_to_bins(df, ts_col, start, end, outer_s, inner_s)
+    din = fan_in.groupBy("__k").agg(
+        F.countDistinct(id_col).alias("__din")
+    )
+    dout = fan_out.groupBy("__k").agg(
+        F.countDistinct(id_col).alias("__dout")
+    )
+    grid = _bin_grid(df, start, inner_s, K)
+    return (
+        grid.join(din, "__k", "left")
+        .join(dout, "__k", "left")
+        .select(
+            "Timeline",
+            F.when(
+                F.col("__dout") > 0,
+                F.coalesce(F.col("__din"), F.lit(0)).cast("double")
+                / F.col("__dout"),
+            ).alias("activity_ratio"),
+        )
+        .orderBy("Timeline")
+    )
+
+
 def _compile_diffpatterns(
     df: DataFrame, split_col: str, val_a: str, val_b: str
 ) -> DataFrame:
@@ -4096,6 +4238,43 @@ def kql(
                         f"{p.peek().text!r}"
                     )
                 df = _compile_basket(df, thr)
+                continue
+            if ev_fn in ("sliding_window_counts", "activity_engagement"):
+                # evaluate sliding_window_counts(Id, Ts, Start, End,
+                #   Lookback, Bin) / activity_engagement(Id, Ts,
+                #   Start, End, Inner, Outer) — see the compile
+                # functions for the pinned window contracts.
+                p.expect("(")
+                aw_id = p.next().text
+                p.expect(",")
+                aw_ts = p.next().text
+                p.expect(",")
+                aw_start = p._datetime_literal()
+                p.expect(",")
+                aw_end = p._datetime_literal()
+                p.expect(",")
+                aw_d1 = p._duration_seconds(p.next().text)
+                p.expect(",")
+                aw_d2 = p._duration_seconds(p.next().text)
+                p.expect(")")
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                for c in (aw_id, aw_ts):
+                    if c not in df.columns:
+                        raise ValueError(
+                            f"KQL: {ev_fn} column {c!r} not found"
+                        )
+                if ev_fn == "sliding_window_counts":
+                    df = _compile_sliding_window_counts(
+                        df, aw_id, aw_ts, aw_start, aw_end, aw_d1, aw_d2
+                    )
+                else:
+                    df = _compile_activity_engagement(
+                        df, aw_id, aw_ts, aw_start, aw_end, aw_d1, aw_d2
+                    )
                 continue
             if ev_fn == "diffpatterns":
                 # evaluate diffpatterns(SplitCol, 'A', 'B') — see

@@ -382,3 +382,64 @@ def winnow_fingerprints(
     return out.select(
         F.col(id_col), F.array_join(fps, ",").alias("fingerprints")
     )
+
+
+def winnow_hash_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """The pair-detection view of :func:`winnow_fingerprints`: one row
+    per (id, DISTINCT selected gram hash) — positions dropped, because
+    overlap DETECTION joins on the hash alone (localization reads the
+    pos-carrying form). Same staged zero-shuffle pipeline; the explode
+    fans each document to its O(2n/(w+1)) fingerprints."""
+    mod = POLY_MOD
+    norm = F.lower(F.trim(F.col(text_col)))
+    out = (
+        df.select(F.col(id_col), norm.alias("__wn_t"))
+        .withColumn(
+            "__wn_cp",
+            F.transform(
+                F.split(F.col("__wn_t"), ""),
+                lambda c: F.ascii(c).cast("long"),
+            ),
+        )
+        .filter(F.size("__wn_cp") >= k + w - 1)
+        .withColumn(
+            "__wn_g",
+            F.transform(
+                F.sequence(F.lit(1), F.size("__wn_cp") - F.lit(k - 1)),
+                lambda i: F.aggregate(
+                    F.slice("__wn_cp", i, k),
+                    F.lit(0).cast("long"),
+                    lambda acc, c: (acc * 31 + c) % mod,
+                ),
+            ),
+        )
+        .withColumn(
+            "__wn_sel",
+            F.transform(
+                F.sequence(F.lit(1), F.size("__wn_g") - F.lit(w - 1)),
+                lambda j: F.aggregate(
+                    F.sequence(j + F.lit(1), j + F.lit(w - 1)),
+                    j,
+                    lambda acc, i: F.when(
+                        F.element_at("__wn_g", i)
+                        <= F.element_at("__wn_g", acc),
+                        i,
+                    ).otherwise(acc),
+                ),
+            ),
+        )
+    )
+    hashes = F.array_distinct(
+        F.transform(
+            F.col("__wn_sel"), lambda p: F.element_at("__wn_g", p)
+        )
+    )
+    return out.select(
+        F.col(id_col), F.explode(hashes).alias("wh")
+    )

@@ -49,9 +49,10 @@ from .registry import REGISTRY, Query, oracles, queries, query  # noqa: F401
 #   1. any round-12 additions (never-checked) first, then
 #   1b. any entry of the current 50-slot window that did NOT get a
 #      CORRECTNESS_r11 row (never-checked pre-empts stale), then
-#   2. the displaced r3-stale cohort (15, build order):
-#      b15b_array_functions, k24_kql_join, k25_kql_let,
-#      k26_kql_parse_extract,
+#   2. the displaced r3-stale cohort (18, build order):
+#      b14_scalar_functions, b14b_date_functions, b15a_json_extract,
+#      b15b_array_functions,
+#      k24_kql_join, k25_kql_let, k26_kql_parse_extract,
 #      k27_kql_case_tiers, k28_kql_arg_max, k29_kql_make_set,
 #      k30_kql_percentile, k32_kql_top_nested, k33_kql_lookup,
 #      k34_kql_mv_apply, k35_kql_pivot, k36_kql_top_hitters,
@@ -93,6 +94,9 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "d98_winnow_overlap_pairs",
+    "k78_kql_sliding_window_counts",
+    "k79_kql_activity_engagement",
     "d97_gopher_rules_audit",
     "k77_kql_diffpatterns",
     "d96_kmv_vocab_overlap",
@@ -143,13 +147,11 @@ _FRONT = [
     "d19_stratified_sample",
     # (3) the r3-stale cohort — as much as fits in the 50 window
     "b13c_except",
-    "b14_scalar_functions",
-    "b14b_date_functions",
-    "b15a_json_extract",
-    # window exactly full at 50 (15 round-11 additions + 17 round-10
-    # additions + 14 r2 + 4 of the 25 r3 entries). Displaced r3
-    # entries — b15b_array_functions, k24_kql_join, k25_kql_let,
-    # k26_kql_parse_extract,
+    # window exactly full at 50 (18 round-11 additions + 17 round-10
+    # additions + 14 r2 + 1 r3 entry). Displaced r3 entries —
+    # b14_scalar_functions, b14b_date_functions, b15a_json_extract,
+    # b15b_array_functions,
+    # k24_kql_join, k25_kql_let, k26_kql_parse_extract,
     # k27_kql_case_tiers, k28_kql_arg_max, k29_kql_make_set,
     # k30_kql_percentile, k32_kql_top_nested, k33_kql_lookup,
     # k34_kql_mv_apply, k35_kql_pivot, k36_kql_top_hitters,

@@ -2506,3 +2506,91 @@ def k77_kql_diffpatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | evaluate diffpatterns(st, 'O', 'F')",
         {"Orders": orders},
     )
+
+
+@query(
+    "k78_kql_sliding_window_counts",
+    oracle="""
+WITH bins AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-29 00:00:00',
+                                INTERVAL 1 DAY)) AS t
+)
+SELECT b.t AS Timeline,
+       CAST(COUNT(e.user_id) AS BIGINT) AS Count,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS Dcount
+FROM bins b LEFT JOIN events e
+  ON e.ts > b.t - INTERVAL 7 DAY AND e.ts <= b.t
+GROUP BY 1
+""",
+    tags=("kql", "timeseries", "activity"),
+)
+def k78_kql_sliding_window_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``evaluate sliding_window_counts()`` — Kusto's rolling-window
+    activity plugin (kql.py:_compile_sliding_window_counts): per daily
+    report bin, event count and distinct users over the trailing
+    7-day window (t - 7d, t]; dense timeline with zero rows. The
+    plugin spelling of b73's WAU discipline: DISTINCT does not sum, so
+    the exact form fans each event to the lookback/bin report bins it
+    supports and distinct-counts per bin.
+
+    Scale shape: ONE explode fan (×7) + ONE map-side-combined groupBy
+    on the bin ordinal; the dense grid is a bounded range join. The
+    oracle uses the textbook bins×events range join — fine at sf0.01,
+    quadratic at scale, which is exactly why the Spark plan fans
+    instead."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | evaluate sliding_window_counts(user_id, ts,"
+        " datetime('2024-01-01 00:00:00'),"
+        " datetime('2024-01-29 00:00:00'), 7d, 1d)",
+        {"Events": events},
+    )
+
+
+@query(
+    "k79_kql_activity_engagement",
+    oracle="""
+WITH bins AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-29 00:00:00',
+                                INTERVAL 1 DAY)) AS t
+), din AS (
+  SELECT b.t, COUNT(DISTINCT e.user_id) AS d
+  FROM bins b LEFT JOIN events e
+    ON e.ts > b.t - INTERVAL 1 DAY AND e.ts <= b.t
+  GROUP BY 1
+), dout AS (
+  SELECT b.t, COUNT(DISTINCT e.user_id) AS d
+  FROM bins b LEFT JOIN events e
+    ON e.ts > b.t - INTERVAL 7 DAY AND e.ts <= b.t
+  GROUP BY 1
+)
+SELECT din.t AS Timeline,
+       CAST(CASE WHEN dout.d > 0
+                 THEN CAST(din.d AS DOUBLE) / dout.d END AS DOUBLE)
+         AS activity_ratio
+FROM din JOIN dout ON dout.t = din.t
+""",
+    tags=("kql", "timeseries", "activity"),
+)
+def k79_kql_activity_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate activity_engagement()`` — Kusto's DAU/MAU-style
+    stickiness plugin (kql.py:_compile_activity_engagement): per daily
+    bin, distinct users in the trailing 1-day window over distinct
+    users in the trailing 7-day window; 0 where the day is silent but
+    the week is not, null where both are empty.
+
+    Scale shape: two fans of the event stream (×1 and ×7) joined on
+    the bin ordinal — both distinct aggregates map-side combine; at
+    100 TB the swap is one HLL sketch per day union-merged per window
+    (b41's layout), same report schema."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | evaluate activity_engagement(user_id, ts,"
+        " datetime('2024-01-01 00:00:00'),"
+        " datetime('2024-01-29 00:00:00'), 1d, 7d)",
+        {"Events": events},
+    )

@@ -8184,3 +8184,81 @@ def d97_gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(name) if pass_all is None else pass_all & F.col(name)
         )
     return out.withColumn("pass_all", pass_all)
+
+
+_D98_K, _D98_W, _D98_CAP, _D98_MIN = 12, 8, 40, 3
+
+_D98_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), cp AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(t)),
+           i -> CAST(unicode(t[i:i]) AS BIGINT)) AS cps
+  FROM s
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(cps) - {_D98_K - 1}),
+           i -> list_reduce(cps[i:i+{_D98_K - 1}],
+                  (acc, c) -> (acc * 31 + c) % {POLY_MOD})) AS gs
+  FROM cp WHERE len(cps) >= {_D98_K + _D98_W - 1}
+), sel AS (
+  SELECT doc_id, gs,
+         list_transform(generate_series(1, len(gs) - {_D98_W - 1}),
+           j -> list_reduce(generate_series(j, j + {_D98_W - 1}),
+                  (acc, i) -> CASE WHEN gs[i] <= gs[acc]
+                              THEN i ELSE acc END)) AS ps
+  FROM g
+), hr AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(ps, p -> gs[p])) AS wh
+  FROM sel
+), rare AS (
+  SELECT wh FROM hr GROUP BY wh HAVING COUNT(*) <= {_D98_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM hr a
+JOIN rare r ON r.wh = a.wh
+JOIN hr b ON b.wh = a.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {_D98_MIN}
+"""
+
+
+@query(
+    "d98_winnow_overlap_pairs",
+    oracle=_D98_ORACLE,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def d98_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap DETECTION — the MOSS payoff on top of d94's
+    fingerprints: document pairs sharing >= {min} selected gram hashes
+    (k=12 grams, w=8 windows — the guarantee threshold k+w-1 = 19
+    chars keeps trigram-of-words boilerplate out of the index, which
+    an 8-char gram could not: probed at sf0.1, k=5 fingerprints of
+    common short substrings exceed ANY usable df cap while k=12 keeps
+    the pair lattice non-vacuous at every SF).
+
+    Scale shape: the d05 inverted-index discipline — fingerprints are
+    an exact-hash equi-join, NEVER all-pairs; hot hashes (document
+    frequency > 40: boilerplate) are dropped by a pre-join aggregate
+    (at 100 TB that cap is what bounds the worst bucket); the shuffle
+    carries (doc_id, hash) longs. Pair counts are one
+    map-side-combined groupBy over join output."""
+    from ..operators.text import winnow_hash_rows
+
+    docs = load(spark, sf_dir, "documents")
+    hr = winnow_hash_rows(docs, "doc_id", "text", k=_D98_K, w=_D98_W)
+    rare = (
+        hr.groupBy("wh")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= _D98_CAP)
+        .select("wh")
+    )
+    a = hr.join(rare, "wh")
+    b = hr.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b, (a["wh"] == b["wh"]) & (a["doc_id"] < b["doc_b"]))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= _D98_MIN)
+    )

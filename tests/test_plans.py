@@ -1340,3 +1340,26 @@ def test_k77_diffpatterns_single_expansion(spark, sf_dir):
     assert p.count("Generate explode") == 1, p
     assert "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_d98_winnow_pairs_inverted_index_no_cartesian(spark, sf_dir):
+    """d98 (winnowing overlap): pairs come from the exact-hash
+    inverted-index equi-join with the hot-hash cap applied BEFORE the
+    self-join — no CartesianProduct, no Python anywhere."""
+    p = plan_of(spark, sf_dir, "d98_winnow_overlap_pairs")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_k78_sliding_window_counts_fan_not_range_join(spark, sf_dir):
+    """k78 (sliding_window_counts): the Spark plan must be the explode
+    fan + hash aggregate, never the oracle's bins x events range join
+    (a BroadcastNestedLoopJoin on the fact side) — at 100 TB that
+    range join IS the bug this plugin exists to avoid. The dense-grid
+    join on the bin ordinal is an equi-join."""
+    p = plan_of(spark, sf_dir, "k78_kql_sliding_window_counts")
+    assert "Generate explode" in p, p
+    import re as _re
+    for m in _re.finditer(r"BroadcastNestedLoopJoin[^\n]*", p):
+        raise AssertionError("range join leaked into the plan: " + m.group(0))
+    assert "BatchEvalPython" not in p, p
