@@ -317,6 +317,242 @@ def _series_fir(
     return F.transform(arr, one)
 
 
+def _let(value: Column, body) -> Column:
+    """Expression-level let-binding: bind ``value`` to a higher-order
+    lambda variable so ``body`` can reference it MANY times without
+    copying its expression tree (a getField over a repeated aggregate
+    would otherwise duplicate the whole fold per reference — the same
+    analyzer blow-up the series_decompose_anomalies staged compile
+    works around). transform(array(v), body)[0] costs one 1-element
+    array wrap at runtime and keeps the tree linear."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
+def _ols_fold(ys: Column, finish) -> Column:
+    """One sequential fold over a (slice of a) series collecting the
+    OLS sufficient statistics against the LOCAL 0-based x axis —
+    struct(m, sy, sxy, syy), with ``acc.m`` the current x index when
+    element x arrives — then ``finish(acc)`` computed ON THE LAMBDA
+    VARIABLE (cheap references, no tree copies). A null element
+    poisons the fold (documented: gap-fill with series_fill_* first),
+    the shape of Kusto's error-on-null without a per-element branch."""
+    zero = F.struct(
+        F.lit(0.0).alias("m"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("syy"),
+    )
+
+    def merge(acc: Column, e: Column) -> Column:
+        x = e.cast("double")
+        return F.struct(
+            (acc.getField("m") + F.lit(1.0)).alias("m"),
+            (acc.getField("sy") + x).alias("sy"),
+            (acc.getField("sxy") + acc.getField("m") * x).alias("sxy"),
+            (acc.getField("syy") + x * x).alias("syy"),
+        )
+
+    return F.aggregate(ys, zero, merge, finish)
+
+
+def _ols_sse(acc: Column) -> Column:
+    """Residual sum of squares of the best-fit line from an
+    :func:`_ols_fold` accumulator, closed form: with S1 = Σx,
+    S2 = Σx² over local x = 0..m−1, SSE = Syy_c − Sxy_c²/Sxx_c
+    (centered moments). A degenerate segment (m < 2) contributes 0."""
+    m = acc.getField("m")
+    s1 = (m - 1) * m / 2
+    s2 = (m - 1) * m * (2 * m - 1) / 6
+    sxx_c = s2 - s1 * s1 / m
+    sxy_c = acc.getField("sxy") - s1 * acc.getField("sy") / m
+    syy_c = acc.getField("syy") - acc.getField("sy") * acc.getField("sy") / m
+    return F.when(
+        (m >= 2) & (sxx_c > 0), syy_c - sxy_c * sxy_c / sxx_c
+    ).otherwise(F.lit(0.0))
+
+
+def _ols_line(acc: Column) -> Column:
+    """struct(slope, interception) of the best-fit line from an
+    :func:`_ols_fold` accumulator; a segment too short to determine a
+    slope pins slope = 0 and interception = mean (the flat answer)."""
+    m = acc.getField("m")
+    s1 = (m - 1) * m / 2
+    s2 = (m - 1) * m * (2 * m - 1) / 6
+    denom = m * s2 - s1 * s1
+    slope = F.when(
+        (m >= 2) & (denom > 0),
+        (m * acc.getField("sxy") - s1 * acc.getField("sy")) / denom,
+    ).otherwise(F.lit(0.0))
+    icpt = F.when(m > 0, (acc.getField("sy") - slope * s1) / m).otherwise(
+        F.lit(0.0)
+    )
+    return F.struct(slope.alias("slope"), icpt.alias("interception"))
+
+
+def _series_fit_line(arr: Column) -> Column:
+    """``series_fit_line(x)`` — Kusto's linear-regression scalar over a
+    make-series array. Output struct binds positionally in Kusto's
+    documented order: (rsquare, slope, variance, rvariance,
+    interception, line_fit). Pinned definitions: x axis is the 0-based
+    element index; variance / rvariance are POPULATION moments (÷n,
+    Kusto's spelling); rsquare = 1 − rvariance/variance, defined as 1
+    when the series is flat (variance 0 ⇒ the line IS the series);
+    an empty series yields all-null.
+
+    One sequential JVM fold collects (n, Σy, Σxy, Σy²); every output
+    is closed-form arithmetic computed in the fold's ``finish`` lambda
+    (tree-linear — see :func:`_let`) — no explode, no shuffle, no
+    Python, so it composes into the make-series plan shape (one rollup
+    shuffle total) at any corpus size."""
+
+    def finish(acc: Column) -> Column:
+        core = F.struct(
+            _ols_line(acc).alias("line"),
+            (
+                acc.getField("syy") / acc.getField("m")
+                - (acc.getField("sy") / acc.getField("m"))
+                * (acc.getField("sy") / acc.getField("m"))
+            ).alias("variance"),
+            (_ols_sse(acc) / acc.getField("m")).alias("rvariance"),
+        )
+
+        def out(s: Column) -> Column:
+            slope = s.getField("line").getField("slope")
+            icpt = s.getField("line").getField("interception")
+            variance = s.getField("variance")
+            rvar = s.getField("rvariance")
+            return F.struct(
+                F.when(variance > 0, F.lit(1.0) - rvar / variance)
+                .otherwise(F.lit(1.0))
+                .alias("rsquare"),
+                slope.alias("slope"),
+                variance.alias("variance"),
+                rvar.alias("rvariance"),
+                icpt.alias("interception"),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(arr) - 1),
+                    lambda i: icpt + slope * i.cast("double"),
+                ).alias("line_fit"),
+            )
+
+        return _let(core, out)
+
+    return F.when(F.size(arr) > 0, _ols_fold(arr, finish)).otherwise(
+        F.struct(
+            F.lit(None).cast("double").alias("rsquare"),
+            F.lit(None).cast("double").alias("slope"),
+            F.lit(None).cast("double").alias("variance"),
+            F.lit(None).cast("double").alias("rvariance"),
+            F.lit(None).cast("double").alias("interception"),
+            F.lit(None).cast("array<double>").alias("line_fit"),
+        )
+    )
+
+
+def _series_fit_2lines(arr: Column) -> Column:
+    """``series_fit_2lines(x)`` — Kusto's segmented (two-piece) linear
+    regression: try every split point, fit an independent line to each
+    side, keep the split minimizing total residual sum of squares.
+    Output struct binds positionally as (rsquare, split_idx, variance,
+    rvariance, line_fit) — Kusto's documented head columns (the
+    per-side parameter tail is reconstructable from line_fit and is
+    omitted: a pinned, testable subset).
+
+    Pinned contract: both sides need ≥ 2 points, so split_idx (the
+    first index of the RIGHT segment) ranges over [2, n−2]; ties keep
+    the smallest split; a series too short to split (n < 4) returns
+    split_idx = −1 with the single-line fit (series_fit_line's
+    answer). Population moments and the flat-series rsquare = 1 rule
+    as in :func:`_series_fit_line`.
+
+    Scale shape: the candidate sweep is ONE ``transform`` over the
+    bounded split range whose per-element work is two sequential folds
+    over array slices — O(n²) arithmetic on an observability-sized
+    array (make-series bin counts), all JVM expression evaluation (the
+    :func:`_let` binding keeps the analyzed tree linear): no explode,
+    no shuffle, no Python."""
+    nn = F.size(arr)
+    ks = F.when(nn >= 4, F.sequence(F.lit(2), nn - 2)).otherwise(
+        F.expr("cast(array() as array<int>)")
+    )
+    cand = F.transform(
+        ks,
+        lambda k: F.struct(
+            k.cast("long").alias("k"),
+            (
+                _ols_fold(F.slice(arr, 1, k), _ols_sse)
+                + _ols_fold(F.slice(arr, k + 1, nn - k), _ols_sse)
+            ).alias("sse"),
+        ),
+    )
+    best = F.aggregate(
+        cand,
+        F.struct(
+            F.lit(-1).cast("long").alias("k"),
+            F.lit(float("inf")).alias("sse"),
+        ),
+        lambda acc, c: F.when(
+            c.getField("sse") < acc.getField("sse"), c
+        ).otherwise(acc),
+    )
+
+    def with_best(b: Column) -> Column:
+        bk = b.getField("k")
+        bki = bk.cast("int")
+        params = F.struct(
+            _ols_fold(F.slice(arr, 1, bki), _ols_line).alias("l"),
+            _ols_fold(F.slice(arr, bki + 1, nn - bki), _ols_line).alias("r"),
+            _ols_fold(
+                arr,
+                lambda acc: acc.getField("syy") / acc.getField("m")
+                - (acc.getField("sy") / acc.getField("m"))
+                * (acc.getField("sy") / acc.getField("m")),
+            ).alias("v"),
+            (b.getField("sse") / nn.cast("double")).alias("rv"),
+        )
+
+        def out(s: Column) -> Column:
+            variance = s.getField("v")
+            rvar = s.getField("rv")
+            li = s.getField("l")
+            ri = s.getField("r")
+            return F.struct(
+                F.when(variance > 0, F.lit(1.0) - rvar / variance)
+                .otherwise(F.lit(1.0))
+                .alias("rsquare"),
+                bk.alias("split_idx"),
+                variance.alias("variance"),
+                rvar.alias("rvariance"),
+                F.transform(
+                    F.sequence(F.lit(0), nn - 1),
+                    lambda i: F.when(
+                        i.cast("long") < bk,
+                        li.getField("interception")
+                        + li.getField("slope") * i.cast("double"),
+                    ).otherwise(
+                        ri.getField("interception")
+                        + ri.getField("slope")
+                        * (i.cast("double") - bk.cast("double"))
+                    ),
+                ).alias("line_fit"),
+            )
+
+        return _let(params, out)
+
+    def fallback(s: Column) -> Column:
+        return F.struct(
+            s.getField("rsquare").alias("rsquare"),
+            F.lit(-1).cast("long").alias("split_idx"),
+            s.getField("variance").alias("variance"),
+            s.getField("rvariance").alias("rvariance"),
+            s.getField("line_fit").alias("line_fit"),
+        )
+
+    return F.when(nn >= 4, _let(best, with_best)).otherwise(
+        _let(_series_fit_line(arr), fallback)
+    )
+
+
 def _series_decompose(arr: Column, period: int) -> Column:
     """``series_decompose(x, period)`` — STL-lite decomposition of a
     make-series array into (baseline, seasonal, trend, residual),
@@ -909,6 +1145,11 @@ class _Parser:
         # definition and the divergence note vs Kusto's sketch-based
         # percentiles)
         "series_outliers": _series_outliers,
+        # series_fit_line / series_fit_2lines — per-series linear and
+        # segmented-linear regression (tuple-extend destructures the
+        # struct); see the helpers for the pinned contracts
+        "series_fit_line": _series_fit_line,
+        "series_fit_2lines": _series_fit_2lines,
         # series gap-filling (the make-series default=null companions):
         # const is one transform; forward is one fold; backward is
         # forward on the reversed array; linear interpolates interior
@@ -2835,6 +3076,242 @@ def _compile_activity_engagement(
     )
 
 
+def _compile_activity_counts_metrics(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    bin_s: float,
+) -> DataFrame:
+    """``evaluate activity_counts_metrics(Id, Ts, Start, End, Step)``
+    — Kusto's per-bin activity datasheet: for each step bin,
+    ``count`` (events), ``dcount`` (distinct ids), ``new_dcount``
+    (ids whose FIRST activity inside the analyzed range falls in this
+    bin) and ``aggregated_dcount`` (distinct ids seen in the range so
+    far — the running union). Dense timeline (silent bins emit
+    zeros), bin timestamps are bin STARTS. "New" is relative to the
+    analyzed [Start, End) range, Kusto's contract (no look-back
+    before Start).
+
+    Scale shape: TWO shuffles — one per-bin rollup for count/dcount
+    and one per-id min-bin rollup for first-seen — then new_dcount is
+    a count over the (bounded-cardinality) first-seen rollup and
+    aggregated_dcount a running sum over the BOUNDED bin table (the
+    single-partition window orders K metadata rows, never events).
+    At 100 TB both rollups map-side combine; the dcount swap is one
+    HLL per bin (b41 layout)."""
+    bin_us = int(bin_s * 1_000_000)
+    start_c = F.lit(start).cast("timestamp")
+    end_c = F.lit(end).cast("timestamp")
+    import datetime as _dt
+
+    t0 = _dt.datetime.fromisoformat(start)
+    t1 = _dt.datetime.fromisoformat(end)
+    K = int((t1 - t0).total_seconds() * 1_000_000) // bin_us - 1
+    binned = df.filter((F.col(ts_col) >= start_c) & (F.col(ts_col) < end_c)).select(
+        F.floor(
+            (F.unix_micros(F.col(ts_col)) - F.unix_micros(start_c))
+            / F.lit(bin_us)
+        ).alias("__k"),
+        F.col(id_col).alias("__id"),
+    )
+    per_bin = binned.groupBy("__k").agg(
+        F.count("*").cast("long").alias("count"),
+        F.countDistinct("__id").cast("long").alias("dcount"),
+    )
+    new_per_bin = (
+        binned.groupBy("__id")
+        .agg(F.min("__k").alias("__k"))
+        .groupBy("__k")
+        .agg(F.count("*").cast("long").alias("new_dcount"))
+    )
+    grid = _bin_grid(df, start, bin_s, K).withColumnRenamed(
+        "Timeline", "Timestamp"
+    )
+    w = Window.orderBy("__k").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(per_bin, "__k", "left")
+        .join(new_per_bin, "__k", "left")
+        .select(
+            "Timestamp",
+            F.coalesce("count", F.lit(0)).cast("long").alias("count"),
+            F.coalesce("dcount", F.lit(0)).cast("long").alias("dcount"),
+            F.coalesce("new_dcount", F.lit(0))
+            .cast("long")
+            .alias("new_dcount"),
+            F.sum(F.coalesce("new_dcount", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("aggregated_dcount"),
+        )
+        .orderBy("Timestamp")
+    )
+
+
+def _compile_new_activity_metrics(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    win_s: float,
+) -> DataFrame:
+    """``evaluate new_activity_metrics(Id, Ts, Start, End, Window)``
+    — Kusto's cohort-retention plugin: ids are cohorted by the window
+    bin of their FIRST activity in the analyzed range; for every
+    (from_Timestamp, to_Timestamp) pair with from <= to the output
+    reports ``dcount_new_values`` (cohort size), ``dcount_retained_
+    values`` (cohort ids active in the to bin), ``dcount_churn_
+    values`` (cohort ids silent in the to bin) and the retention /
+    churn rates in percent (null on an empty cohort). The full dense
+    upper-triangle pair grid is emitted — K(K+1)/2 bounded rows.
+
+    Scale shape: events dedup to (id, bin) ONCE (one distinct
+    shuffle); first-seen is a per-id min over that deduped stream;
+    retained joins first-seen back to the deduped stream ON ID (the
+    only join that moves per-id rows) and rolls up to the bounded
+    (from, to) lattice — every aggregate map-side combines, and the
+    pair grid itself is metadata-sized."""
+    bin_us = int(win_s * 1_000_000)
+    start_c = F.lit(start).cast("timestamp")
+    end_c = F.lit(end).cast("timestamp")
+    import datetime as _dt
+
+    t0 = _dt.datetime.fromisoformat(start)
+    t1 = _dt.datetime.fromisoformat(end)
+    K = int((t1 - t0).total_seconds() * 1_000_000) // bin_us - 1
+    acts = (
+        df.filter((F.col(ts_col) >= start_c) & (F.col(ts_col) < end_c))
+        .select(
+            F.floor(
+                (F.unix_micros(F.col(ts_col)) - F.unix_micros(start_c))
+                / F.lit(bin_us)
+            ).alias("__k"),
+            F.col(id_col).alias("__id"),
+        )
+        .distinct()
+    )
+    fs = acts.groupBy("__id").agg(F.min("__k").alias("__from"))
+    cohort = fs.groupBy("__from").agg(
+        F.count("*").cast("long").alias("dcount_new_values")
+    )
+    retained = (
+        acts.join(fs, "__id")
+        .groupBy("__from", F.col("__k").alias("__to"))
+        .agg(F.countDistinct("__id").cast("long").alias("__ret"))
+    )
+    spark = df.sparkSession
+    pairs = (
+        spark.range(K + 1)
+        .select(F.col("id").alias("__from"))
+        .join(
+            spark.range(K + 1).select(F.col("id").alias("__to")),
+            F.col("__from") <= F.col("__to"),
+        )
+    )
+    ts_of = lambda c: F.timestamp_micros(  # noqa: E731
+        F.unix_micros(start_c) + F.col(c) * F.lit(bin_us)
+    )
+    new_c = F.coalesce("dcount_new_values", F.lit(0)).cast("long")
+    ret_c = F.coalesce("__ret", F.lit(0)).cast("long")
+    return (
+        pairs.join(cohort, "__from", "left")
+        .join(retained, ["__from", "__to"], "left")
+        .select(
+            ts_of("__from").alias("from_Timestamp"),
+            ts_of("__to").alias("to_Timestamp"),
+            new_c.alias("dcount_new_values"),
+            ret_c.alias("dcount_retained_values"),
+            (new_c - ret_c).alias("dcount_churn_values"),
+            F.when(new_c > 0, F.lit(100.0) * ret_c / new_c).alias(
+                "retention_rate"
+            ),
+            F.when(new_c > 0, F.lit(100.0) * (new_c - ret_c) / new_c).alias(
+                "churn_rate"
+            ),
+        )
+        .orderBy("from_Timestamp", "to_Timestamp")
+    )
+
+
+def _compile_session_count(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    bin_s: float,
+    look_s: float,
+) -> DataFrame:
+    """``evaluate session_count(Id, Ts, Start, End, Bin, LookBack)``
+    — session analytics under this engine's pinned deterministic
+    contract: a SESSION STARTS at an event with no same-id event in
+    the preceding LookBack window (the standard gaps-and-islands
+    definition, b25's sessionization rule); the output counts session
+    starts per report bin, dense timeline. (Kusto's plugin wording —
+    "sessions active per bin" — is its sliding distinct count, which
+    is ``sliding_window_counts``/k78 here; counting STARTS is the
+    complementary, episode-valued metric and the pinned divergence,
+    documented.)
+
+    Scale shape: ONE per-id shuffle for the lag window (events sort
+    within id partitions), then ONE map-side-combined per-bin rollup;
+    the dense grid join moves bounded bin rows. The look-back probe
+    admits events from before Start (a session straddling Start is
+    not re-counted), so the scan filter keeps (Start − LookBack,
+    End)."""
+    bin_us = int(bin_s * 1_000_000)
+    start_c = F.lit(start).cast("timestamp")
+    end_c = F.lit(end).cast("timestamp")
+    import datetime as _dt
+
+    t0 = _dt.datetime.fromisoformat(start)
+    t1 = _dt.datetime.fromisoformat(end)
+    K = int((t1 - t0).total_seconds() * 1_000_000) // bin_us - 1
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    ev = (
+        df.filter(
+            (
+                F.col(ts_col)
+                > start_c - F.expr(f"INTERVAL {int(look_s)} SECOND")
+            )
+            & (F.col(ts_col) < end_c)
+        )
+        .withColumn("__prev", F.lag(ts_col).over(w))
+        .filter(
+            (F.col(ts_col) >= start_c)
+            & (
+                F.col("__prev").isNull()
+                | (
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.col("__prev"))
+                    > F.lit(int(look_s * 1_000_000))
+                )
+            )
+        )
+    )
+    starts = ev.select(
+        F.floor(
+            (F.unix_micros(F.col(ts_col)) - F.unix_micros(start_c))
+            / F.lit(bin_us)
+        ).alias("__k")
+    ).groupBy("__k").agg(F.count("*").cast("long").alias("SessionCount"))
+    grid = _bin_grid(df, start, bin_s, K).withColumnRenamed(
+        "Timeline", "Timestamp"
+    )
+    return (
+        grid.join(starts, "__k", "left")
+        .select(
+            "Timestamp",
+            F.coalesce("SessionCount", F.lit(0))
+            .cast("long")
+            .alias("SessionCount"),
+        )
+        .orderBy("Timestamp")
+    )
+
+
 def _compile_diffpatterns(
     df: DataFrame, split_col: str, val_a: str, val_b: str
 ) -> DataFrame:
@@ -4274,6 +4751,54 @@ def kql(
                 else:
                     df = _compile_activity_engagement(
                         df, aw_id, aw_ts, aw_start, aw_end, aw_d1, aw_d2
+                    )
+                continue
+            if ev_fn in (
+                "activity_counts_metrics",
+                "new_activity_metrics",
+                "session_count",
+            ):
+                # evaluate activity_counts_metrics(Id, Ts, Start, End,
+                #   Step) / new_activity_metrics(Id, Ts, Start, End,
+                #   Window) / session_count(Id, Ts, Start, End, Bin,
+                #   LookBack) — see the compile functions for the
+                #   pinned contracts.
+                p.expect("(")
+                ac_id = p.next().text
+                p.expect(",")
+                ac_ts = p.next().text
+                p.expect(",")
+                ac_start = p._datetime_literal()
+                p.expect(",")
+                ac_end = p._datetime_literal()
+                p.expect(",")
+                ac_d1 = p._duration_seconds(p.next().text)
+                ac_d2 = None
+                if ev_fn == "session_count":
+                    p.expect(",")
+                    ac_d2 = p._duration_seconds(p.next().text)
+                p.expect(")")
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                for c in (ac_id, ac_ts):
+                    if c not in df.columns:
+                        raise ValueError(
+                            f"KQL: {ev_fn} column {c!r} not found"
+                        )
+                if ev_fn == "activity_counts_metrics":
+                    df = _compile_activity_counts_metrics(
+                        df, ac_id, ac_ts, ac_start, ac_end, ac_d1
+                    )
+                elif ev_fn == "new_activity_metrics":
+                    df = _compile_new_activity_metrics(
+                        df, ac_id, ac_ts, ac_start, ac_end, ac_d1
+                    )
+                else:
+                    df = _compile_session_count(
+                        df, ac_id, ac_ts, ac_start, ac_end, ac_d1, ac_d2
                     )
                 continue
             if ev_fn == "diffpatterns":

@@ -94,6 +94,11 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "k80_kql_series_fit_line",
+    "k81_kql_series_fit_2lines",
+    "k82_kql_activity_counts",
+    "k83_kql_new_activity_metrics",
+    "k84_kql_session_count",
     "d98_winnow_overlap_pairs",
     "k78_kql_sliding_window_counts",
     "k79_kql_activity_engagement",
@@ -141,14 +146,11 @@ _FRONT = [
     "k22_kql_parse_json",
     "k23_kql_mv_expand",
     "d07_embedding_cosine_topk",
-    "d16_chunk_documents",
-    "d17_contamination_check",
-    "d18_repetition_ratio",
-    "d19_stratified_sample",
-    # (3) the r3-stale cohort — as much as fits in the 50 window
-    "b13c_except",
-    # window exactly full at 50 (18 round-11 additions + 17 round-10
-    # additions + 14 r2 + 1 r3 entry). Displaced r3 entries —
+    # window exactly full at 50 (23 round-11 additions + 17 round-10
+    # additions + 10 r2 entries; d16/d17/d18/d19_stratified_sample and
+    # b13c_except displaced by the k80-k84 additions). Displaced
+    # r2/r3 entries — d16_chunk_documents, d17_contamination_check,
+    # d18_repetition_ratio, d19_stratified_sample, b13c_except,
     # b14_scalar_functions, b14b_date_functions, b15a_json_extract,
     # b15b_array_functions,
     # k24_kql_join, k25_kql_let, k26_kql_parse_extract,

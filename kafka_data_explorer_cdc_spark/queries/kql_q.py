@@ -2594,3 +2594,406 @@ def k79_kql_activity_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         " datetime('2024-01-29 00:00:00'), 1d, 7d)",
         {"Events": events},
     )
+
+
+@query(
+    "k80_kql_series_fit_line",
+    oracle="""
+WITH grid AS (
+  SELECT et.event_type, g.i,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (g.i) DAY AS d
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN unnest(generate_series(0, 27)) AS g(i)
+), daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+  GROUP BY 1, 2
+), dense AS (
+  SELECT g.event_type, g.i, CAST(COALESCE(daily.n, 0) AS DOUBLE) AS n
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.d = g.d
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS m,
+         SUM(n) AS sy, SUM(i * n) AS sxy, SUM(n * n) AS syy
+  FROM dense GROUP BY 1
+), p AS (
+  SELECT event_type, m, sy, sxy, syy,
+         (m-1)*m/2 AS s1, (m-1)*m*(2*m-1)/6 AS s2
+  FROM s
+), fl AS (
+  SELECT event_type, m, sy, s1,
+    CASE WHEN m >= 2 AND m*s2 - s1*s1 > 0
+         THEN (m*sxy - s1*sy) / (m*s2 - s1*s1) ELSE 0 END AS slope,
+    syy/m - (sy/m)*(sy/m) AS variance,
+    CASE WHEN m >= 2 AND (s2 - s1*s1/m) > 0
+         THEN ((syy - sy*sy/m)
+               - (sxy - s1*sy/m)*(sxy - s1*sy/m)/(s2 - s1*s1/m)) / m
+         ELSE 0 END AS rvariance
+  FROM p
+), fo AS (
+  SELECT event_type, slope, (sy - slope*s1)/m AS interception,
+         variance, rvariance,
+         CASE WHEN variance > 0 THEN 1 - rvariance/variance
+              ELSE 1 END AS rsquare
+  FROM fl
+), fitv AS (
+  SELECT d.event_type,
+         array_to_string(list(
+           CAST(CAST(FLOOR((fo.interception + fo.slope*d.i)*1e6) AS BIGINT)
+                AS VARCHAR) ORDER BY d.i), ',') AS line_fit
+  FROM dense d JOIN fo ON fo.event_type = d.event_type
+  GROUP BY 1
+)
+SELECT fo.event_type,
+       CAST(FLOOR(fo.rsquare*1e6) AS BIGINT) AS rsquare,
+       CAST(FLOOR(fo.slope*1e6) AS BIGINT) AS slope,
+       CAST(FLOOR(fo.variance*1e6) AS BIGINT) AS variance,
+       CAST(FLOOR(fo.rvariance*1e6) AS BIGINT) AS rvariance,
+       CAST(FLOOR(fo.interception*1e6) AS BIGINT) AS interception,
+       fitv.line_fit
+FROM fo JOIN fitv ON fitv.event_type = fo.event_type
+""",
+    tags=("kql", "timeseries", "regression"),
+)
+def k80_kql_series_fit_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_fit_line`` — Kusto's per-series linear regression
+    (kql.py:_series_fit_line, pinned contract: 0-based x axis,
+    population variance/rvariance, rsquare = 1 on flat series),
+    destructured by the tuple extend in Kusto's documented order
+    (rsquare, slope, variance, rvariance, interception, line_fit):
+    the daily event-count trend per event type.
+
+    Scale shape: ONE sequential JVM fold per series collecting the
+    OLS sufficient statistics, closed-form outputs in the fold's
+    finish lambda — no explode, no Python, no shuffle beyond
+    make-series' per-bin rollup. The oracle replays the identical
+    closed forms over the same dense grid (integer count sums ⇒
+    bit-exact inputs); all doubles floor-quantized to micro units
+    (b28 hashability contract)."""
+    events = load(spark, sf_dir, "events")
+    out = kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-29 00:00:00'"
+        " step 1d by event_type"
+        " | extend (rsq, slope, variance, rvariance, icpt, fit)"
+        " = series_fit_line(n)",
+        {"Events": events},
+    )
+    micro = lambda c: F.floor(F.col(c) * F.lit(1e6)).cast("bigint")  # noqa: E731
+    return out.select(
+        "event_type",
+        micro("rsq").alias("rsquare"),
+        micro("slope").alias("slope"),
+        micro("variance").alias("variance"),
+        micro("rvariance").alias("rvariance"),
+        micro("icpt").alias("interception"),
+        F.array_join(
+            F.transform(
+                "fit",
+                lambda x: F.floor(x * F.lit(1e6)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("line_fit"),
+    )
+
+
+@query(
+    "k81_kql_series_fit_2lines",
+    oracle="""
+WITH grid AS (
+  SELECT et.event_type, g.i,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (g.i) DAY AS d
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN unnest(generate_series(0, 27)) AS g(i)
+), daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+  GROUP BY 1, 2
+), dense AS (
+  SELECT g.event_type, g.i, CAST(COALESCE(daily.n, 0) AS DOUBLE) AS n
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.d = g.d
+), cand AS (
+  SELECT et.event_type, g.k
+  FROM (SELECT DISTINCT event_type FROM dense) et
+  CROSS JOIN unnest(generate_series(2, 26)) AS g(k)
+), seg AS (
+  SELECT c.event_type, c.k,
+         CASE WHEN d.i < c.k THEN 0 ELSE 1 END AS side,
+         CAST(CASE WHEN d.i < c.k THEN d.i ELSE d.i - c.k END AS DOUBLE) AS x,
+         d.n
+  FROM cand c JOIN dense d ON d.event_type = c.event_type
+), ss AS (
+  SELECT event_type, k, side, CAST(COUNT(*) AS DOUBLE) AS m,
+         SUM(n) AS sy, SUM(x * n) AS sxy, SUM(n * n) AS syy
+  FROM seg GROUP BY 1, 2, 3
+), sse1 AS (
+  SELECT event_type, k, side, m, sy, sxy, syy,
+         (m-1)*m/2 AS s1, (m-1)*m*(2*m-1)/6 AS s2
+  FROM ss
+), sse AS (
+  SELECT event_type, k, SUM(
+    CASE WHEN m >= 2 AND (s2 - s1*s1/m) > 0
+         THEN (syy - sy*sy/m)
+              - (sxy - s1*sy/m)*(sxy - s1*sy/m)/(s2 - s1*s1/m)
+         ELSE 0 END) AS sse
+  FROM sse1 GROUP BY 1, 2
+), best AS (
+  SELECT event_type, k, sse,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY sse ASC, k ASC) AS rn
+  FROM sse
+), bk AS (
+  SELECT event_type, k, sse FROM best WHERE rn = 1
+), lines AS (
+  SELECT s.event_type, s.side,
+    CASE WHEN s.m >= 2 AND s.m*s.s2 - s.s1*s.s1 > 0
+         THEN (s.m*s.sxy - s.s1*s.sy) / (s.m*s.s2 - s.s1*s.s1)
+         ELSE 0 END AS slope,
+    s.m, s.sy, s.s1
+  FROM sse1 s JOIN bk ON bk.event_type = s.event_type AND bk.k = s.k
+), lp AS (
+  SELECT event_type, side, slope, (sy - slope*s1)/m AS icpt
+  FROM lines
+), var_all AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS m,
+         SUM(n) AS sy, SUM(n * n) AS syy
+  FROM dense GROUP BY 1
+), va AS (
+  SELECT event_type, syy/m - (sy/m)*(sy/m) AS variance, m FROM var_all
+), fitv AS (
+  SELECT d.event_type,
+         array_to_string(list(
+           CAST(CAST(FLOOR((lp.icpt + lp.slope *
+             (CASE WHEN d.i < bk.k THEN d.i ELSE d.i - bk.k END))*1e6)
+             AS BIGINT) AS VARCHAR) ORDER BY d.i), ',') AS line_fit
+  FROM dense d
+  JOIN bk ON bk.event_type = d.event_type
+  JOIN lp ON lp.event_type = d.event_type
+         AND lp.side = (CASE WHEN d.i < bk.k THEN 0 ELSE 1 END)
+  GROUP BY 1
+)
+SELECT va.event_type,
+       CAST(FLOOR((CASE WHEN va.variance > 0
+                        THEN 1 - (bk.sse/va.m)/va.variance
+                        ELSE 1 END)*1e6) AS BIGINT) AS rsquare,
+       CAST(bk.k AS BIGINT) AS split_idx,
+       CAST(FLOOR(va.variance*1e6) AS BIGINT) AS variance,
+       CAST(FLOOR((bk.sse/va.m)*1e6) AS BIGINT) AS rvariance,
+       fitv.line_fit
+FROM va
+JOIN bk ON bk.event_type = va.event_type
+JOIN fitv ON fitv.event_type = va.event_type
+""",
+    tags=("kql", "timeseries", "regression"),
+)
+def k81_kql_series_fit_2lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_fit_2lines`` — Kusto's segmented two-piece regression
+    (kql.py:_series_fit_2lines, pinned contract: split sweep over
+    [2, n−2] so both sides keep ≥ 2 points, ties keep the smallest
+    split, population moments, head columns (rsquare, split_idx,
+    variance, rvariance, line_fit)): where the daily event-count
+    trend per event type changes regime.
+
+    Scale shape: the candidate sweep is ONE JVM transform over the
+    bounded split range (two sequential slice-folds per candidate,
+    O(n²) arithmetic on a 28-element array) — the _let binding keeps
+    the analyzed tree linear; no explode, no Python, no shuffle
+    beyond make-series' per-bin rollup. The oracle replays the sweep
+    relationally (candidate × side grouping, identical closed forms
+    on bit-exact integer-count sums, same argmin tie rule); doubles
+    floor-quantized to micro units."""
+    events = load(spark, sf_dir, "events")
+    out = kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-29 00:00:00'"
+        " step 1d by event_type"
+        " | extend (rsq, split_idx, variance, rvariance, fit)"
+        " = series_fit_2lines(n)",
+        {"Events": events},
+    )
+    micro = lambda c: F.floor(F.col(c) * F.lit(1e6)).cast("bigint")  # noqa: E731
+    return out.select(
+        "event_type",
+        micro("rsq").alias("rsquare"),
+        F.col("split_idx").cast("bigint").alias("split_idx"),
+        micro("variance").alias("variance"),
+        micro("rvariance").alias("rvariance"),
+        F.array_join(
+            F.transform(
+                "fit",
+                lambda x: F.floor(x * F.lit(1e6)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("line_fit"),
+    )
+
+
+@query(
+    "k82_kql_activity_counts",
+    oracle="""
+WITH bins AS (
+  SELECT unnest(generate_series(0, 27)) AS k
+), ev AS (
+  SELECT CAST(FLOOR(EXTRACT(EPOCH FROM ts - TIMESTAMP '2024-01-01 00:00:00')
+                    / 86400) AS BIGINT) AS k, user_id
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+), per AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS count,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount
+  FROM ev GROUP BY 1
+), fs AS (
+  SELECT user_id, MIN(k) AS k FROM ev GROUP BY 1
+), nw AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS new_dcount FROM fs GROUP BY 1
+)
+SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (b.k) DAY AS Timestamp,
+       COALESCE(per.count, 0) AS count,
+       COALESCE(per.dcount, 0) AS dcount,
+       COALESCE(nw.new_dcount, 0) AS new_dcount,
+       CAST(SUM(COALESCE(nw.new_dcount, 0)) OVER (ORDER BY b.k) AS BIGINT)
+         AS aggregated_dcount
+FROM bins b
+LEFT JOIN per ON per.k = b.k
+LEFT JOIN nw ON nw.k = b.k
+""",
+    tags=("kql", "timeseries", "activity"),
+)
+def k82_kql_activity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate activity_counts_metrics()`` — Kusto's per-bin
+    activity datasheet (kql.py:_compile_activity_counts_metrics):
+    daily events, distinct users, NEW users (first activity in the
+    analyzed range falls in this bin) and the running distinct-user
+    union, dense timeline.
+
+    Scale shape: two map-side-combined rollups (per-bin, per-id
+    first-seen); aggregated_dcount is a running sum over the BOUNDED
+    bin table — the single-partition window orders 28 metadata rows,
+    never events. At 100 TB the dcount swap is one HLL per bin (b41
+    layout); new/aggregated stay exact (they roll up the first-seen
+    table, which is id-cardinality, not event-cardinality)."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | evaluate activity_counts_metrics(user_id, ts,"
+        " datetime('2024-01-01 00:00:00'),"
+        " datetime('2024-01-29 00:00:00'), 1d)",
+        {"Events": events},
+    )
+
+
+@query(
+    "k83_kql_new_activity_metrics",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT
+    CAST(FLOOR(EXTRACT(EPOCH FROM ts - TIMESTAMP '2024-01-01 00:00:00')
+               / 604800) AS BIGINT) AS k, user_id
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+), fs AS (
+  SELECT user_id, MIN(k) AS f FROM ev GROUP BY 1
+), cohort AS (
+  SELECT f, CAST(COUNT(*) AS BIGINT) AS new FROM fs GROUP BY 1
+), ret AS (
+  SELECT fs.f, ev.k AS t, CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS ret
+  FROM ev JOIN fs ON fs.user_id = ev.user_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.f, b.t
+  FROM (SELECT unnest(generate_series(0, 3)) AS f) a
+  JOIN (SELECT unnest(generate_series(0, 3)) AS t) b ON a.f <= b.t
+)
+SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (p.f * 7) DAY
+         AS from_Timestamp,
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (p.t * 7) DAY
+         AS to_Timestamp,
+       COALESCE(c.new, 0) AS dcount_new_values,
+       COALESCE(r.ret, 0) AS dcount_retained_values,
+       COALESCE(c.new, 0) - COALESCE(r.ret, 0) AS dcount_churn_values,
+       CASE WHEN COALESCE(c.new, 0) > 0
+            THEN 100.0 * COALESCE(r.ret, 0) / COALESCE(c.new, 0)
+       END AS retention_rate,
+       CASE WHEN COALESCE(c.new, 0) > 0
+            THEN 100.0 * (COALESCE(c.new, 0) - COALESCE(r.ret, 0))
+                 / COALESCE(c.new, 0)
+       END AS churn_rate
+FROM pairs p
+LEFT JOIN cohort c ON c.f = p.f
+LEFT JOIN ret r ON r.f = p.f AND r.t = p.t
+""",
+    tags=("kql", "timeseries", "activity"),
+)
+def k83_kql_new_activity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate new_activity_metrics()`` — Kusto's cohort-retention
+    plugin (kql.py:_compile_new_activity_metrics): users cohorted by
+    the week of their first activity; for every (from, to) week pair
+    the cohort size, retained and churned distinct counts, and the
+    retention/churn percentages (null on an empty cohort). The dense
+    upper-triangle pair grid (K(K+1)/2 bounded rows) is emitted.
+
+    Scale shape: events dedup to (id, week) once; the only join that
+    moves per-id rows keys ON ID (first-seen back to activity), then
+    everything rolls up to the bounded week lattice — all aggregates
+    map-side combine."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | evaluate new_activity_metrics(user_id, ts,"
+        " datetime('2024-01-01 00:00:00'),"
+        " datetime('2024-01-29 00:00:00'), 7d)",
+        {"Events": events},
+    )
+
+
+@query(
+    "k84_kql_session_count",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+  WHERE ts > TIMESTAMP '2024-01-01 00:00:00' - INTERVAL 6 HOUR
+    AND ts < TIMESTAMP '2024-01-29 00:00:00'
+), starts AS (
+  SELECT CAST(FLOOR(EXTRACT(EPOCH FROM ts - TIMESTAMP '2024-01-01 00:00:00')
+                    / 86400) AS BIGINT) AS k
+  FROM lagged
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND (prev IS NULL OR ts - prev > INTERVAL 6 HOUR)
+), per AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM starts GROUP BY 1
+)
+SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (b.k) DAY AS Timestamp,
+       COALESCE(per.n, 0) AS SessionCount
+FROM (SELECT unnest(generate_series(0, 27)) AS k) b
+LEFT JOIN per ON per.k = b.k
+""",
+    tags=("kql", "timeseries", "activity", "sessionization"),
+)
+def k84_kql_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate session_count()`` — session analytics under this
+    engine's pinned contract (kql.py:_compile_session_count): a
+    session starts at an event with no same-user event in the
+    preceding 6-hour look-back (b25's gaps-and-islands rule); the
+    report counts session STARTS per day, dense timeline. The
+    look-back probe admits pre-Start events so a session straddling
+    the range start is not double-counted.
+
+    Scale shape: ONE per-user shuffle for the lag window + ONE
+    map-side-combined per-bin rollup; the grid join moves 28 bounded
+    rows. The oracle replays the identical lag/gap rule."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | evaluate session_count(user_id, ts,"
+        " datetime('2024-01-01 00:00:00'),"
+        " datetime('2024-01-29 00:00:00'), 1d, 6h)",
+        {"Events": events},
+    )

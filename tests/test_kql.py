@@ -1855,3 +1855,162 @@ def test_kql_make_series_default_null(spark):
             {"T": df},
         ).collect()[0]
         assert r["v"] == [10.0, None, 30.0]
+
+
+def test_kql_series_fit_line_semantics(spark):
+    """series_fit_line pinned contract: 0-based x axis, population
+    moments, rsquare = 1 on flat/perfect series, empty series all
+    null; output order (rsquare, slope, variance, rvariance,
+    interception, line_fit)."""
+    df = spark.createDataFrame(
+        [
+            ("perfect", [1.0, 2.0, 3.0, 4.0]),
+            ("flat", [5.0, 5.0, 5.0]),
+            ("noisy", [1.0, 3.0, 5.0, 2.0]),
+            ("empty", []),
+        ],
+        "g string, y array<double>",
+    )
+    rows = {
+        r["g"]: r
+        for r in kql(
+            "T | extend (rsq, sl, v, rv, ic, fit) = series_fit_line(y)",
+            {"T": df},
+        ).collect()
+    }
+    p = rows["perfect"]
+    assert p["sl"] == pytest.approx(1.0) and p["ic"] == pytest.approx(1.0)
+    assert p["rsq"] == pytest.approx(1.0) and p["rv"] == pytest.approx(0.0)
+    assert p["fit"] == pytest.approx([1.0, 2.0, 3.0, 4.0])
+    f = rows["flat"]
+    assert f["sl"] == 0.0 and f["ic"] == 5.0 and f["rsq"] == 1.0
+    assert f["v"] == 0.0
+    n = rows["noisy"]
+    # hand OLS: x=0..3, y=(1,3,5,2): slope 0.5, icpt 2.0
+    assert n["sl"] == pytest.approx(0.5) and n["ic"] == pytest.approx(2.0)
+    assert 0.0 < n["rsq"] < 1.0
+    # population variance of (1,3,5,2) = 35/16... mean 2.75 -> 2.1875
+    assert n["v"] == pytest.approx(2.1875)
+    e = rows["empty"]
+    assert e["sl"] is None and e["fit"] is None
+
+
+def test_kql_series_fit_2lines_semantics(spark):
+    """series_fit_2lines pinned contract: split sweep over [2, n-2]
+    (both sides >= 2 points), ties keep the smallest split, n < 4
+    falls back to the single-line fit with split_idx = -1."""
+    df = spark.createDataFrame(
+        [
+            # flat then steep: the knee is at index 3
+            ("knee", [1.0, 1.0, 1.0, 5.0, 9.0, 13.0]),
+            ("short", [2.0, 7.0]),
+            # perfectly linear: every split is exact; ties keep k=2
+            ("line", [0.0, 2.0, 4.0, 6.0, 8.0]),
+        ],
+        "g string, y array<double>",
+    )
+    rows = {
+        r["g"]: r
+        for r in kql(
+            "T | extend (rsq, k, v, rv, fit) = series_fit_2lines(y)",
+            {"T": df},
+        ).collect()
+    }
+    k = rows["knee"]
+    # left [1,1,1] flat + right [5,9,13] exact line -> SSE 0 at k=3,
+    # but k=2 also reaches SSE 0 (left [1,1]; right [1,5,9,13] exact):
+    # the smallest zero-SSE split wins
+    assert k["k"] == 2 and k["rv"] == pytest.approx(0.0)
+    assert k["rsq"] == pytest.approx(1.0)
+    assert k["fit"] == pytest.approx([1.0, 1.0, 1.0, 5.0, 9.0, 13.0])
+    s = rows["short"]
+    assert s["k"] == -1  # too short to split: single-line fallback
+    assert s["fit"] == pytest.approx([2.0, 7.0])
+    ln = rows["line"]
+    assert ln["k"] == 2 and ln["rv"] == pytest.approx(0.0)
+    assert ln["fit"] == pytest.approx([0.0, 2.0, 4.0, 6.0, 8.0])
+
+
+def test_kql_activity_counts_metrics_semantics(spark):
+    """activity_counts_metrics: new is relative to the analyzed range,
+    aggregated_dcount is the running distinct union, silent bins emit
+    zeros."""
+    import datetime as dt
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 1)),
+        ("u1", dt.datetime(2024, 1, 1, 5)),
+        ("u1", dt.datetime(2024, 1, 2, 2)),
+        ("u2", dt.datetime(2024, 1, 2, 3)),
+        ("u3", dt.datetime(2024, 1, 4, 1)),
+    ]
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    out = kql(
+        "T | evaluate activity_counts_metrics(uid, ts,"
+        " datetime('2024-01-01 00:00:00'),"
+        " datetime('2024-01-05 00:00:00'), 1d)",
+        {"T": df},
+    ).collect()
+    got = [
+        (r["count"], r["dcount"], r["new_dcount"], r["aggregated_dcount"])
+        for r in out
+    ]
+    assert got == [(2, 1, 1, 1), (2, 2, 1, 2), (0, 0, 0, 2), (1, 1, 1, 3)]
+
+
+def test_kql_new_activity_metrics_semantics(spark):
+    """new_activity_metrics: cohort = first-activity bin; retained
+    counts cohort ids active in the to bin; empty cohorts rate null."""
+    import datetime as dt
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 1)),
+        ("u1", dt.datetime(2024, 1, 3, 1)),  # retained in bin 2
+        ("u2", dt.datetime(2024, 1, 2, 1)),  # new in bin 1, churns
+    ]
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    out = kql(
+        "T | evaluate new_activity_metrics(uid, ts,"
+        " datetime('2024-01-01 00:00:00'),"
+        " datetime('2024-01-04 00:00:00'), 1d)",
+        {"T": df},
+    ).collect()
+    by = {
+        (r["from_Timestamp"].day, r["to_Timestamp"].day): (
+            r["dcount_new_values"],
+            r["dcount_retained_values"],
+            r["retention_rate"],
+        )
+        for r in out
+    }
+    assert by[(1, 1)] == (1, 1, 100.0)
+    assert by[(1, 2)] == (1, 0, 0.0)
+    assert by[(1, 3)] == (1, 1, 100.0)
+    assert by[(2, 3)] == (1, 0, 0.0)
+    assert by[(3, 3)][0] == 0 and by[(3, 3)][2] is None
+    assert len(out) == 6  # dense upper triangle over 3 bins
+
+
+def test_kql_session_count_semantics(spark):
+    """session_count pinned contract: a session starts at an event
+    with no same-id event within the look-back; a session straddling
+    Start is NOT re-counted (pre-Start events feed the look-back)."""
+    import datetime as dt
+
+    rows = [
+        # u1: two sessions on day 1 (01:00 and 05:00, 3h lookback)
+        ("u1", dt.datetime(2024, 1, 1, 1)),
+        ("u1", dt.datetime(2024, 1, 1, 5)),
+        # u2: active 23:30 of Dec 31 (pre-Start) then 00:30 Jan 1 —
+        # the Jan-1 event continues the pre-Start session: no start
+        ("u2", dt.datetime(2023, 12, 31, 23, 30)),
+        ("u2", dt.datetime(2024, 1, 1, 0, 30)),
+    ]
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    out = kql(
+        "T | evaluate session_count(uid, ts,"
+        " datetime('2024-01-01 00:00:00'),"
+        " datetime('2024-01-03 00:00:00'), 1d, 3h)",
+        {"T": df},
+    ).collect()
+    assert [(r["SessionCount"]) for r in out] == [2, 0]
