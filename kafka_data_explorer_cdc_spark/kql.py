@@ -553,6 +553,102 @@ def _series_fit_2lines(arr: Column) -> Column:
     )
 
 
+def _parse_ipv4(c: Column) -> Column:
+    """``parse_ipv4(s)`` — dotted-quad string to its numeric value
+    (long); null on malformed input (wrong shape or an octet > 255),
+    Kusto's error-as-null scalar convention. Pure codegen: one regex
+    probe + one 4-element fold, no UDF."""
+    ok = c.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    parts = F.transform(F.split(c, r"\."), lambda x: x.cast("long"))
+    valid = ok & ~F.exists(parts, lambda x: x > 255)
+    return F.when(
+        valid,
+        F.aggregate(
+            parts, F.lit(0).cast("long"), lambda a, x: a * 256 + x
+        ),
+    )
+
+
+def _format_ipv4(c: Column) -> Column:
+    """``format_ipv4(n)`` — numeric IPv4 back to the dotted-quad
+    string (inverse of :func:`_parse_ipv4` on the 32-bit range)."""
+    n = c.cast("long")
+    return F.concat_ws(
+        ".",
+        (F.shiftright(n, 24) % 256).cast("string"),
+        (F.shiftright(n, 16) % 256).cast("string"),
+        (F.shiftright(n, 8) % 256).cast("string"),
+        (n % 256).cast("string"),
+    )
+
+
+def _ipv4_is_private(c: Column) -> Column:
+    """``ipv4_is_private(s)`` — RFC 1918 membership (10/8, 172.16/12,
+    192.168/16); null on malformed input."""
+    n = _parse_ipv4(c)
+    o1 = F.shiftright(n, 24) % 256
+    o2 = F.shiftright(n, 16) % 256
+    return F.when(
+        n.isNotNull(),
+        (o1 == 10)
+        | ((o1 == 172) & (o2 >= 16) & (o2 <= 31))
+        | ((o1 == 192) & (o2 == 168)),
+    )
+
+
+def _ipv4_is_in_range(ip: Column, rng: Column) -> Column:
+    """``ipv4_is_in_range(ip, range)`` — CIDR membership; the range is
+    'a.b.c.d/p' (or a bare address = /32). The prefix compare divides
+    by 2^(32-p) instead of shifting because Spark's shiftright needs a
+    literal bit count — exact in doubles through 2^52. Null on
+    malformed input on either side."""
+    net = _parse_ipv4(F.substring_index(rng, "/", 1))
+    suf = F.when(
+        rng.contains("/"),
+        F.substring_index(rng, "/", -1).cast("int"),
+    ).otherwise(F.lit(32))
+    ipn = _parse_ipv4(ip)
+    div = F.pow(F.lit(2.0), (F.lit(32) - suf).cast("double"))
+    return F.when(
+        ipn.isNotNull()
+        & net.isNotNull()
+        & suf.isNotNull()
+        & (suf >= 0)
+        & (suf <= 32),
+        F.floor(ipn / div) == F.floor(net / div),
+    )
+
+
+def _geo_distance_2points(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """``geo_distance_2points(lon1, lat1, lon2, lat2)`` — great-circle
+    distance in meters, pinned to the HAVERSINE formula on a sphere of
+    radius 6 371 000 m (Kusto computes a geodesic on WGS-84; haversine
+    agrees within ~0.5% and is exactly replayable in any engine —
+    documented divergence). Inputs in degrees (Kusto's argument order:
+    longitudes first). Out-of-range coordinates (|lat| > 90,
+    |lon| > 180) yield null, mirroring Kusto's error-as-null."""
+    import math as _math
+
+    to_rad = F.lit(_math.pi / 180.0)
+    la1, la2 = lat1.cast("double") * to_rad, lat2.cast("double") * to_rad
+    dla = (lat2.cast("double") - lat1.cast("double")) * to_rad / 2
+    dlo = (lon2.cast("double") - lon1.cast("double")) * to_rad / 2
+    a = F.sin(dla) * F.sin(dla) + F.cos(la1) * F.cos(la2) * F.sin(
+        dlo
+    ) * F.sin(dlo)
+    ok = (
+        (F.abs(lat1.cast("double")) <= 90)
+        & (F.abs(lat2.cast("double")) <= 90)
+        & (F.abs(lon1.cast("double")) <= 180)
+        & (F.abs(lon2.cast("double")) <= 180)
+    )
+    return F.when(
+        ok, F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+    )
+
+
 def _series_decompose(arr: Column, period: int) -> Column:
     """``series_decompose(x, period)`` — STL-lite decomposition of a
     make-series array into (baseline, seasonal, trend, residual),
@@ -1150,6 +1246,14 @@ class _Parser:
         # struct); see the helpers for the pinned contracts
         "series_fit_line": _series_fit_line,
         "series_fit_2lines": _series_fit_2lines,
+        # IPv4 scalar family — pure codegen (regex probe + fold /
+        # arithmetic), Kusto's error-as-null convention
+        "parse_ipv4": _parse_ipv4,
+        "format_ipv4": _format_ipv4,
+        "ipv4_is_private": _ipv4_is_private,
+        "ipv4_is_in_range": _ipv4_is_in_range,
+        # geo: pinned haversine contract (see _geo_distance_2points)
+        "geo_distance_2points": _geo_distance_2points,
         # series gap-filling (the make-series default=null companions):
         # const is one transform; forward is one fold; backward is
         # forward on the reversed array; linear interpolates interior

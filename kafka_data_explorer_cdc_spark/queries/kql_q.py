@@ -2997,3 +2997,113 @@ def k84_kql_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         " datetime('2024-01-29 00:00:00'), 1d, 6h)",
         {"Events": events},
     )
+
+
+@query(
+    "k85_kql_ipv4_functions",
+    oracle="""
+WITH base AS (
+  SELECT (user_id * 2654435761) % 4294967296 AS ipn0 FROM events
+), oct AS (
+  SELECT ipn0,
+         (ipn0 // 16777216) % 256 AS o1,
+         (ipn0 // 65536) % 256 AS o2
+  FROM base
+), cls AS (
+  SELECT ipn0, ipn0 % 16 AS b,
+    CASE WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+              OR (o1 = 192 AND o2 = 168)
+         THEN 1 ELSE 0 END AS priv,
+    CASE WHEN FLOOR(CAST(ipn0 AS DOUBLE) / 1048576)
+              = FLOOR(CAST(2886729728 AS DOUBLE) / 1048576)
+         THEN 1 ELSE 0 END AS inr
+  FROM oct
+)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(priv) AS BIGINT) AS npriv,
+       CAST(SUM(inr) AS BIGINT) AS ninr
+FROM cls GROUP BY b ORDER BY b
+""",
+    tags=("kql", "scalar", "network"),
+)
+def k85_kql_ipv4_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 scalar family — ``parse_ipv4`` / ``format_ipv4`` /
+    ``ipv4_is_private`` / ``ipv4_is_in_range`` (kql.py:_parse_ipv4
+    et seq., Kusto's network-analytics staples under the
+    error-as-null convention): synthesize a deterministic address per
+    event (Knuth multiplicative hash of user_id — replayable
+    arithmetic, not an engine hash), round-trip it through
+    format→parse, classify RFC-1918 membership and a /12 CIDR probe,
+    roll up per low-nibble bucket. The parse→format round-trip is
+    verified inside the oracle comparison itself (the bucket key is
+    the re-PARSED value: any corruption shifts rows across buckets).
+
+    Scale shape: all four functions are pure codegen (regex probe +
+    4-element fold + arithmetic) — one scan, ONE map-side-combined
+    rollup, no UDF, no explode. 172.16.0.0 = 2886729728; /12 divides
+    by 2^20 (shift-free prefix compare, exact in doubles)."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | extend ipn0 = (user_id * 2654435761) % 4294967296"
+        " | extend ip = format_ipv4(ipn0)"
+        " | extend back = parse_ipv4(ip)"
+        " | extend priv = ipv4_is_private(ip),"
+        "          inr = ipv4_is_in_range(ip, '172.16.0.0/12')"
+        " | summarize n = count(), npriv = countif(priv),"
+        "             ninr = countif(inr) by b = back % 16"
+        " | sort by b asc",
+        {"Events": events},
+    )
+
+
+@query(
+    "k86_kql_geo_distance",
+    oracle="""
+WITH pts AS (
+  SELECT event_id,
+    CAST((event_id * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat1,
+    CAST((event_id * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon1,
+    CAST((user_id * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat2,
+    CAST((user_id * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon2
+  FROM events
+), r AS (
+  SELECT event_id,
+    SIN((lat2 - lat1) * (PI() / 180.0) / 2) AS sdla,
+    SIN((lon2 - lon1) * (PI() / 180.0) / 2) AS sdlo,
+    COS(lat1 * (PI() / 180.0)) AS c1,
+    COS(lat2 * (PI() / 180.0)) AS c2
+  FROM pts
+)
+SELECT event_id,
+       CAST(FLOOR(2.0 * 6371000.0 *
+            ASIN(SQRT(sdla * sdla + c1 * c2 * sdlo * sdlo)))
+            AS BIGINT) AS dm
+FROM r
+""",
+    tags=("kql", "scalar", "geo"),
+)
+def k86_kql_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geo_distance_2points`` — great-circle distance under this
+    engine's pinned haversine contract (kql.py:_geo_distance_2points;
+    Kusto's WGS-84 geodesic differs by < 0.5%, documented): per event
+    the distance between two deterministic synthetic points (modular
+    lattices over event_id / user_id — replayable arithmetic, not an
+    engine hash), truncated to whole meters for hashability (one trig
+    chain per row, no accumulation — cross-engine libm agreement at
+    meter scale).
+
+    Scale shape: pure codegen trig per row, one scan, zero shuffles,
+    no UDF."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | extend lat1 = todouble((event_id * 7919) % 18000) / 100.0 - 90.0,"
+        "          lon1 = todouble((event_id * 104729) % 36000) / 100.0 - 180.0,"
+        "          lat2 = todouble((user_id * 7919) % 18000) / 100.0 - 90.0,"
+        "          lon2 = todouble((user_id * 104729) % 36000) / 100.0 - 180.0"
+        " | extend d = geo_distance_2points(lon1, lat1, lon2, lat2)"
+        " | project event_id, dm = tolong(d)",
+        {"Events": events},
+    )

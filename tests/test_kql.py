@@ -2014,3 +2014,73 @@ def test_kql_session_count_semantics(spark):
         {"T": df},
     ).collect()
     assert [(r["SessionCount"]) for r in out] == [2, 0]
+
+
+def test_kql_ipv4_scalars(spark):
+    """IPv4 scalar family: parse/format round-trip, malformed -> null
+    (shape and octet-range), RFC-1918 classes, CIDR membership
+    including bare-address (/32) and /0 ranges."""
+    df = spark.createDataFrame(
+        [
+            ("10.1.2.3",),
+            ("172.16.0.1",),
+            ("172.32.0.1",),
+            ("192.168.255.255",),
+            ("8.8.8.8",),
+            ("1.2.3.256",),  # octet out of range
+            ("1.2.3",),  # wrong shape
+            ("junk",),
+        ],
+        "ip string",
+    )
+    rows = {
+        r["ip"]: r
+        for r in kql(
+            "T | extend n = parse_ipv4(ip), back = format_ipv4(parse_ipv4(ip)),"
+            " priv = ipv4_is_private(ip),"
+            " r32 = ipv4_is_in_range(ip, '8.8.8.8'),"
+            " r0 = ipv4_is_in_range(ip, '0.0.0.0/0'),"
+            " r12 = ipv4_is_in_range(ip, '172.16.0.0/12')",
+            {"T": df},
+        ).collect()
+    }
+    assert rows["10.1.2.3"]["n"] == 10 * 16777216 + 1 * 65536 + 2 * 256 + 3
+    assert rows["10.1.2.3"]["back"] == "10.1.2.3"
+    assert rows["10.1.2.3"]["priv"] is True
+    assert rows["172.16.0.1"]["priv"] is True
+    assert rows["172.32.0.1"]["priv"] is False  # just past the /12
+    assert rows["192.168.255.255"]["priv"] is True
+    assert rows["8.8.8.8"]["priv"] is False
+    assert rows["8.8.8.8"]["r32"] is True and rows["10.1.2.3"]["r32"] is False
+    assert rows["8.8.8.8"]["r0"] is True
+    assert rows["172.16.0.1"]["r12"] is True
+    assert rows["172.32.0.1"]["r12"] is False
+    for bad in ("1.2.3.256", "1.2.3", "junk"):
+        assert rows[bad]["n"] is None
+        assert rows[bad]["priv"] is None
+        assert rows[bad]["r0"] is None
+
+
+def test_kql_geo_distance_2points(spark):
+    """geo_distance_2points pinned haversine contract: 1 degree of
+    longitude at the equator ~ 111.19 km on the R=6371 km sphere;
+    zero distance for identical points; out-of-range -> null."""
+    df = spark.createDataFrame(
+        [
+            (0.0, 0.0, 1.0, 0.0),  # 1 deg lon at equator
+            (10.0, 50.0, 10.0, 50.0),  # same point
+            (0.0, 95.0, 0.0, 0.0),  # bad latitude
+        ],
+        "lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    rows = kql(
+        "T | extend d = geo_distance_2points(lon1, lat1, lon2, lat2)",
+        {"T": df},
+    ).collect()
+    import math
+
+    expected = 2 * 6371000.0 * math.asin(math.sin(math.pi / 360.0))
+    assert rows[0]["d"] == pytest.approx(expected, rel=1e-12)
+    assert 111100.0 < rows[0]["d"] < 111300.0
+    assert rows[1]["d"] == 0.0
+    assert rows[2]["d"] is None
