@@ -13,7 +13,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cdc.envelope import ORDERS_INFO_SQL, orders_info, to_envelope_json
@@ -2129,3 +2129,115 @@ def s52_stream_late_shipment_monitor(
         state_partitions=REPLAY_STATE_PARTITIONS,
     )
     return spark.table(name)
+
+
+@query(
+    "s53_stream_new_user_metrics",
+    oracle="""
+WITH bins AS (
+  SELECT unnest(generate_series(0, 27)) AS k
+), ev AS (
+  SELECT CAST(FLOOR(EXTRACT(EPOCH FROM ts - TIMESTAMP '2024-01-01 00:00:00')
+                    / 86400) AS BIGINT) AS k, user_id
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+), per AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS count,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount
+  FROM ev GROUP BY 1
+), fs AS (
+  SELECT user_id, MIN(k) AS k FROM ev GROUP BY 1
+), nw AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS new_dcount FROM fs GROUP BY 1
+)
+SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (b.k) DAY AS Timestamp,
+       COALESCE(per.count, 0) AS count,
+       COALESCE(per.dcount, 0) AS dcount,
+       COALESCE(nw.new_dcount, 0) AS new_dcount,
+       CAST(SUM(COALESCE(nw.new_dcount, 0)) OVER (ORDER BY b.k) AS BIGINT)
+         AS aggregated_dcount
+FROM bins b
+LEFT JOIN per ON per.k = b.k
+LEFT JOIN nw ON nw.k = b.k
+""",
+    tags=("streaming", "activity", "stateful"),
+)
+def s53_stream_new_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming activity-counts / new-user metrics — k82's datasheet
+    computed LIVE: the events table replayed as three time-ordered
+    micro-batches (s51's sliced replay), an update-mode per-(day,
+    user) counting aggregation carrying state ACROSS batches (a user
+    first seen in batch 1 must not count as new again in batch 3),
+    then the cohort reconciliation — per-day events, distinct users,
+    NEW users (first-ever day) and the running distinct union — over
+    the drained sink. Update-mode re-emissions are collapsed by
+    max(cnt) per key (counting state is monotone), so the result is
+    independent of how the replay happened to batch.
+
+    Scale: state is one counter per (open day-window, user), bounded
+    by the 30-day watermark — eviction is what survives a year-long
+    stream; the reconciliation aggregates the SINK (key-cardinality,
+    not event-cardinality). The oracle is the identical closed-form
+    batch answer (k82's SQL)."""
+    name = f"s53_{uuid.uuid4().hex[:8]}"
+    indir = _time_sliced_events_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).schema
+    start = "2024-01-01 00:00:00"
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .filter(
+            (F.col("ts") >= F.lit(start).cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-29 00:00:00").cast("timestamp"))
+        )
+    )
+    per = (
+        ev.withWatermark("ts", "30 days")
+        .groupBy(F.window("ts", "1 day"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    run_to_memory(
+        per, name, output_mode="update",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    sink = spark.table(name)
+    per_final = sink.groupBy(
+        F.col("window.start").alias("day"), "user_id"
+    ).agg(F.max("cnt").alias("cnt"))
+    per_bin = per_final.groupBy("day").agg(
+        F.sum("cnt").cast("long").alias("count"),
+        F.count("*").cast("long").alias("dcount"),
+    )
+    new_bin = (
+        per_final.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("new_dcount"))
+    )
+    grid = spark.range(28).select(
+        F.timestamp_micros(
+            F.unix_micros(F.lit(start).cast("timestamp"))
+            + F.col("id") * F.lit(86_400_000_000)
+        ).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(per_bin, "day", "left")
+        .join(new_bin, "day", "left")
+        .select(
+            F.col("day").alias("Timestamp"),
+            F.coalesce("count", F.lit(0)).cast("long").alias("count"),
+            F.coalesce("dcount", F.lit(0)).cast("long").alias("dcount"),
+            F.coalesce("new_dcount", F.lit(0))
+            .cast("long")
+            .alias("new_dcount"),
+            F.sum(F.coalesce("new_dcount", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("aggregated_dcount"),
+        )
+    )
