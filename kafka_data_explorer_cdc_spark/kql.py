@@ -154,6 +154,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import reduce as _reduce
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
@@ -616,6 +617,42 @@ def _ipv4_is_in_range(ip: Column, rng: Column) -> Column:
         & (suf >= 0)
         & (suf <= 32),
         F.floor(ipn / div) == F.floor(net / div),
+    )
+
+
+def _array_rotate(a: Column, n: Column) -> Column:
+    """``array_rotate_left(arr, n)`` — circular rotation; negative n
+    rotates right (Kusto). pmod folds any n into [0, size)."""
+    sz = F.size(a)
+    r = F.pmod(n.cast("int"), sz)
+    return F.when(
+        sz > 0, F.concat(F.slice(a, r + 1, sz - r), F.slice(a, 1, r))
+    ).otherwise(a)
+
+
+def _array_shift(a: Column, n: Column) -> Column:
+    """``array_shift_left(arr, n)`` — shift elements left by n (negative
+    = right), vacated slots null (Kusto's default fill). One transform
+    with the index lambda; out-of-range get() IS the null fill."""
+    return F.transform(a, lambda x, i: F.get(a, i + n.cast("int")))
+
+
+def _array_split(a: Column, i: Column) -> Column:
+    """``array_split(arr, index)`` — split into [prefix, suffix] at the
+    (non-negative, pinned) index; Kusto's multi-index form is not
+    implemented (documented)."""
+    sz = F.size(a)
+    idx = F.greatest(F.lit(0), F.least(i.cast("int"), sz))
+    return F.array(F.slice(a, 1, idx), F.slice(a, idx + 1, sz - idx))
+
+
+def _array_iff(c: Column, t: Column, f: Column) -> Column:
+    """``array_iff(cond, when_true, when_false)`` — element-wise
+    ternary over three same-length arrays; a length mismatch yields
+    null elements (out-of-range get), Kusto's rule."""
+    return F.transform(
+        c,
+        lambda x, i: F.when(x, F.get(t, i)).otherwise(F.get(f, i)),
     )
 
 
@@ -1254,6 +1291,23 @@ class _Parser:
         "ipv4_is_in_range": _ipv4_is_in_range,
         # geo: pinned haversine contract (see _geo_distance_2points)
         "geo_distance_2points": _geo_distance_2points,
+        # array-manipulation family (pure JVM array expressions; the
+        # set_* trio dedups like Kusto — Spark's array_union/intersect/
+        # except are distinct-preserving)
+        "pack_array": lambda *cs: F.array(*cs),
+        "zip": lambda a, b: F.zip_with(a, b, lambda x, y: F.array(x, y)),
+        "set_union": lambda *cs: _reduce(F.array_union, cs),
+        "set_intersect": lambda *cs: _reduce(F.array_intersect, cs),
+        # set_difference(a, b, c, ...) = a minus the union of the rest
+        "set_difference": lambda a, *cs: F.array_except(
+            a, F.concat(*cs) if len(cs) > 1 else cs[0]
+        ),
+        "array_rotate_left": _array_rotate,
+        "array_rotate_right": lambda a, n: _array_rotate(a, -n),
+        "array_shift_left": _array_shift,
+        "array_shift_right": lambda a, n: _array_shift(a, -n),
+        "array_split": _array_split,
+        "array_iff": _array_iff,
         # series gap-filling (the make-series default=null companions):
         # const is one transform; forward is one fold; backward is
         # forward on the reversed array; linear interpolates interior

@@ -3107,3 +3107,88 @@ def k86_kql_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | project event_id, dm = tolong(d)",
         {"Events": events},
     )
+
+
+@query(
+    "k87_kql_array_manipulation",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), six AS (
+  SELECT doc_id, ws[1:6] AS a, ws[1:3] AS h, ws[4:6] AS t
+  FROM base WHERE len(ws) >= 6
+)
+SELECT doc_id,
+  array_to_string(list_concat(a[3:6], a[1:2]), ',') AS rot,
+  array_to_string(list_concat(a[3:6], ['N', 'N']), ',') AS shf,
+  array_to_string(a[1:3], ',') || '|' || array_to_string(a[4:6], ',')
+    AS sp,
+  COALESCE(array_to_string(list_sort(list_distinct(list_concat(h, t))),
+    ','), '') AS su,
+  COALESCE(array_to_string(list_sort(list_filter(list_distinct(h),
+    x -> list_contains(t, x))), ','), '') AS si,
+  COALESCE(array_to_string(list_sort(list_filter(list_distinct(h),
+    x -> NOT list_contains(t, x))), ','), '') AS sd,
+  h[1] || ':' || t[1] || ',' || h[2] || ':' || t[2] || ',' ||
+    h[3] || ':' || t[3] AS zp
+FROM six
+""",
+    tags=("kql", "scalar", "arrays"),
+)
+def k87_kql_array_manipulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-manipulation scalar family — ``array_rotate_left`` /
+    ``array_shift_left`` / ``array_split`` / ``set_union`` /
+    ``set_intersect`` / ``set_difference`` / ``zip`` (kql.py array
+    family: rotation via pmod + two slices, shifts via the
+    out-of-range-get null fill, dedup set algebra on Spark's
+    distinct-preserving array ops): each document's first six words
+    rotated, shifted, split, and set-compared head-vs-tail. Set
+    results are sorted on both sides — Kusto documents set_* element
+    ORDER as unspecified, so the pinned comparison is set equality
+    (the dedup semantics themselves are pinned by the unit test).
+
+    Scale shape: pure JVM array expressions per row — one scan, zero
+    shuffles, no UDF, no explode."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    base = docs.select(
+        "doc_id",
+        F.slice(ws, 1, 6).alias("a"),
+        F.slice(ws, 1, 3).alias("h"),
+        F.slice(ws, 4, 3).alias("t"),
+        F.size(ws).alias("__n"),
+    ).filter(F.col("__n") >= 6).drop("__n")
+    out = kql(
+        "T | extend rotv = array_rotate_left(a, 2),"
+        " shfv = array_shift_left(a, 2),"
+        " spv = array_split(a, 3),"
+        " suv = array_sort_asc(set_union(h, t)),"
+        " siv = array_sort_asc(set_intersect(h, t)),"
+        " sdv = array_sort_asc(set_difference(h, t)),"
+        " zpv = zip(h, t)",
+        {"T": base},
+    )
+    j = lambda c: F.array_join(c, ",")  # noqa: E731
+    return out.select(
+        "doc_id",
+        j(F.col("rotv")).alias("rot"),
+        F.array_join(
+            F.transform("shfv", lambda x: F.coalesce(x, F.lit("N"))), ","
+        ).alias("shf"),
+        F.concat(
+            j(F.element_at("spv", 1)), F.lit("|"), j(F.element_at("spv", 2))
+        ).alias("sp"),
+        j(F.col("suv")).alias("su"),
+        j(F.col("siv")).alias("si"),
+        j(F.col("sdv")).alias("sd"),
+        F.array_join(
+            F.transform(
+                "zpv",
+                lambda p: F.concat(
+                    F.element_at(p, 1), F.lit(":"), F.element_at(p, 2)
+                ),
+            ),
+            ",",
+        ).alias("zp"),
+    )

@@ -2084,3 +2084,39 @@ def test_kql_geo_distance_2points(spark):
     assert 111100.0 < rows[0]["d"] < 111300.0
     assert rows[1]["d"] == 0.0
     assert rows[2]["d"] is None
+
+
+def test_kql_array_manipulation_scalars(spark):
+    """array family: rotate (negative = right), shift (null fill via
+    out-of-range get), split, pack_array, zip, the dedup set_* trio,
+    and element-wise array_iff."""
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4, 5], [4, 5, 6])], "a array<int>, b array<int>"
+    )
+    r = kql(
+        "T | extend rl = array_rotate_left(a, 2),"
+        " rr = array_rotate_right(a, 1),"
+        " rneg = array_rotate_left(a, -1),"
+        " sl = array_shift_left(a, 2),"
+        " sr = array_shift_right(a, 2),"
+        " sp = array_split(a, 2),"
+        " pk = pack_array(10, 20),"
+        " z = zip(b, b),"
+        " su = set_union(a, b), si = set_intersect(a, b),"
+        " sd = set_difference(a, b),"
+        " ai = array_iff(pack_array(true, false, true),"
+        "                pack_array(1, 2, 3), pack_array(9, 8, 7))",
+        {"T": df},
+    ).collect()[0]
+    assert r["rl"] == [3, 4, 5, 1, 2]
+    assert r["rr"] == [5, 1, 2, 3, 4]
+    assert r["rneg"] == [5, 1, 2, 3, 4]
+    assert r["sl"] == [3, 4, 5, None, None]
+    assert r["sr"] == [None, None, 1, 2, 3]
+    assert r["sp"] == [[1, 2], [3, 4, 5]]
+    assert r["pk"] == [10, 20]
+    assert r["z"] == [[4, 4], [5, 5], [6, 6]]
+    assert r["su"] == [1, 2, 3, 4, 5, 6]
+    assert r["si"] == [4, 5]
+    assert r["sd"] == [1, 2, 3]
+    assert r["ai"] == [1, 8, 3]
