@@ -3470,6 +3470,44 @@ def _compile_session_count(
     )
 
 
+def _compile_rolling_percentile(
+    df: DataFrame,
+    val_col: str,
+    pct: float,
+    ts_col: str,
+    start: str,
+    end: str,
+    bin_s: float,
+    nbins: int,
+) -> DataFrame:
+    """``evaluate rolling_percentile(Val, P, Ts, Start, End, Bin,
+    BinsPerWindow)`` — per report bin, the EXACT interpolated
+    percentile of the value column over the trailing BinsPerWindow
+    bins (Kusto's plugin derives the range from the data and uses its
+    sketch percentile; this engine requires the explicit range — the
+    k78/k79 plugin convention — and pins the exact linear-interpolation
+    definition, k30's contract). Empty windows yield null. Dense
+    timeline, report points at bin boundaries.
+
+    Scale shape: one explode fan of lookback/bin copies per event
+    (exact percentiles do not merge across bins — the same reason k78
+    fans for DISTINCT), ONE groupBy per report bin; at 100 TB the
+    swap is percentile_approx / t-digest per bin merged over the
+    window, same report schema."""
+    fan, K = _fan_to_bins(df, ts_col, start, end, nbins * bin_s, bin_s)
+    agg = fan.groupBy("__k").agg(
+        F.percentile(F.col(val_col), F.lit(pct / 100.0)).alias(
+            "rolling_percentile"
+        )
+    )
+    grid = _bin_grid(df, start, bin_s, K)
+    return (
+        grid.join(agg, "__k", "left")
+        .select("Timeline", "rolling_percentile")
+        .orderBy("Timeline")
+    )
+
+
 def _compile_diffpatterns(
     df: DataFrame, split_col: str, val_a: str, val_b: str
 ) -> DataFrame:
@@ -4958,6 +4996,46 @@ def kql(
                     df = _compile_session_count(
                         df, ac_id, ac_ts, ac_start, ac_end, ac_d1, ac_d2
                     )
+                continue
+            if ev_fn == "rolling_percentile":
+                # evaluate rolling_percentile(Val, P, Ts, Start, End,
+                #   Bin, BinsPerWindow) — see the compile function.
+                p.expect("(")
+                rp_val = p.next().text
+                p.expect(",")
+                rp_p = float(p.next().text)
+                p.expect(",")
+                rp_ts = p.next().text
+                p.expect(",")
+                rp_start = p._datetime_literal()
+                p.expect(",")
+                rp_end = p._datetime_literal()
+                p.expect(",")
+                rp_bin = p._duration_seconds(p.next().text)
+                p.expect(",")
+                rp_n = int(p.next().text)
+                p.expect(")")
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                for c in (rp_val, rp_ts):
+                    if c not in df.columns:
+                        raise ValueError(
+                            f"KQL: rolling_percentile column {c!r} not found"
+                        )
+                if not 0 <= rp_p <= 100:
+                    raise ValueError(
+                        "KQL: rolling_percentile needs 0 <= P <= 100"
+                    )
+                if rp_n < 1:
+                    raise ValueError(
+                        "KQL: rolling_percentile needs BinsPerWindow >= 1"
+                    )
+                df = _compile_rolling_percentile(
+                    df, rp_val, rp_p, rp_ts, rp_start, rp_end, rp_bin, rp_n
+                )
                 continue
             if ev_fn == "diffpatterns":
                 # evaluate diffpatterns(SplitCol, 'A', 'B') — see

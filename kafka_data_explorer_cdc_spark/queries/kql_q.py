@@ -3192,3 +3192,41 @@ def k87_kql_array_manipulation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("zp"),
     )
+
+
+@query(
+    "k88_kql_rolling_percentile",
+    oracle="""
+WITH bins AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-29 00:00:00',
+                                INTERVAL 1 DAY)) AS t
+)
+SELECT b.t AS Timeline,
+       quantile_cont(e.value, 0.9) AS rolling_percentile
+FROM bins b
+LEFT JOIN events e
+  ON e.ts > b.t - INTERVAL 7 DAY AND e.ts <= b.t
+GROUP BY 1
+""",
+    tags=("kql", "timeseries", "percentile"),
+)
+def k88_kql_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate rolling_percentile()`` — Kusto's rolling-window
+    percentile plugin under this engine's pinned contract
+    (kql.py:_compile_rolling_percentile: explicit range, EXACT linear
+    interpolation — k30's percentile contract; Kusto's own is its
+    internal sketch): per daily bin, the p90 of the event value over
+    the trailing 7-day window; null where the window is empty.
+
+    Scale shape: one x7 explode fan + ONE groupBy per report bin
+    (exact percentiles do not merge across bins, the k78 DISTINCT
+    argument); at 100 TB the swap is a t-digest per day merged per
+    window. The oracle is the textbook bins x events range join."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | evaluate rolling_percentile(value, 90, ts,"
+        " datetime('2024-01-01 00:00:00'),"
+        " datetime('2024-01-29 00:00:00'), 1d, 7)",
+        {"Events": events},
+    )
