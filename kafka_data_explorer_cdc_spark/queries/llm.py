@@ -8541,3 +8541,75 @@ ELSE 0.0D END"""
     return m.select(
         "doc_id", *frac_cols, verdict.cast("int").alias("repetitive")
     )
+
+
+@query(
+    "d100_phrase_search_postings",
+    oracle="""
+WITH post AS (
+  SELECT doc_id, g.i AS pos, ws[g.i + 1] AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents) d,
+       unnest(generate_series(0, len(ws) - 1)) AS g(i)
+)
+SELECT p1.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(p1.pos) AS BIGINT) AS first_pos
+FROM post p1
+JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+            AND p2.term = 'hash'
+JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+            AND p3.term = 'batch'
+WHERE p1.term = 'slow'
+GROUP BY 1
+""",
+    tags=("llm", "retrieval", "index"),
+)
+def d100_phrase_search_postings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Positional inverted index + phrase query — the IR primitive
+    under every "exact phrase" search box (Lucene's positional
+    postings, expressed relationally): build (term, doc_id, position)
+    postings from the corpus, then resolve the phrase "slow hash
+    batch" as a positional self-join chain (term matches at p, p+1,
+    p+2 in the same document); per matching document the match count
+    and first occurrence position.
+
+    Scale shape: postings build is ONE posexplode projection (no
+    shuffle — the explode pipelines into the scan) and each term
+    filter applies BEFORE any join, so the joins move only the three
+    terms' postings lists, never the corpus. At rest the postings
+    table would be written partitioned/bucketed BY TERM, turning each
+    probe into a partition-pruned read (this entry builds it inline —
+    the filter sits directly on the generator output, the same rows a
+    pruned read would return). The join chain keys on (doc_id,
+    pos±k) — equi-joins, AQE-broadcastable at real phrase
+    selectivities. The oracle replays the identical postings and
+    chain."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    post = docs.select(
+        "doc_id", F.posexplode(ws).alias("pos", "term")
+    )
+    w1, w2, w3 = "slow", "hash", "batch"
+    p1 = post.filter(F.col("term") == w1).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    p2 = post.filter(F.col("term") == w2).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    p3 = post.filter(F.col("term") == w3).select(
+        "doc_id", F.col("pos").alias("p3")
+    )
+    hits = (
+        p1.join(p2, ["doc_id"])
+        .filter(F.col("p2") == F.col("p1") + 1)
+        .join(p3, ["doc_id"])
+        .filter(F.col("p3") == F.col("p1") + 2)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("p1").cast("long").alias("first_pos"),
+    )
