@@ -620,6 +620,40 @@ def _ipv4_is_in_range(ip: Column, rng: Column) -> Column:
     )
 
 
+def _parse_url(c: Column) -> Column:
+    """``parse_url(url)`` — Kusto's URL decomposition, returned as a
+    dynamic bag (JSON string, the series_stats_dynamic convention) with
+    Kusto's documented keys: Scheme, Host, Port, Path, Username,
+    Password, Query Parameters (itself a bag), Fragment. Wraps Spark's
+    built-in ``try_parse_url`` (java.net.URI semantics, malformed →
+    null — Kusto's error-as-null); Port comes from the AUTHORITY
+    part, credentials from USERINFO. Composes with
+    ``parse_json``/``bag_unpack`` downstream."""
+    part = lambda p: F.try_parse_url(c, F.lit(p))  # noqa: E731
+    userinfo = part("USERINFO")
+    auth = part("AUTHORITY")
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    return F.to_json(
+        F.struct(
+            part("PROTOCOL").alias("Scheme"),
+            part("HOST").alias("Host"),
+            port.alias("Port"),
+            part("PATH").alias("Path"),
+            F.substring_index(userinfo, ":", 1).alias("Username"),
+            F.when(
+                userinfo.contains(":"),
+                F.substring_index(userinfo, ":", -1),
+            )
+            .otherwise(F.lit(""))
+            .alias("Password"),
+            F.str_to_map(part("QUERY"), F.lit("&"), F.lit("=")).alias(
+                "Query Parameters"
+            ),
+            part("REF").alias("Fragment"),
+        )
+    )
+
+
 def _array_rotate(a: Column, n: Column) -> Column:
     """``array_rotate_left(arr, n)`` — circular rotation; negative n
     rotates right (Kusto). pmod folds any n into [0, size)."""
@@ -1308,6 +1342,8 @@ class _Parser:
         "array_shift_right": lambda a, n: _array_shift(a, -n),
         "array_split": _array_split,
         "array_iff": _array_iff,
+        # parse_url — dynamic bag (JSON string) of URL components
+        "parse_url": _parse_url,
         # series gap-filling (the make-series default=null companions):
         # const is one transform; forward is one fold; backward is
         # forward on the reversed array; linear interpolates interior

@@ -3230,3 +3230,50 @@ def k88_kql_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " datetime('2024-01-29 00:00:00'), 1d, 7)",
         {"Events": events},
     )
+
+
+@query(
+    "k89_kql_parse_url",
+    oracle="""
+WITH u AS (
+  SELECT 'shop-' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com'
+           AS host,
+         CAST(8080 + o_orderkey % 3 AS VARCHAR) AS port,
+         '/cat/' || replace(o_orderpriority, ' ', '_') AS path
+  FROM orders
+)
+SELECT host, port,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT path) AS BIGINT) AS dpath
+FROM u GROUP BY 1, 2
+""",
+    tags=("kql", "scalar", "url"),
+)
+def k89_kql_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_url`` — Kusto's URL decomposition as a dynamic bag
+    (kql.py:_parse_url over Spark's built-in parse_url; Scheme/Host/
+    Port/Path/credentials/Query Parameters/Fragment keys), composed
+    with ``parse_json`` dynamic access: synthesize a deterministic
+    URL per order, parse it back, roll up traffic per (host, port)
+    with the distinct path count. The oracle rebuilds the components
+    from the same arithmetic — the differential proves the
+    construct→parse round-trip, not just that a parser ran.
+
+    Scale shape: parse_url + three get_json_object probes are pure
+    codegen per row (the b15a dynamic-access shape — no full-document
+    parse, no UDF); ONE map-side-combined rollup."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | extend u = strcat('https://shop-',"
+        " tostring(o_custkey % 50), '.example.com:',"
+        " tostring(8080 + o_orderkey % 3), '/cat/',"
+        " replace_string(o_orderpriority, ' ', '_'),"
+        " '?id=', tostring(o_orderkey))"
+        " | extend p = parse_url(u)"
+        " | extend host = tostring(parse_json(p).Host),"
+        "          port = tostring(parse_json(p).Port),"
+        "          path = tostring(parse_json(p).Path)"
+        " | summarize n = count(), dpath = dcount(path) by host, port",
+        {"Orders": orders},
+    )

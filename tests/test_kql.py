@@ -2120,3 +2120,30 @@ def test_kql_array_manipulation_scalars(spark):
     assert r["si"] == [4, 5]
     assert r["sd"] == [1, 2, 3]
     assert r["ai"] == [1, 8, 3]
+
+
+def test_kql_parse_url(spark):
+    """parse_url: Kusto's documented bag keys over Spark's built-in
+    URL decomposition, including credentials, port, query bag and
+    fragment."""
+    import json
+
+    df = spark.createDataFrame(
+        [
+            ("https://user:pw@shop.example.com:8080/a/b?x=1&y=2#frag",),
+            ("http://plain.example.org/path",),
+        ],
+        "u string",
+    )
+    rows = kql("T | extend p = parse_url(u)", {"T": df}).collect()
+    full = json.loads(rows[0]["p"])
+    assert full["Scheme"] == "https"
+    assert full["Host"] == "shop.example.com"
+    assert full["Port"] == "8080"
+    assert full["Path"] == "/a/b"
+    assert full["Username"] == "user" and full["Password"] == "pw"
+    assert full["Query Parameters"] == {"x": "1", "y": "2"}
+    assert full["Fragment"] == "frag"
+    plain = json.loads(rows[1]["p"])
+    assert plain["Scheme"] == "http" and plain["Path"] == "/path"
+    assert plain.get("Port", "") in ("", None)
