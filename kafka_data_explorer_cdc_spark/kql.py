@@ -620,6 +620,19 @@ def _ipv4_is_in_range(ip: Column, rng: Column) -> Column:
     )
 
 
+def _end_of(start: Column, **interval) -> Column:
+    """Period start + one calendar interval − 1 µs (the endof* family's
+    shared tail)."""
+    z = F.lit(0)
+    base = dict(
+        years=z, months=z, weeks=z, days=z, hours=z, mins=z, secs=F.lit(0.0)
+    )
+    base.update({k: F.lit(v) for k, v in interval.items()})
+    return F.timestamp_micros(
+        F.unix_micros(start + F.make_interval(**base)) - 1
+    )
+
+
 def _parse_url(c: Column) -> Column:
     """``parse_url(url)`` — Kusto's URL decomposition, returned as a
     dynamic bag (JSON string, the series_stats_dynamic convention) with
@@ -1210,6 +1223,10 @@ class _Parser:
         "toreal": lambda c: c.cast("double"),
         "tobool": lambda c: c.cast("boolean"),
         "todatetime": lambda c: c.cast("timestamp"),
+        # datetime('2024-01-01 00:00:00') in expression position — the
+        # literal-constructor spelling (plugin argument slots parse it
+        # via _datetime_literal; here it is an ordinary cast)
+        "datetime": lambda c: c.cast("timestamp"),
         "round": F.round,
         "abs": F.abs,
         "floor": F.floor,
@@ -1344,6 +1361,33 @@ class _Parser:
         "array_iff": _array_iff,
         # parse_url — dynamic bag (JSON string) of URL components
         "parse_url": _parse_url,
+        # endof* — last representable instant of the calendar period
+        # at this engine's microsecond precision (Kusto's 100 ns ticks
+        # round to the same display second; pinned micro contract)
+        "endofday": lambda c: _end_of(F.date_trunc("day", c), days=1),
+        "endofweek": lambda c: _end_of(
+            F.date_sub(c, F.dayofweek(c) - F.lit(1)).cast("timestamp"),
+            days=7,
+        ),
+        "endofmonth": lambda c: _end_of(F.date_trunc("month", c), months=1),
+        "endofyear": lambda c: _end_of(F.date_trunc("year", c), years=1),
+        # binary_* — 64-bit bitwise scalars; shifts take expression
+        # counts via call_function (the pyspark wrappers demand
+        # literals)
+        "binary_and": lambda a, b: a.cast("long").bitwiseAND(
+            b.cast("long")
+        ),
+        "binary_or": lambda a, b: a.cast("long").bitwiseOR(b.cast("long")),
+        "binary_xor": lambda a, b: a.cast("long").bitwiseXOR(
+            b.cast("long")
+        ),
+        "binary_not": lambda a: F.bitwise_not(a.cast("long")),
+        "binary_shift_left": lambda a, n: F.call_function(
+            "shiftleft", a.cast("long"), n.cast("int")
+        ),
+        "binary_shift_right": lambda a, n: F.call_function(
+            "shiftright", a.cast("long"), n.cast("int")
+        ),
         # series gap-filling (the make-series default=null companions):
         # const is one transform; forward is one fold; backward is
         # forward on the reversed array; linear interpolates interior
@@ -1687,6 +1731,63 @@ class _Parser:
                         mins=z, secs=F.lit(0.0))
             base.update(kw)
             return dt + F.make_interval(**base)
+        if name == "datetime_diff":
+            # datetime_diff('part', dt1, dt2) — calendar BOUNDARIES
+            # crossed between dt2 and dt1 (Kusto's count-of-boundaries
+            # semantics, NOT elapsed time: datetime_diff('year',
+            # 2017-01-01, 2016-12-31) = 1). Weeks anchor on Sunday
+            # (Kusto), not ISO Monday.
+            self.expect("(")
+            part = self.next()
+            ptext = (
+                part.text[1:-1] if part.kind == "str" else part.text
+            ).lower()
+            allowed = (
+                "year", "quarter", "month", "week", "day",
+                "hour", "minute", "second",
+            )
+            if ptext not in allowed:
+                raise ValueError(
+                    f"KQL: datetime_diff part must be one of "
+                    f"{sorted(allowed)}, got {ptext!r}"
+                )
+            self.expect(",")
+            d1 = self.expr().cast("timestamp")
+            self.expect(",")
+            d2 = self.expr().cast("timestamp")
+            self.expect(")")
+            if ptext == "year":
+                return (F.year(d1) - F.year(d2)).cast("long")
+            if ptext == "quarter":
+                return (
+                    (F.year(d1) * 4 + F.quarter(d1))
+                    - (F.year(d2) * 4 + F.quarter(d2))
+                ).cast("long")
+            if ptext == "month":
+                return (
+                    (F.year(d1) * 12 + F.month(d1))
+                    - (F.year(d2) * 12 + F.month(d2))
+                ).cast("long")
+            if ptext == "week":
+                sun = lambda c: F.date_sub(  # noqa: E731
+                    F.to_date(c), F.dayofweek(c) - F.lit(1)
+                )
+                return F.floor(
+                    F.datediff(sun(d1), sun(d2)) / F.lit(7)
+                ).cast("long")
+            if ptext == "day":
+                return F.datediff(F.to_date(d1), F.to_date(d2)).cast("long")
+            secs = {"hour": 3600, "minute": 60, "second": 1}[ptext]
+            unit = {"hour": "hour", "minute": "minute", "second": "second"}[
+                ptext
+            ]
+            return F.floor(
+                (
+                    F.unix_seconds(F.date_trunc(unit, d1))
+                    - F.unix_seconds(F.date_trunc(unit, d2))
+                )
+                / F.lit(secs)
+            ).cast("long")
         if name in ("row_number", "prev", "next", "row_cumsum"):
             # Kusto's serialized window functions. They are only legal
             # over a serialized (row-ordered) input — in this subset

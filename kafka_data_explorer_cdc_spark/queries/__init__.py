@@ -94,6 +94,7 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "k90_kql_datetime_diff_bitwise",
     "k89_kql_parse_url",
     "d100_phrase_search_postings",
     "k88_kql_rolling_percentile",
@@ -145,11 +146,10 @@ _FRONT = [
     "k73_kql_series_fill",
     # (2) the r2-stale cohort (14)
     "k13_kql_recent_orders",
-    "k14_kql_avg_sales",
-    # window exactly full at 50 (31 round-11 additions + 17 round-10
-    # additions + 2 r2 entries; k15-k17/k20-k23/d07/d16-d19 and
+    # window exactly full at 50 (32 round-11 additions + 17 round-10
+    # additions + 1 r2 entry; k14-k17/k20-k23/d07/d16-d19 and
     # b13c_except displaced by the k80-k84 additions). Displaced
-    # r2/r3 entries — k15_kql_total_sales, k16_kql_order_counts, k17_kql_filtered_pipeline, k20_kql_between, k21_kql_countif_sumif, k22_kql_parse_json, k23_kql_mv_expand, d07_embedding_cosine_topk, d16_chunk_documents, d17_contamination_check,
+    # r2/r3 entries — k14_kql_avg_sales, k15_kql_total_sales, k16_kql_order_counts, k17_kql_filtered_pipeline, k20_kql_between, k21_kql_countif_sumif, k22_kql_parse_json, k23_kql_mv_expand, d07_embedding_cosine_topk, d16_chunk_documents, d17_contamination_check,
     # d18_repetition_ratio, d19_stratified_sample, b13c_except,
     # b14_scalar_functions, b14b_date_functions, b15a_json_extract,
     # b15b_array_functions,

@@ -3277,3 +3277,72 @@ def k89_kql_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | summarize n = count(), dpath = dcount(path) by host, port",
         {"Orders": orders},
     )
+
+
+@query(
+    "k90_kql_datetime_diff_bitwise",
+    oracle="""
+WITH b AS (
+  SELECT
+    (1998*12 + 8)
+      - (EXTRACT(YEAR FROM o_orderdate)*12
+         + EXTRACT(MONTH FROM o_orderdate)) AS mdiff,
+    CAST(FLOOR((
+      (DATE '1998-08-02' - CAST(0 AS INTEGER))
+      - (o_orderdate::DATE - CAST(dayofweek(o_orderdate) AS INTEGER))
+    ) / 7.0) AS BIGINT) AS wdiff,
+    CAST(DATE '1998-08-02' - o_orderdate::DATE AS BIGINT) AS ddiff,
+    date_trunc('month', o_orderdate) + INTERVAL 1 MONTH
+      - INTERVAL 1 MICROSECOND AS eom,
+    o_orderkey & 255 AS ba,
+    (o_orderkey % 8) << 3 AS bs,
+    xor(o_orderkey, o_custkey) AS bx
+  FROM orders
+)
+SELECT CAST(mdiff % 4 AS BIGINT) AS q,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ba) AS BIGINT) AS sba,
+       CAST(SUM(bs) AS BIGINT) AS sbs,
+       CAST(SUM(bx) AS BIGINT) AS sbx,
+       CAST(COUNT(DISTINCT eom) AS BIGINT) AS deom,
+       CAST(MIN(wdiff) AS BIGINT) AS wmin,
+       CAST(MAX(wdiff) AS BIGINT) AS wmax,
+       CAST(SUM(ddiff) AS BIGINT) AS dsum
+FROM b GROUP BY 1 ORDER BY 1
+""",
+    tags=("kql", "scalar", "datetime", "bitwise"),
+)
+def k90_kql_datetime_diff_bitwise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``datetime_diff`` (calendar-boundary counting, Sunday-anchored
+    weeks) + the ``endof*`` period family + the ``binary_*`` bitwise
+    family (kql.py: datetime_diff block, _end_of, binary_* scalars):
+    order ages against a fixed anchor in months/weeks/days, month-end
+    stamps, and bitwise key arithmetic, rolled up per month-diff
+    quarter-bucket.
+
+    NOTE the week anchor: DuckDB's dayofweek is 0 = Sunday while
+    Spark's is 1 = Sunday — the oracle subtracts dow directly where
+    Spark subtracts dow − 1; both land on the same Sunday start.
+
+    Scale shape: all scalars are pure codegen arithmetic; ONE
+    map-side-combined rollup; no UDF."""
+    orders = load(spark, sf_dir, "orders")
+    anchor = "datetime('1998-08-02 00:00:00')"
+    return kql(
+        "Orders"
+        f" | extend mdiff = datetime_diff('month', {anchor}, o_orderdate),"
+        f"          wdiff = datetime_diff('week', {anchor}, o_orderdate),"
+        f"          ddiff = datetime_diff('day', {anchor}, o_orderdate),"
+        "           eom = endofmonth(o_orderdate),"
+        "           ba = binary_and(o_orderkey, 255),"
+        "           bs = binary_shift_left(o_orderkey % 8, 3),"
+        "           bx = binary_xor(o_orderkey, o_custkey)"
+        " | summarize n = count(), sba = sum(ba), sbs = sum(bs),"
+        "             sbx = sum(bx), deom = dcount(eom),"
+        "             wmin = min(wdiff), wmax = max(wdiff),"
+        "             dsum = sum(ddiff) by q = mdiff % 4"
+        " | sort by q asc",
+        {"Orders": orders},
+    )

@@ -2147,3 +2147,47 @@ def test_kql_parse_url(spark):
     plain = json.loads(rows[1]["p"])
     assert plain["Scheme"] == "http" and plain["Path"] == "/path"
     assert plain.get("Port", "") in ("", None)
+
+
+def test_kql_datetime_diff_and_endof(spark):
+    """datetime_diff counts calendar BOUNDARIES (Kusto), weeks anchor
+    Sunday; endof* returns the last microsecond of the period."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2016, 12, 31, 23, 59), dt.datetime(2017, 1, 1, 0, 1))],
+        "a timestamp, b timestamp",
+    )
+    r = kql(
+        "T | extend y = datetime_diff('year', b, a),"
+        " m = datetime_diff('month', b, a),"
+        " d = datetime_diff('day', b, a),"
+        " h = datetime_diff('hour', b, a),"
+        " w = datetime_diff('week', datetime('2024-01-07 00:00:00'), "
+        "datetime('2024-01-06 23:59:59')),"  # Sat -> Sun: one Sunday crossed
+        " eod = endofday(a), eom = endofmonth(a), eoy = endofyear(a),"
+        " eow = endofweek(datetime('2024-01-03 12:00:00'))",
+        {"T": df},
+    ).collect()[0]
+    assert r["y"] == 1 and r["m"] == 1 and r["d"] == 1 and r["h"] == 1
+    assert r["w"] == 1
+    assert r["eod"] == dt.datetime(2016, 12, 31, 23, 59, 59, 999999)
+    assert r["eom"] == dt.datetime(2016, 12, 31, 23, 59, 59, 999999)
+    assert r["eoy"] == dt.datetime(2016, 12, 31, 23, 59, 59, 999999)
+    # 2024-01-03 is a Wednesday; the Sunday-anchored week ends Sat 06
+    assert r["eow"] == dt.datetime(2024, 1, 6, 23, 59, 59, 999999)
+
+
+def test_kql_binary_scalars(spark):
+    """binary_* family: 64-bit bitwise ops with expression shift
+    counts."""
+    df = spark.createDataFrame([(12, 10, 2)], "a long, b long, n long")
+    r = kql(
+        "T | extend ba = binary_and(a, b), bo = binary_or(a, b),"
+        " bx = binary_xor(a, b), bn = binary_not(a),"
+        " sl = binary_shift_left(a, n), sr = binary_shift_right(a, n)",
+        {"T": df},
+    ).collect()[0]
+    assert r["ba"] == 8 and r["bo"] == 14 and r["bx"] == 6
+    assert r["bn"] == ~12
+    assert r["sl"] == 48 and r["sr"] == 3
