@@ -1363,3 +1363,41 @@ def test_k78_sliding_window_counts_fan_not_range_join(spark, sf_dir):
     for m in _re.finditer(r"BroadcastNestedLoopJoin[^\n]*", p):
         raise AssertionError("range join leaked into the plan: " + m.group(0))
     assert "BatchEvalPython" not in p, p
+
+
+def test_d99_gopher_repetition_zero_shuffle_no_python(spark, sf_dir):
+    """d99 (Gopher repetition battery): one scan, ZERO shuffles —
+    every signal is a row-local JVM HOF chain; no Exchange, no
+    Python, no explode."""
+    p = plan_of(spark, sf_dir, "d99_gopher_repetition_signals")
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "Generate" not in p, p
+
+
+def test_d100_phrase_search_filters_before_joins(spark, sf_dir):
+    """d100 (phrase search): the per-term filters must sit BELOW the
+    positional joins (only the phrase terms' postings move) and the
+    chain must be equi-joins — no CartesianProduct, no Python."""
+    p = plan_of(spark, sf_dir, "d100_phrase_search_postings")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+    # term predicates present as Filter conditions on the postings
+    assert p.count("slow") >= 1 and p.count("hash") >= 1, p
+
+
+def test_k88_rolling_percentile_fan_not_range_join(spark, sf_dir):
+    """k88 (rolling_percentile): explode fan + ONE hash aggregate per
+    report bin — the oracle's bins x events range join
+    (BroadcastNestedLoopJoin) must not appear."""
+    p = plan_of(spark, sf_dir, "k88_kql_rolling_percentile")
+    assert "Generate explode" in p, p
+    assert "BroadcastNestedLoopJoin" not in p or "percentile" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_k80_series_fit_line_no_explode_no_python(spark, sf_dir):
+    """k80 (series_fit_line): the fit is JVM folds over make-series
+    arrays — no explode beyond make-series' own shape, no Python."""
+    p = plan_of(spark, sf_dir, "k80_kql_series_fit_line")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
