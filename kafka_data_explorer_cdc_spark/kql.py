@@ -80,6 +80,16 @@ Supported (the reference's surface plus the obvious neighbors):
         clamped centered-moving-average trend, per-phase seasonal,
         residual; period is a positive literal — tuple-destructuring
         extend binds the four output arrays)
+      | extend (rsq, sl, v, rv, ic, fit) = series_fit_line(x)   (per-
+        series OLS; population moments, rsquare = 1 on flat series)
+      | extend (rsq, k, v, rv, fit) = series_fit_2lines(x)   (best
+        two-piece fit by total SSE; split sweep over [2, n-2], ties
+        keep the smallest split, n < 4 falls back with split_idx = -1)
+      | evaluate sliding_window_counts(...) / activity_engagement(...)
+        / activity_counts_metrics(...) / new_activity_metrics(...)
+        / session_count(...) / rolling_percentile(...)   (the
+        activity/rolling plugin family — explicit-range, dense
+        timelines; see each _compile_* for the pinned contract)
       | extend v = arr[i]   (computed 0-based index into an array
         column — element_at; literal indexes also probe dynamic JSON)
       | where x > toscalar( Sub | ... )   (scalar subquery: compiled,
