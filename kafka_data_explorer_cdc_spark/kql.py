@@ -80,6 +80,10 @@ Supported (the reference's surface plus the obvious neighbors):
         clamped centered-moving-average trend, per-phase seasonal,
         residual; period is a positive literal — tuple-destructuring
         extend binds the four output arrays)
+      | extend f = series_decompose_forecast(x, period, points)
+        (decomposition-based forecast: model fit on the series minus
+        the last `points` bins, OLS-extrapolated trend + phase means
+        over the full grid)
       | extend (rsq, sl, v, rv, ic, fit) = series_fit_line(x)   (per-
         series OLS; population moments, rsquare = 1 on flat series)
       | extend (rsq, k, v, rv, fit) = series_fit_2lines(x)   (best
@@ -142,13 +146,17 @@ string / numeric / duration
 ``parse_json(col).field`` dynamic access (compiles to a single
 ``get_json_object`` probe), ``iff``/``case``/``strcat``/
 ``strcat_array``/``extract``/``substring``/``coalesce``/``isnull``/
-``isempty``/``isnotnull``/``isnotempty``/``isnan``/``isfinite``, ``hash(v[, mod])``/``tohex``, ``array_index_of``/``array_slice``/``array_reverse``/``array_sort_asc|desc``, ``max_of``/``min_of``, ``base64_encode_tostring``/``base64_decode_tostring``, ``url_encode_component``/``url_decode``, ``trim``/``trim_start``/``trim_end`` (regex), ``strcat_delim``, ``translate`` (Kusto arg order), and ``datetime_add`` (calendar units) scalars. Aggregates: ``count()``, ``sum``/``avg``/``min``/
+``isempty``/``isnotnull``/``isnotempty``/``isnan``/``isfinite``, ``hash(v[, mod])``/``tohex``, ``array_index_of``/``array_slice``/``array_reverse``/``array_sort_asc|desc``, ``max_of``/``min_of``, ``base64_encode_tostring``/``base64_decode_tostring``, ``url_encode_component``/``url_decode``, ``trim``/``trim_start``/``trim_end`` (regex), ``strcat_delim``, ``translate`` (Kusto arg order), and ``datetime_add`` (calendar units) scalars; the dynamic-bag family ``bag_pack`` (typed struct for literal keys, string map for computed keys) / ``bag_keys`` / ``bag_merge`` (first wins) / ``bag_remove_keys``; datetime formatting ``format_datetime`` / ``format_timespan`` (numeric-seconds timespan carrier) / ``totimespan`` / ``make_datetime`` / ``week_of_year`` / ``dayofweek`` (days since Sunday); serialized ranks ``row_rank_dense`` / ``row_rank_min`` / ``row_window_session`` (staged window compiles; the session recursion is one Arrow pass — see _compile_row_rank). Aggregates: ``count()``, ``sum``/``avg``/``min``/
 ``max``/``dcount``, ``hll``/``hll_merge`` (mergeable Datasketches HLL
 at rest; scalar ``dcount_hll()`` estimates), ``countif(pred)``,
 ``sumif(col, pred)``,
 ``arg_max``/``arg_min`` (max_by/min_by — one mergeable struct-max, no
 window), ``make_list``/``make_set`` (set form sorted for determinism),
-``percentile(col, P)`` (exact; swap percentile_approx at scale).
+``percentile(col, P)`` (exact; swap percentile_approx at scale),
+``percentilew(col, w, P)`` (exact nearest-rank weighted percentile —
+one sorted collect + one fold), ``take_any``/``take_anyif``
+(deterministic min where Kusto promises arbitrary), ``make_bag``
+(deterministic first-wins bag union), ``binary_all_or/and/xor``.
 
 KQL semantics preserved deliberately:
 - ``sort by`` defaults to DESC (README.md:373-378 — SURVEY.md §7
@@ -196,6 +204,19 @@ _AGGS = {
     # sketches at rest (the b41 pattern), scalar dcount_hll() estimates
     "hll": lambda c: F.hll_sketch_agg(c),
     "hll_merge": lambda c: F.hll_union_agg(c),
+    # make_bag(bag) — group-wise dynamic-bag union (deterministic
+    # first-wins in ascending JSON order; see _make_bag_agg)
+    "make_bag": lambda c: _make_bag_agg(c),
+    # take_any(col) — Kusto promises an ARBITRARY value; a distributed
+    # differential-tested engine promises a deterministic one instead:
+    # the minimum (null only when every value is null). Same mergeable
+    # single-pass shape as any min.
+    "take_any": lambda c: F.min(c),
+    # binary_all_or / _and / _xor — bitwise aggregate folds on longs
+    # (Spark's bit_* aggregates: mergeable, map-side combined)
+    "binary_all_or": lambda c: F.bit_or(c),
+    "binary_all_and": lambda c: F.bit_and(c),
+    "binary_all_xor": lambda c: F.bit_xor(c),
 }
 
 
@@ -398,6 +419,51 @@ def _ols_line(acc: Column) -> Column:
         F.lit(0.0)
     )
     return F.struct(slope.alias("slope"), icpt.alias("interception"))
+
+
+def _series_decompose_forecast(
+    arr: Column, period: int, points: int
+) -> Column:
+    """``series_decompose_forecast(x, period, points)`` — Kusto's
+    decomposition-based forecaster, pinned contract: the model is fit
+    on the series MINUS its last ``points`` elements (the horizon
+    make-series fills with defaults): this engine's STL-lite
+    :func:`_series_decompose` over the train slice, the trend
+    component extrapolated by the series_fit_line OLS (0-based x),
+    and forecast[i] = line(i) + seasonal_phase(i mod period) for EVERY
+    index — the model baseline re-expressed on the fitted line over
+    the train region, extended across the horizon. (Kusto's own
+    forecaster is this same shape with a fancier trender; the pinned
+    linear trend is what the differential oracle replays exactly.)
+
+    All JVM folds/transforms over the make-series array — no explode,
+    no shuffle, no Python; composes into the one-rollup make-series
+    plan at any corpus size."""
+    n = F.size(arr)
+    train = F.slice(arr, 1, (n - F.lit(points)).cast("int"))
+    dec = _series_decompose(train, period)
+
+    def out(d: Column) -> Column:
+        seas = d.getField("seasonal")
+
+        def fin(acc: Column) -> Column:
+            def mk(line: Column) -> Column:
+                slope = line.getField("slope")
+                icpt = line.getField("interception")
+                return F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: icpt
+                    + slope * i.cast("double")
+                    + F.element_at(
+                        seas, F.pmod(i, F.lit(period)).cast("int") + 1
+                    ),
+                )
+
+            return _let(_ols_line(acc), mk)
+
+        return _ols_fold(d.getField("trend"), fin)
+
+    return _let(dec, out)
 
 
 def _series_fit_line(arr: Column) -> Column:
@@ -640,6 +706,315 @@ def _end_of(start: Column, **interval) -> Column:
     base.update({k: F.lit(v) for k, v in interval.items()})
     return F.timestamp_micros(
         F.unix_micros(start + F.make_interval(**base)) - 1
+    )
+
+
+def _kusto_datetime_format(fmt: str) -> str:
+    """Translate a Kusto format_datetime pattern to the JVM
+    DateTimeFormatter pattern date_format expects. The calendar letters
+    (y M d H h m s) mean the same thing in both dialects and pass
+    through; Kusto's ``f`` (fractional seconds) maps to ``S``, ``tt``
+    (AM/PM) to ``a``. Only the documented Kusto tokens and separators
+    are accepted — anything else is a compile error, never silently a
+    different date."""
+    out, i = [], 0
+    while i < len(fmt):
+        ch = fmt[i]
+        j = i
+        while j < len(fmt) and fmt[j] == ch:
+            j += 1
+        run = j - i
+        if ch in "yMdHhms":
+            out.append(ch * run)
+        elif ch == "f" or ch == "F":
+            out.append("S" * run)
+        elif ch == "t":
+            if run < 2:
+                raise ValueError(
+                    "KQL: format_datetime AM/PM designator is 'tt'"
+                )
+            out.append("a")
+        elif ch in " /-:,._[]":
+            out.append(ch * run)
+        else:
+            raise ValueError(
+                f"KQL: unsupported format_datetime token {ch!r}"
+            )
+        i = j
+    return "".join(out)
+
+
+def _format_timespan(secs: Column, fmt: str) -> Column:
+    """``format_timespan(x, fmt)`` over this engine's numeric-seconds
+    timespan carrier. Supported tokens: ``d`` (unpadded day count,
+    ``dd``+ zero-padded), ``h/hh``, ``m/mm``, ``s/ss``, ``f``-runs
+    (fractional second digits), plus separators. Pure per-row
+    arithmetic + lpad/concat — codegen, no UDF."""
+    x = secs.cast("double")
+    total = F.floor(x).cast("long")
+    pieces: list[Column] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        j = i
+        while j < len(fmt) and fmt[j] == ch:
+            j += 1
+        run = j - i
+        if ch == "d":
+            days = F.floor(x / 86400).cast("long")
+            pieces.append(
+                F.lpad(days.cast("string"), run, "0")
+                if run > 1
+                else days.cast("string")
+            )
+        elif ch == "h":
+            v = F.pmod(F.floor(x / 3600).cast("long"), F.lit(24))
+            pieces.append(F.lpad(v.cast("string"), max(run, 1), "0"))
+        elif ch == "m":
+            v = F.pmod(F.floor(x / 60).cast("long"), F.lit(60))
+            pieces.append(F.lpad(v.cast("string"), max(run, 1), "0"))
+        elif ch == "s":
+            v = F.pmod(total, F.lit(60))
+            pieces.append(F.lpad(v.cast("string"), max(run, 1), "0"))
+        elif ch in "fF":
+            frac = F.floor((x - total) * F.lit(10**run)).cast("long")
+            pieces.append(F.lpad(frac.cast("string"), run, "0"))
+        elif ch in " /-:,._[]":
+            pieces.append(F.lit(ch * run))
+        else:
+            raise ValueError(
+                f"KQL: unsupported format_timespan token {ch!r}"
+            )
+        i = j
+    return F.concat(*pieces)
+
+
+_TIMESPAN_RE = re.compile(
+    r"^(?:(\d+)\.)?(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d+))?)?$"
+)
+
+
+def _timespan_literal_seconds(text: str) -> float:
+    """``totimespan('[d.]hh:mm[:ss[.fff]]')`` — Kusto's timespan
+    literal, as this engine's numeric-seconds carrier."""
+    m = _TIMESPAN_RE.match(text)
+    if not m:
+        raise ValueError(
+            f"KQL: totimespan() expects '[d.]hh:mm[:ss[.f]]', got {text!r}"
+        )
+    d, h, mi, s, frac = m.groups()
+    out = (int(d or 0) * 86400 + int(h) * 3600 + int(mi) * 60
+           + int(s or 0))
+    if frac:
+        out += int(frac) / (10 ** len(frac))
+    return float(out)
+
+
+def _compile_row_rank(df, p, name, ser):
+    """Staged compile of Kusto's serialized rank/session trio —
+    ``row_rank_dense(Term [, restart])``, ``row_rank_min(Term [,
+    restart])`` and ``row_window_session(Expr, MaxDistanceFromFirst,
+    MaxDistanceBetweenValues [, restart])``.
+
+    The ranks need a change-indicator column and then a cumulative
+    window over it; Spark forbids nesting one window function inside
+    another in a single expression, so the compile stages named
+    intermediate columns (the k74 staging rule) and drops them. The
+    rank contract (Kusto's): row_rank_dense increments by one whenever
+    Term differs from the previous row; row_rank_min is the row number
+    of the first row of the current run of equal Terms; a true
+    ``restart`` row resets ranking to 1. SCALE NOTE: serialized
+    operators run on one task in Kusto and here alike — use after a
+    row-bounding stage."""
+    fn = p.next().text.lower()
+    if ser is None:
+        raise ValueError(
+            f"KQL: {fn}() requires serialized input — precede it "
+            f"with 'sort by' (or 'top')"
+        )
+    p.expect("(")
+    term = p.expr()
+    if fn == "row_window_session":
+        spans = []
+        for _ in range(2):
+            p.expect(",")
+            t = p.next()
+            if t.kind == "dur":
+                spans.append(p._duration_seconds(t.text))
+            elif t.kind == "num":
+                spans.append(float(t.text))
+            elif t.kind == "str":
+                spans.append(_timespan_literal_seconds(t.text[1:-1]))
+            else:
+                raise ValueError(
+                    "KQL: row_window_session() distances must be "
+                    "timespan or numeric-seconds literals"
+                )
+        restart = p.expr() if p.accept(",") else None
+        p.expect(")")
+        return _row_window_session(
+            df, ser, name, term, spans[0], spans[1], restart
+        )
+    restart = p.expr() if p.accept(",") else None
+    p.expect(")")
+    w0 = Window.orderBy(*ser)
+    seg = (
+        F.sum(F.when(restart, 1).otherwise(0))
+        .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        if restart is not None
+        else F.lit(0)
+    )
+    df = df.withColumn("__kql_rr_seg", seg)
+    w = Window.partitionBy("__kql_rr_seg").orderBy(*ser)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg = (
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(~term.eqNullSafe(F.lag(term).over(w)), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    df = df.withColumn("__kql_rr_chg", chg)
+    if fn == "row_rank_dense":
+        df = df.withColumn(
+            name, F.sum("__kql_rr_chg").over(cum).cast("long")
+        )
+    else:  # row_rank_min: the run-start's row number
+        df = df.withColumn("__kql_rr_rn", F.row_number().over(w))
+        df = df.withColumn(
+            name,
+            F.max(
+                F.when(F.col("__kql_rr_chg") == 1, F.col("__kql_rr_rn"))
+            )
+            .over(cum)
+            .cast("long"),
+        ).drop("__kql_rr_rn")
+    return df.drop("__kql_rr_seg", "__kql_rr_chg")
+
+
+def _row_window_session(df, ser, name, term, max_first, max_gap, restart):
+    """``row_window_session`` — sessions restart when the value's
+    distance from the session FIRST exceeds ``max_first``, the gap
+    from the PREVIOUS value exceeds ``max_gap``, or ``restart`` is
+    true; returns the session's first value (Kusto's contract). The
+    session start depends on itself (a genuine sequential recursion no
+    window algebra expresses), so this is the one serialized function
+    compiled to an Arrow automaton: ONE mapInPandas pass over the
+    sorted rows — the same shape as the k54/k72 sequence kernels.
+    Serialized input is a single task by contract, so coalesce(1)
+    costs nothing extra."""
+    from pyspark.sql.types import StructField, TimestampType
+
+    w0 = Window.orderBy(*ser)
+    df = df.withColumn("__kql_ws_rn", F.row_number().over(w0))
+    df = df.withColumn("__kql_ws_ts", term.cast("timestamp"))
+    df = df.withColumn(
+        "__kql_ws_rs", restart if restart is not None else F.lit(False)
+    )
+    tmp = ("__kql_ws_rn", "__kql_ws_ts", "__kql_ws_rs")
+    base = [f for f in df.schema.fields if f.name not in tmp]
+    out_names = [f.name for f in base if f.name != name] + [name]
+    out_schema = type(df.schema)(
+        [f for f in base if f.name != name]
+        + [StructField(name, TimestampType())]
+    )
+
+    def gen(frames):
+        import pandas as pd
+
+        batches = list(frames)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values("__kql_ws_rn", kind="mergesort")
+        ts = pd.to_datetime(pdf["__kql_ws_ts"])
+        rs = pdf["__kql_ws_rs"].fillna(False).astype(bool)
+        starts, cur, prev = [], None, None
+        for v, r in zip(ts, rs):
+            if pd.isna(v):
+                starts.append(pd.NaT)
+                continue
+            if (
+                cur is None
+                or r
+                or (v - prev).total_seconds() > max_gap
+                or (v - cur).total_seconds() > max_first
+            ):
+                cur = v
+            starts.append(cur)
+            prev = v
+        pdf = pdf.drop(columns=list(tmp))
+        pdf[name] = starts
+        yield pdf[out_names]
+
+    return df.coalesce(1).mapInPandas(gen, out_schema)
+
+
+_BAG_MAP = "map<string,string>"
+
+
+def _bag_map(c: Column) -> Column:
+    """A dynamic bag (JSON string) as a ``map<string,string>`` for the
+    key-algebra functions. The FLAT-BAG contract: top-level values are
+    handled as their string forms (nested objects survive as their raw
+    JSON text — Spark's from_json keeps unparsed nesting verbatim), so
+    merge/remove are pure key algebra and never reinterpret values.
+    Null / malformed bags become the empty bag (Kusto treats null bags
+    as empty in bag_merge)."""
+    return F.coalesce(
+        F.from_json(c, _BAG_MAP), F.expr(f"cast(map() as {_BAG_MAP})")
+    )
+
+
+def _bag_merge(*bags: Column) -> Column:
+    """``bag_merge(b1, b2, ...)`` — left-to-right union of dynamic
+    bags; on key collision the FIRST bag's value wins (Kusto's
+    documented rule). Pure JVM map algebra per row: each later bag is
+    filtered to the keys the accumulator lacks, then map_concat'd —
+    collision-free by construction, so Spark's EXCEPTION dedup policy
+    can never fire."""
+    out = _bag_map(bags[0])
+    for b in bags[1:]:
+        out_keys = F.map_keys(out)
+        out = F.map_concat(
+            out,
+            F.map_filter(
+                _bag_map(b), lambda k, v: ~F.array_contains(out_keys, k)
+            ),
+        )
+    return F.to_json(out)
+
+
+def _bag_remove_keys(bag: Column, keys: Column) -> Column:
+    """``bag_remove_keys(bag, keyArray)`` — the bag minus the listed
+    top-level keys (Kusto: missing keys are ignored; nested paths are
+    out of this subset). One map_filter, no explode."""
+    return F.to_json(
+        F.map_filter(
+            _bag_map(bag), lambda k, v: ~F.array_contains(keys, k)
+        )
+    )
+
+
+def _make_bag_agg(c: Column) -> Column:
+    """``make_bag(bagCol)`` aggregate — merge the group's dynamic bags
+    into one. Kusto leaves collision order arbitrary; a distributed
+    engine must not, so this engine pins it: bags merge in ascending
+    JSON-string order and the first merged value wins (replay-stable on
+    any partitioning). One collect_list + one JVM fold per group — the
+    bag count per group is the user's contract to keep bounded, same
+    as make_list."""
+    return F.aggregate(
+        F.sort_array(F.collect_list(c)),
+        F.expr(f"cast(map() as {_BAG_MAP})"),
+        lambda acc, x: F.map_concat(
+            acc,
+            F.map_filter(
+                F.from_json(x, _BAG_MAP),
+                lambda k, v: ~F.array_contains(F.map_keys(acc), k),
+            ),
+        ),
+        lambda acc: F.to_json(acc),
     )
 
 
@@ -1371,6 +1746,13 @@ class _Parser:
         "array_iff": _array_iff,
         # parse_url — dynamic bag (JSON string) of URL components
         "parse_url": _parse_url,
+        # dynamic-bag key algebra (flat-bag contract, see _bag_map):
+        # bag_keys is Spark's built-in json_object_keys (document
+        # order); merge/remove are per-row map folds — no explode, no
+        # shuffle, no UDF
+        "bag_keys": F.json_object_keys,
+        "bag_merge": _bag_merge,
+        "bag_remove_keys": _bag_remove_keys,
         # endof* — last representable instant of the calendar period
         # at this engine's microsecond precision (Kusto's 100 ns ticks
         # round to the same display second; pinned micro contract)
@@ -1414,6 +1796,26 @@ class _Parser:
         "monthofyear": F.month,
         "getyear": F.year,
         "hourofday": F.hour,
+        # week_of_year — ISO 8601 week number (Kusto's contract and
+        # Spark's weekofyear agree: week 1 contains the first Thursday)
+        "week_of_year": F.weekofyear,
+        # dayofweek — Kusto returns a timespan of WHOLE DAYS since the
+        # preceding Sunday; this engine carries timespans as numbers,
+        # so the day count itself: Sunday = 0 .. Saturday = 6
+        "dayofweek": lambda c: F.dayofweek(c) - F.lit(1),
+        "dayofyear": F.dayofyear,
+        # make_datetime(y, m, d[, h, mi, s]) — calendar constructor;
+        # fractional seconds allowed in the last slot as in Kusto
+        "make_datetime": lambda y, mo, d, h=None, mi=None, s=None: (
+            F.make_timestamp(
+                y.cast("int"),
+                mo.cast("int"),
+                d.cast("int"),
+                (h if h is not None else F.lit(0)).cast("int"),
+                (mi if mi is not None else F.lit(0)).cast("int"),
+                (s if s is not None else F.lit(0)).cast("decimal(16,6)"),
+            )
+        ),
         "startofday": lambda c: F.date_trunc("day", c),
         "startofmonth": lambda c: F.date_trunc("month", c),
         "startofyear": lambda c: F.date_trunc("year", c),
@@ -1465,12 +1867,90 @@ class _Parser:
             e = self.expr()
             self.expect(")")
             return _DynamicJson(e)
+        if name in ("bag_pack", "pack", "pack_dictionary"):
+            # bag_pack(k1, v1, k2, v2, ...) — construct a dynamic bag.
+            # Two compile paths: when EVERY key is a string literal the
+            # bag is a typed struct (to_json preserves the values' JSON
+            # types — numbers stay numbers); any computed key falls
+            # back to a string-valued map (map keys are runtime data,
+            # so values are uniformly stringified — the flat-bag
+            # contract that bag_merge/make_bag operate under). Both are
+            # pure codegen per row.
+            self.expect("(")
+            pairs: list[tuple[object, Column]] = []
+            lit_keys: list[str | None] = []
+            while True:
+                t0 = self.peek()
+                if (
+                    t0 is not None
+                    and t0.kind == "str"
+                    and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1].text == ","
+                ):
+                    self.next()
+                    lit_keys.append(t0.text[1:-1])
+                    key: object = t0.text[1:-1]
+                else:
+                    lit_keys.append(None)
+                    key = self.expr()
+                self.expect(",")
+                pairs.append((key, self.expr()))
+                if not self.accept(","):
+                    break
+            self.expect(")")
+            if not pairs:
+                raise ValueError("KQL: bag_pack() needs key/value pairs")
+            if all(k is not None for k in lit_keys):
+                if len(set(lit_keys)) != len(lit_keys):
+                    raise ValueError(
+                        "KQL: bag_pack() literal keys must be distinct"
+                    )
+                return F.to_json(
+                    F.struct(
+                        *[v.alias(str(k)) for k, v in pairs]
+                    )
+                )
+            keys = [
+                F.lit(k) if isinstance(k, str) else k.cast("string")
+                for k, _ in pairs
+            ]
+            vals = [v.cast("string") for _, v in pairs]
+            return F.to_json(
+                F.map_from_arrays(F.array(*keys), F.array(*vals))
+            )
         if name == "dcount_hll":
             # scalar estimate over an hll()/hll_merge() sketch column
             self.expect("(")
             e = self.expr()
             self.expect(")")
             return F.hll_sketch_estimate(e)
+        if name == "series_decompose_forecast":
+            # series_decompose_forecast(x, period, points) — both the
+            # seasonal period and the forecast horizon are positive
+            # integer literals (they parameterize the fold shapes)
+            self.expect("(")
+            arr = self.expr()
+            self.expect(",")
+            t = self.next()
+            if t.kind != "num" or "." in t.text:
+                raise ValueError(
+                    "KQL: series_decompose_forecast period must be an "
+                    "integer literal"
+                )
+            self.expect(",")
+            t2 = self.next()
+            if t2.kind != "num" or "." in t2.text:
+                raise ValueError(
+                    "KQL: series_decompose_forecast points must be an "
+                    "integer literal"
+                )
+            self.expect(")")
+            if int(t.text) <= 0 or int(t2.text) <= 0:
+                raise ValueError(
+                    "KQL: series_decompose_forecast needs positive "
+                    "period and points"
+                )
+            return _series_decompose_forecast(arr, int(t.text), int(t2.text))
         if name == "series_decompose":
             # series_decompose(x, period) — period must be a positive
             # integer literal (Kusto's auto-detection not implemented)
@@ -1705,6 +2185,46 @@ class _Parser:
                     "KQL: translate() needs string-literal character maps"
                 )
             return F.translate(src, frm.text[1:-1], to.text[1:-1])
+        if name == "format_datetime":
+            # format_datetime(dt, 'pattern') — the pattern is a
+            # compile-time literal (it parameterizes the JVM
+            # DateTimeFormatter, not row data)
+            self.expect("(")
+            dt = self.expr()
+            self.expect(",")
+            ft = self.next()
+            if ft.kind != "str":
+                raise ValueError(
+                    "KQL: format_datetime() needs a string-literal pattern"
+                )
+            self.expect(")")
+            return F.date_format(dt, _kusto_datetime_format(ft.text[1:-1]))
+        if name == "format_timespan":
+            # format_timespan(x, 'pattern') over the numeric-seconds
+            # timespan carrier (see _format_timespan)
+            self.expect("(")
+            ts = self.expr()
+            self.expect(",")
+            ft = self.next()
+            if ft.kind != "str":
+                raise ValueError(
+                    "KQL: format_timespan() needs a string-literal pattern"
+                )
+            self.expect(")")
+            return _format_timespan(ts, ft.text[1:-1])
+        if name == "totimespan":
+            # totimespan('[d.]hh:mm:ss') / totimespan(1h) — a timespan
+            # literal as this engine's numeric-seconds carrier
+            self.expect("(")
+            t = self.next()
+            self.expect(")")
+            if t.kind == "dur":
+                return F.lit(self._duration_seconds(t.text))
+            if t.kind != "str":
+                raise ValueError(
+                    "KQL: totimespan() needs a literal timespan"
+                )
+            return F.lit(_timespan_literal_seconds(t.text[1:-1]))
         if name == "datetime_add":
             # datetime_add('part', amount, dt) — calendar-unit add
             self.expect("(")
@@ -2020,6 +2540,68 @@ class _Parser:
             self.expect(")")
             base = {"avgif": F.avg, "minif": F.min, "maxif": F.max}[fn]
             return base(F.when(pred, val)).alias(name or f"{fn}_")
+        if fn == "take_anyif":
+            # take_anyif(col, pred) — deterministic refinement of
+            # Kusto's arbitrary pick, same as take_any: the minimum
+            # over rows where pred holds (WHEN's null else-arm is
+            # ignored by min — one mergeable aggregate)
+            self.expect("(")
+            val = self.expr()
+            self.expect(",")
+            pred = self.expr()
+            self.expect(")")
+            return F.min(F.when(pred, val)).alias(name or "take_anyif_")
+        if fn == "percentilew":
+            # percentilew(col, weight, P) — exact weighted percentile,
+            # nearest-rank contract: the smallest value whose running
+            # cumulative weight (values ascending) reaches P% of the
+            # group's total weight. Compiled to ONE sorted collect_list
+            # + one JVM fold — no second shuffle, no window, no UDF.
+            # SCALE NOTE: the per-group value list is materialized
+            # (same bound the user accepts for make_list/percentile's
+            # exact form); swap a weight-expanded percentile_approx at
+            # 100 TB.
+            self.expect("(")
+            col = self.expr()
+            self.expect(",")
+            wt = self.expr()
+            self.expect(",")
+            ptok = self.next()
+            if ptok.kind != "num":
+                raise ValueError(
+                    "KQL: percentilew() needs a literal percentile"
+                )
+            self.expect(")")
+            p = float(ptok.text) / 100.0
+            pairs = F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        col.cast("double").alias("v"),
+                        wt.cast("double").alias("w"),
+                    )
+                )
+            )
+            thr = F.sum(wt.cast("double")) * F.lit(p)
+            zero = F.struct(
+                F.lit(0.0).alias("cum"),
+                F.lit(None).cast("double").alias("ans"),
+            )
+            agg = F.aggregate(
+                pairs,
+                zero,
+                lambda acc, x: F.struct(
+                    (acc.getField("cum") + x.getField("w")).alias("cum"),
+                    F.coalesce(
+                        acc.getField("ans"),
+                        F.when(
+                            acc.getField("cum") + x.getField("w") >= thr,
+                            x.getField("v"),
+                        ),
+                    ).alias("ans"),
+                ),
+                lambda acc: acc.getField("ans"),
+            )
+            return agg.alias(name or "percentilew_")
         if fn in ("arg_max", "arg_min"):
             # arg_max(toMaximize, toReturn): the returned expression of
             # the row maximizing the first — Spark's max_by/min_by
@@ -4235,9 +4817,13 @@ def kql(
             verb = "make-series"
         if verb == "parse" and p.peek() and p.peek().text == "-":
             p.next()
-            if p.next().text.lower() != "where":
-                raise ValueError("KQL: expected 'parse-where'")
-            verb = "parse-where"
+            sub = p.next().text.lower()
+            if sub == "where":
+                verb = "parse-where"
+            elif sub == "kv":
+                verb = "parse-kv"
+            else:
+                raise ValueError(f"KQL: unsupported operator 'parse-{sub}'")
         if verb == "project" and p.peek() and p.peek().text == "-":
             p.next()
             sub = p.next().text.lower()
@@ -4258,8 +4844,8 @@ def kql(
         if verb not in (
             "where", "extend", "serialize", "project", "project-away",
             "project-rename", "project-keep", "project-reorder", "parse",
-            "parse-where", "take", "limit", "search", "as", "render",
-            "sort", "order", "top",
+            "parse-where", "parse-kv", "take", "limit", "search", "as",
+            "render", "sort", "order", "top",
         ):
             ser = None
             p.win = None
@@ -4667,6 +5253,88 @@ def kql(
             # join/lookup/union stages (this query only — the caller's
             # table dict is never mutated)
             tables[p.next().text] = df
+        elif verb == "parse-kv":
+            # parse-kv Expr as (k1: t1, ...) with (pair_delimiter='; ',
+            # kv_delimiter='=') — Kusto's key-value extraction.
+            # Compiles to ONE str_to_map (delimiters are literals,
+            # regex-escaped so they mean themselves) + one typed probe
+            # per DECLARED key: pure codegen per row, no UDF, no
+            # explode — undeclared keys are never materialized.
+            src = p.expr()
+            if p.next().text.lower() != "as":
+                raise ValueError("KQL: parse-kv needs 'as (name:type, ...)'")
+            p.expect("(")
+            kv_cols: list[tuple[str, str]] = []
+            while True:
+                nm = p.next().text
+                p.expect(":")
+                ty = p.next().text.lower()
+                kv_cols.append((nm, ty))
+                if not p.accept(","):
+                    break
+            p.expect(")")
+            pair_d, kv_d = ",", "="
+            if p.peek() is not None and p.peek().text.lower() == "with":
+                p.next()
+                p.expect("(")
+                while True:
+                    okey = p.next().text.lower()
+                    p.expect("=")
+                    oval = p.next()
+                    if oval.kind != "str":
+                        raise ValueError(
+                            "KQL: parse-kv options need string literals"
+                        )
+                    if okey == "pair_delimiter":
+                        pair_d = oval.text[1:-1]
+                    elif okey == "kv_delimiter":
+                        kv_d = oval.text[1:-1]
+                    else:
+                        raise ValueError(
+                            f"KQL: unsupported parse-kv option {okey!r}"
+                        )
+                    if not p.accept(","):
+                        break
+                p.expect(")")
+            kvmap = F.str_to_map(
+                src, F.lit(re.escape(pair_d)), F.lit(re.escape(kv_d))
+            )
+            df = df.withColumn("__kql_kv", kvmap)
+            for nm, ty in kv_cols:
+                cast_ty = _TYPEOF.get(ty)
+                if cast_ty is None:
+                    raise ValueError(f"KQL: unsupported typeof({ty})")
+                df = df.withColumn(
+                    nm, F.element_at(F.col("__kql_kv"), nm).cast(cast_ty)
+                )
+            df = df.drop("__kql_kv")
+        elif verb == "facet":
+            # facet by c1, c2, ... — Kusto returns ONE TABLE PER
+            # column (each `T | summarize count() by c`); a
+            # single-table engine surface renders them unioned behind
+            # a `facet_column` discriminator (the same adaptation the
+            # fork render uses), values stringified so heterogeneous
+            # columns align. One groupBy per facet column — each is
+            # its own map-side-combined rollup; the union is metadata.
+            if p.next().text.lower() != "by":
+                raise ValueError("KQL: facet needs 'by col, ...'")
+            fnames = p.ident_list()
+            if p.peek() is not None:
+                raise ValueError(
+                    "KQL: facet subqueries (with (...)) are not in "
+                    "this subset"
+                )
+            fdf = None
+            for nm in fnames:
+                t = (
+                    df.groupBy(F.col(nm).cast("string").alias("value"))
+                    .agg(F.count(F.lit(1)).alias("Count"))
+                    .select(
+                        F.lit(nm).alias("facet_column"), "value", "Count"
+                    )
+                )
+                fdf = t if fdf is None else fdf.unionByName(t)
+            df = fdf
         elif verb in ("parse", "parse-where"):
             # parse Source with 'lit' Name1 'lit' Name2 ... — Kusto's
             # simple-mode pattern extraction. Compiles to ONE anchored
@@ -4830,7 +5498,30 @@ def kql(
                 else:
                     name = p.next().text
                     p.expect("=")
-                    df = df.withColumn(name, p.expr())
+                    nxt = p.peek()
+                    if (
+                        nxt is not None
+                        and nxt.kind == "word"
+                        and nxt.text.lower()
+                        in (
+                            "row_rank_dense",
+                            "row_rank_min",
+                            "row_window_session",
+                        )
+                    ):
+                        # Kusto's serialized rank/session functions.
+                        # They need STAGED compiles (a change indicator
+                        # column, then a cumulative window over it —
+                        # Spark forbids nesting one window function
+                        # inside another in a single expression), so
+                        # they are handled at the extend level, like
+                        # the series tuple extends. Legal only over a
+                        # serialized input (after sort by / top), same
+                        # rule and same single-task scale note as
+                        # row_number()/prev()/next().
+                        df = _compile_row_rank(df, p, name, ser)
+                    else:
+                        df = df.withColumn(name, p.expr())
                 if not p.accept(","):
                     break
         elif verb == "mv-expand":

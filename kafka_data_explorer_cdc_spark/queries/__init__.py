@@ -94,6 +94,13 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "k96_kql_parse_kv",
+    "k97_kql_facet",
+    "k95_kql_series_forecast",
+    "k91_kql_bag_functions",
+    "k92_kql_datetime_format",
+    "k93_kql_row_rank_session",
+    "k94_kql_weighted_percentile",
     "k90_kql_datetime_diff_bitwise",
     "k89_kql_parse_url",
     "d100_phrase_search_postings",
@@ -138,18 +145,19 @@ _FRONT = [
     "b108_volume_shipping_q7",
     "b109_market_share_q8",
     "b110_returned_items_q10",
-    "b111_promo_revenue_q14",
-    "b112_forecast_revenue_q6",
-    "b113_large_volume_customer_q18",
-    "mm11_audio_vad_segments",
-    "s51_stream_sequence_detect",
-    "k73_kql_series_fill",
-    # (2) the r2-stale cohort (14)
-    "k13_kql_recent_orders",
-    # window exactly full at 50 (32 round-11 additions + 17 round-10
-    # additions + 1 r2 entry; k14-k17/k20-k23/d07/d16-d19 and
-    # b13c_except displaced by the k80-k84 additions). Displaced
-    # r2/r3 entries — k14_kql_avg_sales, k15_kql_total_sales, k16_kql_order_counts, k17_kql_filtered_pipeline, k20_kql_between, k21_kql_countif_sumif, k22_kql_parse_json, k23_kql_mv_expand, d07_embedding_cosine_topk, d16_chunk_documents, d17_contamination_check,
+    # window exactly full at 50 (39 round-11 additions + 11 round-10
+    # additions; the round-10 tail b111_promo_revenue_q14,
+    # b112_forecast_revenue_q6, b113_large_volume_customer_q18,
+    # mm11_audio_vad_segments, s51_stream_sequence_detect,
+    # k73_kql_series_fill plus the r2 k13_kql_recent_orders were
+    # displaced by the k91-k97 additions and lead the round-12 queue
+    # with the other displaced never-checked entries below).
+    # Displaced never-checked + r2/r3 entries —
+    # b111_promo_revenue_q14, b112_forecast_revenue_q6,
+    # b113_large_volume_customer_q18,
+    # mm11_audio_vad_segments, s51_stream_sequence_detect,
+    # k73_kql_series_fill,
+    # k13_kql_recent_orders, k14_kql_avg_sales, k15_kql_total_sales, k16_kql_order_counts, k17_kql_filtered_pipeline, k20_kql_between, k21_kql_countif_sumif, k22_kql_parse_json, k23_kql_mv_expand, d07_embedding_cosine_topk, d16_chunk_documents, d17_contamination_check,
     # d18_repetition_ratio, d19_stratified_sample, b13c_except,
     # b14_scalar_functions, b14b_date_functions, b15a_json_extract,
     # b15b_array_functions,

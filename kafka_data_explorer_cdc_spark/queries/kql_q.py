@@ -3346,3 +3346,399 @@ def k90_kql_datetime_diff_bitwise(
         " | sort by q asc",
         {"Orders": orders},
     )
+
+
+@query(
+    "k91_kql_bag_functions",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey % 7 AS seg,
+         'P' || substr(o_orderpriority, 1, 1) AS pk,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT seg,
+       CAST(MAX(CASE WHEN pk = 'P1' THEN n END) AS VARCHAR) AS p1,
+       CAST(MAX(CASE WHEN pk = 'P3' THEN n END) AS VARCHAR) AS p3,
+       CAST(COUNT(*) AS BIGINT) AS nk,
+       'probe' AS p9,
+       CAST(COUNT(*) - MAX(CASE WHEN pk = 'P1' THEN 1 ELSE 0 END)
+            AS BIGINT) AS rk
+FROM c GROUP BY seg
+""",
+    tags=("kql", "scalar", "dynamic"),
+)
+def k91_kql_bag_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic property-bag family — ``bag_pack`` (typed struct
+    form for literal keys, string-map form for computed keys),
+    ``make_bag`` (group-wise bag union, deterministic first-wins in
+    ascending JSON order — kql.py:_make_bag_agg pins the order Kusto
+    leaves arbitrary), ``bag_merge`` (first bag wins on collision),
+    ``bag_keys`` and ``bag_remove_keys``: per-(segment, priority)
+    counts are packed into per-row bags, merged into one bag per
+    segment, probed, extended with a literal bag and key-pruned. The
+    oracle reassembles every probed value and key count from the same
+    arithmetic — the differential proves the pack → merge → probe
+    round-trip, not just that JSON was produced.
+
+    Scale shape: bag construction and key algebra are pure per-row
+    codegen (to_json/map_filter/map_concat — no UDF, no explode);
+    make_bag is one collect_list + one JVM fold per group, the same
+    bound the user accepts for make_list."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | summarize n = count()"
+        "   by seg = o_orderkey % 7,"
+        "      pk = strcat('P', substring(o_orderpriority, 0, 1))"
+        " | extend b = bag_pack(pk, n)"
+        " | summarize B = make_bag(b) by seg"
+        " | extend m = bag_merge(B, bag_pack('P9', 'probe'))"
+        " | extend r = bag_remove_keys(m, pack_array('P1', 'P9'))"
+        " | project seg,"
+        "           p1 = tostring(parse_json(B).P1),"
+        "           p3 = tostring(parse_json(B).P3),"
+        "           nk = tolong(array_length(bag_keys(B))),"
+        "           p9 = tostring(parse_json(m).P9),"
+        "           rk = tolong(array_length(bag_keys(r)))",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k92_kql_datetime_format",
+    oracle="""
+WITH t AS (
+  SELECT CAST(o_orderdate AS TIMESTAMP) AS d,
+         strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS fd,
+         CAST(dayofweek(o_orderdate) AS BIGINT) AS dw,
+         strftime(make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                                 CAST(month(o_orderdate) AS BIGINT),
+                                 15, 0, 0, 0.0), '%Y-%m-%d') AS md,
+         86400 + (o_orderkey % 5) * 990.5 AS secs
+  FROM orders
+), f AS (
+  SELECT d, fd, dw, md,
+         CAST(CAST(FLOOR(secs / 86400) AS BIGINT) AS VARCHAR) || '.' ||
+         lpad(CAST(CAST(FLOOR(secs / 3600) AS BIGINT) % 24 AS VARCHAR),
+              2, '0') || ':' ||
+         lpad(CAST(CAST(FLOOR(secs / 60) AS BIGINT) % 60 AS VARCHAR),
+              2, '0') || ':' ||
+         lpad(CAST(CAST(FLOOR(secs) AS BIGINT) % 60 AS VARCHAR),
+              2, '0') || '.' ||
+         CAST(CAST(FLOOR((secs - FLOOR(secs)) * 10) AS BIGINT)
+              AS VARCHAR) AS ft
+  FROM t
+)
+SELECT fd, dw, md, ft,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(CAST(weekofyear(d) AS BIGINT)) AS wmin
+FROM f GROUP BY 1, 2, 3, 4
+""",
+    tags=("kql", "scalar", "datetime"),
+)
+def k92_kql_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datetime formatting/construction family — ``format_datetime``
+    (Kusto pattern tokens translated to the JVM formatter,
+    kql.py:_kusto_datetime_format), ``format_timespan`` over the
+    engine's numeric-seconds timespan carrier, ``totimespan`` literals,
+    ``make_datetime``, ``week_of_year`` (ISO 8601 in both engines) and
+    ``dayofweek`` (days-since-Sunday as a number). The oracle rebuilds
+    every formatted string from strftime / lpad arithmetic — proving
+    token-for-token agreement, not just that formatting ran.
+
+    Scale shape: all pure per-row codegen (date_format, lpad/concat
+    arithmetic); ONE map-side-combined rollup."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | extend d = todatetime(o_orderdate)"
+        " | extend fd = format_datetime(d, 'yyyy-MM'),"
+        "          dw = tolong(dayofweek(d)),"
+        "          md = format_datetime("
+        "                 make_datetime(getyear(d), monthofyear(d), 15),"
+        "                 'yyyy-MM-dd'),"
+        "          ft = format_timespan("
+        "                 totimespan('1.00:00:00') + (o_orderkey % 5) * 990.5,"
+        "                 'd.hh:mm:ss.f')"
+        " | summarize n = count(), wmin = min(tolong(week_of_year(d)))"
+        "   by fd, dw, md, ft",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k93_kql_row_rank_session",
+    oracle="""
+WITH s AS (
+  SELECT event_type, ts,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+         CASE WHEN LAG(event_type) OVER (ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg,
+         CASE WHEN LAG(ts) OVER (ORDER BY ts, event_id) IS NULL
+                   OR ts - LAG(ts) OVER (ORDER BY ts, event_id)
+                      > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS news
+  FROM events WHERE event_id < 500
+), s2 AS (
+  SELECT event_type,
+         CAST(SUM(chg) OVER (ORDER BY rn) AS BIGINT) AS rd,
+         MAX(CASE WHEN chg = 1 THEN rn END) OVER (ORDER BY rn) AS rm,
+         MAX(CASE WHEN news = 1 THEN ts END) OVER (ORDER BY rn) AS ss
+  FROM s
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(rd) AS mx,
+       MAX(rm) AS mm,
+       CAST(COUNT(DISTINCT ss) AS BIGINT) AS ds
+FROM s2 GROUP BY 1
+""",
+    tags=("kql", "serialized", "session"),
+)
+def k93_kql_row_rank_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto's serialized rank/session trio — ``row_rank_dense``
+    (increments whenever the term changes from the previous row),
+    ``row_rank_min`` (the row number of the current run's first row)
+    and ``row_window_session`` (session start value; new session on
+    gap > MaxDistanceBetweenValues or span > MaxDistanceFromFirst).
+    Compiled by kql.py:_compile_row_rank as STAGED window plans (a
+    change-indicator column, then a cumulative sum/max over it —
+    Spark forbids nested window functions in one expression); the
+    session function is the one genuine sequential recursion and runs
+    as ONE Arrow mapInPandas pass over the serialized rows (the k54
+    kernel shape). This fixture's 365d MaxDistanceFromFirst makes the
+    oracle's pure-gap SQL exact; the recursion branch (span-triggered
+    restart) is pinned by tests/test_kql.py hand-computed cases.
+
+    Scale shape: serialized operators are single-task by contract in
+    Kusto and here alike — the event_id bound keeps the input fixed
+    (500 rows) at every SF; use after a row-bounding stage at 100 TB."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | where event_id < 500"
+        " | sort by ts asc, event_id asc"
+        " | extend rd = row_rank_dense(event_type),"
+        "          rm = row_rank_min(event_type),"
+        "          ss = row_window_session(ts, 365d, 10m)"
+        " | summarize n = count(), mx = max(rd), mm = max(rm),"
+        "             ds = dcount(ss) by event_type",
+        {"Events": events},
+    )
+
+
+@query(
+    "k94_kql_weighted_percentile",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(l_quantity AS DOUBLE) AS wt,
+         CAST(l_linenumber AS BIGINT) AS ln,
+         l_linestatus, l_quantity
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, v,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v, wt
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+  FROM w
+)
+SELECT a.l_returnflag,
+       MIN(CASE WHEN c.cum >= 0.5 * c.total THEN c.v END) AS p50,
+       MIN(CASE WHEN c.cum >= 0.9 * c.total THEN c.v END) AS p90,
+       MIN(a.ta) AS ta,
+       MIN(a.bo) AS bo, MIN(a.ba) AS ba, MIN(a.bx) AS bx
+FROM (
+  SELECT l_returnflag,
+         MIN(CASE WHEN l_quantity > 25 THEN l_linestatus END) AS ta,
+         bit_or(ln) AS bo, bit_and(ln) AS ba, bit_xor(ln) AS bx
+  FROM w GROUP BY 1
+) a JOIN c ON a.l_returnflag = c.l_returnflag
+GROUP BY 1
+""",
+    tags=("kql", "aggregate", "percentile"),
+)
+def k94_kql_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining aggregate family — ``percentilew`` (exact weighted
+    percentile, nearest-rank contract: smallest value whose running
+    cumulative weight over (value, weight)-ascending order reaches P%
+    of the group total; ONE sorted collect_list + ONE JVM fold, no
+    window, no second shuffle), ``take_any``/``take_anyif`` (Kusto
+    promises arbitrary; this engine pins the deterministic minimum)
+    and ``binary_all_or/and/xor`` (Spark's mergeable bit_* aggregates).
+    Integer-valued quantity weights keep every cumulative sum exact in
+    doubles, so the oracle's window-cumsum replay is bit-identical.
+
+    Scale shape: percentilew materializes the per-group value list
+    (the same bound as make_list / exact percentile — swap a
+    weight-expanded percentile_approx sketch at 100 TB); the bit and
+    take-any aggregates are single-pass map-side-combined."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return kql(
+        "Lineitem"
+        " | summarize p50 = percentilew(l_extendedprice, l_quantity, 50),"
+        "             p90 = percentilew(l_extendedprice, l_quantity, 90),"
+        "             ta = take_anyif(l_linestatus, l_quantity > 25),"
+        "             bo = binary_all_or(tolong(l_linenumber)),"
+        "             ba = binary_all_and(tolong(l_linenumber)),"
+        "             bx = binary_all_xor(tolong(l_linenumber))"
+        "   by l_returnflag",
+        {"Lineitem": lineitem},
+    )
+
+
+@query(
+    "k95_kql_series_forecast",
+    oracle="""
+WITH grid AS (
+  SELECT et.event_type, g.i,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (g.i) DAY AS d
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN unnest(generate_series(0, 36)) AS g(i)
+), daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-02-07 00:00:00'
+  GROUP BY 1, 2
+), dense AS (
+  SELECT g.event_type, g.i, CAST(COALESCE(daily.n, 0) AS DOUBLE) AS n
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.d = g.d
+), t AS (
+  SELECT event_type, i, n,
+         AVG(n) OVER (PARTITION BY event_type ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tv
+  FROM dense WHERE i < 30
+), ph AS (
+  SELECT event_type, i % 7 AS p, AVG(n - tv) AS sv
+  FROM t GROUP BY 1, 2
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS m,
+         SUM(tv) AS sy, SUM(i * tv) AS sxy
+  FROM t GROUP BY 1
+), p2 AS (
+  SELECT event_type, m, sy, sxy,
+         (m-1)*m/2 AS s1, (m-1)*m*(2*m-1)/6 AS s2
+  FROM s
+), fo AS (
+  SELECT event_type, m, sy, s1,
+    CASE WHEN m >= 2 AND m*s2 - s1*s1 > 0
+         THEN (m*sxy - s1*sy) / (m*s2 - s1*s1) ELSE 0 END AS slope
+  FROM p2
+), fo2 AS (
+  SELECT event_type, slope, (sy - slope*s1)/m AS icpt FROM fo
+)
+SELECT d.event_type, CAST(d.i AS BIGINT) AS i, d.n AS nv,
+       fo2.icpt + fo2.slope * d.i + ph.sv AS f
+FROM dense d
+JOIN fo2 ON fo2.event_type = d.event_type
+JOIN ph ON ph.event_type = d.event_type AND ph.p = d.i % 7
+""",
+    tags=("kql", "timeseries", "forecast"),
+)
+def k95_kql_series_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_decompose_forecast`` — the last gap in the series_*
+    family (kql.py:_series_decompose_forecast, pinned contract: model
+    fit on the series minus the last ``points`` horizon bins, k67's
+    STL-lite decomposition + the k80 OLS trend line, forecast[i] =
+    line(i) + seasonal phase mean): daily event counts per type over
+    a 37-bin grid whose last 7 bins lie beyond the corpus (default 0
+    — exactly the make-series-into-the-future shape Kusto documents
+    for this function), forecast across the full grid. The oracle
+    replays decompose + line fit + phase add from the same dense grid
+    (trend values are exact sums-of-integers ÷ window, so the OLS
+    inputs agree bit-for-bit; k67 precedent for the phase means).
+
+    Scale shape: everything is JVM folds/transforms over the
+    37-element series — ONE rollup shuffle (make-series), no explode
+    until the final unpack for the oracle, no Python."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-02-07 00:00:00'"
+        " step 1d by event_type"
+        " | extend fc = series_decompose_forecast(n, 7, 7)"
+        " | mv-expand with_itemindex = i f = fc to typeof(real)"
+        " | extend i = tolong(i), nv = todouble(n[i])"
+        " | project event_type, i, nv, f",
+        {"Events": events},
+    )
+
+
+@query(
+    "k96_kql_parse_kv",
+    oracle="""
+SELECT o_orderpriority AS p,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS ks,
+       SUM(CAST(o_totalprice AS DOUBLE)) AS ts
+FROM orders GROUP BY 1
+""",
+    tags=("kql", "parse", "kv"),
+)
+def k96_kql_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse-kv`` — Kusto's key-value extraction operator (kql.py
+    stage compiler: ONE str_to_map with regex-escaped literal
+    delimiters + one typed probe per DECLARED key): a kv-encoded
+    string is synthesized per order, parsed back with declared types
+    (long/string/real), and rolled up. The oracle computes the same
+    rollup from the raw columns — the differential proves the
+    encode → parse-kv → typed-probe round-trip including numeric
+    casts, not just string splitting.
+
+    Scale shape: pure per-row codegen (str_to_map + element_at +
+    cast); undeclared keys never materialize; ONE map-side-combined
+    rollup."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | extend s = strcat('k=', tostring(o_orderkey),"
+        " '; p=', o_orderpriority,"
+        " '; t=', tostring(o_totalprice))"
+        " | parse-kv s as (k: long, p: string, t: real)"
+        "   with (pair_delimiter='; ', kv_delimiter='=')"
+        " | summarize n = count(), ks = sum(k), ts = sum(t) by p",
+        {"Orders": orders},
+    )
+
+
+@query(
+    "k97_kql_facet",
+    oracle="""
+SELECT 'o_orderpriority' AS facet_column,
+       o_orderpriority AS value,
+       CAST(COUNT(*) AS BIGINT) AS Count
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'o_orderstatus', o_orderstatus, CAST(COUNT(*) AS BIGINT)
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'seg', CAST(o_orderkey % 3 AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+FROM orders GROUP BY 2
+""",
+    tags=("kql", "facet"),
+)
+def k97_kql_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``facet by`` — Kusto's multi-table value-distribution operator
+    (one ``summarize count() by col`` table per listed column); this
+    single-table engine surface renders the tables unioned behind a
+    ``facet_column`` discriminator with stringified values — the same
+    adaptation the fork render uses (kql_fork is the multi-table
+    sibling). A computed column (extend seg) rides along to prove
+    facet composes with the pipeline, not just raw columns.
+
+    Scale shape: one map-side-combined rollup per facet column over
+    the same scan (Spark reuses the exchange where beneficial); the
+    union moves only per-value count rows."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | extend seg = o_orderkey % 3"
+        " | facet by o_orderpriority, o_orderstatus, seg",
+        {"Orders": orders},
+    )

@@ -2191,3 +2191,233 @@ def test_kql_binary_scalars(spark):
     assert r["ba"] == 8 and r["bo"] == 14 and r["bx"] == 6
     assert r["bn"] == ~12
     assert r["sl"] == 48 and r["sr"] == 3
+
+
+def test_kql_bag_functions(spark):
+    """Dynamic-bag family: typed struct form for literal keys, string
+    map for computed keys, first-wins merge collision, key algebra."""
+    import json
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    r = kql(
+        "T | extend b = bag_pack('x', v, 'y', k)"
+        " | extend m = bag_merge(b, bag_pack('x', 99, 'z', 7))"
+        " | extend ks = bag_keys(m), r = bag_remove_keys(m, pack_array('x'))"
+        " | sort by k asc",
+        {"T": df},
+    ).collect()
+    assert json.loads(r[0]["b"]) == {"x": 1, "y": "a"}  # typed values
+    m = json.loads(r[0]["m"])
+    assert m["x"] == "1"  # FIRST bag wins on collision
+    assert m["z"] == "7"
+    assert r[0]["ks"] == ["x", "y", "z"]
+    assert set(json.loads(r[0]["r"])) == {"y", "z"}
+    # computed keys fall back to the string-map form
+    r2 = kql("T | extend b = bag_pack(k, v)", {"T": df}).collect()
+    assert json.loads(r2[0]["b"]) in ({"a": "1"}, {"b": "2"})
+
+
+def test_kql_make_bag_deterministic_merge(spark):
+    """make_bag: group-wise union; collisions resolve first-wins in
+    ascending JSON-string order (the pinned deterministic refinement
+    of Kusto's arbitrary pick)."""
+    import json
+
+    df = spark.createDataFrame(
+        [(1, '{"a":"1","k":"x"}'), (1, '{"b":"2","k":"y"}')],
+        "g int, b string",
+    )
+    r = kql("T | summarize B = make_bag(b) by g", {"T": df}).collect()
+    bag = json.loads(r[0]["B"])
+    # '{"a"...' sorts before '{"b"...' -> its k wins
+    assert bag == {"a": "1", "k": "x", "b": "2"}
+
+
+def test_kql_format_datetime_tokens(spark):
+    """format_datetime: Kusto tokens (tt -> AM/PM, f -> fractional)
+    translate; unsupported tokens are compile errors."""
+    df = spark.createDataFrame(
+        [("2024-03-05 14:30:45.123",)], "s string"
+    ).selectExpr("cast(s as timestamp) ts")
+    r = kql(
+        "T | extend a = format_datetime(ts, 'yyyy-MM-dd hh:mm tt'),"
+        " b = format_datetime(ts, 'HH:mm:ss.fff')",
+        {"T": df},
+    ).collect()[0]
+    assert r["a"] == "2024-03-05 02:30 PM"
+    assert r["b"] == "14:30:45.123"
+    with pytest.raises(ValueError, match="unsupported format_datetime"):
+        kql("T | extend a = format_datetime(ts, 'QQ')", {"T": df})
+
+
+def test_kql_format_timespan_and_totimespan(spark):
+    df = spark.createDataFrame([(93784.5,)], "x double")  # 1d 2h 3m 4.5s
+    r = kql(
+        "T | extend a = format_timespan(x, 'd.hh:mm:ss.ff'),"
+        " b = format_timespan(x, 'hh:mm'),"
+        " t1 = totimespan('1.02:03:04.5'), t2 = totimespan(90m)",
+        {"T": df},
+    ).collect()[0]
+    assert r["a"] == "1.02:03:04.50"
+    assert r["b"] == "02:03"
+    assert r["t1"] == 93784.5
+    assert r["t2"] == 5400.0
+
+
+def test_kql_row_rank_dense_min_restart(spark):
+    """row_rank_dense / row_rank_min over a serialized input, with the
+    restart argument resetting ranks to 1."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "a"), (5, "a"), (6, "c")],
+        "i int, t string",
+    )
+    rows = kql(
+        "T | sort by i asc"
+        " | extend d = row_rank_dense(t), m = row_rank_min(t),"
+        "          dr = row_rank_dense(t, i == 4)",
+        {"T": df},
+    ).collect()
+    assert [r["d"] for r in rows] == [1, 1, 2, 3, 3, 4]
+    assert [r["m"] for r in rows] == [1, 1, 3, 4, 4, 6]
+    # restart at i=4: ranking starts over (rank 1 at the restart row)
+    assert [r["dr"] for r in rows] == [1, 1, 2, 1, 1, 2]
+
+
+def test_kql_row_window_session_max_distance_from_first(spark):
+    """The recursion branch the SQL oracle cannot express: a chain of
+    small gaps still restarts when the span from the session FIRST
+    exceeds MaxDistanceFromFirst."""
+    times = [0, 50, 100, 150, 200, 260]  # seconds; gaps <= 60
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}") for i, t in enumerate(times)],
+        "i int, s string",
+    ).selectExpr("i", "cast(s as timestamp) ts")
+    rows = kql(
+        "T | sort by i asc"
+        " | extend ss = row_window_session(ts, 120, 60)",
+        {"T": df},
+    ).collect()
+    starts = [r["ss"].strftime("%M:%S") for r in rows]
+    # span from first: 0,50,100 ok; 150 > 120 -> restart; 200,260 within
+    assert starts == ["00:00", "00:00", "00:00", "02:30", "02:30", "02:30"]
+    # restart argument forces a new session
+    rows2 = kql(
+        "T | sort by i asc"
+        " | extend ss = row_window_session(ts, 1000, 1000, i == 2)",
+        {"T": df},
+    ).collect()
+    starts2 = [r["ss"].strftime("%M:%S") for r in rows2]
+    assert starts2 == ["00:00", "00:00", "01:40", "01:40", "01:40", "01:40"]
+
+
+def test_kql_percentilew_and_take_any(spark):
+    """percentilew: exact nearest-rank weighted percentile; take_any /
+    take_anyif pin the deterministic minimum."""
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0), (1, 20.0, 3.0), (1, 30.0, 1.0), (2, 5.0, 2.0)],
+        "g int, v double, w double",
+    )
+    rows = {
+        r["g"]: r
+        for r in kql(
+            "T | summarize p = percentilew(v, w, 50),"
+            " ta = take_any(v), taf = take_anyif(v, v > 10),"
+            " bo = binary_all_or(toint(v)) by g",
+            {"T": df},
+        ).collect()
+    }
+    assert rows[1]["p"] == 20.0  # total 5, thr 2.5, cum 1|4
+    assert rows[2]["p"] == 5.0
+    assert rows[1]["ta"] == 10.0 and rows[1]["taf"] == 20.0
+    assert rows[1]["bo"] == (10 | 20 | 30)
+
+
+def test_kql_make_datetime_week_dayofweek(spark):
+    df = spark.createDataFrame([(2024, 2, 29)], "y int, m int, d int")
+    r = kql(
+        "T | extend dt = make_datetime(y, m, d, 12, 30, 1.5),"
+        " w = week_of_year(make_datetime(2024, 1, 4)),"
+        " dw = dayofweek(make_datetime(2024, 1, 7))",  # a Sunday
+        {"T": df},
+    ).collect()[0]
+    assert str(r["dt"]) == "2024-02-29 12:30:01.500000"
+    assert r["w"] == 1  # ISO week 1 contains Jan 4
+    assert r["dw"] == 0  # Sunday = 0
+
+
+def test_kql_series_decompose_forecast(spark):
+    """series_decompose_forecast: pinned contract (train = series minus
+    the last `points`, STL-lite decompose, OLS trend line, forecast =
+    line + phase mean) verified against an independent numpy
+    replication; a flat series forecasts itself exactly."""
+    import numpy as np
+
+    vals = [10.0, 14.0, 11.0, 15.0, 12.0, 16.0, 13.0, 17.0, 0.0, 0.0]
+    df = spark.createDataFrame([(vals,)], "x array<double>")
+    out = kql(
+        "T | extend f = series_decompose_forecast(x, 2, 2)", {"T": df}
+    ).collect()[0]["f"]
+
+    def ref(x, period, points):
+        x = np.asarray(x)
+        tr = x[: len(x) - points]
+        h = period // 2
+        trend = np.array(
+            [
+                tr[max(0, i - h): min(len(tr) - 1, i + h) + 1].mean()
+                for i in range(len(tr))
+            ]
+        )
+        detr = tr - trend
+        ph = [
+            detr[np.arange(len(tr)) % period == p].mean()
+            for p in range(period)
+        ]
+        m = len(tr)
+        xs = np.arange(m, dtype=float)
+        s1, s2 = xs.sum(), (xs**2).sum()
+        sy, sxy = trend.sum(), (xs * trend).sum()
+        slope = (m * sxy - s1 * sy) / (m * s2 - s1 * s1)
+        icpt = (sy - slope * s1) / m
+        return [icpt + slope * i + ph[i % period] for i in range(len(x))]
+
+    expect = ref(vals, 2, 2)
+    assert len(out) == len(vals)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(out, expect))
+    # horizon bins get line + seasonal, not the 0 defaults
+    assert out[8] > 10
+
+    flat = kql(
+        "T2 | extend f = series_decompose_forecast(x, 2, 2)",
+        {"T2": spark.createDataFrame([([5.0] * 8,)], "x array<double>")},
+    ).collect()[0]["f"]
+    assert all(abs(v - 5.0) < 1e-12 for v in flat)
+
+
+def test_kql_parse_kv(spark):
+    """parse-kv: literal delimiters mean themselves (regex-escaped),
+    declared keys get typed probes, missing keys yield null."""
+    df = spark.createDataFrame(
+        [("a=1|b=x|c=2.5",), ("b=y",)], "s string"
+    )
+    rows = kql(
+        "T | parse-kv s as (a: long, b: string, c: real)"
+        " with (pair_delimiter='|', kv_delimiter='=')",
+        {"T": df},
+    ).collect()
+    assert rows[0]["a"] == 1 and rows[0]["b"] == "x" and rows[0]["c"] == 2.5
+    assert rows[1]["a"] is None and rows[1]["b"] == "y"
+    with pytest.raises(ValueError, match="unsupported parse-kv option"):
+        kql("T | parse-kv s as (a: long) with (quote='x')", {"T": df})
+
+
+def test_kql_facet(spark):
+    """facet by: one count-by-value rollup per column, unioned behind
+    the facet_column discriminator, values stringified."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2)], "k string, v int"
+    )
+    rows = kql("T | facet by k, v", {"T": df}).collect()
+    got = {(r["facet_column"], r["value"]): r["Count"] for r in rows}
+    assert got[("k", "a")] == 2 and got[("k", "b")] == 1
+    assert got[("v", "2")] == 2 and got[("v", "1")] == 1
