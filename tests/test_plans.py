@@ -1401,3 +1401,65 @@ def test_k80_series_fit_line_no_explode_no_python(spark, sf_dir):
     arrays — no explode beyond make-series' own shape, no Python."""
     p = plan_of(spark, sf_dir, "k80_kql_series_fit_line")
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_k91_bag_functions_codegen_one_rollup_each(spark, sf_dir):
+    """k91 (bag family): bag construction/merge/key algebra are pure
+    per-row JVM expressions — no Python anywhere; the only wide ops
+    are the two summarize rollups."""
+    p = plan_of(spark, sf_dir, "k91_kql_bag_functions")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_k92_datetime_format_single_rollup_no_python(spark, sf_dir):
+    """k92 (datetime formatting): date_format/lpad/concat arithmetic is
+    codegen; exactly ONE aggregate pair (partial+final), no Python."""
+    p = plan_of(spark, sf_dir, "k92_kql_datetime_format")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert p.count("HashAggregate") == 2, p
+
+
+def test_k93_row_rank_session_one_arrow_pass(spark, sf_dir):
+    """k93 (serialized ranks + session): the ranks are window algebra;
+    the session recursion is exactly ONE Arrow boundary (the
+    mapInPandas automaton) — never row-at-a-time Python."""
+    p = plan_of(spark, sf_dir, "k93_kql_row_rank_session")
+    assert "BatchEvalPython" not in p, p
+    assert p.count("MapInPandas") == 1, p
+
+
+def test_k94_percentilew_no_window_no_python(spark, sf_dir):
+    """k94 (percentilew + aggregates): the weighted percentile is a
+    sorted collect_list + JVM fold INSIDE the one aggregate — no
+    Window operator, no second shuffle, no Python."""
+    p = plan_of(spark, sf_dir, "k94_kql_weighted_percentile")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "Window" not in p, p
+    assert p.count("HashAggregate") + p.count("SortAggregate") == 2, p
+
+
+def test_k95_series_forecast_no_python_one_rollup(spark, sf_dir):
+    """k95 (series_decompose_forecast): decompose + OLS + phase add are
+    JVM folds over the make-series array — no Python; the only
+    explode is the final oracle-unpack mv-expand."""
+    p = plan_of(spark, sf_dir, "k95_kql_series_forecast")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_k96_parse_kv_codegen_no_explode(spark, sf_dir):
+    """k96 (parse-kv): ONE str_to_map + typed probes — pure codegen, no
+    explode, no Python, one rollup."""
+    p = plan_of(spark, sf_dir, "k96_kql_parse_kv")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "Generate" not in p, p
+    assert "str_to_map" in p, p
+
+
+def test_k97_facet_no_python_rollup_per_column(spark, sf_dir):
+    """k97 (facet by): one hash-aggregate rollup per facet column
+    unioned — no Python, no join, no explode."""
+    p = plan_of(spark, sf_dir, "k97_kql_facet")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "Join" not in p, p
+    assert "Union" in p, p
