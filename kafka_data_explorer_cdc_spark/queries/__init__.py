@@ -94,6 +94,7 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "d101_vocab_coverage_curve",
     "k96_kql_parse_kv",
     "k97_kql_facet",
     "k95_kql_series_forecast",
@@ -144,15 +145,16 @@ _FRONT = [
     "b107_local_supplier_volume_q5",
     "b108_volume_shipping_q7",
     "b109_market_share_q8",
-    "b110_returned_items_q10",
-    # window exactly full at 50 (39 round-11 additions + 11 round-10
-    # additions; the round-10 tail b111_promo_revenue_q14,
+    # window exactly full at 50 (40 round-11 additions + 10 round-10
+    # additions; the round-10 tail b110_returned_items_q10,
+    # b111_promo_revenue_q14,
     # b112_forecast_revenue_q6, b113_large_volume_customer_q18,
     # mm11_audio_vad_segments, s51_stream_sequence_detect,
     # k73_kql_series_fill plus the r2 k13_kql_recent_orders were
-    # displaced by the k91-k97 additions and lead the round-12 queue
-    # with the other displaced never-checked entries below).
+    # displaced by the k91-k97/d101 additions and lead the round-12
+    # queue with the other displaced never-checked entries below).
     # Displaced never-checked + r2/r3 entries —
+    # b110_returned_items_q10,
     # b111_promo_revenue_q14, b112_forecast_revenue_q6,
     # b113_large_volume_customer_q18,
     # mm11_audio_vad_segments, s51_stream_sequence_detect,

@@ -8613,3 +8613,76 @@ def d100_phrase_search_postings(
         F.count("*").cast("long").alias("n_matches"),
         F.min("p1").cast("long").alias("first_pos"),
     )
+
+
+@query(
+    "d101_vocab_coverage_curve",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z]+'),
+           x -> x <> '')) AS t
+  FROM documents
+), freq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+), ranked AS (
+  SELECT t, c,
+         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT) AS r,
+         CAST(SUM(c) OVER (ORDER BY c DESC, t
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM freq
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total FROM freq
+)
+SELECT r AS vocab_size, ranked.cum AS covered, tot.total,
+       ranked.cum * 1.0 / tot.total AS coverage,
+       1.0 - ranked.cum * 1.0 / tot.total AS oov_rate
+FROM ranked, tot
+WHERE r IN (4, 8, 16, 24)
+""",
+    tags=("llm", "tokenizer", "vocab"),
+)
+def d101_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary-coverage curve — the sizing analysis run
+    before training a tokenizer (HuggingFace tokenizers' vocab-size
+    sweep, done relationally): token frequencies over the corpus,
+    deterministic rank (count desc, token asc), and for each candidate
+    vocab size V the fraction of corpus tokens covered by the top-V
+    types (and the complementary OOV rate). d45/d54/d83 train and
+    apply the actual subword vocabularies; this entry answers "how big
+    must V be" from one scan.
+
+    Scale shape (the load-bearing choice): the top-V selection is
+    ``orderBy(count desc).limit(maxV)`` — Spark's TakeOrderedAndProject
+    distributed top-k, NOT a global sort of the vocabulary (at 100 TB
+    the type vocabulary is ~1e8 rows; a global-ordered window over it
+    would serialize on one task, the limit(4096) heap-merge doesn't).
+    The window rank/cumsum then runs over the 4096 SURVIVORS only —
+    bounded single-task work by construction. One explode + one
+    map-side-combined count; the curve rows that leave the plan are 4. The sweep sizes (4/8/16/24) are a fixture parameter sized to the synthetic corpus's 31-type vocabulary so every row is non-vacuous at every SF; a real crawl uses 2^10..2^17 with the identical plan."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t")
+    ).filter(F.col("t") != "")
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("long").alias("total"))
+    max_v = 4096
+    top = freq.orderBy(F.desc("c"), "t").limit(max_v)
+    w = Window.orderBy(F.desc("c"), "t")
+    cum = (
+        top.withColumn("r", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum",
+            F.sum("c")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .filter(F.col("r").isin([4, 8, 16, 24]))
+    )
+    return cum.crossJoin(broadcast(total)).select(
+        F.col("r").alias("vocab_size"),
+        F.col("cum").alias("covered"),
+        "total",
+        (F.col("cum") / F.col("total")).alias("coverage"),
+        (F.lit(1.0) - F.col("cum") / F.col("total")).alias("oov_rate"),
+    )

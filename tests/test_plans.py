@@ -1463,3 +1463,13 @@ def test_k97_facet_no_python_rollup_per_column(spark, sf_dir):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
     assert "Join" not in p, p
     assert "Union" in p, p
+
+
+def test_d101_vocab_curve_topk_not_global_sort(spark, sf_dir):
+    """d101 (vocab coverage curve): the top-V selection must be the
+    distributed TakeOrderedAndProject heap-merge, never a global Sort
+    of the whole vocabulary; the window rank runs over the 4096
+    survivors only. No Python."""
+    p = plan_of(spark, sf_dir, "d101_vocab_coverage_curve")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
