@@ -43,9 +43,11 @@ Supported (the reference's surface plus the obvious neighbors):
         row_number()/prev()/next()/row_cumsum() — also legal directly
         after sort/top, whose output is serialized as in Kusto)
       | as Name   (bind the pipeline state for later join/union stages)
-      | make-series n = agg() [default = lit] on ts
+      | make-series n = agg() [default = lit] [, n2 = agg2() ...] on ts
           from 'ts' to 'ts' step 1h [by col, ...]   (dense per-group
-          value arrays over uniform bins, gap-filled; JVM-only grid)
+          value arrays over uniform bins, gap-filled; JVM-only grid;
+          multiple columns share ONE per-bin rollup, defaults bind
+          per column)
       | mv-expand [with_itemindex = idx] [name =] arraycol
           [to typeof(T)] [limit N]   (posexplode when indexed; element
         cast; per-RECORD expansion cap compiled to a pre-explode slice)
@@ -80,6 +82,11 @@ Supported (the reference's surface plus the obvious neighbors):
         clamped centered-moving-average trend, per-phase seasonal,
         residual; period is a positive literal — tuple-destructuring
         extend binds the four output arrays)
+      | extend d = series_dot_product(a, b)   (+ series_magnitude /
+        series_cosine_similarity / series_pearson_correlation, and the
+        element-wise series_add/subtract/multiply/divide/greater/abs/
+        sign/floor/ceiling/exp/log/sqrt/pow family; range/repeat
+        dynamic constructors)
       | extend f = series_decompose_forecast(x, period, points)
         (decomposition-based forecast: model fit on the series minus
         the last `points` bins, OLS-extrapolated trend + phase means
@@ -707,6 +714,73 @@ def _end_of(start: Column, **interval) -> Column:
     return F.timestamp_micros(
         F.unix_micros(start + F.make_interval(**base)) - 1
     )
+
+
+def _series_dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as one zip_with + one fold (length equality is the
+    caller's guard)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _series_dot_product(a: Column, b: Column) -> Column:
+    """``series_dot_product(a, b)`` — null on length mismatch (the
+    array_iff convention; Kusto errors)."""
+    return F.when(F.size(a) == F.size(b), _series_dot(a, b))
+
+
+def _series_magnitude(a: Column) -> Column:
+    """``series_magnitude(a)`` — the L2 norm, √(a·a)."""
+    return F.sqrt(_series_dot(a, a))
+
+
+def _series_cosine(a: Column, b: Column) -> Column:
+    """``series_cosine_similarity(a, b)`` — dot/(‖a‖·‖b‖); null on
+    length mismatch or a zero-magnitude side."""
+    den = _series_magnitude(a) * _series_magnitude(b)
+    return F.when(
+        (F.size(a) == F.size(b)) & (den > 0), _series_dot(a, b) / den
+    )
+
+
+def _series_pearson(a: Column, b: Column) -> Column:
+    """``series_pearson_correlation(a, b)`` — the closed form
+    (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) from five
+    folds; null on length mismatch or a constant side (zero
+    denominator). Integer-count series keep every sum exact in
+    doubles, which is what the differential oracle relies on."""
+    n = F.size(a).cast("double")
+    asum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    )
+    sx, sy = asum(a), asum(b)
+    sxx, syy = _series_dot(a, a), _series_dot(b, b)
+    sxy = _series_dot(a, b)
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return F.when((F.size(a) == F.size(b)) & (den > 0), num / den)
+
+
+def _series_elementwise(op):
+    """Element-wise series arithmetic — one zip_with; null on length
+    mismatch (the array_iff convention)."""
+
+    def fn(a: Column, b: Column) -> Column:
+        return F.when(F.size(a) == F.size(b), F.zip_with(a, b, op))
+
+    return fn
+
+
+def _series_map(op):
+    """Unary element-wise series function — one transform."""
+
+    def fn(a: Column) -> Column:
+        return F.transform(a, lambda x: op(x.cast("double")))
+
+    return fn
 
 
 def _kusto_datetime_format(fmt: str) -> str:
@@ -1746,6 +1820,48 @@ class _Parser:
         "array_iff": _array_iff,
         # parse_url — dynamic bag (JSON string) of URL components
         "parse_url": _parse_url,
+        # series math — folds/zips over make-series arrays, no explode
+        "series_dot_product": _series_dot_product,
+        "series_magnitude": _series_magnitude,
+        "series_cosine_similarity": _series_cosine,
+        "series_pearson_correlation": _series_pearson,
+        # element-wise series arithmetic (null on length mismatch;
+        # divide pins 0-divisor elements to null on BOTH engines)
+        "series_add": _series_elementwise(
+            lambda x, y: x.cast("double") + y.cast("double")
+        ),
+        "series_subtract": _series_elementwise(
+            lambda x, y: x.cast("double") - y.cast("double")
+        ),
+        "series_multiply": _series_elementwise(
+            lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        "series_divide": _series_elementwise(
+            lambda x, y: F.when(
+                y.cast("double") != 0, x.cast("double") / y.cast("double")
+            )
+        ),
+        "series_greater": _series_elementwise(
+            lambda x, y: x.cast("double") > y.cast("double")
+        ),
+        "series_abs": _series_map(F.abs),
+        "series_sign": _series_map(F.signum),
+        "series_floor": _series_map(F.floor),
+        "series_ceiling": _series_map(F.ceil),
+        "series_exp": _series_map(F.exp),
+        "series_log": _series_map(F.log),
+        "series_sqrt": _series_map(F.sqrt),
+        "series_pow": lambda a, p: F.transform(
+            a, lambda x: F.pow(x.cast("double"), p)
+        ),
+        # range(start, stop, step) — Kusto's dynamic range constructor
+        # (integer grid; spark.range is the TABULAR source sibling)
+        "range": lambda s, e, st=None: F.sequence(
+            s.cast("long"),
+            e.cast("long"),
+            (st if st is not None else F.lit(1)).cast("long"),
+        ),
+        "repeat": lambda v, n: F.array_repeat(v, n.cast("int")),
         # dynamic-bag key algebra (flat-bag contract, see _bag_map):
         # bag_keys is Spark's built-in json_object_keys (document
         # order); merge/remove are per-row map folds — no explode, no
@@ -5108,28 +5224,41 @@ def kql(
             # grid materialization. All JVM expressions — the grid fan-
             # out costs nbins array slots per group, never a row explode,
             # and no UDF.
-            agg_name = p.next().text
-            p.expect("=")
-            agg_col = p.agg_item().alias(agg_name)
-            fill = 0
-            if p.accept("default"):
+            # one or more `name = agg() [default = lit]` items, comma
+            # separated (Kusto's multi-column make-series: every series
+            # shares the grid and the ONE per-bin rollup — n aggregates
+            # cost one shuffle, not n)
+            ms_aggs: list[tuple[str, Column, object]] = []
+            while True:
+                agg_name = p.next().text
                 p.expect("=")
-                # `default = null` / `default = double(null)` — the
-                # spelling that makes gaps visible to series_fill_*
-                nxt = p.peek()
-                if nxt is not None and nxt.text.lower() in ("null", "double"):
-                    t = p.next()
-                    if t.text.lower() == "double":
-                        p.expect("(")
-                        if p.next().text.lower() != "null":
-                            raise ValueError(
-                                "KQL: make-series default double(...) "
-                                "supports only double(null)"
-                            )
-                        p.expect(")")
-                    fill = None
-                else:
-                    fill = p._literal_value()
+                agg_col = p.agg_item().alias(agg_name)
+                fill = 0
+                if p.accept("default"):
+                    p.expect("=")
+                    # `default = null` / `default = double(null)` — the
+                    # spelling that makes gaps visible to series_fill_*
+                    nxt = p.peek()
+                    if nxt is not None and nxt.text.lower() in (
+                        "null",
+                        "double",
+                    ):
+                        t = p.next()
+                        if t.text.lower() == "double":
+                            p.expect("(")
+                            if p.next().text.lower() != "null":
+                                raise ValueError(
+                                    "KQL: make-series default double(...) "
+                                    "supports only double(null)"
+                                )
+                            p.expect(")")
+                        fill = None
+                    else:
+                        fill = p._literal_value()
+                ms_aggs.append((agg_name, agg_col, fill))
+                if not p.accept(","):
+                    break
+            agg_name = ms_aggs[0][0]
             if p.next().text.lower() != "on":
                 raise ValueError("KQL: make-series needs 'on <timecol>'")
             ts_col = p.next().text
@@ -5182,25 +5311,36 @@ def kql(
                     ),
                 )
                 .groupBy(*groups, "__msi")
-                .agg(agg_col)
+                .agg(*[a[1] for a in ms_aggs])
             )
             per_group = binned.groupBy(*groups).agg(
-                F.map_from_entries(
-                    F.collect_list(
-                        F.when(
-                            F.col("__msi").isNotNull(),
-                            F.struct("__msi", agg_name),
+                *[
+                    F.map_from_entries(
+                        F.collect_list(
+                            F.when(
+                                F.col("__msi").isNotNull(),
+                                F.struct("__msi", nm),
+                            )
                         )
-                    )
-                ).alias("__m")
+                    ).alias(f"__m_{nm}")
+                    for nm, _, _ in ms_aggs
+                ]
             )
             grid = F.sequence(F.lit(0), F.lit(nbins - 1))
-            series = F.transform(
-                grid,
-                lambda i: F.coalesce(
-                    F.element_at(F.col("__m"), i.cast("long")), F.lit(fill)
-                ),
-            )
+
+            def _ms_series(nm: str, fill):
+                # NOTE: default-arg lambdas are NOT usable here —
+                # PySpark derives the HOF arity from the lambda's
+                # parameter count, so bind loop vars via this closure
+                return F.transform(
+                    grid,
+                    lambda i: F.coalesce(
+                        F.element_at(F.col(f"__m_{nm}"), i.cast("long")),
+                        F.lit(fill),
+                    ),
+                ).alias(nm)
+
+            series_cols = [_ms_series(nm, fill) for nm, _, fill in ms_aggs]
             ts_arr = F.transform(
                 grid,
                 lambda i: F.timestamp_seconds(
@@ -5208,7 +5348,7 @@ def kql(
                 ),
             )
             df = per_group.select(
-                *groups, series.alias(agg_name), ts_arr.alias(ts_col)
+                *groups, *series_cols, ts_arr.alias(ts_col)
             )
         elif verb == "project-away":
             df = df.drop(*p.ident_list())

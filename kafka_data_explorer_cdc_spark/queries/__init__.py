@@ -94,6 +94,9 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "s54_stream_hll_distinct",
+    "k98_kql_series_similarity",
+    "k99_kql_series_arithmetic",
     "d101_vocab_coverage_curve",
     "k96_kql_parse_kv",
     "k97_kql_facet",
@@ -143,10 +146,10 @@ _FRONT = [
     "k72_kql_sequence_detect",
     "b106_product_profit_q9",
     "b107_local_supplier_volume_q5",
-    "b108_volume_shipping_q7",
-    "b109_market_share_q8",
-    # window exactly full at 50 (40 round-11 additions + 10 round-10
-    # additions; the round-10 tail b110_returned_items_q10,
+    # window exactly full at 50 (43 round-11 additions + 7 round-10
+    # additions; the round-10 tail b108_volume_shipping_q7,
+    # b109_market_share_q8,
+    # b110_returned_items_q10,
     # b111_promo_revenue_q14,
     # b112_forecast_revenue_q6, b113_large_volume_customer_q18,
     # mm11_audio_vad_segments, s51_stream_sequence_detect,
@@ -154,7 +157,8 @@ _FRONT = [
     # displaced by the k91-k97/d101 additions and lead the round-12
     # queue with the other displaced never-checked entries below).
     # Displaced never-checked + r2/r3 entries —
-    # b110_returned_items_q10,
+    # b108_volume_shipping_q7,
+    # b109_market_share_q8, b110_returned_items_q10,
     # b111_promo_revenue_q14, b112_forecast_revenue_q6,
     # b113_large_volume_customer_q18,
     # mm11_audio_vad_segments, s51_stream_sequence_detect,

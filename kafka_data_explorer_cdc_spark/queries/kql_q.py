@@ -3742,3 +3742,113 @@ def k97_kql_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | facet by o_orderpriority, o_orderstatus, seg",
         {"Orders": orders},
     )
+
+
+_SERIES2 = """
+WITH grid AS (
+  SELECT et.event_type, g.i,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (g.i * 6) HOUR AS d
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN unnest(generate_series(0, 111)) AS g(i)
+), bins AS (
+  SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS d,
+         CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS c2
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+  GROUP BY 1, 2
+), dense AS (
+  SELECT g.event_type, g.i,
+         CAST(COALESCE(b.c1, 0) AS DOUBLE) AS c1,
+         CAST(COALESCE(b.c2, 0) AS DOUBLE) AS c2
+  FROM grid g LEFT JOIN bins b
+    ON b.event_type = g.event_type AND b.d = g.d
+)
+"""
+
+
+@query(
+    "k98_kql_series_similarity",
+    oracle=_SERIES2 + """
+SELECT event_type,
+       SUM(c1 * c2) AS dp,
+       SQRT(SUM(c1 * c1)) AS m1,
+       SQRT(SUM(c2 * c2)) AS m2,
+       SUM(c1 * c2) / (SQRT(SUM(c1 * c1)) * SQRT(SUM(c2 * c2))) AS cs,
+       (COUNT(*) * SUM(c1 * c2) - SUM(c1) * SUM(c2))
+         / (SQRT(COUNT(*) * SUM(c1 * c1) - SUM(c1) * SUM(c1))
+            * SQRT(COUNT(*) * SUM(c2 * c2) - SUM(c2) * SUM(c2))) AS pc
+FROM dense GROUP BY 1
+""",
+    tags=("kql", "timeseries", "similarity"),
+)
+def k98_kql_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The series similarity-math family — ``series_dot_product`` /
+    ``series_magnitude`` / ``series_cosine_similarity`` /
+    ``series_pearson_correlation`` (kql.py:_series_dot et al.; null on
+    length mismatch or degenerate denominators), over TWO series built
+    by ONE multi-aggregate make-series (n aggregates share the grid
+    and the single per-bin rollup — one shuffle, not n; this entry is
+    also the multi-column make-series pin). Integer count series keep
+    every fold sum exact in doubles, so the oracle's closed forms
+    agree bit-for-bit before the final single-op divisions.
+
+    Scale shape: folds/zips over the 112-bin arrays — no explode, no
+    Python; ONE rollup shuffle total."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | make-series n1 = countif(value > 100), n2 = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-29 00:00:00'"
+        " step 6h by event_type"
+        " | project event_type,"
+        "   dp = series_dot_product(n1, n2),"
+        "   m1 = series_magnitude(n1), m2 = series_magnitude(n2),"
+        "   cs = series_cosine_similarity(n1, n2),"
+        "   pc = series_pearson_correlation(n1, n2)",
+        {"Events": events},
+    )
+
+
+@query(
+    "k99_kql_series_arithmetic",
+    oracle=_SERIES2 + """
+SELECT event_type, CAST(i AS BIGINT) AS i,
+       c1 + c2 AS v,
+       c1 - c2 AS vsub,
+       c1 * c2 AS vmul,
+       c1 / NULLIF(c2, 0) AS vdiv,
+       ABS(c1 - c2) AS vabs,
+       c2 * c2 AS vpow
+FROM dense
+""",
+    tags=("kql", "timeseries", "arithmetic"),
+)
+def k99_kql_series_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise series arithmetic — ``series_add/subtract/multiply/
+    divide`` (zero divisors pinned to null on both engines), unary
+    ``series_abs``/``series_pow``, composed (abs∘subtract) to prove
+    the family chains. One zip_with per op over the shared make-series
+    arrays; the typed mv-expand + computed-index probes unpack every
+    element for the oracle.
+
+    Scale shape: per-row array expressions until the single unpack
+    explode; ONE rollup shuffle (the shared multi-agg make-series)."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | make-series n1 = countif(value > 100), n2 = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-29 00:00:00'"
+        " step 6h by event_type"
+        " | extend s_add = series_add(n1, n2),"
+        "   s_sub = series_subtract(n1, n2),"
+        "   s_mul = series_multiply(n1, n2),"
+        "   s_div = series_divide(n1, n2),"
+        "   s_abs = series_abs(series_subtract(n1, n2)),"
+        "   s_pow = series_pow(n2, 2)"
+        " | mv-expand with_itemindex = i v = s_add to typeof(real)"
+        " | extend i = tolong(i), vsub = todouble(s_sub[i]),"
+        "   vmul = todouble(s_mul[i]), vdiv = todouble(s_div[i]),"
+        "   vabs = todouble(s_abs[i]), vpow = todouble(s_pow[i])"
+        " | project event_type, i, v, vsub, vmul, vdiv, vabs, vpow",
+        {"Events": events},
+    )

@@ -2241,3 +2241,81 @@ def s53_stream_new_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("aggregated_dcount"),
         )
     )
+
+
+@query(
+    "s54_stream_hll_distinct",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS du_bounded, TRUE AS est_parity
+FROM events GROUP BY 1
+""",
+    tags=("streaming", "sketch"),
+)
+def s54_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user counting via MERGEABLE HLL sketch state
+    (b41's sketch-at-rest algebra run live): count(distinct) is not
+    expressible in a streaming aggregation, so the stream keeps one
+    hll_sketch_agg per (day, event_type) in the state store —
+    micro-batch increments merge sketch-side, O(2^lgK) state per open
+    window regardless of user cardinality — and the sink read unions
+    the daily sketches per type (hll_union_agg) for the
+    full-horizon estimate. Two gates ride the oracle:
+
+    - ``du_bounded`` — the streamed estimate lands within 5% of the
+      exact batch recount (b41's bound; lgK=12 is ~1.6% typical);
+    - ``est_parity`` — the streamed union estimate EQUALS the batch
+      pipeline's estimate over the same per-day sketch shape
+      (register-max union is order-insensitive, so micro-batching
+      must not change a single register — the unified batch/streaming
+      contract at sketch granularity, exact even where the estimate
+      itself is approximate).
+
+    Scale shape: state is one 4 KB sketch per open (day, type) window;
+    the sink moves sketches, never user ids; the exact recount exists
+    only to verify the sketch and is batch-side."""
+    name = f"s54_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("window.start").alias("day"), "event_type", "sk", "n")
+    )
+    run_to_memory(
+        agg, name, output_mode="complete",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    streamed = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("du_est"),
+        )
+    )
+    events = load(spark, sf_dir, "events")
+    batch = (
+        events.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("du_batch"))
+        .join(
+            events.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("du_exact")
+            ),
+            "event_type",
+        )
+    )
+    return streamed.join(batch, "event_type").select(
+        "event_type",
+        "n_events",
+        (
+            F.abs(F.col("du_est") - F.col("du_exact"))
+            / F.col("du_exact")
+            <= 0.05
+        ).alias("du_bounded"),
+        (F.col("du_est") == F.col("du_batch")).alias("est_parity"),
+    )

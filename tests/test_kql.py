@@ -2421,3 +2421,63 @@ def test_kql_facet(spark):
     got = {(r["facet_column"], r["value"]): r["Count"] for r in rows}
     assert got[("k", "a")] == 2 and got[("k", "b")] == 1
     assert got[("v", "2")] == 2 and got[("v", "1")] == 1
+
+
+def test_kql_series_similarity_math(spark):
+    """series_dot_product/magnitude/cosine/pearson: hand-computed
+    values; null on length mismatch and degenerate denominators."""
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [2.0, 4.0, 0.0], [1.0, 1.0])],
+        "a array<double>, b array<double>, c array<double>",
+    )
+    r = kql(
+        "T | extend dp = series_dot_product(a, b),"
+        " mg = series_magnitude(a),"
+        " cs = series_cosine_similarity(a, b),"
+        " pc = series_pearson_correlation(a, b),"
+        " bad = series_dot_product(a, c),"
+        " flat = series_pearson_correlation(c, c)",
+        {"T": df},
+    ).collect()[0]
+    assert r["dp"] == 10.0
+    assert abs(r["mg"] - 14 ** 0.5) < 1e-12
+    assert abs(r["cs"] - 10.0 / (14 ** 0.5 * 20 ** 0.5)) < 1e-12
+    assert abs(r["pc"] - (-0.5)) < 1e-12
+    assert r["bad"] is None  # length mismatch
+    assert r["flat"] is None  # constant side -> zero denominator
+
+
+def test_kql_series_elementwise_arithmetic(spark):
+    df = spark.createDataFrame(
+        [([4.0, 9.0], [2.0, 0.0])], "a array<double>, b array<double>"
+    )
+    r = kql(
+        "T | extend s = series_add(a, b), d = series_divide(a, b),"
+        " q = series_sqrt(a), p = series_pow(a, 2),"
+        " g = series_greater(a, b)",
+        {"T": df},
+    ).collect()[0]
+    assert r["s"] == [6.0, 9.0]
+    assert r["d"] == [2.0, None]  # zero divisor pinned to null
+    assert r["q"] == [2.0, 3.0]
+    assert r["p"] == [16.0, 81.0]
+    assert r["g"] == [True, True]
+
+
+def test_kql_make_series_multi_agg_per_column_defaults(spark):
+    """Multi-column make-series: every series shares the grid and ONE
+    per-bin rollup; defaults bind per column."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-01-01 01:00:00", 150.0), ("2024-01-01 05:00:00", 50.0)],
+        "s string, v double",
+    ).select(F.col("s").cast("timestamp").alias("ts"), "v")
+    r = kql(
+        "T | make-series n1 = countif(v > 100), n2 = count() default = 9"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-01 08:00:00'"
+        " step 2h",
+        {"T": df},
+    ).collect()[0]
+    assert r["n1"] == [1, 0, 0, 0]  # n1 keeps the 0 default
+    assert r["n2"] == [1, 9, 1, 9]  # n2 gap-fills with ITS default

@@ -1473,3 +1473,24 @@ def test_d101_vocab_curve_topk_not_global_sort(spark, sf_dir):
     p = plan_of(spark, sf_dir, "d101_vocab_coverage_curve")
     assert "TakeOrderedAndProject" in p, p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_k98_series_similarity_one_rollup_no_python(spark, sf_dir):
+    """k98 (series similarity math + multi-agg make-series): both
+    series ride ONE per-bin rollup (two aggregate pairs total:
+    bin-level and group-level), folds are JVM — no Python, no
+    explode-based fan."""
+    p = plan_of(spark, sf_dir, "k98_kql_series_similarity")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    # "HashAggregate" also matches inside "ObjectHashAggregate" — the
+    # count covers both spellings: 2 bin-level + 2 group-level nodes
+    assert p.count("HashAggregate") == 4, p
+
+
+def test_k99_series_arithmetic_single_unpack_explode(spark, sf_dir):
+    """k99 (element-wise series arithmetic): exactly ONE Generate (the
+    final oracle-unpack mv-expand) — the arithmetic itself is
+    zip_with, not explode; no Python."""
+    p = plan_of(spark, sf_dir, "k99_kql_series_arithmetic")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert p.count("Generate") == 1, p
