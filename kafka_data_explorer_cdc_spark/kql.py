@@ -884,6 +884,81 @@ def _timespan_literal_seconds(text: str) -> float:
     return float(out)
 
 
+def _compile_ipv4_lookup(df, dim, src_col, net_col, ret_unmatched):
+    """``evaluate ipv4_lookup(Dim, srcIpCol, cidrCol [,
+    return_unmatched = true])`` — Kusto's IP-to-network lookup plugin.
+    Every dim row whose CIDR contains the source IP matches (all
+    matches returned, Kusto's contract; return_unmatched adds
+    unmatched probe rows with null dim columns).
+
+    The scalable shape — never a range/theta join: the dim's CIDRs
+    reduce to (prefix_len, masked_net) pairs; the DISTINCT prefix
+    lengths present (≤ 33, collected driver-side — bounded by
+    construction) parameterize a per-row candidate array on the probe
+    side (ip masked at each length), so the lookup is ONE explode of
+    ≤ 33 elements + ONE broadcast equi-join on (prefix_len,
+    masked_net). At 100 TB the fact side streams through codegen; the
+    fan is bounded by the dim's prefix diversity, not its row count."""
+    net = F.col(net_col)
+    sfx = (
+        F.when(
+            net.contains("/"), F.split(net, "/").getItem(1).cast("int")
+        ).otherwise(F.lit(32))
+    )
+    base = F.when(
+        net.contains("/"), F.split(net, "/").getItem(0)
+    ).otherwise(net)
+    netn = _parse_ipv4(base)
+    d = (
+        dim.withColumn("__plen", sfx)
+        .withColumn(
+            "__masked",
+            F.floor(
+                netn / F.pow(F.lit(2.0), (F.lit(32) - sfx).cast("double"))
+            ).cast("long"),
+        )
+    )
+    plens = sorted(
+        r["__plen"] for r in d.select("__plen").distinct().collect()
+    )
+    if not plens:
+        raise ValueError("KQL: ipv4_lookup dim table has no networks")
+    ipn = _parse_ipv4(F.col(src_col))
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(pl).cast("int").alias("p"),
+                F.floor(ipn / F.lit(float(2 ** (32 - pl))))
+                .cast("long")
+                .alias("m"),
+            )
+            for pl in plens
+        ]
+    )
+    probe = df.withColumn("__c", F.explode(cands))
+    probe = probe.withColumn("__plen", F.col("__c.p").cast("int")).withColumn(
+        "__masked", F.col("__c.m")
+    ).drop("__c")
+    # right-side name clashes get a '1' suffix, as in join
+    clashes = [c for c in d.columns if c in df.columns]
+    for c in clashes:
+        d = d.withColumnRenamed(c, c + "1")
+    out = probe.join(F.broadcast(d), ["__plen", "__masked"], "inner").drop(
+        "__plen", "__masked"
+    )
+    if ret_unmatched:
+        # unmatched = probe rows with NO candidate hit at any prefix
+        # length: an all-columns LEFT ANTI against the matched probe
+        # identities (a left join over the explode would instead emit
+        # one null row per MISSED candidate, fanning matched rows too)
+        un = df.join(
+            out.select(*df.columns).distinct(), list(df.columns),
+            "left_anti",
+        )
+        out = out.unionByName(un, allowMissingColumns=True)
+    return out
+
+
 def _compile_row_rank(df, p, name, ser):
     """Staged compile of Kusto's serialized rank/session trio —
     ``row_rank_dense(Term [, restart])``, ``row_rank_min(Term [,
@@ -6100,6 +6175,41 @@ def kql(
                     )
                 df = _compile_sequence_detect(
                     df, sd_ts, sd_step, sd_span, sd_flags, sd_keys
+                )
+                ser = None
+                continue
+            if ev_fn == "ipv4_lookup":
+                # evaluate ipv4_lookup(Dim, srcIpCol, cidrCol
+                #   [, return_unmatched = true]) — see
+                # _compile_ipv4_lookup for the bounded-fan LPM shape.
+                p.expect("(")
+                dim_name = p.next().text
+                p.expect(",")
+                ipl_src = p.next().text
+                p.expect(",")
+                ipl_net = p.next().text
+                ipl_unmatched = False
+                if p.accept(","):
+                    if p.next().text.lower() != "return_unmatched":
+                        raise ValueError(
+                            "KQL: ipv4_lookup supports only the "
+                            "return_unmatched option"
+                        )
+                    p.expect("=")
+                    ipl_unmatched = p.next().text.lower() == "true"
+                p.expect(")")
+                if dim_name not in tables:
+                    raise ValueError(
+                        f"KQL: ipv4_lookup dim table {dim_name!r} not "
+                        f"found — bind it with 'let' or 'as'"
+                    )
+                if ipl_src not in df.columns:
+                    raise ValueError(
+                        f"KQL: ipv4_lookup source column {ipl_src!r} "
+                        f"not found"
+                    )
+                df = _compile_ipv4_lookup(
+                    df, tables[dim_name], ipl_src, ipl_net, ipl_unmatched
                 )
                 ser = None
                 continue

@@ -3852,3 +3852,44 @@ def k99_kql_series_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | project event_type, i, v, vsub, vmul, vdiv, vabs, vpow",
         {"Events": events},
     )
+
+
+@query(
+    "k100_kql_ipv4_lookup",
+    oracle="""
+WITH src AS (SELECT o_orderkey % 128 AS a FROM orders)
+SELECT 'corp' AS label, CAST(COUNT(*) AS BIGINT) AS n FROM src
+UNION ALL
+SELECT 'teamA', CAST(COUNT(*) AS BIGINT) FROM src WHERE a = 0
+UNION ALL
+SELECT 'vpn', CAST(COUNT(*) AS BIGINT) FROM src WHERE a >= 64
+""",
+    tags=("kql", "plugin", "ipv4"),
+)
+def k100_kql_ipv4_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate ipv4_lookup`` — Kusto's IP-to-network lookup plugin
+    (kql.py:_compile_ipv4_lookup): per-order source IPs are joined
+    against a CIDR table (an overlapping /8 supernet, a /16, a /10,
+    and a never-matching /12), ALL containing networks match (Kusto's
+    contract — a 10.0.x.y row lands in both teamA's /16 and corp's
+    /8). The oracle replays each network's mask predicate as plain
+    octet arithmetic, including the empty network's absence.
+
+    Scale shape (the plugin's reason to exist): NEVER a range/theta
+    join — the dim reduces to (prefix_len, masked_net), the probe
+    fans each row into one candidate per DISTINCT prefix length
+    present (3 here, ≤ 33 ever, bounded driver collect), and the
+    lookup is ONE bounded explode + ONE broadcast equi-join, so the
+    fact side streams through codegen at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "let Nets = datatable (net: string, label: string) ["
+        " '10.0.0.0/16', 'teamA', '10.0.0.0/8', 'corp',"
+        " '10.64.0.0/10', 'vpn', '172.16.0.0/12', 'priv' ];"
+        " Orders"
+        " | extend ip = strcat('10.', tostring(o_orderkey % 128), '.',"
+        " tostring(o_custkey % 256), '.', tostring(o_orderkey % 256))"
+        " | evaluate ipv4_lookup(Nets, ip, net)"
+        " | summarize n = count() by label",
+        {"Orders": orders},
+    )

@@ -2481,3 +2481,30 @@ def test_kql_make_series_multi_agg_per_column_defaults(spark):
     ).collect()[0]
     assert r["n1"] == [1, 0, 0, 0]  # n1 keeps the 0 default
     assert r["n2"] == [1, 9, 1, 9]  # n2 gap-fills with ITS default
+
+
+def test_kql_ipv4_lookup(spark):
+    """ipv4_lookup: ALL containing networks match (supernet overlap),
+    /32 bare addresses work, return_unmatched adds exactly one null
+    row per unmatched probe row (never a per-candidate fan)."""
+    df = spark.createDataFrame(
+        [("10.0.1.5",), ("10.1.2.3",), ("8.8.8.8",)], "ip string"
+    )
+    dim = spark.createDataFrame(
+        [("10.0.0.0/16", "A"), ("10.0.0.0/8", "SUPER"), ("10.1.2.3", "EXACT")],
+        "net string, label string",
+    )
+    rows = kql(
+        "T | evaluate ipv4_lookup(Dim, ip, net)", {"T": df, "Dim": dim}
+    ).collect()
+    got = sorted((r["ip"], r["label"]) for r in rows)
+    assert got == [
+        ("10.0.1.5", "A"), ("10.0.1.5", "SUPER"),
+        ("10.1.2.3", "EXACT"), ("10.1.2.3", "SUPER"),
+    ]
+    rows2 = kql(
+        "T | evaluate ipv4_lookup(Dim, ip, net, return_unmatched = true)",
+        {"T": df, "Dim": dim},
+    ).collect()
+    nulls = [r["ip"] for r in rows2 if r["label"] is None]
+    assert nulls == ["8.8.8.8"] and len(rows2) == 5

@@ -1494,3 +1494,14 @@ def test_k99_series_arithmetic_single_unpack_explode(spark, sf_dir):
     p = plan_of(spark, sf_dir, "k99_kql_series_arithmetic")
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
     assert p.count("Generate") == 1, p
+
+
+def test_k100_ipv4_lookup_broadcast_equi_join(spark, sf_dir):
+    """k100 (ipv4_lookup): the LPM lookup must be the bounded explode +
+    BroadcastHashJoin equi-join — never a range/theta join
+    (BroadcastNestedLoopJoin) and never Python."""
+    p = plan_of(spark, sf_dir, "k100_kql_ipv4_lookup")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
