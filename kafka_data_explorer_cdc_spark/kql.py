@@ -1751,12 +1751,15 @@ class _Parser:
         "tolower": F.lower,
         "toupper": F.upper,
         "tostring": lambda c: c.cast("string"),
-        "toint": lambda c: c.cast("int"),
-        "tolong": lambda c: c.cast("long"),
-        "todouble": lambda c: c.cast("double"),
-        "toreal": lambda c: c.cast("double"),
-        "tobool": lambda c: c.cast("boolean"),
-        "todatetime": lambda c: c.cast("timestamp"),
+        # Kusto's to* conversions are TRY-semantics — a malformed value
+        # yields null, never an error (toint('x') = null). try_cast is
+        # the exact Spark spelling; under ANSI a plain cast would throw.
+        "toint": lambda c: c.try_cast("int"),
+        "tolong": lambda c: c.try_cast("long"),
+        "todouble": lambda c: c.try_cast("double"),
+        "toreal": lambda c: c.try_cast("double"),
+        "tobool": lambda c: c.try_cast("boolean"),
+        "todatetime": lambda c: c.try_cast("timestamp"),
         # datetime('2024-01-01 00:00:00') in expression position — the
         # literal-constructor spelling (plugin argument slots parse it
         # via _datetime_literal; here it is an ordinary cast)
@@ -6176,6 +6179,45 @@ def kql(
                 df = _compile_sequence_detect(
                     df, sd_ts, sd_step, sd_span, sd_flags, sd_keys
                 )
+                ser = None
+                continue
+            if ev_fn == "dcount_intersect":
+                # evaluate dcount_intersect(h1, h2 [, h3]) — Kusto's
+                # sketch-intersection plugin over hll() columns:
+                # intersection cardinalities by inclusion-exclusion,
+                # computed entirely from per-row sketch UNIONS
+                # (intersection sketches don't exist; register-max
+                # unions do). s0 = |A|, s1 = |A∩B|,
+                # s2 = |A∩B∩C| = ΣsI − Σ|pair unions| + |A∪B∪C|.
+                # Pure per-row JVM sketch ops — no shuffle, no UDF;
+                # exact while the sketches are in coupon range, the
+                # same contract as dcount_hll.
+                p.expect("(")
+                hcols = [p.next().text]
+                while p.accept(","):
+                    hcols.append(p.next().text)
+                p.expect(")")
+                if not 2 <= len(hcols) <= 3:
+                    raise ValueError(
+                        "KQL: dcount_intersect takes 2 or 3 hll columns"
+                    )
+                est = F.hll_sketch_estimate
+                uni = F.hll_union
+                c = [F.col(h) for h in hcols]
+                df = df.withColumn("s0", est(c[0]))
+                s01 = est(c[0]) + est(c[1]) - est(uni(c[0], c[1]))
+                df = df.withColumn("s1", s01)
+                if len(hcols) == 3:
+                    pair = (
+                        est(uni(c[0], c[1]))
+                        + est(uni(c[0], c[2]))
+                        + est(uni(c[1], c[2]))
+                    )
+                    allu = est(uni(uni(c[0], c[1]), c[2]))
+                    df = df.withColumn(
+                        "s2",
+                        est(c[0]) + est(c[1]) + est(c[2]) - pair + allu,
+                    )
                 ser = None
                 continue
             if ev_fn == "ipv4_lookup":

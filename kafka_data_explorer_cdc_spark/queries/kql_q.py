@@ -3893,3 +3893,62 @@ def k100_kql_ipv4_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | summarize n = count() by label",
         {"Orders": orders},
     )
+
+
+@query(
+    "k101_kql_dcount_intersect",
+    oracle="""
+WITH a AS (
+  SELECT DISTINCT user_id % 16 AS g, user_id FROM events
+  WHERE event_type = 'purchase'
+), b AS (
+  SELECT DISTINCT user_id % 16 AS g, user_id FROM events
+  WHERE event_type = 'view'
+), c AS (
+  SELECT DISTINCT user_id % 16 AS g, user_id FROM events
+  WHERE value > 150
+)
+SELECT a.g,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS s0,
+       CAST(COUNT(DISTINCT CASE WHEN b.user_id IS NOT NULL
+                                THEN a.user_id END) AS BIGINT) AS s1,
+       CAST(COUNT(DISTINCT CASE WHEN b.user_id IS NOT NULL
+                                 AND c.user_id IS NOT NULL
+                                THEN a.user_id END) AS BIGINT) AS s2
+FROM a
+LEFT JOIN b ON b.g = a.g AND b.user_id = a.user_id
+LEFT JOIN c ON c.g = a.g AND c.user_id = a.user_id
+GROUP BY 1
+""",
+    tags=("kql", "plugin", "sketch"),
+)
+def k101_kql_dcount_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate dcount_intersect`` — Kusto's sketch-intersection
+    plugin over ``hll()`` columns (kql.py evaluate chain): per user
+    segment, the purchasing audience (s0), its overlap with viewers
+    (s1), and the three-way overlap with high-value users (s2), all by
+    inclusion-exclusion over per-row REGISTER-MAX SKETCH UNIONS
+    (intersection sketches don't exist; unions do). The conditional
+    sketches are built with ``hll(iff(pred, user, tolong('')))`` —
+    nulls never enter a sketch, and the try-semantics ``tolong``
+    (Kusto's conversion contract, null on malformed) is what makes
+    that idiom legal under ANSI. Segment cardinalities sit in the
+    sketches' exact coupon range at every SF, so the exact-recount
+    oracle is a true differential (the same exactness contract as
+    dcount_hll/b41).
+
+    Scale shape: sketches aggregate mergeable and map-side-combined;
+    the intersection arithmetic is per-row JVM sketch ops — no second
+    shuffle, no UDF, no user-id movement past the rollup."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | summarize"
+        " h1 = hll(iff(event_type == 'purchase', user_id, tolong(''))),"
+        " h2 = hll(iff(event_type == 'view', user_id, tolong(''))),"
+        " h3 = hll(iff(value > 150, user_id, tolong('')))"
+        " by g = user_id % 16"
+        " | evaluate dcount_intersect(h1, h2, h3)"
+        " | project g, s0, s1, s2",
+        {"Events": events},
+    )

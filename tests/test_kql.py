@@ -2508,3 +2508,35 @@ def test_kql_ipv4_lookup(spark):
     ).collect()
     nulls = [r["ip"] for r in rows2 if r["label"] is None]
     assert nulls == ["8.8.8.8"] and len(rows2) == 5
+
+
+def test_kql_conversion_try_semantics(spark):
+    """Kusto's to* conversions are try-semantics: malformed input
+    yields null, never an ANSI error — the idiom hll(iff(pred, v,
+    tolong(''))) depends on it."""
+    df = spark.createDataFrame([("12", "x")], "good string, bad string")
+    r = kql(
+        "T | extend a = toint(good), b = toint(bad), c = tolong(''),"
+        " d = todouble('nope'), e = todatetime('not a date'),"
+        " f = tobool(good)",
+        {"T": df},
+    ).collect()[0]
+    assert r["a"] == 12 and r["b"] is None and r["c"] is None
+    assert r["d"] is None and r["e"] is None and r["f"] is None
+
+
+def test_kql_dcount_intersect(spark):
+    """dcount_intersect: inclusion-exclusion over per-row sketch
+    unions; exact in the coupon range."""
+    rows = [(i, "A" if i % 2 == 0 else "B") for i in range(100)]
+    df = spark.createDataFrame(rows, "u long, t string")
+    r = kql(
+        "T | summarize h1 = hll(u),"
+        " h2 = hll(iff(t == 'A', u, tolong(''))),"
+        " h3 = hll(iff(u < 30, u, tolong(''))) by g = 1"
+        " | evaluate dcount_intersect(h1, h2, h3)",
+        {"T": df},
+    ).collect()[0]
+    assert r["s0"] == 100      # |all|
+    assert r["s1"] == 50       # |all ∩ evens|
+    assert r["s2"] == 15       # evens under 30
