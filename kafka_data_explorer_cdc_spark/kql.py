@@ -3828,6 +3828,89 @@ def _compile_funnel_sequence(
     )
 
 
+def _compile_funnel_completion(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    bin_s: float,
+    state_col: str,
+    states: list[str],
+    windows_s: list[float],
+) -> DataFrame:
+    """``evaluate funnel_sequence_completion(id, ts, bin, state,
+    ('s1', ...), (w1, w2, ...))`` — the k71 funnel's completion form:
+    for every period bin (of each id's earliest sequence start), every
+    sequence STEP, and every comparison window w, the count of ids
+    that completed that step within w of their start. Matching is the
+    same earliest-completion cascade as funnel_sequence; each step's
+    survivor table is RETAINED (k71 only keeps the final one), unioned
+    with the step name, fanned by the literal window list, and rolled
+    up once. Completion time compares in MICROSECONDS on both engines
+    (unix_micros here, epoch_us in the oracle) so sub-second
+    timestamps never misclassify a boundary.
+
+    Scale shape: pure Catalyst — one conditional MIN per step on the
+    id key, a |windows| literal fan (bounded by the query text), ONE
+    final map-side-combined rollup; no Python, no stream-wide window."""
+    if bin_s < 1:
+        raise ValueError(
+            "KQL funnel_sequence_completion: bin must be >= 1 second "
+            f"(got {bin_s!r})"
+        )
+    cur = (
+        df.filter(F.col(state_col) == states[0])
+        .groupBy(id_col)
+        .agg(F.min(ts_col).alias("__t1"))
+    )
+    stages = [
+        cur.select(
+            id_col, "__t1",
+            F.lit(states[0]).alias("__step"),
+            F.col("__t1").alias("__tj"),
+            F.lit(1).alias("__ord"),
+        )
+    ]
+    prev_t = "__t1"
+    for j, s in enumerate(states[1:], start=2):
+        step = df.filter(F.col(state_col) == s).select(
+            id_col, F.col(ts_col).alias("__ts")
+        )
+        cur = (
+            step.join(cur, id_col)
+            .filter(F.col("__ts") > F.col(prev_t))
+            .groupBy(id_col, "__t1")
+            .agg(F.min("__ts").alias(f"__t{j}"))
+        )
+        prev_t = f"__t{j}"
+        stages.append(
+            cur.select(
+                id_col, "__t1",
+                F.lit(s).alias("__step"),
+                F.col(prev_t).alias("__tj"),
+                F.lit(j).alias("__ord"),
+            )
+        )
+    steps = _reduce(lambda a, b: a.unionByName(b), stages)
+    wins = F.array(*[F.lit(int(w)).cast("long") for w in windows_s])
+    fanned = steps.withColumn("__w", F.explode(wins)).filter(
+        F.unix_micros("__tj") - F.unix_micros("__t1")
+        <= F.col("__w") * F.lit(1_000_000)
+    )
+    period = F.timestamp_seconds(
+        (F.unix_timestamp("__t1") / F.lit(int(bin_s))).cast("bigint")
+        * F.lit(int(bin_s))
+    )
+    return (
+        fanned.select(
+            period.alias("period"),
+            F.col("__step").alias("step"),
+            F.col("__w").alias("window_s"),
+        )
+        .groupBy("period", "step", "window_s")
+        .agg(F.count("*").cast("long").alias("ids"))
+    )
+
+
 def _compile_basket(df: DataFrame, threshold: float) -> DataFrame:
     """``evaluate basket(threshold)`` — frequent attribute-combination
     mining over the piped table's (string) columns, Kusto's
@@ -6252,6 +6335,64 @@ def kql(
                     )
                 df = _compile_ipv4_lookup(
                     df, tables[dim_name], ipl_src, ipl_net, ipl_unmatched
+                )
+                ser = None
+                continue
+            if ev_fn == "funnel_sequence_completion":
+                # evaluate funnel_sequence_completion(id, ts, bin,
+                #   state, ('s1', ...), (1h, 1d, ...)) — see
+                # _compile_funnel_completion.
+                p.expect("(")
+                fc_id = p.next().text
+                p.expect(",")
+                fc_ts = p.next().text
+                p.expect(",")
+                fc_bin = p._duration_seconds(p.next().text)
+                p.expect(",")
+                fc_state = p.next().text
+                p.expect(",")
+                p.expect("(")
+                fc_states = []
+                while True:
+                    t = p.next()
+                    if t.kind != "str":
+                        raise ValueError(
+                            "KQL: funnel_sequence_completion states "
+                            "must be string literals"
+                        )
+                    fc_states.append(t.text[1:-1])
+                    if not p.accept(","):
+                        break
+                p.expect(")")
+                p.expect(",")
+                p.expect("(")
+                fc_wins = []
+                while True:
+                    t = p.next()
+                    if t.kind != "dur":
+                        raise ValueError(
+                            "KQL: funnel_sequence_completion windows "
+                            "must be duration literals"
+                        )
+                    fc_wins.append(p._duration_seconds(t.text))
+                    if not p.accept(","):
+                        break
+                p.expect(")")
+                p.expect(")")
+                for c in (fc_id, fc_ts, fc_state):
+                    if c not in df.columns:
+                        raise ValueError(
+                            f"KQL: funnel_sequence_completion column "
+                            f"{c!r} not found"
+                        )
+                if len(fc_states) < 2:
+                    raise ValueError(
+                        "KQL: funnel_sequence_completion needs >= 2 "
+                        "states"
+                    )
+                df = _compile_funnel_completion(
+                    df, fc_id, fc_ts, fc_bin, fc_state, fc_states,
+                    fc_wins,
                 )
                 ser = None
                 continue

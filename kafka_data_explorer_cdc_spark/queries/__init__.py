@@ -94,6 +94,7 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "k102_kql_funnel_completion",
     "k101_kql_dcount_intersect",
     "k100_kql_ipv4_lookup",
     "s54_stream_hll_distinct",
@@ -144,9 +145,9 @@ _FRONT = [
     "d92_colbert_maxsim",
     "d92x_colbert_maxsim_ivf",
     "d93_ivf_index_optimize",
-    "k71_kql_funnel_sequence",
-    # window exactly full at 50 (46 round-11 additions + 4 round-10
-    # additions; the round-10 tail k72_kql_sequence_detect,
+    # window exactly full at 50 (47 round-11 additions + 3 round-10
+    # additions; the round-10 tail k71_kql_funnel_sequence,
+    # k72_kql_sequence_detect,
     # b106_product_profit_q9,
     # b107_local_supplier_volume_q5, b108_volume_shipping_q7,
     # b109_market_share_q8,
@@ -158,7 +159,7 @@ _FRONT = [
     # displaced by the k91-k97/d101 additions and lead the round-12
     # queue with the other displaced never-checked entries below).
     # Displaced never-checked + r2/r3 entries —
-    # k72_kql_sequence_detect,
+    # k71_kql_funnel_sequence, k72_kql_sequence_detect,
     # b106_product_profit_q9, b107_local_supplier_volume_q5,
     # b108_volume_shipping_q7,
     # b109_market_share_q8, b110_returned_items_q10,

@@ -3952,3 +3952,52 @@ def k101_kql_dcount_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | project g, s0, s1, s2",
         {"Events": events},
     )
+
+
+@query(
+    "k102_kql_funnel_completion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, s1.t1, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1, 2
+), s3 AS (
+  SELECT e.user_id, s2.t1, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1, 2
+), steps AS (
+  SELECT user_id, t1, 'signup' AS step, t1 AS tj FROM s1
+  UNION ALL SELECT user_id, t1, 'view', t2 FROM s2
+  UNION ALL SELECT user_id, t1, 'purchase', t3 FROM s3
+), w AS (SELECT unnest([3600, 86400, 604800]) AS win)
+SELECT time_bucket(INTERVAL '1 day', t1) AS period,
+       step, CAST(win AS BIGINT) AS window_s,
+       CAST(COUNT(*) AS BIGINT) AS ids
+FROM steps, w
+WHERE epoch_us(tj) - epoch_us(t1) <= CAST(win AS BIGINT) * 1000000
+GROUP BY 1, 2, 3
+""",
+    tags=("kql", "plugin", "funnel"),
+)
+def k102_kql_funnel_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate funnel_sequence_completion`` — the k71 funnel's
+    completion form (kql.py:_compile_funnel_completion): per period
+    bin of each user's earliest signup, per sequence step
+    (signup → view → purchase) and per comparison window (1h/1d/7d),
+    the count of users who completed that step within the window.
+    Completion compares in MICROSECONDS on both engines (unix_micros /
+    epoch_us) so sub-second event times never misclassify a boundary.
+
+    Scale shape: the earliest-completion cascade is one conditional
+    MIN per step on the user key (co-partitioned, no stream-wide
+    window), each step's survivor table retained; the window fan is a
+    3-literal explode; ONE final rollup. Pure Catalyst, no Python."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | evaluate funnel_sequence_completion(user_id, ts, 1d,"
+        " event_type, ('signup', 'view', 'purchase'), (1h, 1d, 7d))",
+        {"Events": events},
+    )

@@ -2540,3 +2540,29 @@ def test_kql_dcount_intersect(spark):
     assert r["s0"] == 100      # |all|
     assert r["s1"] == 50       # |all ∩ evens|
     assert r["s2"] == 15       # evens under 30
+
+
+def test_kql_funnel_sequence_completion(spark):
+    """funnel_sequence_completion: per-step survivors within each
+    comparison window; a step completed outside every window drops
+    from all of them."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:30:00", "b"),   # b within 1h and 1d
+        (2, "2024-01-01 00:00:00", "a"),
+        (2, "2024-01-01 05:00:00", "b"),   # b within 1d only
+        (3, "2024-01-01 00:00:00", "a"),   # never reaches b
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, st string").select(
+        "id", F.col("s").cast("timestamp").alias("ts"), "st"
+    )
+    out = kql(
+        "T | evaluate funnel_sequence_completion(id, ts, 1d, st,"
+        " ('a', 'b'), (1h, 1d))",
+        {"T": df},
+    ).collect()
+    got = {(r["step"], r["window_s"]): r["ids"] for r in out}
+    assert got[("a", 3600)] == 3 and got[("a", 86400)] == 3
+    assert got[("b", 3600)] == 1 and got[("b", 86400)] == 2

@@ -1505,3 +1505,13 @@ def test_k100_ipv4_lookup_broadcast_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_k102_funnel_completion_no_python_no_cartesian(spark, sf_dir):
+    """k102 (funnel_sequence_completion): conditional-MIN cascade on
+    the id key + a bounded literal window fan — no Python, no
+    cartesian, exactly ONE Generate (the window explode)."""
+    p = plan_of(spark, sf_dir, "k102_kql_funnel_completion")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("Generate") == 1, p
