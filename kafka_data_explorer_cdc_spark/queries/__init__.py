@@ -94,6 +94,7 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    "d102_ks_corpus_drift",
     "k102_kql_funnel_completion",
     "k101_kql_dcount_intersect",
     "k100_kql_ipv4_lookup",
@@ -144,9 +145,9 @@ _FRONT = [
     "s50_stream_late_data_watermark",
     "d92_colbert_maxsim",
     "d92x_colbert_maxsim_ivf",
-    "d93_ivf_index_optimize",
-    # window exactly full at 50 (47 round-11 additions + 3 round-10
-    # additions; the round-10 tail k71_kql_funnel_sequence,
+    # window exactly full at 50 (48 round-11 additions + 2 round-10
+    # additions; the round-10 tail d93_ivf_index_optimize,
+    # k71_kql_funnel_sequence,
     # k72_kql_sequence_detect,
     # b106_product_profit_q9,
     # b107_local_supplier_volume_q5, b108_volume_shipping_q7,
@@ -159,6 +160,7 @@ _FRONT = [
     # displaced by the k91-k97/d101 additions and lead the round-12
     # queue with the other displaced never-checked entries below).
     # Displaced never-checked + r2/r3 entries —
+    # d93_ivf_index_optimize,
     # k71_kql_funnel_sequence, k72_kql_sequence_detect,
     # b106_product_profit_q9, b107_local_supplier_volume_q5,
     # b108_volume_shipping_q7,

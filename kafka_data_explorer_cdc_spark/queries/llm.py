@@ -8686,3 +8686,87 @@ def d101_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum") / F.col("total")).alias("coverage"),
         (F.lit(1.0) - F.col("cum") / F.col("total")).alias("oov_rate"),
     )
+
+
+@query(
+    "d102_ks_corpus_drift",
+    oracle=r"""
+WITH lab AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+         CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 2 = 0 AS a
+  FROM documents
+), counts AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM lab GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2
+  FROM counts
+), cums AS (
+  SELECT SUM(c1) OVER (ORDER BY v) AS k1,
+         SUM(c2) OVER (ORDER BY v) AS k2
+  FROM counts
+)
+SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+       MAX(ABS(k1 / tot.n1 - k2 / tot.n2)) AS d_stat,
+       MAX(ABS(k1 / tot.n1 - k2 / tot.n2))
+         > 1.358 * SQRT((tot.n1 + tot.n2) / (tot.n1 * tot.n2))
+         AS reject_05
+FROM cums, tot GROUP BY tot.n1, tot.n2
+""",
+    tags=("llm", "drift", "statistics"),
+)
+def d102_ks_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov corpus-drift check — the
+    distribution gate a pipeline runs between corpus snapshots or
+    source cohorts before mixing them (here: document length across
+    the even- vs odd-numbered sources): D = max |ECDF₁ − ECDF₂| over
+    the merged value domain, plus the α=0.05 large-sample rejection
+    (c(α)=1.358). b88's Welch t-test compares means; KS is the
+    whole-shape sibling.
+
+    Scale shape: ONE per-value count rollup (map-side combined over
+    the raw rows), then the ECDF window runs over the DISTINCT VALUE
+    DOMAIN — bounded by the measurement's resolution (~600 lengths
+    here), not the corpus, so the single-task ordered window holds at
+    any row count; totals ride a 1-row broadcast. Integer counts make
+    every ECDF division bit-identical across engines."""
+    docs = load(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.col("n_chars").cast("long").alias("v"),
+        (
+            F.regexp_extract("source", r"(\d+)", 1).cast("int") % 2 == 0
+        ).alias("a"),
+    )
+    counts = lab.groupBy("v").agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("a"), 0).otherwise(1)).cast("long").alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = counts.select(
+        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    )
+    gap = F.abs(
+        F.col("k1") / F.col("n1") - F.col("k2") / F.col("n2")
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2"))
+    )
+    return (
+        cums.crossJoin(broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.max(gap).alias("d_stat"), (F.max(gap) > F.max(crit)).alias("reject_05"))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            "d_stat",
+            "reject_05",
+        )
+    )

@@ -482,3 +482,25 @@ def test_cdc_chunking_kernel_matches_expressions(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_d102_ks_detects_planted_drift(spark):
+    """The KS gate must reject when the two cohorts genuinely differ:
+    plant a location shift and check D and the rejection flip."""
+    from pyspark.sql import functions as F
+
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+    import tempfile, os
+
+    # cohort A ~ lengths 100..299 (src0), cohort B ~ 300..499 (src1)
+    rows = [(i, "x", "en", f"src{i % 2}", 100 + (i % 200) + 200 * (i % 2))
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp(prefix="ksdrift_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["d102_ks_corpus_drift"].fn(spark, d).collect()[0]
+    assert out["n1"] == 200 and out["n2"] == 200
+    assert out["d_stat"] > 0.9  # almost-disjoint supports
+    assert bool(out["reject_05"]) is True

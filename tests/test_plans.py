@@ -1515,3 +1515,12 @@ def test_k102_funnel_completion_no_python_no_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
     assert "CartesianProduct" not in p, p
     assert p.count("Generate") == 1, p
+
+
+def test_d102_ks_window_over_value_domain_only(spark, sf_dir):
+    """d102 (KS drift): the ordered ECDF window must consume the
+    per-value COUNT rollup (value-domain bounded), not raw rows — a
+    HashAggregate must sit below the Window; no Python."""
+    p = plan_of(spark, sf_dir, "d102_ks_corpus_drift")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "Window" in p and "HashAggregate" in p, p
