@@ -66,9 +66,24 @@ Supported (the reference's surface plus the obvious neighbors):
       | union T2 [, ( Sub | ... ), ...]   (align by name, null-fill)
       | search 'term'   (case-insensitive scan of every string column)
       | getschema   (column metadata, no scan)
+      | parse-kv Expr as (k1: t1, ...) with (pair_delimiter = '; ',
+          kv_delimiter = '=')   (ONE str_to_map + a typed probe per
+        declared key; literal delimiters mean themselves)
+      | facet by c1, c2, ...   (one count-by-value rollup per column,
+        rendered unioned behind a `facet_column` discriminator — the
+        fork-render adaptation of Kusto's multi-table output)
       | evaluate pivot(col [, agg(val)])
       | evaluate basket([threshold])   (frequent attribute itemsets,
         size <= 2, exact counts; one masked-explode + one groupBy)
+      | evaluate ipv4_lookup(Dim, ipCol, cidrCol [, return_unmatched
+          = true])   (IP-to-network lookup: bounded candidate fan per
+        DISTINCT prefix length + ONE broadcast equi-join — never a
+        range join; all containing networks match)
+      | evaluate dcount_intersect(h1, h2 [, h3])   (sketch
+        intersections by inclusion-exclusion over per-row hll unions)
+      | evaluate funnel_sequence_completion(id, ts, bin, state,
+          ('s1', ...), (1h, 1d, ...))   (per period × step ×
+        comparison window completion counts; µs-exact windows)
       | evaluate bag_unpack(dynCol)   (one bounded key-discovery job,
         then codegen get_json_object probes per key; string-typed
         leaves, lexical key order, collision = explicit error)
