@@ -8770,3 +8770,134 @@ def d102_ks_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_05",
         )
     )
+
+
+@query(
+    "d103_dsir_selection",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, lang = 'en' AS tgt, string_split(text, ' ') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang, tgt,
+         ('0x' || substr(md5(concat_ws(' ', t[i], t[i+1])), 1, 8))::BIGINT
+           % 256 AS bucket
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), doc_bucket AS (
+  SELECT doc_id, lang, tgt, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2, 3, 4
+), bucket_counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN tgt THEN 0 ELSE c END) AS BIGINT) AS cr
+  FROM doc_bucket GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(cr) AS DOUBLE) AS nr
+  FROM bucket_counts
+), ratio AS (
+  SELECT bucket,
+         CAST(ROUND(ln((ct + 1.0) * (nr + 256.0)
+                       / ((cr + 1.0) * (nt + 256.0))) * 1e9) AS BIGINT)
+           AS llr_nanos
+  FROM bucket_counts, tot
+)
+SELECT d.doc_id, d.lang,
+       CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+       CAST(SUM(d.c * r.llr_nanos) AS BIGINT) / 1e9 AS dsir_score
+FROM doc_bucket d JOIN ratio r USING (bucket)
+GROUP BY 1, 2
+ORDER BY dsir_score DESC, doc_id LIMIT 20
+""",
+    tags=("llm", "selection", "dsir"),
+)
+def d103_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023), the standard hashed-n-gram method for choosing
+    pretraining documents that "look like" a target domain. Word
+    bigrams (d14's feature) hash into 256 buckets (first 8 md5 hex
+    chars, the cross-engine-stable bucket key used by the dedup
+    family); bag-of-buckets unigram models with add-1 smoothing are
+    fit for the target cohort (lang='en' here — in production, the
+    high-quality reference corpus) and the raw pool; each document's
+    importance weight is sum_b count_b * log(p_target(b)/p_raw(b)),
+    and the top of that ranking is what you keep.
+
+    Exactness: the per-bucket log-likelihood ratio is quantized to
+    integer NANOS once (256 values), so every per-document sum is
+    exact integer math — order-independent, bit-identical across
+    engines (the nano-quantized convention, registry.py).
+
+    Scale shape: the explode pre-aggregates per (doc, bucket) before
+    anything else — at 100 TB that's the ~10k-bigram doc collapsing
+    to <=256 rows before the bucket rollup and the scoring join. The
+    bucket model is 256 rows BY CONSTRUCTION (not data-bounded), so
+    both the totals and the LLR table ride broadcasts — the only
+    doc-cardinality shuffles are the two doc_id-keyed rollups. The
+    final ranking is top-k (TakeOrderedAndProject), never a full
+    sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = ensure_parallelism(docs).select(
+        "doc_id",
+        "lang",
+        (F.col("lang") == "en").alias("tgt"),
+        F.split(F.col("text"), " ").alias("__t"),
+    ).filter(F.size("__t") >= 2)
+    t = F.col("__t")
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1, F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    feat = toks.select(
+        "doc_id",
+        "lang",
+        "tgt",
+        F.explode(bg).alias("bigram"),
+    ).select(
+        "doc_id",
+        "lang",
+        "tgt",
+        (
+            F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("long")
+            % 256
+        ).alias("bucket"),
+    )
+    doc_bucket = feat.groupBy("doc_id", "lang", "tgt", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    bucket_counts = doc_bucket.groupBy("bucket").agg(
+        F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("tgt"), 0).otherwise(F.col("c"))).cast("long").alias("cr"),
+    )
+    tot = bucket_counts.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cr").cast("double").alias("nr"),
+    )
+    ratio = bucket_counts.crossJoin(broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("ct") + 1.0)
+                * (F.col("nr") + 256.0)
+                / ((F.col("cr") + 1.0) * (F.col("nt") + 256.0))
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("llr_nanos"),
+    )
+    return (
+        doc_bucket.join(broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            (F.sum(F.col("c") * F.col("llr_nanos")).cast("long") / F.lit(1e9)).alias(
+                "dsir_score"
+            ),
+        )
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(20)
+    )

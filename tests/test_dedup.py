@@ -504,3 +504,37 @@ def test_d102_ks_detects_planted_drift(spark):
     assert out["n1"] == 200 and out["n2"] == 200
     assert out["d_stat"] > 0.9  # almost-disjoint supports
     assert bool(out["reject_05"]) is True
+
+
+def test_d103_dsir_targetlike_doc_wins(spark):
+    """DSIR's whole point: a raw-pool document whose n-grams look like
+    the TARGET distribution must outrank raw-pool documents that look
+    like the rest of the pool — plant exactly that contrast."""
+    from pyspark.sql import functions as F
+
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+    import tempfile, os
+
+    tgt_text = "alpha beta alpha beta alpha beta alpha beta"
+    raw_text = "gamma delta gamma delta gamma delta gamma delta"
+    rows = (
+        # target cohort (lang=en): alpha-beta heavy
+        [(i, tgt_text, "en", "src0", len(tgt_text)) for i in range(3)]
+        # raw pool: mostly gamma-delta...
+        + [(10 + i, raw_text, "fr", "src1", len(raw_text)) for i in range(3)]
+        # ...except one target-looking raw doc
+        + [(99, tgt_text, "fr", "src1", len(tgt_text))]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp(prefix="dsir_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["d103_dsir_selection"].fn(spark, d).collect()
+    score = {r["doc_id"]: r["dsir_score"] for r in out}
+    # the target-looking raw doc scores strictly above every raw-looking doc
+    assert score[99] > max(score[10], score[11], score[12])
+    # and matches the target docs' own score (identical text)
+    assert abs(score[99] - score[0]) < 1e-9
+    # raw-looking docs carry negative weight (they look like the pool)
+    assert score[10] < 0

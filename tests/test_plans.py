@@ -1524,3 +1524,13 @@ def test_d102_ks_window_over_value_domain_only(spark, sf_dir):
     p = plan_of(spark, sf_dir, "d102_ks_corpus_drift")
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
     assert "Window" in p and "HashAggregate" in p, p
+
+
+def test_d103_dsir_broadcasts_bucket_model(spark, sf_dir):
+    """d103 (DSIR): the 256-row LLR bucket model must ride a broadcast
+    (never a doc-cardinality shuffle join), and the final ranking must
+    be a TakeOrderedAndProject heap-merge, not a global sort."""
+    p = plan_of(spark, sf_dir, "d103_dsir_selection")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
