@@ -192,6 +192,7 @@ KQL semantics preserved deliberately:
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 from functools import reduce as _reduce
@@ -1805,6 +1806,34 @@ class _Parser:
             F.pmod(F.xxhash64(c), m[0]) if m else F.xxhash64(c)
         ),
         "tohex": F.hex,
+        # cryptographic digest family — hex-string digests of the
+        # STRING FORM of the argument (Kusto's contract; non-string
+        # scalars are stringified first). All lowercase hex, identical
+        # across engines, so they are oracle-exact — unlike hash(),
+        # whose xxhash64 is engine-defined.
+        "hash_md5": lambda c: F.md5(c.cast("string")),
+        "hash_sha1": lambda c: F.sha1(c.cast("string")),
+        "hash_sha256": lambda c: F.sha2(c.cast("string"), 256),
+        # hash_combine: order-sensitive combination of engine hashes —
+        # engine-defined like hash() (xxhash64 over both inputs)
+        "hash_combine": lambda *cs: F.xxhash64(*cs),
+        # string_size = SIZE IN BYTES (strlen is characters)
+        "string_size": F.octet_length,
+        "unixtime_seconds_todatetime": lambda c: F.timestamp_seconds(c),
+        "unixtime_milliseconds_todatetime": lambda c: F.timestamp_millis(
+            c.cast("long")
+        ),
+        # trigonometry family — plain codegen math
+        "sin": F.sin,
+        "cos": F.cos,
+        "tan": F.tan,
+        "asin": F.asin,
+        "acos": F.acos,
+        "atan": F.atan,
+        "atan2": lambda y, x: F.atan2(y, x),
+        "degrees": F.degrees,
+        "radians": F.radians,
+        "pi": lambda: F.lit(math.pi),
         # Kusto: -1 when absent — array_position's 0-if-absent shifts
         # to exactly that
         "array_index_of": lambda a, v: (F.array_position(a, v) - 1),

@@ -4001,3 +4001,62 @@ def k102_kql_funnel_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
         " event_type, ('signup', 'view', 'purchase'), (1h, 1d, 7d))",
         {"Events": events},
     )
+
+
+@query(
+    "k103_kql_hash_digest_functions",
+    oracle="""
+WITH b AS (
+  SELECT lang,
+         md5(lower(text)) AS fp,
+         sha256(source || ':' || lang) AS sig,
+         strlen(text) AS nbytes,
+         to_timestamp(doc_id * 86400) AS ts,
+         degrees(atan2(CAST(n_chars AS DOUBLE), 100.0)) AS ang
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS ufp,
+       CAST(COUNT(DISTINCT sig) AS BIGINT) AS usig,
+       CAST(SUM(nbytes) AS BIGINT) AS bytes,
+       MIN(ts) AS first_day,
+       MIN(fp) AS fp_min,
+       AVG(ang) AS mean_angle
+FROM b GROUP BY 1 ORDER BY 1
+""",
+    tags=("kql", "scalar", "hash"),
+)
+def k103_kql_hash_digest_functions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Kusto digest/byte-size scalar family (kql.py _SCALARS:
+    ``hash_md5`` / ``hash_sha256`` / ``string_size`` /
+    ``unixtime_seconds_todatetime`` + the trig family ``atan2`` /
+    ``degrees``): a per-language content-integrity audit — md5 content
+    fingerprints, sha256 provenance signatures, byte (not char) sizes,
+    epoch-day timestamps. Digests are lowercase-hex on BOTH engines,
+    so unlike ``hash()`` (engine-defined xxhash64) this family is
+    oracle-exact; ``hash_sha1``/``hash_combine`` exist in the compiler
+    too and are pinned by unit vector tests (DuckDB has no sha1 to
+    differential against).
+
+    Scale shape: every scalar is pure JVM codegen (md5/sha2 are
+    built-in expressions, no UDF); ONE map-side-combined rollup by
+    lang; distinct counts shuffle the 32-byte digest, never the
+    document text."""
+    docs = load(spark, sf_dir, "documents")
+    return kql(
+        "Documents"
+        " | extend fp = hash_md5(tolower(text)),"
+        "          sig = hash_sha256(strcat(source, ':', lang)),"
+        "          nbytes = string_size(text),"
+        "          ts = unixtime_seconds_todatetime(doc_id * 86400),"
+        "          ang = degrees(atan2(todouble(n_chars), 100.0))"
+        " | summarize docs = count(), ufp = dcount(fp),"
+        "             usig = dcount(sig), bytes = sum(nbytes),"
+        "             first_day = min(ts), fp_min = min(fp),"
+        "             mean_angle = avg(ang) by lang"
+        " | sort by lang asc",
+        {"Documents": docs},
+    )

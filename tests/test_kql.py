@@ -2566,3 +2566,33 @@ def test_kql_funnel_sequence_completion(spark):
     got = {(r["step"], r["window_s"]): r["ids"] for r in out}
     assert got[("a", 3600)] == 3 and got[("a", 86400)] == 3
     assert got[("b", 3600)] == 1 and got[("b", 86400)] == 2
+
+
+def test_hash_digest_scalar_vectors(spark):
+    """Digest family unit vectors — hash_sha1 (no DuckDB twin to
+    differential against), hash_combine determinism, pi/trig, and the
+    bytes-vs-chars contract of string_size."""
+    from kafka_data_explorer_cdc_spark.kql import kql
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a", "é")], "x string, y string")
+    r = kql(
+        "T | extend s1 = hash_sha1(x), m5 = hash_md5(x),"
+        "           sh = hash_sha256(x), hc = hash_combine(x, y),"
+        "           hc2 = hash_combine(x, y), p = pi(),"
+        "           bx = string_size(x), by = string_size(y),"
+        "           cy = strlen(y),"
+        "           deg = degrees(atan2(1.0, 1.0))"
+        " | project s1, m5, sh, hc, hc2, p, bx, by, cy, deg",
+        {"T": df},
+    ).collect()[0]
+    assert r["s1"] == "86f7e437faa5a7fce15d1ddcb9eaeaea377667b8"
+    assert r["m5"] == "0cc175b9c0f1b6a831c399e269772661"
+    assert (
+        r["sh"]
+        == "ca978112ca1bbdcafac231b39a23dc4da786eff8147c4e72b9807785afee48bb"
+    )
+    assert r["hc"] == r["hc2"]  # deterministic engine hash
+    assert abs(r["p"] - 3.141592653589793) < 1e-15
+    assert r["bx"] == 1 and r["by"] == 2 and r["cy"] == 1  # é = 2 bytes, 1 char
+    assert abs(r["deg"] - 45.0) < 1e-12
