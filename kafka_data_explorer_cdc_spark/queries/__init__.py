@@ -95,7 +95,7 @@ _FRONT = [
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
     "k103_kql_hash_digest_functions",
-    "d103_dsir_selection",
+    "d103_nb_quality_classifier",
     "d102_ks_corpus_drift",
     "k102_kql_funnel_completion",
     "k101_kql_dcount_intersect",

@@ -8773,7 +8773,7 @@ def d102_ks_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "d103_dsir_selection",
+    "d103_nb_quality_classifier",
     oracle="""
 WITH toks AS (
   SELECT doc_id, lang, lang = 'en' AS tgt, string_split(text, ' ') AS t
@@ -8811,17 +8811,22 @@ ORDER BY dsir_score DESC, doc_id LIMIT 20
 """,
     tags=("llm", "selection", "dsir"),
 )
-def d103_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR — Data Selection via Importance Resampling (Xie et al.,
-    NeurIPS 2023), the standard hashed-n-gram method for choosing
-    pretraining documents that "look like" a target domain. Word
-    bigrams (d14's feature) hash into 256 buckets (first 8 md5 hex
-    chars, the cross-engine-stable bucket key used by the dedup
-    family); bag-of-buckets unigram models with add-1 smoothing are
-    fit for the target cohort (lang='en' here — in production, the
-    high-quality reference corpus) and the raw pool; each document's
-    importance weight is sum_b count_b * log(p_target(b)/p_raw(b)),
-    and the top of that ranking is what you keep.
+def d103_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes hashed-bigram QUALITY/DOMAIN CLASSIFIER — the
+    GPT-3/PaLM-style "does this raw document look like the
+    high-quality reference corpus?" filter (Brown et al. 2020 §A;
+    the closed-form sibling of the trained classifiers in d69/d87,
+    and distinct from d70's DSIR GUMBEL-RESAMPLING form: d70 draws a
+    sample by importance weight over unigram buckets vs the whole
+    pool; this entry SCORES AND RANKS by the NB log-likelihood ratio
+    over BIGRAM buckets against the complement cohort). Word bigrams
+    (d14's feature) hash into 256 buckets (first 8 md5 hex chars,
+    the cross-engine-stable bucket key used by the dedup family);
+    bag-of-buckets models with add-1 smoothing are fit for the
+    target cohort (lang='en' here — in production, the curated
+    reference corpus) and the rest of the pool; each document's NB
+    score is sum_b count_b * log(p_target(b)/p_rest(b)), and the
+    top of that ranking is what the quality gate keeps.
 
     Exactness: the per-bucket log-likelihood ratio is quantized to
     integer NANOS once (256 values), so every per-document sum is

@@ -530,7 +530,7 @@ def test_d103_dsir_targetlike_doc_wins(spark):
     )
     d = tempfile.mkdtemp(prefix="dsir_")
     df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
-    out = REGISTRY["d103_dsir_selection"].fn(spark, d).collect()
+    out = REGISTRY["d103_nb_quality_classifier"].fn(spark, d).collect()
     score = {r["doc_id"]: r["dsir_score"] for r in out}
     # the target-looking raw doc scores strictly above every raw-looking doc
     assert score[99] > max(score[10], score[11], score[12])

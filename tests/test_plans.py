@@ -1530,7 +1530,7 @@ def test_d103_dsir_broadcasts_bucket_model(spark, sf_dir):
     """d103 (DSIR): the 256-row LLR bucket model must ride a broadcast
     (never a doc-cardinality shuffle join), and the final ranking must
     be a TakeOrderedAndProject heap-merge, not a global sort."""
-    p = plan_of(spark, sf_dir, "d103_dsir_selection")
+    p = plan_of(spark, sf_dir, "d103_nb_quality_classifier")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
