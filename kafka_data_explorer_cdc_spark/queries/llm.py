@@ -8906,3 +8906,127 @@ def d103_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "d104_mink_membership_audit",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM t),
+bg0 AS (SELECT doc_id, unnest(list_zip(arr, arr[2:])) AS p FROM t),
+bg AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM bg0 WHERE p[2] IS NOT NULL
+),
+uni AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
+big AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM toks),
+tok_nll AS (
+  SELECT bg.doc_id, -LN((cb + 1.0) / (cu + vocab)) AS nll
+  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+),
+ranked AS (
+  SELECT doc_id, nll,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY nll DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM tok_nll
+)
+SELECT r.doc_id, d.lang,
+       CAST(MAX(r.n) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(CASE WHEN r.rn <= (r.n + 4) // 5 THEN r.nll END), 6)
+         AS mink20_nll
+FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+GROUP BY r.doc_id, d.lang
+ORDER BY mink20_nll, r.doc_id LIMIT 20
+""",
+    tags=("llm", "membership", "contamination"),
+)
+def d104_mink_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% prob pretraining-membership audit (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models"): score
+    each document by the mean negative log-likelihood of its k=20%
+    LEAST-probable tokens under a reference LM — text the model finds
+    suspiciously unsurprising even at its rarest tokens is likely
+    MEMORIZED/member data. The reference LM here is d29's corpus-
+    trained add-one bigram model (in production: the target model's
+    token logprobs, same shape); output is the 20 most member-looking
+    documents (lowest Min-K NLL).
+
+    Exactness: the per-document selection boundary only ever cuts
+    WITHIN equal-NLL ties, and a mean is invariant to which of the
+    equal values are chosen — so ROW_NUMBER's nondeterministic
+    tie-order is safe on both engines. The take count is pure integer
+    arithmetic ((n+4) div 5 = ceil(n/5)), never a float multiply.
+
+    Scale shape: d29's model tables (vocab- and bigram-cardinality,
+    map-side-combined counts) joined back onto the token stream; ONE
+    doc_id shuffle feeds the per-document window (per-doc bounded
+    state); the final ranking is a TakeOrderedAndProject heap-merge.
+    At 100 TB only the token->model joins move corpus-sized data, and
+    they are plain equi-joins AQE can re-plan."""
+    docs = load(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    t = ensure_parallelism(docs).select("doc_id", arr.alias("arr"))
+    n = F.size(F.col("arr"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("arr"), 1, n - 1),
+                F.slice(F.col("arr"), 2, n - 1),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p").getField("0").alias("w1"),
+        F.col("p").getField("1").alias("w2"),
+    )
+    toks = t.select("doc_id", F.explode("arr").alias("tok"))
+    uni = bg.groupBy("w1").agg(F.count("*").alias("cu"))
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    vocab = toks.agg(F.countDistinct("tok").alias("vocab"))
+    tok_nll = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("cb") + F.lit(1.0))
+                    / (F.col("cu") + F.col("vocab"))
+                )
+            ).alias("nll"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("nll"))
+    ranked = tok_nll.select(
+        "doc_id",
+        "nll",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    return (
+        ranked.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("rn") <= F.expr("(n + 4) div 5"), F.col("nll")
+                    )
+                ),
+                6,
+            ).alias("mink20_nll"),
+        )
+        .orderBy(F.asc("mink20_nll"), F.asc("doc_id"))
+        .limit(20)
+    )

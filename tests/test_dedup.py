@@ -538,3 +538,25 @@ def test_d103_dsir_targetlike_doc_wins(spark):
     assert abs(score[99] - score[0]) < 1e-9
     # raw-looking docs carry negative weight (they look like the pool)
     assert score[10] < 0
+
+
+def test_d104_mink_flags_formulaic_doc(spark):
+    """Min-K%: a document built from the corpus's most common bigrams
+    must look more member-like (lower Min-K NLL) than one made of
+    word transitions that appear nowhere else."""
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+    import tempfile, os
+
+    common = "the cat sat on the mat and " * 8
+    rows = [(i, common, "en", "src0", len(common)) for i in range(6)]
+    rare = "zq xv jk wq vz kx qj " * 8
+    rows.append((99, rare, "en", "src1", len(rare)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp(prefix="mink_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["d104_mink_membership_audit"].fn(spark, d).collect()
+    score = {r["doc_id"]: r["mink20_nll"] for r in out}
+    assert score[99] == max(score.values())  # gibberish = least member-like
+    assert score[0] < score[99]

@@ -1534,3 +1534,11 @@ def test_d103_dsir_broadcasts_bucket_model(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_d104_mink_topk_heap_merge(spark, sf_dir):
+    """d104 (Min-K%): final ranking must be TakeOrderedAndProject, and
+    the vocab scalar must ride a broadcast, not a shuffle join."""
+    p = plan_of(spark, sf_dir, "d104_mink_membership_audit")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
