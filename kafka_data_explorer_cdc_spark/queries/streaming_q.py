@@ -2319,3 +2319,108 @@ def s54_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("du_bounded"),
         (F.col("du_est") == F.col("du_batch")).alias("est_parity"),
     )
+
+
+@query(
+    "s55_stream_space_saving_topk",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(LEAST(64, COUNT(DISTINCT user_id)) AS BIGINT) AS n_tracked,
+       TRUE AS count_parity, TRUE AS coverage_ok, TRUE AS bounds_ok
+FROM events GROUP BY 1
+""",
+    tags=("streaming", "sketch", "heavy-hitters"),
+)
+def s55_stream_space_saving_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming heavy hitters via space-saving counters
+    (streaming/stateful.py:streaming_space_saving): the events table
+    replays as three time-sliced micro-batches; per event_type at
+    most m=64 (user, count, err) counters live in the checkpointed
+    state store and cross batch boundaries via the WEIGHTED mergeable
+    fold. Three oracle-checked gates ride the exact per-type rollup:
+
+    - ``count_parity`` — Σ counters == events processed (the
+      space-saving invariant, so nothing was dropped or double-
+      counted across micro-batch boundaries);
+    - ``coverage_ok`` — every user whose TRUE count exceeds n/m is
+      tracked (the Metwally guarantee, batch-split-invariant);
+    - ``bounds_ok`` — every tracked counter brackets its true count:
+      c - err <= true <= c.
+
+    n_tracked is exact (min(m, distinct users) — counters are only
+    ever REPLACED, never freed), so the tracked-set size is value-
+    checked too. State is O(m) per key regardless of stream length or
+    user cardinality — the deployable property; the guarantees hold
+    for ANY micro-batch split, so the gates verify the algorithm, not
+    the replay's luck."""
+    from ..streaming.stateful import streaming_space_saving
+
+    name = f"s55_{uuid.uuid4().hex[:8]}"
+    indir = _time_sliced_events_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    run_to_memory(
+        streaming_space_saving(ev, m=64),
+        name,
+        output_mode="append",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    sink = spark.table(name)
+    latest = sink.withColumn(
+        "__mx",
+        F.max("n_seen").over(Window.partitionBy("event_type")),
+    ).filter(F.col("n_seen") == F.col("__mx"))
+    events = load(spark, sf_dir, "events")
+    exact = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    n_ev = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    heavy_missing = (
+        exact.join(F.broadcast(n_ev), "event_type")
+        .filter(F.col("cnt") * 64 > F.col("n_events"))
+        .join(
+            latest.select("event_type", "user_id"),
+            ["event_type", "user_id"],
+            "left_anti",
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_missing"))
+    )
+    checked = (
+        latest.join(exact, ["event_type", "user_id"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_tracked"),
+            F.max("n_seen").alias("n_seen"),
+            F.min(
+                (F.col("c") >= F.coalesce(F.col("cnt"), F.lit(0)))
+                & (
+                    F.col("c") - F.col("err")
+                    <= F.coalesce(F.col("cnt"), F.lit(0))
+                )
+            ).alias("bounds_ok"),
+        )
+    )
+    return (
+        checked.join(F.broadcast(n_ev), "event_type")
+        .join(F.broadcast(heavy_missing), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "n_tracked",
+            (F.col("n_seen") == F.col("n_events")).alias("count_parity"),
+            (F.coalesce(F.col("n_missing"), F.lit(0)) == 0).alias(
+                "coverage_ok"
+            ),
+            "bounds_ok",
+        )
+    )

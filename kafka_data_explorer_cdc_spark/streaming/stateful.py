@@ -392,3 +392,115 @@ def streaming_sequence_detect(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_space_saving(
+    events: DataFrame,
+    m: int = 64,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+) -> DataFrame:
+    """Streaming heavy hitters via the SPACE-SAVING summary (Metwally
+    et al. 2005) — per key, at most ``m`` (item, count, err) counters
+    whatever the item cardinality or stream length: the provably-
+    bounded-state top-k/frequency operator for unbounded streams
+    (d27's frequent-items sketch is the batch twin; this is the live
+    form with cross-batch state carry).
+
+    Each micro-batch is PRE-AGGREGATED to per-item weights first
+    (vectorized value_counts), then folded with the WEIGHTED update —
+    space-saving summaries are mergeable, so folding per-batch counts
+    is exactly equivalent in guarantee to per-event updates: tracked
+    ``c`` overestimates the true count by at most ``err``
+    (c - err <= true <= c), and every item with true count > n/m is
+    tracked. The sequential loop is over the batch's DISTINCT items
+    (deterministic user_id order), never per event.
+
+    Emission: the full counter table per touched key each batch,
+    stamped with ``n_seen`` = Σ counters (= events processed, the
+    space-saving invariant) so a sink read selects the newest summary
+    per key by max n_seen. State is three m-length arrays per key.
+
+    Scale: keys hash-partition across executors like any streaming
+    agg; a SINGLE hot key is the documented limit of the per-key form
+    — there you run per-PARTITION summaries and merge at read (the
+    same mergeability exploited here per batch)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField(item_col, LongType()),
+            StructField("c", LongType()),
+            StructField("err", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("users", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("errs", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            users, counts, errs = state.get
+            d = {
+                int(u): [int(c), int(e)]
+                for u, c, e in zip(users, counts, errs)
+            }
+        else:
+            d = {}
+        for pdf in pdfs:
+            # mergeable weighted fold: batch pre-aggregated to
+            # per-item counts, deterministic item order
+            vc = pdf[item_col].value_counts().sort_index()
+            for u, w in vc.items():
+                u, w = int(u), int(w)
+                if u in d:
+                    d[u][0] += w
+                elif len(d) < m:
+                    d[u] = [w, 0]
+                else:
+                    mn = min(d, key=lambda k: (d[k][0], k))
+                    mu = d[mn][0]
+                    del d[mn]
+                    d[u] = [mu + w, mu]
+        items = sorted(d)
+        state.update(
+            (
+                [int(u) for u in items],
+                [int(d[u][0]) for u in items],
+                [int(d[u][1]) for u in items],
+            )
+        )
+        n_seen = sum(v[0] for v in d.values())
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "n_seen": n_seen,
+                item_col: items,
+                "c": [d[u][0] for u in items],
+                "err": [d[u][1] for u in items],
+            }
+        )
+
+    return (
+        events.select(key_col, item_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

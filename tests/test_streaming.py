@@ -1552,3 +1552,69 @@ def test_s51_state_crosses_micro_batches(spark):
         if any(r.f1_ts < c <= r.f3_ts for c in cuts)
     )
     assert cross > 0, "no sequence spans a micro-batch boundary"
+
+
+def test_streaming_space_saving_eviction_and_guarantee(spark):
+    """Space-saving under REAL eviction pressure (200 distinct users,
+    m=16) across two micro-batches: the heavy user must be tracked
+    with bracketing bounds, counters sum to n, and the tracked set is
+    exactly m."""
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_data_explorer_cdc_spark.streaming.stateful import (
+        streaming_space_saving,
+    )
+    from kafka_data_explorer_cdc_spark.streaming.windows import (
+        REPLAY_STATE_PARTITIONS,
+        run_to_memory,
+    )
+
+    # heavy user 7: 200 events; 200 light users: 2 events each
+    rows = []
+    eid = 0
+    for half in range(2):
+        for i in range(100):
+            rows.append((eid, eid, 7, "click")); eid += 1
+        for u in range(100 + half * 100, 200 + half * 100):
+            rows.append((eid, eid, u, "click")); eid += 1
+            rows.append((eid, eid, u, "click")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    )
+    d = tempfile.mkdtemp(prefix="ss_")
+    n = df.count()
+    half_n = n // 2
+    df.filter(F.col("event_id") < half_n).coalesce(1).write.parquet(
+        os.path.join(d, "a")
+    )
+    df.filter(F.col("event_id") >= half_n).coalesce(1).write.parquet(
+        os.path.join(d, "b")
+    )
+    # mtime-order the two dirs so batch a precedes b
+    now = time.time()
+    os.utime(os.path.join(d, "a"), (now - 20, now - 20))
+    os.utime(os.path.join(d, "b"), (now - 10, now - 10))
+    ev = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/*")
+    )
+    name = "ss_unit"
+    run_to_memory(
+        streaming_space_saving(ev, m=16),
+        name,
+        output_mode="append",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    sink = spark.table(name).toPandas()
+    final = sink[sink["n_seen"] == sink["n_seen"].max()]
+    assert final["n_seen"].iloc[0] == n  # Σ counters == events processed
+    assert len(final) == 16  # eviction kept exactly m counters
+    hv = final[final["user_id"] == 7]
+    assert len(hv) == 1  # heavy hitter guaranteed tracked (200 > n/16)
+    c, err = int(hv["c"].iloc[0]), int(hv["err"].iloc[0])
+    assert c - err <= 200 <= c  # bracketing bound
