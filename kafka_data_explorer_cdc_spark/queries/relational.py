@@ -6417,3 +6417,89 @@ def b117_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("__thresh"))
         .agg((F.sum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
     )
+
+
+@query(
+    "b118_kll_quantile_at_rest",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+         AS n_months,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       TRUE AS n_parity, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM lineitem
+""",
+    tags=("relational", "sketch", "approx", "at-rest"),
+)
+def b118_kll_quantile_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches AT REST (Karnin-Lang-Liberty
+    2016, Spark 4.1's Datasketches built-ins) — the b41/d91 sketch-at-
+    rest story for QUANTILES: one `kll_sketch_agg_double` per ship-
+    month of l_extendedprice is persisted to parquet (the rollup a
+    warehouse maintains incrementally), and any ad-hoc horizon query
+    answers p50/p95/p99 by MERGING the at-rest sketches
+    (`kll_merge_agg_double`) — never re-scanning the fact table. At
+    100 TB that's the difference between a full-table percentile sort
+    per dashboard refresh and reading ~200 doubles per month
+    partition.
+
+    Gates (all-TRUE oracle, plus two value-exact columns):
+    - ``n_parity`` — every persisted sketch's `kll_sketch_get_n`
+      EQUALS the month's exact row count (KLL tracks n exactly; a
+      mismatch means rows were lost in the rollup or the merge);
+    - ``p50/p95/p99_ok`` — the TRUE rank of each merged-sketch
+      quantile estimate is within 2.5% of the requested rank (k=200's
+      documented ~1.3-1.65% normalized rank error with headroom) —
+      checked against the exact one-pass conditional recount, which
+      exists only to verify the sketch.
+
+    n_months and n_total are value-exact. Scale shape: sketch build is
+    ONE map-side-combinable groupBy; the merged estimate reads months
+    × ~1 KB sketches; the verification recount is one conditional
+    aggregate pass (no sort, no window)."""
+    import os as _os
+
+    from ..io import derived_cache_dir
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    out = derived_cache_dir("b118_kll", f"{sf_dir}/lineitem.parquet")
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        li.groupBy("month").agg(
+            F.kll_sketch_agg_double("price").alias("sk"),
+            F.count("*").alias("n_exact"),
+        ).write.mode("overwrite").parquet(out)
+    at_rest = spark.read.parquet(out)
+    merged = at_rest.agg(
+        F.kll_merge_agg_double("sk").alias("sk_all"),
+        F.sum("n_exact").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_months"),
+        F.min(
+            F.kll_sketch_get_n_double("sk") == F.col("n_exact")
+        ).alias("n_parity"),
+    ).select(
+        "n_months",
+        "n_total",
+        "n_parity",
+        F.kll_sketch_get_quantile_double("sk_all", F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double("sk_all", F.lit(0.95)).alias("e95"),
+        F.kll_sketch_get_quantile_double("sk_all", F.lit(0.99)).alias("e99"),
+    )
+    ranks = li.crossJoin(broadcast(merged)).agg(
+        F.first("n_months").alias("n_months"),
+        F.first("n_total").alias("n_total"),
+        F.first("n_parity").alias("n_parity"),
+        (F.sum(F.when(F.col("price") <= F.col("e50"), 1).otherwise(0)) / F.count("*")).alias("r50"),
+        (F.sum(F.when(F.col("price") <= F.col("e95"), 1).otherwise(0)) / F.count("*")).alias("r95"),
+        (F.sum(F.when(F.col("price") <= F.col("e99"), 1).otherwise(0)) / F.count("*")).alias("r99"),
+    )
+    eps = 0.025
+    return ranks.select(
+        "n_months",
+        "n_total",
+        "n_parity",
+        (F.abs(F.col("r50") - 0.5) <= eps).alias("p50_ok"),
+        (F.abs(F.col("r95") - 0.95) <= eps).alias("p95_ok"),
+        (F.abs(F.col("r99") - 0.99) <= eps).alias("p99_ok"),
+    )

@@ -1542,3 +1542,12 @@ def test_d104_mink_topk_heap_merge(spark, sf_dir):
     p = plan_of(spark, sf_dir, "d104_mink_membership_audit")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_b118_kll_no_sort_no_window(spark, sf_dir):
+    """b118 (KLL at rest): percentiles come from merged sketches plus a
+    conditional recount — there must be NO global sort and NO window
+    anywhere in the plan (the alternative a sketch replaces)."""
+    p = plan_of(spark, sf_dir, "b118_kll_quantile_at_rest")
+    assert "Sort " not in p and "Window" not in p
+    assert "ObjectHashAggregate" in p  # the Datasketches agg path
