@@ -6503,3 +6503,99 @@ def b118_kll_quantile_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("r95") - 0.95) <= eps).alias("p95_ok"),
         (F.abs(F.col("r99") - 0.99) <= eps).alias("p99_ok"),
     )
+
+
+@query(
+    "b119_multitouch_attribution",
+    oracle="""
+WITH purch AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT p.p_id, p.value, e.event_type AS channel,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id
+                            ORDER BY e.ts, e.event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS n
+  FROM purch p JOIN events e
+    ON e.user_id = p.user_id
+   AND e.event_type IN ('view', 'click', 'signup')
+   AND e.ts < p.p_ts
+   AND e.ts >= p.p_ts - INTERVAL 7 DAY
+), credited AS (
+  SELECT channel,
+         CAST(ROUND(value * (CASE WHEN n = 1 THEN 1.0
+                                  WHEN n = 2 THEN 0.5
+                                  WHEN rn = 1 OR rn = n THEN 0.4
+                                  ELSE 0.2 / (n - 2) END) * 1e6) AS BIGINT)
+           AS cr
+  FROM touch
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(cr) AS BIGINT) / 1e6 AS credited_value
+FROM credited GROUP BY 1 ORDER BY 1
+""",
+    tags=("relational", "attribution", "analytics"),
+)
+def b119_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U-shaped (position-based) MULTI-TOUCH attribution — the
+    marketing-analytics staple b87/s43's last-touch model is the
+    degenerate case of: each purchase's value is credited across
+    every view/click/signup touch by the same user in the prior 7
+    days — 40% to the first touch, 40% to the last, the middle 20%
+    split evenly (1 touch = 100%, 2 touches = 50/50) — then rolled
+    up per channel.
+
+    Exactness: per-touch credit is quantized to integer MICROS before
+    the channel rollup, so the sum is order-independent integer math;
+    the touch ranking carries the (ts, event_id) tie-breaker.
+
+    Scale shape: the touch join is an EQUI-join on user_id (the range
+    predicates ride along as join filters — never a theta join), so
+    it shuffles by user and AQE can re-plan skewed users; the
+    per-purchase window is bounded by the 7-day horizon; the channel
+    rollup is map-side combined."""
+    events = load(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = events.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", F.col("event_type").alias("channel"), "ts", "event_id")
+    joined = purch.join(
+        touches,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("p_id").orderBy("ts", "event_id")
+    ranked = joined.select(
+        "p_id",
+        "value",
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("p_id")).alias("n"),
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.select(
+            "channel",
+            F.round(F.col("value") * weight * 1e6).cast("long").alias("cr"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            (F.sum("cr").cast("long") / F.lit(1e6)).alias("credited_value"),
+        )
+        .orderBy("channel")
+    )

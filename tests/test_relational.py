@@ -212,3 +212,58 @@ def test_row_id_bit_extraction_exact_at_high_ordinals(spark):
     got = {r["__mid"]: (r["pid"], r["lrn"]) for r in df.collect()}
     for mid, pid, lrn in corners:
         assert got[mid] == (pid, lrn), (mid, got[mid], (pid, lrn))
+
+
+def test_b119_weights_sum_to_value(spark):
+    """Attribution conservation: every purchase with >=1 touch must
+    distribute EXACTLY its value (U-shape weights sum to 1 for every
+    path length), pinned on planted paths of length 1, 2, 3 and 5."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows, eid = [], 0
+
+    def add(u, et, mins, val=0.0):
+        nonlocal eid
+        rows.append((eid, t0 + dt.timedelta(minutes=mins), u, et, val, "{}"))
+        eid += 1
+
+    # user 1: path of 1 view -> purchase 100
+    add(1, "view", 0); add(1, "purchase", 10, 100.0)
+    # user 2: 2 touches -> purchase 100
+    add(2, "view", 0); add(2, "click", 1); add(2, "purchase", 10, 100.0)
+    # user 3: 3 touches
+    add(3, "view", 0); add(3, "click", 1); add(3, "signup", 2)
+    add(3, "purchase", 10, 100.0)
+    # user 4: 5 touches
+    for i in range(5):
+        add(4, "click", i)
+    add(4, "purchase", 10, 100.0)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="attr_")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    out = REGISTRY["b119_multitouch_attribution"].fn(spark, d).collect()
+    total = sum(r["credited_value"] for r in out)
+    assert abs(total - 400.0) < 1e-6  # conservation across all paths
+    by_ch = {r["channel"]: r["credited_value"] for r in out}
+    # user1 view 100; user2 view 50; user3 view 40 (first)
+    assert abs(by_ch["view"] - 190.0) < 1e-6
+    # user3 signup 40 (last)
+    assert abs(by_ch["signup"] - 40.0) < 1e-6
+    # clicks: u2 50 + u3 20 (middle) + u4 100
+    assert abs(by_ch["click"] - 170.0) < 1e-6
