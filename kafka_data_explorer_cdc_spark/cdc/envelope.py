@@ -66,6 +66,32 @@ PAYLOAD_SCHEMA = T.StructType(
 
 ENVELOPE_SCHEMA = T.StructType([T.StructField("payload", PAYLOAD_SCHEMA)])
 
+
+def envelope_schema(after_schema: T.StructType | None = None) -> T.StructType:
+    """Envelope schema with an optional EVOLVED row image.
+
+    Debezium evolves the embedded value schema when the source table's
+    DDL changes (new column → new ``after`` field). The pipeline's
+    declared-schema parse tolerates unknown fields (they are simply not
+    parsed); to CAPTURE them, a restarted pipeline passes the evolved
+    row StructType here — the sink's merge widens stored state via
+    ``unionByName(allowMissingColumns=True)`` and pre-evolution rows
+    read as null for the new columns (``mergeSchema`` on the bucket
+    read), the same upgrade contract as a warehouse ``ADD COLUMN``."""
+    if after_schema is None:
+        return ENVELOPE_SCHEMA
+    payload = T.StructType(
+        [
+            T.StructField("before", after_schema),
+            T.StructField("after", after_schema),
+            T.StructField("source", SOURCE_SCHEMA),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("transaction", T.StringType()),
+        ]
+    )
+    return T.StructType([T.StructField("payload", payload)])
+
 #: Narrow probe schema for pre-parse routing/filter decisions (source
 #: table, key parity/ranges): parsing ONLY the fields a predicate needs
 #: is far cheaper than the full envelope parse, and filtering raw lines
@@ -92,15 +118,23 @@ PROBE_SCHEMA = T.StructType(
 )
 
 
-def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_envelope(
+    raw: DataFrame,
+    value_col: str = "value",
+    after_schema: T.StructType | None = None,
+) -> DataFrame:
     """Deserialize raw JSON envelope bytes/strings → typed nested columns.
 
     Equivalent of the reference's JsonConverter deserialization
     (``pg-source-config.json:13``); the schema embedded per-record there
-    is our compile-time constant.
+    is our compile-time constant. ``after_schema`` overrides the row
+    image for DDL-evolved sources (see :func:`envelope_schema`).
     """
     return raw.withColumn(
-        "envelope", F.from_json(F.col(value_col).cast("string"), ENVELOPE_SCHEMA)
+        "envelope",
+        F.from_json(
+            F.col(value_col).cast("string"), envelope_schema(after_schema)
+        ),
     )
 
 

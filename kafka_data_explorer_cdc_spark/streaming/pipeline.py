@@ -152,6 +152,7 @@ def read_file_envelopes(
     spark: SparkSession,
     input_dir: str,
     max_files_per_trigger: int | None = None,
+    after_schema=None,
 ) -> DataFrame:
     """File-based envelope stream: one JSON envelope per line — the
     test/replay path (a Kafka topic dump is exactly this shape). Carries
@@ -163,17 +164,24 @@ def read_file_envelopes(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(input_dir)
-    return unwrap(parse_envelope(raw, value_col="value"), keep_raw=True)
+    return unwrap(
+        parse_envelope(raw, value_col="value", after_schema=after_schema),
+        keep_raw=True,
+    )
 
 
 def flatten_after(flat: DataFrame) -> DataFrame:
     """After-image + CDC metadata as flat columns, keyed for the merge.
-    Deletes carry their key in the before-image (README.md:268-288)."""
+    Deletes carry their key in the before-image (README.md:268-288).
+    Value columns are derived from the parsed ``after`` struct, so a
+    DDL-evolved envelope schema (``envelope_schema(after_schema=...)``)
+    flows through without touching this projection."""
+    after_fields = [f.name for f in flat.schema["after"].dataType.fields]
     cols = [
-        F.coalesce(F.col("after.orderid"), F.col("before.orderid")).alias("orderid"),
-        F.col("after.custid").alias("custid"),
-        F.col("after.amount").alias("amount"),
-        F.col("after.city").alias("city"),
+        F.coalesce(F.col("after.orderid"), F.col("before.orderid")).alias("orderid")
+    ] + [
+        F.col(f"after.{c}").alias(c) for c in after_fields if c != "orderid"
+    ] + [
         "op",
         "lsn",
     ]
@@ -300,7 +308,12 @@ class ParquetStateSink(CdcStateSink):
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: bucket versions written before a DDL evolution
+        # lack the new columns — merge footers (no data IO) so mixed-
+        # version state reads as the widened schema, old rows null
+        return (
+            self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        )
 
     @staticmethod
     def _live(df: DataFrame | None) -> DataFrame | None:
@@ -651,6 +664,7 @@ def start_cdc_pipeline(
     sink: CdcStateSink | None = None,
     tombstone_gc_lsn_lag: int | None = None,
     envelopes: DataFrame | None = None,
+    after_schema=None,
 ) -> StreamingQuery:
     """Wire the full pipeline. The reference seals batches by BOTH time
     and size (``adx-sink-config.json:5-6``: flush.size.bytes 10000 /
@@ -671,7 +685,9 @@ def start_cdc_pipeline(
     # cdc_envelopes connector, ...) for the default file replay —
     # everything downstream of unwrap is transport-agnostic
     if envelopes is None:
-        envelopes = read_file_envelopes(spark, input_dir, max_files_per_trigger)
+        envelopes = read_file_envelopes(
+            spark, input_dir, max_files_per_trigger, after_schema=after_schema
+        )
     flat = flatten_after(envelopes)
     writer = flat.writeStream.option("checkpointLocation", checkpoint_dir)
     if available_now:

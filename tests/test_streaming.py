@@ -1618,3 +1618,70 @@ def test_streaming_space_saving_eviction_and_guarantee(spark):
     assert len(hv) == 1  # heavy hitter guaranteed tracked (200 > n/16)
     c, err = int(hv["c"].iloc[0]), int(hv["err"].iloc[0])
     assert c - err <= 200 <= c  # bracketing bound
+
+
+def test_cdc_schema_evolution_restart_captures_new_column(spark):
+    """The Debezium DDL-evolution upgrade path: run v1, stop, restart
+    the SAME state/checkpoint with an evolved after-schema once the
+    source table gained a column. The restarted pipeline parses and
+    CAPTURES the new column, the sink widens stored state, and
+    pre-evolution rows read as null for it — warehouse ADD COLUMN
+    semantics."""
+    from pyspark.sql import types as T
+
+    from kafka_data_explorer_cdc_spark.cdc.envelope import ORDERS_ROW_SCHEMA
+    from kafka_data_explorer_cdc_spark.cdc.generator import (
+        expected_final_state,
+        generate_change_log,
+    )
+
+    log = generate_change_log(n_keys=6, n_ops=24, seed=11)
+    indir, state, ckpt = _tmp("evo_in_"), _tmp("evo_state_"), _tmp("evo_ckpt_")
+    with open(os.path.join(indir, "v1.jsonl"), "w") as f:
+        for env in log:
+            f.write(json.dumps(env) + "\n")
+    q = start_cdc_pipeline(spark, indir, state, ckpt, available_now=True)
+    q.awaitTermination()
+    survivors = expected_final_state(log)
+    assert "loyalty_tier" not in ParquetStateSink(
+        spark, state, ["orderid"]
+    ).current().columns
+
+    # DDL on the source: orders gained loyalty_tier; one survivor gets
+    # a v2 update envelope carrying it
+    victim = sorted(survivors)[0]
+    max_lsn = max(e["payload"]["source"]["lsn"] for e in log)
+    after = dict(survivors[victim], loyalty_tier="gold")
+    upd = {
+        "payload": {
+            "before": None,
+            "after": after,
+            "source": {"table": "orders_info", "lsn": max_lsn + 1, "txId": 1,
+                       "ts_ms": 0, "version": "x", "connector": "postgresql",
+                       "name": "myserver", "snapshot": "false",
+                       "db": "postgres", "schema": "inventory", "xmin": None},
+            "op": "u",
+            "ts_ms": 0,
+            "transaction": None,
+        }
+    }
+    with open(os.path.join(indir, "v2.jsonl"), "w") as f:
+        f.write(json.dumps(upd) + "\n")
+    evolved = T.StructType(
+        list(ORDERS_ROW_SCHEMA.fields)
+        + [T.StructField("loyalty_tier", T.StringType())]
+    )
+    q = start_cdc_pipeline(
+        spark, indir, state, ckpt, available_now=True, after_schema=evolved
+    )
+    q.awaitTermination()
+    sink = ParquetStateSink(spark, state, ["orderid"])
+    final = sink.current()
+    assert "loyalty_tier" in final.columns
+    rows = {r["orderid"]: r for r in final.collect()}
+    assert rows[victim]["loyalty_tier"] == "gold"
+    # pre-evolution rows: widened with nulls, values intact
+    other = sorted(k for k in rows if k != victim)[0]
+    assert rows[other]["loyalty_tier"] is None
+    assert rows[other]["city"] == survivors[other]["city"]
+    assert sink.dead_letters() is None
