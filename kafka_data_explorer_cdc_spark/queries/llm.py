@@ -8238,27 +8238,37 @@ def d98_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     common short substrings exceed ANY usable df cap while k=12 keeps
     the pair lattice non-vacuous at every SF).
 
-    Scale shape: the d05 inverted-index discipline — fingerprints are
-    an exact-hash equi-join, NEVER all-pairs; hot hashes (document
-    frequency > 40: boilerplate) are dropped by a pre-join aggregate
-    (at 100 TB that cap is what bounds the worst bucket); the shuffle
-    carries (doc_id, hash) longs. Pair counts are one
-    map-side-combined groupBy over join output."""
+    Scale shape: the d05 inverted-index discipline — NEVER all-pairs:
+    ONE winnowing pass (the char-level hashing is the expensive leg —
+    the original hash⋈hash self-join recomputed it for both sides,
+    8.9 s at sf0.1; this bucket-explode form runs it once), ONE
+    shuffle by hash into postings buckets, and the pair fan is a JVM
+    nested-transform over each bucket's sorted doc list — bounded by
+    the df cap (> 40 = boilerplate, dropped), so the worst bucket
+    fans C(40,2) pairs at any corpus size. Pair counts are one
+    map-side-combined groupBy over the fan."""
     from ..operators.text import winnow_hash_rows
 
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     hr = winnow_hash_rows(docs, "doc_id", "text", k=_D98_K, w=_D98_W)
-    rare = (
+    buckets = (
         hr.groupBy("wh")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") <= _D98_CAP)
-        .select("wh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _D98_CAP))
     )
-    a = hr.join(rare, "wh")
-    b = hr.withColumnRenamed("doc_id", "doc_b")
+    ds = F.col("ds")
+    pair_fan = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (a["wh"] == b["wh"]) & (a["doc_id"] < b["doc_b"]))
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        buckets.select(F.explode(pair_fan).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("shared"))
         .filter(F.col("shared") >= _D98_MIN)
     )
