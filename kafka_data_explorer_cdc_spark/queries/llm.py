@@ -8420,7 +8420,7 @@ def d99_gopher_repetition_signals(
     embarrassingly parallel at any corpus size. The oracle replays
     the identical spans relationally (window counts + running-max-end
     interval union)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     m = docs.select("doc_id", ws.alias("__ws")).filter(F.size("__ws") > 0)
     m = m.withColumn("__wl", F.transform("__ws", lambda w: F.length(w).cast("long")))
