@@ -7717,7 +7717,7 @@ def d94_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, window fold, and tie rule over DuckDB lists."""
     from ..operators.text import winnow_fingerprints
 
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     return winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
 
 

@@ -1288,7 +1288,11 @@ def test_d94_winnowing_zero_shuffle_no_python(spark, sf_dir):
     text), no Python boundary; gram hashing and window minima are JVM
     HOFs over staged array columns."""
     p = plan_of(spark, sf_dir, "d94_winnowing_fingerprints")
-    assert "Exchange" not in p, p
+    # the algorithm itself needs NO keyed shuffle; the only allowed
+    # Exchange is ensure_parallelism's round-robin scan split, which
+    # the under-split guard turns into a no-op on a well-split 100 TB
+    # scan (the 3.96 s -> 0.65 s session-4 fix, same as d98/d99)
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p, p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
 
 
