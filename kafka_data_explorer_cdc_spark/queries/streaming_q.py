@@ -2424,3 +2424,91 @@ def s55_stream_space_saving_topk(
             "bounds_ok",
         )
     )
+
+
+@query(
+    "s56_stream_kll_quantile",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS n_parity, TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY 1
+""",
+    tags=("streaming", "sketch", "quantile"),
+)
+def s56_stream_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGEABLE quantile state — b118's KLL sketches run
+    live (and the mergeable complement of s39's GK percentile
+    monitor, whose per-window estimates cannot be unioned after the
+    fact): one `kll_sketch_agg_double` per (day, event_type) window
+    accumulates in the state store — O(k log n) bytes per open window
+    regardless of event rate — and the sink read answers ANY horizon
+    by merging the daily sketches (`kll_merge_agg_double`), exactly
+    the at-rest algebra of b118.
+
+    Gates on the oracle's exact per-type rollup:
+    - ``n_parity`` — every daily sketch's `kll_sketch_get_n` equals
+      the window's exact streamed count (nothing dropped at
+      micro-batch boundaries);
+    - ``p50_ok``/``p95_ok`` — the TRUE rank of each merged-horizon
+      estimate is within 2.5% of the requested rank, against a
+      batch-side conditional recount (KLL's k=200 bound + headroom;
+      rank-based, so it holds regardless of sketch-internal
+      compaction order across micro-batches).
+
+    Scale shape: state and sink move sketches, never values; the
+    recount exists only to verify."""
+    name = f"s56_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.kll_sketch_agg_double("value").alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("window.start").alias("day"), "event_type", "sk", "n")
+    )
+    run_to_memory(
+        agg, name, output_mode="complete",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    streamed = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.min(
+                F.kll_sketch_get_n_double("sk") == F.col("n")
+            ).alias("n_parity"),
+            F.kll_sketch_get_quantile_double(
+                F.kll_merge_agg_double("sk"), F.lit(0.5)
+            ).alias("e50"),
+            F.kll_sketch_get_quantile_double(
+                F.kll_merge_agg_double("sk"), F.lit(0.95)
+            ).alias("e95"),
+        )
+    )
+    events = load(spark, sf_dir, "events")
+    ranks = (
+        events.join(F.broadcast(streamed), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.first("n_parity").alias("n_parity"),
+            (
+                F.sum(F.when(F.col("value") <= F.col("e50"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("r50"),
+            (
+                F.sum(F.when(F.col("value") <= F.col("e95"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("r95"),
+        )
+    )
+    eps = 0.025
+    return ranks.select(
+        "event_type",
+        "n_events",
+        "n_parity",
+        (F.abs(F.col("r50") - 0.5) <= eps).alias("p50_ok"),
+        (F.abs(F.col("r95") - 0.95) <= eps).alias("p95_ok"),
+    )
