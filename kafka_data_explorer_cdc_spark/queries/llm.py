@@ -9040,3 +9040,77 @@ def d104_mink_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("mink20_nll"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "d105_source_qq_shift",
+    oracle="""
+WITH g AS (SELECT unnest(generate_series(1, 9)) AS d),
+p AS (
+  SELECT quantile_cont(n_chars,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+  FROM documents
+), s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         quantile_cont(n_chars,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+  FROM documents GROUP BY 1
+)
+SELECT s.source, CAST(g.d AS BIGINT) AS decile, s.n_docs,
+       s.qs[g.d] AS src_q, p.qs[g.d] AS pool_q,
+       s.qs[g.d] - p.qs[g.d] AS shift
+FROM s, g, p
+ORDER BY s.source, g.d
+""",
+    tags=("llm", "drift", "statistics"),
+)
+def d105_source_qq_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Q-Q quantile-shift report — the analyst's Q-Q plot
+    as a table, and the LOCALIZING complement of the whole-shape
+    gates (d102's KS says "source X differs"; this says "X's short
+    tail is 40 chars shorter than the pool's" — the diagnostic that
+    decides between truncation, re-weighting, or exclusion before
+    mixing). Nine exact interpolated deciles per source vs the pooled
+    corpus, with the shift at each decile.
+
+    Exactness: Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the linear-interpolation definition; on integer inputs the
+    (n−1)·q arithmetic and a+(b−a)·frac interpolation are the same
+    IEEE operations, so the doubles agree bit-for-bit (probed, not
+    assumed).
+
+    Scale shape: ONE map-side-combinable aggregate per source (exact
+    percentile keeps the per-source value list — the documented exact
+    bound, same class as b27/k94; the 100 TB swap is b118's KLL
+    sketches per source, same report ±rank error); the pooled row is
+    a 1-row broadcast; the 9-decile fan is a bounded literal
+    explode."""
+    docs = load(spark, sf_dir, "documents")
+    qs = F.array(*[F.lit(x / 10) for x in range(1, 10)])
+    pool = docs.agg(F.percentile("n_chars", qs).alias("pqs"))
+    src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.percentile("n_chars", qs).alias("sqs"),
+    )
+    fan = src.crossJoin(broadcast(pool)).select(
+        "source",
+        "n_docs",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(9)),
+                lambda d: F.struct(
+                    d.cast("long").alias("decile"),
+                    F.element_at("sqs", d).alias("src_q"),
+                    F.element_at("pqs", d).alias("pool_q"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return fan.select(
+        "source",
+        F.col("p.decile").alias("decile"),
+        "n_docs",
+        F.col("p.src_q").alias("src_q"),
+        F.col("p.pool_q").alias("pool_q"),
+        (F.col("p.src_q") - F.col("p.pool_q")).alias("shift"),
+    ).orderBy("source", "decile")
