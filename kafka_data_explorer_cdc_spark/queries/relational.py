@@ -6599,3 +6599,120 @@ def b119_multitouch_attribution(
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "b120_rfm_segments",
+    oracle="""
+WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+cust AS (
+  SELECT o_custkey AS c,
+         CAST(date_diff('day', MAX(o_orderdate), anchor.mx) AS BIGINT)
+           AS rec,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon
+  FROM orders, anchor GROUP BY 1, anchor.mx
+), bounds AS (
+  SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rb,
+         quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+         quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mb
+  FROM cust
+), scored AS (
+  SELECT c, rec, freq, mon,
+    5 - ((rec > rb[1])::INT + (rec > rb[2])::INT
+         + (rec > rb[3])::INT + (rec > rb[4])::INT) AS r,
+    1 + ((freq > fb[1])::INT + (freq > fb[2])::INT
+         + (freq > fb[3])::INT + (freq > fb[4])::INT) AS f,
+    1 + ((mon > mb[1])::INT + (mon > mb[2])::INT
+         + (mon > mb[3])::INT + (mon > mb[4])::INT) AS m
+  FROM cust, bounds
+)
+SELECT CASE
+         WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+         WHEN f >= 4 THEN 'loyal'
+         WHEN m >= 4 THEN 'big_spender'
+         WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+         WHEN r <= 2 THEN 'hibernating'
+         ELSE 'casual' END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) AS total_monetary,
+       CAST(SUM(freq) AS BIGINT) AS total_orders
+FROM scored GROUP BY 1 ORDER BY 1
+""",
+    tags=("relational", "analytics", "segmentation"),
+)
+def b120_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) —
+    the marketing-analytics workhorse: per customer, days since last
+    order vs the corpus anchor, order count, and decimal-exact spend;
+    each dimension scored 1-5 and customers rolled into named
+    segments (champion / loyal / big_spender / at_risk / hibernating
+    / casual).
+
+    Scale shape — the deliberate NTILE swap: quintile scores come
+    from COMPARING against the four percentile BOUNDARIES (one
+    map-side-combinable aggregate + a 1-row broadcast), never from
+    ``NTILE() OVER (ORDER BY ...)`` — the global-ordering window that
+    serializes the whole customer dimension through one task at
+    100 TB. Boundary doubles are engine-identical (d105's probed
+    percentile ≡ quantile_cont parity); spend is summed as
+    DECIMAL(18,2) (order-free exact)."""
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        orders.crossJoin(broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("rec"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("mon"),
+        )
+    )
+    qs = F.array(F.lit(0.2), F.lit(0.4), F.lit(0.6), F.lit(0.8))
+    bounds = cust.agg(
+        F.percentile("rec", qs).alias("rb"),
+        F.percentile("freq", qs).alias("fb"),
+        F.percentile("mon", qs).alias("mb"),
+    )
+
+    def _score(v, b):
+        hits = sum(
+            (F.col(v) > F.element_at(b, i)).cast("int") for i in range(1, 5)
+        )
+        return hits
+
+    scored = cust.crossJoin(broadcast(bounds)).select(
+        "rec",
+        "freq",
+        "mon",
+        (F.lit(5) - _score("rec", F.col("rb"))).alias("r"),
+        (F.lit(1) + _score("freq", F.col("fb"))).alias("f"),
+        (F.lit(1) + _score("mon", F.col("mb"))).alias("m"),
+    )
+    seg = (
+        F.when(
+            (F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4),
+            "champion",
+        )
+        .when(F.col("f") >= 4, "loyal")
+        .when(F.col("m") >= 4, "big_spender")
+        .when((F.col("r") <= 2) & (F.col("f") >= 3), "at_risk")
+        .when(F.col("r") <= 2, "hibernating")
+        .otherwise("casual")
+    )
+    return (
+        scored.select(seg.alias("segment"), "mon", "freq")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.col("mon").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_monetary"),
+            F.sum("freq").cast("long").alias("total_orders"),
+        )
+        .orderBy("segment")
+    )

@@ -1558,3 +1558,13 @@ def test_b118_kll_no_sort_no_window(spark, sf_dir):
     p = plan_of(spark, sf_dir, "b118_kll_quantile_at_rest")
     assert "Sort " not in p and "Window" not in p
     assert "ObjectHashAggregate" in p  # the Datasketches agg path
+
+
+def test_b120_rfm_no_global_window(spark, sf_dir):
+    """b120 (RFM): quintile scoring must be boundary-comparison
+    against a broadcast percentile row — NO window anywhere (the
+    NTILE global-ordering window serializes the customer dimension
+    through one task at scale)."""
+    p = plan_of(spark, sf_dir, "b120_rfm_segments")
+    assert "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
