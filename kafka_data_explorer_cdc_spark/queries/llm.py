@@ -9114,3 +9114,183 @@ def d105_source_qq_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.pool_q").alias("pool_q"),
         (F.col("p.src_q") - F.col("p.pool_q")).alias("shift"),
     ).orderBy("source", "decile")
+
+
+@query(
+    "d106_lsh_calibration",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
+), shc AS (
+  SELECT sh.* FROM sh LEFT JOIN hot USING (shingle) WHERE hot.shingle IS NULL
+), cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS isz
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id1, id2, isz * 1.0 / (c1.n + c2.n - isz) AS j
+  FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id
+  WHERE isz * 1.0 / (c1.n + c2.n - isz) >= 0.2
+), h AS (
+  SELECT doc_id, CASE WHEN length(shingle) = 0 THEN 0 ELSE
+    list_reduce(list_transform(generate_series(1, length(shingle)),
+      i -> CAST(unicode(shingle[i:i]) AS BIGINT)),
+      (acc, c) -> (acc * 31 + c) % 1000000007) END AS h
+  FROM sh
+), sigs AS (
+  SELECT doc_id,
+    CAST(MIN((1 * h + 13) % 1000000007) AS BIGINT) AS mh_0,
+    CAST(MIN((3 * h + 110) % 1000000007) AS BIGINT) AS mh_1,
+    CAST(MIN((5 * h + 207) % 1000000007) AS BIGINT) AS mh_2,
+    CAST(MIN((7 * h + 304) % 1000000007) AS BIGINT) AS mh_3,
+    CAST(MIN((9 * h + 401) % 1000000007) AS BIGINT) AS mh_4,
+    CAST(MIN((11 * h + 498) % 1000000007) AS BIGINT) AS mh_5,
+    CAST(MIN((13 * h + 595) % 1000000007) AS BIGINT) AS mh_6,
+    CAST(MIN((15 * h + 692) % 1000000007) AS BIGINT) AS mh_7
+  FROM h GROUP BY doc_id
+), buckets AS (
+  SELECT doc_id, 0 AS band,
+         (mh_0 * 1000003 + mh_1 * 999983 + mh_2 * 774047 + mh_3 * 31)
+           % 1000000007 AS bh FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         (mh_4 * 1000003 + mh_5 * 999983 + mh_6 * 774047 + mh_7 * 31)
+           % 1000000007 AS bh FROM sigs
+), det AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+), scored AS (
+  SELECT LEAST(CAST(FLOOR(p.j * 10) AS BIGINT), 9) AS band10,
+         CASE WHEN d.id1 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         CAST(ROUND((1 - POW(1 - POW(p.j, 4), 2)) * 1e9) AS BIGINT)
+           AS th_nanos
+  FROM pairs p LEFT JOIN det d ON p.id1 = d.id1 AND p.id2 = d.id2
+)
+SELECT band10, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_detected,
+       SUM(hit) * 1.0 / COUNT(*) AS detect_rate,
+       CAST(SUM(th_nanos) AS BIGINT) * 1.0 / COUNT(*) / 1e9
+         AS theory_rate
+FROM scored GROUP BY 1 ORDER BY 1
+""",
+    tags=("llm", "dedup", "calibration"),
+)
+def d106_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH S-CURVE CALIBRATION — the empirical detection rate
+    of the d04x banding (8 perms, 2 bands x 4 rows) per exact-Jaccard
+    decile, against the textbook collision probability
+    1-(1-J^r)^b. This is the table an operator reads before picking
+    (b, r) for a 100 TB dedup run: it shows WHERE the S-curve's knee
+    sits on THIS corpus and how far the finite-permutation reality
+    deviates from theory (d04's recall test checks one threshold;
+    this calibrates the whole curve).
+
+    Exactness: everything is the portable polynomial-hash pipeline
+    (d04x) — signatures, band mixing, and exact Jaccard are integer
+    arithmetic; per-pair theory is quantized to nanos before the
+    band rollup (order-free integer sums).
+
+    Scale shape: ground-truth pairs come from the shingle inverted
+    index with the hot-shingle cap (d05's discipline — at calibration
+    time you run this on a SAMPLE, the curve is corpus-shape-, not
+    corpus-size-dependent); detection is the same bucket equi-join as
+    production; the rollup is 10 rows."""
+    from ..operators.text import poly_hash
+
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingle_docs(docs, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > 1000)
+        .select("shingle")
+    )
+    shc = sh.join(hot, "shingle", "left_anti")
+    cnt = shc.groupBy("id").agg(F.count("*").alias("n"))
+    a = shc.select(F.col("id").alias("id1"), "shingle")
+    b = shc.select(F.col("id").alias("id2"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("isz"))
+    )
+    j = F.col("isz") / (F.col("n1") + F.col("n2") - F.col("isz"))
+    pairs = (
+        inter.join(cnt.select(F.col("id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(cnt.select(F.col("id").alias("id2"), F.col("n").alias("n2")), "id2")
+        .select("id1", "id2", j.alias("j"))
+        .filter(F.col("j") >= 0.2)
+    )
+    h = sh.withColumn("h", F.expr(poly_hash("shingle")))
+    sigs = h.groupBy("id").agg(
+        *[
+            F.min((F.lit(p) * F.col("h") + F.lit(q)) % _D04X_P).alias(f"mh_{i}")
+            for i, (p, q) in enumerate(_MINHASH_PERMS)
+        ]
+    )
+
+    def band_hash(bi: int):
+        expr = None
+        for r, m in enumerate(_D04X_MULT):
+            term = F.col(f"mh_{bi * 4 + r}") * F.lit(m)
+            expr = term if expr is None else expr + term
+        return (expr % F.lit(_D04X_P)).alias("bh")
+
+    buckets = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), band_hash(bi))
+                    for bi in range(2)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    l = buckets.select(F.col("id").alias("id1"), "band", "bh")
+    r = buckets.select(F.col("id").alias("id2"), "band", "bh")
+    det = (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    scored = pairs.join(det, ["id1", "id2"], "left").select(
+        F.least(F.floor(F.col("j") * 10).cast("long"), F.lit(9).cast("long")).alias(
+            "band10"
+        ),
+        F.coalesce(F.col("__hit"), F.lit(0)).alias("hit"),
+        F.round(
+            (
+                F.lit(1)
+                - F.pow(F.lit(1) - F.pow(F.col("j"), F.lit(4)), F.lit(2))
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("th_nanos"),
+    )
+    return (
+        scored.groupBy("band10")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_detected"),
+            (F.sum("hit") / F.count("*")).alias("detect_rate"),
+            (
+                F.sum("th_nanos").cast("long") / F.count("*") / F.lit(1e9)
+            ).alias("theory_rate"),
+        )
+        .orderBy("band10")
+    )

@@ -560,3 +560,43 @@ def test_d104_mink_flags_formulaic_doc(spark):
     score = {r["doc_id"]: r["mink20_nll"] for r in out}
     assert score[99] == max(score.values())  # gibberish = least member-like
     assert score[0] < score[99]
+
+
+def test_d106_calibration_scurve_on_planted_bands(spark):
+    """The calibration table must trace a real S-curve: planted pairs
+    at controlled Jaccard levels — low-J bands mostly undetected,
+    high-J bands mostly detected, empirical within sane distance of
+    the analytic collision probability."""
+    from kafka_data_explorer_cdc_spark.queries import REGISTRY
+    import tempfile, os
+
+    words = [f"w{i:03d}" for i in range(60)]
+    rows = []
+    did = 0
+    # 30 pairs per overlap level: doc A uses words[0:30], doc B shares
+    # the first k words and pads with a disjoint per-pair vocabulary
+    for k, reps in ((8, 30), (15, 30), (22, 30), (29, 30)):
+        for p in range(reps):
+            a = " ".join(words[:30])
+            b = " ".join(words[:k] + [f"u{did}_{i}" for i in range(30 - k)])
+            rows.append((did, a, "en", "src0", len(a))); did += 1
+            rows.append((did, b, "en", "src0", len(b))); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp(prefix="lshcal_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["d106_lsh_calibration"].fn(spark, d).collect()
+    by_band = {r["band10"]: r for r in out}
+    assert len(by_band) >= 3  # curve is non-vacuous
+    lo = min(by_band)
+    hi = max(by_band)
+    assert hi >= 8 and lo <= 4
+    # S-curve: detection climbs with J
+    assert by_band[lo]["detect_rate"] < by_band[hi]["detect_rate"]
+    assert by_band[hi]["detect_rate"] >= 0.9
+    # empirical tracks theory within a coarse band (finite perms)
+    for r in out:
+        if r["n_pairs"] >= 20:
+            assert abs(r["detect_rate"] - r["theory_rate"]) <= 0.35, (
+                r["band10"], r["detect_rate"], r["theory_rate"])
