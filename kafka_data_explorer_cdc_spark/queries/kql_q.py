@@ -4060,3 +4060,66 @@ def k103_kql_hash_digest_functions(
         " | sort by lang asc",
         {"Documents": docs},
     )
+
+
+@query(
+    "k104_kql_partition_datatable",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS rn
+  FROM orders
+), kept AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS kept_sum
+  FROM ranked WHERE rn <= 2 GROUP BY 1
+), boosts(o_orderpriority, boost) AS (
+  VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+         ('4-NOT SPECIFIED', 2), ('5-LOW', 1)
+)
+SELECT k.o_orderpriority, k.n_kept, k.kept_sum,
+       k.kept_sum * b.boost AS weighted
+FROM kept k JOIN boosts b USING (o_orderpriority)
+ORDER BY k.o_orderpriority
+""",
+    tags=("kql", "partition", "datatable"),
+)
+def k104_kql_partition_datatable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kusto's ``partition by`` per-key subquery operator + the
+    ``datatable`` literal source, driver-gate-visible (both are
+    compiler features with unit tests — kql.py:_compile partition
+    block, test_kql.py getschema/datatable/sample suites — this entry
+    puts the composition under the DuckDB differential): per-priority
+    top-2 orders by value via ``partition by (top 2 by ...)``, rolled
+    up and joined against an inline ``datatable`` of priority boosts.
+
+    Tie-safety: the output aggregates (count, decimal sum) over the
+    kept set are INVARIANT to which of the equal boundary values
+    row_number picks, so the differential cannot flake on totalprice
+    ties.
+
+    Scale shape: ``partition (top N)`` compiles to row_number over
+    (partitionBy, orderBy) — Catalyst's WindowGroupLimit applies the
+    per-group limit BEFORE the shuffle; the datatable is a 5-row
+    local relation, broadcast by size."""
+    orders = load(spark, sf_dir, "orders")
+    return kql(
+        "Orders"
+        " | partition by o_orderpriority (top 2 by o_totalprice)"
+        " | summarize n_kept = count(), kept_sum = sum(o_totalprice)"
+        "             by o_orderpriority"
+        " | join kind=inner ("
+        "     datatable (o_orderpriority: string, boost: long) ["
+        "       '1-URGENT', 5, '2-HIGH', 4, '3-MEDIUM', 3,"
+        "       '4-NOT SPECIFIED', 2, '5-LOW', 1"
+        "     ]) on o_orderpriority"
+        " | project o_orderpriority, n_kept, kept_sum,"
+        "           weighted = kept_sum * boost"
+        " | sort by o_orderpriority asc",
+        {"Orders": orders},
+    )
