@@ -2512,3 +2512,79 @@ def s56_stream_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("r50") - 0.5) <= eps).alias("p50_ok"),
         (F.abs(F.col("r95") - 0.95) <= eps).alias("p95_ok"),
     )
+
+
+@query(
+    "s57_stream_multitouch_attribution",
+    oracle="""
+WITH purch AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT p.p_id, p.value, e.event_type AS channel,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id
+                            ORDER BY e.ts, e.event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS n
+  FROM purch p JOIN events e
+    ON e.user_id = p.user_id
+   AND e.event_type IN ('view', 'click', 'signup')
+   AND e.ts < p.p_ts
+   AND e.ts >= p.p_ts - INTERVAL 7 DAY
+), credited AS (
+  SELECT channel,
+         CAST(ROUND(value * (CASE WHEN n = 1 THEN 1.0
+                                  WHEN n = 2 THEN 0.5
+                                  WHEN rn = 1 OR rn = n THEN 0.4
+                                  ELSE 0.2 / (n - 2) END) * 1e6) AS BIGINT)
+           AS cr
+  FROM touch
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(cr) AS BIGINT) / 1e6 AS credited_value
+FROM credited GROUP BY 1 ORDER BY 1
+""",
+    tags=("streaming", "attribution", "stateful"),
+)
+def s57_stream_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b119's U-shaped multi-touch attribution run as a REAL
+    incremental stream (streaming/stateful.py:
+    streaming_multitouch_attribution): the events table replays as
+    three time-sliced micro-batches, the per-user touch buffer inside
+    the 7-day horizon crosses batch boundaries in the checkpointed
+    state store (O(rate × horizon), pruned every event), and each
+    purchase emits its integer-micro credit rows in the batch that
+    contains it.
+
+    The oracle is b119's SQL VERBATIM — the same closed-form credit
+    table verifies the batch plan and the streaming state machine
+    (the s51/k72 unified-engine contract). The strict
+    touch-before-purchase compare, inclusive lookback, and HALF-UP
+    micro quantization are mirrored bit-for-bit in the kernel."""
+    from ..streaming.stateful import streaming_multitouch_attribution
+
+    name = f"s57_{uuid.uuid4().hex[:8]}"
+    indir = _time_sliced_events_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    run_to_memory(
+        streaming_multitouch_attribution(ev),
+        name,
+        output_mode="append",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    return (
+        spark.table(name)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            (F.sum("cr").cast("long") / F.lit(1e6)).alias("credited_value"),
+        )
+        .orderBy("channel")
+    )

@@ -39,7 +39,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -496,6 +498,109 @@ def streaming_space_saving(
     return (
         events.select(key_col, item_col)
         .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_multitouch_attribution(
+    events: DataFrame,
+    horizon: str = "7 days",
+    touch_types: tuple = ("view", "click", "signup"),
+) -> DataFrame:
+    """b119's U-shaped multi-touch attribution as an incremental
+    stateful STREAM: per user, the touch buffer inside the attribution
+    horizon is the ONLY state (O(rate × horizon), the streaming_funnel
+    bound — pruned every event), and each arriving purchase emits its
+    credit rows (channel, integer-micro credit) in the micro-batch
+    that contains it.
+
+    Credit math mirrors the batch compiler EXACTLY — 40/20/40 first/
+    middle/last with the 1-touch=100% and 2-touch=50/50 degenerate
+    forms, strict ``touch.ts < purchase.ts``, inclusive 7-day lookback,
+    and HALF-UP micro quantization — so the b119 DuckDB oracle verifies
+    the state machine value-exactly (the s51/k72 unified-engine
+    contract: one closed-form answer for both engines).
+
+    Ordering contract: per-key event-time-ordered arrival across
+    micro-batches (time-sliced replay / Kafka keyed by user);
+    within-batch rows are sorted here with the event_id tie-break."""
+    import math
+
+    n_ = len(touch_types)
+    out_schema = StructType(
+        [
+            StructField("channel", StringType()),
+            StructField("cr", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts", ArrayType(LongType())),
+            StructField("ch", ArrayType(StringType())),
+        ]
+    )
+
+    def _secs(text: str) -> int:
+        qty, unit = text.split()
+        return int(qty) * {"days": 86400, "hours": 3600, "minutes": 60}[unit]
+
+    hor_us = _secs(horizon) * 1_000_000
+    touch_set = set(touch_types)
+
+    def fn(key, pdfs, state: GroupState):
+        buf_ts, buf_ch = ([], [])
+        if state.exists:
+            t0, c0 = state.get
+            buf_ts, buf_ch = list(t0), list(c0)
+        rows = []
+        pdf = pd.concat(list(pdfs)).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        et = pdf["event_type"].to_numpy()
+        val = pdf["value"].to_numpy()
+        for i in range(len(pdf)):
+            t = int(ts[i])
+            # prune to the horizon (inclusive lower bound)
+            lo = t - hor_us
+            k = 0
+            while k < len(buf_ts) and buf_ts[k] < lo:
+                k += 1
+            if k:
+                buf_ts, buf_ch = buf_ts[k:], buf_ch[k:]
+            if et[i] in touch_set:
+                buf_ts.append(t)
+                buf_ch.append(et[i])
+            elif et[i] == "purchase":
+                idx = [j for j in range(len(buf_ts)) if buf_ts[j] < t]
+                n = len(idx)
+                if n:
+                    v = float(val[i])
+                    for pos, j in enumerate(idx):
+                        if n == 1:
+                            w = 1.0
+                        elif n == 2:
+                            w = 0.5
+                        elif pos == 0 or pos == n - 1:
+                            w = 0.4
+                        else:
+                            w = 0.2 / (n - 2)
+                        rows.append(
+                            (buf_ch[j],
+                             int(math.floor((v * w) * 1e6 + 0.5)))
+                        )
+        state.update((buf_ts, buf_ch))
+        yield pd.DataFrame(rows, columns=["channel", "cr"])
+
+    return (
+        events.select("user_id", "ts", "event_type", "event_id", "value")
+        .groupBy("user_id")
         .applyInPandasWithState(
             fn,
             outputStructType=out_schema,
