@@ -392,3 +392,103 @@ def image_dhashes(df: DataFrame) -> DataFrame:
     return ensure_parallelism(to_binary_docs(df)).mapInPandas(
         dhash_batch, DHASH_SCHEMA
     )
+
+
+#: Mel-style filterbank stub over the 64-sample window: 4 DFT bins
+#: (Goertzel form) mixed into 3 overlapping triangular bands. Trig is
+#: quantized at 1e2 (not mm9's 1e4) so the band mix stays in int64:
+#: |dot| <= 255*100*64 ≈ 1.6e6, power ≈ 2.7e12, × weight (<=1000) ×
+#: 4 bins ≈ 1.1e16 per window — exact on both engines (the
+#: d56-literals pattern: no engine evaluates trig).
+MEL_BINS = (2, 5, 9, 14)
+MEL_WEIGHTS = (  # 3 bands × 4 bins, each row sums to 1000
+    (700, 300, 0, 0),
+    (0, 500, 500, 0),
+    (0, 0, 400, 600),
+)
+_MEL_QUANT = 100
+
+
+def _mel_trig():
+    import math
+
+    cos_t, sin_t = [], []
+    for k in MEL_BINS:
+        w = 2.0 * math.pi * k / AUDIO_WINDOW
+        cos_t.append(
+            tuple(round(math.cos(w * i) * _MEL_QUANT) for i in range(AUDIO_WINDOW))
+        )
+        sin_t.append(
+            tuple(round(math.sin(w * i) * _MEL_QUANT) for i in range(AUDIO_WINDOW))
+        )
+    return tuple(cos_t), tuple(sin_t)
+
+
+MEL_COS, MEL_SIN = _mel_trig()
+
+MEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("e0", T.LongType()),
+        T.StructField("e1", T.LongType()),
+        T.StructField("e2", T.LongType()),
+    ]
+)
+
+
+def mel_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per full window, 4 quantized Goertzel bin
+    powers mixed into 3 integer band energies — two int64 matmuls per
+    blob (samples → bin dots, powers → band mix)."""
+    import numpy as np
+
+    C = np.asarray(MEL_COS, dtype=np.int64).T  # (WINDOW, 4)
+    S = np.asarray(MEL_SIN, dtype=np.int64).T
+    W = np.asarray(MEL_WEIGHTS, dtype=np.int64)  # (3, 4)
+    for pdf in batches:
+        ids, wins, es = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n_win = len(samples) // AUDIO_WINDOW
+            if n_win == 0:
+                continue
+            mat = samples[: n_win * AUDIO_WINDOW].reshape(n_win, AUDIO_WINDOW)
+            dc = mat @ C  # (n_win, 4)
+            ds = mat @ S
+            p = dc * dc + ds * ds
+            e = p @ W.T  # (n_win, 3)
+            ids.extend([doc_id] * n_win)
+            wins.extend(range(n_win))
+            es.append(e)
+        if ids:
+            e_all = np.vstack(es)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(wins, dtype="int64"),
+                    "e0": e_all[:, 0],
+                    "e1": e_all[:, 1],
+                    "e2": e_all[:, 2],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "window_idx": pd.Series([], dtype="int64"),
+                    "e0": pd.Series([], dtype="int64"),
+                    "e1": pd.Series([], dtype="int64"),
+                    "e2": pd.Series([], dtype="int64"),
+                }
+            )
+
+
+def mel_filterbank(df: DataFrame) -> DataFrame:
+    """Distributed mel-style band energies per full window — same
+    Arrow-batched plumbing as :func:`goertzel_power`."""
+    from ..io import ensure_parallelism
+
+    return ensure_parallelism(to_binary_docs(df)).mapInPandas(
+        mel_batch, MEL_SCHEMA
+    )

@@ -9294,3 +9294,109 @@ def d106_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band10")
     )
+
+
+def _mm14_oracle() -> str:
+    from ..operators.multimodal import (
+        AUDIO_WINDOW,
+        MEL_COS,
+        MEL_SIN,
+        MEL_WEIGHTS,
+    )
+
+    dots = []
+    for b in range(len(MEL_COS)):
+        cq = "[" + ", ".join(str(c) for c in MEL_COS[b]) + "]"
+        sq = "[" + ", ".join(str(s) for s in MEL_SIN[b]) + "]"
+        dots.append(
+            f"""list_reduce(list_transform(range(0, {AUDIO_WINDOW}),
+           j -> vs[CAST(widx * {AUDIO_WINDOW} + j + 1 AS INT)]
+                * (CAST({cq} AS BIGINT[]))[CAST(j + 1 AS INT)]),
+           (a, b) -> a + b) AS dc{b},
+         list_reduce(list_transform(range(0, {AUDIO_WINDOW}),
+           j -> vs[CAST(widx * {AUDIO_WINDOW} + j + 1 AS INT)]
+                * (CAST({sq} AS BIGINT[]))[CAST(j + 1 AS INT)]),
+           (a, b) -> a + b) AS ds{b}"""
+        )
+    dot_sql = ",\n         ".join(dots)
+    bands = []
+    for m, row in enumerate(MEL_WEIGHTS):
+        terms = " + ".join(
+            f"{w} * (dc{b} * dc{b} + ds{b} * ds{b})"
+            for b, w in enumerate(row)
+            if w
+        )
+        bands.append(f"{terms} AS e{m}")
+    band_sql = ",\n         ".join(bands)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS vs
+  FROM documents
+), w AS (
+  SELECT doc_id, vs, unnest(range(0, len(vs) // {AUDIO_WINDOW})) AS widx
+  FROM s WHERE len(vs) >= {AUDIO_WINDOW}
+), p AS (
+  SELECT doc_id, widx,
+         {dot_sql}
+  FROM w
+), e AS (
+  SELECT doc_id, widx,
+         {band_sql}
+  FROM p
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(e0) AS BIGINT) AS tot_e0,
+       CAST(SUM(e1) AS BIGINT) AS tot_e1,
+       CAST(SUM(e2) AS BIGINT) AS tot_e2,
+       CAST(CASE WHEN SUM(e0) >= SUM(e1) AND SUM(e0) >= SUM(e2) THEN 0
+                 WHEN SUM(e1) >= SUM(e2) THEN 1 ELSE 2 END AS BIGINT)
+         AS dominant_band
+FROM e GROUP BY doc_id
+"""
+
+
+@query(
+    "mm14_mel_filterbank",
+    oracle=_mm14_oracle(),
+    tags=("llm", "multimodal", "dsp"),
+)
+def mm14_mel_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel-style filterbank energies (operators/multimodal.py:
+    mel_filterbank) — the standard audio feature ahead of MFCCs,
+    completing the audio battery (mm5 energy → mm9 tone → mm11 VAD →
+    band features): per full 64-sample window, four quantized-Goertzel
+    DFT bin powers mixed into three overlapping triangular bands by
+    INTEGER literal weights; per doc, total band energies and the
+    dominant band (ties to the lowest band on both engines). Trig is
+    quantized at 1e2 (vs mm9's 1e4) precisely so the band mix stays
+    exact int64 — the headroom arithmetic is documented at the
+    constants.
+
+    Scale: one Arrow mapInPandas pass (TWO int64 matmuls per blob —
+    samples→bins, powers→bands), one map-side-combined groupBy; no
+    shuffle carries waveforms."""
+    from ..operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    e = MM.mel_filterbank(docs)
+    dom = (
+        F.when(
+            (F.col("tot_e0") >= F.col("tot_e1"))
+            & (F.col("tot_e0") >= F.col("tot_e2")),
+            0,
+        )
+        .when(F.col("tot_e1") >= F.col("tot_e2"), 1)
+        .otherwise(2)
+    )
+    return (
+        e.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("e0").cast("long").alias("tot_e0"),
+            F.sum("e1").cast("long").alias("tot_e1"),
+            F.sum("e2").cast("long").alias("tot_e2"),
+        )
+        .withColumn("dominant_band", dom.cast("long"))
+    )
