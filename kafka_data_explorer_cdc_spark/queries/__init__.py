@@ -158,8 +158,13 @@ _FRONT = [
     "s50_stream_late_data_watermark",
     "d92_colbert_maxsim",
     "d92x_colbert_maxsim_ivf",
-    # window exactly full at 50 (48 round-11 additions + 2 round-10
-    # additions; the round-10 tail d93_ivf_index_optimize,
+    # Window = the FIRST 50 names above (the session-4 additions
+    # mm14/s57/k104/d106/b120/d105/s56/b119/b118/s55/d104/k103/d103
+    # pushed the tail out to d94_winnowing_fingerprints; everything
+    # from d95_cross_source_dup_matrix down — mm12, s52, b114-b117,
+    # k74-k76, s50, d92, d92x — is now PAST the 50 cutoff and joins
+    # the round-12 never-checked queue with the round-10 tail
+    # d93_ivf_index_optimize,
     # k71_kql_funnel_sequence,
     # k72_kql_sequence_detect,
     # b106_product_profit_q9,
@@ -169,9 +174,7 @@ _FRONT = [
     # b111_promo_revenue_q14,
     # b112_forecast_revenue_q6, b113_large_volume_customer_q18,
     # mm11_audio_vad_segments, s51_stream_sequence_detect,
-    # k73_kql_series_fill plus the r2 k13_kql_recent_orders were
-    # displaced by the k91-k97/d101 additions and lead the round-12
-    # queue with the other displaced never-checked entries below).
+    # k73_kql_series_fill and the r2 k13_kql_recent_orders).
     # Displaced never-checked + r2/r3 entries —
     # d93_ivf_index_optimize,
     # k71_kql_funnel_sequence, k72_kql_sequence_detect,
