@@ -87,6 +87,10 @@ Supported (the reference's surface plus the obvious neighbors):
       | evaluate bag_unpack(dynCol)   (one bounded key-discovery job,
         then codegen get_json_object probes per key; string-typed
         leaves, lexical key order, collision = explicit error)
+      | evaluate python(typeof(...), 'script')   (inline-Python
+        plugin: one Arrow mapInPandas boundary, script execs once per
+        partition over `df`, output read from `result` against the
+        declared typeof schema — Kusto's per-shard sandbox contract)
       | evaluate narrow()   (unpivot every column to Row/Column/Value
         string triples; Row = 0-based serialized index, so a prior
         'sort by' is required in a distributed engine)
@@ -3814,6 +3818,97 @@ def _compile_sequence_detect(
     )
 
 
+_PY_PLUGIN_TYPES = {
+    "long": ("bigint", "int64"),
+    "int": ("int", "int32"),
+    "real": ("double", "float64"),
+    "string": ("string", None),
+    "bool": ("boolean", "bool"),
+    "datetime": ("timestamp", None),
+}
+
+
+def _compile_python_plugin(
+    df: DataFrame, star: bool, fields: list[tuple[str, str]], script: str
+) -> DataFrame:
+    """``evaluate python(typeof(...), 'script')`` — see the parser
+    block for the pinned contract. The script is compiled ONCE on the
+    driver (syntax errors surface at plan time, not mid-job); each
+    task execs it once over the concatenated partition frame with
+    ``df``/``np``/``pd`` bound, and must assign a pandas DataFrame to
+    ``result`` carrying every typeof() column. Declared numeric/bool
+    columns are astype-coerced so the Arrow writer never guesses.
+
+    Scale shape: the partition must fit in executor memory as ONE
+    pandas frame — the same bound Kusto's sandbox places on a shard;
+    size partitions accordingly (maxPartitionBytes / repartition). No
+    shuffle is introduced; row order is not preserved (serialized
+    order resets, as after any plugin)."""
+    from pyspark.sql import types as ST
+
+    out_fields: list[ST.StructField] = []
+    coerce: dict[str, str] = {}
+    if star:
+        out_fields.extend(df.schema.fields)
+    for fname, ftyp in fields:
+        if ftyp not in _PY_PLUGIN_TYPES:
+            raise ValueError(
+                f"KQL: evaluate python() unsupported type {ftyp!r} "
+                f"(supported: {sorted(_PY_PLUGIN_TYPES)})"
+            )
+        if any(f.name == fname for f in out_fields):
+            raise ValueError(
+                f"KQL: evaluate python() output column {fname!r} "
+                "collides with an input column kept by typeof(*)"
+            )
+        sql_t, pd_t = _PY_PLUGIN_TYPES[ftyp]
+        spark_t = {
+            "bigint": ST.LongType(),
+            "int": ST.IntegerType(),
+            "double": ST.DoubleType(),
+            "string": ST.StringType(),
+            "boolean": ST.BooleanType(),
+            "timestamp": ST.TimestampType(),
+        }[sql_t]
+        out_fields.append(ST.StructField(fname, spark_t))
+        if pd_t is not None:
+            coerce[fname] = pd_t
+    if not out_fields:
+        raise ValueError("KQL: evaluate python() typeof() is empty")
+    schema = ST.StructType(out_fields)
+    names = [f.name for f in out_fields]
+    code = compile(script, "<kql-evaluate-python>", "exec")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+        ns = {"df": pdf, "np": np, "pd": pd, "result": None}
+        exec(code, ns)  # noqa: S102 — engine feature: Kusto python() parity
+        res = ns.get("result")
+        if not isinstance(res, pd.DataFrame):
+            raise ValueError(
+                "KQL: evaluate python() script must assign a pandas "
+                "DataFrame to `result`"
+            )
+        missing = [c for c in names if c not in res.columns]
+        if missing:
+            raise ValueError(
+                f"KQL: evaluate python() result is missing declared "
+                f"column(s) {missing}"
+            )
+        out = res[names].copy() if coerce else res[names]
+        for c, dt in coerce.items():
+            out[c] = out[c].astype(dt)
+        yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def _compile_funnel_sequence(
     df: DataFrame,
     id_col: str,
@@ -6486,11 +6581,71 @@ def kql(
                 )
                 ser = None
                 continue
+            if ev_fn == "python":
+                # evaluate python(typeof(...), 'script') — Kusto's
+                # inline-Python plugin. Kusto runs the script in a
+                # sandbox per data shard with the shard's rows bound to
+                # a pandas DataFrame `df` and reads the output from
+                # `result`; the Spark-first mapping is therefore ONE
+                # Arrow mapInPandas boundary whose kernel concatenates
+                # the partition's record batches, execs the script once
+                # per partition, and emits `result` coerced to the
+                # typeof() schema. Partition-local semantics IS the
+                # Kusto contract (cross-shard state never exists there
+                # either); scripts that need global state must
+                # pre-aggregate in KQL, exactly as on Kusto.
+                #
+                # typeof(*) keeps every input column (current engine
+                # types); additional `name:type` entries append typed
+                # output columns; without `*` the list is the full
+                # output schema. Trust model: the script executes with
+                # the engine's Python runtime (same trust level as
+                # registering a UDF) — this engine does not re-create
+                # Kusto's nested sandbox.
+                p.expect("(")
+                tw = p.next()
+                if tw.text.lower() != "typeof":
+                    raise ValueError(
+                        "KQL: evaluate python() first argument must be "
+                        "typeof(...)"
+                    )
+                p.expect("(")
+                py_star = False
+                py_fields: list[tuple[str, str]] = []
+                while True:
+                    t = p.next()
+                    if t.text == "*":
+                        py_star = True
+                    else:
+                        fname = t.text
+                        p.expect(":")
+                        py_fields.append((fname, p.next().text.lower()))
+                    if not p.accept(","):
+                        break
+                p.expect(")")
+                p.expect(",")
+                ts_tok = p.next()
+                if ts_tok.kind != "str":
+                    raise ValueError(
+                        "KQL: evaluate python() script must be a string "
+                        "literal"
+                    )
+                py_script = ts_tok.text[1:-1]
+                p.expect(")")
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                df = _compile_python_plugin(df, py_star, py_fields, py_script)
+                ser = None
+                continue
             if ev_fn != "pivot":
                 raise ValueError(
                     "KQL: only 'evaluate pivot(...)', 'evaluate "
                     "bag_unpack(...)', 'evaluate basket(...)', 'evaluate "
-                    "narrow()', 'evaluate sequence_detect(...)' and "
+                    "narrow()', 'evaluate python(...)', 'evaluate "
+                    "sequence_detect(...)' and "
                     "'evaluate funnel_sequence(...)' are supported"
                 )
             p.expect("(")

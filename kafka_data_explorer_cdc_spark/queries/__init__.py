@@ -94,6 +94,9 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
+    # (0b) session-5 additions — never driver-checked by construction
+    "k105_kql_python_plugin",
+    # (0a) session-4 additions
     "mm14_mel_filterbank",
     "s57_stream_multitouch_attribution",
     "k104_kql_partition_datatable",

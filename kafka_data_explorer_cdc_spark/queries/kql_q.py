@@ -4123,3 +4123,41 @@ def k104_kql_partition_datatable(
         " | sort by o_orderpriority asc",
         {"Orders": orders},
     )
+
+
+@query(
+    "k105_kql_python_plugin",
+    oracle="""
+SELECT event_id,
+       value * 2.0 + 1.0 AS score,
+       CAST(FLOOR(value / 10.0) AS BIGINT) AS vbucket
+FROM events
+""",
+    tags=("kql", "plugin", "python"),
+)
+def k105_kql_python_plugin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate python(typeof(...), 'script')`` — Kusto's inline
+    Python plugin (kql.py:_compile_python_plugin). The script execs
+    once per partition over the partition's rows as a pandas ``df``
+    and returns ``result`` against the declared typeof schema —
+    Kusto's own per-shard sandbox contract, so partition-locality is
+    parity, not a divergence. This test script is deliberately
+    row-local pure arithmetic so the DuckDB oracle can verify the
+    WHOLE boundary value-exactly (schema coercion, Arrow round-trip,
+    column selection); real deployments put the genuinely
+    non-SQL-expressible kernel here.
+
+    Scale shape: the only cost beyond a scan is the one Arrow
+    round-trip; no shuffle, scripts run partition-parallel. The
+    partition-must-fit-in-pandas bound is Kusto's own shard bound."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | evaluate python(typeof(event_id:long, score:real,"
+        " vbucket:long),"
+        " 'result = pd.DataFrame({\"event_id\": df[\"event_id\"],"
+        " \"score\": df[\"value\"].to_numpy() * 2.0 + 1.0,"
+        " \"vbucket\": np.floor(df[\"value\"].to_numpy() / 10.0)"
+        ".astype(\"int64\")})')",
+        {"Events": events},
+    )

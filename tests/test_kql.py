@@ -2596,3 +2596,43 @@ def test_hash_digest_scalar_vectors(spark):
     assert abs(r["p"] - 3.141592653589793) < 1e-15
     assert r["bx"] == 1 and r["by"] == 2 and r["cy"] == 1  # é = 2 bytes, 1 char
     assert abs(r["deg"] - 45.0) < 1e-12
+
+
+def test_kql_python_plugin_star_append(spark):
+    """evaluate python: typeof(*, new:real) keeps every input column
+    and appends the declared one; the script sees the partition as a
+    pandas `df` and returns `result`."""
+    df = spark.createDataFrame([(1, 2.0), (2, 5.0)], "id long, v double")
+    out = kql(
+        "T | evaluate python(typeof(*, w:real),"
+        " 'result = df.assign(w = df[\"v\"] * 10.0)')",
+        {"T": df},
+    )
+    assert out.columns == ["id", "v", "w"]
+    got = {r["id"]: r["w"] for r in out.collect()}
+    assert got == {1: 20.0, 2: 50.0}
+
+
+def test_kql_python_plugin_errors(spark):
+    """evaluate python: script syntax errors surface at COMPILE time;
+    missing `result`, missing declared columns, bad types and column
+    collisions are loud."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(SyntaxError):
+        kql("T | evaluate python(typeof(x:long), 'def :')", {"T": df})
+    with pytest.raises(ValueError, match="unsupported type"):
+        kql("T | evaluate python(typeof(x:guid), 'result = df')", {"T": df})
+    with pytest.raises(ValueError, match="collides"):
+        kql("T | evaluate python(typeof(*, id:long), 'result = df')", {"T": df})
+    with pytest.raises((PythonException, Py4JJavaError), match="must assign"):
+        kql(
+            "T | evaluate python(typeof(x:long), 'y = 1')", {"T": df}
+        ).collect()
+    with pytest.raises((PythonException, Py4JJavaError), match="missing declared"):
+        kql(
+            "T | evaluate python(typeof(x:long), 'result = df')", {"T": df}
+        ).collect()

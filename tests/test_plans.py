@@ -1568,3 +1568,13 @@ def test_b120_rfm_no_global_window(spark, sf_dir):
     p = plan_of(spark, sf_dir, "b120_rfm_segments")
     assert "Window" not in p, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_kql_python_plugin_single_arrow_boundary(spark, sf_dir):
+    """k105: evaluate python() is exactly ONE Arrow mapInPandas
+    boundary on top of the scan — no shuffle, no row-at-a-time
+    BatchEvalPython."""
+    p = plan_of(spark, sf_dir, "k105_kql_python_plugin")
+    assert p.count("MapInPandas") == 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "Exchange hashpartitioning" not in p, p
