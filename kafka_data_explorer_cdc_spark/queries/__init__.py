@@ -96,6 +96,9 @@ _FRONT = [
     # (0) round-11 additions — never driver-checked by construction
     # (0b) session-5 additions — never driver-checked by construction
     "k105_kql_python_plugin",
+    "d107_rrf_hybrid_retrieval",
+    "d108_matryoshka_recall_curve",
+    "d109_binary_hamming_rerank",
     # (0a) session-4 additions
     "mm14_mel_filterbank",
     "s57_stream_multitouch_attribution",

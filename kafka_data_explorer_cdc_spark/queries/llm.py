@@ -9400,3 +9400,348 @@ def mm14_mel_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dominant_band", dom.cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 5: hybrid retrieval, matryoshka truncation, binary ANN
+# ---------------------------------------------------------------------------
+
+@query(
+    "d107_rrf_hybrid_retrieval",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({_NORMSQ.format(a="embedding")}) AS nrm
+  FROM embeddings
+), dense AS (
+  SELECT q_id, c_id, rn AS dense_rank FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DOT.format(a="q.embedding", b="c.embedding")}
+                      / (q.nrm * c.nrm) DESC, c.vec_id) AS BIGINT) AS rn
+    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rn <= 20
+), toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t
+  FROM documents
+), qd AS (
+  SELECT doc_id AS q_id, t AS qt FROM toks WHERE doc_id < 10
+), sparse AS (
+  SELECT q_id, c_id, rn AS sparse_rank FROM (
+    SELECT q_id, d.doc_id AS c_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q_id
+             ORDER BY len(list_filter(d.t, x -> list_contains(qt, x))) * 1.0
+                      / (len(d.t) + len(qt)
+                         - len(list_filter(d.t, x -> list_contains(qt, x))))
+                      DESC, d.doc_id) AS BIGINT) AS rn
+    FROM toks d, qd WHERE d.doc_id <> q_id
+  ) WHERE rn <= 20
+), fused AS (
+  SELECT COALESCE(dense.q_id, sparse.q_id) AS q_id,
+         COALESCE(dense.c_id, sparse.c_id) AS c_id,
+         dense_rank, sparse_rank,
+         COALESCE(1.0 / (60.0 + dense_rank), 0.0)
+           + COALESCE(1.0 / (60.0 + sparse_rank), 0.0) AS rrf_score
+  FROM dense FULL OUTER JOIN sparse
+    ON dense.q_id = sparse.q_id AND dense.c_id = sparse.c_id
+)
+SELECT q_id, c_id, dense_rank, sparse_rank, rrf_score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY q_id ORDER BY rrf_score DESC, c_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+""",
+    tags=("llm", "retrieval", "hybrid"),
+)
+def d107_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank-fusion HYBRID retrieval (Cormack et al. 2009,
+    the fusion every production RAG stack runs): a dense leg (d07's
+    exact cosine top-20) and a sparse lexical leg (word-set Jaccard
+    top-20 against each query document's own text, the d05 similarity
+    family) fused per candidate as sum of 1/(60+rank), missing leg
+    contributing 0 — top-10 fused per query. Rank fusion needs NO
+    score calibration between legs, which is exactly why it is the
+    default hybrid combiner.
+
+    Determinism: both legs' ranks carry c_id tie-breaks; rrf is the
+    same two-term double sum in both engines (dense term first);
+    fused rank ties break on c_id.
+
+    Scale shape: both legs broadcast the bounded query set over the
+    corpus and pre-limit per query via row_number (WindowGroupLimit —
+    partial top-k before the shuffle); the fusion joins two
+    |queries| x 20 rank lists — metadata-sized at any corpus scale; a
+    100 TB deployment swaps the legs for their index-backed twins
+    (d07y IVF / d100 postings), the fusion stage unchanged."""
+    em = load(spark, sf_dir, "embeddings")
+    dense = (
+        S.brute_force_cosine_topk(em, em.filter(F.col("vec_id") < 10), k=20)
+        .select("q_id", "c_id", F.col("rank").alias("dense_rank"))
+    )
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.trim("text")), " ")).alias("t"),
+    )
+    qd = toks.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("q_id"), F.col("t").alias("qt")
+    )
+    isz = F.size(F.array_intersect("t", "qt"))
+    jac = isz * F.lit(1.0) / (F.size("t") + F.size("qt") - isz)
+    w_sp = Window.partitionBy("q_id").orderBy(F.desc("jac"), F.asc("c_id"))
+    sparse = (
+        toks.crossJoin(F.broadcast(qd))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("doc_id").alias("c_id"), jac.alias("jac")
+        )
+        .withColumn("sparse_rank", F.row_number().over(w_sp).cast("long"))
+        .filter(F.col("sparse_rank") <= 20)
+        .select("q_id", "c_id", "sparse_rank")
+    )
+    fused = dense.join(sparse, ["q_id", "c_id"], "full_outer").select(
+        "q_id",
+        "c_id",
+        "dense_rank",
+        "sparse_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("dense_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("sparse_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), F.asc("c_id"))
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w_f).cast("long")
+    ).filter(F.col("fused_rank") <= 10)
+
+
+def _d108_dim_sql(d: int) -> str:
+    """One dim's (dim, q_id, c_id) prefix top-5 block — the EXACT
+    fold/tie shape of the Spark side on the length-d prefix."""
+    vec = f"embedding[1:{d}]"
+    return f"""
+  SELECT {d} AS dim, q_id, c_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DOT.format(a=f"q.{vec}", b=f"c.{vec}")}
+                      / (sqrt({_NORMSQ.format(a=f"q.{vec}")})
+                         * sqrt({_NORMSQ.format(a=f"c.{vec}")})) DESC,
+                      c.vec_id) AS BIGINT) AS rn
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 20
+  ) WHERE rn <= 5"""
+
+
+@query(
+    "d108_matryoshka_recall_curve",
+    oracle=f"""
+WITH pref AS (
+{" UNION ALL ".join(_d108_dim_sql(d) for d in (8, 16, 32, 64))}
+), full5 AS (
+  SELECT q_id, c_id FROM (
+{_d108_dim_sql(64)}
+  )
+)
+SELECT dim AS trunc_dim,
+       CAST(COUNT(f.c_id) AS BIGINT) AS n_hits,
+       COUNT(f.c_id) / 100.0 AS recall_at_5
+FROM pref p LEFT JOIN full5 f
+  ON p.q_id = f.q_id AND p.c_id = f.c_id
+GROUP BY dim ORDER BY dim
+""",
+    tags=("llm", "similarity", "evaluation"),
+)
+def d108_matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation recall curve (Kusupati et al. 2022 MRL —
+    the measurement behind every "shortlist on the first d dims, rerank
+    full" deployment): top-5 cosine recall of the length-d embedding
+    PREFIX against the full 64-dim top-5 truth, for d in 8/16/32/64.
+    This is the table that decides how aggressively a 100 TB vector
+    store can truncate at rest (d=64 row is 1.0 by construction — the
+    built-in self-check of the harness).
+
+    Determinism: the prefix slice is exact; every leg reuses the d07
+    fold (identical fp op order both engines); ranks tie-break on
+    c_id; recall is an integer count over a literal denominator.
+
+    Scale shape: one broadcast-queries scan per dim (4 bounded legs,
+    each WindowGroupLimit-pre-limited); the recall join compares
+    |queries| x 5 rank lists — metadata-sized. At scale the prefix
+    legs read a COLUMN PRUNED store (prefix dims are a separate
+    column family / shorter parquet column), which is the entire
+    point of matryoshka at rest."""
+    em = load(spark, sf_dir, "embeddings")
+    full5 = S.brute_force_cosine_topk(
+        em, em.filter(F.col("vec_id") < 20), k=5
+    ).select("q_id", "c_id")
+    legs = []
+    for d in (8, 16, 32, 64):
+        sl = em.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        legs.append(
+            S.brute_force_cosine_topk(
+                sl, sl.filter(F.col("vec_id") < 20), k=5
+            ).select(
+                F.lit(d).cast("int").alias("trunc_dim"), "q_id", "c_id"
+            )
+        )
+    pref = legs[0]
+    for leg in legs[1:]:
+        pref = pref.unionByName(leg)
+    hits = pref.join(
+        full5.select(
+            F.col("q_id").alias("fq"),
+            F.col("c_id").alias("fc"),
+            F.lit(1).alias("hit"),
+        ),
+        (F.col("q_id") == F.col("fq")) & (F.col("c_id") == F.col("fc")),
+        "left",
+    )
+    return (
+        hits.groupBy("trunc_dim")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "trunc_dim",
+            "n_hits",
+            (F.col("n_hits") / F.lit(100.0)).alias("recall_at_5"),
+        )
+        .orderBy("trunc_dim")
+    )
+
+
+_D109_BIT_SQL = (
+    "list_reduce(list_transform({sl}, x -> CASE WHEN x >= 0 "
+    "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), "
+    "(a, b) -> a * 2 + b)"
+)
+
+
+@query(
+    "d109_binary_hamming_rerank",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {_D109_BIT_SQL.format(sl="embedding[1:32]")} AS lo,
+         {_D109_BIT_SQL.format(sl="embedding[33:64]")} AS hi,
+         sqrt({_NORMSQ.format(a="embedding")}) AS nrm
+  FROM embeddings
+), short AS (
+  SELECT q_id, c_id, hamming, q_vec, c_vec, q_nrm, c_nrm FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           CAST(bit_count(xor(q.lo, c.lo))
+                + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming,
+           q.embedding AS q_vec, c.embedding AS c_vec,
+           q.nrm AS q_nrm, c.nrm AS c_nrm,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY bit_count(xor(q.lo, c.lo))
+                      + bit_count(xor(q.hi, c.hi)) ASC, c.vec_id) AS rn
+    FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 20
+  ) WHERE rn <= 50
+)
+SELECT q_id, c_id, hamming, cosine, rn AS rank FROM (
+  SELECT q_id, c_id, hamming,
+         {_DOT.format(a="q_vec", b="c_vec")} / (q_nrm * c_nrm) AS cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY {_DOT.format(a="q_vec", b="c_vec")} / (q_nrm * c_nrm)
+                    DESC, c_id) AS BIGINT) AS rn
+  FROM short
+) WHERE rn <= 5
+""",
+    tags=("llm", "similarity", "quantization"),
+)
+def d109_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-quantized ANN (the 32x-compression retrieval pattern:
+    sign-binarize the embedding, shortlist by Hamming distance over
+    packed words, exact-rerank the shortlist): 64 dims pack into TWO
+    32-bit words, Hamming = two XOR+popcount ops, shortlist = top-50
+    per query, rerank = exact cosine top-5 on raw vectors fetched for
+    shortlist members only.
+
+    Determinism (full value-exact oracle, unlike the seeded LSH
+    gates): the sign bit is a pure predicate (x >= 0), the packed
+    words are integer folds, popcounts are exact, and both tie-breaks
+    are on c_id; the rerank reuses the d07 fold.
+
+    Scale shape: the signature build is one JVM fold per row at rest
+    (8 bytes/vector — a 100 TB float corpus's signatures fit in 3 TB,
+    scannable at memory bandwidth); the shortlist scan moves ONLY
+    (q_id, c_id, hamming) pairs pre-limited by WindowGroupLimit; raw
+    vectors are joined back for 50 rows per query, never scanned
+    wholesale. No Python anywhere."""
+    em = load(spark, sf_dir, "embeddings")
+
+    def pack(sl):
+        return F.aggregate(
+            sl,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2
+            + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda p, q: p + q,
+        )
+    )
+    sig = em.select(
+        "vec_id",
+        "embedding",
+        pack(F.slice("embedding", 1, 32)).alias("lo"),
+        pack(F.slice("embedding", 33, 32)).alias("hi"),
+        nrm.alias("nrm"),
+    )
+    q = sig.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("long")
+    w_h = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("c_id"))
+    short = (
+        sig.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            ham.alias("hamming"),
+            F.col("embedding").alias("c_vec"),
+            "q_vec",
+            "q_nrm",
+            F.col("nrm").alias("c_nrm"),
+        )
+        .withColumn("srn", F.row_number().over(w_h))
+        .filter(F.col("srn") <= 50)
+    )
+    cosine = F.aggregate(
+        F.zip_with(
+            "q_vec",
+            "c_vec",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda p, x: p + x,
+    ) / (F.col("q_nrm") * F.col("c_nrm"))
+    w_r = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        short.select("q_id", "c_id", "hamming", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_r).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -1578,3 +1578,29 @@ def test_kql_python_plugin_single_arrow_boundary(spark, sf_dir):
     assert p.count("MapInPandas") == 1, p
     assert "BatchEvalPython" not in p, p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_rrf_hybrid_prelimits_both_legs(spark, sf_dir):
+    """d107: both retrieval legs pre-limit per query via
+    WindowGroupLimit (partial top-k before any shuffle); the query
+    sets ride broadcasts; no Python anywhere."""
+    p = plan_of(spark, sf_dir, "d107_rrf_hybrid_retrieval")
+    assert "WindowGroupLimit" in p, p
+    assert "Broadcast" in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_matryoshka_legs_are_jvm_only(spark, sf_dir):
+    """d108: four prefix legs + truth leg, all JVM folds with
+    WindowGroupLimit pre-limits — no Python boundary."""
+    p = plan_of(spark, sf_dir, "d108_matryoshka_recall_curve")
+    assert "WindowGroupLimit" in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_binary_hamming_shortlist_prelimits(spark, sf_dir):
+    """d109: the Hamming shortlist is WindowGroupLimit-pre-limited and
+    the whole pipeline (pack, popcount, rerank fold) stays JVM-side."""
+    p = plan_of(spark, sf_dir, "d109_binary_hamming_rerank")
+    assert "WindowGroupLimit" in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
