@@ -492,3 +492,79 @@ def mel_filterbank(df: DataFrame) -> DataFrame:
     return ensure_parallelism(to_binary_docs(df)).mapInPandas(
         mel_batch, MEL_SCHEMA
     )
+
+
+#: Cepstral mix for the MFCC-style coefficients: DCT-II over the 3
+#: mel bands, quantized at 1e3 (round(cos(pi*k*(2m+1)/6) * 1000)) so
+#: the whole cepstrum stays exact int64 — no engine evaluates trig or
+#: ln. The "log" step is the integer bit-length of the (>> 10)-scaled
+#: band energy: exact on both engines (numpy frexp below 2^53 after
+#: the shift — energies cap at ~1.1e16, shifted ~1.1e13; DuckDB/Spark
+#: length(bin(x))), and monotone in the energy, which is all the
+#: cepstral mix needs from a log.
+MFCC_DCT = (
+    (1000, 1000, 1000),
+    (866, 0, -866),
+    (500, -1000, 500),
+)
+
+MFCC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("mfcc0", T.LongType()),
+        T.StructField("mfcc1", T.LongType()),
+        T.StructField("mfcc2", T.LongType()),
+    ]
+)
+
+
+def mfcc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: mm14's mel band energies per window →
+    integer log (bit_length of the >>10-scaled energy) → quantized
+    DCT-II mix → per-doc coefficient sums. Three int64 matmuls and one
+    frexp per blob — no per-row Python."""
+    import numpy as np
+
+    C = np.asarray(MEL_COS, dtype=np.int64).T
+    S = np.asarray(MEL_SIN, dtype=np.int64).T
+    W = np.asarray(MEL_WEIGHTS, dtype=np.int64)
+    Q = np.asarray(MFCC_DCT, dtype=np.int64)
+    for pdf in batches:
+        ids, nw, cs = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n_win = len(samples) // AUDIO_WINDOW
+            if n_win == 0:
+                continue
+            mat = samples[: n_win * AUDIO_WINDOW].reshape(n_win, AUDIO_WINDOW)
+            dc = mat @ C
+            ds = mat @ S
+            e = (dc * dc + ds * ds) @ W.T  # (n_win, 3) band energies
+            x = 1 + (e >> 10)  # < 2^53 ⇒ float64-exact
+            bl = np.frexp(x.astype(np.float64))[1].astype(np.int64)
+            c = bl @ Q.T  # (n_win, 3) cepstra
+            ids.append(doc_id)
+            nw.append(n_win)
+            cs.append(c.sum(axis=0))
+        if ids:
+            c_all = np.vstack(cs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_windows": pd.Series(nw, dtype="int64"),
+                    "mfcc0": c_all[:, 0],
+                    "mfcc1": c_all[:, 1],
+                    "mfcc2": c_all[:, 2],
+                }
+            )
+
+
+def audio_mfcc(df: DataFrame) -> DataFrame:
+    """Distributed MFCC-style cepstra — same Arrow plumbing as
+    :func:`image_dhashes` / :func:`audio_energy`."""
+    from ..io import ensure_parallelism
+
+    return ensure_parallelism(to_binary_docs(df)).mapInPandas(
+        mfcc_batch, MFCC_SCHEMA
+    )

@@ -99,6 +99,9 @@ _FRONT = [
     "d107_rrf_hybrid_retrieval",
     "d108_matryoshka_recall_curve",
     "d109_binary_hamming_rerank",
+    "s58_stream_cusum_changepoint",
+    "mm15_audio_mfcc",
+    "d110_kneser_ney_bigram",
     # (0a) session-4 additions
     "mm14_mel_filterbank",
     "s57_stream_multitouch_attribution",

@@ -9745,3 +9745,192 @@ def d109_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_r).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+def _mm15_oracle() -> str:
+    from ..operators.multimodal import (
+        AUDIO_WINDOW,
+        MEL_COS,
+        MEL_SIN,
+        MEL_WEIGHTS,
+        MFCC_DCT,
+    )
+
+    dots = []
+    for b in range(len(MEL_COS)):
+        cq = "[" + ", ".join(str(c) for c in MEL_COS[b]) + "]"
+        sq = "[" + ", ".join(str(s) for s in MEL_SIN[b]) + "]"
+        dots.append(
+            f"""list_reduce(list_transform(range(0, {AUDIO_WINDOW}),
+           j -> vs[CAST(widx * {AUDIO_WINDOW} + j + 1 AS INT)]
+                * (CAST({cq} AS BIGINT[]))[CAST(j + 1 AS INT)]),
+           (a, b) -> a + b) AS dc{b},
+         list_reduce(list_transform(range(0, {AUDIO_WINDOW}),
+           j -> vs[CAST(widx * {AUDIO_WINDOW} + j + 1 AS INT)]
+                * (CAST({sq} AS BIGINT[]))[CAST(j + 1 AS INT)]),
+           (a, b) -> a + b) AS ds{b}"""
+        )
+    dot_sql = ",\n         ".join(dots)
+    bands = []
+    for m, row in enumerate(MEL_WEIGHTS):
+        terms = " + ".join(
+            f"{w} * (dc{b} * dc{b} + ds{b} * ds{b})"
+            for b, w in enumerate(row)
+            if w
+        )
+        bands.append(f"{terms} AS e{m}")
+    band_sql = ",\n         ".join(bands)
+    log_sql = ",\n         ".join(
+        f"CAST(length(bin(1 + e{m} // 1024)) AS BIGINT) AS l{m}"
+        for m in range(len(MEL_WEIGHTS))
+    )
+    ceps = []
+    for k, row in enumerate(MFCC_DCT):
+        terms = " + ".join(
+            f"({q}) * l{m}" for m, q in enumerate(row) if q
+        )
+        ceps.append(f"{terms} AS c{k}")
+    ceps_sql = ",\n         ".join(ceps)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS vs
+  FROM documents
+), w AS (
+  SELECT doc_id, vs, unnest(range(0, len(vs) // {AUDIO_WINDOW})) AS widx
+  FROM s WHERE len(vs) >= {AUDIO_WINDOW}
+), p AS (
+  SELECT doc_id, widx,
+         {dot_sql}
+  FROM w
+), e AS (
+  SELECT doc_id, widx,
+         {band_sql}
+  FROM p
+), l AS (
+  SELECT doc_id, widx,
+         {log_sql}
+  FROM e
+), c AS (
+  SELECT doc_id, widx,
+         {ceps_sql}
+  FROM l
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(c0) AS BIGINT) AS mfcc0,
+       CAST(SUM(c1) AS BIGINT) AS mfcc1,
+       CAST(SUM(c2) AS BIGINT) AS mfcc2
+FROM c GROUP BY doc_id
+"""
+
+
+@query(
+    "mm15_audio_mfcc",
+    oracle=_mm15_oracle(),
+    tags=("llm", "multimodal", "dsp"),
+)
+def mm15_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC-style cepstral coefficients (operators/multimodal.py:
+    audio_mfcc) — the final step of the audio-feature battery
+    (mm5 energy → mm9 tone → mm11 VAD → mm14 filterbank → cepstra):
+    per full 64-sample window, mm14's exact integer mel band energies
+    go through an integer LOG (bit_length of the >>10-scaled energy —
+    exact on both engines, monotone in the energy, which is all the
+    cepstral mix needs) and a 1e3-quantized DCT-II; per-doc
+    coefficient sums. The pinned integer contract is this engine's
+    stub for real ln-based MFCCs, same class as every deterministic
+    decode fake in the mm family — the Spark-side plumbing (binary
+    payloads, Arrow batching, int64 matmuls) is the real deliverable.
+
+    Scale shape: ONE mapInPandas pass per partition (three matmuls +
+    one frexp per blob), no shuffle carries waveforms; the per-doc
+    rollup moves 5 integers per document."""
+    docs = load(spark, sf_dir, "documents")
+    return MM.audio_mfcc(docs)
+
+
+@query(
+    "d110_kneser_ney_bigram",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(lower(trim(text)), ' ') AS t FROM documents
+  WHERE len(string_split(lower(trim(text)), ' ')) >= 2
+), bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+         CAST(COUNT(*) AS BIGINT) AS n1p_fw
+  FROM bg GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bw FROM bg GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM bg
+)
+SELECT w1, w2, c,
+       GREATEST(c - 0.75, 0.0) / cw1
+         + (0.75 * n1p_fw / cw1) * (n1p_bw / CAST(nbb AS DOUBLE)) AS pkn
+FROM bg JOIN ctx USING (w1) JOIN cont USING (w2), tot
+ORDER BY c DESC, w1, w2 LIMIT 20
+""",
+    tags=("llm", "text", "lm"),
+)
+def d110_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram LM estimation (Kneser & Ney
+    1995, the standard n-gram smoothing; the d29 perplexity entry's
+    add-k model upgraded to the estimator real LM toolkits ship):
+    P(w2|w1) = max(c-D,0)/c(w1•) + D·N1+(w1•)/c(w1•) · N1+(•w2)/N1+(••)
+    with D = 0.75 — continuation counts, not raw frequencies, carry
+    the backoff (the insight that made KN the default). Output: the
+    top-20 bigrams by count with their smoothed probabilities.
+
+    Determinism: every count is exact (adjacent-pair explode via two
+    array slices — no positional self-join); the double formula is
+    written with the IDENTICAL op order in both engines.
+
+    Scale shape: ONE explode + ONE map-side-combined groupBy builds
+    the bigram table; context/continuation tables are vocab-sized
+    rollups of IT (no second corpus scan); the model-assembly joins
+    are vocab-keyed (broadcastable at any corpus size — vocabulary
+    grows sublinearly); top-20 is TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.lower(F.trim("text")), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    pair = F.explode(
+        F.zip_with(
+            F.expr("slice(t, 1, size(t) - 1)"),
+            F.expr("slice(t, 2, size(t) - 1)"),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    # the bigram table is the TRAINED MODEL — materialize it once so
+    # context/continuation/total derive from the cache, not four
+    # corpus re-scans (a real LM pipeline persists exactly this table)
+    bg = (
+        toks.select(pair.alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count("*").alias("n1p_fw")
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").alias("n1p_bw"))
+    tot = bg.agg(F.count("*").alias("nbb"))
+    pkn = (
+        F.greatest(F.col("c") - F.lit(0.75), F.lit(0.0)) / F.col("cw1")
+        + (F.lit(0.75) * F.col("n1p_fw") / F.col("cw1"))
+        * (F.col("n1p_bw") / F.col("nbb").cast("double"))
+    )
+    return (
+        bg.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c", pkn.alias("pkn"))
+        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -2588,3 +2588,59 @@ def s57_stream_multitouch_attribution(
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "s58_stream_cusum_changepoint",
+    oracle="""
+WITH p AS (
+  SELECT event_type, ts, event_id,
+         SUM(value - 50.0 - 5.0) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS ps
+  FROM events
+), s AS (
+  SELECT event_type, ts, event_id,
+         ps - LEAST(MIN(ps) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING), 0.0) AS stat
+  FROM p
+), c AS (
+  SELECT *, LAG(stat, 1, 0.0) OVER (
+    PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM s
+)
+SELECT event_type, ts, event_id, stat
+FROM c WHERE stat > 250.0 AND prev <= 250.0
+""",
+    tags=("streaming", "stateful", "monitoring"),
+)
+def s58_stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM change-point detection (Page 1954;
+    streaming/stateful.py:streaming_cusum): per event_type, the
+    one-sided drift statistic S_t = max(0, S_{t-1} + x - mu0 - slack)
+    tracked live across three time-sliced micro-batches, one alarm
+    row per threshold UP-CROSSING (mu0=50, slack=5, h=250 — tuned so
+    crossings exist at every test SF). The no-reset crossing form
+    keeps the operator SQL-closed (S_t = P_t - min prefix P), so the
+    oracle verifies the streaming state machine VALUE-EXACTLY —
+    cumsum fold order is pinned sequential on both sides.
+
+    State is three doubles per key whatever the stream length — the
+    bounded-state property; per-batch work is four numpy accumulate
+    passes over the key's rows (no per-row Python)."""
+    from ..streaming.stateful import streaming_cusum
+
+    name = f"s58_{uuid.uuid4().hex[:8]}"
+    indir = _time_sliced_events_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    run_to_memory(
+        streaming_cusum(ev), name, output_mode="append",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    return spark.table(name)

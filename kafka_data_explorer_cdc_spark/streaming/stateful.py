@@ -609,3 +609,101 @@ def streaming_multitouch_attribution(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_cusum(
+    events: DataFrame,
+    mu0: float = 50.0,
+    slack: float = 5.0,
+    threshold: float = 250.0,
+    key_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming CUSUM change-point detection (Page 1954): per key,
+    the one-sided statistic S_t = max(0, S_{t-1} + x_t - mu0 - slack)
+    tracked live, emitting one row per THRESHOLD UP-CROSSING (S_t >
+    h while S_{t-1} <= h) — the sparse alarm form that a monitoring
+    pipeline acts on (no reset, so the statistic's closed form
+    S_t = P_t - min_{j<=t} P_j over the prefix sums P makes the WHOLE
+    operator SQL-expressible for the oracle: a windowed cumsum +
+    running min + lag, no recursion).
+
+    State per key is THREE doubles — (prefix sum, running min of
+    prefix sums, previous statistic) — fixed width regardless of
+    stream length or rate, the provably-bounded-state property.
+    fp contract: the per-key accumulation is a strictly sequential
+    left fold in (ts, event_id) order on both the stream (numpy
+    cumsum over sorted batches + carried prefix) and the oracle
+    (ordered window SUM), so statistics agree bit-for-bit.
+
+    Ordering contract: per-key event-time-ordered arrival across
+    micro-batches (same as every operator in this module); rows
+    within a batch are sorted here."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+        StringType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("stat", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("p", DoubleType()),
+            StructField("runmin", DoubleType()),
+            StructField("prev", DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        p, runmin, prev = state.get if state.exists else (0.0, 0.0, 0.0)
+        pdf = pd.concat(list(pdfs)).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        x = pdf[val_col].to_numpy(dtype="float64")
+        if len(x):
+            # strictly sequential folds (ufunc.accumulate), bit-equal
+            # to the oracle's ordered window SUM / running MIN
+            # carry rides INSIDE the accumulate so the fold order is
+            # (((p + y1) + y2) + ...), identical to the oracle's
+            # single stream-long running sum
+            ps = np.add.accumulate(
+                np.concatenate(([p], x - mu0 - slack))
+            )[1:]
+            rm = np.minimum(runmin, np.minimum.accumulate(ps))
+            stat = ps - rm
+            prev_arr = np.concatenate(([prev], stat[:-1]))
+            hit = (stat > threshold) & (prev_arr <= threshold)
+            out = pdf.loc[hit, ["ts", "event_id"]].copy()
+            out.insert(0, key_col, key[0])
+            out["stat"] = stat[hit]
+            p, runmin, prev = float(ps[-1]), float(rm[-1]), float(stat[-1])
+        else:
+            out = pd.DataFrame(
+                columns=[key_col, "ts", "event_id", "stat"]
+            )
+        state.update((p, runmin, prev))
+        yield out
+
+    return (
+        events.select(key_col, "ts", "event_id", val_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

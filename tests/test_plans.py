@@ -1604,3 +1604,28 @@ def test_binary_hamming_shortlist_prelimits(spark, sf_dir):
     p = plan_of(spark, sf_dir, "d109_binary_hamming_rerank")
     assert "WindowGroupLimit" in p, p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_mfcc_one_arrow_kernel(spark, sf_dir):
+    """mm15: one Arrow mapInPandas kernel computes windows, band
+    energies, integer log and cepstral mix — no key shuffle carries
+    waveforms, no row-at-a-time Python."""
+    p = plan_of(spark, sf_dir, "mm15_audio_mfcc")
+    assert p.count("MapInPandas") == 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_kneser_ney_single_corpus_scan(spark, sf_dir):
+    """d110: the bigram table is built once (one explode + one
+    map-side-combined groupBy); context/continuation tables derive
+    from IT, never a second corpus scan; top-20 is
+    TakeOrderedAndProject; no Python."""
+    p = plan_of(spark, sf_dir, "d110_kneser_ney_bigram")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    # every model-stat consumer reads the PERSISTED bigram table
+    # (formatted explain reprints the cached build plan per reference,
+    # so a raw scan count is meaningless here — the cache marker is
+    # the contract)
+    assert "InMemoryTableScan" in p, p
