@@ -1287,6 +1287,195 @@ def _geo_distance_2points(
     )
 
 
+_FORMAT_BYTES_UNITS = ("Bytes", "KB", "MB", "GB", "TB", "PB", "EB")
+
+
+def _format_bytes(size: Column, precision: int = 0) -> Column:
+    """``format_bytes(size [, precision])`` — human-readable byte
+    count with auto-selected binary unit (largest unit with value
+    >= 1), Kusto's admin-dashboard staple. Pinned contract: precision
+    is an int LITERAL 0..6; rounding is integer (scaled HALF-UP — for
+    the non-negative sizes this engine accepts, identical in Spark
+    and DuckDB); trailing fraction zeros trim, a bare trailing dot
+    drops; negative or null sizes yield null (Kusto's behavior for
+    negatives is unspecified — null is the testable contract). Pure
+    codegen string assembly, no UDF."""
+    if not (0 <= precision <= 6):
+        raise ValueError("KQL: format_bytes precision must be 0..6")
+    s = size.cast("double")
+    k = F.lit(0)
+    for i in range(1, len(_FORMAT_BYTES_UNITS)):
+        k = F.when(s >= F.lit(float(1024**i)), F.lit(i)).otherwise(k)
+    units = F.array(*[F.lit(u) for u in _FORMAT_BYTES_UNITS])
+    divisor = F.element_at(
+        F.array(*[F.lit(float(1024**i)) for i in range(len(_FORMAT_BYTES_UNITS))]),
+        k + 1,
+    )
+    p10 = 10**precision
+    r = F.round(s / divisor * F.lit(float(p10)), 0).cast("long")
+    intp = (r / F.lit(p10)).cast("long")
+    if precision == 0:
+        num = intp.cast("string")
+    else:
+        frac = F.regexp_replace(
+            F.lpad((r % F.lit(p10)).cast("string"), precision, "0"),
+            "0+$",
+            "",
+        )
+        num = F.concat(
+            intp.cast("string"),
+            F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(
+                F.lit("")
+            ),
+        )
+    return F.when(
+        s >= 0, F.concat(num, F.lit(" "), F.element_at(units, k + 1))
+    )
+
+
+def _parse_version(v: Column) -> Column:
+    """``parse_version(v)`` — a version string of 1..4 dot-separated
+    numeric parts as ONE comparable DECIMAL(38,0): each part
+    zero-padded to 8 digits (Kusto's documented encoding, e.g.
+    '1.2.3.4' -> 1000000020000000300000004); missing parts are 0;
+    any non-numeric part, >4 parts, or a part >= 1e8 yields null.
+    Pure codegen: one split + four try-probes + decimal fold."""
+    parts = F.split(v, "\\.")
+    n = F.size(parts)
+    ok = (n >= 1) & (n <= 4)
+    vals = []
+    for i in range(4):
+        raw = F.when(n > i, F.element_at(parts, i + 1)).otherwise(F.lit("0"))
+        ok = ok & raw.rlike("^[0-9]{1,8}$")
+        vals.append(raw.cast("decimal(38,0)"))
+    code = _reduce(
+        lambda acc, p: acc * F.lit(100000000).cast("decimal(38,0)") + p,
+        vals[1:],
+        vals[0],
+    )
+    return F.when(ok, code)
+
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_indices(lon: Column, lat: Column, precision: int):
+    """(lon_idx, lat_idx, lon_bits, lat_bits) — the quantized cell
+    coordinates of the standard geohash at ``precision`` chars. The
+    quantization (x + off) / span * 2^bits is written with this exact
+    op order on both engines; the index clamps so the +180 / +90 edge
+    falls in the last cell (the standard convention)."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+
+    def q(x: Column, off: float, span: float, bits: int) -> Column:
+        idx = F.floor(
+            (x.cast("double") + F.lit(off)) / F.lit(span) * F.lit(float(2**bits))
+        ).cast("long")
+        return F.least(
+            F.greatest(idx, F.lit(0)), F.lit(2**bits - 1)
+        )
+
+    return (
+        q(lon, 180.0, 360.0, lon_bits),
+        q(lat, 90.0, 180.0, lat_bits),
+        lon_bits,
+        lat_bits,
+    )
+
+
+def _geo_point_to_geohash(lon: Column, lat: Column, precision: int) -> Column:
+    """``geo_point_to_geohash(lon, lat, precision)`` — the standard
+    base-32 geohash of a WGS-84 point (bit-interleaved quantized
+    lon/lat, lon first, MSB first). The precision must be an int
+    literal 1..8 (Kusto accepts 1..18; >8 needs >53 fp-exact bits and
+    nobody rolls up at sub-meter cells — documented divergence).
+    Out-of-range coordinates yield null (Kusto's error-as-null).
+    Pure codegen: ~5·p shift/mask ops and p array probes per row —
+    no UDF, exactly replayable in any engine."""
+    if not (1 <= precision <= 8):
+        raise ValueError(
+            "KQL: geo_point_to_geohash precision must be 1..8"
+        )
+    lon_idx, lat_idx, lon_bits, lat_bits = _geohash_indices(
+        lon, lat, precision
+    )
+    total = 5 * precision
+    bits = []
+    for k in range(total):
+        j = k // 2
+        if k % 2 == 0:
+            bits.append(F.shiftright(lon_idx, lon_bits - 1 - j) % 2)
+        else:
+            bits.append(F.shiftright(lat_idx, lat_bits - 1 - j) % 2)
+    code = _reduce(lambda acc, b: acc * 2 + b, bits, F.lit(0).cast("long"))
+    alph = F.array(*[F.lit(ch) for ch in _GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            alph,
+            (F.shiftright(code, 5 * (precision - 1 - i)) % 32).cast("int")
+            + 1,
+        )
+        for i in range(precision)
+    ]
+    ok = (F.abs(lat.cast("double")) <= 90) & (
+        F.abs(lon.cast("double")) <= 180
+    )
+    return F.when(ok, F.concat(*chars))
+
+
+def _geo_geohash_to_central_point(gh: Column) -> Column:
+    """``geo_geohash_to_central_point(geohash)`` — the cell's center
+    as a dynamic ``[lon, lat]`` array (pinned subset of Kusto's
+    GeoJSON bag — the coordinates array, which is what every consumer
+    reads). Supports lengths 1..8 via a literal branch per length;
+    unknown characters or other lengths yield null. Center =
+    ((idx + 0.5) / 2^bits) * span - offset, the exact inverse of the
+    encoder's quantization."""
+    alph = F.array(*[F.lit(ch) for ch in _GEOHASH_ALPHABET])
+
+    def decode_at(p: int) -> Column:
+        total = 5 * p
+        lon_bits = (total + 1) // 2
+        lat_bits = total // 2
+        # char i contributes bits total-5i-1 .. total-5(i+1); the
+        # alphabet probe is ONE array_position per char (0 = unknown
+        # char -> null code via the -1 underflow check)
+        vals = [
+            (
+                F.array_position(alph, F.substring(gh, i + 1, 1)) - 1
+            ).cast("long")
+            for i in range(p)
+        ]
+        vals = [F.when(v >= 0, v) for v in vals]
+        code = _reduce(lambda acc, v: acc * 32 + v, vals, F.lit(0).cast("long"))
+        lon_idx = F.lit(0).cast("long")
+        lat_idx = F.lit(0).cast("long")
+        for k in range(total):
+            bit = F.shiftright(code, total - 1 - k) % 2
+            if k % 2 == 0:
+                lon_idx = lon_idx * 2 + bit
+            else:
+                lat_idx = lat_idx * 2 + bit
+        lon_c = (
+            (lon_idx.cast("double") + F.lit(0.5))
+            / F.lit(float(2**lon_bits))
+        ) * F.lit(360.0) - F.lit(180.0)
+        lat_c = (
+            (lat_idx.cast("double") + F.lit(0.5))
+            / F.lit(float(2**lat_bits))
+        ) * F.lit(180.0) - F.lit(90.0)
+        # an unknown char nulls the code — null the whole point, not
+        # a [null, null] pair
+        return F.when(code.isNotNull(), F.array(lon_c, lat_c))
+
+    out = F.lit(None).cast("array<double>")
+    for p in range(1, 9):
+        out = F.when(F.length(gh) == p, decode_at(p)).otherwise(out)
+    return out
+
+
 def _series_decompose(arr: Column, period: int) -> Column:
     """``series_decompose(x, period)`` — STL-lite decomposition of a
     make-series array into (baseline, seasonal, trend, residual),
@@ -1925,8 +2114,13 @@ class _Parser:
         "format_ipv4": _format_ipv4,
         "ipv4_is_private": _ipv4_is_private,
         "ipv4_is_in_range": _ipv4_is_in_range,
-        # geo: pinned haversine contract (see _geo_distance_2points)
+        # geo: pinned haversine contract (see _geo_distance_2points);
+        # geohash encode is parsed specially (literal precision)
         "geo_distance_2points": _geo_distance_2points,
+        "geo_geohash_to_central_point": _geo_geohash_to_central_point,
+        # version ordering (format_bytes is parsed specially — its
+        # precision is a compile-time literal)
+        "parse_version": _parse_version,
         # array-manipulation family (pure JVM array expressions; the
         # set_* trio dedups like Kusto — Spark's array_union/intersect/
         # except are distinct-preserving)
@@ -2721,6 +2915,37 @@ class _Parser:
                 )
             self.expect(")")
             return F.array_join(arr, sep.text[1:-1])
+        if name == "format_bytes":
+            self.expect("(")
+            size = self.expr()
+            prec = 0
+            if self.accept(","):
+                t = self.next()
+                if t.kind != "num" or "." in t.text:
+                    raise ValueError(
+                        "KQL: format_bytes precision must be an int literal"
+                    )
+                prec = int(t.text)
+            self.expect(")")
+            return _format_bytes(size, prec)
+        if name == "geo_point_to_geohash":
+            # precision must be an int LITERAL (it fixes the unrolled
+            # bit-interleave width at compile time)
+            self.expect("(")
+            lon = self.expr()
+            self.expect(",")
+            lat = self.expr()
+            prec = 5
+            if self.accept(","):
+                t = self.next()
+                if t.kind != "num" or "." in t.text:
+                    raise ValueError(
+                        "KQL: geo_point_to_geohash precision must be an "
+                        "int literal"
+                    )
+                prec = int(t.text)
+            self.expect(")")
+            return _geo_point_to_geohash(lon, lat, prec)
         if name not in self._SCALARS:
             raise ValueError(f"KQL: unsupported function {name!r}")
         self.expect("(")

@@ -102,6 +102,9 @@ _FRONT = [
     "s58_stream_cusum_changepoint",
     "mm15_audio_mfcc",
     "d110_kneser_ney_bigram",
+    "k106_kql_geohash",
+    "k107_kql_format_scalars",
+    "s59_stream_counter_rate",
     # (0a) session-4 additions
     "mm14_mel_filterbank",
     "s57_stream_multitouch_attribution",

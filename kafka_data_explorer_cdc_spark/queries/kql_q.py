@@ -4161,3 +4161,158 @@ def k105_kql_python_plugin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ".astype(\"int64\")})')",
         {"Events": events},
     )
+
+
+def _k106_oracle() -> str:
+    """DuckDB twin of the p=5 geohash encode/decode arithmetic —
+    generated from the same interleave layout the Spark scalar
+    unrolls (kql.py:_geo_point_to_geohash)."""
+    p = 5
+    total, lon_bits, lat_bits = 5 * p, 13, 12
+    terms = []
+    for k in range(total):
+        j = k // 2
+        src, bits = ("lon_idx", lon_bits) if k % 2 == 0 else ("lat_idx", lat_bits)
+        terms.append(f"(({src} >> {bits - 1 - j}) % 2) * {1 << (total - 1 - k)}")
+    code_sql = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST((code >> {5 * (p - 1 - i)}) % 32 AS INT) + 1, 1)"
+        for i in range(p)
+    )
+    return f"""
+WITH pts AS (
+  SELECT CAST((event_id * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+         CAST((event_id * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat
+  FROM events
+), idx AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {float(2**lon_bits)})
+           AS BIGINT), 0), {2**lon_bits - 1}) AS lon_idx,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {float(2**lat_bits)})
+           AS BIGINT), 0), {2**lat_bits - 1}) AS lat_idx
+  FROM pts
+), coded AS (
+  SELECT lon_idx, lat_idx, {code_sql} AS code FROM idx
+), gh AS (
+  SELECT {chars} AS gh,
+         ((lon_idx + 0.5) / {float(2**lon_bits)}) * 360.0 - 180.0 AS clon,
+         ((lat_idx + 0.5) / {float(2**lat_bits)}) * 180.0 - 90.0 AS clat
+  FROM coded
+)
+SELECT gh, clon, clat, CAST(COUNT(*) AS BIGINT) AS n
+FROM gh GROUP BY 1, 2, 3
+ORDER BY n DESC, gh ASC LIMIT 20
+"""
+
+
+@query(
+    "k106_kql_geohash",
+    oracle=_k106_oracle(),
+    tags=("kql", "scalar", "geo"),
+)
+def k106_kql_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geo_point_to_geohash`` + ``geo_geohash_to_central_point`` —
+    Kusto's geospatial cell-rollup pair (kql.py:_geo_point_to_geohash):
+    every event's deterministic lattice point (k86's replayable
+    modular arithmetic) encodes to its precision-5 geohash cell
+    (standard base-32 bit-interleave, verified against the canonical
+    ezs42 vector in tests), cells roll up to the top-20 hotspots with
+    their decoded centers — the standard map-tile heatmap query.
+
+    Determinism: quantization is floor on identical doubles;
+    everything after is integer shifts/masks; tie-break gh asc.
+
+    Scale shape: encode/decode are pure codegen (shift/mask chains +
+    array probes, no UDF); the rollup is ONE map-side-combined
+    groupBy on the cell id — the geohash IS the shuffle key, which is
+    why cell systems partition this way at planet scale;
+    TakeOrderedAndProject for the top-20."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | extend lon = todouble((event_id * 104729) % 36000) / 100.0 - 180.0,"
+        "          lat = todouble((event_id * 7919) % 18000) / 100.0 - 90.0"
+        " | extend gh = geo_point_to_geohash(lon, lat, 5)"
+        " | extend c = geo_geohash_to_central_point(gh)"
+        " | extend clon = c[0], clat = c[1]"
+        " | summarize n = count() by gh, clon, clat"
+        " | sort by n desc, gh asc"
+        " | take 20",
+        {"Events": events},
+    )
+
+
+def _k107_fb_sql() -> str:
+    """DuckDB twin of format_bytes(b, 2) for non-negative b < 1 TB —
+    the same unit thresholds, integer HALF-AWAY rounding (equal to
+    Spark's HALF_UP for the non-negative domain), trailing-zero trim."""
+    units = ["Bytes", "KB", "MB", "GB"]
+    k_case = (
+        "CASE WHEN b >= 1073741824 THEN 3 WHEN b >= 1048576 THEN 2 "
+        "WHEN b >= 1024 THEN 1 ELSE 0 END"
+    )
+    unit_case = (
+        "CASE k "
+        + " ".join(f"WHEN {i} THEN '{u}'" for i, u in enumerate(units))
+        + " END"
+    )
+    return f"""
+  SELECT *, CASE WHEN frac = '' THEN intp ELSE intp || '.' || frac END
+              || ' ' || ({unit_case}) AS fb
+  FROM (
+    SELECT *, CAST(CAST(FLOOR(r / 100.0) AS BIGINT) AS VARCHAR) AS intp,
+           rtrim(lpad(CAST(r % 100 AS VARCHAR), 2, '0'), '0') AS frac
+    FROM (
+      SELECT *, CAST(ROUND(b / POW(1024.0, k) * 100.0, 0) AS BIGINT) AS r
+      FROM (SELECT *, {k_case} AS k FROM src)
+    )
+  )"""
+
+
+@query(
+    "k107_kql_format_scalars",
+    oracle=f"""
+WITH src AS (
+  SELECT event_id, user_id,
+         (event_id * 104729) % 1099511627776 AS b
+  FROM events
+), fb AS (
+{_k107_fb_sql()}
+)
+SELECT CASE k WHEN 0 THEN 'Bytes' WHEN 1 THEN 'KB' WHEN 2 THEN 'MB'
+       ELSE 'GB' END AS unit,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(fb) AS lo, MAX(fb) AS hi,
+       CAST(COUNT(*) FILTER (
+         WHERE event_id % 97 <> 0 AND event_id % 4 >= 2) AS BIGINT)
+         AS n_v2plus
+FROM fb GROUP BY 1
+""",
+    tags=("kql", "scalar", "format"),
+)
+def k107_kql_format_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``format_bytes`` + ``parse_version`` (kql.py:_format_bytes /
+    _parse_version): per event, a deterministic byte count formats to
+    its human-readable binary-unit string (integer-exact scaled
+    rounding, trailing-zero trim — the pinned contract verified here
+    string-for-string via min/max per unit), and a derived version
+    string parses to Kusto's comparable DECIMAL(38,0) encoding
+    (8-digit-padded parts; the 'beta' rows prove non-numeric -> null,
+    dropping out of countif). Rollup per unit with the
+    version-ordering predicate pv >= parse_version('2.0').
+
+    Scale shape: both scalars are pure codegen (when-chains + string
+    ops + decimal fold — no UDF); ONE map-side-combined groupBy on
+    the 4-value unit key."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | extend b = (event_id * 104729) % 1099511627776"
+        " | extend ver = iff(event_id % 97 == 0, 'beta',"
+        "     strcat(event_id % 4, '.', user_id % 20, '.', event_id % 100))"
+        " | extend fb = format_bytes(b, 2), pv = parse_version(ver)"
+        " | extend unit = extract(' ([A-Za-z]+)$', 1, fb)"
+        " | summarize n = count(), lo = min(fb), hi = max(fb),"
+        "   n_v2plus = countif(pv >= parse_version('2.0')) by unit",
+        {"Events": events},
+    )

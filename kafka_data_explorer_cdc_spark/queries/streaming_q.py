@@ -2644,3 +2644,81 @@ def s58_stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=REPLAY_STATE_PARTITIONS,
     )
     return spark.table(name)
+
+
+@query(
+    "s59_stream_counter_rate",
+    oracle="""
+WITH c AS (
+  SELECT event_type, ts, event_id,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) % 10000000 AS cnt
+  FROM events
+), d AS (
+  SELECT event_type, ts, cnt,
+         cnt - LAG(cnt) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS delta
+  FROM c
+), i AS (
+  SELECT event_type, ts,
+         CASE WHEN delta IS NULL THEN 0
+              WHEN delta >= 0 THEN delta ELSE cnt END AS inc,
+         CASE WHEN delta < 0 THEN 1 ELSE 0 END AS rst
+  FROM d
+)
+SELECT event_type,
+       time_bucket(INTERVAL '7 days', ts,
+                   TIMESTAMP '2024-01-01 00:00:00') AS win_start,
+       CAST(SUM(inc) AS BIGINT) AS total_increase,
+       CAST(SUM(rst) AS BIGINT) AS n_resets
+FROM i GROUP BY 1, 2
+""",
+    tags=("streaming", "stateful", "monitoring"),
+)
+def s59_stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style counter ``increase()`` with reset handling
+    (streaming/stateful.py:streaming_counter_increase): per
+    event_type, a monotonic-with-resets counter (derived
+    deterministically so the SQL twin replays it) streams through
+    three time-sliced micro-batches; the stateful stage emits the
+    reset-adjusted per-event increment LIVE (delta, or the post-reset
+    counter value, Prometheus's convention), carrying (running total,
+    last counter, seen) across batches; the drained sink rolls up to
+    7-day windows of total increase + reset count — the
+    counter-semantics query every metrics backend answers.
+
+    Value-exact oracle: integer counters, integer deltas, exact
+    window sums; startTime aligns Spark's epoch-anchored 7-day
+    windows to the oracle's 2024-01-01 origin (epoch day 19723 ≡ 4
+    mod 7)."""
+    from ..streaming.stateful import streaming_counter_increase
+
+    name = f"s59_{uuid.uuid4().hex[:8]}"
+    indir = _time_sliced_events_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    run_to_memory(
+        streaming_counter_increase(ev), name, output_mode="append",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    sink = spark.table(name)
+    return (
+        sink.groupBy(
+            F.window("ts", "7 days", startTime="4 days"), "event_type"
+        )
+        .agg(
+            F.sum("inc").cast("long").alias("total_increase"),
+            F.sum("rst").cast("long").alias("n_resets"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("win_start"),
+            "total_increase",
+            "n_resets",
+        )
+    )

@@ -2636,3 +2636,28 @@ def test_kql_python_plugin_errors(spark):
         kql(
             "T | evaluate python(typeof(x:long), 'result = df')", {"T": df}
         ).collect()
+
+
+def test_kql_geohash_canonical_vectors(spark):
+    """geo_point_to_geohash matches the canonical test vectors
+    (ezs42; London gcpvj); decode returns the cell center containing
+    the point; out-of-range lon is null; unknown decode chars null."""
+    df = spark.createDataFrame(
+        [(-5.6, 42.6), (-0.1278, 51.5074), (200.0, 10.0)],
+        "lon double, lat double",
+    )
+    out = kql(
+        "T | extend gh = geo_point_to_geohash(lon, lat, 5)"
+        " | extend c = geo_geohash_to_central_point(gh)",
+        {"T": df},
+    ).collect()
+    got = {r["lon"]: (r["gh"], r["c"]) for r in out}
+    assert got[-5.6][0] == "ezs42"
+    assert got[-0.1278][0] == "gcpvj"
+    assert got[200.0] == (None, None)
+    clon, clat = got[-5.6][1]
+    assert abs(clon - (-5.6)) < 360.0 / 2**13 and abs(clat - 42.6) < 180.0 / 2**12
+    bad = kql(
+        "T | extend c = geo_geohash_to_central_point('ez!42')", {"T": df}
+    ).select("c").first()[0]
+    assert bad is None
