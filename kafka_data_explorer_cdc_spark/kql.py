@@ -138,6 +138,9 @@ Supported (the reference's surface plus the obvious neighbors):
         kql_fork() returns the Kusto-faithful {branch: DataFrame} dict)
       | make-graph Src --> Dst   (directed graph from two id columns)
       | graph-match (a)-[]->(b)-[]->(c) [where <expr>] project n = x, ...
+      | graph-shortest-paths (s)-[*1..K]->(d) [where] project ..., hops
+        (level-synchronous BFS — K-1 frontier joins, each level
+        anti-joined against reached pairs)
         (vertex-chain pattern → chained hash equi-joins via motif_find;
         repeated variables close cycles; vertex vars bind to ids)
       | render charttype [with (...)]   (must be last; presentation hint)
@@ -5172,6 +5175,113 @@ def _compile_graph_match(
     return df.select(*cols)
 
 
+def _compile_graph_shortest_paths(
+    graph: tuple,
+    stage: str,
+    now: str | None,
+    lets: dict[str, object] | None,
+) -> DataFrame:
+    """``graph-shortest-paths (s)-[*1..K]->(d) [where <expr>] project
+    name = expr, ...`` over a preceding ``make-graph Src --> Dst`` —
+    Kusto's bounded-hop shortest-path operator, pinned subset: the
+    quantifier must be ``*1..K`` with K a literal 1..8; ``where`` and
+    ``project`` see the two vertex variables plus ``hops`` (the
+    shortest path length). Paths of length 0 (s == d with no edge)
+    are not emitted, matching Kusto.
+
+    Plan: level-synchronous BFS — K-1 hash equi-joins of the current
+    frontier against the (deduplicated) edge table, each level
+    anti-joined against everything already reached so a pair carries
+    its FIRST (= shortest) level; never a cross join, never a driver
+    loop over rows (the loop is over K literal levels). At 100 TB
+    push the source restriction BEFORE make-graph (filter the edge
+    pipeline) — the operator computes per-source frontiers, so a
+    bounded seed set keeps every frontier seed-keyed; the where
+    clause here filters after, Kusto's semantics."""
+    edges, src, dst = graph
+    body = stage[len("graph-shortest-paths"):].strip()
+    mproj = re.search(r"\bproject\b", body, re.IGNORECASE)
+    if not mproj:
+        raise ValueError(
+            "KQL: graph-shortest-paths requires a project clause"
+        )
+    head, proj = body[: mproj.start()].strip(), body[mproj.end():].strip()
+    mwhere = re.search(r"\bwhere\b", head, re.IGNORECASE)
+    where_src = None
+    if mwhere:
+        head, where_src = (
+            head[: mwhere.start()].strip(),
+            head[mwhere.end():].strip(),
+        )
+    pat = re.fullmatch(
+        r"\(\s*(\w+)\s*\)\s*-\s*\[\s*\*\s*1\s*\.\.\s*(\d+)\s*\]"
+        r"\s*->\s*\(\s*(\w+)\s*\)",
+        head,
+    )
+    if not pat:
+        raise ValueError(
+            f"KQL: unparsable graph-shortest-paths pattern {head!r} — "
+            "expected (s)-[*1..K]->(d)"
+        )
+    svar, khops, dvar = pat.group(1), int(pat.group(2)), pat.group(3)
+    if not (1 <= khops <= 8):
+        raise ValueError(
+            "KQL: graph-shortest-paths max hops must be 1..8"
+        )
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).distinct()
+    dist = e.select(
+        "__s", "__d", F.lit(1).cast("long").alias("hops")
+    )
+    frontier = e
+    for h in range(2, khops + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.__d") == F.col("e.__s"))
+            .select(
+                F.col("f.__s").alias("__s"), F.col("e.__d").alias("__d")
+            )
+            .distinct()
+        )
+        new = nxt.join(
+            dist.select("__s", "__d"), ["__s", "__d"], "left_anti"
+        )
+        dist = dist.unionByName(
+            new.select(
+                "__s", "__d", F.lit(h).cast("long").alias("hops")
+            )
+        )
+        frontier = new
+    df = dist.select(
+        F.col("__s").alias(svar), F.col("__d").alias(dvar), "hops"
+    )
+    if where_src:
+        p = _Parser(_tokenize(where_src), now=now, lets=lets)
+        df = df.filter(p.expr())
+        if p.peek() is not None:
+            raise ValueError(
+                f"KQL: trailing tokens in graph-shortest-paths where: "
+                f"{p.peek().text!r}"
+            )
+    p = _Parser(_tokenize(proj), now=now, lets=lets)
+    cols = []
+    while True:
+        name = p.next().text
+        if p.accept("="):
+            cols.append(p.expr().alias(name))
+        else:
+            cols.append(F.col(name))
+        if not p.accept(","):
+            break
+    if p.peek() is not None:
+        raise ValueError(
+            f"KQL: trailing tokens in graph-shortest-paths project: "
+            f"{p.peek().text!r}"
+        )
+    return df.select(*cols)
+
+
 # Every DataFrame the compiler persists (materialize() bindings, fork
 # bases) — persist outlives the compile because the returned branches
 # are lazy, so long-lived sessions running many such queries would
@@ -5322,10 +5432,11 @@ def kql(
         if render is not None:
             raise ValueError("KQL: 'render' must be the last operator")
         if _graph is not None and not re.match(
-            r"graph-match\b", stage.strip(), re.IGNORECASE
+            r"graph-(match|shortest-paths)\b", stage.strip(), re.IGNORECASE
         ):
             raise ValueError(
-                "KQL: make-graph must be followed by graph-match"
+                "KQL: make-graph must be followed by graph-match or "
+                "graph-shortest-paths"
             )
         if "toscalar" in stage:
             stage = _resolve_toscalar(stage, tables, now, lets)
@@ -5391,6 +5502,16 @@ def kql(
                     "KQL: graph-match requires a preceding make-graph"
                 )
             df = _compile_graph_match(_graph, stage, now, lets)
+            _graph = None
+            ser = None
+            continue
+        if head and head.group().lower() == "graph-shortest-paths":
+            if _graph is None:
+                raise ValueError(
+                    "KQL: graph-shortest-paths requires a preceding "
+                    "make-graph"
+                )
+            df = _compile_graph_shortest_paths(_graph, stage, now, lets)
             _graph = None
             ser = None
             continue

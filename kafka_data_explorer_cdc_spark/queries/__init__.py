@@ -105,6 +105,7 @@ _FRONT = [
     "k106_kql_geohash",
     "k107_kql_format_scalars",
     "s59_stream_counter_rate",
+    "k108_kql_graph_shortest_paths",
     # (0a) session-4 additions
     "mm14_mel_filterbank",
     "s57_stream_multitouch_attribution",

@@ -4316,3 +4316,64 @@ def k107_kql_format_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   n_v2plus = countif(pv >= parse_version('2.0')) by unit",
         {"Events": events},
     )
+
+
+@query(
+    "k108_kql_graph_shortest_paths",
+    oracle="""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), e AS (
+  SELECT DISTINCT event_type AS s, next_type AS d
+  FROM seq WHERE next_type IS NOT NULL
+), walk AS (
+  SELECT s, d, 1 AS hops FROM e
+  UNION ALL
+  SELECT w.s, e.d, w.hops + 1 FROM walk w JOIN e ON e.s = w.d
+  WHERE w.hops < 4
+)
+SELECT s AS a, d AS b, CAST(MIN(hops) AS BIGINT) AS hops
+FROM walk WHERE s = 'signup'
+GROUP BY 1, 2
+""",
+    tags=("kql", "graph"),
+)
+def k108_kql_graph_shortest_paths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``make-graph`` + ``graph-shortest-paths`` — Kusto's bounded-hop
+    shortest-path operator (kql.py:_compile_graph_shortest_paths),
+    completing the graph family next to k70's graph-match: over the
+    distinct event-type transition graph, the shortest path length
+    (1..4 hops) from 'signup' to every reachable type. The oracle
+    recomputes the closure with a recursive CTE + MIN(hops); the
+    engine runs level-synchronous BFS (one hash equi-join + one
+    anti-join per level — first level found IS the minimum, no
+    MIN-over-paths blowup, which is the whole point at scale: the CTE
+    enumerates PATHS, the BFS enumerates PAIRS).
+
+    Scale: frontier joins are edge-keyed and broadcastable; hub
+    fan-out is bounded by the anti-join's dedup each level; K is a
+    literal. Sources should be filtered before make-graph when the
+    seed set is bounded (documented in the compile)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    edges = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("s"), F.col("next_type").alias("d")
+        )
+        .distinct()
+    )
+    return kql(
+        "E | make-graph s --> d"
+        " | graph-shortest-paths (a)-[*1..4]->(b)"
+        "   where a == 'signup' project a, b, hops",
+        {"E": edges},
+    )

@@ -2661,3 +2661,22 @@ def test_kql_geohash_canonical_vectors(spark):
         "T | extend c = geo_geohash_to_central_point('ez!42')", {"T": df}
     ).select("c").first()[0]
     assert bad is None
+
+
+def test_kql_graph_shortest_paths(spark):
+    """graph-shortest-paths: first BFS level found is the minimum
+    (diamond a->b->d, a->c->d, a->d direct gives hops=1); pairs
+    beyond the K bound are absent; where/project see s, d, hops."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("a", "d"),
+         ("d", "e"), ("e", "f"), ("f", "g")],
+        "s string, d string",
+    )
+    out = kql(
+        "E | make-graph s --> d"
+        " | graph-shortest-paths (x)-[*1..3]->(y)"
+        "   where x == 'a' project x, y, hops",
+        {"E": edges},
+    ).collect()
+    got = {r["y"]: r["hops"] for r in out}
+    assert got == {"b": 1, "c": 1, "d": 1, "e": 2, "f": 3}
