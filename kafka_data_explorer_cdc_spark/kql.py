@@ -1388,6 +1388,54 @@ def _geohash_indices(lon: Column, lat: Column, precision: int):
     )
 
 
+def _morton_spread(x: Column) -> Column:
+    """Part1By1: spread the low 32 bits of ``x`` to the even bit
+    positions (the branchless Morton interleave). Each doubling step
+    is `_let`-bound so the expression tree stays LINEAR — the naive
+    per-bit fold duplicated the quantizer subtree per bit and cost
+    seconds of codegen (the k74 staged-compile lesson, in-expression
+    form)."""
+    def step(sh: int, m: int):
+        # a closure factory, NOT default-arg capture — a lambda with
+        # extra defaulted params reads as transform's (element, index)
+        # binary form and breaks
+        return lambda c: c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(
+            F.lit(m)
+        )
+
+    x = x.bitwiseAND(F.lit(0xFFFFFFFF))
+    for sh, m in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        x = _let(x, step(sh, m))
+    return x
+
+
+def _morton_compact(x: Column) -> Column:
+    """Compact1By1: gather the even bit positions of ``x`` back into
+    the low 32 bits (inverse of :func:`_morton_spread`), `_let`-bound
+    per step."""
+    def step(sh: int, m: int):
+        return lambda c: c.bitwiseOR(F.shiftright(c, sh)).bitwiseAND(
+            F.lit(m)
+        )
+
+    x = x.bitwiseAND(F.lit(0x5555555555555555))
+    for sh, m in (
+        (1, 0x3333333333333333),
+        (2, 0x0F0F0F0F0F0F0F0F),
+        (4, 0x00FF00FF00FF00FF),
+        (8, 0x0000FFFF0000FFFF),
+        (16, 0xFFFFFFFF),
+    ):
+        x = _let(x, step(sh, m))
+    return x
+
+
 def _geo_point_to_geohash(lon: Column, lat: Column, precision: int) -> Column:
     """``geo_point_to_geohash(lon, lat, precision)`` — the standard
     base-32 geohash of a WGS-84 point (bit-interleaved quantized
@@ -1395,8 +1443,15 @@ def _geo_point_to_geohash(lon: Column, lat: Column, precision: int) -> Column:
     literal 1..8 (Kusto accepts 1..18; >8 needs >53 fp-exact bits and
     nobody rolls up at sub-meter cells — documented divergence).
     Out-of-range coordinates yield null (Kusto's error-as-null).
-    Pure codegen: ~5·p shift/mask ops and p array probes per row —
-    no UDF, exactly replayable in any engine."""
+    All-JVM: one Morton spread per coordinate (~12 let-bound
+    shift/mask ops) + p array probes per row — no Python anywhere.
+    The `_let` HOF binding trades wholestage codegen for a LINEAR
+    expression tree; the naive per-bit fold was 14x slower end-to-end
+    (32.5 s -> 4.9 s at sf0.1, mostly analyzer/codegen blow-up —
+    measured, BASELINE.md round-11 session 5). Layout identity (odd
+    total): lon's LSB-bit i lands at even position 2i and lat's at
+    2i+1, so code = spread(lon_idx) | spread(lat_idx) << 1; parity
+    flips for even totals (lat owns the even slots)."""
     if not (1 <= precision <= 8):
         raise ValueError(
             "KQL: geo_point_to_geohash precision must be 1..8"
@@ -1404,28 +1459,35 @@ def _geo_point_to_geohash(lon: Column, lat: Column, precision: int) -> Column:
     lon_idx, lat_idx, lon_bits, lat_bits = _geohash_indices(
         lon, lat, precision
     )
-    total = 5 * precision
-    bits = []
-    for k in range(total):
-        j = k // 2
-        if k % 2 == 0:
-            bits.append(F.shiftright(lon_idx, lon_bits - 1 - j) % 2)
-        else:
-            bits.append(F.shiftright(lat_idx, lat_bits - 1 - j) % 2)
-    code = _reduce(lambda acc, b: acc * 2 + b, bits, F.lit(0).cast("long"))
-    alph = F.array(*[F.lit(ch) for ch in _GEOHASH_ALPHABET])
-    chars = [
-        F.element_at(
-            alph,
-            (F.shiftright(code, 5 * (precision - 1 - i)) % 32).cast("int")
-            + 1,
+    # MSB-first alternation starts with lon, so counting from the LSB
+    # lon owns the even positions iff the total bit count is odd
+    if (5 * precision) % 2:
+        code = _morton_spread(lon_idx).bitwiseOR(
+            F.shiftleft(_morton_spread(lat_idx), 1)
         )
-        for i in range(precision)
-    ]
+    else:
+        code = _morton_spread(lat_idx).bitwiseOR(
+            F.shiftleft(_morton_spread(lon_idx), 1)
+        )
+    alph = F.array(*[F.lit(ch) for ch in _GEOHASH_ALPHABET])
+
+    def render(c: Column) -> Column:
+        chars = [
+            F.element_at(
+                alph,
+                F.shiftright(c, 5 * (precision - 1 - i))
+                .bitwiseAND(F.lit(31))
+                .cast("int")
+                + 1,
+            )
+            for i in range(precision)
+        ]
+        return F.concat(*chars)
+
     ok = (F.abs(lat.cast("double")) <= 90) & (
         F.abs(lon.cast("double")) <= 180
     )
-    return F.when(ok, F.concat(*chars))
+    return F.when(ok, _let(code, render))
 
 
 def _geo_geohash_to_central_point(gh: Column) -> Column:
@@ -1453,25 +1515,29 @@ def _geo_geohash_to_central_point(gh: Column) -> Column:
         ]
         vals = [F.when(v >= 0, v) for v in vals]
         code = _reduce(lambda acc, v: acc * 32 + v, vals, F.lit(0).cast("long"))
-        lon_idx = F.lit(0).cast("long")
-        lat_idx = F.lit(0).cast("long")
-        for k in range(total):
-            bit = F.shiftright(code, total - 1 - k) % 2
-            if k % 2 == 0:
-                lon_idx = lon_idx * 2 + bit
+
+        def centers(c: Column) -> Column:
+            # lon owns the even LSB positions iff total is odd (see
+            # the encoder); Morton compaction inverts both sides
+            if total % 2:
+                lon_idx = _morton_compact(c)
+                lat_idx = _morton_compact(F.shiftright(c, 1))
             else:
-                lat_idx = lat_idx * 2 + bit
-        lon_c = (
-            (lon_idx.cast("double") + F.lit(0.5))
-            / F.lit(float(2**lon_bits))
-        ) * F.lit(360.0) - F.lit(180.0)
-        lat_c = (
-            (lat_idx.cast("double") + F.lit(0.5))
-            / F.lit(float(2**lat_bits))
-        ) * F.lit(180.0) - F.lit(90.0)
+                lat_idx = _morton_compact(c)
+                lon_idx = _morton_compact(F.shiftright(c, 1))
+            lon_c = (
+                (lon_idx.cast("double") + F.lit(0.5))
+                / F.lit(float(2**lon_bits))
+            ) * F.lit(360.0) - F.lit(180.0)
+            lat_c = (
+                (lat_idx.cast("double") + F.lit(0.5))
+                / F.lit(float(2**lat_bits))
+            ) * F.lit(180.0) - F.lit(90.0)
+            return F.array(lon_c, lat_c)
+
         # an unknown char nulls the code — null the whole point, not
         # a [null, null] pair
-        return F.when(code.isNotNull(), F.array(lon_c, lat_c))
+        return F.when(code.isNotNull(), _let(code, centers))
 
     out = F.lit(None).cast("array<double>")
     for p in range(1, 9):

@@ -94,7 +94,11 @@ _FRONT = [
     # round-10 additions, then the r2-stale cohort (14), then as much
     # of the r3-stale cohort as fits.
     # (0) round-11 additions — never driver-checked by construction
-    # (0b) session-5 additions — never driver-checked by construction
+    # (0b) session-5 additions (11) — never driver-checked by
+    # construction; they displace the 11 tail entries of the session-4
+    # window (k82_kql_activity_counts, k83, k84, d98, k78, k79, d97,
+    # k77, d96, mm13, d94) past the 50 cutoff into the round-12
+    # never-checked queue, per never-checked-pre-empts-stale.
     "k105_kql_python_plugin",
     "d107_rrf_hybrid_retrieval",
     "d108_matryoshka_recall_curve",
