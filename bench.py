@@ -83,24 +83,46 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 2)
 
     total = round(sum(timings.values()), 2)
-    # compact separators: the driver captures a bounded stdout tail, and
-    # the round-1 line (default separators, 3-decimal timings) overflowed
-    # it — the driver recorded the bench as unparseable.
-    line = json.dumps(
-        {
-            "metric": "total_query_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    def render(qmap: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": qmap,
+                "queries_complete": len(qmap) == len(timings),
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    # The FULL per-query map always lands in BENCH_LOCAL.json (the
+    # committed artifact). The driver, however, keeps only the LAST
+    # 2000 chars of stdout and json-parses them — a 400-entry map is
+    # ~13 KB, so every prior round's driver artifact recorded
+    # "parsed": null and only the alphabetic tail of the map survived
+    # as text. The stdout line therefore carries as many entries as
+    # fit a 1900-char budget, SLOWEST FIRST (the entries a perf
+    # reviewer needs), flagged via queries_complete=false.
+    full_line = render(timings)
+    line = full_line
+    if len(line) > 1900:
+        qmap: dict[str, float] = {}
+        for name in sorted(timings, key=timings.get, reverse=True):
+            qmap[name] = timings[name]
+            cand = render(qmap)
+            if len(cand) > 1900:
+                del qmap[name]
+                break
+        line = render(qmap)
     print(line)
     if not only:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(full_line + "\n")
 
 
 if __name__ == "__main__":
