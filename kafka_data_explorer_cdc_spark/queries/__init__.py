@@ -110,6 +110,8 @@ _FRONT = [
     "k107_kql_format_scalars",
     "s59_stream_counter_rate",
     "k108_kql_graph_shortest_paths",
+    "s60_stream_timer_sessions",
+    "d111_cluster_balanced_sample",
     # (0a) session-4 additions
     "mm14_mel_filterbank",
     "s57_stream_multitouch_attribution",

@@ -9934,3 +9934,94 @@ def d110_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+@query(
+    "d111_cluster_balanced_sample",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({_NORMSQ.format(a="embedding")}) AS nrm
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS sid, embedding AS s_emb, nrm AS s_nrm
+  FROM n WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, sid AS cid FROM (
+    SELECT c.vec_id, s.sid,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_DOT.format(a="c.embedding", b="s.s_emb")}
+                      / (c.nrm * s.s_nrm) DESC, s.sid) AS rn
+    FROM n c, seeds s
+  ) WHERE rn = 1
+), ranked AS (
+  SELECT cid, vec_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cid
+           ORDER BY (vec_id * 2654435761) % 2147483647, vec_id)
+           AS BIGINT) AS pick
+  FROM assigned
+)
+SELECT cid, vec_id, pick FROM ranked WHERE pick <= 20
+""",
+    tags=("llm", "sampling", "clustering"),
+)
+def d111_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-BALANCED coreset sampling — the balancing step of
+    SemDeDup/DBP-style curation: assign every vector to its nearest
+    prototype, then take an EQUAL per-cluster quota (20) in
+    deterministic hash order, so majority clusters cannot dominate the
+    sample the way uniform sampling lets them. Prototypes here are
+    pinned to the first 8 corpus vectors so the WHOLE pipeline is
+    value-exact under the oracle; a production run swaps in d61's
+    trained k-means codebook — the assignment and quota stages are
+    unchanged (this entry is the exactly-verifiable twin of that
+    composition).
+
+    Scale shape: assignment is one broadcast-prototypes scan (8-way
+    fan per row, argmin via WindowGroupLimit's rn=1); the quota stage
+    is one hash-ranked window per cluster — at 100 TB, both are a
+    single pass each, and the hash ranking replaces the global sort a
+    naive 'ORDER BY rand() LIMIT' would shuffle."""
+    em = load(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda p, q: p + q,
+        )
+    )
+    n = em.select("vec_id", "embedding", nrm.alias("nrm"))
+    seeds = n.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_nrm"),
+    )
+    cosine = F.aggregate(
+        F.zip_with(
+            "embedding", "s_emb", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda p, x: p + x,
+    ) / (F.col("nrm") * F.col("s_nrm"))
+    w_a = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("sid")
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "sid", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_a))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("sid").alias("cid"))
+    )
+    w_p = Window.partitionBy("cid").orderBy(
+        (F.col("vec_id") * F.lit(2654435761)) % F.lit(2147483647),
+        F.asc("vec_id"),
+    )
+    return (
+        assigned.withColumn("pick", F.row_number().over(w_p).cast("long"))
+        .filter(F.col("pick") <= 20)
+        .select("cid", "vec_id", "pick")
+    )

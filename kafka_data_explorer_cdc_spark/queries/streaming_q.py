@@ -2722,3 +2722,85 @@ def s59_stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_resets",
         )
     )
+
+
+@query(
+    "s60_stream_timer_sessions",
+    oracle="""
+WITH mx AS (
+  SELECT max(ts) - INTERVAL 51 MINUTE AS hz FROM events
+), ordered AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 20 MINUTE
+              THEN 1 ELSE 0 END AS brk,
+         ts - lag(ts) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+), sess AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         COALESCE(MAX(CASE WHEN brk = 0
+                           THEN EXTRACT(EPOCH FROM gap) END), 0.0)
+           AS max_gap_s
+  FROM isl GROUP BY user_id, sid
+)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+       s.sum_cents, s.max_gap_s
+FROM sess s, mx WHERE s.session_end <= mx.hz
+""",
+    tags=("streaming", "session", "stateful"),
+)
+def s60_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMER eviction
+    (streaming/stateful.py:streaming_timer_sessions) — the one
+    arbitrary-state facility no other entry exercises:
+    ``GroupStateTimeout.EventTimeTimeout`` + ``setTimeoutTimestamp``
+    close a silent session when the WATERMARK passes last_event+gap
+    and ``hasTimedOut`` emits it with ``state.remove()`` — timer
+    eviction is how a production session store stays O(active keys)
+    when users never return. Carries per-session stats the built-in
+    session_window aggregate (s45) can't express together: exact
+    integer value cents, max intra-session gap, event count.
+
+    Both sides restrict to sessions closed 51+ minutes before the
+    stream's end (watermark 30 + gap 20 + 1 margin — the s45 horizon
+    contract): inside it, every session has a definitive row whether
+    it closed by a later event (emitted in that batch) or by timer
+    (emitted when the final availableNow no-data batch advances the
+    watermark). Oracle: batch gaps-and-islands with the identical
+    STRICT > 20 min break, value-exact."""
+    from ..streaming.stateful import streaming_timer_sessions
+
+    name = f"s60_{uuid.uuid4().hex[:8]}"
+    indir = _time_sliced_events_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .withWatermark("ts", "30 minutes")
+    )
+    run_to_memory(
+        streaming_timer_sessions(ev), name, output_mode="append",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    sink = spark.table(name)
+    hz = (
+        load(spark, sf_dir, "events")
+        .agg(
+            (F.max("ts") - F.expr("INTERVAL 51 MINUTES")).alias("hz")
+        )
+    )
+    return sink.crossJoin(F.broadcast(hz)).filter(
+        F.col("session_end") <= F.col("hz")
+    ).select(
+        "user_id", "session_start", "session_end",
+        "n_events", "sum_cents", "max_gap_s",
+    )

@@ -800,3 +800,142 @@ def streaming_counter_increase(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_timer_sessions(
+    events: DataFrame,
+    gap_minutes: int = 20,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMER eviction — the one
+    arbitrary-state facility the other operators in this module don't
+    exercise: a session that never sees another event is closed by
+    ``state.hasTimedOut`` when the watermark passes last_event + gap
+    (``GroupStateTimeout.EventTimeTimeout`` +
+    ``state.setTimeoutTimestamp``), not by a later arrival. This is
+    how a production session store bounds itself: idle keys are
+    EVICTED BY TIMER, so state is O(active users in the gap horizon)
+    even when users never return. Sessions closed by a later event
+    emit in that batch; sessions closed by silence emit in the batch
+    whose watermark passes them.
+
+    Versus the built-in ``session_window`` (s45): same windows, but
+    the custom state carries per-session stats the built-in aggregate
+    can't express together — exact integer value cents, the maximum
+    intra-session gap, and the event count — and the emission rule is
+    explicit timer logic, unit-testable against the batch islands
+    twin. Break contract: a gap STRICTLY greater than ``gap_minutes``
+    starts a new session (mirrored in the oracle).
+
+    Per-batch work is vectorized islands (one diff + cumsum +
+    reduceat per key-batch — no per-row Python); the requirement is
+    the module's usual per-key ordered arrival. Callers must put
+    ``withWatermark`` on the stream — EventTimeTimeout needs it."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+            StructField("max_gap_s", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("st", LongType()),
+            StructField("last", LongType()),
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+            StructField("mg", LongType()),
+        ]
+    )
+
+    def _row(uid, st, last, n, cents, mg):
+        return (
+            uid,
+            pd.Timestamp(st, unit="us"),
+            pd.Timestamp(last, unit="us"),
+            int(n),
+            int(cents),
+            float(mg) / 1e6,
+        )
+
+    cols = [
+        key_col, "session_start", "session_end",
+        "n_events", "sum_cents", "max_gap_s",
+    ]
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            st, last, n, cents, mg = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [_row(key[0], st, last, n, cents, mg)], columns=cols
+            )
+            return
+        pdf = pd.concat(list(pdfs)).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        cents = np.floor(
+            pdf["value"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
+        carried = state.exists
+        if carried:
+            c_st, c_last, c_n, c_cents, c_mg = state.get
+            ts = np.concatenate(([c_last], ts))
+            cents = np.concatenate(([0], cents))
+        diffs = np.diff(ts)
+        brk = diffs > gap_us
+        # group starts: index 0 plus every break position + 1
+        starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
+        ends = np.concatenate((starts[1:], [len(ts)]))
+        rows = []
+        st_ = last_ = n_ = cents_ = mg_ = 0
+        for gi, (a, b) in enumerate(zip(starts, ends)):
+            g_ts = ts[a:b]
+            g_gaps = diffs[a : b - 1]  # intra-group gaps only
+            g_mg = int(g_gaps.max()) if len(g_gaps) else 0
+            if gi == 0 and carried:
+                # continuation (or bare carry if brk right after it):
+                # the carried pseudo-row is g_ts[0]
+                st_ = c_st
+                n_ = c_n + (b - a - 1)
+                cents_ = c_cents + int(cents[a + 1 : b].sum())
+                mg_ = max(c_mg, g_mg)
+            else:
+                st_ = int(g_ts[0])
+                n_ = b - a
+                cents_ = int(cents[a:b].sum())
+                mg_ = g_mg
+            last_ = int(g_ts[-1])
+            if gi < len(starts) - 1:
+                rows.append(_row(key[0], st_, last_, n_, cents_, mg_))
+        state.update((int(st_), int(last_), int(n_), int(cents_), int(mg_)))
+        state.setTimeoutTimestamp(last_ // 1000 + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        events.select(key_col, "ts", "event_id", "value")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1629,3 +1629,13 @@ def test_kneser_ney_single_corpus_scan(spark, sf_dir):
     # so a raw scan count is meaningless here — the cache marker is
     # the contract)
     assert "InMemoryTableScan" in p, p
+
+
+def test_cluster_balanced_sample_is_jvm_only(spark, sf_dir):
+    """d111: prototype assignment broadcasts the 8 seeds and argmins
+    via a rank-1 window; the quota stage is a second window — no
+    Python boundary, no global sort."""
+    p = plan_of(spark, sf_dir, "d111_cluster_balanced_sample")
+    assert "Broadcast" in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "WindowGroupLimit" in p or "Window" in p, p

@@ -1685,3 +1685,87 @@ def test_cdc_schema_evolution_restart_captures_new_column(spark):
     assert rows[other]["loyalty_tier"] is None
     assert rows[other]["city"] == survivors[other]["city"]
     assert sink.dead_letters() is None
+
+
+def test_timer_sessions_evict_silent_session(spark, tmp_path):
+    """s60's operator: a session whose user NEVER returns must be
+    emitted by the EVENT-TIME TIMER (hasTimedOut + remove) when
+    another key's later events advance the watermark past
+    last_event + gap — not by a closing arrival. Also pins the
+    in-batch closure path and the per-session stats."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_data_explorer_cdc_spark.io import SCHEMAS
+    from kafka_data_explorer_cdc_spark.streaming.stateful import (
+        streaming_timer_sessions,
+    )
+
+    indir = tmp_path / "timer_in"
+    indir.mkdir()
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["view"] * len(rows)),
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(path),
+        )
+
+    # batch 1: user 7 has two events 5 min apart (one session), then a
+    # third 40 min later (> 20-min gap -> closes the first IN-BATCH and
+    # opens a second); user 9 is the watermark mover
+    write(indir / "a_batch1.parquet", [
+        (1, "2024-01-01 10:00:00", 7, 1.25),
+        (2, "2024-01-01 10:05:00", 7, 2.50),
+        (3, "2024-01-01 10:45:00", 7, 4.00),
+        (4, "2024-01-01 10:00:00", 9, 0.0),
+    ])
+    # batch 2: ONLY user 9 — advances the watermark to 13:30, far past
+    # user 7's open-session timeout (10:45 + 20 min); user 7's second
+    # session can only emit via the timer path
+    write(indir / "b_batch2.parquet", [
+        (5, "2024-01-01 14:00:00", 9, 0.0),
+    ])
+    os.utime(indir / "a_batch1.parquet", (1_000_000, 1_000_000))
+    os.utime(indir / "b_batch2.parquet", (2_000_000, 2_000_000))
+
+    ev = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+        .withWatermark("ts", "30 minutes")
+    )
+    name = f"timer_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_timer_sessions(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["user_id"], str(r["session_start"])): r
+        for r in spark.table(name).collect()
+    }
+    # in-batch closure: 10:00-10:05, 2 events, 125+250 cents, 300 s gap
+    s1 = rows[(7, "2024-01-01 10:00:00")]
+    assert s1["n_events"] == 2 and s1["sum_cents"] == 375
+    assert str(s1["session_end"]) == "2024-01-01 10:05:00"
+    assert s1["max_gap_s"] == 300.0
+    # TIMER eviction: the 10:45 singleton emitted with no closing event
+    s2 = rows[(7, "2024-01-01 10:45:00")]
+    assert s2["n_events"] == 1 and s2["sum_cents"] == 400
+    assert s2["max_gap_s"] == 0.0
