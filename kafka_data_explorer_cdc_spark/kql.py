@@ -199,6 +199,7 @@ KQL semantics preserved deliberately:
 
 from __future__ import annotations
 
+import contextvars
 import math
 import re
 from dataclasses import dataclass
@@ -4112,6 +4113,34 @@ def _compile_sequence_detect(
     )
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "'": "'", '"': '"', "\\": "\\"}
+
+
+def _unescape_string_literal(tok_text: str) -> str:
+    """Decode a quoted string token into its value. The tokenizer's
+    string pattern accepts ``\\.`` pairs, so consumers that need the
+    VALUE (not the raw source slice) must fold the escapes — the
+    python() plugin in particular, where a raw ``\\n`` backslash pair
+    reaching compile() turns a multi-line script into a SyntaxError.
+    Kusto's escape set for quoted literals: \\n \\t \\r \\' \\" \\\\;
+    an unknown escape keeps the backslash verbatim (lenient, matching
+    how the rest of this compiler treats raw slices)."""
+    body = tok_text[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 _PY_PLUGIN_TYPES = {
     "long": ("bigint", "int64"),
     "int": ("int", "int32"),
@@ -5266,13 +5295,17 @@ def _compile_graph_shortest_paths(
     clause here filters after, Kusto's semantics."""
     edges, src, dst = graph
     body = stage[len("graph-shortest-paths"):].strip()
-    mproj = re.search(r"\bproject\b", body, re.IGNORECASE)
+    # Keyword scan runs over the string-MASKED text (literals become
+    # 'x' padding of equal length, so offsets stay valid in the
+    # original) — a where-clause literal containing the word
+    # 'project' or 'where' must never split the stage.
+    mproj = re.search(r"\bproject\b", _mask(body), re.IGNORECASE)
     if not mproj:
         raise ValueError(
             "KQL: graph-shortest-paths requires a project clause"
         )
     head, proj = body[: mproj.start()].strip(), body[mproj.end():].strip()
-    mwhere = re.search(r"\bwhere\b", head, re.IGNORECASE)
+    mwhere = re.search(r"\bwhere\b", _mask(head), re.IGNORECASE)
     where_src = None
     if mwhere:
         head, where_src = (
@@ -5392,14 +5425,28 @@ def kql_fork(
     return out
 
 
+_KQL_ALLOW_PYTHON = contextvars.ContextVar("kql_allow_python", default=False)
+
+
 def kql(
     query_text: str,
     tables: dict[str, DataFrame],
     now: str | None = None,
     _lets: dict[str, object] | None = None,
     _fork_out: dict[str, DataFrame] | None = None,
+    allow_python: bool | None = None,
 ) -> DataFrame:
     """Compile and run a KQL pipeline against the given table bindings.
+
+    ``allow_python`` gates ``evaluate python(...)``: the plugin exec()s
+    the script text on executors, so — like upstream Kusto, which ships
+    the python plugin disabled until a cluster admin enables it — it is
+    OFF by default and a query using it raises unless the caller opts
+    in with ``allow_python=True`` (only for queries whose text the
+    caller trusts at UDF-registration trust level). ``None`` (the
+    default) inherits the setting from an enclosing ``kql()`` call, so
+    subqueries/lets/fork branches compiled recursively keep the
+    top-level caller's decision.
 
     ``now`` anchors ``ago()`` to a fixed timestamp string (deterministic
     replay / differential testing); None = wall clock, as in Kusto.
@@ -5414,6 +5461,14 @@ def kql(
     >>> kql("Orders | summarize avg_sales = avg(amount) by city",
     ...     {"Orders": orders_df})
     """
+    if allow_python is not None:
+        token = _KQL_ALLOW_PYTHON.set(bool(allow_python))
+        try:
+            return kql(
+                query_text, tables, now=now, _lets=_lets, _fork_out=_fork_out
+            )
+        finally:
+            _KQL_ALLOW_PYTHON.reset(token)
     lets = dict(_lets or {})
     tables = dict(tables)
     stmts = _split_top(query_text, ";")
@@ -6994,6 +7049,18 @@ def kql(
                 ser = None
                 continue
             if ev_fn == "python":
+                # SECURITY GATE: the plugin exec()s the script text on
+                # executors; upstream Kusto ships it disabled until a
+                # cluster admin enables it, so this engine requires the
+                # same explicit opt-in — kql(..., allow_python=True).
+                if not _KQL_ALLOW_PYTHON.get():
+                    raise PermissionError(
+                        "KQL: evaluate python() is disabled by default "
+                        "(the script executes on the cluster). Opt in "
+                        "with kql(..., allow_python=True) only for "
+                        "query text you trust at UDF-registration "
+                        "trust level."
+                    )
                 # evaluate python(typeof(...), 'script') — Kusto's
                 # inline-Python plugin. Kusto runs the script in a
                 # sandbox per data shard with the shard's rows bound to
@@ -7042,7 +7109,7 @@ def kql(
                         "KQL: evaluate python() script must be a string "
                         "literal"
                     )
-                py_script = ts_tok.text[1:-1]
+                py_script = _unescape_string_literal(ts_tok.text)
                 p.expect(")")
                 if p.peek() is not None:
                     raise ValueError(

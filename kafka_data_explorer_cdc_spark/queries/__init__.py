@@ -85,6 +85,90 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 _FRONT = [
+    # ROUND-12 WINDOW (rebuilt from CORRECTNESS_r01..r11 via
+    # tools/rotation_check.py — run it after any edit here; it FAILs
+    # if a never-checked entry sits outside the 50-slot head).
+    # Layout, per the standing policy above:
+    #   (0) the 40 entries with NO driver row in any round — the
+    #       round-10 cohort (b106–b117, d92–d98, k71–k84, mm11–mm13,
+    #       s50–s52) stranded when the round-10 driver produced no
+    #       CORRECTNESS artifact and the round-11 window was consumed
+    #       by the 73 round-11 additions; judge-verified 40/40 at
+    #       sf0.01 in the round-11 VERDICT, driver rows land this
+    #       round;
+    #   (1) k103_kql_hash_digest_functions — the r11 red row; the
+    #       oracle dtype is fixed (CAST(to_timestamp(...) AS
+    #       TIMESTAMP), kql_q.py) and needs a fresh driver row;
+    #   (2) 9 slots of the r2-stale cohort (newest green = r2), build
+    #       order: k14 k15 k16 k13 k17 k20 k21 k22 k23. The remaining
+    #       5 r2 entries (d07, d16–d19) plus the r3 cohort lead the
+    #       round-13 rotation.
+    # 40 + 1 + 9 = 50 — round-12 adds NO new surface ahead of the
+    # backlog (round-11 verdict item 5); any late round-12 additions
+    # must displace stale-rotation slots (2), never the backlog (0).
+    # (0) never driver-checked — 40 entries
+    "k80_kql_series_fit_line",
+    "k81_kql_series_fit_2lines",
+    "k82_kql_activity_counts",
+    "k83_kql_new_activity_metrics",
+    "k84_kql_session_count",
+    "d98_winnow_overlap_pairs",
+    "k78_kql_sliding_window_counts",
+    "k79_kql_activity_engagement",
+    "d97_gopher_rules_audit",
+    "k77_kql_diffpatterns",
+    "d96_kmv_vocab_overlap",
+    "mm13_image_dhash_neardup",
+    "d94_winnowing_fingerprints",
+    "d95_cross_source_dup_matrix",
+    "mm12_video_shot_segments",
+    "s52_stream_late_shipment_monitor",
+    "b114_shipmode_priority_q12",
+    "b115_order_priority_q4",
+    "b116_suppliers_kept_waiting_q21",
+    "b117_small_qty_revenue_q17",
+    "k74_kql_series_decompose_anomalies",
+    "k75_kql_autocluster",
+    "k76_kql_series_periods_detect",
+    "s50_stream_late_data_watermark",
+    "d92_colbert_maxsim",
+    "d92x_colbert_maxsim_ivf",
+    "b106_product_profit_q9",
+    "b107_local_supplier_volume_q5",
+    "b108_volume_shipping_q7",
+    "b109_market_share_q8",
+    "b110_returned_items_q10",
+    "b111_promo_revenue_q14",
+    "b112_forecast_revenue_q6",
+    "b113_large_volume_customer_q18",
+    "k71_kql_funnel_sequence",
+    "k72_kql_sequence_detect",
+    "k73_kql_series_fill",
+    "d93_ivf_index_optimize",
+    "mm11_audio_vad_segments",
+    "s51_stream_sequence_detect",
+    # (1) the r11 red row, oracle dtype fixed this round
+    "k103_kql_hash_digest_functions",
+    # (2) r2-stale rotation (9 of 14; d07/d16-d19 → round 13)
+    "k14_kql_avg_sales",
+    "k15_kql_total_sales",
+    "k16_kql_order_counts",
+    "k13_kql_recent_orders",
+    "k17_kql_filtered_pipeline",
+    "k20_kql_between",
+    "k21_kql_countif_sumif",
+    "k22_kql_parse_json",
+    "k23_kql_mv_expand",
+]
+
+_FRONT_ROUND11_RETIRED = [
+    # ROUND-11 WINDOW (retired — all 50 got green CORRECTNESS_r11
+    # rows except k103, re-queued above). Kept for bookkeeping only;
+    # NOT consulted by _reorder(). The round-11 layout note that said
+    # "session-5 additions (11)" listed 13 names — the count was off
+    # by two (round-11 ADVICE); the authoritative displaced list is
+    # exactly the 40-entry block (0) above, re-derived from the
+    # artifacts by tools/rotation_check.py rather than by hand.
     # ROUND-11 WINDOW. The driver did NOT run a round-10 correctness
     # check (no CORRECTNESS_r10.json landed — only bench + verdict), so
     # the 17 round-10 additions are STILL never-checked and stay at the

@@ -4011,7 +4011,7 @@ WITH b AS (
          md5(lower(text)) AS fp,
          sha256(source || ':' || lang) AS sig,
          strlen(text) AS nbytes,
-         to_timestamp(doc_id * 86400) AS ts,
+         CAST(to_timestamp(doc_id * 86400) AS TIMESTAMP) AS ts,
          degrees(atan2(CAST(n_chars AS DOUBLE), 100.0)) AS ang
   FROM documents
 )
@@ -4039,7 +4039,10 @@ def k103_kql_hash_digest_functions(
     so unlike ``hash()`` (engine-defined xxhash64) this family is
     oracle-exact; ``hash_sha1``/``hash_combine`` exist in the compiler
     too and are pinned by unit vector tests (DuckDB has no sha1 to
-    differential against).
+    differential against). The oracle CASTs DuckDB's ``to_timestamp``
+    (which returns TIMESTAMP WITH TIME ZONE) to naive TIMESTAMP so the
+    ``first_day`` dtype matches Spark's naive timestamp — the values
+    were always identical; only the dtype differed (r11 driver row).
 
     Scale shape: every scalar is pure JVM codegen (md5/sha2 are
     built-in expressions, no UDF); ONE map-side-combined rollup by
@@ -4149,7 +4152,12 @@ def k105_kql_python_plugin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only cost beyond a scan is the one Arrow
     round-trip; no shuffle, scripts run partition-parallel. The
-    partition-must-fit-in-pandas bound is Kusto's own shard bound."""
+    partition-must-fit-in-pandas bound is Kusto's own shard bound.
+
+    The plugin is gated off by default (it exec()s script text on
+    executors; upstream Kusto ships it admin-disabled the same way) —
+    this repo-authored query opts in explicitly, the trust contract
+    being identical to registering a UDF."""
     events = load(spark, sf_dir, "events")
     return kql(
         "Events"
@@ -4160,6 +4168,7 @@ def k105_kql_python_plugin(spark: SparkSession, sf_dir: str) -> DataFrame:
         " \"vbucket\": np.floor(df[\"value\"].to_numpy() / 10.0)"
         ".astype(\"int64\")})')",
         {"Events": events},
+        allow_python=True,
     )
 
 

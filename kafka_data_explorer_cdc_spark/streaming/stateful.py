@@ -709,6 +709,35 @@ def streaming_cusum(
     )
 
 
+def _counter_increase_kernel(values, total, last_cnt, seen, modulus):
+    """One vectorized batch step of counter-increase extraction,
+    module-level so the state-bound contract is unit-testable
+    (tests/test_streaming.py): given the batch's value column (sorted,
+    float64 ndarray) and the carried state, return
+    ``(inc, rst, new_total, new_last_cnt)``.
+
+    State keeps the running total MOD ``modulus``: ``cnt`` only ever
+    reads ``(total + acc) % modulus``, so the residue is sufficient —
+    and the un-modded running sum would grow without bound over the
+    stream's lifetime (silent int64 wrap on a long-running counter).
+    Invariant: ``0 <= new_total < modulus`` whatever the stream length.
+    """
+    import numpy as np
+
+    step = np.floor(values * 100.0).astype("int64")
+    cnt = (total + np.add.accumulate(step)) % modulus
+    prev = np.concatenate(([last_cnt], cnt[:-1]))
+    delta = cnt - prev
+    first = np.zeros(len(cnt), dtype=bool)
+    if not seen:
+        first[0] = True
+    inc = np.where(delta >= 0, delta, cnt)
+    inc = np.where(first, 0, inc)
+    rst = ((delta < 0) & ~first).astype("int64")
+    new_total = int((total + int(step.sum())) % modulus)
+    return inc, rst, new_total, int(cnt[-1])
+
+
 def streaming_counter_increase(
     events: DataFrame,
     modulus: int = 10_000_000,
@@ -726,8 +755,8 @@ def streaming_counter_increase(
     column (floor(value*100) running total mod ``modulus``) so the
     batch SQL twin replays it exactly; a real deployment reads the
     counter off the wire and keeps ONLY this operator's state: three
-    int64s per key — (running total, last counter, seen) — whatever
-    the stream length. Per-batch work is one accumulate + one diff
+    BOUNDED int64s per key — (running total mod modulus, last
+    counter, seen) — whatever the stream length. Per-batch work is one accumulate + one diff
     (no per-row Python). Ordering contract as per this module."""
     import numpy as np
 
@@ -764,24 +793,18 @@ def streaming_counter_increase(
             ["ts", "event_id"], kind="mergesort"
         )
         if len(pdf):
-            step = np.floor(
-                pdf["value"].to_numpy(dtype="float64") * 100.0
-            ).astype("int64")
-            cnt = (total + np.add.accumulate(step)) % modulus
-            prev = np.concatenate(([last_cnt], cnt[:-1]))
-            delta = cnt - prev
-            first = np.zeros(len(cnt), dtype=bool)
-            if not seen:
-                first[0] = True
-            inc = np.where(delta >= 0, delta, cnt)
-            inc = np.where(first, 0, inc)
-            rst = ((delta < 0) & ~first).astype("int64")
+            inc, rst, total, last_cnt = _counter_increase_kernel(
+                pdf["value"].to_numpy(dtype="float64"),
+                total,
+                last_cnt,
+                seen,
+                modulus,
+            )
             out = pdf[["ts", "event_id"]].copy()
             out.insert(0, key_col, key[0])
             out["inc"] = inc
             out["rst"] = rst
-            total = int(total + step.sum())
-            last_cnt, seen = int(cnt[-1]), 1
+            seen = 1
         else:
             out = pd.DataFrame(
                 columns=[key_col, "ts", "event_id", "inc", "rst"]

@@ -60,11 +60,52 @@ def canonicalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _canon_dtype(s: pd.Series) -> str:
+    """Driver-strictness dtype canonicalization.
+
+    Benign representation differences are normalized — integer widths
+    (DuckDB int32 vs Spark int64), float widths, datetime precision
+    (ns vs us), object-vs-string — but TZ-AWARENESS IS KEPT DISTINCT:
+    a DuckDB TIMESTAMPTZ (datetime64[us, UTC]) against a naive Spark
+    timestamp is a schema mismatch to the driver even when every value
+    is identical (the k103 r11 failure class), so it must fail here
+    too, in pytest, before a driver round is spent on it.
+    """
+    dt = s.dtype
+    if isinstance(dt, pd.DatetimeTZDtype):
+        return "datetime+tz"
+    kind = getattr(dt, "kind", "O")
+    if kind == "M":
+        return "datetime"
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "m":
+        return "timedelta"
+    # object columns: decimals, strings, lists, bytes — the value
+    # canonicalization below is the real check for these.
+    return "object"
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, name: str = "") -> None:
     sp = spark_df.toPandas()
     assert sorted(sp.columns) == sorted(oracle_df.columns), (
         f"{name}: column mismatch spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
     )
+    dt_mism = {
+        c: (_canon_dtype(sp[c]), _canon_dtype(oracle_df[c]))
+        for c in sp.columns
+        if _canon_dtype(sp[c]) != _canon_dtype(oracle_df[c])
+        # int-valued DOUBLE vs BIGINT and decimal-object vs float are
+        # value-identical under the 6-decimal rounding the driver
+        # applies; only flag genuinely different families.
+        and {_canon_dtype(sp[c]), _canon_dtype(oracle_df[c])}
+        not in ({"int", "float"}, {"object", "float"}, {"object", "int"})
+    }
+    assert not dt_mism, f"{name}: dtype mismatch (spark, oracle): {dt_mism}"
     a, b = canonicalize(sp), canonicalize(oracle_df)
     assert len(a) == len(b), f"{name}: row count spark={len(a)} oracle={len(b)}"
     mism = [(x, y) for x, y in zip(a, b) if x != y]

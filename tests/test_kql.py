@@ -2607,6 +2607,7 @@ def test_kql_python_plugin_star_append(spark):
         "T | evaluate python(typeof(*, w:real),"
         " 'result = df.assign(w = df[\"v\"] * 10.0)')",
         {"T": df},
+        allow_python=True,
     )
     assert out.columns == ["id", "v", "w"]
     got = {r["id"]: r["w"] for r in out.collect()}
@@ -2623,19 +2624,70 @@ def test_kql_python_plugin_errors(spark):
 
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(SyntaxError):
-        kql("T | evaluate python(typeof(x:long), 'def :')", {"T": df})
+        kql("T | evaluate python(typeof(x:long), 'def :')", {"T": df},
+            allow_python=True)
     with pytest.raises(ValueError, match="unsupported type"):
-        kql("T | evaluate python(typeof(x:guid), 'result = df')", {"T": df})
+        kql("T | evaluate python(typeof(x:guid), 'result = df')", {"T": df},
+            allow_python=True)
     with pytest.raises(ValueError, match="collides"):
-        kql("T | evaluate python(typeof(*, id:long), 'result = df')", {"T": df})
+        kql("T | evaluate python(typeof(*, id:long), 'result = df')",
+            {"T": df}, allow_python=True)
     with pytest.raises((PythonException, Py4JJavaError), match="must assign"):
         kql(
-            "T | evaluate python(typeof(x:long), 'y = 1')", {"T": df}
+            "T | evaluate python(typeof(x:long), 'y = 1')", {"T": df},
+            allow_python=True,
         ).collect()
     with pytest.raises((PythonException, Py4JJavaError), match="missing declared"):
         kql(
-            "T | evaluate python(typeof(x:long), 'result = df')", {"T": df}
+            "T | evaluate python(typeof(x:long), 'result = df')", {"T": df},
+            allow_python=True,
         ).collect()
+
+
+def test_kql_python_plugin_gated_off_by_default(spark):
+    """SECURITY REGRESSION (round-11 ADVICE): evaluate python() exec()s
+    the script on executors, so — like upstream Kusto's admin-disabled
+    python plugin — it must raise unless the caller opts in with
+    allow_python=True. The opt-in must also reach recursively-compiled
+    subqueries (tabular lets), and must NOT leak into a later call."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    q = ("T | evaluate python(typeof(*, w:real),"
+         " 'result = df.assign(w = df[\"v\"] * 10.0)')")
+    with pytest.raises(PermissionError, match="disabled by default"):
+        kql(q, {"T": df})
+    with pytest.raises(PermissionError, match="disabled by default"):
+        kql(q, {"T": df}, allow_python=False)
+    # opt-in works, and propagates into a tabular-let subquery
+    out = kql(
+        "let P = T | evaluate python(typeof(*, w:real),"
+        " 'result = df.assign(w = df[\"v\"] * 10.0)');"
+        " P | project id, w",
+        {"T": df},
+        allow_python=True,
+    )
+    assert {r["w"] for r in out.collect()} == {20.0}
+    # the opt-in does not persist past the call that made it
+    with pytest.raises(PermissionError, match="disabled by default"):
+        kql(q, {"T": df})
+
+
+def test_kql_python_plugin_unescapes_script(spark):
+    """REGRESSION (round-11 ADVICE): \\n / \\' escape pairs in the
+    script literal must be decoded before compile() — a multi-line
+    script written with \\n previously reached compile() as raw
+    backslash pairs and died with a SyntaxError."""
+    df = spark.createDataFrame([(1, 2.0), (2, 5.0)], "id long, v double")
+    out = kql(
+        "T | evaluate python(typeof(id:long, w:real),"
+        " 'tmp = df[\"v\"] * 10.0\\n"
+        "result = df.assign(w = tmp)[[\"id\", \"w\"]]')",
+        {"T": df},
+        allow_python=True,
+    )
+    got = {r["id"]: r["w"] for r in out.collect()}
+    assert got == {1: 20.0, 2: 50.0}
 
 
 def test_kql_geohash_canonical_vectors(spark):
@@ -2680,3 +2732,23 @@ def test_kql_graph_shortest_paths(spark):
     ).collect()
     got = {r["y"]: r["hops"] for r in out}
     assert got == {"b": 1, "c": 1, "d": 1, "e": 2, "f": 3}
+
+
+def test_kql_graph_shortest_paths_keyword_in_literal(spark):
+    """REGRESSION (round-11 ADVICE): the where/project keyword scan
+    must run over string-MASKED text — a where-clause literal
+    containing the word 'project' (or 'where') must not mis-split the
+    stage into a bogus parse error."""
+    edges = spark.createDataFrame(
+        [("project", "b"), ("b", "where"), ("a", "b")],
+        "s string, d string",
+    )
+    out = kql(
+        "E | make-graph s --> d"
+        " | graph-shortest-paths (x)-[*1..2]->(y)"
+        "   where x == 'project' or y == 'where' project x, y, hops",
+        {"E": edges},
+    ).collect()
+    got = {(r["x"], r["y"]): r["hops"] for r in out}
+    assert got == {("project", "b"): 1, ("project", "where"): 2,
+                   ("b", "where"): 1, ("a", "where"): 2}

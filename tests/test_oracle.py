@@ -36,3 +36,25 @@ def test_rows_only_runs(spark, sf_dir, name):
     sdf = q.fn(spark, sf_dir)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
+
+
+def test_compare_flags_tz_aware_oracle_dtype(spark):
+    """Regression for the k103 r11 driver failure class: a DuckDB
+    TIMESTAMPTZ column (datetime64[us, UTC]) against Spark's naive
+    timestamp is a driver schema mismatch even when every value is
+    identical — the local mirror must fail it too, not paper over it
+    via value canonicalization."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    sdf = spark.createDataFrame(
+        [(1, _dt.datetime(2020, 1, 2, 3, 4, 5))], "id INT, ts TIMESTAMP"
+    )
+    naive = pd.DataFrame(
+        {"id": [1], "ts": pd.to_datetime(["2020-01-02T03:04:05"])}
+    )
+    compare(sdf, naive, "tz-regression-naive")  # identical → passes
+    tz_aware = naive.assign(ts=naive["ts"].dt.tz_localize("UTC"))
+    with pytest.raises(AssertionError, match="dtype mismatch"):
+        compare(sdf, tz_aware, "tz-regression-aware")

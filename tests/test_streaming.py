@@ -1769,3 +1769,34 @@ def test_timer_sessions_evict_silent_session(spark, tmp_path):
     s2 = rows[(7, "2024-01-01 10:45:00")]
     assert s2["n_events"] == 1 and s2["sum_cents"] == 400
     assert s2["max_gap_s"] == 0.0
+
+
+def test_counter_increase_state_stays_bounded():
+    """REGRESSION (round-11 ADVICE): streaming_counter_increase must
+    carry the running total MOD modulus in state — the un-modded sum
+    grows without bound over the stream's lifetime and eventually
+    wraps int64. Kernel invariants across many batches: new_total
+    stays in [0, modulus), and the emitted counter path (last_cnt)
+    is identical to the one the UN-modded running total produces."""
+    import numpy as np
+
+    from kafka_data_explorer_cdc_spark.streaming.stateful import (
+        _counter_increase_kernel,
+    )
+
+    rng = np.random.default_rng(7)
+    modulus = 1_000
+    total, last_cnt, seen = 0, 0, 0
+    raw_total = 0  # the unbounded twin the old implementation stored
+    for _ in range(50):
+        vals = rng.uniform(0.0, 50.0, size=64)
+        inc, rst, total, last_cnt = _counter_increase_kernel(
+            vals, total, last_cnt, seen, modulus
+        )
+        seen = 1
+        step = np.floor(vals * 100.0).astype("int64")
+        raw_total += int(step.sum())
+        assert 0 <= total < modulus, "state residue must stay bounded"
+        assert total == raw_total % modulus
+        assert last_cnt == raw_total % modulus  # cnt[-1] == total here
+        assert inc.min() >= 0 and set(np.unique(rst)) <= {0, 1}
