@@ -141,6 +141,10 @@ Supported (the reference's surface plus the obvious neighbors):
       | graph-shortest-paths (s)-[*1..K]->(d) [where] project ..., hops
         (level-synchronous BFS — K-1 frontier joins, each level
         anti-joined against reached pairs)
+      | graph-mark-components [kind=weak] [with_component_id=Name]
+        (weak connected components over the made graph; emits the NODE
+        table (node, <Name>) with component = min reachable node id —
+        distributed min-label propagation, operators/graph.py)
         (vertex-chain pattern → chained hash equi-joins via motif_find;
         repeated variables close cycles; vertex vars bind to ids)
       | render charttype [with (...)]   (must be last; presentation hint)
@@ -5381,6 +5385,64 @@ def _compile_graph_shortest_paths(
     return df.select(*cols)
 
 
+def _compile_graph_mark_components(
+    graph: tuple[DataFrame, str, str], stage: str
+) -> DataFrame:
+    """``graph-mark-components [kind=weak] [with_component_id=Name]``
+    over a preceding ``make-graph Src --> Dst`` — Kusto's connected-
+    components marker, pinned subset: ``kind=weak`` only (Kusto's
+    default; every edge is treated as undirected) and the output is
+    the NODE table ``(node, <Name>)`` — the graph-to-table-nodes
+    rendering, since this engine's graph operators all emit relational
+    results. The component label is the MINIMUM reachable node id
+    (deterministic, engine-portable — Kusto's ids are arbitrary, so a
+    differential oracle needs the canonical choice; a DuckDB recursive
+    CTE recomputes the same closure).
+
+    Spark-first: distributed min-label propagation
+    (operators/graph.py:connected_components — one edge-keyed equi-join
+    + one map-side-combined groupBy-min per round, O(diameter) rounds,
+    lineage localCheckpoint'ed; large-star/small-star fallback for
+    adversarial diameters). Never a driver-side graph; at 100 TB the
+    per-round shuffle is keyed by node id so AQE coalesces it.
+    """
+    edges, src, dst = graph
+    body = stage[len("graph-mark-components"):].strip()
+    kind, cid = "weak", "ComponentId"
+    if body:
+        for part in re.finditer(r"(\w+)\s*=\s*([A-Za-z_]\w*)", body):
+            key, val = part.group(1).lower(), part.group(2)
+            if key == "kind":
+                kind = val.lower()
+            elif key == "with_component_id":
+                cid = val
+            else:
+                raise ValueError(
+                    f"KQL: graph-mark-components unknown argument "
+                    f"{part.group(1)!r} (kind, with_component_id)"
+                )
+        leftover = re.sub(r"(\w+)\s*=\s*([A-Za-z_]\w*)", "", body).strip()
+        if leftover:
+            raise ValueError(
+                f"KQL: trailing tokens in graph-mark-components: "
+                f"{leftover!r}"
+            )
+    if kind != "weak":
+        raise ValueError(
+            "KQL: graph-mark-components supports kind=weak only "
+            "(Kusto's default; strong components are out of the "
+            "pinned subset)"
+        )
+    from .operators.graph import connected_components
+
+    cc = connected_components(
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")),
+        src="__s",
+        dst="__d",
+    )
+    return cc.select(F.col("id").alias("node"), F.col("comp").alias(cid))
+
+
 # Every DataFrame the compiler persists (materialize() bindings, fork
 # bases) — persist outlives the compile because the returned branches
 # are lazy, so long-lived sessions running many such queries would
@@ -5553,11 +5615,13 @@ def kql(
         if render is not None:
             raise ValueError("KQL: 'render' must be the last operator")
         if _graph is not None and not re.match(
-            r"graph-(match|shortest-paths)\b", stage.strip(), re.IGNORECASE
+            r"graph-(match|shortest-paths|mark-components)\b",
+            stage.strip(),
+            re.IGNORECASE,
         ):
             raise ValueError(
-                "KQL: make-graph must be followed by graph-match or "
-                "graph-shortest-paths"
+                "KQL: make-graph must be followed by graph-match, "
+                "graph-shortest-paths or graph-mark-components"
             )
         if "toscalar" in stage:
             stage = _resolve_toscalar(stage, tables, now, lets)
@@ -5633,6 +5697,16 @@ def kql(
                     "make-graph"
                 )
             df = _compile_graph_shortest_paths(_graph, stage, now, lets)
+            _graph = None
+            ser = None
+            continue
+        if head and head.group().lower() == "graph-mark-components":
+            if _graph is None:
+                raise ValueError(
+                    "KQL: graph-mark-components requires a preceding "
+                    "make-graph"
+                )
+            df = _compile_graph_mark_components(_graph, stage)
             _graph = None
             ser = None
             continue
@@ -7324,7 +7398,10 @@ def kql(
                 f"KQL: trailing tokens in stage {stage!r}: {p.peek().text!r}"
             )
     if _graph is not None:
-        raise ValueError("KQL: make-graph must be followed by graph-match")
+        raise ValueError(
+            "KQL: make-graph must be followed by graph-match, "
+            "graph-shortest-paths or graph-mark-components"
+        )
     if render is not None:
         # break object identity before tagging: for `T | render x` the
         # pipeline may still BE the caller's table binding, and setting

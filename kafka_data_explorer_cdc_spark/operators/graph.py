@@ -68,7 +68,21 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+
+    def _label_sig(lab: DataFrame):
+        # Order-independent signature of the label assignment: a
+        # decimal sum of per-row (id, comp) hashes. Labels only ever
+        # DECREASE (min over a growing reachable set), so the
+        # assignment changes every round until the fixpoint — equal
+        # signatures ⟺ converged (w.h.p.). Type-agnostic, unlike a
+        # Σcomp probe, so STRING node ids (KQL graphs over event
+        # types, user names) work; one O(n) scan of the checkpointed
+        # labels, no join-and-compare.
+        return lab.agg(
+            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sig(labels)
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -82,11 +96,7 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        # labels only ever DECREASE (min over a growing reachable set),
-        # so Σcomp is strictly monotone until the fixpoint — an O(n)
-        # scan of the checkpointed labels detects convergence without
-        # the per-round join-and-compare
-        new_sum = new_labels.agg(F.sum("comp")).first()[0]
+        new_sum = _label_sig(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
@@ -115,9 +125,11 @@ def _edge_signature(e: DataFrame) -> tuple:
     fixpoint test (one aggregate scan, no join-and-compare)."""
     row = e.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
-        F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
-        # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+        # per-endpoint hash sums, not raw casts, so STRING node ids
+        # work; decimal sum because a long sum of 64-bit hashes
+        # overflows under ANSI
+        F.sum(F.xxhash64("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.xxhash64("b").cast("decimal(38,0)")).alias("sb"),
         F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
     ).first()
     return (row["n"], row["sa"], row["sb"], row["h"])

@@ -99,13 +99,17 @@ _FRONT = [
     #   (1) k103_kql_hash_digest_functions — the r11 red row; the
     #       oracle dtype is fixed (CAST(to_timestamp(...) AS
     #       TIMESTAMP), kql_q.py) and needs a fresh driver row;
-    #   (2) 9 slots of the r2-stale cohort (newest green = r2), build
-    #       order: k14 k15 k16 k13 k17 k20 k21 k22 k23. The remaining
-    #       5 r2 entries (d07, d16–d19) plus the r3 cohort lead the
-    #       round-13 rotation.
-    # 40 + 1 + 9 = 50 — round-12 adds NO new surface ahead of the
-    # backlog (round-11 verdict item 5); any late round-12 additions
-    # must displace stale-rotation slots (2), never the backlog (0).
+    #   (1b) k109_kql_graph_mark_components — the one round-12
+    #       addition (never-checked by construction), displacing one
+    #       stale-rotation slot per the policy note below;
+    #   (2) 8 slots of the r2-stale cohort (newest green = r2), build
+    #       order: k14 k15 k16 k13 k17 k20 k21 k22. The remaining
+    #       6 r2 entries (k23, d07, d16–d19) plus the r3 cohort lead
+    #       the round-13 rotation.
+    # 40 + 1 + 1 + 8 = 50 — round-12 adds ONE new entry and otherwise
+    # spends the window on the backlog (round-11 verdict item 5); late
+    # additions displace stale-rotation slots (2), never the backlog
+    # (0).
     # (0) never driver-checked — 40 entries
     "k80_kql_series_fit_line",
     "k81_kql_series_fit_2lines",
@@ -149,7 +153,9 @@ _FRONT = [
     "s51_stream_sequence_detect",
     # (1) the r11 red row, oracle dtype fixed this round
     "k103_kql_hash_digest_functions",
-    # (2) r2-stale rotation (9 of 14; d07/d16-d19 → round 13)
+    # (1b) round-12 addition, never-checked by construction
+    "k109_kql_graph_mark_components",
+    # (2) r2-stale rotation (8 of 14; k23/d07/d16-d19 → round 13)
     "k14_kql_avg_sales",
     "k15_kql_total_sales",
     "k16_kql_order_counts",
@@ -158,7 +164,6 @@ _FRONT = [
     "k20_kql_between",
     "k21_kql_countif_sumif",
     "k22_kql_parse_json",
-    "k23_kql_mv_expand",
 ]
 
 _FRONT_ROUND11_RETIRED = [

@@ -4388,3 +4388,97 @@ def k108_kql_graph_shortest_paths(
         "   where a == 'signup' project a, b, hops",
         {"E": edges},
     )
+
+
+@query(
+    "k109_kql_graph_mark_components",
+    oracle="""
+WITH RECURSIVE p AS (
+  SELECT user_id, event_id, ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), chain AS (
+  SELECT event_id AS s,
+         LEAD(event_id) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS d
+  FROM p
+), links AS (
+  SELECT a.event_id AS s, b.event_id AS d
+  FROM p a JOIN p b
+    ON a.k = b.k AND a.cents = b.cents AND a.event_id < b.event_id
+), alledges AS (
+  SELECT s, d FROM chain WHERE d IS NOT NULL
+  UNION SELECT s, d FROM links
+), e AS (
+  SELECT s AS a, d AS b FROM alledges
+  UNION SELECT d, s FROM alledges
+), reach AS (
+  SELECT a AS id, a AS comp FROM e
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN e ON e.a = r.id
+)
+SELECT id AS node, CAST(MIN(comp) AS BIGINT) AS cid
+FROM reach GROUP BY id
+""",
+    tags=("kql", "graph"),
+)
+def k109_kql_graph_mark_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``make-graph`` + ``graph-mark-components with_component_id=``
+    — Kusto's connected-components marker
+    (kql.py:_compile_graph_mark_components), completing the graph
+    trio next to k70's graph-match and k108's shortest-paths. The
+    fixture is an entity-resolution graph over purchase events: each
+    user's purchases form a chain (consecutive-event edges), and two
+    purchases anywhere are LINKED when they share the exact
+    (props.k, value-cents) signature — so components are user
+    purchase histories merged across users by shared signatures, the
+    transitive closure a pairwise join cannot express. Component id =
+    min reachable event_id (deterministic; Kusto's own ids are
+    arbitrary, the canonical choice is what makes a differential
+    oracle possible — the DuckDB twin recomputes the closure with a
+    recursive CTE).
+
+    Scale shape: the engine side is operators/graph.py min-label
+    propagation — one node-keyed equi-join + one map-side-combined
+    groupBy-min per round, O(component diameter) rounds,
+    localCheckpoint per round, star-algorithm fallback — never a
+    driver-side graph. The signature self-join is equi-keyed on
+    (k, cents); a production run caps hot signatures exactly like the
+    LSH hot-bucket cap (operators/dedup.py:cap_bucket_width)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("tus"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    chain = (
+        ev.withColumn("nxt", F.lead("event_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("event_id").alias("s"), F.col("nxt").alias("d"))
+    )
+    sig = ev.select("event_id", "k", "cents")
+    links = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .select(F.col("a.event_id").alias("s"), F.col("b.event_id").alias("d"))
+    )
+    edges = chain.unionByName(links).distinct()
+    return kql(
+        "E | make-graph s --> d"
+        " | graph-mark-components with_component_id=cid",
+        {"E": edges},
+    )

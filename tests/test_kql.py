@@ -2752,3 +2752,38 @@ def test_kql_graph_shortest_paths_keyword_in_literal(spark):
     got = {(r["x"], r["y"]): r["hops"] for r in out}
     assert got == {("project", "b"): 1, ("project", "where"): 2,
                    ("b", "where"): 1, ("a", "where"): 2}
+
+
+def test_kql_graph_mark_components(spark):
+    """graph-mark-components: weak components over the made graph —
+    direction ignored (a->b, c->b one component), component = min
+    reachable node id, output is the (node, cid) node table; unknown
+    args and kind=strong are loud."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("x", "y"), ("y", "z")],
+        "s string, d string",
+    )
+    out = kql(
+        "E | make-graph s --> d"
+        " | graph-mark-components with_component_id=cid",
+        {"E": edges},
+    ).collect()
+    got = {r["node"]: r["cid"] for r in out}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x"}
+    # default component column name; kind=weak accepted explicitly
+    out2 = kql(
+        "E | make-graph s --> d | graph-mark-components kind=weak",
+        {"E": edges},
+    )
+    assert out2.columns == ["node", "ComponentId"]
+    with pytest.raises(ValueError, match="kind=weak only"):
+        kql("E | make-graph s --> d | graph-mark-components kind=strong",
+            {"E": edges})
+    with pytest.raises(ValueError, match="unknown argument"):
+        kql("E | make-graph s --> d | graph-mark-components foo=bar",
+            {"E": edges})
+    with pytest.raises(ValueError, match="must be followed by"):
+        kql("E | make-graph s --> d | count", {"E": edges})
