@@ -8,11 +8,13 @@ deterministic, engine-portable — the DuckDB oracle recomputes it with a
 recursive CTE):
 
 - **Min-label propagation** (default): every node starts labeled with
-  its own id; each round pushes labels across edges and keeps the
-  minimum seen. Rounds = graph diameter. Near-dup graphs are unions of
-  small cliques and stars (diameter ≲ 3-4 even on web-scale corpora — a
-  duplicate cluster is by construction densely connected), so simple
-  propagation with an early exit wins there.
+  its own id; each round pushes labels across edges, keeps the minimum
+  seen, then POINTER-JUMPS (comp := label(comp)) so propagated distance
+  doubles per round — O(log diameter) rounds. Near-dup graphs are
+  unions of small cliques and stars (diameter ≲ 3-4 even on web-scale
+  corpora — a duplicate cluster is by construction densely connected),
+  and entity-linkage chains (k109) stay inside the round cap at any
+  realistic chain length (2^25 hops).
 - **Large-star/small-star alternation** (Kiveris et al., "Connected
   Components in MapReduce and Beyond"): each round contracts every node
   toward the minimum of its neighborhood, halving long paths — O(log²
@@ -50,12 +52,16 @@ def connected_components(
     singletons are trivially their own component and the caller can
     left-join them back if wanted.
 
-    Min-label propagation, O(diameter) rounds. If ``max_iter`` rounds
-    don't reach the fixpoint (a long-path graph a dedup pipeline should
-    never produce), a warning is emitted and the computation RESTARTS on
-    the star algorithm (O(log² n) rounds regardless of shape) — the
-    caller always gets fully-converged labels, never a silent partial
-    result."""
+    Min-label propagation with ADAPTIVE pointer jumping (path
+    compression from round 4 on), O(log diameter) rounds on deep
+    graphs — a 30-hop entity chain converges in ~8 rounds, not 30 —
+    at zero extra cost on the shallow graphs dedup produces (the
+    common case converges before the jump engages). If ``max_iter``
+    rounds still don't
+    reach the fixpoint, a warning is emitted and the computation
+    RESTARTS on the star algorithm (O(log² n) rounds regardless of
+    shape) — the caller always gets fully-converged labels, never a
+    silent partial result."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -90,12 +96,30 @@ def connected_components(
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), "comp"
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
+        # Pointer jump (path compression): comp := min(comp,
+        # label(comp)). Every comp value IS a node id, so one self-join
+        # hop roughly DOUBLES the propagated distance per round —
+        # convergence in O(log diameter) rounds instead of O(diameter),
+        # which is what makes long chains (per-entity event chains,
+        # linked-record paths) converge inside the round cap instead of
+        # restarting on the star algorithm. ADAPTIVE: the jump join is
+        # skipped for the first 3 rounds, so the shallow clique/star
+        # graphs dedup produces (diameter ≲ 3-4 — the common case)
+        # never pay for it; anything still unconverged after 3 plain
+        # rounds is a deep graph where the jump wins by orders.
+        if rounds > 3:
+            lk = stepped.select(
+                F.col("id").alias("__cid"), F.col("comp").alias("__ccomp")
+            )
+            stepped = stepped.join(
+                lk, stepped["comp"] == lk["__cid"], "left"
+            ).select("id", F.least("comp", "__ccomp").alias("comp"))
+        new_labels = stepped.localCheckpoint(eager=True)
         new_sum = _label_sig(new_labels)
         labels = new_labels
         if new_sum == prev_sum:

@@ -4394,32 +4394,32 @@ def k108_kql_graph_shortest_paths(
     "k109_kql_graph_mark_components",
     oracle="""
 WITH RECURSIVE p AS (
-  SELECT user_id, event_id, ts,
+  SELECT user_id, event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          CAST(FLOOR(value * 100) AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
-), chain AS (
-  SELECT event_id AS s,
-         LEAD(event_id) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id) AS d
-  FROM p
+), r AS (
+  SELECT user_id, MIN(event_id) AS root FROM p GROUP BY user_id
+), pe AS (
+  SELECT p.user_id, p.event_id, p.k, p.cents, r.root
+  FROM p JOIN r USING (user_id)
 ), links AS (
-  SELECT a.event_id AS s, b.event_id AS d
-  FROM p a JOIN p b
-    ON a.k = b.k AND a.cents = b.cents AND a.event_id < b.event_id
-), alledges AS (
-  SELECT s, d FROM chain WHERE d IS NOT NULL
-  UNION SELECT s, d FROM links
+  SELECT DISTINCT a.root AS s, b.root AS d
+  FROM pe a JOIN pe b
+    ON a.k = b.k AND a.cents = b.cents AND a.root < b.root
 ), e AS (
-  SELECT s AS a, d AS b FROM alledges
-  UNION SELECT d, s FROM alledges
+  SELECT s AS a, d AS b FROM links
+  UNION SELECT d, s FROM links
 ), reach AS (
   SELECT a AS id, a AS comp FROM e
   UNION
-  SELECT e.b, r.comp FROM reach r JOIN e ON e.a = r.id
+  SELECT e.b, r2.comp FROM reach r2 JOIN e ON e.a = r2.id
+), m AS (
+  SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
 )
-SELECT id AS node, CAST(MIN(comp) AS BIGINT) AS cid
-FROM reach GROUP BY id
+SELECT pe.event_id AS node,
+       CAST(COALESCE(m.comp, pe.root) AS BIGINT) AS cid
+FROM pe LEFT JOIN m ON m.id = pe.root
 """,
     tags=("kql", "graph"),
 )
@@ -4430,55 +4430,65 @@ def k109_kql_graph_mark_components(
     — Kusto's connected-components marker
     (kql.py:_compile_graph_mark_components), completing the graph
     trio next to k70's graph-match and k108's shortest-paths. The
-    fixture is an entity-resolution graph over purchase events: each
-    user's purchases form a chain (consecutive-event edges), and two
-    purchases anywhere are LINKED when they share the exact
-    (props.k, value-cents) signature — so components are user
-    purchase histories merged across users by shared signatures, the
-    transitive closure a pairwise join cannot express. Component id =
-    min reachable event_id (deterministic; Kusto's own ids are
-    arbitrary, the canonical choice is what makes a differential
-    oracle possible — the DuckDB twin recomputes the closure with a
-    recursive CTE).
+    fixture is entity resolution over purchase events: every purchase
+    belongs to its user's entity, and two ENTITIES merge when any of
+    their purchases share the exact (props.k, value-cents) signature
+    — the transitive closure a pairwise join cannot express. Every
+    purchase is emitted with its entity id = min reachable event_id
+    (deterministic; Kusto's own component ids are arbitrary, the
+    canonical choice is what makes a differential oracle possible —
+    the DuckDB twin recomputes the closure with a recursive CTE).
 
-    Scale shape: the engine side is operators/graph.py min-label
-    propagation — one node-keyed equi-join + one map-side-combined
-    groupBy-min per round, O(component diameter) rounds,
-    localCheckpoint per round, star-algorithm fallback — never a
-    driver-side graph. The signature self-join is equi-keyed on
-    (k, cents); a production run caps hot signatures exactly like the
-    LSH hot-bucket cap (operators/dedup.py:cap_bucket_width)."""
+    Scale shape — CONTRACT, MARK, EXPAND (the at-scale discipline for
+    any entity-resolution CC): the event graph is first contracted to
+    one node per user (root = the user's min event_id, one
+    partition-local window), graph-mark-components runs on the
+    CONTRACTED signature-link graph (nodes = entities, edges bounded
+    by observed signature collisions — orders of magnitude below the
+    event count), and the component labels broadcast-join back to the
+    full event table. Component-of-root == component-of-event because
+    every root is its star's minimum. The CC itself is
+    operators/graph.py min-label propagation (node-keyed equi-join +
+    map-side-combined groupBy-min per round, adaptive pointer
+    jumping, localCheckpoint per round) — never a driver-side graph.
+    The signature self-join is equi-keyed on (k, cents); a production
+    run caps hot signatures exactly like the LSH hot-bucket cap
+    (operators/dedup.py:cap_bucket_width)."""
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select(
             "user_id",
             "event_id",
-            F.unix_micros("ts").alias("tus"),
             F.get_json_object("props", "$.k").cast("long").alias("k"),
             F.floor(F.col("value") * 100).cast("long").alias("cents"),
         )
+        .withColumn(
+            "root", F.min("event_id").over(Window.partitionBy("user_id"))
+        )
     )
-    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    chain = (
-        ev.withColumn("nxt", F.lead("event_id").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.col("event_id").alias("s"), F.col("nxt").alias("d"))
-    )
-    sig = ev.select("event_id", "k", "cents")
     links = (
-        sig.alias("a")
+        ev.alias("a")
         .join(
-            sig.alias("b"),
+            ev.alias("b"),
             (F.col("a.k") == F.col("b.k"))
             & (F.col("a.cents") == F.col("b.cents"))
-            & (F.col("a.event_id") < F.col("b.event_id")),
+            & (F.col("a.root") < F.col("b.root")),
         )
-        .select(F.col("a.event_id").alias("s"), F.col("b.event_id").alias("d"))
+        .select(F.col("a.root").alias("s"), F.col("b.root").alias("d"))
+        .distinct()
     )
-    edges = chain.unionByName(links).distinct()
-    return kql(
+    marked = kql(
         "E | make-graph s --> d"
         " | graph-mark-components with_component_id=cid",
-        {"E": edges},
+        {"E": links},
+    )
+    # NO forced broadcast: marked scales with linked entities (a
+    # user-count-bounded side, not a fixed dim) — AQE/statistics pick
+    # broadcast at test SFs on their own (r10 advice discipline).
+    return ev.join(
+        marked, ev["root"] == marked["node"], "left"
+    ).select(
+        F.col("event_id").alias("node"),
+        F.coalesce(marked["cid"], ev["root"]).alias("cid"),
     )
