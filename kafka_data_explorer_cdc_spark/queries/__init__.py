@@ -110,6 +110,28 @@ _FRONT = [
     # spends the window on the backlog (round-11 verdict item 5); late
     # additions displace stale-rotation slots (2), never the backlog
     # (0).
+    #
+    # ROUND-13 QUEUE (computed end-of-round-12; re-verify with
+    # tools/rotation_check.py once CORRECTNESS_r12 lands):
+    #   1. any round-13 additions (never-checked) first; then
+    #   2. the r2-stale remainder (6, build order): k23_kql_mv_expand,
+    #      d07_embedding_cosine_topk, d16_chunk_documents,
+    #      d17_contamination_check, d18_repetition_ratio,
+    #      d19_stratified_sample; then
+    #   3. the r3-stale cohort (25, build order): b13c_except,
+    #      b14_scalar_functions, b14b_date_functions,
+    #      b15a_json_extract, b15b_array_functions, k24_kql_join,
+    #      k25_kql_let, k26_kql_parse_extract, k27_kql_case_tiers,
+    #      k28_kql_arg_max, k29_kql_make_set, k30_kql_percentile,
+    #      k32_kql_top_nested, k33_kql_lookup, k34_kql_mv_apply,
+    #      k35_kql_pivot, k36_kql_top_hitters, k37_kql_search,
+    #      k38_kql_range_source, k39_kql_scalar_strings,
+    #      k41_kql_serialized_windows, k42_kql_parse_where,
+    #      d04x_minhash_lsh_portable, d06x_simhash_portable,
+    #      d07w_lsh_cosine_portable; then
+    #   4. the head of the r4-stale cohort (33 documented in the
+    #      round-12 header above) — take as many as fill 50 (19 slots
+    #      if no additions land).
     # (0) never driver-checked — 40 entries
     "k80_kql_series_fit_line",
     "k81_kql_series_fit_2lines",
