@@ -384,6 +384,55 @@ def _series_fir(
     return F.transform(arr, one)
 
 
+def _series_iir(arr: Column, b: list[float], a: list[float]) -> Column:
+    """``series_iir(x, dynamic([b...]), dynamic([a...]))`` — Kusto's
+    infinite-impulse-response filter over a make-series array
+    (exponential smoothing, cumulative sums, leaky integrators — the
+    FEEDBACK complement of series_fir). Pinned semantics, matching
+    Kusto's documented recurrence with zero initial state:
+
+        y[i] = (Σ_j b[j]·x[i−j]  −  Σ_{j≥1} a[j]·y[i−j]) / a[0]
+
+    out-of-range history counts as 0. One JVM ``aggregate`` fold over
+    the element indices carrying the OUTPUT-so-far array — the
+    recurrence is evaluated at RUNTIME per element (HOF lambdas are
+    interpreted iteratively, not unrolled), so the expression tree
+    stays O(taps) whatever the series length; series are
+    observability-sized arrays, no explode, no Python, no shuffle."""
+    if not a or float(a[0]) == 0.0:
+        raise ValueError(
+            "KQL: series_iir denominator must start with a nonzero a[0]"
+        )
+
+    def step(ys: Column, i: Column) -> Column:
+        num = None
+        for j, bj in enumerate(b):
+            v = (
+                F.coalesce(F.get(arr, i - F.lit(j)).cast("double"), F.lit(0.0))
+                if j == 0
+                else F.when(
+                    i >= F.lit(j),
+                    F.coalesce(
+                        F.get(arr, i - F.lit(j)).cast("double"), F.lit(0.0)
+                    ),
+                ).otherwise(F.lit(0.0))
+            ) * F.lit(float(bj))
+            num = v if num is None else num + v
+        for j, aj in enumerate(a[1:], start=1):
+            w = F.when(
+                i >= F.lit(j), F.coalesce(F.get(ys, i - F.lit(j)), F.lit(0.0))
+            ).otherwise(F.lit(0.0)) * F.lit(float(aj))
+            num = num - w
+        return F.concat(ys, F.array(num / F.lit(float(a[0]))))
+
+    empty = F.array().cast("array<double>")
+    idx = F.sequence(F.lit(0), F.size(arr) - 1)
+    # guard the empty-series edge: sequence(0, -1) would DESCEND
+    return F.when(
+        F.size(arr) > 0, F.aggregate(idx, empty, step)
+    ).otherwise(empty)
+
+
 def _let(value: Column, body) -> Column:
     """Expression-level let-binding: bind ``value`` to a higher-order
     lambda variable so ``body`` can reference it MANY times without
@@ -2561,6 +2610,45 @@ class _Parser:
                     center = _bool_arg("center")
             self.expect(")")
             return _series_fir(arr, taps, normalize, center)
+        if name == "series_iir":
+            # series_iir(x, dynamic([b...]), dynamic([a...])) — both
+            # coefficient sets must be compile-time dynamic literals
+            # (as in Kusto, constants of the query), so the recurrence
+            # step unrolls into one flat JVM lambda.
+            self.expect("(")
+            arr = self.expr()
+
+            def _iir_taps(which: str) -> list[float]:
+                self.expect(",")
+                if self.next().text.lower() != "dynamic":
+                    raise ValueError(
+                        f"KQL: series_iir {which} must be a "
+                        f"dynamic([...]) literal"
+                    )
+                self.expect("(")
+                self.expect("[")
+                out: list[float] = []
+                while True:
+                    tok = self.next()
+                    sign = 1.0
+                    if tok.text == "-":
+                        sign, tok = -1.0, self.next()
+                    if tok.kind != "num":
+                        raise ValueError(
+                            f"KQL: series_iir {which} must hold "
+                            f"numeric literals"
+                        )
+                    out.append(sign * float(tok.text))
+                    if not self.accept(","):
+                        break
+                self.expect("]")
+                self.expect(")")
+                return out
+
+            b_taps = _iir_taps("numerator (b)")
+            a_taps = _iir_taps("denominator (a)")
+            self.expect(")")
+            return _series_iir(arr, b_taps, a_taps)
         if name == "split":
             # split(source, 'delimiter') — Kusto's delimiter is a plain
             # string, Spark's is a regex, so escape it

@@ -99,22 +99,23 @@ _FRONT = [
     #   (1) k103_kql_hash_digest_functions — the r11 red row; the
     #       oracle dtype is fixed (CAST(to_timestamp(...) AS
     #       TIMESTAMP), kql_q.py) and needs a fresh driver row;
-    #   (1b) k109_kql_graph_mark_components — the one round-12
-    #       addition (never-checked by construction), displacing one
-    #       stale-rotation slot per the policy note below;
-    #   (2) 8 slots of the r2-stale cohort (newest green = r2), build
-    #       order: k14 k15 k16 k13 k17 k20 k21 k22. The remaining
-    #       6 r2 entries (k23, d07, d16–d19) plus the r3 cohort lead
-    #       the round-13 rotation.
-    # 40 + 1 + 1 + 8 = 50 — round-12 adds ONE new entry and otherwise
-    # spends the window on the backlog (round-11 verdict item 5); late
-    # additions displace stale-rotation slots (2), never the backlog
-    # (0).
+    #   (1b) the round-12 additions (never-checked by construction),
+    #       displacing stale-rotation slots per the policy note below:
+    #       k109_kql_graph_mark_components, k110_kql_series_iir;
+    #   (2) 7 slots of the r2-stale cohort (newest green = r2), build
+    #       order: k14 k15 k16 k13 k17 k20 k21. The remaining
+    #       7 r2 entries (k22, k23, d07, d16–d19) plus the r3 cohort
+    #       lead the round-13 rotation.
+    # 40 + 1 + 2 + 7 = 50 — round-12 adds TWO new entries and
+    # otherwise spends the window on the backlog (round-11 verdict
+    # item 5); late additions displace stale-rotation slots (2), never
+    # the backlog (0).
     #
     # ROUND-13 QUEUE (computed end-of-round-12; re-verify with
     # tools/rotation_check.py once CORRECTNESS_r12 lands):
     #   1. any round-13 additions (never-checked) first; then
-    #   2. the r2-stale remainder (6, build order): k23_kql_mv_expand,
+    #   2. the r2-stale remainder (7, build order): k22_kql_parse_json,
+    #      k23_kql_mv_expand,
     #      d07_embedding_cosine_topk, d16_chunk_documents,
     #      d17_contamination_check, d18_repetition_ratio,
     #      d19_stratified_sample; then
@@ -175,9 +176,10 @@ _FRONT = [
     "s51_stream_sequence_detect",
     # (1) the r11 red row, oracle dtype fixed this round
     "k103_kql_hash_digest_functions",
-    # (1b) round-12 addition, never-checked by construction
+    # (1b) round-12 additions, never-checked by construction
     "k109_kql_graph_mark_components",
-    # (2) r2-stale rotation (8 of 14; k23/d07/d16-d19 → round 13)
+    "k110_kql_series_iir",
+    # (2) r2-stale rotation (7 of 14; k22/k23/d07/d16-d19 → round 13)
     "k14_kql_avg_sales",
     "k15_kql_total_sales",
     "k16_kql_order_counts",
@@ -185,7 +187,6 @@ _FRONT = [
     "k17_kql_filtered_pipeline",
     "k20_kql_between",
     "k21_kql_countif_sumif",
-    "k22_kql_parse_json",
 ]
 
 _FRONT_ROUND11_RETIRED = [

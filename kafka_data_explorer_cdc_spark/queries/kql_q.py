@@ -4492,3 +4492,67 @@ def k109_kql_graph_mark_components(
         F.col("event_id").alias("node"),
         F.coalesce(marked["cid"], ev["root"]).alias("cid"),
     )
+
+
+@query(
+    "k110_kql_series_iir",
+    oracle="""
+WITH RECURSIVE grid AS (
+  SELECT et.event_type, g.t,
+         ROW_NUMBER() OVER (PARTITION BY et.event_type ORDER BY g.t) - 1
+           AS i
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                  TIMESTAMP '2024-01-07 00:00:00',
+                                  INTERVAL '1 day')) AS t
+  ) g
+), binned AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS t,
+         COUNT(*) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+  GROUP BY 1, 2
+), series AS (
+  SELECT g.event_type, g.i, CAST(COALESCE(b.n, 0) AS DOUBLE) AS n
+  FROM grid g LEFT JOIN binned b
+    ON g.event_type = b.event_type AND g.t = b.t
+), iir AS (
+  SELECT event_type, i, 0.5 * n AS y FROM series WHERE i = 0
+  UNION ALL
+  SELECT s.event_type, s.i, 0.5 * s.n + 0.5 * p.y
+  FROM series s JOIN iir p
+    ON p.event_type = s.event_type AND s.i = p.i + 1
+)
+SELECT event_type, CAST(i AS BIGINT) AS i, y FROM iir
+""",
+    tags=("kql", "timeseries", "dsp"),
+)
+def k110_kql_series_iir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_iir`` — Kusto's infinite-impulse-response filter
+    (kql.py:_series_iir), the FEEDBACK complement of k60's
+    series_fir and the last gap in the series DSP family
+    (fir → iir → decompose → forecast): an EWMA smoother
+    (b=[0.5], a=[1, -0.5] ⇒ y[i] = (x[i] + y[i-1])/2 — halves are
+    binary-exact, so the differential is bit-exact, not
+    rounding-tolerant) over the per-type daily count series, unpacked
+    to rows through the typed mv-expand. The oracle replays the same
+    recurrence with a recursive CTE over the dense grid.
+
+    Scale shape: the recurrence is ONE JVM aggregate fold per series
+    evaluated at runtime (HOF lambdas interpret iteratively — the
+    expression tree stays O(taps) whatever the series length, the
+    k74/k106 staged-compile lesson applied by construction); dense
+    grid + filter + unpack is one Catalyst plan — bin-rollup shuffle,
+    per-group array ops, one generator."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-08 00:00:00'"
+        " step 1d by event_type"
+        " | extend y = series_iir(n, dynamic([0.5]), dynamic([1, -0.5]))"
+        " | mv-expand with_itemindex = i y to typeof(real)"
+        " | project event_type, i = tolong(i), y",
+        {"Events": events},
+    )

@@ -2787,3 +2787,35 @@ def test_kql_graph_mark_components(spark):
             {"E": edges})
     with pytest.raises(ValueError, match="must be followed by"):
         kql("E | make-graph s --> d | count", {"E": edges})
+
+
+def test_kql_series_iir_vectors(spark):
+    """series_iir: the pinned recurrence y[i] = (Σ b[j]x[i-j] −
+    Σ_{j≥1} a[j]y[i-j]) / a[0] with zero initial state — EWMA and
+    cumulative-sum vectors, a[0] scaling, error paths."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 4.0, 0.0, 8.0])], "id long, x array<double>"
+    )
+    ewma = kql(
+        "T | extend y = series_iir(x, dynamic([0.5]), dynamic([1, -0.5]))",
+        {"T": df},
+    ).first()["y"]
+    assert ewma == [0.5, 1.25, 2.625, 1.3125, 4.65625]
+    cumsum = kql(
+        "T | extend y = series_iir(x, dynamic([1]), dynamic([1, -1]))",
+        {"T": df},
+    ).first()["y"]
+    assert cumsum == [1.0, 3.0, 7.0, 7.0, 15.0]
+    # a[0] != 1 rescales; two-tap numerator sees zero-padded history
+    halved = kql(
+        "T | extend y = series_iir(x, dynamic([1, 1]), dynamic([2]))",
+        {"T": df},
+    ).first()["y"]
+    assert halved == [0.5, 1.5, 3.0, 2.0, 4.0]
+    with pytest.raises(ValueError, match="nonzero a"):
+        kql("T | extend y = series_iir(x, dynamic([1]), dynamic([0, 1]))",
+            {"T": df})
+    with pytest.raises(ValueError, match="dynamic"):
+        kql("T | extend y = series_iir(x, x, dynamic([1]))", {"T": df})
