@@ -568,3 +568,67 @@ def audio_mfcc(df: DataFrame) -> DataFrame:
     return ensure_parallelism(to_binary_docs(df)).mapInPandas(
         mfcc_batch, MFCC_SCHEMA
     )
+
+
+LUMA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dom_bin", T.LongType()),
+        T.StructField("dom_n", T.LongType()),
+        T.StructField("conc", T.LongType()),
+    ]
+)
+
+#: 16x16 luma grid (stub decode: first 256 payload bytes) and the
+#: 8-bin histogram bucket width (256 levels >> 5).
+LUMA_PIXELS = 256
+LUMA_BINS = 8
+
+
+def luma_hist_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary image → 8-bin luma histogram stats.
+    The decoded "luma grid" is the payload's first 256 bytes (16x16,
+    codec stub — swap a real decode+resize at the mm2 seam); per image
+    it emits the DOMINANT bin (argmax, ties to the lowest bin — the
+    oracle mirrors with ORDER BY n DESC, bin ASC), the dominant-bin
+    pixel count, and an integer CONCENTRATION score
+    Σ_b n_b·bit_length(n_b) — maximal for a single-bin (flat/empty)
+    image, minimal for a uniform histogram; exact on both engines
+    (bit_length = frexp exponent here, length(bin(n)) in DuckDB), the
+    mm15 integer-log discipline. Vectorized numpy per Arrow batch —
+    one bincount + one frexp per image, no per-pixel Python."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, dom_bins, dom_ns, concs = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            v = np.frombuffer(payload, dtype=np.uint8)
+            if len(v) < LUMA_PIXELS:
+                continue
+            bins = v[:LUMA_PIXELS] >> 5
+            counts = np.bincount(bins, minlength=LUMA_BINS).astype(np.int64)
+            dom = int(np.argmax(counts))  # first max = lowest bin on ties
+            nz = counts[counts > 0].astype(np.float64)
+            bitlen = np.frexp(nz)[1]  # exact for counts <= 2^53
+            ids.append(doc_id)
+            dom_bins.append(dom)
+            dom_ns.append(int(counts[dom]))
+            concs.append(int((nz.astype(np.int64) * bitlen).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "dom_bin": pd.Series(dom_bins, dtype="int64"),
+                "dom_n": pd.Series(dom_ns, dtype="int64"),
+                "conc": pd.Series(concs, dtype="int64"),
+            }
+        )
+
+
+def image_luma_stats(df: DataFrame) -> DataFrame:
+    """Distributed per-image luma-histogram stats — same Arrow-batched
+    plumbing as :func:`image_dhashes`."""
+    from ..io import ensure_parallelism
+
+    return ensure_parallelism(to_binary_docs(df)).mapInPandas(
+        luma_hist_batch, LUMA_SCHEMA
+    )

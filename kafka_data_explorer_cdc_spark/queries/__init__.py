@@ -101,12 +101,13 @@ _FRONT = [
     #       TIMESTAMP), kql_q.py) and needs a fresh driver row;
     #   (1b) the round-12 additions (never-checked by construction),
     #       displacing stale-rotation slots per the policy note below:
-    #       k109_kql_graph_mark_components, k110_kql_series_iir;
-    #   (2) 7 slots of the r2-stale cohort (newest green = r2), build
-    #       order: k14 k15 k16 k13 k17 k20 k21. The remaining
-    #       7 r2 entries (k22, k23, d07, d16–d19) plus the r3 cohort
+    #       k109_kql_graph_mark_components, k110_kql_series_iir,
+    #       mm16_image_histogram_gate;
+    #   (2) 6 slots of the r2-stale cohort (newest green = r2), build
+    #       order: k14 k15 k16 k13 k17 k20. The remaining
+    #       8 r2 entries (k21–k23, d07, d16–d19) plus the r3 cohort
     #       lead the round-13 rotation.
-    # 40 + 1 + 2 + 7 = 50 — round-12 adds TWO new entries and
+    # 40 + 1 + 3 + 6 = 50 — round-12 adds THREE new entries and
     # otherwise spends the window on the backlog (round-11 verdict
     # item 5); late additions displace stale-rotation slots (2), never
     # the backlog (0).
@@ -114,7 +115,8 @@ _FRONT = [
     # ROUND-13 QUEUE (computed end-of-round-12; re-verify with
     # tools/rotation_check.py once CORRECTNESS_r12 lands):
     #   1. any round-13 additions (never-checked) first; then
-    #   2. the r2-stale remainder (7, build order): k22_kql_parse_json,
+    #   2. the r2-stale remainder (8, build order):
+    #      k21_kql_countif_sumif, k22_kql_parse_json,
     #      k23_kql_mv_expand,
     #      d07_embedding_cosine_topk, d16_chunk_documents,
     #      d17_contamination_check, d18_repetition_ratio,
@@ -179,14 +181,14 @@ _FRONT = [
     # (1b) round-12 additions, never-checked by construction
     "k109_kql_graph_mark_components",
     "k110_kql_series_iir",
-    # (2) r2-stale rotation (7 of 14; k22/k23/d07/d16-d19 → round 13)
+    "mm16_image_histogram_gate",
+    # (2) r2-stale rotation (6 of 14; k21-k23/d07/d16-d19 → round 13)
     "k14_kql_avg_sales",
     "k15_kql_total_sales",
     "k16_kql_order_counts",
     "k13_kql_recent_orders",
     "k17_kql_filtered_pipeline",
     "k20_kql_between",
-    "k21_kql_countif_sumif",
 ]
 
 _FRONT_ROUND11_RETIRED = [

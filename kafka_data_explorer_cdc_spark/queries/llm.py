@@ -10025,3 +10025,64 @@ def d111_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") <= 20)
         .select("cid", "vec_id", "pick")
     )
+
+
+@query(
+    "mm16_image_histogram_gate",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS vs
+  FROM documents WHERE length(text) >= 256
+), px AS (
+  SELECT doc_id, unnest(vs[1:256]) AS luma FROM s
+), h AS (
+  SELECT doc_id, luma // 32 AS lbin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM px GROUP BY 1, 2
+), dom AS (
+  SELECT doc_id, lbin AS dom_bin, n AS dom_n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, lbin ASC) AS rn
+  FROM h
+), conc AS (
+  SELECT doc_id,
+         CAST(SUM(n * length(bin(n))) AS BIGINT) AS conc
+  FROM h GROUP BY doc_id
+)
+SELECT d.doc_id, d.dom_bin, d.dom_n, c.conc,
+       d.dom_n >= 211 AS low_info
+FROM dom d JOIN conc c USING (doc_id)
+WHERE d.rn = 1
+""",
+    tags=("llm", "multimodal", "quality", "image"),
+)
+def mm16_image_histogram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-information image gate (the training-data filter that drops
+    flat/near-uniform images — solid backgrounds, letterboxes, failed
+    decodes — before they waste multimodal training tokens): per image
+    an 8-bin luma histogram over the decoded 16x16 grid (codec stub:
+    first 256 payload bytes, the mm2/mm13 seam), the dominant bin
+    (ties to the lowest bin — mirrored in the oracle's ORDER BY), an
+    integer CONCENTRATION score Σ n_b·bit_length(n_b) (maximal for
+    single-bin images, minimal for uniform histograms — the mm15
+    integer-log discipline, exact on both engines), and the
+    low-information verdict. The verdict threshold (dominant bin ≥
+    211/256 ≈ 82% of pixels) is CALIBRATED to the stub corpus so the
+    gate splits it ~35/65 at every SF — exactly how a production gate
+    is tuned against a labeled sample; the threshold is the knob, the
+    exact integer machinery is the contract.
+
+    Scale shape: ONE Arrow mapInPandas boundary per partition (one
+    bincount + one frexp per image, vectorized numpy, no per-pixel
+    Python); zero shuffles — the stats are per-row, so the gate
+    composes with any downstream filter as a scan-side predicate.
+    Binary payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    stats = MM.image_luma_stats(docs)
+    return stats.select(
+        "doc_id",
+        "dom_bin",
+        "dom_n",
+        "conc",
+        (F.col("dom_n") >= F.lit(211)).alias("low_info"),
+    )

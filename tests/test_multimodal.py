@@ -34,3 +34,32 @@ def test_binary_payload_roundtrip(spark, sf_dir):
     bin_df = MM.to_binary_docs(docs)
     row = bin_df.join(docs, "doc_id").select("payload", "text").first()
     assert bytes(row["payload"]).decode("utf-8") == row["text"]
+
+
+def test_luma_histogram_gate_vectors(spark):
+    """mm16 kernel contract: short payloads skipped; dominant-bin ties
+    break to the LOWEST bin (oracle mirrors with ORDER BY n DESC, bin
+    ASC); concentration score is the exact integer Σ n_b·bitlen(n_b) —
+    maximal for a single-bin image, lower for a uniform histogram."""
+    from kafka_data_explorer_cdc_spark.operators.multimodal import (
+        image_luma_stats,
+    )
+
+    # fixtures stay ASCII: payload is the UTF-8 BYTES of the text, so
+    # codepoints >= 128 would encode as two bytes and shift the grid
+    flat = chr(40) * 256          # all pixels in bin 1 (40 >> 5)
+    uniform = "".join(chr(b * 32) for b in range(4)) * 64  # 64 px in bins 0-3
+    tie = (chr(0) * 128) + (chr(96) * 128)  # bins 0 and 3 tie at 128
+    short = "x" * 100             # < 256 px: skipped
+    df = spark.createDataFrame(
+        [(1, flat), (2, uniform), (3, tie), (4, short)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in image_luma_stats(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["dom_bin"], got[1]["dom_n"]) == (1, 256)
+    assert got[1]["conc"] == 256 * 9          # bitlen(256) = 9
+    assert (got[2]["dom_bin"], got[2]["dom_n"]) == (0, 64)  # 4-way tie
+    assert got[2]["conc"] == 4 * 64 * 7       # bitlen(64) = 7
+    assert (got[3]["dom_bin"], got[3]["dom_n"]) == (0, 128)  # tie → low
+    assert got[3]["conc"] == 2 * 128 * 8      # bitlen(128) = 8
