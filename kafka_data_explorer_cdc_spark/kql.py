@@ -5560,6 +5560,7 @@ def kql_fork(
     query_text: str,
     tables: dict[str, DataFrame],
     now: str | None = None,
+    allow_python: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Kusto-faithful ``fork``: compile a query whose LAST operator is
     ``fork`` and return {branch name: DataFrame} — one entry per
@@ -5569,7 +5570,7 @@ def kql_fork(
     query and returns the branches unioned by name behind a ``fork_``
     discriminator column — the single-table rendering.)"""
     out: dict[str, DataFrame] = {}
-    kql(query_text, tables, now=now, _fork_out=out)
+    kql(query_text, tables, now=now, _fork_out=out, allow_python=allow_python)
     if not out:
         raise ValueError("KQL: kql_fork needs a query ending in 'fork'")
     return out
