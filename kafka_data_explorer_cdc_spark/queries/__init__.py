@@ -102,12 +102,12 @@ _FRONT = [
     #   (1b) the round-12 additions (never-checked by construction),
     #       displacing stale-rotation slots per the policy note below:
     #       k109_kql_graph_mark_components, k110_kql_series_iir,
-    #       mm16_image_histogram_gate;
-    #   (2) 6 slots of the r2-stale cohort (newest green = r2), build
-    #       order: k14 k15 k16 k13 k17 k20. The remaining
-    #       8 r2 entries (k21–k23, d07, d16–d19) plus the r3 cohort
+    #       mm16_image_histogram_gate, s61_stream_bottomk_sample;
+    #   (2) 5 slots of the r2-stale cohort (newest green = r2), build
+    #       order: k14 k15 k16 k13 k17. The remaining
+    #       9 r2 entries (k20–k23, d07, d16–d19) plus the r3 cohort
     #       lead the round-13 rotation.
-    # 40 + 1 + 3 + 6 = 50 — round-12 adds THREE new entries and
+    # 40 + 1 + 4 + 5 = 50 — round-12 adds FOUR new entries and
     # otherwise spends the window on the backlog (round-11 verdict
     # item 5); late additions displace stale-rotation slots (2), never
     # the backlog (0).
@@ -115,7 +115,7 @@ _FRONT = [
     # ROUND-13 QUEUE (computed end-of-round-12; re-verify with
     # tools/rotation_check.py once CORRECTNESS_r12 lands):
     #   1. any round-13 additions (never-checked) first; then
-    #   2. the r2-stale remainder (8, build order):
+    #   2. the r2-stale remainder (9, build order): k20_kql_between,
     #      k21_kql_countif_sumif, k22_kql_parse_json,
     #      k23_kql_mv_expand,
     #      d07_embedding_cosine_topk, d16_chunk_documents,
@@ -182,13 +182,13 @@ _FRONT = [
     "k109_kql_graph_mark_components",
     "k110_kql_series_iir",
     "mm16_image_histogram_gate",
-    # (2) r2-stale rotation (6 of 14; k21-k23/d07/d16-d19 → round 13)
+    "s61_stream_bottomk_sample",
+    # (2) r2-stale rotation (5 of 14; k20-k23/d07/d16-d19 → round 13)
     "k14_kql_avg_sales",
     "k15_kql_total_sales",
     "k16_kql_order_counts",
     "k13_kql_recent_orders",
     "k17_kql_filtered_pipeline",
-    "k20_kql_between",
 ]
 
 _FRONT_ROUND11_RETIRED = [

@@ -2804,3 +2804,72 @@ def s60_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start", "session_end",
         "n_events", "sum_cents", "max_gap_s",
     )
+
+
+@query(
+    "s61_stream_bottomk_sample",
+    oracle="""
+WITH r AS (
+  SELECT event_type, event_id,
+         CASE WHEN length(CAST(event_id AS VARCHAR)) = 0 THEN 0 ELSE
+           list_reduce(list_transform(
+             generate_series(1, length(CAST(event_id AS VARCHAR))),
+             i -> CAST(unicode(CAST(event_id AS VARCHAR)[i:i]) AS BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007) END AS rnk
+  FROM events
+), ranked AS (
+  SELECT event_type, event_id, rnk,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY rnk, event_id) AS pos
+  FROM r
+)
+SELECT event_type, CAST(pos AS BIGINT) AS pos, event_id, rnk
+FROM ranked WHERE pos <= 32
+""",
+    tags=("streaming", "sampling", "sketch"),
+)
+def s61_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic streaming reservoir sample
+    (streaming/stateful.py:streaming_bottomk_sample): the events table
+    replays as three time-sliced micro-batches; per event_type the
+    state carries the 32 elements with the smallest PORTABLE hash rank
+    (the bottom-k/KMV sketch used as a sampler — d96's at-rest sketch
+    and d31/d44's batch reservoirs are the family twins). Because the
+    rank is a pure function of the element (poly-hash of the event id,
+    engine-reproducible — the d04x portable discipline), the sample is
+    ORDER- AND SPLIT-INVARIANT: ANY micro-batch partitioning of the
+    stream yields exactly the batch engine's bottom-k, so the oracle
+    checks the streamed sample VALUE-EXACTLY — a uniform random sample
+    a differential can verify, which no rand()-based reservoir gives.
+
+    Scale shape: state = two 32-length int64 arrays + a counter per
+    key, whatever the stream length or cardinality; per-batch work is
+    one vectorized min-k fold (min-k of a union is associative, so the
+    cross-batch carry is exactly the batch fold); emission stamps
+    cumulative n_seen and the sink read keeps each key's newest sample
+    (the s55 convention)."""
+    from ..operators.text import poly_hash
+    from ..streaming.stateful import streaming_bottomk_sample
+
+    name = f"s61_{uuid.uuid4().hex[:8]}"
+    indir = _time_sliced_events_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .withColumn(
+            "rnk", F.expr(poly_hash("CAST(event_id AS STRING)"))
+        )
+    )
+    run_to_memory(
+        streaming_bottomk_sample(ev, k=32),
+        name,
+        output_mode="append",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    sink = spark.table(name)
+    latest = sink.withColumn(
+        "__mx", F.max("n_seen").over(Window.partitionBy("event_type"))
+    ).filter(F.col("n_seen") == F.col("__mx"))
+    return latest.select("event_type", "pos", "event_id", "rnk")

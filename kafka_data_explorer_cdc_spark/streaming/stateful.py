@@ -962,3 +962,105 @@ def streaming_timer_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_bottomk_sample(
+    events: DataFrame,
+    k: int = 32,
+    key_col: str = "event_type",
+    rank_col: str = "rnk",
+    item_col: str = "event_id",
+) -> DataFrame:
+    """Deterministic streaming reservoir — the BOTTOM-K HASH-RANK
+    sample (the KMV/bottom-k sketch used as a sampler): per key, keep
+    the k stream elements with the smallest portable-hash rank
+    (ties by item id). Because the rank is a pure function of the
+    element, the sample is ORDER- AND SPLIT-INVARIANT: any micro-batch
+    partitioning of the stream yields exactly the batch engine's
+    bottom-k — a uniform sample that is VALUE-EXACT under a
+    differential oracle, unlike rand()-based reservoirs (d44/d31 are
+    the batch at-rest twins; this is the live form with cross-batch
+    min-k state carry).
+
+    State per key: two k-length arrays (ranks, items) plus the seen
+    count — O(k) whatever the stream length or cardinality. Per-batch
+    work is one vectorized nsmallest over state ∪ batch. Emission:
+    the full current sample per touched key each batch, stamped with
+    cumulative ``n_seen`` so a sink read selects the newest per key
+    by max n_seen (the s55 convention)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("pos", LongType()),
+            StructField(item_col, LongType()),
+            StructField(rank_col, LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ranks", ArrayType(LongType())),
+            StructField("items", ArrayType(LongType())),
+            StructField("seen", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            ranks, items, seen = state.get
+            pairs = list(zip(ranks, items))
+        else:
+            pairs, seen = [], 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            pairs.extend(
+                zip(
+                    pdf[rank_col].astype("int64"),
+                    pdf[item_col].astype("int64"),
+                )
+            )
+            # min-k of a union is associative/commutative — fold per
+            # batch, keep k
+            pairs = sorted((int(r), int(i)) for r, i in pairs)[:k]
+        state.update(
+            (
+                [r for r, _ in pairs],
+                [i for _, i in pairs],
+                int(seen),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "n_seen": int(seen),
+                "pos": np.arange(1, len(pairs) + 1, dtype="int64"),
+                item_col: pd.Series(
+                    [i for _, i in pairs], dtype="int64"
+                ),
+                rank_col: pd.Series(
+                    [r for r, _ in pairs], dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        events.select(key_col, rank_col, item_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1800,3 +1800,60 @@ def test_counter_increase_state_stays_bounded():
         assert total == raw_total % modulus
         assert last_cnt == raw_total % modulus  # cnt[-1] == total here
         assert inc.min() >= 0 and set(np.unique(rst)) <= {0, 1}
+
+
+def test_bottomk_sample_split_invariant(spark, sf_dir):
+    """s61's core claim: the bottom-k hash-rank sample is identical
+    under ANY micro-batch split — replaying with a DIFFERENT trigger
+    size (2 files/batch vs the entry's 1) must yield exactly the batch
+    engine's bottom-k, element for element."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_data_explorer_cdc_spark.io import load
+    from kafka_data_explorer_cdc_spark.operators.text import poly_hash
+    from kafka_data_explorer_cdc_spark.queries.streaming_q import (
+        REPLAY_STATE_PARTITIONS,
+        _time_sliced_events_dir,
+        run_to_memory,
+    )
+    from kafka_data_explorer_cdc_spark.streaming.stateful import (
+        streaming_bottomk_sample,
+    )
+
+    name = f"s61test_{_uuid.uuid4().hex[:8]}"
+    indir = _time_sliced_events_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")  # different split than s61
+        .parquet(indir)
+        .withColumn("rnk", F.expr(poly_hash("CAST(event_id AS STRING)")))
+    )
+    run_to_memory(
+        streaming_bottomk_sample(ev, k=32),
+        name,
+        output_mode="append",
+        state_partitions=REPLAY_STATE_PARTITIONS,
+    )
+    sink = spark.table(name)
+    latest = sink.withColumn(
+        "__mx", F.max("n_seen").over(Window.partitionBy("event_type"))
+    ).filter(F.col("n_seen") == F.col("__mx"))
+    streamed = {
+        (r["event_type"], r["pos"]): r["event_id"]
+        for r in latest.collect()
+    }
+    events = load(spark, sf_dir, "events").withColumn(
+        "rnk", F.expr(poly_hash("CAST(event_id AS STRING)"))
+    )
+    w = Window.partitionBy("event_type").orderBy("rnk", "event_id")
+    batch = {
+        (r["event_type"], r["pos"]): r["event_id"]
+        for r in events.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 32)
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
