@@ -1639,3 +1639,41 @@ def test_cluster_balanced_sample_is_jvm_only(spark, sf_dir):
     assert "Broadcast" in p, p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
     assert "WindowGroupLimit" in p or "Window" in p, p
+
+
+def test_graph_mark_components_contract_expand_plan(spark, sf_dir):
+    """k109: the contract-mark-expand shape — signature links are
+    EQUI-joins (never a cartesian/theta join), the per-user root comes
+    from one partition-local window, and no Python touches the path
+    (CC is pure joins + groupBy-min)."""
+    p = plan_of(spark, sf_dir, "k109_kql_graph_mark_components")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_series_iir_stays_jvm_and_unexploded(spark, sf_dir):
+    """k110: the IIR recurrence is a runtime-evaluated JVM fold — no
+    Python anywhere, and the only generator is the FINAL typed
+    mv-expand (the series math itself never explodes)."""
+    p = plan_of(spark, sf_dir, "k110_kql_series_iir")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert p.count("Generate") == 1, p
+
+
+def test_image_histogram_gate_one_arrow_zero_shuffle(spark, sf_dir):
+    """mm16: exactly one Arrow mapInPandas boundary computes the
+    histogram stats; per-row output means ZERO shuffles — the gate
+    composes as a scan-side predicate."""
+    p = plan_of(spark, sf_dir, "mm16_image_histogram_gate")
+    assert p.count("MapInPandas") == 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_bottomk_sample_plan_state_boundary(spark, sf_dir):
+    """s61: the sink read is a plain windowed latest-pick over the
+    in-memory sink — the hash rank itself is JVM codegen in the stream
+    (asserted here on the batch-side read: no Python, no cartesian)."""
+    p = plan_of(spark, sf_dir, "s61_stream_bottomk_sample")
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
