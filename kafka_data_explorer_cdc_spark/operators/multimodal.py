@@ -596,14 +596,26 @@ def luma_hist_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     image, minimal for a uniform histogram; exact on both engines
     (bit_length = frexp exponent here, length(bin(n)) in DuckDB), the
     mm15 integer-log discipline. Vectorized numpy per Arrow batch —
-    one bincount + one frexp per image, no per-pixel Python."""
+    one bincount + one frexp per image, no per-pixel Python.
+
+    ASCII seam contract: the stub "decode" reads raw UTF-8 BYTES while
+    the DuckDB oracle reads CODEPOINTS — identical only when the
+    decoded grid is pure ASCII. Rather than assume the corpus is (the
+    repo's fixtures are, arbitrary input isn't), any image whose
+    256-byte grid contains a byte >= 128 is FILTERED here, and the
+    oracle filters the same images with a [^\\x00-\\x7F] regex over
+    its first 256 chars — the two predicates are equivalent (a
+    256-byte all-ASCII prefix decodes to exactly the oracle's first
+    256 all-ASCII chars, and multibyte sequences trip both). Filtering
+    (not raising) keeps the 100 TB shape: one stray non-ASCII doc
+    must not kill a full-corpus gate job."""
     import numpy as np
 
     for pdf in batches:
         ids, dom_bins, dom_ns, concs = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             v = np.frombuffer(payload, dtype=np.uint8)
-            if len(v) < LUMA_PIXELS:
+            if len(v) < LUMA_PIXELS or (v[:LUMA_PIXELS] >= 128).any():
                 continue
             bins = v[:LUMA_PIXELS] >> 5
             counts = np.bincount(bins, minlength=LUMA_BINS).astype(np.int64)

@@ -10033,7 +10033,9 @@ def d111_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
   SELECT doc_id,
          list_transform(string_split(text, ''), c -> unicode(c)) AS vs
-  FROM documents WHERE length(text) >= 256
+  FROM documents
+  WHERE length(text) >= 256
+    AND NOT regexp_matches(substring(text, 1, 256), '[^\\x00-\\x7F]')
 ), px AS (
   SELECT doc_id, unnest(vs[1:256]) AS luma FROM s
 ), h AS (
@@ -10061,7 +10063,11 @@ def mm16_image_histogram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat/near-uniform images — solid backgrounds, letterboxes, failed
     decodes — before they waste multimodal training tokens): per image
     an 8-bin luma histogram over the decoded 16x16 grid (codec stub:
-    first 256 payload bytes, the mm2/mm13 seam), the dominant bin
+    first 256 payload bytes, the mm2/mm13 seam; grids containing a
+    non-ASCII byte are filtered on BOTH engines — see
+    ``luma_hist_batch``'s ASCII seam contract — so the byte-side
+    kernel and the codepoint-side oracle agree on any corpus, not
+    just an ASCII one), the dominant bin
     (ties to the lowest bin — mirrored in the oracle's ORDER BY), an
     integer CONCENTRATION score Σ n_b·bit_length(n_b) (maximal for
     single-bin images, minimal for uniform histograms — the mm15

@@ -63,3 +63,47 @@ def test_luma_histogram_gate_vectors(spark):
     assert got[2]["conc"] == 4 * 64 * 7       # bitlen(64) = 7
     assert (got[3]["dom_bin"], got[3]["dom_n"]) == (0, 128)  # tie → low
     assert got[3]["conc"] == 2 * 128 * 8      # bitlen(128) = 8
+
+
+def test_luma_gate_ascii_seam_both_engines(spark, tmp_path):
+    """mm16 ADVICE regression (round 12): the kernel reads the first
+    256 UTF-8 BYTES while the oracle reads CODEPOINTS — a non-ASCII
+    doc used to silently diverge between engines. Both sides now
+    filter any image whose 256-unit grid head contains non-ASCII, so
+    the differential stays exact on a corpus the fixtures never had:
+    one with multibyte text."""
+    import duckdb
+    import pandas as pd
+
+    from kafka_data_explorer_cdc_spark.queries.registry import REGISTRY
+    from tests.oracle_utils import canonicalize
+
+    ascii_doc = "a" * 300
+    # non-ASCII inside the 256-char head: bytes-vs-codepoints diverge
+    head_nonascii = ("é" * 10) + ("b" * 290)
+    # non-ASCII only AFTER the head: both engines must still KEEP it
+    tail_nonascii = ("c" * 256) + ("é" * 50)
+    short = "d" * 100
+    rows = [
+        (1, ascii_doc),
+        (2, head_nonascii),
+        (3, tail_nonascii),
+        (4, short),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = (
+        REGISTRY["mm16_image_histogram_gate"]
+        .fn(spark, str(tmp_path))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    want = con.execute(REGISTRY["mm16_image_histogram_gate"].oracle).df()
+    assert sorted(got["doc_id"]) == [1, 3]  # head-non-ASCII + short gone
+    assert canonicalize(got) == canonicalize(want)
