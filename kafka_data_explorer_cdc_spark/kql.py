@@ -101,6 +101,13 @@ Supported (the reference's surface plus the obvious neighbors):
         clamped centered-moving-average trend, per-phase seasonal,
         residual; period is a positive literal — tuple-destructuring
         extend binds the four output arrays)
+      | extend s = series_seasonal(x, period)   (standalone seasonal
+        component: per-phase MEDIAN of the raw series — Kusto's
+        contract, distinct from series_decompose's detrended means)
+      | extend ok = geo_point_in_polygon(lon, lat, dynamic([[x,y],..]))
+        (planar even-odd crossing test against a compile-time ring
+        literal; + indexof_regex / bitset_count_ones / strcmp /
+        unicode_codepoints_from_string / _to_string scalars)
       | extend d = series_dot_product(a, b)   (+ series_magnitude /
         series_cosine_similarity / series_pearson_correlation, and the
         element-wise series_add/subtract/multiply/divide/greater/abs/
@@ -117,7 +124,8 @@ Supported (the reference's surface plus the obvious neighbors):
         keep the smallest split, n < 4 falls back with split_idx = -1)
       | evaluate sliding_window_counts(...) / activity_engagement(...)
         / activity_counts_metrics(...) / new_activity_metrics(...)
-        / session_count(...) / rolling_percentile(...)   (the
+        / session_count(...) / active_users_count(...)
+        / rolling_percentile(...)   (the
         activity/rolling plugin family — explicit-range, dense
         timelines; see each _compile_* for the pinned contract)
       | extend v = arr[i]   (computed 0-based index into an array
@@ -136,8 +144,11 @@ Supported (the reference's surface plus the obvious neighbors):
         branch. kql() renders the branches as one table — unionByName
         with null-fill behind a leading `fork_` discriminator column;
         kql_fork() returns the Kusto-faithful {branch: DataFrame} dict)
-      | make-graph Src --> Dst   (directed graph from two id columns)
-      | graph-match (a)-[]->(b)-[]->(c) [where <expr>] project n = x, ...
+      | make-graph Src --> Dst   (directed graph from two id columns;
+        other pipeline columns become edge PROPERTIES, reachable
+        through named graph-match edges)
+      | graph-match (a)-[e]->(b)-[]->(c) [where <expr>] project n = x,
+        w = e.prop, ...   (named edges bind property structs)
       | graph-shortest-paths (s)-[*1..K]->(d) [where] project ..., hops
         (level-synchronous BFS — K-1 frontier joins, each level
         anti-joined against reached pairs)
@@ -213,6 +224,28 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: STRING-LITERAL VALUE SEMANTICS — read before consuming a ``str``
+#: token. The pattern accepts ``\.`` pairs so a quoted literal can
+#: CONTAIN quotes, but the compiler deliberately forks on what those
+#: pairs MEAN:
+#:
+#: - **every ordinary consumer uses the raw source slice**
+#:   (``t.text[1:-1]``): ``\n`` is backslash-then-n, exactly like
+#:   Kusto's verbatim ``@"..."`` strings. This is load-bearing for
+#:   the regex operators (``matches regex``, ``extract``, ``parse``)
+#:   where ``\d`` / ``\b`` must reach the regex engine untouched, and
+#:   it is uniform across all 37 raw-slice sites so a literal means
+#:   the same thing in ``where``, ``extend``, ``split`` etc.;
+#: - **only the python() plugin folds escapes**
+#:   (:func:`_unescape_string_literal`) because its literal is a
+#:   PROGRAM handed to ``compile()``, where a raw ``\n`` pair turns a
+#:   multi-line script into a SyntaxError.
+#:
+#: Consequence: ``"\n"`` is two characters in a filter but one
+#: newline inside a python() script. Pinned by
+#: ``tests/test_kql.py::test_string_literal_escape_semantics_fork``;
+#: widening escape folding beyond python() is a semantics change that
+#: must revisit every raw-slice site (grep ``text[1:-1]``).
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<dur>\d+(?:ms|[smhd])\b)
@@ -1599,6 +1632,48 @@ def _geo_geohash_to_central_point(gh: Column) -> Column:
     return out
 
 
+def _geo_point_in_polygon(
+    lon: Column, lat: Column, ring: list[tuple[float, float]]
+) -> Column:
+    """``geo_point_in_polygon(lon, lat, dynamic([[lon,lat], ...]))`` —
+    point-in-polygon membership, pinned subset of Kusto's function
+    (reference surface: the ADX geospatial family): the polygon is a
+    COMPILE-TIME ring literal (the GeoJSON coordinates ring — closed,
+    first == last, no holes; the full GeoJSON object wrapper is not
+    modeled), so the even-odd crossing-number test unrolls into one
+    flat codegen expression — one comparison chain per edge, zero
+    UDFs, zero shuffles.
+
+    Semantics: even-odd rule on a ray cast in +longitude; works for
+    convex AND non-convex rings. Out-of-range coordinates (|lat| > 90,
+    |lon| > 180) yield null, matching the geohash family's contract.
+    Boundary points follow the half-open crossing rule (deterministic,
+    same arithmetic both engines); Kusto's spherical-edge model
+    differs from this planar ring only near the antimeridian/poles —
+    documented engine pin, exact under the differential because the
+    oracle replays the identical planar test."""
+    if len(ring) < 4 or ring[0] != ring[-1]:
+        raise ValueError(
+            "KQL: geo_point_in_polygon ring must be closed (first == "
+            "last) with at least 3 distinct vertices"
+        )
+    x = lon.cast("double")
+    y = lat.cast("double")
+    crossings: Column = F.lit(0)
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        if y1 == y2:
+            continue  # horizontal edge can never cross the +lon ray
+        straddles = (F.lit(y1) > y) != (F.lit(y2) > y)
+        # intersection of the edge with the horizontal line at y,
+        # written exactly as the oracle writes it (same fp order)
+        xi = (
+            (y - F.lit(y1)) * F.lit((x2 - x1) / (y2 - y1)) + F.lit(x1)
+        )
+        crossings = crossings + F.when(straddles & (x < xi), 1).otherwise(0)
+    ok = (F.abs(y) <= 90) & (F.abs(x) <= 180)
+    return F.when(ok, crossings % 2 == 1)
+
+
 def _series_decompose(arr: Column, period: int) -> Column:
     """``series_decompose(x, period)`` — STL-lite decomposition of a
     make-series array into (baseline, seasonal, trend, residual),
@@ -1661,6 +1736,52 @@ def _series_decompose(arr: Column, period: int) -> Column:
         trend.alias("trend"),
         residual.alias("residual"),
     )
+
+
+def _series_seasonal(arr: Column, period: int) -> Column:
+    """``series_seasonal(x, period)`` — Kusto's standalone seasonal
+    component (ADX series family; auto-period detection is NOT
+    implemented — the period must be a positive integer literal, same
+    pin as series_decompose): ``out[i]`` = MEDIAN of the raw values at
+    phase ``i % period`` (Kusto's contract — median, not mean, and
+    over the RAW series, unlike series_decompose's detrended phase
+    means). Median is computed uniformly as
+    ``(v[(m+1)//2] + v[m//2 + 1]) / 2`` over the sorted phase values —
+    for odd m both picks are the middle element and ``(x + x) / 2 ==
+    x`` exactly in IEEE, for even m it is the two-middle average; the
+    oracle replays the identical sort + picks, so doubles agree
+    bit-for-bit. Phases with no values (n < period) yield null.
+
+    Scale shape: all JVM array HOFs over the make-series array (one
+    sort + two picks per phase, one when-chain per element) — zero
+    shuffles beyond make-series' own, no UDF."""
+    if period <= 0:
+        raise ValueError("KQL: series_seasonal period must be positive")
+    a = F.transform(arr, lambda e: e.cast("double"))
+    n = F.size(a)
+    idxs = F.sequence(F.lit(0), n - F.lit(1))
+
+    def phase_median(ph: int) -> Column:
+        vals = F.array_sort(F.filter(a, lambda _x, i: i % period == ph))
+        m = F.size(vals)
+        lo = F.floor((m + F.lit(1)) / F.lit(2)).cast("int")
+        hi = F.floor(m / F.lit(2)).cast("int") + F.lit(1)
+        return (F.element_at(vals, lo) + F.element_at(vals, hi)) / F.lit(2.0)
+
+    meds = [phase_median(ph) for ph in range(period)]
+
+    def seasonal_at(i: Column) -> Column:
+        out = None
+        for ph in range(period):
+            cond = i % period == ph
+            out = (
+                F.when(cond, meds[ph])
+                if out is None
+                else out.when(cond, meds[ph])
+            )
+        return out
+
+    return F.transform(idxs, seasonal_at)
 
 
 def _series_decompose_anomalies(
@@ -2150,6 +2271,37 @@ class _Parser:
         "degrees": F.degrees,
         "radians": F.radians,
         "pi": lambda: F.lit(math.pi),
+        # indexof_regex(s, rx) — 0-based index of the first regex
+        # match; Kusto returns -1 when absent, exactly regexp_instr's
+        # 0-if-absent shifted by one. The regex is the raw literal
+        # slice (verbatim semantics, see _TOKEN_RE)
+        "indexof_regex": lambda s, rx: (F.regexp_instr(s, rx) - 1).cast(
+            "long"
+        ),
+        # bitset_count_ones(x) — population count on the int64 view
+        "bitset_count_ones": lambda c: F.bit_count(c.cast("long")).cast(
+            "long"
+        ),
+        # unicode_codepoints_from_string / _to_string — the dynamic
+        # codepoint-array round trip. split('') emits a trailing empty
+        # string slot on some inputs — filtered, not assumed away
+        "unicode_codepoints_from_string": lambda s: F.transform(
+            F.filter(F.split(s, ""), lambda ch: ch != ""),
+            lambda ch: F.ascii(ch).cast("long"),
+        ),
+        # format_string's %c formats a full Unicode CODE POINT (char()
+        # would truncate to n % 256 and break everything past Latin-1)
+        "unicode_codepoints_to_string": lambda a: F.array_join(
+            F.transform(
+                a, lambda cp: F.format_string("%c", cp.cast("int"))
+            ),
+            "",
+        ),
+        # strcmp(a, b) — Kusto's three-way string compare
+        "strcmp": lambda a, b: F.when(a < b, -1)
+        .when(a > b, 1)
+        .otherwise(0)
+        .cast("long"),
         # Kusto: -1 when absent — array_position's 0-if-absent shifts
         # to exactly that
         "array_index_of": lambda a, v: (F.array_position(a, v) - 1),
@@ -2523,6 +2675,20 @@ class _Parser:
                 )
             self.expect(")")
             return _series_decompose(arr, int(t.text))
+        if name == "series_seasonal":
+            # series_seasonal(x, period) — period must be a positive
+            # integer literal (Kusto's auto-detection not implemented,
+            # same pin as series_decompose)
+            self.expect("(")
+            arr = self.expr()
+            self.expect(",")
+            t = self.next()
+            if t.kind != "num" or "." in t.text:
+                raise ValueError(
+                    "KQL: series_seasonal period must be an integer literal"
+                )
+            self.expect(")")
+            return _series_seasonal(arr, int(t.text))
         if name == "series_decompose_anomalies":
             # series_decompose_anomalies(x, period [, threshold]) —
             # period an integer literal, threshold a numeric literal
@@ -3108,6 +3274,54 @@ class _Parser:
                 prec = int(t.text)
             self.expect(")")
             return _geo_point_to_geohash(lon, lat, prec)
+        if name == "geo_point_in_polygon":
+            # geo_point_in_polygon(lon, lat, dynamic([[lon,lat],...]))
+            # — the ring must be a compile-time dynamic literal (as in
+            # Kusto, where the polygon is a constant of the query), so
+            # the crossing-number test unrolls into one flat codegen
+            # expression with the edge slopes pre-folded
+            self.expect("(")
+            lon = self.expr()
+            self.expect(",")
+            lat = self.expr()
+            self.expect(",")
+            if self.next().text.lower() != "dynamic":
+                raise ValueError(
+                    "KQL: geo_point_in_polygon ring must be a "
+                    "dynamic([[lon,lat], ...]) literal"
+                )
+            self.expect("(")
+            self.expect("[")
+            ring: list[tuple[float, float]] = []
+            while True:
+                self.expect("[")
+                pair: list[float] = []
+                while True:
+                    tok = self.next()
+                    sign = 1.0
+                    if tok.text == "-":
+                        sign, tok = -1.0, self.next()
+                    if tok.kind != "num":
+                        raise ValueError(
+                            "KQL: geo_point_in_polygon ring must hold "
+                            "numeric literals"
+                        )
+                    pair.append(sign * float(tok.text))
+                    if not self.accept(","):
+                        break
+                self.expect("]")
+                if len(pair) != 2:
+                    raise ValueError(
+                        "KQL: geo_point_in_polygon ring vertices must "
+                        "be [lon, lat] pairs"
+                    )
+                ring.append((pair[0], pair[1]))
+                if not self.accept(","):
+                    break
+            self.expect("]")
+            self.expect(")")
+            self.expect(")")
+            return _geo_point_in_polygon(lon, lat, ring)
         if name not in self._SCALARS:
             raise ValueError(f"KQL: unsupported function {name!r}")
         self.expect("(")
@@ -4209,14 +4423,15 @@ _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "'": "'", '"': '"', "\\": "\\"}
 
 
 def _unescape_string_literal(tok_text: str) -> str:
-    """Decode a quoted string token into its value. The tokenizer's
-    string pattern accepts ``\\.`` pairs, so consumers that need the
-    VALUE (not the raw source slice) must fold the escapes — the
-    python() plugin in particular, where a raw ``\\n`` backslash pair
-    reaching compile() turns a multi-line script into a SyntaxError.
-    Kusto's escape set for quoted literals: \\n \\t \\r \\' \\" \\\\;
-    an unknown escape keeps the backslash verbatim (lenient, matching
-    how the rest of this compiler treats raw slices)."""
+    """Decode a quoted string token into its value — **used ONLY by
+    the python() plugin**, the single consumer whose literal is a
+    program handed to ``compile()``. Every other string consumer in
+    this compiler uses the raw source slice (verbatim-``@"..."``
+    semantics); see the fork contract documented at ``_TOKEN_RE``
+    before adding a second caller. Kusto's escape set for quoted
+    literals: \\n \\t \\r \\' \\" \\\\; an unknown escape keeps the
+    backslash verbatim (lenient, matching how the rest of this
+    compiler treats raw slices)."""
     body = tok_text[1:-1]
     out: list[str] = []
     i = 0
@@ -4794,6 +5009,91 @@ def _compile_activity_engagement(
     )
 
 
+def _compile_active_users_count(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    look_s: float,
+    period_s: float,
+    min_periods: int,
+    bin_s: float,
+) -> DataFrame:
+    """``evaluate active_users_count(Id, Ts, Start, End, Lookback,
+    Period, ActivePeriodsCount, Bin)`` — Kusto's repeat-engagement
+    plugin: per report bin t_k, the number of DISTINCT ids that were
+    active in at least ActivePeriodsCount DISTINCT periods whose
+    period start falls inside the trailing (t_k - lookback, t_k]
+    window. Unlike sliding_window_counts' any-activity Dcount, this
+    counts only ids with REPEATED engagement — the retention-grade
+    DAU/WAU refinement. Pinned deterministic window contract (same
+    convention as the other activity plugins): periods are
+    start-anchored (ordinal floor((ts - Start) / Period)), only
+    activity inside [Start, End] counts (no look-back before Start,
+    the activity_counts_metrics pin), and a period joins a bin's
+    window by its period-START timestamp. Dense timeline, output
+    (Timeline, Dcount).
+
+    Scale shape: the raw stream first collapses to DISTINCT
+    (id, period) — at most lookback/period live rows per id,
+    map-side-combinable — and only THAT bounded table fans to bins
+    (lookback/bin copies per period row, the b73 exact-audit
+    discipline); then one groupBy (bin, id) + threshold filter + one
+    per-bin count, all map-side combined. At 100 TB the fan rides the
+    collapsed period table, not the event stream — the sketch swap
+    does not apply (a >= k-periods filter needs exact per-id period
+    counts), so the collapse IS the scale lever."""
+    if period_s > look_s:
+        raise ValueError(
+            "KQL: active_users_count needs Period <= LookbackWindow"
+        )
+    if bin_s > look_s:
+        raise ValueError(
+            "KQL: active_users_count needs Bin <= LookbackWindow"
+        )
+    if min_periods <= 0:
+        raise ValueError(
+            "KQL: active_users_count ActivePeriodsCount must be positive"
+        )
+    period_us = int(period_s * 1_000_000)
+    start_c = F.lit(start).cast("timestamp")
+    end_c = F.lit(end).cast("timestamp")
+    p_ord = F.floor(
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(start_c))
+        / F.lit(period_us)
+    )
+    periods = (
+        df.filter((F.col(ts_col) >= start_c) & (F.col(ts_col) <= end_c))
+        .select(F.col(id_col).alias("__id"), p_ord.alias("__p"))
+        .distinct()
+        .withColumn(
+            "__sp",
+            F.timestamp_micros(
+                F.unix_micros(start_c) + F.col("__p") * F.lit(period_us)
+            ),
+        )
+    )
+    fan, K = _fan_to_bins(periods, "__sp", start, end, look_s, bin_s)
+    qualified = (
+        fan.groupBy("__k", "__id")
+        .agg(F.countDistinct("__p").alias("__np"))
+        .filter(F.col("__np") >= min_periods)
+    )
+    per_bin = qualified.groupBy("__k").agg(
+        F.count("*").cast("long").alias("Dcount")
+    )
+    grid = _bin_grid(df, start, bin_s, K)
+    return (
+        grid.join(per_bin, "__k", "left")
+        .select(
+            "Timeline",
+            F.coalesce("Dcount", F.lit(0)).cast("long").alias("Dcount"),
+        )
+        .orderBy("Timeline")
+    )
+
+
 def _compile_activity_counts_metrics(
     df: DataFrame,
     id_col: str,
@@ -5304,9 +5604,12 @@ def _compile_graph_match(
     repeated variables close cycles via the shared-variable join keys.
     Vertex variables bind to vertex IDS (this subset models the graph
     from two id columns — Kusto's vertex property bags need a nodes
-    table, not modeled here); edge names inside ``[...]`` are accepted
-    and ignored (no edge properties to reference). ``where`` and
-    ``project`` see one column per vertex variable."""
+    table, not modeled here); a NAMED edge inside ``[...]`` binds a
+    struct of the edge pipeline's property columns (everything beyond
+    the two make-graph id columns), so ``where``/``project`` reference
+    ``e.weight`` exactly as Kusto does — the dotted word resolves as a
+    Spark struct field, no extra join. ``where`` and ``project`` see
+    one column per vertex variable plus one struct per named edge."""
     edges, src, dst = graph
     body = stage[len("graph-match"):].strip()
     mproj = re.search(r"\bproject\b", body, re.IGNORECASE)
@@ -5330,10 +5633,12 @@ def _compile_graph_match(
             "(a)-[]->(b)[-[]->(c) ...]"
         )
     vars_ = re.findall(r"\(\s*(\w+)\s*\)", head)
+    edge_names = re.findall(r"-\s*\[\s*(\w*)\s*\]\s*->", head)
     from .operators.graph import motif_find
 
     terms = "; ".join(
-        f"({a})-[]->({b})" for a, b in zip(vars_, vars_[1:])
+        f"({a})-[{e}]->({b})"
+        for (a, b), e in zip(zip(vars_, vars_[1:]), edge_names)
     )
     df = motif_find(edges, terms, src=src, dst=dst)
     if where_src:
@@ -6856,6 +7161,50 @@ def kql(
                     df = _compile_activity_engagement(
                         df, aw_id, aw_ts, aw_start, aw_end, aw_d1, aw_d2
                     )
+                continue
+            if ev_fn == "active_users_count":
+                # evaluate active_users_count(Id, Ts, Start, End,
+                #   Lookback, Period, ActivePeriodsCount, Bin) — see
+                # _compile_active_users_count for the pinned contract.
+                p.expect("(")
+                au_id = p.next().text
+                p.expect(",")
+                au_ts = p.next().text
+                p.expect(",")
+                au_start = p._datetime_literal()
+                p.expect(",")
+                au_end = p._datetime_literal()
+                p.expect(",")
+                au_look = p._duration_seconds(p.next().text)
+                p.expect(",")
+                au_period = p._duration_seconds(p.next().text)
+                p.expect(",")
+                t = p.next()
+                if t.kind != "num" or "." in t.text:
+                    raise ValueError(
+                        "KQL: active_users_count ActivePeriodsCount "
+                        "must be an integer literal"
+                    )
+                au_min = int(t.text)
+                p.expect(",")
+                au_bin = p._duration_seconds(p.next().text)
+                p.expect(")")
+                if p.peek() is not None:
+                    raise ValueError(
+                        f"KQL: trailing tokens in stage {stage!r}: "
+                        f"{p.peek().text!r}"
+                    )
+                for c in (au_id, au_ts):
+                    if c not in df.columns:
+                        raise ValueError(
+                            f"KQL: active_users_count column {c!r} not "
+                            "found"
+                        )
+                df = _compile_active_users_count(
+                    df, au_id, au_ts, au_start, au_end, au_look,
+                    au_period, au_min, au_bin,
+                )
+                ser = None
                 continue
             if ev_fn in (
                 "activity_counts_metrics",

@@ -80,7 +80,11 @@ def connected_components(
         # decimal sum of per-row (id, comp) hashes. Labels only ever
         # DECREASE (min over a growing reachable set), so the
         # assignment changes every round until the fixpoint — equal
-        # signatures ⟺ converged (w.h.p.). Type-agnostic, unlike a
+        # signatures ⟺ converged (w.h.p.; the loop then CONFIRMS
+        # exactly with a changed-row probe before declaring
+        # convergence, so a hash-sum collision can only cost one
+        # extra join, never a silent partial result). Type-agnostic,
+        # unlike a
         # Σcomp probe, so STRING node ids (KQL graphs over event
         # types, user names) work; one O(n) scan of the checkpointed
         # labels, no join-and-compare.
@@ -121,10 +125,25 @@ def connected_components(
             ).select("id", F.least("comp", "__ccomp").alias("comp"))
         new_labels = stepped.localCheckpoint(eager=True)
         new_sum = _label_sig(new_labels)
-        labels = new_labels
         if new_sum == prev_sum:
-            converged = True
-            break
+            # Signature equality is necessary but only w.h.p.
+            # sufficient (hash-sum collision). One EXACT changed-row
+            # probe on the candidate final round makes early exit
+            # collision-proof: both sides are checkpointed, the join
+            # is equi-keyed on id, and limit(1) short-circuits at the
+            # first difference — paid once, never per round.
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("p"), "id")
+                .filter(F.col("n.comp") != F.col("p.comp"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
+        labels = new_labels
         prev_sum = new_sum
     sym.unpersist()
     if _stats is not None:
@@ -229,9 +248,19 @@ def connected_components_star(
         )
         rounds += 1
         new_sig = _edge_signature(small)
-        e = small
         if new_sig == sig:
-            break
+            # Exact confirmation of the w.h.p. signature match: both
+            # edge sets are distinct'd, so equal cardinality (checked
+            # by the signature's count field) plus small ⊆ e proves
+            # set equality — one anti-join probe, only on the
+            # candidate final round.
+            extra = (
+                small.join(e, ["a", "b"], "left_anti").limit(1).count()
+            )
+            if extra == 0:
+                e = small
+                break
+        e = small
         sig = new_sig
     else:
         raise RuntimeError(
@@ -261,7 +290,7 @@ def motif_find(
     ``pattern`` is a ``;``-separated list of edge terms in the
     GraphFrames surface syntax, e.g.::
 
-        (a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)
+        (a)-[]->(b); (b)-[e]->(c); !(a)-[]->(c)
 
     Positive terms compile to a chain of hash equi-joins on the shared
     vertex variables (each term must share at least one variable with
@@ -270,7 +299,13 @@ def motif_find(
     (``!``) compile to LEFT ANTI joins on their two already-bound
     variables — both endpoints of a negation must be bound by positive
     terms, exactly GraphFrames' rule. Output columns are the vertex
-    variables.
+    variables, plus one STRUCT column per NAMED edge variable
+    (GraphFrames' ``e`` column shape) carrying every edge-table column
+    other than the two endpoints — edge properties ride the same
+    equi-join, so a named edge costs nothing beyond the wider shuffle
+    rows. Naming an edge requires the edge table to HAVE property
+    columns, and negated terms cannot be named (an anti-join binds no
+    edge row).
 
     Scale shape: a motif with k positive terms is k-1 equi-joins on
     vertex keys plus one anti-join per negation — all shuffle-hash/
@@ -286,20 +321,52 @@ def motif_find(
     import re as _re
 
     terms = [t.strip() for t in pattern.split(";") if t.strip()]
-    pos: list[tuple[str, str]] = []
+    pos: list[tuple[str, str, str]] = []
     neg: list[tuple[str, str]] = []
     for t in terms:
-        m = _re.fullmatch(r"(!?)\s*\(\s*(\w+)\s*\)-\[\s*\]->\(\s*(\w+)\s*\)", t)
+        m = _re.fullmatch(
+            r"(!?)\s*\(\s*(\w+)\s*\)-\[\s*(\w*)\s*\]->\(\s*(\w+)\s*\)", t
+        )
         if not m:
             raise ValueError(f"motif_find: unparsable term {t!r}")
-        (neg if m.group(1) else pos).append((m.group(2), m.group(3)))
+        if m.group(1):
+            if m.group(3):
+                raise ValueError(
+                    f"motif_find: negated term {t!r} cannot name its "
+                    "edge — an anti-join binds no edge row"
+                )
+            neg.append((m.group(2), m.group(4)))
+        else:
+            pos.append((m.group(2), m.group(3), m.group(4)))
     if not pos:
         raise ValueError("motif_find: need at least one positive term")
 
+    prop_cols = [c for c in edges.columns if c not in (src, dst)]
+    enames = [e for _, e, _ in pos if e]
+    if len(set(enames)) != len(enames):
+        raise ValueError("motif_find: edge variable names must be unique")
+    clash = set(enames) & {v for a, _, b in pos for v in (a, b)}
+    if clash:
+        raise ValueError(
+            f"motif_find: edge variable(s) {sorted(clash)} collide with "
+            "vertex variables"
+        )
+    if enames and not prop_cols:
+        raise ValueError(
+            "motif_find: named edge variables need property columns on "
+            f"the edge table beyond ({src}, {dst})"
+        )
+
+    def term_df(a: str, ename: str, b: str) -> DataFrame:
+        cols = [F.col(src).alias(a), F.col(dst).alias(b)]
+        if ename:
+            cols.append(F.struct(*prop_cols).alias(ename))
+        return edges.select(*cols)
+
     df: DataFrame | None = None
     bound: set[str] = set()
-    for a, b in pos:
-        e = edges.select(F.col(src).alias(a), F.col(dst).alias(b))
+    for a, ename, b in pos:
+        e = term_df(a, ename, b)
         if df is None:
             df, bound = e, {a, b}
             continue
@@ -324,4 +391,4 @@ def motif_find(
             )
         e = edges.select(F.col(src).alias(a), F.col(dst).alias(b))
         df = df.join(e, on=[a, b], how="left_anti")
-    return df.select(*sorted(bound))
+    return df.select(*sorted(bound), *enames)

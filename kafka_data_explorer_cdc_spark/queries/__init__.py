@@ -85,9 +85,17 @@ from . import reference  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 _FRONT = [
-    # ROUND-12 WINDOW (rebuilt from CORRECTNESS_r01..r11 via
-    # tools/rotation_check.py — run it after any edit here; it FAILs
-    # if a never-checked entry sits outside the 50-slot head).
+    # ROUND-13 WINDOW (round-12's window carried forward UNCHANGED in
+    # slots 0..44 — the round-12 driver produced no CORRECTNESS
+    # artifact either, so the 40-entry backlog + k103 + the 4 round-12
+    # additions all still await their first driver row; the round-13
+    # judge re-verified all of them MATCH at sf0.01. The ONLY edit
+    # this round: the 5 round-13 additions (k111–k115, never-checked
+    # by construction) displace the 5 r2-stale rotation slots
+    # (k14 k15 k16 k13 k17), per the standing policy — additions
+    # displace stale-rotation slots, never the backlog. Run
+    # tools/rotation_check.py after any edit here; it FAILs if a
+    # never-checked entry sits outside the 50-slot head.)
     # Layout, per the standing policy above:
     #   (0) the 40 entries with NO driver row in any round — the
     #       round-10 cohort (b106–b117, d92–d98, k71–k84, mm11–mm13,
@@ -103,20 +111,26 @@ _FRONT = [
     #       displacing stale-rotation slots per the policy note below:
     #       k109_kql_graph_mark_components, k110_kql_series_iir,
     #       mm16_image_histogram_gate, s61_stream_bottomk_sample;
-    #   (2) 5 slots of the r2-stale cohort (newest green = r2), build
-    #       order: k14 k15 k16 k13 k17. The remaining
-    #       9 r2 entries (k20–k23, d07, d16–d19) plus the r3 cohort
-    #       lead the round-13 rotation.
-    # 40 + 1 + 4 + 5 = 50 — round-12 adds FOUR new entries and
-    # otherwise spends the window on the backlog (round-11 verdict
-    # item 5); late additions displace stale-rotation slots (2), never
-    # the backlog (0).
+    #   (1c) the round-13 additions (never-checked by construction),
+    #       displacing the 5 r2-stale rotation slots that sat here in
+    #       round 12 (k14 k15 k16 k13 k17):
+    #       k111_kql_geo_point_in_polygon, k112_kql_series_seasonal,
+    #       k113_kql_graph_match_edge_props,
+    #       k114_kql_string_codepoint_scalars,
+    #       k115_kql_active_users_count.
+    # 40 + 1 + 4 + 5 = 50. The r2-stale cohort (now 14 entries:
+    # k13–k17 displaced this round + k20–k23, d07, d16–d19) plus the
+    # r3 cohort lead the round-14 rotation.
     #
-    # ROUND-13 QUEUE (computed end-of-round-12; re-verify with
-    # tools/rotation_check.py once CORRECTNESS_r12 lands):
-    #   1. any round-13 additions (never-checked) first; then
-    #   2. the r2-stale remainder (9, build order): k20_kql_between,
-    #      k21_kql_countif_sumif, k22_kql_parse_json,
+    # ROUND-14 QUEUE (computed end-of-round-13; re-verify with
+    # tools/rotation_check.py once CORRECTNESS_r13 lands — that run
+    # retires the whole 50-slot head, freeing all 50 slots):
+    #   1. any round-14 additions (never-checked) first; then
+    #   2. the r2-stale cohort (14, build order): k14_kql_avg_sales,
+    #      k15_kql_total_sales, k16_kql_order_counts,
+    #      k13_kql_recent_orders, k17_kql_filtered_pipeline
+    #      (displaced from the round-13 window by k111–k115),
+    #      k20_kql_between, k21_kql_countif_sumif, k22_kql_parse_json,
     #      k23_kql_mv_expand,
     #      d07_embedding_cosine_topk, d16_chunk_documents,
     #      d17_contamination_check, d18_repetition_ratio,
@@ -184,11 +198,11 @@ _FRONT = [
     "mm16_image_histogram_gate",
     "s61_stream_bottomk_sample",
     # (2) r2-stale rotation (5 of 14; k20-k23/d07/d16-d19 → round 13)
-    "k14_kql_avg_sales",
-    "k15_kql_total_sales",
-    "k16_kql_order_counts",
-    "k13_kql_recent_orders",
-    "k17_kql_filtered_pipeline",
+    "k111_kql_geo_point_in_polygon",
+    "k112_kql_series_seasonal",
+    "k113_kql_graph_match_edge_props",
+    "k114_kql_string_codepoint_scalars",
+    "k115_kql_active_users_count",
 ]
 
 _FRONT_ROUND11_RETIRED = [

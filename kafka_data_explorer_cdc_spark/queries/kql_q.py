@@ -4556,3 +4556,326 @@ def k110_kql_series_iir(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | project event_type, i = tolong(i), y",
         {"Events": events},
     )
+
+
+#: k111's polygon — a single non-convex ring (closed, no holes) in
+#: plain lon/lat. Vertices sit at .005 offsets so no synthetic lattice
+#: point (multiples of 0.01) can coincide with a vertex; both the KQL
+#: dynamic literal and the DuckDB oracle are GENERATED from this one
+#: constant so the two engines can never drift.
+_K111_RING = [
+    (-120.005, -60.005),
+    (-10.005, -75.005),
+    (80.005, -20.005),
+    (20.005, 10.005),
+    (110.005, 55.005),
+    (-40.005, 70.005),
+    (-60.005, 5.005),
+    (-120.005, -60.005),
+]
+
+
+def _k111_ring_literal() -> str:
+    return (
+        "dynamic(["
+        + ", ".join(f"[{x!r}, {y!r}]" for x, y in _K111_RING)
+        + "])"
+    )
+
+
+def _k111_oracle() -> str:
+    """Crossing-number replay with the edge slopes PRE-FOLDED to the
+    same double constants the Spark expression carries (repr is
+    shortest-round-trip, so both engines parse the identical double),
+    and every comparison in the same textual order — bit-exact."""
+    terms = []
+    for (x1, y1), (x2, y2) in zip(_K111_RING, _K111_RING[1:]):
+        if y1 == y2:
+            continue
+        slope = (x2 - x1) / (y2 - y1)
+        terms.append(
+            f"(CASE WHEN (({y1!r} > lat) <> ({y2!r} > lat))"
+            f" AND lon < ((lat - {y1!r}) * {slope!r} + {x1!r})"
+            " THEN 1 ELSE 0 END)"
+        )
+    total = "\n       + ".join(terms)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+    CAST((event_id * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+    CAST((event_id * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+  FROM events
+)
+SELECT event_id,
+       (({total}) % 2) = 1 AS inside
+FROM pts
+"""
+
+
+@query(
+    "k111_kql_geo_point_in_polygon",
+    oracle=_k111_oracle(),
+    tags=("kql", "scalar", "geo"),
+)
+def k111_kql_geo_point_in_polygon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``geo_point_in_polygon`` — point-in-polygon membership over the
+    k86 synthetic point lattice (kql.py:_geo_point_in_polygon; the ADX
+    geospatial family next to k86's distance and k106's geohash).
+    Pinned subset: the polygon is a compile-time ``dynamic([[lon,lat],
+    ...])`` ring literal (closed, no holes — the GeoJSON coordinates
+    ring without the object wrapper), evaluated with the planar
+    even-odd crossing rule, so a NON-CONVEX ring classifies correctly;
+    Kusto's spherical edges differ only near antimeridian/poles
+    (documented engine pin — the oracle replays the identical planar
+    test with pre-folded edge slopes, bit-exact).
+
+    Scale shape: the ring unrolls at compile time into one flat
+    codegen comparison chain per row — one scan, zero shuffles, zero
+    UDFs; the polygon constant never ships with the data."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events"
+        " | extend lat = todouble((event_id * 7919) % 18000) / 100.0 - 90.0,"
+        "          lon = todouble((event_id * 104729) % 36000) / 100.0 - 180.0"
+        f" | extend inside = geo_point_in_polygon(lon, lat, {_k111_ring_literal()})"
+        " | project event_id, inside",
+        {"Events": events},
+    )
+
+
+@query(
+    "k112_kql_series_seasonal",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-08 12:00:00'
+  GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT t.event_type, g.i,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (g.i * 6) HOUR AS d
+  FROM types t, unnest(generate_series(0, 29)) AS g(i)
+), dense AS (
+  SELECT g.event_type, g.i, CAST(COALESCE(daily.n, 0) AS DOUBLE) AS n
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.d = g.d
+), ph AS (
+  SELECT event_type, i % 4 AS p, list_sort(list(n)) AS vals
+  FROM dense GROUP BY 1, 2
+), med AS (
+  SELECT event_type, p,
+         (vals[CAST((len(vals) + 1) // 2 AS INT)]
+          + vals[CAST(len(vals) // 2 + 1 AS INT)]) / 2.0 AS sv
+  FROM ph
+)
+SELECT d.event_type, CAST(d.i AS BIGINT) AS i, d.n AS nv, m.sv
+FROM dense d JOIN med m
+  ON m.event_type = d.event_type AND m.p = d.i % 4
+""",
+    tags=("kql", "timeseries", "dynamic"),
+)
+def k112_kql_series_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_seasonal`` — Kusto's standalone seasonal component
+    (kql.py:_series_seasonal; the explicit-period sibling of k67's
+    series_decompose, whose seasonal term is a phase MEAN of the
+    DETRENDED series — this one is Kusto's phase MEDIAN of the RAW
+    series): 6-hour event counts per type over 7.5 days (30 bins, so
+    period 4 yields phases with BOTH even (8) and odd (7) value
+    counts — both median branches exercised), per-phase median via
+    one sort + the uniform two-middle-pick formula, identical on both
+    engines. Unpacked through the typed mv-expand for the value
+    differential.
+
+    Scale shape: one make-series shuffle; the seasonal computation is
+    row-local JVM array HOF work (one array_sort + two element picks
+    per phase) — no second shuffle, no UDF."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | make-series n = count()"
+        " on ts from '2024-01-01 00:00:00' to '2024-01-08 12:00:00'"
+        " step 6h by event_type"
+        " | extend s = series_seasonal(n, 4)"
+        " | mv-expand with_itemindex = i sv = s to typeof(real)"
+        " | extend i = tolong(i), nv = todouble(n[i])"
+        " | project event_type, i, nv, sv",
+        {"Events": events},
+    )
+
+
+@query(
+    "k113_kql_graph_match_edge_props",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), e AS (
+  SELECT event_type AS s, next_type AS d, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT e1.s AS a, e1.d AS b, e2.d AS c, e1.w AS w1, e2.w AS w2
+FROM e e1 JOIN e e2 ON e1.d = e2.s
+WHERE e1.w >= 40 AND e2.w > e1.w
+""",
+    tags=("kql", "graph"),
+)
+def k113_kql_graph_match_edge_props(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``graph-match`` with NAMED EDGES and edge-property predicates —
+    the k70 upgrade the round-12 verdict queued: ``(a)-[e1]->(b)``
+    binds ``e1`` to a struct of the edge pipeline's property columns
+    (operators/graph.py:motif_find named-edge support), so ``where``
+    and ``project`` reference ``e1.w`` exactly as Kusto does — here
+    a WEIGHTED transition graph (transition count per edge) filtered
+    to heavy 2-hop paths with ascending weights (``e2.w > e1.w`` is
+    the genuinely new capability: an edge-to-edge comparison no
+    vertex-only match can express).
+
+    Scale shape: identical join algebra to k70 — one edge-scan per
+    hop, hash equi-joins on the shared vertex variables; the property
+    struct rides the join payload (wider rows, same shuffle count),
+    and both predicates are plain Catalyst filters pushed against the
+    joined result. Hub-skew mitigation unchanged (degree-orient
+    before make-graph)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    edges = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("s"), F.col("next_type").alias("d")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    return kql(
+        "E | make-graph s --> d"
+        " | graph-match (a)-[e1]->(b)-[e2]->(c)"
+        " where e1.w >= 40 and e2.w > e1.w"
+        " project a, b, c, w1 = e1.w, w2 = e2.w",
+        {"E": edges},
+    )
+
+
+@query(
+    "k114_kql_string_codepoint_scalars",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[0-9]+')
+            THEN CAST(length(regexp_replace(text, '[0-9]+.*$', '', 's'))
+                      AS BIGINT)
+            ELSE -1 END AS ir,
+       CAST(bit_count(doc_id) AS BIGINT) AS bc,
+       list_transform(string_split(substring(text, 1, 8), ''),
+                      c -> CAST(unicode(c) AS BIGINT)) AS cps,
+       list_aggregate(
+         list_transform(
+           list_transform(string_split(substring(text, 1, 8), ''),
+                          c -> unicode(c)),
+           cp -> chr(cp)),
+         'string_agg', '') = substring(text, 1, 8) AS rt_ok,
+       CAST(CASE WHEN lang < 'en' THEN -1
+                 WHEN lang > 'en' THEN 1 ELSE 0 END AS BIGINT) AS sc
+FROM documents
+""",
+    tags=("kql", "scalar", "string"),
+)
+def k114_kql_string_codepoint_scalars(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The round-13 scalar-gap bundle (k87's discipline — several
+    related scalars, one differential): ``indexof_regex`` (0-based
+    first-match position, -1 when absent — regexp_instr shifted;
+    DuckDB lacks regexp_instr, so the oracle derives the position as
+    the length of the prefix left after deleting ``pattern.*$``, with
+    an explicit no-match branch), ``bitset_count_ones`` (int64
+    popcount — F.bit_count vs DuckDB bit_count), the
+    ``unicode_codepoints_from_string`` / ``_to_string`` round trip
+    over the first 8 chars (Spark's ascii() reads full code points
+    and format_string's %c writes them — NOT char(), which truncates
+    to Latin-1; asserted here as a per-row round-trip flag rather
+    than assumed), and ``strcmp`` (three-way compare; the oracle
+    spells the same CASE ladder so collation never enters — both
+    sides compare codepoint-wise on this corpus).
+
+    Scale shape: all six are row-local codegen expressions over one
+    scan — zero shuffles, zero UDFs, nothing to re-plan at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    return kql(
+        "Docs"
+        ' | extend ir = indexof_regex(text, "[0-9]+"),'
+        "          bc = bitset_count_ones(doc_id),"
+        "          head = substring(text, 0, 8)"
+        " | extend cps = unicode_codepoints_from_string(head)"
+        " | extend rt_ok = unicode_codepoints_to_string(cps) == head,"
+        '          sc = strcmp(lang, "en")'
+        " | project doc_id, ir, bc, cps, rt_ok, sc",
+        {"Docs": docs},
+    )
+
+
+@query(
+    "k115_kql_active_users_count",
+    oracle="""
+WITH periods AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(EPOCH(ts - TIMESTAMP '2024-01-01 00:00:00')
+                    / 86400.0) AS BIGINT) AS p
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-29 00:00:00'
+), bins AS (
+  SELECT CAST(g.k AS BIGINT) AS k
+  FROM unnest(generate_series(0, 28)) AS g(k)
+), qualified AS (
+  SELECT b.k, pr.user_id
+  FROM periods pr JOIN bins b
+    ON pr.p * 86400 <= b.k * 86400
+   AND pr.p * 86400 > b.k * 86400 - 604800
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT pr.p) >= 3
+), per_bin AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS Dcount
+  FROM qualified GROUP BY 1
+)
+SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (b.k) DAY AS Timeline,
+       COALESCE(p.Dcount, 0) AS Dcount
+FROM bins b LEFT JOIN per_bin p ON p.k = b.k
+""",
+    tags=("kql", "activity", "analytics"),
+)
+def k115_kql_active_users_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``evaluate active_users_count(...)`` — Kusto's repeat-engagement
+    plugin (kql.py:_compile_active_users_count), completing the
+    activity family next to sliding_window_counts / activity_engagement
+    / activity_counts_metrics: per daily bin, the distinct users active
+    on >= 3 DISTINCT days within the trailing 7-day window — the
+    retention-grade WAU refinement (any-activity Dcount counts
+    drive-bys; this counts habits). Pinned window contract documented
+    at the compiler; the oracle replays it with an explicit
+    period-grid range join.
+
+    Scale shape: the event stream collapses to DISTINCT (user, day)
+    FIRST (map-side combinable, at most lookback/period live rows per
+    user), and only that bounded table fans lookback/bin-fold to
+    report bins; threshold + per-bin count both map-side combine. The
+    collapse is the scale lever — the fan never touches raw events."""
+    events = load(spark, sf_dir, "events")
+    return kql(
+        "Events | evaluate active_users_count(user_id, ts,"
+        " datetime('2024-01-01 00:00:00'), datetime('2024-01-29 00:00:00'),"
+        " 7d, 1d, 3, 1d)",
+        {"Events": events},
+    )

@@ -2690,6 +2690,36 @@ def test_kql_python_plugin_unescapes_script(spark):
     assert got == {1: 20.0, 2: 50.0}
 
 
+def test_string_literal_escape_semantics_fork(spark):
+    """PINS the deliberate escape-semantics fork documented at
+    _TOKEN_RE (round-12 ADVICE): ordinary string consumers use the
+    RAW source slice (verbatim-@"..." semantics — a \\n pair is two
+    characters, and \\d reaches the regex engine untouched), while
+    ONLY the python() plugin folds escapes (its literal is a program
+    handed to compile()). If either side of this test starts failing,
+    the fork moved — revisit every raw-slice site, not just one."""
+    df = spark.createDataFrame(
+        [(1, "a\\nb"), (2, "a\nb"), (3, "x7y")],
+        "id long, s string",
+    )
+    # raw-slice side: "\n" in a filter literal means BACKSLASH + n,
+    # matching row 1 (the two-char sequence), not row 2 (the newline)
+    got = kql('T | where s == "a\\nb" | project id', {"T": df})
+    assert [r["id"] for r in got.collect()] == [1]
+    # raw-slice side, regex consumer: \d must reach the engine intact
+    got = kql('T | where s matches regex "x\\dy" | project id', {"T": df})
+    assert [r["id"] for r in got.collect()] == [3]
+    # python() side: the SAME \n pair is one newline (a line break in
+    # the script), so a two-line program compiles and runs
+    out = kql(
+        "T | evaluate python(typeof(id:long, n:long),"
+        " 'tmp = df[\"id\"] * 2\\nresult = df.assign(n = tmp)[[\"id\", \"n\"]]')",
+        {"T": df},
+        allow_python=True,
+    )
+    assert {r["id"]: r["n"] for r in out.collect()} == {1: 2, 2: 4, 3: 6}
+
+
 def test_kql_geohash_canonical_vectors(spark):
     """geo_point_to_geohash matches the canonical test vectors
     (ezs42; London gcpvj); decode returns the cell center containing
@@ -2819,3 +2849,146 @@ def test_kql_series_iir_vectors(spark):
             {"T": df})
     with pytest.raises(ValueError, match="dynamic"):
         kql("T | extend y = series_iir(x, x, dynamic([1]))", {"T": df})
+
+
+def test_geo_point_in_polygon_vectors(spark):
+    """k111 kernel contract: even-odd crossing on a NON-CONVEX ring
+    (the notch at (1,1) excludes points a convex hull would admit);
+    out-of-range coordinates yield null; an open (first != last) ring
+    is a compile-time error."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.5, 0.5),    # inside the left lobe
+            (2, 5.0, 5.0),    # far outside
+            (3, 1.5, 0.2),    # inside the right lobe, below the notch
+            (4, 1.5, 1.0),    # in the notch (inside the convex hull,
+                              # interior at y=1 is x in (0,1)) -> OUTSIDE
+            (5, 200.0, 0.0),  # lon out of range -> null
+        ],
+        "id long, lon double, lat double",
+    )
+    ring = ("dynamic([[0.0,0.0],[2.0,0.0],[1.0,1.0],[2.0,2.0],"
+            "[0.0,2.0],[0.0,0.0]])")
+    out = kql(
+        f"T | extend inside = geo_point_in_polygon(lon, lat, {ring})"
+        " | project id, inside",
+        {"T": df},
+    )
+    got = {r["id"]: r["inside"] for r in out.collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: None}
+    with pytest.raises(ValueError, match="closed"):
+        kql(
+            "T | extend i = geo_point_in_polygon(lon, lat,"
+            " dynamic([[0.0,0.0],[2.0,0.0],[1.0,1.0]]))",
+            {"T": df},
+        )
+
+
+def test_series_seasonal_vectors(spark):
+    """k112 kernel contract: per-phase MEDIAN of the raw series (odd
+    count -> exact middle; even count -> two-middle average), output
+    aligned by i % period; n < period leaves empty phases null."""
+    df = spark.createDataFrame(
+        [
+            # period 2: phase0 [1,2,100] -> med 2; phase1 [10,20,30] -> 20
+            (1, [1.0, 10.0, 2.0, 20.0, 100.0, 30.0]),
+            # period 2 over 4 elems: phase0 [1,3] -> 2.0 (even branch)
+            (2, [1.0, 5.0, 3.0, 7.0]),
+        ],
+        "id long, x array<double>",
+    )
+    out = kql("T | extend s = series_seasonal(x, 2) | project id, s", {"T": df})
+    got = {r["id"]: r["s"] for r in out.collect()}
+    assert got[1] == [2.0, 20.0, 2.0, 20.0, 2.0, 20.0]
+    assert got[2] == [2.0, 6.0, 2.0, 6.0]
+    # n < period: phases beyond the data are null
+    df3 = spark.createDataFrame([(3, [5.0])], "id long, x array<double>")
+    out3 = kql("T | extend s = series_seasonal(x, 3) | project s", {"T": df3})
+    assert out3.collect()[0]["s"] == [5.0]
+
+
+def test_graph_match_named_edges_and_errors(spark):
+    """k113 kernel contract: named edges bind property structs readable
+    as e.field in where/project; cycles still close through repeated
+    vertex vars; negated terms cannot be named; a named edge on a
+    property-less edge table is an error."""
+    import pytest
+
+    from kafka_data_explorer_cdc_spark.operators.graph import motif_find
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 5.0), ("c", "a", 2.0), ("b", "d", 3.0)],
+        "s string, d string, w double",
+    )
+    # cycle a->b->c->a with per-edge weights via the KQL surface
+    out = kql(
+        "E | make-graph s --> d"
+        " | graph-match (x)-[e1]->(y)-[e2]->(z)-[e3]->(x)"
+        " where e1.w < e2.w project x, y, z, total = e1.w + e2.w + e3.w",
+        {"E": edges},
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [("a", "b", "c", 8.0)]
+    with pytest.raises(ValueError, match="cannot name"):
+        motif_find(edges, "(a)-[]->(b); !(a)-[e]->(b)", src="s", dst="d")
+    with pytest.raises(ValueError, match="collide"):
+        motif_find(edges, "(a)-[b]->(b)", src="s", dst="d")
+    with pytest.raises(ValueError, match="property columns"):
+        motif_find(
+            edges.select("s", "d"), "(a)-[e]->(b)", src="s", dst="d"
+        )
+
+
+def test_active_users_count_hand_example(spark):
+    """k115 kernel contract, verified by hand: lookback 2d, period 1d,
+    min 2 active days. u1 active days {0,1,2}, u2 {0}, u3 {0,2}: only
+    u1 ever qualifies — in the bins whose trailing 2-day window holds
+    two of its period STARTS (the (t_k - lookback, t_k] window is
+    half-open, so day 0's start falls out of bin 2's window)."""
+    import datetime as dt
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=d))
+        for d, u in [(0, 1), (1, 1), (2, 1), (0, 2), (0, 3), (2, 3)]
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = kql(
+        "T | evaluate active_users_count(user_id, ts,"
+        " datetime('2024-01-01'), datetime('2024-01-04'), 2d, 1d, 2, 1d)",
+        {"T": df},
+    )
+    got = [(str(r["Timeline"]), r["Dcount"]) for r in out.collect()]
+    assert got == [
+        ("2024-01-01 00:00:00", 0),
+        ("2024-01-02 00:00:00", 1),
+        ("2024-01-03 00:00:00", 1),
+        ("2024-01-04 00:00:00", 0),
+    ]
+
+
+def test_string_codepoint_scalar_vectors(spark):
+    """k114 kernel contract: indexof_regex is 0-based / -1 absent;
+    bitset_count_ones is an int64 popcount; the codepoint round trip
+    survives non-Latin-1 characters (format_string %c writes full code
+    points — char() would truncate at 256); strcmp is three-way."""
+    df = spark.createDataFrame(
+        [(1, "hello world", 5), (2, "café €9", 255), (3, "", 0)],
+        "id long, s string, v long",
+    )
+    out = kql(
+        'T | extend ir = indexof_regex(s, "o.w"), bc = bitset_count_ones(v),'
+        " cps = unicode_codepoints_from_string(s)"
+        " | extend back = unicode_codepoints_to_string(cps),"
+        '   sc = strcmp(s, "café €9")'
+        " | project id, ir, bc, back, sc, cps",
+        {"T": df},
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert (got[1]["ir"], got[1]["bc"], got[1]["sc"]) == (4, 2, 1)
+    assert got[2]["cps"] == [99, 97, 102, 233, 32, 8364, 57]
+    assert got[2]["back"] == "café €9" and got[2]["sc"] == 0
+    assert (got[3]["ir"], got[3]["bc"], got[3]["sc"]) == (-1, 0, -1)
+    for r in got.values():
+        assert r["back"] == ("hello world" if r["id"] == 1 else r["back"])

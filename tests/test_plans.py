@@ -1677,3 +1677,64 @@ def test_bottomk_sample_plan_state_boundary(spark, sf_dir):
     p = plan_of(spark, sf_dir, "s61_stream_bottomk_sample")
     assert "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_geo_point_in_polygon_codegen_zero_shuffle(spark, sf_dir):
+    """k111: the ring unrolls into one flat codegen comparison chain —
+    one scan, ZERO shuffles, no Python, and the polygon constant never
+    becomes a join (no broadcast, no cartesian)."""
+    p = plan_of(spark, sf_dir, "k111_kql_geo_point_in_polygon")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    # executedPlan.toString marks codegen stages with "*(n)"
+    assert "*(1)" in p, p
+
+
+def test_series_seasonal_one_shuffle_no_python(spark, sf_dir):
+    """k112: one make-series rollup shuffle; the phase-median seasonal
+    is row-local JVM array HOF work (no second aggregate exchange
+    beyond the rollup's pair, no Python), and the only generator is
+    the final typed mv-expand."""
+    p = plan_of(spark, sf_dir, "k112_kql_series_seasonal")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert p.count("Generate") == 1, p
+
+
+def test_graph_match_edge_props_same_join_algebra(spark, sf_dir):
+    """k113: named edges must not change the join algebra — hash
+    equi-joins only (property structs ride the join payload), never a
+    cartesian/nested-loop join, and no Python anywhere."""
+    p = plan_of(spark, sf_dir, "k113_kql_graph_match_edge_props")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_string_codepoint_scalars_single_scan(spark, sf_dir):
+    """k114: six scalars, one scan — row-local codegen expressions
+    with zero shuffles, zero joins, zero Python."""
+    p = plan_of(spark, sf_dir, "k114_kql_string_codepoint_scalars")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Join" not in p, p
+    # the scan-side projects are codegen ("*(n)"); the HOF-lambda
+    # projects above them legitimately interpret (array transforms
+    # have no codegen path) — pinned: codegen present, Python absent
+    assert "*(1)" in p, p
+
+
+def test_active_users_count_collapse_before_fan(spark, sf_dir):
+    """k115: the DISTINCT (id, period) collapse must run BEFORE the
+    bin fan-out — the plan's only Generate (the explode) sits above a
+    distinct aggregate, and the raw event stream never explodes. No
+    Python; the dense-grid join may broadcast (bounded range)."""
+    p = plan_of(spark, sf_dir, "k115_kql_active_users_count")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert p.count("Generate") == 1, p
+    assert "CartesianProduct" not in p, p
+    # the explode's child plan must contain the collapse aggregate:
+    # order in the formatted plan is leaf-last, so the distinct's
+    # HashAggregate appears after Generate in the text
+    gi = p.index("Generate")
+    assert "HashAggregate" in p[gi:], p
