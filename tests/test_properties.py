@@ -262,3 +262,156 @@ def test_property_poly_hash_portable(spark, strings):
     want = {i: _poly_ref(s) for i, s in enumerate(strings)}
     assert got_spark == want
     assert got_duck == want
+
+
+def _pip_ref(x: float, y: float, ring: list[tuple[float, float]]) -> bool:
+    """Pure-python even-odd crossing reference, written with the SAME
+    arithmetic shape as the Spark expression (slope pre-folded)."""
+    crossings = 0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        if y1 == y2:
+            continue
+        if (y1 > y) != (y2 > y) and x < (y - y1) * ((x2 - x1) / (y2 - y1)) + x1:
+            crossings += 1
+    return crossings % 2 == 1
+
+
+@given(
+    verts=st.lists(
+        st.tuples(
+            st.floats(min_value=-170, max_value=170, allow_nan=False),
+            st.floats(min_value=-85, max_value=85, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=8,
+        unique=True,
+    ),
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-180, max_value=180, allow_nan=False),
+            st.floats(min_value=-90, max_value=90, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_point_in_polygon_vs_reference_and_reversal(
+    spark, verts, pts
+):
+    """geo_point_in_polygon (k111) equals the pure-python even-odd
+    reference for ARBITRARY (possibly self-intersecting) closed rings,
+    and is invariant under ring-orientation REVERSAL — the even-odd
+    rule is orientation-free, so a reversed ring must classify every
+    point identically. One Spark job per example (both orientations in
+    one select)."""
+    from kafka_data_explorer_cdc_spark.kql import _geo_point_in_polygon
+
+    import pyspark.sql.functions as F
+
+    ring = verts + [verts[0]]
+    rev = list(reversed(ring))
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = df.select(
+        _geo_point_in_polygon(F.col("lon"), F.col("lat"), ring).alias("f"),
+        _geo_point_in_polygon(F.col("lon"), F.col("lat"), rev).alias("r"),
+    ).collect()
+    for (x, y), row in zip(pts, out):
+        assert row["f"] == _pip_ref(x, y, ring), (x, y, ring)
+        assert row["r"] == row["f"], "orientation reversal changed verdict"
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    period=st.integers(min_value=1, max_value=6),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_series_seasonal_vs_python_median(spark, xs, period):
+    """series_seasonal (k112) equals the pure-python phase-median for
+    ANY series and period, including n < period (empty phases null),
+    and period=1 yields the constant all-values median. The reference
+    replays the same two-middle-pick formula, so == not approx."""
+    from kafka_data_explorer_cdc_spark.kql import _series_seasonal
+
+    import pyspark.sql.functions as F
+
+    def med(vals: list[float]) -> float | None:
+        if not vals:
+            return None
+        v = sorted(vals)
+        m = len(v)
+        return (v[(m + 1) // 2 - 1] + v[m // 2]) / 2.0
+
+    expect = [
+        med([x for j, x in enumerate(xs) if j % period == i % period])
+        for i in range(len(xs))
+    ]
+    df = spark.createDataFrame([(xs,)], "x array<double>")
+    got = df.select(_series_seasonal(F.col("x"), period).alias("s")).first()[
+        "s"
+    ]
+    assert got == expect, (xs, period)
+
+
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # user
+            st.integers(min_value=0, max_value=13),  # active day
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_active_users_degenerates_to_sliding_dcount(spark, days):
+    """active_users_count with ActivePeriodsCount=1 (k115) must equal
+    sliding_window_counts' Dcount over the collapsed (id, period-start)
+    stream — the >=1-periods filter admits any activity, so the two
+    plugins compute the same rolling distinct. Algebraic cross-check
+    between two independently-written compilers, one Spark job each."""
+    import datetime as dt
+
+    from kafka_data_explorer_cdc_spark.kql import kql
+
+    rows = [
+        (u, dt.datetime(2024, 3, 1) + dt.timedelta(days=d, hours=7))
+        for u, d in days
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    au = kql(
+        "T | evaluate active_users_count(user_id, ts,"
+        " datetime('2024-03-01'), datetime('2024-03-15'), 3d, 1d, 1, 1d)",
+        {"T": df},
+    ).collect()
+    # collapsed stream: one event per (user, day) at the period START
+    collapsed = df.selectExpr(
+        "user_id", "date_trunc('DAY', ts) AS ts"
+    ).distinct()
+    sw = kql(
+        "T | evaluate sliding_window_counts(user_id, ts,"
+        " datetime('2024-03-01'), datetime('2024-03-15'), 3d, 1d)",
+        {"T": collapsed},
+    ).collect()
+    got = {r["Timeline"]: r["Dcount"] for r in au}
+    want = {r["Timeline"]: r["Dcount"] for r in sw}
+    assert got == want
