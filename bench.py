@@ -119,7 +119,12 @@ def main() -> None:
                 break
         line = render(qmap)
     print(line)
-    if not only:
+    # BENCH_LOCAL.json is the COMMITTED idle sf0.1 record — only a
+    # full-registry run at the default SF may rewrite it. Partial runs
+    # (SPARK_GRAFT_BENCH_ONLY) and off-SF smoke runs (e.g. a quick
+    # sf0.001 contract check) must not clobber it; they got the JSON
+    # line above, which is all they came for.
+    if not only and sf_dir == "/root/testdata/sf0.1":
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as f:
             f.write(full_line + "\n")
