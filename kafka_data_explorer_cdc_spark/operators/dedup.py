@@ -408,6 +408,13 @@ def prefix_filter_jaccard_pairs(
     not corpus-squared.
     """
     t = float(threshold)
+    # the shingle set feeds FIVE consumers (df counts, the ranked
+    # prefix, per-id sizes, and both sides of the verify join); without
+    # materialization each one re-runs tokenize→explode→distinct — six
+    # full scan+shuffle pipelines in the physical plan (no exchange
+    # reuse across them). Same persist discipline as
+    # lsh_candidate_pairs/d52 (guide §2.4: do fewer shuffles).
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = shingled.groupBy("shingle").agg(F.count("*").alias("df"))
     shd = shingled.join(df_counts, "shingle")
     w = Window.partitionBy("id").orderBy("df", "shingle")

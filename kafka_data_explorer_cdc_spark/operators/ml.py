@@ -6,8 +6,9 @@ training-data pipeline fits over its own corpus (quality scoring,
 source triage, contamination screens). Inference over a FIXED weight
 table is b67's entry; this operator closes the BUILD side.
 
-Execution shape per iteration (everything distributed except two
-bounded collects, exactly d61's budget):
+Execution shape per iteration (everything distributed except ONE
+bounded collect, exactly d61's budget — the loss sum rides the
+gradient aggregate instead of paying its own action):
 
 - **forward**: margin ``z = w·x`` is a JVM ``zip_with``/``aggregate``
   fold over the (bias-appended) feature array against a broadcast
@@ -85,11 +86,16 @@ def logreg_train(
             p.alias("__p"),
             F.floor(loss_term * F.lit(_Q)).cast("bigint").alias("__lq"),
         )
-        loss_q = scored.agg(F.sum("__lq")).first()[0]
-        losses.append(loss_q / _Q / n)
+        # ONE action per iteration (optimization round 13): the loss
+        # sum rides the gradient aggregate through the dim=0 groups —
+        # every row contributes its quantized loss exactly once there
+        # (dim 0 exists on every row: __x always holds at least the
+        # appended bias), so the sequence is the same int64 order-free
+        # sum the separate loss action computed.
         grad_rows = (
             scored.select(
                 (F.col("__p") - F.col("__y")).alias("__r"),
+                "__lq",
                 F.posexplode("__x").alias("dim", "xv"),
             )
             .select(
@@ -97,11 +103,14 @@ def logreg_train(
                 F.floor(F.col("__r") * F.col("xv") * F.lit(_Q))
                 .cast("bigint")
                 .alias("gq"),
+                F.when(F.col("dim") == 0, F.col("__lq")).alias("lq"),
             )
             .groupBy("dim")
-            .agg(F.sum("gq").alias("g"))
+            .agg(F.sum("gq").alias("g"), F.sum("lq").alias("l0"))
             .collect()  # bounded: d+1 rows — the weight vector itself
         )
+        loss_q = sum(r["l0"] for r in grad_rows if r["l0"] is not None)
+        losses.append(loss_q / _Q / n)
         for r in grad_rows:
             w[r["dim"]] -= lr * (r["g"] / _Q / n)
     warr = F.array(*[F.lit(float(v)) for v in w])

@@ -1030,13 +1030,14 @@ def kmeans_lloyd(
     this way). Returns ``(assignments, sse_per_iter, centroids)``
     where assignments is a DataFrame (id, cid, d2).
 
-    Execution shape per iteration (everything distributed except two
-    bounded collects):
+    Execution shape per iteration (everything distributed except ONE
+    bounded collect):
 
-    - **assign**: corpus × broadcast(k×d codebook) cross join; the
-      squared-L2 is a JVM ``zip_with``/``aggregate`` fold (no Python);
-      argmin per vector via ``min(struct(d2, cid))`` — tie-break on
-      cid is pinned, so assignment is deterministic.
+    - **assign**: per-row ``array_min`` over k ``struct(d2, cid)``
+      literal-codebook cells; the squared-L2 is a JVM
+      ``zip_with``/``aggregate`` fold (no Python, no join, no
+      shuffle); tie-break on cid is pinned, so assignment is
+      deterministic.
     - **update**: posexplode dims → mean per (cid, dim) — a k·d-row
       aggregate COLLECTED to the driver (bounded: k·d doubles, the
       codebook itself; same bound as every codebook collect in this
@@ -1048,50 +1049,70 @@ def kmeans_lloyd(
     At 100 TB: k~2^14, d~10^3 → the codebook is ~100 MB broadcast and
     the per-iteration shuffle is one k·d-key aggregate — the textbook
     scalable shape (cost is n·k·d multiply-adds per iteration, all in
-    codegen; mini-batch or sampled variants drop in by filtering df)."""
-    spark = df.sparkSession
+    codegen; mini-batch or sampled variants drop in by filtering df).
+
+    Plan shape (optimization round 13): the assign step folds the
+    codebook into the row expression — ``array_min`` over k
+    ``struct(d2, cid)`` literals — instead of a corpus×codebook
+    crossJoin + groupBy(id) argmin, which shuffled n·k rows per
+    iteration for a reduction that needs no data movement at all
+    (guide §2.4: remove shuffles outright). The per-vector d2 is the
+    SAME elementwise ``zip_with`` fold as before (bit-identical
+    assignment, same (d2, cid) tie-break as the old
+    ``min(struct(d2, cid))``), and the SSE quantization and centroid
+    means are unchanged — one iteration is now ONE action (a single
+    k·d-group aggregate carrying both the new codebook and the SSE
+    term) instead of three (persist + SSE collect + join/explode
+    collect). For codebooks too large to inline as literals (the
+    2^14-cell regime) the broadcast-join form this replaced is the
+    fallback; at k≲2^7 the expression form wins at every scale because
+    the shuffle it removes grows with n."""
     C = _centroids(df, k, id_col, vec_col).copy()
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     sse: list[int] = []
     g = None
+
+    def _best(codebook) -> F.Column:
+        cells = []
+        for cid in range(len(codebook)):
+            cvec = F.array(*[F.lit(float(x)) for x in codebook[cid]])
+            d2 = F.aggregate(
+                F.zip_with(
+                    "vec",
+                    cvec,
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cells.append(
+                F.struct(d2.alias("d2"), F.lit(cid).cast("int").alias("cid"))
+            )
+        return F.array_min(F.array(*cells))
+
     for _ in range(n_iter):
-        c_rows = [(int(i), [float(x) for x in C[i]]) for i in range(len(C))]
-        c_df = spark.createDataFrame(c_rows, "cid int, cvec array<double>")
-        d2 = F.aggregate(
-            F.zip_with(
-                "vec",
-                "cvec",
-                lambda a, b: (a.cast("double") - b)
-                * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if g is not None:
-            g.unpersist()
-        g = (
-            base.crossJoin(F.broadcast(c_df))
-            .withColumn("d2", d2)
-            .groupBy("id")
-            .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("best"))
-            .persist()
-        )
-        q = g.agg(
-            F.sum(
-                F.floor(F.col("best.d2") * 1000000000).cast("bigint")
-            ).alias("q")
-        ).collect()[0]["q"]
-        sse.append(int(q))
+        g = base.withColumn("best", _best(C))
+        # ONE pass: per-(cid, dim) mean for the next codebook, plus the
+        # iteration SSE smuggled through the pos=0 groups (every vector
+        # contributes its quantized d2 exactly once there — identical
+        # to the old whole-frame sum).
         upd = (
-            g.join(base, "id")
-            .select(
+            g.select(
                 F.col("best.cid").alias("cid"),
+                F.floor(F.col("best.d2") * 1000000000)
+                .cast("bigint")
+                .alias("q"),
                 F.posexplode("vec").alias("pos", "val"),
             )
             .groupBy("cid", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(
+                F.avg(F.col("val").cast("double")).alias("m"),
+                F.sum(F.when(F.col("pos") == 0, F.col("q"))).alias("q0"),
+            )
             .collect()  # bounded: k*d rows — the next codebook
         )
+        sse.append(int(sum(r["q0"] for r in upd if r["q0"] is not None)))
         for r in upd:
             C[r["cid"]][r["pos"]] = r["m"]
     assignments = g.select(

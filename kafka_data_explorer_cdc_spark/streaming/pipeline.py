@@ -396,33 +396,47 @@ class ParquetStateSink(CdcStateSink):
 
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         bad_cond = F.col(self.key_cols[0]).isNull() | F.col("lsn").isNull()
-        if "raw_value" in batch.columns:
-            bad = batch.filter(bad_cond).select(
-                F.lit(batch_id).alias("batch_id"), "raw_value"
-            )
-            # append is idempotent-enough for a DLQ (duplicates on batch
-            # replay are acceptable there; the MERGE path stays exact);
-            # isEmpty probe is cheap on the persisted batch and keeps the
-            # healthy path from accreting an empty parquet file per batch
-            if not bad.isEmpty():
-                bad.write.mode("append").parquet(self.dead_letter_dir())
-            batch = batch.filter(~bad_cond).drop("raw_value")
-        else:
-            batch = batch.filter(~bad_cond)
+        has_raw = "raw_value" in batch.columns
 
+        # ONE probe action per micro-batch (optimization round 13):
+        # touched buckets, the lsn high-water mark, AND the
+        # any-dead-letters flag come out of a single bounded collect
+        # (≤ n_buckets+1 groups — bad rows group under __bucket=NULL,
+        # which pmod/xxhash64 never produces for a good row). The
+        # separate ``isEmpty`` probe this replaces cost a second scan
+        # of the persisted batch per micro-batch.
         prev = self._manifest()
         bucket_versions: dict[str, int] = dict(prev["buckets"]) if prev else {}
         max_lsn: int | None = prev.get("max_lsn") if prev else None
 
-        # which buckets does this batch touch, and the new lsn
-        # high-water mark — one tiny scalar-per-bucket collect, bounded
-        # by n_buckets (a config constant, never data-sized)
-        batch = batch.withColumn("__bucket", self._bucket_col())
         probe = (
-            batch.groupBy("__bucket").agg(F.max("lsn").alias("__mx")).collect()
+            batch.withColumn(
+                "__bucket", F.when(~bad_cond, self._bucket_col())
+            )
+            .groupBy("__bucket")
+            .agg(F.max("lsn").alias("__mx"))
+            .collect()
         )
-        touched = {int(r["__bucket"]) for r in probe}
+        any_bad = any(r["__bucket"] is None for r in probe)
+        if has_raw:
+            if any_bad:
+                # append is idempotent-enough for a DLQ (duplicates on
+                # batch replay are acceptable there; the MERGE path
+                # stays exact)
+                batch.filter(bad_cond).select(
+                    F.lit(batch_id).alias("batch_id"), "raw_value"
+                ).write.mode("append").parquet(self.dead_letter_dir())
+            batch = batch.filter(~bad_cond).drop("raw_value")
+        else:
+            batch = batch.filter(~bad_cond)
+
+        batch = batch.withColumn("__bucket", self._bucket_col())
+        touched = {
+            int(r["__bucket"]) for r in probe if r["__bucket"] is not None
+        }
         for r in probe:
+            if r["__bucket"] is None:
+                continue
             if r["__mx"] is not None and (max_lsn is None or r["__mx"] > max_lsn):
                 max_lsn = int(r["__mx"])
         if touched:

