@@ -106,6 +106,8 @@ def hard_negative_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    centroids: np.ndarray | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-probed hard-negative mining — the 100 TB path the exact
     kernel (:func:`hard_negative_topk`) documents: corpus vectors are
@@ -120,20 +122,29 @@ def hard_negative_ivf_topk(
     the candidate set the full cross-label block — output identical
     to :func:`hard_negative_topk`. Below that, recall is
     probabilistic and gated by measurement (d89), never hash-compared.
-    """
-    corpus = ensure_parallelism(corpus)
-    C = _centroids(corpus, n_cells, id_col, vec_col)
 
-    one_cell = _cell_assigner(C, 1)
-    cells = (
-        corpus.select(
-            F.col(id_col).alias("c_id"),
-            F.col(label_col).alias("c_label"),
-            F.col(vec_col).alias("c_vec"),
-        )
-        .withColumn("cell", one_cell(F.col("c_vec")).getItem(0))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ``centroids``/``cells`` (from :func:`ivf_build` with
+    ``label_col``) inject the one-time build state — multi-probe
+    gates build the index once, probe it per setting.
+    """
+    if centroids is None or cells is None:
+        corpus = ensure_parallelism(corpus)
+    C = (
+        _centroids(corpus, n_cells, id_col, vec_col)
+        if centroids is None
+        else centroids
     )
+    if cells is None:
+        one_cell = _cell_assigner(C, 1)
+        cells = (
+            corpus.select(
+                F.col(id_col).alias("c_id"),
+                F.col(label_col).alias("c_label"),
+                F.col(vec_col).alias("c_vec"),
+            )
+            .withColumn("cell", one_cell(F.col("c_vec")).getItem(0))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     probe = _cell_assigner(C, nprobe)
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -398,6 +409,40 @@ def _cell_assigner(C: np.ndarray, nprobe: int):
     return assign
 
 
+def ivf_build(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+) -> tuple[np.ndarray, DataFrame]:
+    """One-time IVF build state — centroids plus the cell-assigned
+    corpus (persisted; caller owns the unpersist). Gate queries that
+    probe the SAME index at several ``nprobe`` settings (d07y, d89,
+    d92x: the recall probe and the exactness knob) build it once and
+    pass it to every :func:`ivf_cosine_topk` /
+    :func:`hard_negative_ivf_topk` call instead of re-running the
+    centroid scan and the Arrow cell-assignment pass per call —
+    exactly what a real deployment does: the index is built once,
+    probed many times. Values are bit-identical to the per-call build
+    (deterministic hash-ordered centroids, same assigner)."""
+    corpus = ensure_parallelism(corpus)
+    C = _centroids(corpus, n_cells, id_col, vec_col)
+    one_cell = _cell_assigner(C, 1)
+    cols = [
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+    ]
+    if label_col is not None:
+        cols.insert(1, F.col(label_col).alias("c_label"))
+    cells = (
+        corpus.select(*cols)
+        .withColumn("cell", one_cell(F.col("c_vec")).getItem(0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return C, cells
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -406,6 +451,8 @@ def ivf_cosine_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k — the partition-pruned scale path.
 
@@ -421,16 +468,25 @@ def ivf_cosine_topk(
 
     Recall is probabilistic (vectors near cell boundaries can hide in
     unprobed cells) — measured against brute force in tests, never
-    hash-compared."""
-    corpus = ensure_parallelism(corpus)
-    C = _centroids(corpus, n_cells, id_col, vec_col)
+    hash-compared.
 
-    one_cell = _cell_assigner(C, 1)
-    cells = corpus.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("cell", one_cell(F.col("c_vec")).getItem(0)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    ``centroids``/``cells`` (from :func:`ivf_build`) inject the
+    one-time build state so multi-probe gates don't rebuild the index
+    per call; omitted, the build happens here (unchanged behavior)."""
+    if centroids is None or cells is None:
+        corpus = ensure_parallelism(corpus)
+    C = (
+        _centroids(corpus, n_cells, id_col, vec_col)
+        if centroids is None
+        else centroids
     )
+    if cells is None:
+        one_cell = _cell_assigner(C, 1)
+        cells = corpus.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ).withColumn("cell", one_cell(F.col("c_vec")).getItem(0)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     probe = _cell_assigner(C, nprobe)
     q = queries.select(
@@ -572,6 +628,7 @@ def pq_cosine_topk(
     rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """Product-quantization ANN top-k — the memory-bound scale path.
 
@@ -591,8 +648,18 @@ def pq_cosine_topk(
 
     Recall is probabilistic (quantization error can evict a true
     neighbor from the rerank pool) — measured against brute force in
-    tests, never hash-compared."""
-    B = pq_train(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    tests, never hash-compared.
+
+    ``codebooks`` (from :func:`pq_train`) injects the one-time build
+    so multi-rerank gates (d07v's recall probe + exact-degenerate
+    knob, d07u's path-equivalence pair) train once, scan per setting
+    — the deterministic trainer makes the injected array identical
+    to the per-call one."""
+    B = (
+        pq_train(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+        if codebooks is None
+        else codebooks
+    )
     dsub = B.shape[2]
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype="int64")
@@ -800,6 +867,7 @@ def pq_codes_cosine_topk(
     rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """Flat PQ ANN over a PRECOMPUTED codes table — the at-rest design
     the d07v docstring promises: encode once (persisted, standing in
@@ -807,8 +875,14 @@ def pq_codes_cosine_topk(
     ADC scan, fetch raw vectors only for the re-rank survivors.
     Candidate quality is identical to :func:`pq_cosine_topk` (same
     codebooks, same ADC math); the difference is WHERE the encode cost
-    sits — build-time, not per-query."""
-    B = pq_train(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    sits — build-time, not per-query. ``codebooks`` injects a
+    pre-trained :func:`pq_train` array (path-equivalence gates share
+    one training pass)."""
+    B = (
+        pq_train(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+        if codebooks is None
+        else codebooks
+    )
     encoded = pq_encode(corpus, B, id_col=id_col, vec_col=vec_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -1121,6 +1195,32 @@ def kmeans_lloyd(
     return assignments, sse, C
 
 
+def bitext_ivf_build(
+    tgt: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, DataFrame]:
+    """One-time target-side IVF build for :func:`bitext_margin_pairs`:
+    centroids plus the normed, cell-assigned target frame (persisted;
+    caller owns the unpersist). The frame is byte-identical to the one
+    each ``ivf=`` call would build internally — the d90 gate probes
+    one index twice (recall probe + exactness knob) instead of
+    rebuilding it per setting."""
+    c = with_norm(
+        ensure_parallelism(tgt).select(
+            F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+    ).withColumnRenamed("norm", "c_norm")
+    C = _centroids(c, n_cells, "tgt_id", "c_vec")
+    one_cell = _cell_assigner(C, 1)
+    cells = c.withColumn(
+        "cell", one_cell(F.col("c_vec")).getItem(0)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return C, cells
+
+
 def bitext_margin_pairs(
     src: DataFrame,
     tgt: DataFrame,
@@ -1129,6 +1229,8 @@ def bitext_margin_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ivf: tuple[int, int] | None = None,
+    ivf_centroids: np.ndarray | None = None,
+    ivf_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
     CCMatrix/LASER parallel-corpus miner): for every source-side
@@ -1163,7 +1265,12 @@ def bitext_margin_pairs(
     the cell-pruned candidates only. ``nprobe == n_cells`` probes
     every cell, making the candidate block the full bipartite product:
     output identical to the exact path (the d90 exactness knob).
-    Below that, recall is measured (d90 gate), never hash-compared."""
+    Below that, recall is measured (d90 gate), never hash-compared.
+
+    ``ivf_centroids``/``ivf_cells`` inject the one-time target-side
+    build (centroids from :func:`bitext_ivf_build`, which also returns
+    the cell-assigned normed target frame) so the d90 gate's two probe
+    settings share one centroid scan and one Arrow assignment pass."""
     q = with_norm(
         src.select(
             F.col(id_col).alias("src_id"), F.col(vec_col).alias("q_vec")
@@ -1178,12 +1285,18 @@ def bitext_margin_pairs(
     ).withColumnRenamed("norm", "c_norm")
     if ivf is not None:
         n_cells, nprobe = ivf
-        C = _centroids(c, n_cells, "tgt_id", "c_vec")
-        one_cell = _cell_assigner(C, 1)
+        C = (
+            _centroids(c, n_cells, "tgt_id", "c_vec")
+            if ivf_centroids is None
+            else ivf_centroids
+        )
+        if ivf_cells is None:
+            one_cell = _cell_assigner(C, 1)
+            ivf_cells = c.withColumn(
+                "cell", one_cell(F.col("c_vec")).getItem(0)
+            )
         probe = _cell_assigner(C, nprobe)
-        block = c.withColumn(
-            "cell", one_cell(F.col("c_vec")).getItem(0)
-        ).join(
+        block = ivf_cells.join(
             broadcast(
                 q.withColumn("cell", F.explode(probe(F.col("q_vec"))))
             ),

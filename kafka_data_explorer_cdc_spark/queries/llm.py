@@ -1009,13 +1009,19 @@ def d07y_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = _twin_corpus(em)
     queries = em.filter(F.col("vec_id") < 20)
-    ann = S.ivf_cosine_topk(corpus, queries, k=5, n_cells=16, nprobe=8).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # one-time IVF build shared by the nprobe=8 serving probe and the
+    # nprobe=16 exactness knob (guide §1.2 fewer passes: the index is
+    # built once and probed twice, not rebuilt per probe setting)
+    C, cells = S.ivf_build(corpus, n_cells=16)
+    ann = S.ivf_cosine_topk(
+        corpus, queries, k=5, n_cells=16, nprobe=8, centroids=C, cells=cells
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     brute = S.brute_force_cosine_topk(corpus, queries, k=5).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    full = S.ivf_cosine_topk(corpus, queries, k=5, n_cells=16, nprobe=16)
+    full = S.ivf_cosine_topk(
+        corpus, queries, k=5, n_cells=16, nprobe=16, centroids=C, cells=cells
+    )
     # set equality via symmetric anti-joins (same shape as the d06 gate)
     missing = brute.select("q_id", "c_id").join(
         full.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
@@ -1109,9 +1115,12 @@ def d07v_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = em.filter(F.col("vec_id") < 20)
     n_corpus = 2 * 20 + 10_000  # rerank bound; see below
 
-    ann = S.pq_cosine_topk(corpus, queries, k=5, rerank=20).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # train the deterministic codebooks ONCE for both the rerank=20
+    # serving probe and the exact-degenerate knob (guide §1.2)
+    B = S.pq_train(corpus)
+    ann = S.pq_cosine_topk(
+        corpus, queries, k=5, rerank=20, codebooks=B
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     brute = S.brute_force_cosine_topk(corpus, queries, k=5).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -1127,7 +1136,9 @@ def d07v_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = _recall_row(ann, brute, 0.5, -2)
     # exact-degenerate: rerank larger than any test corpus (the knob is
     # a cap, not an allocation — oversizing costs nothing)
-    full = S.pq_cosine_topk(corpus, queries, k=5, rerank=n_corpus)
+    full = S.pq_cosine_topk(
+        corpus, queries, k=5, rerank=n_corpus, codebooks=B
+    )
     missing = brute.select("q_id", "c_id").join(
         full.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
     )
@@ -1163,11 +1174,15 @@ def d07u_pq_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = _twin_corpus(em)
     queries = em.filter(F.col("vec_id") < 20)
-    ann = S.pq_codes_cosine_topk(corpus, queries, k=5, rerank=20).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # one codebook training for both halves of the path-equivalence
+    # pair — probe -3 compares WHERE the encode sits, and the
+    # deterministic trainer returns the identical array either way
+    B = S.pq_train(corpus)
+    ann = S.pq_codes_cosine_topk(
+        corpus, queries, k=5, rerank=20, codebooks=B
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     brute = S.brute_force_cosine_topk(corpus, queries, k=5)
-    inline = S.pq_cosine_topk(corpus, queries, k=5, rerank=20)
+    inline = S.pq_cosine_topk(corpus, queries, k=5, rerank=20, codebooks=B)
     twin_hits = (
         ann.filter(
             (F.col("rank") == 1)
@@ -4062,9 +4077,14 @@ def d52_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count("*").over(nw).alias("n"),
     )
+    # both sides of the candidate join filter THIS frame; without
+    # materialization the df-count aggregate + two-window ranking
+    # pipeline above runs once per side (plan audit r13: Window pair +
+    # its own df HashAggregate duplicated). Same persist discipline as
+    # d50 (guide §2.4: share one exchange, do fewer shuffles).
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tr = prefix.filter(F.col("id") < 10_000_000).alias("a")
     evp = prefix.filter(F.col("id") >= 10_000_000).alias("b")
     cand = (
@@ -6995,13 +7015,19 @@ def d89_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     em = load(spark, sf_dir, "embeddings")
     anchors = em.filter(F.col("vec_id") % 25 == 0)
+    # one-time IVF build shared by the nprobe=8 probe and the
+    # nprobe=16 exactness knob (guide §1.2: one centroid scan + one
+    # Arrow cell-assignment pass, not two of each)
+    C, cells = S.ivf_build(em, n_cells=16, label_col="label")
     ann = S.hard_negative_ivf_topk(
-        em, anchors, k=3, n_cells=16, nprobe=8
+        em, anchors, k=3, n_cells=16, nprobe=8, centroids=C, cells=cells
     ).persist(StorageLevel.MEMORY_AND_DISK)
     exact = S.hard_negative_topk(em, anchors, k=3).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    full = S.hard_negative_ivf_topk(em, anchors, k=3, n_cells=16, nprobe=16)
+    full = S.hard_negative_ivf_topk(
+        em, anchors, k=3, n_cells=16, nprobe=16, centroids=C, cells=cells
+    )
     missing = exact.select("q_id", "c_id").join(
         full.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
     )
@@ -7020,6 +7046,7 @@ def d89_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     ann.unpersist()
     exact.unpersist()
+    cells.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -7053,8 +7080,13 @@ def d90_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.bitext_margin_pairs(src, tgt, k=4, threshold=1.05).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # one-time target-side IVF build shared by the nprobe=8 probe and
+    # the nprobe=16 exactness knob (guide §1.2: one centroid scan +
+    # one Arrow assignment pass over the target side, not two)
+    C, tcells = S.bitext_ivf_build(tgt, n_cells=16)
     probed = S.bitext_margin_pairs(
-        src, tgt, k=4, threshold=1.05, ivf=(16, 8)
+        src, tgt, k=4, threshold=1.05, ivf=(16, 8),
+        ivf_centroids=C, ivf_cells=tcells,
     )
     hits = probed.select("src_id", "tgt_id").join(
         exact.select("src_id", "tgt_id"), ["src_id", "tgt_id"], "left_semi"
@@ -7067,7 +7099,10 @@ def d90_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("h") >= F.col("n") * 0.5).alias("ok"),
         )
     )
-    full = S.bitext_margin_pairs(src, tgt, k=4, threshold=1.05, ivf=(16, 16))
+    full = S.bitext_margin_pairs(
+        src, tgt, k=4, threshold=1.05, ivf=(16, 16),
+        ivf_centroids=C, ivf_cells=tcells,
+    )
     cols = ["src_id", "tgt_id", "cosine", "margin", "mined"]
     missing = exact.select(cols).join(full.select(cols), cols, "left_anti")
     extra = full.select(cols).join(exact.select(cols), cols, "left_anti")
@@ -7080,6 +7115,7 @@ def d90_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded 2-row collect + cache release (round-10 ADVICE pattern)
     rows = out.collect()
     exact.unpersist()
+    tcells.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -7624,11 +7660,15 @@ def d92x_colbert_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         S.brute_force_cosine_topk(em, queries, k=_D92_CAND).select("q_id", "c_id"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # one-time IVF build shared by the nprobe=10 probe and the
+    # nprobe=16 exactness knob (guide §1.2)
+    C, cells = S.ivf_build(em, n_cells=16)
     probed = _maxsim_rerank(
         em,
         queries,
         S.ivf_cosine_topk(
-            em, queries, k=_D92_CAND, n_cells=16, nprobe=10
+            em, queries, k=_D92_CAND, n_cells=16, nprobe=10,
+            centroids=C, cells=cells,
         ).select("q_id", "c_id"),
     )
     hits = probed.select("q_id", "c_id").join(
@@ -7646,7 +7686,8 @@ def d92x_colbert_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         em,
         queries,
         S.ivf_cosine_topk(
-            em, queries, k=_D92_CAND, n_cells=16, nprobe=16
+            em, queries, k=_D92_CAND, n_cells=16, nprobe=16,
+            centroids=C, cells=cells,
         ).select("q_id", "c_id"),
     )
     cols = ["q_id", "rank", "c_id"]
@@ -7664,6 +7705,7 @@ def d92x_colbert_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-10 ADVICE).
     rows = out.collect()
     exact.unpersist()
+    cells.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 

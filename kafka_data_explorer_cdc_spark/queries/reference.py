@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..cdc.envelope import (
     CITIES,
@@ -733,13 +734,19 @@ def a24_dlq_repair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("value"),
     )
-    flat = unwrap(parse_envelope(corrupted), keep_raw=True)
+    # parse the corrupted topic ONCE — the good branch and the DLQ-key
+    # branch below both read this materialization instead of each
+    # re-running the from_json pass over the full corpus (guide §2.4:
+    # share one expensive subtree across consumers; from_json is the
+    # dominant cost of this entry)
+    parsed = parse_envelope(corrupted).persist(StorageLevel.MEMORY_AND_DISK)
+    flat = unwrap(parsed, keep_raw=True)
     good = flat.filter(F.col("after").isNotNull())
     # dead letters keep the raw line; the repair re-keys off it (here:
     # the upstream re-emits the same keys — derived from the Kafka key
     # the quarantine row preserved)
     dlq_keys = (
-        parse_envelope(corrupted)
+        parsed
         .filter(F.col("envelope").isNull() | F.col("envelope.payload.after").isNull())
         .select(F.col("key").cast("bigint").alias("orderid"))
     )
