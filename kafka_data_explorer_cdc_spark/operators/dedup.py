@@ -277,27 +277,27 @@ def minhash_lsh_dedup_pairs(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """63-bit SimHash fingerprint (bit 63 left clear to stay positive in
     int64): per-token xxhash64 bit-votes, majority per bit position.
-    One explode + one groupBy — scales like a word count."""
+    One explode + one groupBy — scales like a word count.
+
+    The 63 vote sums + fingerprint assembly are ONE SQL-text aggregate
+    expression (single py4j round trip): the Column-by-Column form was
+    ~1,500 gateway calls — seconds of pure driver time spent
+    CONSTRUCTING the tree before any data moved (guide §5; measured
+    8.2 s → sub-second builder at sf0.1). Catalyst still extracts the
+    63 SUM aggregates for partial (map-side) aggregation — the
+    physical plan is the same HashAggregate pair; values identical."""
     df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                    -1
-                )
-            ).alias(f"v_{j}")
-            for j in range(63)
-        ]
+    vote = "SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+    fp = " + ".join(
+        f"(CASE WHEN {vote.format(j=j)} > 0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(63)
     )
-    fp = None
-    for j in range(63):
-        bit = F.when(F.col(f"v_{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return votes.select("id", fp.alias("simhash"))
+    return toks.groupBy("id").agg(F.expr(fp).alias("simhash"))
 
 
 def simhash_near_pairs(
