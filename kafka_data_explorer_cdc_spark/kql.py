@@ -221,7 +221,7 @@ from dataclasses import dataclass
 from functools import reduce as _reduce
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: STRING-LITERAL VALUE SEMANTICS — read before consuming a ``str``
@@ -475,6 +475,35 @@ def _let(value: Column, body) -> Column:
     works around). transform(array(v), body)[0] costs one 1-element
     array wrap at runtime and keeps the tree linear."""
     return F.get(F.transform(F.array(value), body), 0)
+
+
+def _col_sql(c: Column) -> str | None:
+    """SQL text of a Column, or None when unavailable.
+
+    Why: every PySpark Column operation is one py4j gateway round
+    trip (~0.1-0.5 ms of pure driver latency), so builders that
+    assemble hundreds of shift/mask/probe ops Column-by-Column spend
+    seconds CONSTRUCTING the tree before any data moves (k106's
+    geohash pair measured 11,412 gateway calls / ~4.8 s of builder
+    time). The fast path renders the few VARIABLE inputs to SQL text
+    once (this helper — one round trip via Spark's own
+    ColumnNodeToExpressionConverter), assembles the big repetitive
+    expression as a Python string, and hands the whole thing to ONE
+    ``F.expr``. Callers must keep the Column-by-Column build as the
+    fallback for when this returns None (non-classic sessions or a
+    converter API change)."""
+    try:
+        spark = SparkSession.getActiveSession()
+        conv = getattr(
+            getattr(
+                spark._jvm,  # type: ignore[union-attr]
+                "org.apache.spark.sql.classic.ColumnNodeToExpressionConverter$",
+            ),
+            "MODULE$",
+        )
+        return conv.apply(c._jc.node()).sql()  # type: ignore[attr-defined]
+    except Exception:
+        return None
 
 
 def _ols_fold(ys: Column, finish) -> Column:
@@ -1475,6 +1504,23 @@ def _geohash_indices(lon: Column, lat: Column, precision: int):
     )
 
 
+_MORTON_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+_MORTON_COMPACT_STEPS = (
+    (1, 0x3333333333333333),
+    (2, 0x0F0F0F0F0F0F0F0F),
+    (4, 0x00FF00FF00FF00FF),
+    (8, 0x0000FFFF0000FFFF),
+    (16, 0xFFFFFFFF),
+)
+
+
 def _morton_spread(x: Column) -> Column:
     """Part1By1: spread the low 32 bits of ``x`` to the even bit
     positions (the branchless Morton interleave). Each doubling step
@@ -1491,13 +1537,7 @@ def _morton_spread(x: Column) -> Column:
         )
 
     x = x.bitwiseAND(F.lit(0xFFFFFFFF))
-    for sh, m in (
-        (16, 0x0000FFFF0000FFFF),
-        (8, 0x00FF00FF00FF00FF),
-        (4, 0x0F0F0F0F0F0F0F0F),
-        (2, 0x3333333333333333),
-        (1, 0x5555555555555555),
-    ):
+    for sh, m in _MORTON_SPREAD_STEPS:
         x = _let(x, step(sh, m))
     return x
 
@@ -1512,15 +1552,129 @@ def _morton_compact(x: Column) -> Column:
         )
 
     x = x.bitwiseAND(F.lit(0x5555555555555555))
-    for sh, m in (
-        (1, 0x3333333333333333),
-        (2, 0x0F0F0F0F0F0F0F0F),
-        (4, 0x00FF00FF00FF00FF),
-        (8, 0x0000FFFF0000FFFF),
-        (16, 0xFFFFFFFF),
-    ):
+    for sh, m in _MORTON_COMPACT_STEPS:
         x = _let(x, step(sh, m))
     return x
+
+
+def _morton_spread_sql(x: str, tag: str) -> str:
+    """SQL-text twin of :func:`_morton_spread` — same let-bound
+    shift/mask chain, assembled as a string (zero py4j calls)."""
+    cur = f"({x} & 4294967295)"
+    for i, (sh, m) in enumerate(_MORTON_SPREAD_STEPS):
+        v = f"_s{tag}{i}"
+        cur = (
+            f"get(transform(array({cur}),"
+            f" {v} -> (({v} | shiftleft({v}, {sh})) & {m})), 0)"
+        )
+    return cur
+
+
+def _morton_compact_sql(x: str, tag: str) -> str:
+    """SQL-text twin of :func:`_morton_compact`."""
+    cur = f"({x} & 6148914691236517205)"
+    for i, (sh, m) in enumerate(_MORTON_COMPACT_STEPS):
+        v = f"_c{tag}{i}"
+        cur = (
+            f"get(transform(array({cur}),"
+            f" {v} -> (({v} | shiftright({v}, {sh})) & {m})), 0)"
+        )
+    return cur
+
+
+def _geo_q_sql(x: str, off: str, span: str, bits: int) -> str:
+    """SQL-text twin of the quantizer in :func:`_geohash_indices` —
+    same op order ((x + off) / span * 2^bits, floor, clamp)."""
+    idx = (
+        f"CAST(floor((CAST({x} AS DOUBLE) + {off}) / {span}"
+        f" * CAST({float(2 ** bits)} AS DOUBLE)) AS BIGINT)"
+    )
+    return f"least(greatest({idx}, 0), {2 ** bits - 1})"
+
+
+def _geohash_alph_sql() -> str:
+    return (
+        "array(" + ", ".join(f"'{ch}'" for ch in _GEOHASH_ALPHABET) + ")"
+    )
+
+
+def _geohash_encode_sql(lon: str, lat: str, precision: int) -> str:
+    """SQL text of the whole geohash encoder (the expression
+    :func:`_geo_point_to_geohash` builds Column-by-Column), assembled
+    with zero py4j traffic. Same quantize → Morton interleave →
+    base-32 render, same null contract."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_idx = _geo_q_sql(lon, "CAST(180.0 AS DOUBLE)", "CAST(360.0 AS DOUBLE)", lon_bits)
+    lat_idx = _geo_q_sql(lat, "CAST(90.0 AS DOUBLE)", "CAST(180.0 AS DOUBLE)", lat_bits)
+    if total % 2:
+        code = (
+            f"({_morton_spread_sql(lon_idx, 'a')}"
+            f" | shiftleft({_morton_spread_sql(lat_idx, 'b')}, 1))"
+        )
+    else:
+        code = (
+            f"({_morton_spread_sql(lat_idx, 'a')}"
+            f" | shiftleft({_morton_spread_sql(lon_idx, 'b')}, 1))"
+        )
+    alph = _geohash_alph_sql()
+    chars = ", ".join(
+        f"element_at({alph},"
+        f" (CAST((shiftright(_g, {5 * (precision - 1 - i)}) & 31) AS INT)"
+        f" + 1))"
+        for i in range(precision)
+    )
+    render = f"get(transform(array({code}), _g -> concat({chars})), 0)"
+    ok = (
+        f"(abs(CAST({lat} AS DOUBLE)) <= 90)"
+        f" AND (abs(CAST({lon} AS DOUBLE)) <= 180)"
+    )
+    return f"CASE WHEN {ok} THEN {render} END"
+
+
+def _geohash_decode_sql(gh: str) -> str:
+    """SQL text of the whole geohash decoder (the expression
+    :func:`_geo_geohash_to_central_point` builds Column-by-Column).
+    One value-preserving rewrite: the unknown-char guard
+    ``when(array_position - 1 >= 0, ...)`` is written as
+    ``nullif(array_position, 0) - 1`` — array_position returns 0 iff
+    the char is unknown, so both forms yield null exactly then."""
+    alph = _geohash_alph_sql()
+    out = "CAST(NULL AS ARRAY<DOUBLE>)"
+    for p in range(1, 9):
+        total = 5 * p
+        lon_bits = (total + 1) // 2
+        lat_bits = total // 2
+        code = "CAST(0 AS BIGINT)"
+        for i in range(p):
+            v = (
+                f"(nullif(array_position({alph},"
+                f" substring({gh}, {i + 1}, 1)), 0) - 1)"
+            )
+            code = f"(({code} * 32) + {v})"
+        if total % 2:
+            lon_i = _morton_compact_sql("_g", f"p{p}x")
+            lat_i = _morton_compact_sql("shiftright(_g, 1)", f"p{p}y")
+        else:
+            lat_i = _morton_compact_sql("_g", f"p{p}x")
+            lon_i = _morton_compact_sql("shiftright(_g, 1)", f"p{p}y")
+        lon_c = (
+            f"(((CAST({lon_i} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            f" / CAST({float(2 ** lon_bits)} AS DOUBLE))"
+            f" * CAST(360.0 AS DOUBLE) - CAST(180.0 AS DOUBLE))"
+        )
+        lat_c = (
+            f"(((CAST({lat_i} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            f" / CAST({float(2 ** lat_bits)} AS DOUBLE))"
+            f" * CAST(180.0 AS DOUBLE) - CAST(90.0 AS DOUBLE))"
+        )
+        dec = (
+            f"get(transform(array({code}), _g -> CASE WHEN _g IS NOT NULL"
+            f" THEN array({lon_c}, {lat_c}) END), 0)"
+        )
+        out = f"CASE WHEN length({gh}) = {p} THEN {dec} ELSE {out} END"
+    return out
 
 
 def _geo_point_to_geohash(lon: Column, lat: Column, precision: int) -> Column:
@@ -1543,6 +1697,20 @@ def _geo_point_to_geohash(lon: Column, lat: Column, precision: int) -> Column:
         raise ValueError(
             "KQL: geo_point_to_geohash precision must be 1..8"
         )
+    # Fast path: render the two inputs to SQL text once and assemble
+    # the whole interleave/render chain as ONE F.expr — the
+    # Column-by-Column build below costs thousands of py4j round
+    # trips (k106 measured ~4.8 s of pure driver time constructing
+    # the tree). Identical expression, therefore identical values;
+    # any conversion/parse hiccup falls back to the Column build.
+    lon_sql, lat_sql = _col_sql(lon), _col_sql(lat)
+    if lon_sql is not None and lat_sql is not None:
+        try:
+            return F.expr(
+                _geohash_encode_sql(lon_sql, lat_sql, precision)
+            )
+        except Exception:
+            pass
     lon_idx, lat_idx, lon_bits, lat_bits = _geohash_indices(
         lon, lat, precision
     )
@@ -1585,6 +1753,16 @@ def _geo_geohash_to_central_point(gh: Column) -> Column:
     unknown characters or other lengths yield null. Center =
     ((idx + 0.5) / 2^bits) * span - offset, the exact inverse of the
     encoder's quantization."""
+    # Fast path: one F.expr over SQL text (see _geo_point_to_geohash —
+    # the decoder is the bigger win: 8 length branches × probes ×
+    # Morton compacts built Column-by-Column is most of the entry's
+    # py4j chatter). Fallback below on conversion/parse failure.
+    gh_sql = _col_sql(gh)
+    if gh_sql is not None:
+        try:
+            return F.expr(_geohash_decode_sql(gh_sql))
+        except Exception:
+            pass
     alph = F.array(*[F.lit(ch) for ch in _GEOHASH_ALPHABET])
 
     def decode_at(p: int) -> Column:
