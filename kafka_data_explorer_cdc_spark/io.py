@@ -299,6 +299,14 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     0.3-2 s per call on deep plans (51 call sites across the
     operators). Frames not backed by files (range, createDataFrame,
     existing RDDs) keep the exact probe.
+
+    The estimate is only trusted for SINGLE-leaf plans: a self-union
+    (or any multi-scan plan) reads a file once per branch while
+    ``inputFiles()`` reports it once, so the estimate undercounts by
+    the branch factor and injected a spurious full-corpus repartition
+    (d30's twin-corpus union measured 1.8 -> 8.7 s). The leaf count
+    comes off the already-analyzed logical plan — no physical
+    planning.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -306,6 +314,8 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     n_parts: int | None = None
     try:
         files = df.inputFiles()
+        if df._jdf.queryExecution().analyzed().collectLeaves().size() != 1:
+            files = []
     except Exception:  # non-file plans that reject inputFiles entirely
         files = []
     if files:
