@@ -356,6 +356,12 @@ def _series_outliers(c: Column) -> Column:
     score null, and a degenerate fence (q90 == q10) scores 0
     everywhere. Pure JVM array expressions — sort + fold + transform,
     no explode, no Python."""
+    c_sql = _col_sql(c)
+    if c_sql is not None:
+        try:
+            return F.expr(_series_outliers_sql(c_sql))
+        except Exception:
+            pass
     s = F.array_sort(F.filter(c, lambda x: x.isNotNull()))
     n = F.size(s)
 
@@ -475,6 +481,14 @@ def _let(value: Column, body) -> Column:
     works around). transform(array(v), body)[0] costs one 1-element
     array wrap at runtime and keeps the tree linear."""
     return F.get(F.transform(F.array(value), body), 0)
+
+
+def _sql_let(val: str, var: str, body: str) -> str:
+    """SQL-text twin of :func:`_let`: bind ``val`` to lambda variable
+    ``var`` so ``body`` can reference it many times without repeating
+    (and re-evaluating) its text. Used by the series kernels' fast
+    paths (see :func:`_col_sql` for why text beats Columns here)."""
+    return f"get(transform(array({val}), {var} -> {body}), 0)"
 
 
 def _col_sql(c: Column) -> str | None:
@@ -1852,6 +1866,221 @@ def _geo_point_in_polygon(
     return F.when(ok, crossings % 2 == 1)
 
 
+_D = "CAST({} AS DOUBLE)"
+
+
+def _series_mean_sql(w: str, tag: str) -> str:
+    """sum/size mean over an array, the window let-bound (the Column
+    form re-evaluates the window expression twice per use)."""
+    return _sql_let(
+        w,
+        f"_w{tag}",
+        f"(aggregate(_w{tag}, {_D.format('0.0')},"
+        f" (_ac{tag}, _ax{tag}) -> _ac{tag} + _ax{tag})"
+        f" / size(_w{tag}))",
+    )
+
+
+def _series_decompose_sql(arr: str, period: int) -> str:
+    """SQL text of :func:`_series_decompose` with the shared
+    subexpressions let-bound: the Column build duplicates the cast
+    array / trend / detrended arrays once per REFERENCE (both py4j
+    chatter and per-element re-evaluation at runtime); here each is
+    computed once per row. Values are identical — same folds, same
+    order, the bindings only share results."""
+    h = period // 2
+    a = f"transform({arr}, _e0 -> {_D.format('_e0')})"
+    trend_win = (
+        f"slice(_A, greatest(0, _i1 - {h}) + 1,"
+        f" least(size(_A) - 1, _i1 + {h}) - greatest(0, _i1 - {h}) + 1)"
+    )
+    trend = (
+        f"transform(sequence(0, size(_A) - 1),"
+        f" _i1 -> {_series_mean_sql(trend_win, 't')})"
+    )
+    detr = "zip_with(_A, _T, (_x2, _t2) -> _x2 - _t2)"
+    # empty-phase guard: the Column form's when-chain never evaluated
+    # an empty phase's mean (ANSI 0.0/0 would throw); the hoisted
+    # array is eager, so the empty case is an explicit (unobserved)
+    # null — a position's own phase is never empty
+    pms = ", ".join(
+        _sql_let(
+            f"filter(_D0, (_x3{ph}, _i3{ph}) -> _i3{ph} % {period} = {ph})",
+            f"_wp{ph}",
+            f"CASE WHEN size(_wp{ph}) = 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE aggregate(_wp{ph}, {_D.format('0.0')},"
+            f" (_acp{ph}, _axp{ph}) -> _acp{ph} + _axp{ph})"
+            f" / size(_wp{ph}) END",
+        )
+        for ph in range(period)
+    )
+    # phase means hoisted into one per-row array probed by i % period —
+    # the Column form re-evaluates the matching phase aggregate per
+    # ELEMENT through a when-chain; same values, computed once
+    seasonal = (
+        f"transform(sequence(0, size(_A) - 1),"
+        f" _i4 -> element_at(_P, (_i4 % {period}) + 1))"
+    )
+    baseline = "zip_with(_T, _S, (_t5, _s5) -> _t5 + _s5)"
+    residual = "zip_with(_A, _B, (_x6, _b6) -> _x6 - _b6)"
+    out = (
+        f"named_struct('baseline', _B, 'seasonal', _S, 'trend', _T,"
+        f" 'residual', {residual})"
+    )
+    out = _sql_let(baseline, "_B", out)
+    out = _sql_let(seasonal, "_S", out)
+    out = _sql_let(f"array({pms})", "_P", out)
+    out = _sql_let(detr, "_D0", out)
+    out = _sql_let(trend, "_T", out)
+    return _sql_let(a, "_A", out)
+
+
+def _series_outliers_sql(c: str) -> str:
+    """SQL text of :func:`_series_outliers` with the sorted array and
+    the three percentiles let-bound (the Column form re-sorts the
+    series per element per reference). The empty-series guard keeps
+    the percentile struct null instead of probing an empty array
+    (ANSI element_at would throw where the Column form's lazy
+    otherwise-branch never evaluated it)."""
+
+    def q(p: float) -> str:
+        idx = f"({_D.format('(size(_OS) - 1)')} * {_D.format(p)})"
+        lo = f"CAST(floor({idx}) AS INT)"
+        frac = f"({idx} - {_D.format(lo)})"
+        return (
+            f"({_D.format(f'element_at(_OS, {lo} + 1)')}"
+            f" * ({_D.format('1.0')} - {frac})"
+            f" + {_D.format(f'element_at(_OS, least({lo} + 2, size(_OS)))')}"
+            f" * {frac})"
+        )
+
+    qs = (
+        f"CASE WHEN size(_OS) = 0 THEN"
+        f" CAST(NULL AS STRUCT<q10: DOUBLE, q50: DOUBLE, q90: DOUBLE>)"
+        f" ELSE named_struct('q10', {q(0.1)}, 'q50', {q(0.5)},"
+        f" 'q90', {q(0.9)}) END"
+    )
+    null_d = "CAST(NULL AS DOUBLE)"
+    body = (
+        f"CASE WHEN size(_OS) = 0 THEN transform({c}, _oe0 -> {null_d})"
+        f" ELSE transform({c}, _oe -> CASE"
+        f" WHEN _oe IS NULL THEN {null_d}"
+        f" WHEN (_OQ.q90 - _OQ.q10) = 0 THEN {_D.format('0.0')}"
+        f" WHEN ({_D.format('_oe')} > _OQ.q90)"
+        f" OR ({_D.format('_oe')} < _OQ.q10)"
+        f" THEN ({_D.format('_oe')} - _OQ.q50) / (_OQ.q90 - _OQ.q10)"
+        f" ELSE {_D.format('0.0')} END) END"
+    )
+    out = _sql_let(qs, "_OQ", body)
+    return _sql_let(
+        f"array_sort(filter({c}, _of0 -> _of0 IS NOT NULL))", "_OS", out
+    )
+
+
+def _series_decompose_anomalies_sql(
+    arr: str, period: int, threshold: float
+) -> str:
+    """SQL text of :func:`_series_decompose_anomalies`: decompose
+    bound once, its residual scored by the outliers text, flags from
+    the bound score array."""
+    thr = _D.format(repr(float(threshold)))
+    null_l = "CAST(NULL AS BIGINT)"
+    flag = (
+        f"transform(_SC, _fs -> CASE WHEN _fs IS NULL THEN {null_l}"
+        f" WHEN _fs > {thr} THEN CAST(1 AS BIGINT)"
+        f" WHEN _fs < -{thr} THEN CAST(-1 AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+    )
+    body = (
+        f"named_struct('ad_flag', {flag}, 'ad_score', _SC,"
+        f" 'baseline', _DA.baseline)"
+    )
+    out = _sql_let(_series_outliers_sql("_DA.residual"), "_SC", body)
+    return _sql_let(_series_decompose_sql(arr, period), "_DA", out)
+
+
+def _series_seasonal_sql(arr: str, period: int) -> str:
+    """SQL text of :func:`_series_seasonal` — phase medians let-bound
+    into one per-row array probed by i % period (the Column form
+    re-sorts the phase values per element through a when-chain)."""
+
+    def phase_median(ph: int) -> str:
+        vals = (
+            f"array_sort(filter(_SA,"
+            f" (_mx{ph}, _mi{ph}) -> _mi{ph} % {period} = {ph}))"
+        )
+        # the Column form's when-chain never evaluated an EMPTY
+        # phase's median (n < period => the phase of every observed
+        # position is non-empty); the hoisted array is eager, so the
+        # empty case must be an explicit null, not an element_at(_, 0)
+        body = (
+            f"CASE WHEN size(_mv{ph}) = 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE (element_at(_mv{ph},"
+            f" CAST(floor((size(_mv{ph}) + 1) / 2) AS INT))"
+            f" + element_at(_mv{ph},"
+            f" CAST(floor(size(_mv{ph}) / 2) AS INT) + 1))"
+            f" / {_D.format('2.0')} END"
+        )
+        return _sql_let(vals, f"_mv{ph}", body)
+
+    meds = ", ".join(phase_median(ph) for ph in range(period))
+    out = (
+        f"transform(sequence(0, size(_SA) - 1),"
+        f" _si -> element_at(_SM, (_si % {period}) + 1))"
+    )
+    out = _sql_let(f"array({meds})", "_SM", out)
+    return _sql_let(f"transform({arr}, _se0 -> {_D.format('_se0')})", "_SA", out)
+
+
+def _series_periods_detect_sql(
+    arr: str, min_period: int, max_period: int, num_periods: int
+) -> str:
+    """SQL text of :func:`_series_periods_detect` — mean, variance and
+    each candidate lag's ACF let-bound (the Column form re-evaluates
+    the mean inside every product term and each ACF twice)."""
+
+    def acf(lag: int) -> str:
+        num = (
+            f"aggregate(sequence(1, greatest(size(_FA) - {lag}, 0)),"
+            f" {_D.format('0.0')},"
+            f" (_g{lag}, _i{lag}) -> _g{lag}"
+            f" + (element_at(_FA, _i{lag}) - _FM)"
+            f" * (element_at(_FA, _i{lag} + {lag}) - _FM))"
+        )
+        return (
+            f"CASE WHEN _FV = 0 THEN {_D.format('0.0')}"
+            f" ELSE {num} / _FV END"
+        )
+
+    cands = ", ".join(
+        _sql_let(
+            acf(lag),
+            f"_cf{lag}",
+            f"named_struct('neg', -_cf{lag},"
+            f" 'lag', {_D.format(repr(float(lag)))}, 'score', _cf{lag})",
+        )
+        for lag in range(min_period, max_period + 1)
+    )
+    out = (
+        f"named_struct('periods', transform(_FT, _t1 -> _t1.lag),"
+        f" 'scores', transform(_FT, _t2 -> _t2.score))"
+    )
+    out = _sql_let(
+        f"slice(array_sort(array({cands})), 1, {num_periods})", "_FT", out
+    )
+    var = (
+        f"aggregate(_FA, {_D.format('0.0')},"
+        f" (_vc, _vx) -> _vc + (_vx - _FM) * (_vx - _FM))"
+    )
+    out = _sql_let(var, "_FV", out)
+    mean = (
+        f"(aggregate(_FA, {_D.format('0.0')},"
+        f" (_mc, _mx) -> _mc + _mx) / {_D.format('size(_FA)')})"
+    )
+    out = _sql_let(mean, "_FM", out)
+    return _sql_let(f"transform({arr}, _f0 -> {_D.format('_f0')})", "_FA", out)
+
+
 def _series_decompose(arr: Column, period: int) -> Column:
     """``series_decompose(x, period)`` — STL-lite decomposition of a
     make-series array into (baseline, seasonal, trend, residual),
@@ -1872,6 +2101,12 @@ def _series_decompose(arr: Column, period: int) -> Column:
     twin, so the doubles agree bit-for-bit."""
     if period <= 0:
         raise ValueError("KQL: series_decompose period must be positive")
+    arr_sql = _col_sql(arr)
+    if arr_sql is not None:
+        try:
+            return F.expr(_series_decompose_sql(arr_sql, period))
+        except Exception:
+            pass
     a = F.transform(arr, lambda e: e.cast("double"))
     n = F.size(a)
     h = period // 2
@@ -1935,6 +2170,12 @@ def _series_seasonal(arr: Column, period: int) -> Column:
     shuffles beyond make-series' own, no UDF."""
     if period <= 0:
         raise ValueError("KQL: series_seasonal period must be positive")
+    arr_sql = _col_sql(arr)
+    if arr_sql is not None:
+        try:
+            return F.expr(_series_seasonal_sql(arr_sql, period))
+        except Exception:
+            pass
     a = F.transform(arr, lambda e: e.cast("double"))
     n = F.size(a)
     idxs = F.sequence(F.lit(0), n - F.lit(1))
@@ -1975,6 +2216,16 @@ def _series_decompose_anomalies(
     struct (ad_flag, ad_score, baseline) — Kusto's output triple —
     for the tuple-destructuring extend. All JVM array HOFs; zero
     shuffles beyond make-series' own."""
+    arr_sql = _col_sql(arr)
+    if arr_sql is not None:
+        try:
+            return F.expr(
+                _series_decompose_anomalies_sql(
+                    arr_sql, period, float(threshold)
+                )
+            )
+        except Exception:
+            pass
     dec = _series_decompose(arr, period)
     score = _series_outliers(dec.getField("residual"))
     thr = F.lit(float(threshold))
@@ -2018,6 +2269,16 @@ def _series_periods_detect(
         )
     if num_periods <= 0:
         raise ValueError("KQL: series_periods_detect num_periods must be > 0")
+    arr_sql = _col_sql(arr)
+    if arr_sql is not None:
+        try:
+            return F.expr(
+                _series_periods_detect_sql(
+                    arr_sql, min_period, max_period, num_periods
+                )
+            )
+        except Exception:
+            pass
     a = F.transform(arr, lambda e: e.cast("double"))
     n = F.size(a)
     mean = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x) / n.cast(

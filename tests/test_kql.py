@@ -2909,6 +2909,25 @@ def test_series_seasonal_vectors(spark):
     assert out3.collect()[0]["s"] == [5.0]
 
 
+def test_series_decompose_short_series(spark):
+    """Eager-guard contract of the SQL-text fast path: with n < period
+    the hoisted phase-mean array holds (unobserved) nulls for the
+    empty phases instead of an ANSI 0.0/0 error; observed positions
+    still decompose exactly (single element: trend = x, seasonal = 0,
+    baseline = x, residual = 0)."""
+    df = spark.createDataFrame([(1, [4.0])], "id long, x array<double>")
+    out = kql(
+        "T | extend (b, s, t, r) = series_decompose(x, 3)"
+        " | project b, s, t, r",
+        {"T": df},
+    )
+    row = out.collect()[0]
+    assert row["b"] == [4.0]
+    assert row["s"] == [0.0]
+    assert row["t"] == [4.0]
+    assert row["r"] == [0.0]
+
+
 def test_graph_match_named_edges_and_errors(spark):
     """k113 kernel contract: named edges bind property structs readable
     as e.field in where/project; cycles still close through repeated
