@@ -9257,7 +9257,13 @@ def d106_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__df") > 1000)
         .select("shingle")
     )
-    shc = sh.join(hot, "shingle", "left_anti")
+    # shc feeds THREE pipelines (per-doc sizes, both inverted-index
+    # sides); without a persist each one re-runs the hot-cap
+    # anti-join from the shingle cache (plan audit: the cached scan
+    # appeared 10x). Same discipline as sh above.
+    shc = sh.join(hot, "shingle", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cnt = shc.groupBy("id").agg(F.count("*").alias("n"))
     a = shc.select(F.col("id").alias("id1"), "shingle")
     b = shc.select(F.col("id").alias("id2"), "shingle")
@@ -9300,6 +9306,10 @@ def d106_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # 2 rows per doc; both sides of the detection self-join read it —
+    # unpersisted, the full-corpus 8-perm signature aggregation ran
+    # twice (once per side).
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     l = buckets.select(F.col("id").alias("id1"), "band", "bh")
     r = buckets.select(F.col("id").alias("id2"), "band", "bh")
     det = (
