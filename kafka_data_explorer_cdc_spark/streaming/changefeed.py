@@ -138,27 +138,47 @@ class ChangeFeedSink(CdcStateSink):
             post_live = F.col(f"post.{k0}").isNotNull() & live("post")
             changed = ~F.col("pre.lsn").eqNullSafe(F.col("post.lsn"))
 
-            def side_rows(side: str, ctype, cond):
-                return j.filter(cond).select(
-                    *[F.col(f"{side}.{c}").alias(c) for c in cols],
-                    ctype.alias("_change_type"),
+            # ONE pass over the join (optimization round 13): each
+            # joined row yields its 0-2 change rows via a filtered
+            # array + explode — the previous four filter+union branches
+            # each re-ran the full-outer join (4 join executions per
+            # micro-batch for one classification). Same rows, same
+            # schema; only the (irrelevant) row order of the feed
+            # parquet differs.
+            def change(side: str, ctype: str, cond):
+                return F.when(
+                    cond,
+                    F.struct(
+                        *[F.col(f"{side}.{c}").alias(c) for c in cols],
+                        F.lit(ctype).alias("_change_type"),
+                    ),
                 )
 
-            inserts = side_rows(
-                "post", F.lit("insert"), ~pre_live & post_live & changed
-            )
-            deletes = side_rows(
-                "pre", F.lit("delete"), pre_live & ~post_live & changed
-            )
-            upd_pre = side_rows(
-                "pre", F.lit("update_preimage"), pre_live & post_live & changed
-            )
-            upd_post = side_rows(
-                "post", F.lit("update_postimage"), pre_live & post_live & changed
-            )
-            changes = inserts.unionByName(deletes).unionByName(
-                upd_pre
-            ).unionByName(upd_post)
+            changes = j.select(
+                F.explode(
+                    F.filter(
+                        F.array(
+                            change(
+                                "post", "insert",
+                                ~pre_live & post_live & changed,
+                            ),
+                            change(
+                                "pre", "delete",
+                                pre_live & ~post_live & changed,
+                            ),
+                            change(
+                                "pre", "update_preimage",
+                                pre_live & post_live & changed,
+                            ),
+                            change(
+                                "post", "update_postimage",
+                                pre_live & post_live & changed,
+                            ),
+                        ),
+                        lambda x: x.isNotNull(),
+                    )
+                ).alias("__c")
+            ).select("__c.*")
         out = os.path.join(self.feed_root, f"batch_{batch_id}")
         changes.withColumn(
             "_commit_version", F.lit(batch_id)

@@ -112,30 +112,34 @@ class AggViewSink(CdcStateSink):
         if m is not None and batch_id <= m["last_batch_id"]:
             return  # replayed micro-batch: delta already applied
         g = self.group_col
-        new_agg = self._agg(merged).alias("n")
         if cur is None:
-            delta = new_agg.select(
+            delta = self._agg(merged).select(
                 g,
                 F.col("n_rows").alias("d_rows"),
                 F.col("sum_dec").alias("d_sum"),
             )
         else:
-            old_agg = self._agg(cur).alias("o")
-            delta = (
-                new_agg.join(
-                    old_agg, F.col(f"n.{g}").eqNullSafe(F.col(f"o.{g}")), "full_outer"
-                )
-                .select(
-                    F.coalesce(F.col(f"n.{g}"), F.col(f"o.{g}")).alias(g),
-                    (
-                        F.coalesce(F.col("n.n_rows"), F.lit(0))
-                        - F.coalesce(F.col("o.n_rows"), F.lit(0))
-                    ).alias("d_rows"),
-                    (
-                        F.coalesce(F.col("n.sum_dec"), F.lit(0).cast("decimal(18,2)"))
-                        - F.coalesce(F.col("o.sum_dec"), F.lit(0).cast("decimal(18,2)"))
-                    ).alias("d_sum"),
-                )
+            # ONE signed aggregation instead of agg(merged) ⋈ agg(cur)
+            # (optimization round 13): live post rows weigh +1, live
+            # pre rows −1; per group, sum(w) = count_new − count_old
+            # and sum(w·value) = sum_new − sum_old exactly (COUNT and
+            # DECIMAL sums are order-free and exact), over the same
+            # group set (a group appears iff it has a live row on
+            # either side). Halves the aggregation shuffles and drops
+            # the full-outer join per micro-batch.
+            live = F.col("op") != "d"
+            signed = merged.filter(live).withColumn(
+                "__w", F.lit(1)
+            ).unionByName(
+                cur.filter(live).withColumn("__w", F.lit(-1)),
+                allowMissingColumns=True,
+            )
+            val = F.col(self.value_col).cast("decimal(18,2)")
+            delta = signed.groupBy(g).agg(
+                F.sum("__w").cast("long").alias("d_rows"),
+                F.sum(
+                    F.when(F.col("__w") > 0, val).otherwise(-val)
+                ).alias("d_sum"),
             )
         prior = None
         if m is not None:

@@ -29,11 +29,11 @@ import abc
 import json
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..cdc.apply import apply_cdc_batch, latest_state
+from ..cdc.apply import latest_state
 from ..cdc.envelope import parse_envelope, unwrap
 
 
@@ -430,7 +430,6 @@ class ParquetStateSink(CdcStateSink):
         else:
             batch = batch.filter(~bad_cond)
 
-        batch = batch.withColumn("__bucket", self._bucket_col())
         touched = {
             int(r["__bucket"]) for r in probe if r["__bucket"] is not None
         }
@@ -441,11 +440,39 @@ class ParquetStateSink(CdcStateSink):
                 max_lsn = int(r["__mx"])
         if touched:
             cur = self._read_buckets(bucket_versions, only=touched)
-            # keep_deletes=True: the stored form must remember each
-            # deleted key's winning lsn, or a lower-lsn straggler in a
-            # later micro-batch would resurrect it (class docstring)
-            merged = apply_cdc_batch(
-                cur, batch.drop("__bucket"), self.key_cols, keep_deletes=True
+            # the on_merge consumers (change feed, agg view) re-read the
+            # pre-merge rows — persist cur so state parquet is scanned
+            # once per micro-batch, not once per consumer
+            if self.on_merge is not None and cur is not None:
+                cur = cur.persist()
+            # ONE exchange per merge (optimization round 13): union the
+            # current buckets with the raw batch, cluster by __bucket
+            # (a pure function of the key, so bucket-clustering IS
+            # key-clustering), and run the lsn arbitration window
+            # partitioned by (__bucket, key) — the window reuses the
+            # bucket exchange, and the bucket-partitioned write needs
+            # no further repartition (each bucket still lands in one
+            # task -> one file). Replaces apply_cdc_batch's
+            # compact-batch window + merge window + the write's
+            # repartition (3 exchanges) with 1; winners are identical:
+            # row_number picks each key's (lsn desc, op desc) max, and
+            # (key, lsn, op) ties only arise from at-least-once
+            # redelivery where the rows are bit-identical
+            # (cdc/apply.py latest_state contract).
+            base = (
+                batch
+                if cur is None
+                else cur.unionByName(batch, allowMissingColumns=True)
+            )
+            w = Window.partitionBy("__bucket", *self.key_cols).orderBy(
+                F.col("lsn").desc(), F.col("op").desc()
+            )
+            merged = (
+                base.withColumn("__bucket", self._bucket_col())
+                .repartition(len(touched), F.col("__bucket"))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
             )
             if self.tombstone_gc_lsn_lag is not None and max_lsn is not None:
                 horizon = max_lsn - self.tombstone_gc_lsn_lag
@@ -455,21 +482,17 @@ class ParquetStateSink(CdcStateSink):
             if self.on_merge is not None:
                 merged = merged.persist()
             try:
-                clustered = merged.withColumn("__bucket", self._bucket_col())
                 out = os.path.join(self.root, f"v{batch_id}")
-                # cluster rows by bucket before the partitioned write:
-                # each bucket then lands in ONE task -> one file,
-                # instead of every task opening a file per bucket
-                # (tasks x buckets small files per micro-batch —
-                # measured 2x wall on the s24 pipeline)
-                clustered.repartition(len(touched), F.col("__bucket")).write.mode(
-                    "overwrite"
-                ).partitionBy("__bucket").parquet(out)
+                merged.write.mode("overwrite").partitionBy(
+                    "__bucket"
+                ).parquet(out)
                 if self.on_merge is not None:
-                    self.on_merge(cur, merged, batch_id)
+                    self.on_merge(cur, merged.drop("__bucket"), batch_id)
             finally:
                 if self.on_merge is not None:
                     merged.unpersist()
+                    if cur is not None:
+                        cur.unpersist()
             for b in touched:
                 bucket_versions[str(b)] = batch_id
 
