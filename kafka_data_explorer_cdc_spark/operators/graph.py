@@ -68,11 +68,17 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # lazy checkpoints throughout the loop (optimization round 13): the
+    # signature aggregate is the action that materializes each round's
+    # checkpoint (localCheckpoint persists its blocks on first
+    # computation), so every round costs ONE driver action instead of
+    # two (eager checkpoint job + signature job); lineage truncation is
+    # unchanged.
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _label_sig(lab: DataFrame):
@@ -123,7 +129,7 @@ def connected_components(
             stepped = stepped.join(
                 lk, stepped["comp"] == lk["__cid"], "left"
             ).select("id", F.least("comp", "__ccomp").alias("comp"))
-        new_labels = stepped.localCheckpoint(eager=True)
+        new_labels = stepped.localCheckpoint(eager=False)
         new_sum = _label_sig(new_labels)
         if new_sum == prev_sum:
             # Signature equality is necessary but only w.h.p.
@@ -204,12 +210,18 @@ def connected_components_star(
     ``max_iter`` is a safety net only — 60 rounds covers any graph that
     fits in storage (log²(2⁶⁴) < 60 large/small pairs); hitting it
     raises instead of returning partial labels."""
+    # lazy checkpoints (optimization round 13, same as
+    # connected_components): each round's edge-signature aggregate is
+    # the one action that materializes that round's checkpoints
+    # (``large`` is computed once and served from its checkpoint blocks
+    # to both of ``small``'s references), so a round costs ONE driver
+    # action instead of three.
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sig = _edge_signature(e)
     rounds = 0
@@ -227,7 +239,7 @@ def connected_components_star(
                 F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # ---- small-star: group by the LARGER endpoint ----
         # canonical (a < b) means b's smaller-or-equal neighbors are
@@ -244,7 +256,7 @@ def connected_components_star(
                 F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         new_sig = _edge_signature(small)
