@@ -3949,21 +3949,25 @@ def d51_fuzzy_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "variant"),
     )
     a, b = variants.alias("a"), variants.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.variant") == F.col("b.variant"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.name") != F.col("b.name")),
-        )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.name").alias("name1"),
-            F.col("b.name").alias("name2"),
-        )
-        .distinct()
+    # No dedup needed (optimization round 13, removes the candidate
+    # distinct's exchange + two aggregates): a joined pair's names are
+    # equal length (equal variants of length len-1) and equal at every
+    # position except the deleted one (the variants agree there), so
+    # each qualifying pair differs at EXACTLY one position i and
+    # collides on exactly ONE key (pos=i, delete_i) — deleting any
+    # other position leaves the difference at i in both variants.
+    # Emitted exactly once by construction.
+    cand = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.variant") == F.col("b.variant"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.name") != F.col("b.name")),
+    ).select(
+        F.col("a.id").alias("id1"),
+        F.col("b.id").alias("id2"),
+        F.col("a.name").alias("name1"),
+        F.col("b.name").alias("name2"),
     )
     return cand.filter(F.levenshtein("name1", "name2") <= 1)
 

@@ -683,11 +683,17 @@ def a23_replication_lag_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_ms"
         ),
     )
+    # one percentile buffer per group for both quantiles (array form)
     return lagged.groupBy("city").agg(
         F.count("*").alias("n_events"),
-        F.expr("percentile(lag_ms, 0.5)").alias("p50_lag_ms"),
-        F.expr("percentile(lag_ms, 0.95)").alias("p95_lag_ms"),
+        F.expr("percentile(lag_ms, array(0.5D, 0.95D))").alias("pls"),
         F.max("lag_ms").cast("bigint").alias("max_lag_ms"),
+    ).select(
+        "city",
+        "n_events",
+        F.col("pls")[0].alias("p50_lag_ms"),
+        F.col("pls")[1].alias("p95_lag_ms"),
+        "max_lag_ms",
     )
 
 

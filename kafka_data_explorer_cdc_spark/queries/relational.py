@@ -806,10 +806,19 @@ def b27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB swap in ``percentile_approx`` (mergeable KLL-style sketch,
     constant memory) — kept exact here for the differential gate."""
     li = load(spark, sf_dir, "lineitem")
+    # one percentile buffer per group answering all three quantiles
+    # (array form) instead of three independent buffers each holding
+    # every group value — same interpolation, same values, a third of
+    # the aggregate's memory and sort work
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.95).alias("p95"),
-        F.percentile("l_extendedprice", 0.99).alias("p99"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+        ).alias("ps")
+    ).select(
+        "l_returnflag",
+        F.col("ps")[0].alias("p50"),
+        F.col("ps")[1].alias("p95"),
+        F.col("ps")[2].alias("p99"),
     )
 
 
@@ -820,10 +829,19 @@ def approx_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     group value in memory and cannot scale past it; the sketch is what
     actually runs at 100 TB."""
     li = load(spark, sf_dir, "lineitem")
+    # array form: ONE GK sketch per group answers all three quantiles
+    # (three scalar calls each built an identical sketch)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+            F.lit(10000),
+        ).alias("ps")
+    ).select(
+        "l_returnflag",
+        F.col("ps")[0].alias("p50"),
+        F.col("ps")[1].alias("p95"),
+        F.col("ps")[2].alias("p99"),
     )
 
 
@@ -852,11 +870,18 @@ def b27x_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     quantiles = ((0.5, "50"), (0.95, "95"), (0.99, "99"))
 
+    # one GK sketch per group answering all three quantiles (array
+    # form); identical per-quantile answers to three scalar calls,
+    # which each built the same sketch from the same insertion order
     approx = li.groupBy("l_returnflag").agg(
-        *[
-            F.percentile_approx("l_extendedprice", q, 10000).alias(f"a{nm}")
-            for q, nm in quantiles
-        ]
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(*[F.lit(q) for q, _ in quantiles]),
+            F.lit(10000),
+        ).alias("aps")
+    ).select(
+        "l_returnflag",
+        *[F.col("aps")[i].alias(f"a{nm}") for i, (_, nm) in enumerate(quantiles)],
     )
     # Second pass measures each sketch value's true rank in its group:
     # lt = #values strictly below, le = #values at-or-below, so the
@@ -3175,13 +3200,14 @@ def b68_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sizes.agg(
             F.count("*").alias("n_keys"),
             F.max("n").alias("max_size"),
-            F.percentile("n", 0.5).alias("p50"),
-            F.percentile("n", 0.99).alias("p99"),
+            # one buffer for both quantiles (array form)
+            F.percentile("n", F.array(F.lit(0.5), F.lit(0.99))).alias("pqs"),
             (
                 F.max("n") * F.lit(1.0)
                 / (F.sum("n") * F.lit(1.0) / F.count("*"))
             ).alias("skew_ratio"),
-        ).select(F.lit(rel).alias("rel"), "n_keys", "max_size", "p50", "p99",
+        ).select(F.lit(rel).alias("rel"), "n_keys", "max_size",
+                 F.col("pqs")[0].alias("p50"), F.col("pqs")[1].alias("p99"),
                  "skew_ratio")
 
     li = load(spark, sf_dir, "lineitem")
@@ -3808,10 +3834,15 @@ def b78_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable percentile_approx sketch for pass 1 — same second pass,
     one-row broadcast either way, no shuffle larger than 4 rows."""
     ev = load(spark, sf_dir, "events").select("value")
+    # one percentile buffer for all three quartile edges (array form)
     q = ev.agg(
-        F.percentile("value", 0.25).alias("q1"),
-        F.percentile("value", 0.5).alias("q2"),
-        F.percentile("value", 0.75).alias("q3"),
+        F.percentile(
+            "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("qs")
+    ).select(
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("q2"),
+        F.col("qs")[2].alias("q3"),
     )
     binned = ev.crossJoin(broadcast(q)).select(
         F.when(F.col("value") <= F.col("q1"), 0)
