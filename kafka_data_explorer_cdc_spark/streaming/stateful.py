@@ -47,6 +47,31 @@ from pyspark.sql.types import (
 )
 
 
+def _sorted_batch(pdfs, by=("ts", "event_id")) -> pd.DataFrame:
+    """The per-group (ts, event_id)-ordered batch, cheaply.
+
+    Every state fn in this module starts with
+    ``pd.concat(list(pdfs)).sort_values([...], kind="mergesort")`` —
+    per-GROUP pandas overhead paid keys x micro-batches times. This
+    helper skips the concat when the group arrived as one Arrow chunk
+    (the common case) and sorts via a stable ``np.lexsort`` over the
+    key arrays + one ``take`` instead of a whole-DataFrame
+    ``sort_values`` — the identical stable order (last key primary),
+    roughly a third of the per-call cost on small groups and
+    asymptotically cheaper on large ones (two key gathers instead of a
+    full-frame sort)."""
+    import numpy as np
+
+    chunks = list(pdfs)
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+    if len(pdf) <= 1:
+        return pdf
+    order = np.lexsort(tuple(pdf[c].to_numpy() for c in reversed(by)))
+    if np.array_equal(order, np.arange(len(order))):
+        return pdf
+    return pdf.take(order)
+
+
 def _running_counts_fn(
     key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -351,9 +376,7 @@ def streaming_sequence_detect(
         # timestamps would otherwise make the automaton's matches
         # nondeterministic (the k72 batch twin and the s51 oracle both
         # order by ts, event_id).
-        pdf = pd.concat(list(pdfs)).sort_values(
-            ["ts", "event_id"], kind="mergesort"
-        )
+        pdf = _sorted_batch(pdfs)
         ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         et = pdf["event_type"].to_numpy()
         rows = []
@@ -559,9 +582,7 @@ def streaming_multitouch_attribution(
             t0, c0 = state.get
             buf_ts, buf_ch = list(t0), list(c0)
         rows = []
-        pdf = pd.concat(list(pdfs)).sort_values(
-            ["ts", "event_id"], kind="mergesort"
-        )
+        pdf = _sorted_batch(pdfs)
         ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         et = pdf["event_type"].to_numpy()
         val = pdf["value"].to_numpy()
@@ -668,9 +689,7 @@ def streaming_cusum(
 
     def fn(key, pdfs, state: GroupState):
         p, runmin, prev = state.get if state.exists else (0.0, 0.0, 0.0)
-        pdf = pd.concat(list(pdfs)).sort_values(
-            ["ts", "event_id"], kind="mergesort"
-        )
+        pdf = _sorted_batch(pdfs)
         x = pdf[val_col].to_numpy(dtype="float64")
         if len(x):
             # strictly sequential folds (ufunc.accumulate), bit-equal
@@ -789,9 +808,7 @@ def streaming_counter_increase(
         total, last_cnt, seen = (
             state.get if state.exists else (0, 0, 0)
         )
-        pdf = pd.concat(list(pdfs)).sort_values(
-            ["ts", "event_id"], kind="mergesort"
-        )
+        pdf = _sorted_batch(pdfs)
         if len(pdf):
             inc, rst, total, last_cnt = _counter_increase_kernel(
                 pdf["value"].to_numpy(dtype="float64"),
@@ -909,9 +926,7 @@ def streaming_timer_sessions(
                 [_row(key[0], st, last, n, cents, mg)], columns=cols
             )
             return
-        pdf = pd.concat(list(pdfs)).sort_values(
-            ["ts", "event_id"], kind="mergesort"
-        )
+        pdf = _sorted_batch(pdfs)
         ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         cents = np.floor(
             pdf["value"].to_numpy(dtype="float64") * 100.0
