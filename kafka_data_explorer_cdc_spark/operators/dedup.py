@@ -542,7 +542,12 @@ def jaro_winkler_pandas(s1_col, s2_col):
             [jw_one(x, y) for x, y in zip(s1, s2)], dtype="Float64"
         )
 
-    return _jw(s1_col, s2_col)
+    # asNondeterministic: a filter on the score column otherwise gets
+    # pushed below the projection WITH A COPY of the UDF — two
+    # ArrowEvalPython nodes, every candidate pair scored twice
+    # (optimization round 13; the function is of course deterministic,
+    # the flag only stops the optimizer duplicating it)
+    return _jw.asNondeterministic()(s1_col, s2_col)
 
 
 CDC_CHUNK_SCHEMA = (

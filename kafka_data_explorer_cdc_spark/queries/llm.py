@@ -2824,12 +2824,15 @@ def d35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     h = sh.withColumn("h", F.expr(poly_hash("shingle")))
+    # persisted: the signature aggregation (a full shingle-set shuffle)
+    # feeds BOTH the base and the delta branch — one materialization
+    # instead of two (the d50/d106 multiply-consumed-frame discipline)
     sigs = h.groupBy("id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % _D04X_P).alias(f"mh_{i}")
             for i, (a, b) in enumerate(_MINHASH_PERMS)
         ]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig_cols = [f"mh_{i}" for i in range(8)]
     base_reps = (
         sigs.filter(F.col("id") % 10 < 7)
