@@ -57,7 +57,12 @@ def distributed_row_ids(
         # hit the SAME stored blocks; at scale this one materialization
         # is the price of the sort-free global rank and still beats the
         # single-task global sort by the width of the cluster.
-        .localCheckpoint(eager=True)
+        # Lazy (optimization r13): the counts job right below is the
+        # first action — it materializes the checkpoint blocks as a
+        # side effect, so a separate eager materialization job is
+        # pure overhead; the pinning guarantee (both reads hit the
+        # same stored blocks) is unchanged.
+        .localCheckpoint(eager=False)
     )
     counts = (
         ranged.groupBy("__pid")

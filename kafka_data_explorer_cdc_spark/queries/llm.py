@@ -2960,7 +2960,11 @@ def d36_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            # lazy: plans stay truncated (LogicalRDD) but the five
+            # per-iteration materialization JOBS collapse into the
+            # final action, each iteration served from its checkpoint
+            # blocks (same pattern as the CC loops, optimization r13)
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
