@@ -120,11 +120,15 @@ def main() -> None:
         line = render(qmap)
     print(line)
     # BENCH_LOCAL.json is the COMMITTED idle sf0.1 record — only a
-    # full-registry run at the default SF may rewrite it. Partial runs
-    # (SPARK_GRAFT_BENCH_ONLY) and off-SF smoke runs (e.g. a quick
-    # sf0.001 contract check) must not clobber it; they got the JSON
-    # line above, which is all they came for.
-    if not only and sf_dir == "/root/testdata/sf0.1":
+    # full-registry run at the default SF AND the record's core count
+    # (32) may rewrite it. Partial runs (SPARK_GRAFT_BENCH_ONLY),
+    # off-SF smoke runs (e.g. a quick sf0.001 contract check) and
+    # low-core scaling runs (the driver benches at reduced
+    # $SPARK_GRAFT_CPUS too — round 13's 8-core run clobbered the
+    # 32-core record) must not clobber it; they got the JSON line
+    # above, which is all they came for.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not only and sf_dir == "/root/testdata/sf0.1" and cpus == "32":
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as f:
             f.write(full_line + "\n")
