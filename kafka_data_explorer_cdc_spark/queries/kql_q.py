@@ -4776,8 +4776,9 @@ SELECT doc_id,
                       AS BIGINT)
             ELSE -1 END AS ir,
        CAST(bit_count(doc_id) AS BIGINT) AS bc,
-       list_transform(string_split(substring(text, 1, 8), ''),
-                      c -> CAST(unicode(c) AS BIGINT)) AS cps,
+       array_to_string(list_transform(string_split(substring(text, 1, 8), ''),
+                                      c -> CAST(unicode(c) AS BIGINT)),
+                       ',') AS cps,
        list_aggregate(
          list_transform(
            list_transform(string_split(substring(text, 1, 8), ''),
@@ -4808,6 +4809,17 @@ def k114_kql_string_codepoint_scalars(
     spells the same CASE ladder so collation never enters — both
     sides compare codepoint-wise on this corpus).
 
+    The projected ``cps`` column is the comma-joined canonical scalar
+    rendering of the codepoint array (``strcat_array(cpa, ",")`` vs
+    DuckDB ``array_to_string``) rather than the bare array: the
+    driver's canonicalizer sorts result frames with pandas, which
+    cannot hash/sort array cells (round-13 verdict item 1 — the bare
+    array made the entry driver-unverifiable). Same codepoints, same
+    match domain (element-wise equal arrays join to equal strings;
+    the join is injective for integer lists at a fixed separator),
+    now driver-sortable. The round trip still exercises the real
+    array (``cpa``).
+
     Scale shape: all six are row-local codegen expressions over one
     scan — zero shuffles, zero UDFs, nothing to re-plan at 100 TB."""
     docs = load(spark, sf_dir, "documents")
@@ -4816,8 +4828,9 @@ def k114_kql_string_codepoint_scalars(
         ' | extend ir = indexof_regex(text, "[0-9]+"),'
         "          bc = bitset_count_ones(doc_id),"
         "          head = substring(text, 0, 8)"
-        " | extend cps = unicode_codepoints_from_string(head)"
-        " | extend rt_ok = unicode_codepoints_to_string(cps) == head,"
+        " | extend cpa = unicode_codepoints_from_string(head)"
+        ' | extend cps = strcat_array(cpa, ","),'
+        "          rt_ok = unicode_codepoints_to_string(cpa) == head,"
         '          sc = strcmp(lang, "en")'
         " | project doc_id, ir, bc, cps, rt_ok, sc",
         {"Docs": docs},
