@@ -307,6 +307,15 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     (d30's twin-corpus union measured 1.8 -> 8.7 s). The leaf count
     comes off the already-analyzed logical plan — no physical
     planning.
+
+    File sizes are probed locally (``os.path.getsize``) for local
+    URIs and through the Hadoop ``FileSystem`` API for every other
+    scheme (HDFS/S3/ABFS — the actual 100 TB targets): the round-13
+    fast path was local-FS-only, so on an object store every call
+    threw OSError and silently fell back to the ``.rdd`` planning tax
+    the estimate exists to remove (round-13 verdict item 3). A frame
+    whose file COUNT already reaches the floor needs no size probe at
+    all — every file yields at least one split.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -318,14 +327,16 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
             files = []
     except Exception:  # non-file plans that reject inputFiles entirely
         files = []
+    if files and len(files) >= floor_parts:
+        # each backing file packs into >= 1 FilePartition split, so the
+        # scan is provably at/above the floor — zero probing needed
+        return df
     if files:
         total = 0
         sizes = []
         for uri in files:
-            p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
-            try:
-                s = os.path.getsize(p)
-            except OSError:
+            s = _probe_file_size(spark, uri)
+            if s is None:
                 sizes = []
                 break
             sizes.append(s)
@@ -338,6 +349,35 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     if n_parts < floor_parts:
         return df.repartition(target)
     return df
+
+
+#: URI schemes whose paths the driver's own filesystem can stat
+#: directly (cheaper than a py4j round trip per file).
+_LOCAL_SCHEMES = ("", "file")
+
+
+def _probe_file_size(spark: SparkSession, uri: str) -> int | None:
+    """Size in bytes of one scan-backing file, or None when
+    unavailable (caller falls back to the exact ``.rdd`` probe).
+
+    Local URIs stat directly; everything else goes through the JVM's
+    Hadoop ``FileSystem`` (``Path.getFileSystem(hadoopConf)
+    .getFileStatus``) so HDFS/S3/ABFS keep the cheap estimate instead
+    of silently regressing to full physical planning. Only called for
+    under-the-floor file counts (< cores/2 files), so the per-file
+    py4j round trip is bounded and tiny."""
+    parsed = urllib.parse.urlparse(uri)
+    if parsed.scheme in _LOCAL_SCHEMES:
+        try:
+            return os.path.getsize(urllib.parse.unquote(parsed.path))
+        except OSError:
+            pass  # e.g. a local-looking mount that only the JVM sees
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(uri)  # type: ignore[union-attr]
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+        return int(fs.getFileStatus(jpath).getLen())
+    except Exception:
+        return None
 
 
 def write_bucketed(

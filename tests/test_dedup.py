@@ -147,6 +147,43 @@ def test_ensure_parallelism_noop_on_well_split_input(spark, sf_dir, tmp_path):
     assert boosted.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
 
 
+def test_ensure_parallelism_nonlocal_uri_uses_hadoop_probe(
+    spark, sf_dir, monkeypatch
+):
+    """The split-count estimate must survive non-local URIs (HDFS/S3 —
+    the actual 100 TB targets): round 13's probe called
+    os.path.getsize on the URI path, so on an object store every call
+    threw OSError and silently fell back to the `.rdd` planning tax at
+    all 51 call sites (round-13 verdict item 3). Mock: route the local
+    ``file:`` scheme through the Hadoop FileSystem branch (exactly what
+    any remote scheme takes) and FORBID the `.rdd` fallback — the
+    estimate must come from the JVM probe alone and still fire the
+    under-split repartition."""
+    import os
+    import urllib.parse
+
+    from pyspark.sql import DataFrame
+
+    from kafka_data_explorer_cdc_spark import io as kio
+
+    docs = kio.load(spark, sf_dir, "documents")  # one small file
+    uri = docs.inputFiles()[0]
+    local_size = os.path.getsize(
+        urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+    )
+    monkeypatch.setattr(kio, "_LOCAL_SCHEMES", ())  # file: is now "remote"
+    assert kio._probe_file_size(spark, uri) == local_size
+
+    def _no_rdd(self):
+        raise AssertionError(
+            ".rdd fallback must not fire when the Hadoop probe works"
+        )
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_no_rdd))
+    boosted = kio.ensure_parallelism(docs)
+    assert boosted is not docs, "under-split single file must repartition"
+
+
 def test_mega_cluster_survives_bucket_cap(spark):
     """An exact-duplicate cluster WIDER than max_bucket must not vanish.
     Identical signatures previously made every band bucket the cluster
