@@ -1844,17 +1844,22 @@ def b46_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = pts.agg(F.sum("w").alias("tot_w"), F.count("*").alias("npts"))
     targets = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    # N rides the summaries: sum(w) == sum(cnt) == COUNT(*) EXACTLY
+    # (w = cnt/128.0 divides by a power of two — exact in binary FP —
+    # and every partial sum is an integer multiple of 2^-7, exact up
+    # to 2^53 units ≈ 7e13 rows), so the third full lineitem scan the
+    # round-13 form paid just to run `li.count()` — plus its driver
+    # action — is free (guide §1.2 fewer passes; round-14).
     ests = (
         wsorted.crossJoin(F.broadcast(total))
         .crossJoin(F.broadcast(targets))
         .filter(F.col("cum_w") >= F.col("q") * F.col("tot_w"))
-        .groupBy("q")
+        .groupBy("q", "tot_w")
         .agg(F.min("v").alias("est"))
     )
-    n = li.count()
     ranks = (
         li.crossJoin(F.broadcast(ests))
-        .groupBy("q", "est")
+        .groupBy("q", "est", "tot_w")
         .agg(
             F.sum(
                 F.when(F.col("l_extendedprice") <= F.col("est"), 1).otherwise(0)
@@ -1863,10 +1868,11 @@ def b46_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranks.select(
         "q",
-        F.lit(n).cast("long").alias("n_rows"),
-        (F.abs(F.col("rank") - F.col("q") * n) <= 0.025 * n).alias(
-            "within_bound"
-        ),
+        F.col("tot_w").cast("long").alias("n_rows"),
+        (
+            F.abs(F.col("rank") - F.col("q") * F.col("tot_w"))
+            <= 0.025 * F.col("tot_w")
+        ).alias("within_bound"),
     )
 
 
