@@ -3011,3 +3011,19 @@ def test_string_codepoint_scalar_vectors(spark):
     assert (got[3]["ir"], got[3]["bc"], got[3]["sc"]) == (-1, 0, -1)
     for r in got.values():
         assert r["back"] == ("hello world" if r["id"] == 1 else r["back"])
+
+
+def test_col_sql_fast_path_engages(spark):
+    """kql._col_sql rides a PRIVATE Spark class
+    (org.apache.spark.sql.classic.ColumnNodeToExpressionConverter$);
+    a Spark upgrade degrades it gracefully (None -> the Column-build
+    fallback) but SILENTLY — the k106/series/simhash compile paths
+    would quietly regress to seconds of py4j latency per entry. Pin
+    that the fast path actually engages on this Spark so the
+    degradation shows up as a test failure, not a mystery builder-time
+    regression (round-13 verdict item 5)."""
+    from kafka_data_explorer_cdc_spark.kql import _col_sql
+
+    s = _col_sql(F.col("x") + 1)
+    assert s is not None, "ColumnNodeToExpressionConverter fast path lost"
+    assert "x" in s
