@@ -597,9 +597,19 @@ def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped = D.simhash_near_pairs(fps, max_hamming=3, max_bucket=None)
     in_sample = (F.col("id1") % 5 == 0) | (F.col("id2") % 5 == 0)
     organic = ~((F.col("id1") >= 1_000_000) | (F.col("id2") >= 1_000_000))
-    lsh_side = uncapped.select("id1", "id2").filter(in_sample & organic)
-    missing = brute.join(lsh_side, ["id1", "id2"], "left_anti")
-    extra = lsh_side.join(brute, ["id1", "id2"], "left_anti")
+    # both sides of the symmetric anti-join pair are consumed twice:
+    # unpersisted, the whole uncapped chunk-join pipeline (and the
+    # brute hamming block) executed once per consumer (guide §2.4).
+    # The frames are tiny pair lists — broadcast the anti-join right
+    # sides so the set comparison needs no exchange (guide §3.1).
+    lsh_side = (
+        uncapped.select("id1", "id2")
+        .filter(in_sample & organic)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    brute = brute.persist(StorageLevel.MEMORY_AND_DISK)
+    missing = brute.join(F.broadcast(lsh_side), ["id1", "id2"], "left_anti")
+    extra = lsh_side.join(F.broadcast(brute), ["id1", "id2"], "left_anti")
     lossless_ok = (
         missing.unionByName(extra)
         .agg((F.count("*") == 0).alias("ok"))
@@ -1019,15 +1029,18 @@ def d07y_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = S.brute_force_cosine_topk(corpus, queries, k=5).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # persisted: both symmetric anti-joins consume it — unpersisted,
+    # the nprobe=16 probe executed twice (guide §2.4); the k x |q|
+    # outputs are tiny, so the anti-join right sides broadcast
+    # (guide §3.1 — no exchange for the set comparison)
     full = S.ivf_cosine_topk(
         corpus, queries, k=5, n_cells=16, nprobe=16, centroids=C, cells=cells
-    )
-    # set equality via symmetric anti-joins (same shape as the d06 gate)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     missing = brute.select("q_id", "c_id").join(
-        full.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        F.broadcast(full.select("q_id", "c_id")), ["q_id", "c_id"], "left_anti"
     )
     extra = full.select("q_id", "c_id").join(
-        brute.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        F.broadcast(brute.select("q_id", "c_id")), ["q_id", "c_id"], "left_anti"
     )
     exact_knob = (
         missing.unionByName(extra)
@@ -1138,12 +1151,12 @@ def d07v_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a cap, not an allocation — oversizing costs nothing)
     full = S.pq_cosine_topk(
         corpus, queries, k=5, rerank=n_corpus, codebooks=B
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # two anti-join consumers
     missing = brute.select("q_id", "c_id").join(
-        full.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        F.broadcast(full.select("q_id", "c_id")), ["q_id", "c_id"], "left_anti"
     )
     extra = full.select("q_id", "c_id").join(
-        brute.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        F.broadcast(brute.select("q_id", "c_id")), ["q_id", "c_id"], "left_anti"
     )
     degenerate = (
         missing.unionByName(extra)
@@ -1182,7 +1195,11 @@ def d07u_pq_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, queries, k=5, rerank=20, codebooks=B
     ).persist(StorageLevel.MEMORY_AND_DISK)
     brute = S.brute_force_cosine_topk(corpus, queries, k=5)
-    inline = S.pq_cosine_topk(corpus, queries, k=5, rerank=20, codebooks=B)
+    # persisted: the path-equivalence pair consumes it twice —
+    # unpersisted, the whole inline ADC pipeline executed per consumer
+    inline = S.pq_cosine_topk(
+        corpus, queries, k=5, rerank=20, codebooks=B
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     twin_hits = (
         ann.filter(
             (F.col("rank") == 1)
@@ -1194,10 +1211,10 @@ def d07u_pq_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     recall = _recall_row(ann, brute, 0.5, -2)
     missing = inline.select("q_id", "c_id").join(
-        ann.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        F.broadcast(ann.select("q_id", "c_id")), ["q_id", "c_id"], "left_anti"
     )
     extra = ann.select("q_id", "c_id").join(
-        inline.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        F.broadcast(inline.select("q_id", "c_id")), ["q_id", "c_id"], "left_anti"
     )
     equiv = (
         missing.unionByName(extra)
@@ -2306,9 +2323,22 @@ def d27_freq_items_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     support = 0.01
     candidates = set(toks.stat.freqItems(["word"], support).collect()[0][0])
-    total = toks.count()
-    exact = toks.groupBy("word").agg(F.count("*").alias("n_occurrences"))
-    heavy = exact.filter(F.col("n_occurrences") > support * total)
+    # the token total rides the exact recount (sum of the per-word
+    # counts == count of tokens, an exact long identity): the round-13
+    # form paid a THIRD full tokenize+explode pass plus a driver
+    # action just to collect it (guide §1.2 fewer passes, §5 driver).
+    # `exact` is vocab-sized — persist it for its two consumers.
+    exact = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total_df = exact.agg(F.sum("n_occurrences").alias("__total"))
+    heavy = (
+        exact.crossJoin(F.broadcast(total_df))
+        .filter(F.col("n_occurrences") > support * F.col("__total"))
+        .drop("__total")
+    )
     cand_df = toks.sparkSession.createDataFrame(
         [(w,) for w in sorted(candidates)], "word string"
     ).withColumn("covered", F.lit(True))
@@ -7038,12 +7068,12 @@ def d89_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = S.hard_negative_ivf_topk(
         em, anchors, k=3, n_cells=16, nprobe=16, centroids=C, cells=cells
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # two anti-join consumers
     missing = exact.select("q_id", "c_id").join(
-        full.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        F.broadcast(full.select("q_id", "c_id")), ["q_id", "c_id"], "left_anti"
     )
     extra = full.select("q_id", "c_id").join(
-        exact.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        F.broadcast(exact.select("q_id", "c_id")), ["q_id", "c_id"], "left_anti"
     )
     exact_knob = (
         missing.unionByName(extra)
@@ -7057,6 +7087,7 @@ def d89_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     ann.unpersist()
     exact.unpersist()
+    full.unpersist()
     cells.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
@@ -7113,10 +7144,14 @@ def d90_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = S.bitext_margin_pairs(
         src, tgt, k=4, threshold=1.05, ivf=(16, 16),
         ivf_centroids=C, ivf_cells=tcells,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # two anti-join consumers
     cols = ["src_id", "tgt_id", "cosine", "margin", "mined"]
-    missing = exact.select(cols).join(full.select(cols), cols, "left_anti")
-    extra = full.select(cols).join(exact.select(cols), cols, "left_anti")
+    missing = exact.select(cols).join(
+        F.broadcast(full.select(cols)), cols, "left_anti"
+    )
+    extra = full.select(cols).join(
+        F.broadcast(exact.select(cols)), cols, "left_anti"
+    )
     exact_knob = (
         missing.unionByName(extra)
         .agg((F.count("*") == 0).alias("ok"))
@@ -7126,6 +7161,7 @@ def d90_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded 2-row collect + cache release (round-10 ADVICE pattern)
     rows = out.collect()
     exact.unpersist()
+    full.unpersist()
     tcells.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
@@ -7195,6 +7231,10 @@ def d91_ivf_index_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "c_id", "rank")
     )
+    # NOT persisted/broadcast (unlike the d07y-family gates): both
+    # sides' shuffles are deduped by ReusedExchange inside this ONE
+    # lazy plan, and a measured A/B of the persist+broadcast variant
+    # was wall-flat with +156 bookkeeping tasks (OPTIMIZATION_r14.md)
     mem = S.ivf_cosine_topk(
         em, queries, k=5, n_cells=16, nprobe=4
     ).select("q_id", "c_id", "rank")
@@ -7700,10 +7740,14 @@ def d92x_colbert_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             em, queries, k=_D92_CAND, n_cells=16, nprobe=16,
             centroids=C, cells=cells,
         ).select("q_id", "c_id"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # two anti-join consumers
     cols = ["q_id", "rank", "c_id"]
-    missing = exact.select(cols).join(full.select(cols), cols, "left_anti")
-    extra = full.select(cols).join(exact.select(cols), cols, "left_anti")
+    missing = exact.select(cols).join(
+        F.broadcast(full.select(cols)), cols, "left_anti"
+    )
+    extra = full.select(cols).join(
+        F.broadcast(exact.select(cols)), cols, "left_anti"
+    )
     exact_knob = (
         missing.unionByName(extra)
         .agg((F.count("*") == 0).alias("ok"))
@@ -7716,6 +7760,7 @@ def d92x_colbert_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-10 ADVICE).
     rows = out.collect()
     exact.unpersist()
+    full.unpersist()
     cells.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
