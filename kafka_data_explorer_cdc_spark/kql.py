@@ -626,6 +626,161 @@ def _series_decompose_forecast(
     return _let(dec, out)
 
 
+_D0D = "CAST(0.0 AS DOUBLE)"
+_D1D = "CAST(1.0 AS DOUBLE)"
+
+
+def _ols_fold_sql(ys: str, finish: str, tag: str) -> str:
+    """SQL-text twin of :func:`_ols_fold`: one sequential fold
+    collecting struct(m, sy, sxy, syy) against the local 0-based x
+    axis. ``finish`` is a SQL string over the accumulator variable
+    ``_oa{tag}``; tags keep nested folds' lambda variables distinct.
+    Identical arithmetic and fold order to the Column build."""
+    a, e = f"_oa{tag}", f"_oe{tag}"
+    x = f"CAST({e} AS DOUBLE)"
+    return (
+        f"aggregate({ys}, named_struct("
+        f"'m', {_D0D}, 'sy', {_D0D}, 'sxy', {_D0D}, 'syy', {_D0D}), "
+        f"({a}, {e}) -> named_struct("
+        f"'m', {a}.m + {_D1D}, "
+        f"'sy', {a}.sy + {x}, "
+        f"'sxy', {a}.sxy + {a}.m * {x}, "
+        f"'syy', {a}.syy + {x} * {x}), "
+        f"{a} -> {finish})"
+    )
+
+
+def _ols_sse_sql(acc: str) -> str:
+    """SQL-text twin of :func:`_ols_sse` (same inlined subtrees as the
+    Column build — Catalyst's subexpression elimination dedupes them
+    at runtime either way)."""
+    m = f"{acc}.m"
+    s1 = f"(({m} - 1) * {m} / 2)"
+    s2 = f"(({m} - 1) * {m} * (2 * {m} - 1) / 6)"
+    sxx = f"({s2} - {s1} * {s1} / {m})"
+    sxy_c = f"({acc}.sxy - {s1} * {acc}.sy / {m})"
+    syy_c = f"({acc}.syy - {acc}.sy * {acc}.sy / {m})"
+    return (
+        f"CASE WHEN {m} >= 2 AND {sxx} > 0 "
+        f"THEN {syy_c} - {sxy_c} * {sxy_c} / {sxx} "
+        f"ELSE {_D0D} END"
+    )
+
+
+def _ols_line_sql(acc: str) -> str:
+    """SQL-text twin of :func:`_ols_line` —
+    struct(slope, interception), degenerate segments pinned to the
+    flat answer exactly as the Column build pins them."""
+    m = f"{acc}.m"
+    s1 = f"(({m} - 1) * {m} / 2)"
+    s2 = f"(({m} - 1) * {m} * (2 * {m} - 1) / 6)"
+    denom = f"({m} * {s2} - {s1} * {s1})"
+    slope = (
+        f"CASE WHEN {m} >= 2 AND {denom} > 0 "
+        f"THEN ({m} * {acc}.sxy - {s1} * {acc}.sy) / {denom} "
+        f"ELSE {_D0D} END"
+    )
+    icpt = (
+        f"CASE WHEN {m} > 0 THEN ({acc}.sy - ({slope}) * {s1}) / {m} "
+        f"ELSE {_D0D} END"
+    )
+    return f"named_struct('slope', {slope}, 'interception', {icpt})"
+
+
+def _series_fit_line_sql(arr: str) -> str:
+    """SQL text of :func:`_series_fit_line` — same folds, same guards,
+    same field order; the (line, variance, rvariance) core is
+    let-bound exactly like the Column build's :func:`_let`."""
+    acc = "_oaF"
+    core = (
+        f"named_struct("
+        f"'line', {_ols_line_sql(acc)}, "
+        f"'variance', {acc}.syy / {acc}.m"
+        f" - ({acc}.sy / {acc}.m) * ({acc}.sy / {acc}.m), "
+        f"'rvariance', ({_ols_sse_sql(acc)}) / {acc}.m)"
+    )
+    out = (
+        f"named_struct("
+        f"'rsquare', CASE WHEN _fs.variance > 0"
+        f" THEN {_D1D} - _fs.rvariance / _fs.variance ELSE {_D1D} END, "
+        f"'slope', _fs.line.slope, "
+        f"'variance', _fs.variance, "
+        f"'rvariance', _fs.rvariance, "
+        f"'interception', _fs.line.interception, "
+        f"'line_fit', transform(sequence(0, size({arr}) - 1), "
+        f"_fi -> _fs.line.interception"
+        f" + _fs.line.slope * CAST(_fi AS DOUBLE)))"
+    )
+    fold = _ols_fold_sql(arr, _sql_let(core, "_fs", out), "F")
+    nulls = (
+        "named_struct('rsquare', CAST(NULL AS DOUBLE), "
+        "'slope', CAST(NULL AS DOUBLE), 'variance', CAST(NULL AS DOUBLE), "
+        "'rvariance', CAST(NULL AS DOUBLE), "
+        "'interception', CAST(NULL AS DOUBLE), "
+        "'line_fit', CAST(NULL AS ARRAY<DOUBLE>))"
+    )
+    return f"CASE WHEN size({arr}) > 0 THEN {fold} ELSE {nulls} END"
+
+
+def _series_fit_2lines_sql(arr: str) -> str:
+    """SQL text of :func:`_series_fit_2lines` — the candidate split
+    sweep, best-split fold, per-side line fits and the n<4 fallback,
+    all mirroring the Column build's arithmetic exactly; the big
+    repetitive tree is assembled as ONE string instead of ~2 s of
+    py4j round trips per compile (the k106/series-kernel discipline,
+    round-13)."""
+    nn = f"size({arr})"
+    ks = (
+        f"CASE WHEN {nn} >= 4 THEN sequence(2, {nn} - 2) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    sse_l = _ols_fold_sql(f"slice({arr}, 1, _ck)", _ols_sse_sql("_oaL"), "L")
+    sse_r = _ols_fold_sql(
+        f"slice({arr}, _ck + 1, {nn} - _ck)", _ols_sse_sql("_oaR"), "R"
+    )
+    cand = (
+        f"transform({ks}, _ck -> named_struct("
+        f"'k', CAST(_ck AS BIGINT), 'sse', ({sse_l}) + ({sse_r})))"
+    )
+    best = (
+        f"aggregate({cand}, named_struct("
+        f"'k', CAST(-1 AS BIGINT), 'sse', CAST('Infinity' AS DOUBLE)), "
+        f"(_ba, _bc) -> CASE WHEN _bc.sse < _ba.sse THEN _bc ELSE _ba END)"
+    )
+    bki = "CAST(_wb.k AS INT)"
+    params = (
+        f"named_struct("
+        f"'l', {_ols_fold_sql(f'slice({arr}, 1, {bki})', _ols_line_sql('_oaPL'), 'PL')}, "
+        f"'r', {_ols_fold_sql(f'slice({arr}, {bki} + 1, {nn} - {bki})', _ols_line_sql('_oaPR'), 'PR')}, "
+        f"'v', {_ols_fold_sql(arr, '_oaPV.syy / _oaPV.m - (_oaPV.sy / _oaPV.m) * (_oaPV.sy / _oaPV.m)', 'PV')}, "
+        f"'rv', _wb.sse / CAST({nn} AS DOUBLE))"
+    )
+    line_fit = (
+        f"transform(sequence(0, {nn} - 1), _fi2 -> "
+        f"CASE WHEN CAST(_fi2 AS BIGINT) < _wb.k "
+        f"THEN _ps.l.interception + _ps.l.slope * CAST(_fi2 AS DOUBLE) "
+        f"ELSE _ps.r.interception + _ps.r.slope"
+        f" * (CAST(_fi2 AS DOUBLE) - CAST(_wb.k AS DOUBLE)) END)"
+    )
+    out = (
+        f"named_struct("
+        f"'rsquare', CASE WHEN _ps.v > 0"
+        f" THEN {_D1D} - _ps.rv / _ps.v ELSE {_D1D} END, "
+        f"'split_idx', _wb.k, "
+        f"'variance', _ps.v, "
+        f"'rvariance', _ps.rv, "
+        f"'line_fit', {line_fit})"
+    )
+    main = _sql_let(best, "_wb", _sql_let(params, "_ps", out))
+    fb = (
+        "named_struct('rsquare', _fl.rsquare, "
+        "'split_idx', CAST(-1 AS BIGINT), 'variance', _fl.variance, "
+        "'rvariance', _fl.rvariance, 'line_fit', _fl.line_fit)"
+    )
+    fallback = _sql_let(_series_fit_line_sql(arr), "_fl", fb)
+    return f"CASE WHEN {nn} >= 4 THEN {main} ELSE {fallback} END"
+
+
 def _series_fit_line(arr: Column) -> Column:
     """``series_fit_line(x)`` — Kusto's linear-regression scalar over a
     make-series array. Output struct binds positionally in Kusto's
@@ -640,7 +795,16 @@ def _series_fit_line(arr: Column) -> Column:
     is closed-form arithmetic computed in the fold's ``finish`` lambda
     (tree-linear — see :func:`_let`) — no explode, no shuffle, no
     Python, so it composes into the make-series plan shape (one rollup
-    shuffle total) at any corpus size."""
+    shuffle total) at any corpus size. Fast path: the whole expression
+    rendered as one SQL string (:func:`_series_fit_line_sql`, the
+    series-kernel discipline); the Column build below stays the
+    fallback."""
+    arr_sql = _col_sql(arr)
+    if arr_sql is not None:
+        try:
+            return F.expr(_series_fit_line_sql(arr_sql))
+        except Exception:
+            pass
 
     def finish(acc: Column) -> Column:
         core = F.struct(
@@ -707,7 +871,16 @@ def _series_fit_2lines(arr: Column) -> Column:
     over array slices — O(n²) arithmetic on an observability-sized
     array (make-series bin counts), all JVM expression evaluation (the
     :func:`_let` binding keeps the analyzed tree linear): no explode,
-    no shuffle, no Python."""
+    no shuffle, no Python. Fast path: one SQL string
+    (:func:`_series_fit_2lines_sql` — the Column build of this kernel
+    measured ~2 s of pure py4j latency per compile); the Column build
+    below stays the fallback."""
+    arr_sql = _col_sql(arr)
+    if arr_sql is not None:
+        try:
+            return F.expr(_series_fit_2lines_sql(arr_sql))
+        except Exception:
+            pass
     nn = F.size(arr)
     ks = F.when(nn >= 4, F.sequence(F.lit(2), nn - 2)).otherwise(
         F.expr("cast(array() as array<int>)")
