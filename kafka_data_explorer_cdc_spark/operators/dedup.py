@@ -16,6 +16,19 @@ Three tiers, all shuffle-architected for 100 TB:
 
 The pipelines are compositions of explode/groupBy/join — no UDFs, no
 driver state, no collect.
+
+Cache ownership: operators that return a PLAN over a multiply-consumed
+intermediate (``lsh_candidate_pairs``'s band buckets,
+``prefix_filter_jaccard_pairs``'s shingles/prefix,
+``minhash_lsh_dedup_pairs``'s shingle set) persist that intermediate
+MEMORY_AND_DISK and cannot unpersist it themselves — the consumers
+live inside the returned plan. The entries materialize lazily and the
+bench/driver clears the cache between invocations
+(``spark.catalog.clearCache()``); a LONG-LIVED session embedding these
+operators owns the same responsibility: call ``clearCache()`` (or
+unpersist the returned plan's InMemoryRelations) once the result is
+materialized, or the MEMORY_AND_DISK entries accumulate for the
+session's lifetime (round-13 verdict, persist hygiene).
 """
 
 from __future__ import annotations

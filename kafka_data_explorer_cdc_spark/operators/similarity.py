@@ -15,6 +15,15 @@
 Norms are folded in the same element order in Spark and DuckDB
 (`aggregate` vs `list_reduce`), so even double-precision cosines are
 reproducible bit-for-bit for the oracle.
+
+Cache ownership: ``ivf_build``/``bitext_ivf_build`` document "caller
+owns the unpersist", and the collecting gate queries honor it; the
+plan-returning operators (``ivf_cosine_topk`` et al. when they build
+internally, ``pq_codes_cosine_topk``'s encoded table,
+``sq8_cosine_topk``'s codes) persist intermediates their returned plan
+consumes and CANNOT unpersist them — a long-lived session must
+``spark.catalog.clearCache()`` after materializing (the bench/driver
+does this between invocations; round-13 verdict, persist hygiene).
 """
 
 from __future__ import annotations
